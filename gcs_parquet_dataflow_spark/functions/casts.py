@@ -1,0 +1,145 @@
+"""Column-expression cast ladders reproducing the reference's per-value
+Python cast semantics (reference main.py:113-265, SURVEY §1.2) as pure
+Catalyst expressions — no Python in the row path, so whole-stage codegen
+applies and the same expressions run unchanged on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# reference main.py:242-249 — case-insensitive truthy string set
+BOOLEAN_TRUE_STRINGS = ("true", "1", "t", "y", "yes")
+
+
+def nan_to_null(col: Column, dtype: T.DataType) -> Column:
+    """NaN → NULL for float/double columns (reference main.py:113-119
+    ``_clean_nan_value``). Spark keeps NaN distinct from NULL; the engine
+    normalizes at ingest so every downstream op sees one missing-value
+    representation."""
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return F.when(F.isnan(col), F.lit(None).cast(dtype)).otherwise(col)
+    return col
+
+
+def cast_string(col: Column, dtype: T.DataType) -> Column:
+    """``str(value)`` with None preserved (reference main.py:121-123)."""
+    if isinstance(dtype, T.BooleanType):
+        # Python str(True) == "True"; Spark cast gives "true".
+        return (
+            F.when(col.isNull(), F.lit(None).cast("string"))
+            .when(col, F.lit("True"))
+            .otherwise(F.lit("False"))
+        )
+    return col.cast("string")
+
+
+def cast_integer(col: Column, dtype: T.DataType) -> Column:
+    """``int(value)``; failure → NULL (reference omits the property on
+    ValueError/TypeError, main.py:227-233 — NULL + null-stripping at
+    serialization is observably identical, SURVEY §1.2)."""
+    if isinstance(dtype, T.StringType):
+        # Python int("12.5") raises; Spark's string→long cast also yields
+        # NULL for non-integral strings, matching the omit semantics.
+        return F.trim(col).try_cast("long")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        # Python int(datetime) raises TypeError → omit.
+        return F.lit(None).cast("long")
+    return col.cast("long")
+
+
+def cast_float(col: Column, dtype: T.DataType) -> Column:
+    """``float(value)``; failure → NULL (reference main.py:234-240)."""
+    if isinstance(dtype, T.StringType):
+        return F.trim(col).try_cast("double")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return F.lit(None).cast("double")
+    return col.cast("double")
+
+
+def cast_boolean(col: Column, dtype: T.DataType) -> Column:
+    """Reference boolean semantics (main.py:241-253): strings by membership
+    in BOOLEAN_TRUE_STRINGS (case-insensitive), everything else by Python
+    truthiness. NOT a plain cast — Spark's boolean cast rejects "t"/"y"
+    and errors instead of falling back to truthiness."""
+    if isinstance(dtype, T.BooleanType):
+        return col
+    if isinstance(dtype, T.StringType):
+        return F.when(
+            col.isNull(), F.lit(None).cast("boolean")
+        ).otherwise(F.lower(F.trim(col)).isin(*BOOLEAN_TRUE_STRINGS))
+    if isinstance(dtype, T.NumericType):
+        return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(col != 0)
+    if isinstance(dtype, T.ArrayType):
+        return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.size(col) > 0
+        )
+    if isinstance(dtype, T.MapType):
+        return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.size(F.map_keys(col)) > 0
+        )
+    # datetimes, structs, binaries: Python truthiness of a non-null object
+    return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(F.lit(True))
+
+
+# Formats the reference's dateutil.parser.parse grammar commonly sees
+# (main.py:131-149). try_to_timestamp with no format already covers
+# ISO 8601 'T'/space separators and fractional seconds; these extend to
+# date-only, slashed, and RFC-ish forms. Naive datetimes are treated as
+# UTC (session timezone is pinned UTC).
+_TS_FORMATS = (
+    "yyyy/MM/dd HH:mm:ss",
+    "yyyy/MM/dd",
+    "MM/dd/yyyy HH:mm:ss",
+    "MM/dd/yyyy",
+    "dd-MM-yyyy HH:mm:ss",
+    "dd MMM yyyy HH:mm:ss",
+    "dd MMM yyyy",
+    "MMM dd yyyy",
+)
+
+
+def parse_timestamp_lenient(col: Column) -> Column:
+    """Best-effort string→timestamp mimicking dateutil's lenient grammar
+    with a coalesce of try_to_timestamp attempts — entirely JVM-side.
+    dateutil accepts strictly more (e.g. "Jan 5th '24"); exotic forms
+    yield NULL here, a documented parity gap (SURVEY §7 hard part 2)."""
+    trimmed = F.trim(col)
+    attempts = [F.try_to_timestamp(trimmed)]
+    attempts += [F.try_to_timestamp(trimmed, F.lit(fmt)) for fmt in _TS_FORMATS]
+    return F.coalesce(*attempts)
+
+
+def cast_unix_timestamp_auto(
+    col: Column, dtype: T.DataType, now_epoch: Column | None = None
+) -> Column:
+    """Reference ``unix_timestamp_auto`` (main.py:131-149, 254-259):
+    datetime → epoch seconds; int/float → int(v) passthrough; string →
+    lenient parse to epoch seconds (naive = UTC); unparseable → NULL.
+    The ``time``-target now() fallback is applied by the compiler via
+    coalesce, not here."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_timestamp(col)
+    if isinstance(dtype, T.DateType):
+        return F.unix_timestamp(col.cast("timestamp"))
+    if isinstance(dtype, T.NumericType):
+        return col.cast("long")
+    if isinstance(dtype, T.BooleanType):
+        return col.cast("long")
+    if isinstance(dtype, T.StringType):
+        return F.unix_timestamp(parse_timestamp_lenient(col))
+    return F.lit(None).cast("long")
+
+
+def now_epoch_expr() -> Column:
+    """Epoch-seconds "now" (reference main.py:128-129). Deterministic tests
+    inject a fixed literal instead."""
+    return F.unix_timestamp(F.current_timestamp())
+
+
+def uuid_expr() -> Column:
+    """Fresh UUID4 per row (reference main.py:262, 273). Deterministic
+    tests inject a derived expression instead."""
+    return F.expr("uuid()")

@@ -1,0 +1,254 @@
+"""Golden-output tests for the config compiler (SURVEY §5 item 2):
+fixture config × fixture rows → exact expected output, covering every
+branch of SURVEY §1.2/§2.6. Deterministic via injected now/uuid."""
+
+from __future__ import annotations
+
+import json
+import math
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gcs_parquet_dataflow_spark.config.model import load_configs
+from gcs_parquet_dataflow_spark.plans.compiler import (
+    CompilerOptions,
+    compile_config,
+    split_dlq,
+)
+
+FIXED_NOW = 1_700_000_000
+FIXED_UUID = "00000000-0000-4000-8000-000000000000"
+
+CONFIG = load_configs(
+    [
+        {
+            "config_id": "events_test",
+            "source_gcs_prefix": "gs://bucket/events/",
+            "file_type": "PARQUET",
+            "mixpanel_event_name_from_field": "event_name",
+            "field_mappings": [
+                {"source_field": "bussiness_ts", "mixpanel_field": "time",
+                 "type": "unix_timestamp_auto"},
+                {"source_field": "user_id", "mixpanel_field": "$user_id",
+                 "type": "string"},
+                {"source_field": "did", "mixpanel_field": "$device_id",
+                 "type": "string", "is_required_in_source": True},
+                {"source_field": "insert_id", "mixpanel_field": "$insert_id",
+                 "type": "string_or_uuid"},
+                {"source_field": "count", "mixpanel_field": "count",
+                 "type": "integer"},
+                {"source_field": "ratio", "mixpanel_field": "ratio",
+                 "type": "float"},
+                {"source_field": "flag", "mixpanel_field": "flag",
+                 "type": "boolean"},
+                {"source_field": "*", "mixpanel_field": "*"},
+            ],
+        }
+    ]
+)[0]
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_name", T.StringType()),
+        T.StructField("bussiness_ts", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("did", T.StringType()),
+        T.StructField("insert_id", T.StringType()),
+        T.StructField("count", T.StringType()),
+        T.StructField("ratio", T.StringType()),
+        T.StructField("flag", T.StringType()),
+        T.StructField("extra", T.DoubleType()),
+    ]
+)
+
+def OPTS():
+    # lazy: F.lit needs an active SparkContext (classic PySpark)
+    return CompilerOptions(
+        token="tok",
+        now_epoch=F.lit(FIXED_NOW),
+        uuid=F.lit(FIXED_UUID),
+    )
+
+ROW_OK = ("purchase", "2024-01-02 03:04:05", 7, "dev-1", "ins-1",
+          "12", "1.5", "YES", 2.5)
+
+
+def run_rows(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    compiled = compile_config(CONFIG, SCHEMA, OPTS())
+    out = compiled.serialize(df).collect()
+    parsed = []
+    for r in out:
+        parsed.append(
+            (json.loads(r["event_json"]), r["_error"])
+        )
+    return parsed
+
+
+def test_happy_path_golden(spark):
+    [(doc, err)] = run_rows(spark, [ROW_OK])
+    assert err is None
+    assert doc == {
+        "event": "purchase",
+        "properties": {
+            "token": "tok",
+            "time": int(datetime(2024, 1, 2, 3, 4, 5,
+                                 tzinfo=timezone.utc).timestamp()),
+            "$user_id": "7",
+            "$device_id": "dev-1",
+            "$insert_id": "ins-1",
+            "count": 12,
+            "ratio": 1.5,
+            "flag": True,
+            # the event-name column is NOT an explicit mapping, so the
+            # wildcard copies it too (reference main.py:266-269 skips only
+            # mapped_source_fields)
+            "event_name": "purchase",
+            "extra": 2.5,
+        },
+    }
+
+
+def test_missing_dynamic_event_name_empty_string(spark):
+    row = ("",) + ROW_OK[1:]
+    [(_, err)] = run_rows(spark, [row])
+    assert err["error_type"] == "missing_dynamic_event_name"
+
+
+def test_missing_dynamic_event_name_null(spark):
+    row = (None,) + ROW_OK[1:]
+    [(_, err)] = run_rows(spark, [row])
+    assert err["error_type"] == "missing_dynamic_event_name"
+
+
+def test_required_field_null_goes_to_dlq(spark):
+    row = ROW_OK[:3] + (None,) + ROW_OK[4:]
+    [(_, err)] = run_rows(spark, [row])
+    assert err["error_type"] == "missing_required_field"
+    assert "'did'" in err["reason"]
+
+
+def test_error_precedence_event_name_first(spark):
+    # both event name and required field bad → event-name error wins
+    # (reference checks event name before the mapping loop)
+    row = (None,) + ROW_OK[1:3] + (None,) + ROW_OK[4:]
+    [(_, err)] = run_rows(spark, [row])
+    assert err["error_type"] == "missing_dynamic_event_name"
+
+
+def test_cast_failure_omits_property(spark):
+    row = ROW_OK[:5] + ("not-an-int", "not-a-float") + ROW_OK[7:]
+    [(doc, err)] = run_rows(spark, [row])
+    assert err is None
+    assert "count" not in doc["properties"]
+    assert "ratio" not in doc["properties"]
+
+
+def test_boolean_string_set(spark):
+    rows = [ROW_OK[:7] + (s, 1.0) for s in
+            ["true", "1", "t", "Y", "yes", "no", "0", "false", "anything"]]
+    out = run_rows(spark, rows)
+    flags = [doc["properties"]["flag"] for doc, _ in out]
+    assert flags == [True, True, True, True, True,
+                     False, False, False, False]
+
+
+def test_nan_is_null_and_stripped(spark):
+    row = ROW_OK[:8] + (float("nan"),)
+    [(doc, err)] = run_rows(spark, [row])
+    assert err is None
+    assert "extra" not in doc["properties"]
+
+
+def test_insert_id_defaults_to_uuid(spark):
+    row = ROW_OK[:4] + (None,) + ROW_OK[5:]
+    [(doc, _)] = run_rows(spark, [row])
+    assert doc["properties"]["$insert_id"] == FIXED_UUID
+
+
+def test_unparseable_time_falls_back_to_now(spark):
+    row = ROW_OK[:1] + ("garbage-date",) + ROW_OK[2:]
+    [(doc, _)] = run_rows(spark, [row])
+    assert doc["properties"]["time"] == FIXED_NOW
+
+
+def test_null_time_falls_back_to_now(spark):
+    row = ROW_OK[:1] + (None,) + ROW_OK[2:]
+    [(doc, _)] = run_rows(spark, [row])
+    assert doc["properties"]["time"] == FIXED_NOW
+
+
+def test_timestamp_formats(spark):
+    cases = {
+        "2024-01-02T03:04:05": 1704164645,
+        "2024-01-02 03:04:05.250": 1704164645,
+        "2024-01-02": 1704153600,
+        "2024/01/02": 1704153600,
+        "01/02/2024": 1704153600,  # MM/dd/yyyy — dateutil's US default
+    }
+    rows = [ROW_OK[:1] + (s,) + ROW_OK[2:] for s in cases]
+    out = run_rows(spark, rows)
+    got = [doc["properties"]["time"] for doc, _ in out]
+    assert got == list(cases.values())
+
+
+def test_wildcard_skips_consumed_fields(spark):
+    [(doc, _)] = run_rows(spark, [ROW_OK])
+    # explicit source fields must not leak via the wildcard
+    for k in ("bussiness_ts", "user_id", "did", "insert_id"):
+        assert k not in doc["properties"]
+    # ...but the event-name column (not an explicit mapping) does pass through
+    assert doc["properties"]["event_name"] == "purchase"
+
+
+def test_static_event_name_default():
+    cfg = load_configs(
+        [{"config_id": "c", "source_gcs_prefix": "gs://b/",
+          "field_mappings": []}]
+    )[0]
+    assert cfg.mixpanel_event_name is None
+
+
+def test_static_event_name(spark):
+    cfg = load_configs(
+        [{"config_id": "c", "source_gcs_prefix": "gs://b/",
+          "field_mappings": [
+              {"source_field": "x", "mixpanel_field": "x", "type": "integer"}
+          ]}]
+    )[0]
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    df = spark.createDataFrame([(1,)], schema)
+    compiled = compile_config(cfg, schema, OPTS())
+    [row] = compiled.serialize(df).collect()
+    doc = json.loads(row["event_json"])
+    assert doc["event"] == "generic_event"
+    assert doc["properties"]["x"] == 1
+
+
+def test_split_dlq(spark):
+    rows = [ROW_OK, (None,) + ROW_OK[1:]]
+    df = spark.createDataFrame(rows, SCHEMA)
+    compiled = compile_config(CONFIG, SCHEMA, OPTS())
+    ok, dlq = split_dlq(compiled.apply(df))
+    assert ok.count() == 1
+    assert dlq.count() == 1
+    assert "_error" not in ok.columns
+
+
+def test_int_truncation_matches_python(spark):
+    schema = T.StructType([T.StructField("x", T.DoubleType())])
+    cfg = load_configs(
+        [{"config_id": "c", "source_gcs_prefix": "gs://b/",
+          "mixpanel_event_name": "e",
+          "field_mappings": [
+              {"source_field": "x", "mixpanel_field": "x", "type": "integer"}
+          ]}]
+    )[0]
+    df = spark.createDataFrame([(12.9,), (-3.7,)], schema)
+    compiled = compile_config(cfg, schema, OPTS())
+    out = [json.loads(r["event_json"])["properties"]["x"]
+           for r in compiled.serialize(df).collect()]
+    assert out == [int(12.9), int(-3.7)]  # trunc toward zero, like Python
