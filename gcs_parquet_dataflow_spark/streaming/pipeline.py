@@ -1,0 +1,139 @@
+"""Streaming ingestion (reference streaming DAG, main.py:426-523)
+rebuilt on Structured Streaming.
+
+Reference shape: Pub/Sub file notifications → 5-min window → URI dedup →
+route → read parquet → transform → 10 s batching → HTTP sink → DLQs.
+
+Spark shape: the streaming *file source* subsumes notification intake,
+dedup, and read in one operator — it discovers new files under a path,
+reads them exactly once, and checkpoints progress. That makes the
+reference's best-effort 5-minute dedup (main.py:461-463) and its
+*unimplemented* Firestore idempotency claim (README.md:13, 42 — no code
+anywhere) an actual guarantee: checkpointed exactly-once file tracking.
+
+The general dedup-within-horizon operator is still exposed
+(``dedup_within_watermark``) for true notification streams (Kafka/
+Pub/Sub-Lite) where re-delivery is possible.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from gcs_parquet_dataflow_spark.config.model import SourceConfig
+from gcs_parquet_dataflow_spark.plans.compiler import (
+    CompilerOptions,
+    compile_config,
+)
+from gcs_parquet_dataflow_spark.sinks.http_batch import (
+    HttpSinkConfig,
+    post_events,
+)
+
+DEFAULT_TRIGGER_S = 10  # reference's 10 s API-batching window (main.py:506)
+DEFAULT_DEDUP_HORIZON = "5 minutes"  # reference's dedup window (main.py:462)
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    horizon: str = DEFAULT_DEDUP_HORIZON,
+) -> DataFrame:
+    """Bounded-state streaming dedup (reference W1+D1, main.py:461-463:
+    ``Distinct`` scoped to 5-minute fixed windows). Spark's
+    ``dropDuplicatesWithinWatermark`` reproduces exactly this
+    bounded-state semantics: duplicates within the horizon are dropped,
+    state is evicted past the watermark, re-deliveries farther apart than
+    the horizon pass through (same tradeoff as the reference)."""
+    return df.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_source(
+    spark: SparkSession,
+    config: SourceConfig,
+    schema: T.StructType,
+    path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming parquet file source for one config's prefix (replaces
+    reference S1+E1+E2+W1+D1+S4, SURVEY §2.1). ``path`` overrides the
+    config prefix for local testing. ``maxFilesPerTrigger`` bounds
+    micro-batch size — the scale knob for backfill-sized arrival bursts."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path or config.source_gcs_prefix)
+
+
+def run_streaming(
+    spark: SparkSession,
+    config: SourceConfig,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    *,
+    path: str | None = None,
+    opts: CompilerOptions | None = None,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    http_cfg: HttpSinkConfig | None = None,
+    dlq_dir: str | None = None,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """End-to-end streaming pipeline for one source config.
+
+    Per micro-batch (``foreachBatch`` = the natural bundle boundary the
+    reference emulates with finish_bundle re-windowing, main.py:415-423):
+    transform → split DLQ → write DLQ idempotently (batch-id-keyed path,
+    SURVEY §7 hard part 6) → deliver events via ``sink`` (test hook) or
+    the HTTP batch sink.
+    """
+    compiled = compile_config(config, schema, opts)
+    source = stream_source(spark, config, schema, path)
+    serialized = compiled.serialize(source)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            ok = batch_df.filter(F.col("_error").isNull()).select("event_json")
+            dlq = batch_df.filter(F.col("_error").isNotNull())
+            if dlq_dir is not None:
+                # idempotent on retry: one subdir per batch id, overwritten
+                (
+                    dlq.select(
+                        "event_json",
+                        F.col("_error.error_type").alias("error_type"),
+                        F.col("_error.reason").alias("reason"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(f"{dlq_dir}/batch_id={batch_id}")
+                )
+            if sink is not None:
+                sink(ok, batch_id)
+            elif http_cfg is not None:
+                outcomes = post_events(ok, http_cfg)
+                if dlq_dir is not None:
+                    (
+                        outcomes.filter(F.col("status") == "dlq")
+                        .write.mode("overwrite")
+                        .parquet(f"{dlq_dir}/api_batch_id={batch_id}")
+                    )
+                else:
+                    outcomes.filter(F.col("status") == "dlq").count()
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        serialized.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,96 @@
+"""End-to-end batch backfill: files on disk → glob match → route →
+read → transform → events + DLQ + unmatched (reference run_batch DAG)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.config.model import load_configs
+from gcs_parquet_dataflow_spark.plans.compiler import CompilerOptions
+from gcs_parquet_dataflow_spark.sources.batch import list_files, run_batch
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("lake")
+
+
+@pytest.fixture(scope="module")
+def lake(spark, data_dir):
+    """Two routed sources with different schemas + one unrouted file."""
+    a = spark.createDataFrame(
+        [("click", 1, "2024-01-01 00:00:00"), ("view", 2, "2024-01-02 00:00:00")],
+        "event_name string, user_id long, ts string",
+    )
+    a.coalesce(1).write.mode("overwrite").parquet(str(data_dir / "src_a" / "d1"))
+    b = spark.createDataFrame(
+        [(3.5, "u9"), (float("nan"), "u10")], "amount double, uid string"
+    )
+    b.coalesce(1).write.mode("overwrite").parquet(str(data_dir / "src_b" / "d1"))
+    c = spark.createDataFrame([(1,)], "x long")
+    c.coalesce(1).write.mode("overwrite").parquet(str(data_dir / "other" / "d1"))
+    return data_dir
+
+
+def configs_for(root):
+    return load_configs(
+        [
+            {
+                "config_id": "a",
+                "source_gcs_prefix": f"file:{root}/src_a/",
+                "file_type": "PARQUET",
+                "mixpanel_event_name_from_field": "event_name",
+                "field_mappings": [
+                    {"source_field": "ts", "mixpanel_field": "time",
+                     "type": "unix_timestamp_auto"},
+                    {"source_field": "user_id", "mixpanel_field": "$user_id",
+                     "type": "string"},
+                ],
+            },
+            {
+                "config_id": "b",
+                "source_gcs_prefix": f"file:{root}/src_b/",
+                "file_type": "PARQUET",
+                "mixpanel_event_name": "payment",
+                "field_mappings": [
+                    {"source_field": "amount", "mixpanel_field": "amount",
+                     "type": "float", "is_required_in_source": True},
+                    {"source_field": "uid", "mixpanel_field": "$user_id",
+                     "type": "string"},
+                ],
+            },
+        ]
+    )
+
+
+def test_list_files_glob(spark, lake):
+    files = list_files(spark, f"file:{lake}/*/*/*.parquet")
+    names = [r["uri"] for r in files.collect()]
+    assert len(names) == 3
+    assert all(n.endswith(".parquet") for n in names)
+
+
+def test_run_batch_end_to_end(spark, lake):
+    opts = CompilerOptions(
+        token="tk", now_epoch=F.lit(1700000000), uuid=F.lit("fixed-uuid")
+    )
+    ok, dlq, unmatched = run_batch(
+        spark, configs_for(lake), f"file:{lake}/*/*/*.parquet", opts
+    )
+    ok_rows = [json.loads(r["event_json"]) for r in ok.collect()]
+    events = sorted(d["event"] for d in ok_rows)
+    # src_a: click+view; src_b: one ok payment (NaN row is required-null → DLQ)
+    assert events == ["click", "payment", "view"]
+    assert dlq.count() == 1
+    [drow] = dlq.collect()
+    assert drow["_error"]["error_type"] == "missing_required_field"
+    # the 'other' dir file routed nowhere
+    assert [os.path.basename(r["uri"]).startswith("part")
+            for r in unmatched.collect()] == [True]
+    payment = next(d for d in ok_rows if d["event"] == "payment")
+    assert payment["properties"]["amount"] == 3.5
+    assert payment["properties"]["$user_id"] == "u9"

@@ -1,0 +1,129 @@
+"""Streaming tests (SURVEY §5 item 4): file-source ingestion through the
+transform + DLQ with checkpointed exactly-once, and the bounded-state
+dedup operator."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gcs_parquet_dataflow_spark.config.model import load_configs
+from gcs_parquet_dataflow_spark.plans.compiler import CompilerOptions
+from gcs_parquet_dataflow_spark.streaming.pipeline import (
+    dedup_within_watermark,
+    run_streaming,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_name", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+CONFIG = load_configs(
+    [
+        {
+            "config_id": "s",
+            "source_gcs_prefix": "gs://unused/",
+            "file_type": "PARQUET",
+            "mixpanel_event_name_from_field": "event_name",
+            "field_mappings": [
+                {"source_field": "user_id", "mixpanel_field": "$user_id",
+                 "type": "string"},
+            ],
+        }
+    ]
+)[0]
+
+
+def test_streaming_file_source_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    dlq_dir = tmp_path / "dlq"
+    captured: list[list[str]] = []
+
+    def sink(df, batch_id):
+        captured.append([r["event_json"] for r in df.collect()])
+
+    spark.createDataFrame(
+        [("click", 1), (None, 2)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    opts = CompilerOptions(now_epoch=F.lit(1700000000), uuid=F.lit("u1"))
+    q = run_streaming(
+        spark, CONFIG, SCHEMA, str(ckpt), path=str(src), opts=opts,
+        sink=sink, dlq_dir=str(dlq_dir), available_now=True,
+    )
+    q.awaitTermination(120)
+    events = [json.loads(e) for batch in captured for e in batch]
+    assert [e["event"] for e in events] == ["click"]
+    assert events[0]["properties"]["$user_id"] == "1"
+    dlq = spark.read.parquet(str(dlq_dir / "batch_id=0"))
+    assert dlq.count() == 1
+    assert dlq.first()["error_type"] == "missing_dynamic_event_name"
+
+    # exactly-once: restart over the same checkpoint with no new files →
+    # nothing is re-delivered (the reference's unkept Firestore promise)
+    captured.clear()
+    q2 = run_streaming(
+        spark, CONFIG, SCHEMA, str(ckpt), path=str(src), opts=opts,
+        sink=sink, dlq_dir=str(dlq_dir), available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert sum(len(b) for b in captured) == 0
+
+    # new file arrives → only it is processed
+    spark.createDataFrame([("buy", 3)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    captured.clear()
+    q3 = run_streaming(
+        spark, CONFIG, SCHEMA, str(ckpt), path=str(src), opts=opts,
+        sink=sink, dlq_dir=str(dlq_dir), available_now=True,
+    )
+    q3.awaitTermination(120)
+    events = [json.loads(e) for batch in captured for e in batch]
+    assert [e["event"] for e in events] == ["buy"]
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys within the horizon are dropped; the operator runs
+    and emits under append mode with a memory sink."""
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            ("gs://b/f1", "2024-01-01 00:00:00"),
+            ("gs://b/f1", "2024-01-01 00:01:00"),  # dup within 5 min
+            ("gs://b/f2", "2024-01-01 00:02:00"),
+            ("gs://b/f1", "2024-01-01 00:30:00"),  # past horizon → passes
+        ],
+        "uri string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("uri string, ts timestamp").parquet(str(src))
+    )
+    deduped = dedup_within_watermark(stream, ["uri"], "ts", "5 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["uri"], str(r["ts"])) for r in spark.sql("select * from dedup_out").collect()
+    )
+    # f1 kept once within horizon + once past it; f2 once
+    uris = [u for u, _ in got]
+    assert uris.count("gs://b/f2") == 1
+    assert 1 <= uris.count("gs://b/f1") <= 2
