@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}`` for the driver's BENCH_r{N}.json.
+
+Each query is forced with a cheap ``count()``-style action so timing
+covers scan→compute→aggregate, not result serialization to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_topk_per_group",
+    "explode_words",
+    "event_time_window_agg",
+    "events_transform",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+    from gcs_parquet_dataflow_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    names = [n for n in HEADLINE if n in CATALOG]
+    # extension queries are registered later; include any marked headline
+    names += [n for n, q in CATALOG.items()
+              if getattr(q, "headline", False) and n not in names]
+
+    # warm the JVM + parquet footers once so timings measure the engine
+    CATALOG[names[0]].build(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = CATALOG[name].build(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

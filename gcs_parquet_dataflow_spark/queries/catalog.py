@@ -1,0 +1,756 @@
+"""Declared query surface: every engine capability as a named query with
+a DuckDB oracle (SURVEY §5 item 1 — the driver's correctness gate).
+
+Design rules for oracle-hash stability:
+
+- **Money/double sums are computed in integer cents** (the fixtures'
+  money columns are 2-decimal doubles): ``sum(cast(round(x*100) as
+  long))`` is exact integer arithmetic — identical regardless of
+  partitioning/order — then one final division. A plain ``sum(double)``
+  differs between engines in the last ulps because addition order
+  differs. This matters at 100 TB too: deterministic aggregates make
+  results reproducible across cluster sizes.
+- Every integer output is cast to long (DuckDB ``sum`` yields HUGEINT,
+  Spark ``size`` yields int — both normalized to BIGINT).
+- Sorted/limited queries carry a full tie-break so the row *set* is
+  deterministic.
+- Nondeterministic leaves (now/uuid/rand/approx sketches) never reach
+  oracle-checked outputs (SURVEY §7 hard part 3).
+
+Spark side uses the DataFrame API (the engine surface); oracles are
+independent ANSI SQL for DuckDB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from gcs_parquet_dataflow_spark.catalog import load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → rows-only check (non-SQL-expressible)
+
+
+CATALOG: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        CATALOG[name] = Query(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def cents(col: Column) -> Column:
+    """Exact integer cents from a 2-decimal double."""
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (engine capability: groupBy/agg; reference itself has none —
+# SURVEY §2.7 — these demonstrate the free Spark capability set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0
+               AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+               /10000.0 AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))
+                    * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)
+               /1000000.0 AS sum_charge,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the classic scan→partial-agg→final-agg plan;
+    map-side combine means the shuffle carries ≤ |groups| rows/partition."""
+    li = t(spark, sf_dir, "lineitem")
+    ep, dc, tx = cents(F.col("l_extendedprice")), cents(F.col("l_discount")), cents(
+        F.col("l_tax")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        (F.sum(ep) / 100.0).alias("sum_base_price"),
+        (F.sum(ep * (100 - dc)) / 10000.0).alias("sum_disc_price"),
+        (F.sum(ep * (100 - dc) * (100 + tx)) / 1000000.0).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0
+               AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("total_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_o"),
+            F.col("F").alias("qty_f"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (engine capability: J1-J3 + standard join types, SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+               /10000.0 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape. customer is the small side → broadcast; lineitem⋈
+    orders shuffles on the order key (the natural 100 TB co-location key)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ep, dc = cents(F.col("l_extendedprice")), cents(F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+               /10000.0 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: all dimension tables broadcast; only the
+    lineitem⋈orders join shuffles."""
+    c, o, li = (t(spark, sf_dir, x) for x in ("customer", "orders", "lineitem"))
+    s, n, r = (t(spark, sf_dir, x) for x in ("supplier", "nation", "region"))
+    ep, dc = cents(F.col("l_extendedprice")), cents(F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    """
+    SELECT c_custkey, c_name,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0)
+                AS BIGINT)/100.0 AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (F.coalesce(F.sum(cents(F.col("o_totalprice"))), F.lit(0)) / 100.0).alias(
+                "spend"
+            ),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def join_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "prefix_route_first_match",
+    """
+    SELECT doc_id, source,
+           CASE WHEN starts_with(source, 'src1') THEN 'cfg_src1_family'
+                WHEN starts_with(source, 'src') THEN 'cfg_generic'
+                ELSE NULL END AS config_id
+    FROM documents
+    """,
+)
+def prefix_route_first_match(spark, sf_dir):
+    """The reference's J1 prefix theta join (main.py:37-63) as a declared
+    query: overlapping prefixes, first match in config order wins."""
+    from gcs_parquet_dataflow_spark.config.model import load_configs
+    from gcs_parquet_dataflow_spark.operators.routing import with_routing
+
+    configs = load_configs(
+        [
+            {"config_id": "cfg_src1_family", "source_gcs_prefix": "src1",
+             "field_mappings": []},
+            {"config_id": "cfg_generic", "source_gcs_prefix": "src",
+             "field_mappings": []},
+        ]
+    )
+    d = t(spark, sf_dir, "documents")
+    return with_routing(d, configs, uri_col="source").select(
+        "doc_id", "source", "config_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions / sorts / limits / set ops (SURVEY §2.8 capability set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      FROM orders) WHERE rk <= 5
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        ).filter(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_cents
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(cents(F.col("o_totalprice"))).over(w).alias("running_cents"),
+    )
+
+
+@query(
+    "window_lag_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+)
+def window_lag_gap_days(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias(
+            "days_since_prev"
+        ),
+    )
+
+
+@query(
+    "sort_limit_topn",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+    """,
+)
+def sort_limit_topn(spark, sf_dir):
+    """Top-N: Spark runs TakeOrderedAndProject — per-partition heaps, no
+    full sort, no single-node shuffle. The 100 TB-safe top-k."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@query(
+    "set_union_distinct",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_union_distinct(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)
+def set_except(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    return c.select("c_custkey").exceptAll(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.11 surface) + filters/projections
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project_pushdown",
+    """
+    SELECT l_orderkey, l_extendedprice FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+      AND l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def filter_project_pushdown(spark, sf_dir):
+    """Filters + 2-column projection — `.explain` shows PushedFilters and
+    a pruned ReadSchema (the free upgrade over the reference, SURVEY §4)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1998-06-01")
+        & (F.col("l_quantity") > 45)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substr(p_type, 1, 5) AS type_prefix,
+           p_brand || '#' || p_type AS brand_type,
+           replace(p_name, ' ', '_') AS name_underscored,
+           trim(p_name) AS name_trim,
+           CAST(starts_with(p_type, 'STANDARD') AS BOOLEAN) AS is_standard,
+           CAST(regexp_matches(p_name, '[aeiou]{2}') AS BOOLEAN) AS has_double_vowel
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_underscored"),
+        F.trim("p_name").alias("name_trim"),
+        F.col("p_type").startswith("STANDARD").alias("is_standard"),
+        F.col("p_name").rlike("[aeiou]{2}").alias("has_double_vowel"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    """
+    SELECT c_custkey,
+           abs(c_acctbal) AS abs_bal,
+           CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+           CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+           round(c_acctbal, 1) AS round1_bal,
+           round(sqrt(abs(c_acctbal)), 6) AS sqrt_bal,
+           round(ln(abs(c_acctbal) + 1), 6) AS ln_bal,
+           CAST(c_custkey % 7 AS BIGINT) AS mod7
+    FROM customer
+    """,
+)
+def scalar_math_funcs(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_bal"),
+        F.ceil(bal).cast("long").alias("ceil_bal"),
+        F.floor(bal).cast("long").alias("floor_bal"),
+        F.round(bal, 1).alias("round1_bal"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("sqrt_bal"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("ln_bal"),
+        (F.col("c_custkey") % 7).cast("long").alias("mod7"),
+    )
+
+
+@query(
+    "conditional_case",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_bucket,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_adj
+    FROM customer
+    """,
+)
+def conditional_case(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("segment_adj"),
+    )
+
+
+@query(
+    "json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def json_extract(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+@query(
+    "explode_words",
+    """
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def explode_words(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "event_time_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_time_window_agg(spark, sf_dir):
+    """Tumbling event-time window — the batch analog of the streaming
+    windowed agg (same F.window operator drives Structured Streaming)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# The reference's core transform as a declared query (T1, deterministic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_transform",
+    """
+    SELECT event_type AS event,
+           CAST(floor(epoch(ts)) AS BIGINT) AS time_epoch,
+           CAST(user_id AS VARCHAR) AS user_id,
+           CAST(event_id AS VARCHAR) AS insert_id,
+           value
+    FROM events
+    WHERE event_type IS NOT NULL AND event_type != ''
+    """,
+)
+def events_transform(spark, sf_dir):
+    """The config-compiled projection/cast/enrich operator (SURVEY §2.6)
+    over the events table, deterministic subset (no now()/uuid())."""
+    from gcs_parquet_dataflow_spark.config.model import load_configs
+    from gcs_parquet_dataflow_spark.plans.compiler import (
+        CompilerOptions,
+        compile_config,
+        split_dlq,
+    )
+
+    e = t(spark, sf_dir, "events")
+    config = load_configs(
+        [
+            {
+                "config_id": "events",
+                "source_gcs_prefix": "gs://any/",
+                "mixpanel_event_name_from_field": "event_type",
+                "field_mappings": [
+                    {"source_field": "ts", "mixpanel_field": "time",
+                     "type": "unix_timestamp_auto"},
+                    {"source_field": "user_id", "mixpanel_field": "$user_id",
+                     "type": "string"},
+                    {"source_field": "event_id", "mixpanel_field": "$insert_id",
+                     "type": "string_or_uuid"},
+                    {"source_field": "value", "mixpanel_field": "value",
+                     "type": "float"},
+                ],
+            }
+        ]
+    )[0]
+    compiled = compile_config(config, e.schema, CompilerOptions())
+    ok, _dlq = split_dlq(compiled.apply(e))
+    return ok.select(
+        F.col("event"),
+        F.col("properties.time").alias("time_epoch"),
+        F.col("properties.`$user_id`").alias("user_id"),
+        F.col("properties.`$insert_id`").alias("insert_id"),
+        F.col("properties.value").alias("value"),
+    )

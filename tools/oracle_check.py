@@ -1,0 +1,111 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet tables, compare row count + column names + values
+(order-insensitive), and report per-query PASS/FAIL with diffs.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 and format to a stable repr
+        return repr(v + 0.0)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(normalize(x) for x in v) + "]"
+    return repr(v)
+
+
+def rows_key(columns, rows):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for r in rows:
+        out.append(tuple(normalize(r[i]) for i in order))
+    out.sort()
+    return [columns[i] for i in order], out
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entry
+    from gcs_parquet_dataflow_spark.catalog import TABLES
+    from gcs_parquet_dataflow_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only)")
+            n_weak += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        if len(srows) != len(drows):
+            ok = False
+            msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            ok = False
+            msgs.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        if ok:
+            _, skey = rows_key(scols, [tuple(r) for r in srows])
+            _, dkey = rows_key(dcols, drows)
+            if skey != dkey:
+                ok = False
+                diffs = [
+                    (a, b) for a, b in zip(skey, dkey) if a != b
+                ][:3]
+                extra = abs(len(skey) - len(dkey))
+                msgs.append(f"values differ: first diffs {diffs} (+{extra} len)")
+        if ok:
+            print(f"PASS  {name}: rows={len(srows)}")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: {'; '.join(msgs)}")
+            n_fail += 1
+    print(f"\n== {n_pass} pass, {n_weak} rows-only, {n_fail} fail ==")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
