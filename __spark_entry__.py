@@ -19,21 +19,21 @@ from pyspark.sql import DataFrame, SparkSession
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the reference's core
     config-compiled transform (SURVEY §2.6) over the events table."""
-    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+    from gcs_parquet_dataflow_spark.queries import CATALOG
 
     return CATALOG["events_transform"].build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+    from gcs_parquet_dataflow_spark.queries import CATALOG
 
     return {name: q.build for name, q in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-checkable query."""
-    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+    from gcs_parquet_dataflow_spark.queries import CATALOG
 
     return {
         name: q.oracle for name, q in CATALOG.items() if q.oracle is not None

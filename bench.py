@@ -24,6 +24,11 @@ HEADLINE = [
     "explode_words",
     "event_time_window_agg",
     "events_transform",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine_pairs",
+    "knn_brute_force_cosine",
+    "text_fingerprint",
 ]
 
 

@@ -1,0 +1,142 @@
+"""Text-analysis column builders for the training-data pipeline surface:
+tokenization, token counting, quality scoring, language-ID, and document
+fingerprinting (BASELINE.json extension operators).
+
+Everything here is pure Column expressions — whole-stage-codegen'd
+JVM-side, no Python in the hot path — and every function has an exact
+DuckDB-SQL equivalent so the driver's differential oracle can check
+values bit-for-bit (see queries/extensions.py).
+
+The shared hash primitive is ``hash32``: the first 8 hex digits of
+md5 as a BIGINT. md5 is identical in every engine, which is what makes
+MinHash / SimHash / fingerprints oracle-checkable; it is also uniform
+enough for sketching. (Spark's native ``xxhash64`` would be ~2× faster
+but has no DuckDB twin; at 100 TB swap ``HASH32_IMPL`` if differential
+checking is not needed.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword sets for the n-gram language-ID heuristic. Tiny on purpose:
+# the operator demonstrates deterministic, SQL-expressible language
+# scoring; production would swap in real per-language lists (the plan
+# shape — score = stopword hits / tokens, argmax with tie priority —
+# is unchanged).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "los", "las", "y", "que"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "nicht"),
+    "fr": ("le", "la", "les", "de", "et", "est", "une"),
+}
+LANG_PRIORITY = ("en", "es", "de", "fr")  # tie-break order
+
+# consonant-cluster + vowel-run ≈ syllable; the "BPE-ish" subtoken unit
+BPE_ISH_PATTERN = r"[bcdfghjklmnpqrstvwxyz]*[aeiou]+"
+
+
+def hash32(col: Column) -> Column:
+    """First 32 bits of md5(utf8(col)) as a non-negative BIGINT.
+
+    DuckDB twin: ``CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens. DuckDB twin: ``string_split(x, ' ')``."""
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_count(col: Column) -> Column:
+    """Syllable-like subtoken count via BPE-ish regex.
+
+    DuckDB twin: ``len(regexp_extract_all(x, pattern))``.
+    """
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def distinct_token_ratio(col: Column) -> Column:
+    """|distinct tokens| / |tokens| — low values = repetitive/spammy."""
+    t = tokens(col)
+    return F.round(
+        F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
+    )
+
+
+def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    t = tokens(col)
+    return F.size(F.filter(t, lambda x: x.isin(*words))).cast("long")
+
+
+def stopword_ratio(col: Column, words: tuple[str, ...]) -> Column:
+    return F.round(
+        stopword_hits(col, words).cast("double") / token_count(col), 6
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (the n-gram LID signal)."""
+    return {lang: stopword_ratio(col, ws) for lang, ws in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """argmax of lang_scores with LANG_PRIORITY tie-break; all-zero → 'und'.
+
+    Expressed as a when-chain (greatest + ordered equality) so the DuckDB
+    oracle can state the identical CASE ladder.
+    """
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + lexical diversity
+    + an English-stopword floor. Deterministic, exact-rational arithmetic
+    (rounded at the end) so the oracle matches.
+    """
+    n = F.length(col).cast("double")
+    length_score = F.least(n / 200.0, F.lit(1.0))
+    diversity = distinct_token_ratio(col)
+    stop = stopword_ratio(col, LANG_STOPWORDS["en"])
+    stop_score = F.least(stop * 10.0, F.lit(1.0))
+    return F.round(
+        0.4 * length_score + 0.4 * diversity + 0.2 * stop_score, 6
+    )
+
+
+def doc_md5(col: Column) -> Column:
+    """Whole-document fingerprint: md5 hex of the normalized text
+    (lowercased, whitespace collapsed)."""
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.md5(F.encode(normalized, "UTF-8"))
+
+
+def rolling_min_fingerprint(col: Column, gram: int = 8) -> Column:
+    """Winnowing-style content fingerprint: min hash32 over all character
+    ``gram``-grams. Robust to local edits (an edit perturbs ≤``gram``
+    grams, usually not the minimum). Per-row compute, no shuffle — at
+    100 TB this runs inside the scan stage.
+
+    DuckDB twin:
+    ``list_min([CAST('0x'||substr(md5(substr(x,i,g)),1,8) AS BIGINT)
+                for i in range(1, len(x)-g+2)])``
+    """
+    n = F.length(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (gram - 1), F.lit(1))),
+        lambda i: col.substr(i, F.lit(gram)),
+    )
+    return F.array_min(F.transform(grams, hash32))

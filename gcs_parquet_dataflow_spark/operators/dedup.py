@@ -1,0 +1,329 @@
+"""Deduplication operators for the training-data pipeline surface
+(BASELINE.json extensions): exact, MinHash+LSH, SimHash, and n-gram
+Jaccard. Embedding-cosine near-dup lives in operators/similarity.py.
+
+Scale design (the point of each shape):
+
+- **Exact dedup** is one hash aggregation — map-side partial combine
+  means the shuffle carries one row per distinct key per partition.
+- **Near-dup never does O(n²)**: candidates come from an inverted-index
+  equi-join (shingle hash, LSH band, or SimHash band) — the standard
+  shuffle-on-bucket pattern that scales linearly with candidate count.
+  Banding is exact-recall for SimHash at small radius (pigeonhole:
+  a 32-bit signature split into 4 bands must share a band when
+  hamming ≤ 3), probabilistic-recall for MinHash-LSH (by design).
+- All sketches are Column expressions over the md5-based ``hash32``
+  (functions/text.py) — no Python UDFs, and every value is exactly
+  reproducible in DuckDB for the differential oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.functions.text import hash32, tokens
+
+MERSENNE_PRIME = 2147483647  # 2^31 - 1; hash32 < 2^32, a*(h%p)+b < 2^62
+
+
+def minhash_perms(num_perm: int = 16, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) parameters for the minhash permutations
+    h_i(x) = (a_i * (x mod p) + b_i) mod p. Fixed seed → the same
+    constants are inlined into the DuckDB oracle SQL."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_PRIME), rng.randrange(0, MERSENNE_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Column builders (sketches)
+# ---------------------------------------------------------------------------
+
+
+def word_shingle_hashes(col: Column, k: int = 3) -> Column:
+    """Distinct hash32 values of the word ``k``-gram shingles of ``col``.
+
+    DuckDB twin: ``list_distinct([hash32(array_to_string(
+    list_slice(w, i+1, i+k), ' ')) for i in range(len(w)-k+1)])``.
+    Jaccard over hashed shingles equals Jaccard over shingles up to
+    32-bit collisions — and both engines hash identically, so even a
+    collision agrees.
+    """
+    t = tokens(col)
+    shingles = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.transform(shingles, hash32))
+
+
+def minhash_signature(col: Column, perms: list[tuple[int, int]]) -> Column:
+    """array<long> minhash signature of the shingle-hash set ``col``.
+
+    sig[i] = min over shingle hashes h of (a_i*(h%p) + b_i) % p —
+    plain min/transform expressions, fully codegen'd.
+    """
+    p = F.lit(MERSENNE_PRIME)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(col, lambda h: (F.lit(a) * (h % p) + F.lit(b)) % p)
+            )
+            for a, b in perms
+        ]
+    )
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash of the token stream (term-frequency weighted: every
+    occurrence votes). bit j of the result is set iff the sum over tokens
+    of ±1 (sign of bit j of the token's hash32) is positive.
+
+    One pass: fold token hashes into a 32-long bit-vote accumulator via
+    ``aggregate``+``zip_with``, then fold votes into the integer.
+    """
+    hashes = F.transform(tokens(col), hash32)
+    pow2 = lambda j: F.pow(F.lit(2.0), j).cast("long")  # exact for j ≤ 31
+    bit = lambda h, j: ((h / pow2(j)).cast("long") % 2)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(31)), lambda j: 2 * bit(h, j) - 1),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(F.element_at(votes, j + 1) > 0, F.pow(F.lit(2.0), j).cast("long"))
+        .otherwise(F.lit(0)),
+    )
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level sketch builders (the scale path)
+#
+# The Column builders above fold arrays with higher-order functions —
+# correct, but Spark evaluates HOF lambdas interpreted, outside
+# whole-stage codegen, and a self-join downstream re-evaluates them per
+# band and per side. These builders compute the identical values via
+# explode + groupBy aggregates: every expression is codegen'd, the
+# partial aggregation is map-side, and the sketch is materialized ONCE.
+# At 100 TB you would persist the sketch output as a table; here the
+# pair operators persist() it before the candidate join.
+# ---------------------------------------------------------------------------
+
+
+def with_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    perms: list[tuple[int, int]],
+    k: int = 3,
+    out: str = "sig",
+) -> DataFrame:
+    """→ (id_col, out: array<long>) — same values as
+    ``minhash_signature(word_shingle_hashes(text))`` but via an exploded
+    inverted index + one codegen'd min-aggregate per permutation.
+    Documents with fewer than ``k`` tokens drop out (empty shingle set)."""
+    p = F.lit(MERSENNE_PRIME)
+    inv = df.select(
+        F.col(id_col), F.explode(word_shingle_hashes(F.col(text_col), k)).alias("_h")
+    )
+    hmod = F.col("_h") % p
+    aggs = [
+        F.min((F.lit(a) * hmod + F.lit(b)) % p).alias(f"_m{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return (
+        inv.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col, F.array(*[f"_m{i}" for i in range(len(perms))]).alias(out)
+        )
+    )
+
+
+def with_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out: str = "simhash",
+) -> DataFrame:
+    """→ (id_col, out: long) — same values as ``simhash32(text)`` but via
+    token explode + 32 codegen'd sum-aggregates (one shuffle, map-side
+    partial). Documents with no tokens drop out."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).select(id_col, hash32(F.col("_t")).alias("_h"))
+    bit = lambda j: ((F.col("_h") / F.lit(float(2**j))).cast("long") % 2)
+    votes = tok.groupBy(id_col).agg(
+        *[F.sum(2 * bit(j) - 1).alias(f"_v{j}") for j in range(32)]
+    )
+    sim = None
+    for j in range(32):
+        term = F.when(F.col(f"_v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select(id_col, sim.alias(out))
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact key. One shuffle with
+    map-side combine; at 100 TB this is the cheapest possible dedup."""
+    others = [c for c in df.columns if c not in key_cols and c != id_col]
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col),
+        *[F.min_by(c, F.col(id_col)).alias(c) for c in others],
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash-LSH banding: explode (band_idx, band_slice) and self-join.
+
+    → (id_a, id_b, n_shared_bands), id_a < id_b. The join key is the
+    band content — docs never meet unless a whole band matches, so the
+    shuffle is |docs|×|bands| rows, not |docs|².
+    """
+    num_perm_col = F.size(F.col(sig_col))
+    bands = F.transform(
+        F.sequence(F.lit(0), (num_perm_col / rows_per_band).cast("int") - 1),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band).alias(
+                "key"
+            ),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(bands).alias("bk")
+    ).select("_id", "bk.band", F.col("bk.key").cast("array<long>").alias("key"))
+    # materialize once: both self-join sides read the persisted band table
+    # instead of re-deriving the (possibly expensive) signature lineage
+    exploded = exploded.persist()
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .groupBy(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index join: explode shingle
+    hashes, equi-join on the hash, count intersections, compute
+    |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing ≥1 shingle are ever
+    materialized. → (id_a, id_b, jaccard) at jaccard ≥ threshold."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(shingle_col).alias("_sh"),
+        F.size(F.col(shingle_col)).alias("_n"),
+    )
+    inv = base.select("_id", "_n", F.explode("_sh").alias("h")).persist()
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    simhash_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded candidate join + exact hamming
+    filter. With 32 bits in ``n_bands`` bands, recall is EXACT for
+    ``max_hamming < n_bands`` (pigeonhole: <4 differing bits can't touch
+    all 4 bands). → (id_a, id_b, hamming)."""
+    width = 32 // n_bands
+    pow2w = 2**width
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            (
+                (F.col(simhash_col) / F.pow(F.lit(2.0), b * width).cast("long"))
+                .cast("long")
+                % pow2w
+            ).alias("key"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(simhash_col).alias("_sh"),
+        F.explode(bands).alias("bk"),
+    ).select("_id", "_sh", "bk.band", "bk.key").persist()
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming32(F.col("a._sh"), F.col("b._sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``):
+brute-force cosine top-k as the correctness baseline, and a random-
+hyperplane LSH bucketed variant as the scale path; plus embedding-cosine
+near-duplicate pairs (BASELINE.json extensions).
+
+Scale design:
+
+- Dot products are ``zip_with``+``aggregate`` Column expressions in
+  DOUBLE — JVM-side, codegen'd, no Python. (A Pandas-UDF/numpy variant
+  would win on very wide vectors; at 64 dims the expression path is
+  fast and keeps the plan fully native.)
+- Brute-force top-k is query-broadcast × corpus — a map-only stage plus
+  a per-query top-k (window over |Q|×k rows). Linear in corpus size,
+  embarrassingly parallel: the 100 TB-safe exact baseline when |Q| is
+  small.
+- The LSH path buckets both sides by hyperplane sign signature, joins
+  on the bucket, and re-ranks exactly inside buckets — the candidate
+  set shrinks by ~2^n_planes, the standard recall/cost dial.
+- Hyperplane constants are seeded and inlined into both the Spark plan
+  and the DuckDB oracle, so the whole pipeline is differential-checkable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 13) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes (sum of 6 uniforms,
+    centered) — seeded so the same literals appear in the oracle SQL."""
+    rng = random.Random(seed)
+    return [
+        [round(sum(rng.random() for _ in range(6)) - 3.0, 6) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in DOUBLE. DuckDB twin: list_dot_product(a::DOUBLE[], …)."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, digits: int = 6) -> Column:
+    """Cosine similarity rounded to ``digits`` — double arithmetic agrees
+    with the oracle to ~1e-14, so rounding at 1e-6 is collision-safe."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), digits)
+
+
+def lit_vector(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit i set iff dot(vec, plane_i) > 0."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        out = out + F.when(dot(vec, lit_vector(p)) > 0, F.lit(2**i)).otherwise(0)
+    return out
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    → (query_id, neighbor_id, rank, cos). Queries are broadcast (small
+    side); self-matches excluded; ties broken by neighbor id so the row
+    set is deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = same hyperplane bucket, exact
+    cosine re-rank within. → (query_id, neighbor_id, rank, cos).
+
+    Recall is per-bucket (a bucket-0 neighbor is invisible) — the
+    documented approximation; multiply probe tables or reduce n_planes
+    to trade cost for recall.
+    """
+    planes = planes if planes is not None else hyperplanes()
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["_bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucketed candidate join +
+    exact cosine filter. → (id_a, id_b, cos) with cos ≥ threshold,
+    id_a < id_b. Same-bucket-only recall, |bucket|²-bounded cost."""
+    planes = planes if planes is not None else hyperplanes()
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,490 @@
+"""Extension query surface (BASELINE.json): deduplication, similarity
+search, text analysis, multimodal — each a library operator exercised as
+a declared query with a value-exact DuckDB oracle.
+
+Oracle-parity rules specific to this module:
+
+- Every hash is ``hash32`` = first 8 md5 hex digits as BIGINT — md5 is
+  engine-independent, so MinHash/SimHash/fingerprints compare exactly.
+- MinHash permutation / LSH hyperplane constants are generated from
+  fixed seeds ONCE here and inlined into both the Spark plan and the
+  SQL text.
+- The fixtures contain no duplicates and no high-cosine embedding pairs
+  (verified: max pairwise cosine ≈ 0.51), so near-dup queries PLANT
+  deterministic dupes inside the query — both engines build the same
+  augmented table (doc_id+100000 copies, ``text || ' extra'`` /
+  ``x + 0.01`` perturbations) — giving known-positive pairs with a wide
+  threshold margin.
+- All floating outputs are double, rounded to 6 digits; engine-order
+  differences are ~1e-14, five orders below the rounding grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.functions import text as TX
+from gcs_parquet_dataflow_spark.operators import dedup as DD
+from gcs_parquet_dataflow_spark.operators import multimodal as MM
+from gcs_parquet_dataflow_spark.operators import similarity as SIM
+from gcs_parquet_dataflow_spark.queries.catalog import query, t
+
+# ---------------------------------------------------------------------------
+# Shared constants + SQL fragments (single source of truth for both engines)
+# ---------------------------------------------------------------------------
+
+P = DD.MERSENNE_PRIME
+PERMS = DD.minhash_perms(num_perm=16, seed=7)
+PLANES = SIM.hyperplanes(n_planes=8, dim=64, seed=13)
+COS_DUP_THRESHOLD = 0.98
+JACCARD_THRESHOLD = 0.5
+
+
+def h32(x: str) -> str:
+    return f"CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
+# distinct hashed word-3-gram shingles of list column w
+SHINGLES_SQL = (
+    "list_distinct(["
+    + h32("array_to_string(list_slice(w, i+1, i+3), ' ')")
+    + " for i in range(len(w)-2)])"
+)
+
+MINHASH_SQL = [
+    f"list_min(list_transform(hs, h -> ({a} * (h % {P}) + {b}) % {P}))"
+    for a, b in PERMS
+]
+
+# documents augmented with planted exact / near duplicates
+AUG_EXACT_SQL = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 10 = 0
+"""
+AUG_NEAR_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0
+"""
+
+SIMHASH_CTES = """
+  tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM {src}),
+  th AS (SELECT doc_id, {H} AS h FROM tok),
+  bits AS (SELECT doc_id, j, sum(2 * ((h >> j) & 1) - 1) AS s
+           FROM th CROSS JOIN range(32) r(j) GROUP BY doc_id, j),
+  sim AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id)
+""".format(src="{src}", H=h32("tk"))
+
+
+def _vec_lit_sql(v: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+BUCKET_SQL = "CAST(" + " + ".join(
+    f"CASE WHEN list_dot_product(v, {_vec_lit_sql(p)}) > 0 THEN {2**i} ELSE 0 END"
+    for i, p in enumerate(PLANES)
+) + " AS BIGINT)"
+
+COS_SQL = (
+    "round(list_dot_product({a}.v, {b}.v) / "
+    "(sqrt(list_dot_product({a}.v, {a}.v)) * sqrt(list_dot_product({b}.v, {b}.v))), 6)"
+)
+
+
+def _planted_docs(spark, sf_dir, near: bool):
+    """Spark twin of AUG_EXACT_SQL / AUG_NEAR_SQL."""
+    d = t(spark, sf_dir, "documents")
+    if near:
+        d = d.select("doc_id", "text")
+        plant = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    else:
+        plant = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    return d.unionByName(plant)
+
+
+def _planted_embeddings(spark, sf_dir):
+    """vec_id+100000 copies of every 25th vector, shifted by +0.01 per
+    component → cosine ≈ 0.996+ with its source, vs ≤ 0.52 background."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    plant = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x + 0.01).alias("v"),
+    )
+    return e.unionByName(plant)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    f"""
+    WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '{TX.BPE_ISH_PATTERN}')) AS BIGINT) AS n_subtokens,
+           round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+               AS distinct_ratio
+    FROM s
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish (syllable-regex)
+    subtokens + lexical diversity. Pure codegen'd expressions."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(c).alias("n_tokens"),
+        TX.bpe_ish_count(c).alias("n_subtokens"),
+        TX.distinct_token_ratio(c).alias("distinct_ratio"),
+    )
+
+
+def _stop_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
+    return (
+        f"round(CAST(len(list_filter(w, tk -> list_contains([{words}], tk)))"
+        f" AS DOUBLE) / len(w), 6)"
+    )
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+               + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+               + 0.2 * least({_stop_sql("en")} * 10.0, 1.0), 6) AS quality
+    FROM s
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality heuristic: length band + lexical diversity + stopword
+    floor (the standard web-corpus filtering signals)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sc AS (SELECT doc_id,
+             {_stop_sql("en")} AS s_en, {_stop_sql("es")} AS s_es,
+             {_stop_sql("de")} AS s_de, {_stop_sql("fr")} AS s_fr
+           FROM s),
+    m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best FROM sc)
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_de = best THEN 'de'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'und' END AS lang_pred,
+           best AS lid_score
+    FROM m
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-ratio language ID (n-gram heuristic): argmax over
+    per-language stopword hit ratios, priority tie-break, 'und' floor.
+    (The fixture ``lang`` label is synthetic noise — the oracle checks
+    the heuristic itself, not the label.)"""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    scores = TX.lang_scores(c)
+    return d.select(
+        "doc_id",
+        TX.lang_id(c).alias("lang_pred"),
+        F.greatest(*scores.values()).alias("lid_score"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS content_md5,
+           list_min([{h32("substr(text, i, 8)")}
+                     for i in range(1, greatest(len(text) - 7, 1) + 1)])
+               AS min_gram_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: whole-doc md5 of normalized text +
+    winnowing-style min-hash over rolling char 8-grams (robust to local
+    edits). Per-row compute in the scan stage — no shuffle at any scale."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.doc_md5(c).alias("content_md5"),
+        TX.rolling_min_fingerprint(c, gram=8).alias("min_gram_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_keep_first",
+    f"""
+    WITH aug AS ({AUG_EXACT_SQL})
+    SELECT min(doc_id) AS doc_id, text,
+           arg_min(lang, doc_id) AS lang,
+           arg_min(source, doc_id) AS source,
+           arg_min(n_chars, doc_id) AS n_chars
+    FROM aug GROUP BY text
+    """,
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    """Exact dedup keeping the lowest doc_id per text — one hash agg
+    with map-side combine. Planted copies (every 10th doc) collapse."""
+    aug = _planted_docs(spark, sf_dir, near=False)
+    return DD.exact_dedup(aug, ["text"], "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "dedup_minhash_signature",
+    f"""
+    WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w0)
+    SELECT doc_id,
+           {", ".join(f"{m} AS mh_{i:02d}" for i, m in enumerate(MINHASH_SQL))}
+    FROM sh
+    """,
+)
+def dedup_minhash_signature(spark, sf_dir):
+    """16-permutation MinHash signature per document over word-3-gram
+    shingle hashes — checked value-exactly against DuckDB (shared md5
+    hash + inlined permutation constants)."""
+    d = t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(
+        DD.word_shingle_hashes(F.col("text"), k=3), PERMS
+    )
+    return d.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"mh_{i:02d}") for i in range(len(PERMS))],
+    )
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH aug AS ({AUG_NEAR_SQL}),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w0),
+    sig AS (SELECT doc_id, [{", ".join(MINHASH_SQL)}] AS sg FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len([j for j in range(8)
+                           if a.sg[2*j+1] = b.sg[2*j+1]
+                          AND a.sg[2*j+2] = b.sg[2*j+2]]) AS BIGINT)
+                     AS n_shared_bands
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT * FROM p WHERE n_shared_bands > 0
+    """,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (8 bands × 2 rows) over documents
+    plus planted near-duplicates (`text || ' extra'`). The Spark side
+    joins on exploded band keys — |docs|×8 shuffle rows, never |docs|²;
+    the oracle does the O(n²) definition, which must agree exactly."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    return DD.lsh_candidate_pairs(sigs, "doc_id", "sig", rows_per_band=2)
+
+
+@query(
+    "dedup_simhash",
+    "WITH " + SIMHASH_CTES.format(src="documents") + " SELECT doc_id, simhash FROM sim",
+)
+def dedup_simhash(spark, sf_dir):
+    """Per-document 32-bit SimHash (tf-weighted bit votes) — one pass of
+    array folds, value-checked against the SQL reformulation."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash32(F.col("text")).alias("simhash"))
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH aug AS ({AUG_NEAR_SQL}),
+    {SIMHASH_CTES.format(src="aug")}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at hamming ≤ 3 via 4-band candidate join
+    (exact recall by pigeonhole for radius < bands); the oracle computes
+    the full pairwise definition — identical result required."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sims = DD.with_simhash(aug, "doc_id", "text", out="simhash")
+    return DD.simhash_pairs(sims, "doc_id", "simhash", max_hamming=3, n_bands=4)
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+    WITH aug AS ({AUG_NEAR_SQL}),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                       / (len(a.hs) + len(b.hs)
+                          - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT * FROM p WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """EXACT n-gram Jaccard near-dup pairs via inverted-index equi-join
+    on shingle hashes (only pairs sharing ≥1 shingle materialize);
+    oracle is the O(n²) set definition."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sh = aug.select(
+        "doc_id", DD.word_shingle_hashes(F.col("text"), k=3).alias("sh")
+    )
+    return DD.jaccard_pairs(sh, "doc_id", "sh", threshold=JACCARD_THRESHOLD)
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aug AS (SELECT vec_id, v FROM e0
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(v, x -> x + 0.01)
+            FROM e0 WHERE vec_id % 25 = 0),
+    b AS (SELECT vec_id, v, {BUCKET_SQL} AS bucket FROM aug),
+    p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 {COS_SQL.format(a="a", b="b2")} AS cos
+          FROM b a JOIN b b2
+            ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT * FROM p WHERE cos >= {COS_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs: hyperplane-LSH bucketed candidates +
+    exact cosine ≥ 0.98. Planted +0.01-shifted copies sit at ~0.996;
+    the background maxes at ~0.51 — a wide, deterministic margin."""
+    aug = _planted_embeddings(spark, sf_dir)
+    return SIM.cosine_dup_pairs(
+        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+KNN_SCORED_SQL = """
+    e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, v{bucket} FROM e0),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      {cos} AS cos
+               FROM e c JOIN q ON c.vec_id <> q.vec_id{bucket_join})
+"""
+
+
+@query(
+    "knn_brute_force_cosine",
+    "WITH "
+    + KNN_SCORED_SQL.format(
+        bucket="", bucket_join="", cos=COS_SQL.format(a="q", b="c")
+    )
+    + """
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def knn_brute_force_cosine(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors: broadcast queries ×
+    corpus scan + per-query top-k — the linear-scan ANN baseline."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(e, q, k=10)
+
+
+@query(
+    "knn_lsh_bucketed",
+    "WITH "
+    + KNN_SCORED_SQL.format(
+        bucket=f", {BUCKET_SQL} AS bucket",
+        bucket_join=" AND c.bucket = q.bucket",
+        cos=COS_SQL.format(a="q", b="c"),
+    )
+    + """
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def knn_lsh_bucketed(spark, sf_dir):
+    """Approximate top-5: hyperplane-bucket candidates, exact re-rank
+    within bucket — the 2^planes cost-reduction scale path."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(e, q, k=5, planes=PLANES)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+           CAST(ascii(substr(text, 1, 1)) % 480 + 1 AS BIGINT) AS height,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: text bytes as an opaque binary
+    payload → typed media table (JVM-side size/checksum) → Arrow-batched
+    ``mapInPandas`` decode stub producing deterministic byte-level
+    features. The oracle recomputes every feature in SQL — proving the
+    Python batch path is lossless."""
+    d = t(spark, sf_dir, "documents")
+    media = MM.as_media_table(
+        d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+    )
+    return MM.decode_features(media)

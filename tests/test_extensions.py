@@ -1,0 +1,220 @@
+"""Unit tests for the extension operators (dedup / similarity / text /
+multimodal). The DuckDB differential oracle (queries/extensions.py)
+checks values end-to-end; these tests pin the algorithmic properties the
+oracle can't see: recall guarantees, determinism, stub behavior, and
+scalable-plan shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.functions import text as TX
+from gcs_parquet_dataflow_spark.operators import dedup as DD
+from gcs_parquet_dataflow_spark.operators import multimodal as MM
+from gcs_parquet_dataflow_spark.operators import similarity as SIM
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hash32_matches_md5(spark):
+    row = spark.range(1).select(TX.hash32(F.lit("hello world")).alias("h")).first()
+    expected = int(hashlib.md5(b"hello world").hexdigest()[:8], 16)
+    assert row["h"] == expected
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = docs_df(spark, [(3, "a"), (1, "a"), (2, "b")])
+    out = {r["text"]: r["doc_id"] for r in DD.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {"a": 1, "b": 2}
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = docs_df(
+        spark,
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different sentence with other words entirely")],
+    )
+    perms = DD.minhash_perms(16)
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id",
+            DD.minhash_signature(
+                DD.word_shingle_hashes(F.col("text")), perms
+            ).alias("sig"),
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    assert all(0 <= v < DD.MERSENNE_PRIME for v in sigs[1])
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement rate ≈ true Jaccard (within sketch error)."""
+    base = "w%d " * 30
+    a = " ".join(f"w{i}" for i in range(30))
+    b = " ".join(f"w{i}" for i in range(3, 33))  # high overlap
+    df = docs_df(spark, [(1, a), (2, b)])
+    perms = DD.minhash_perms(64)
+    sh = DD.word_shingle_hashes(F.col("text"))
+    rows = df.select(
+        DD.minhash_signature(sh, perms).alias("sig"), F.size(F.array_distinct(sh)).alias("n")
+    ).collect()
+    agree = sum(x == y for x, y in zip(rows[0]["sig"], rows[1]["sig"])) / 64
+    # true jaccard of the 3-gram shingle sets: 25 common / (28+28-25)
+    true_j = 25 / 31
+    assert abs(agree - true_j) < 0.25
+
+
+def test_lsh_candidates_contain_near_dups_not_far_pairs(spark):
+    near_a = " ".join(f"w{i}" for i in range(40))
+    near_b = near_a + " extra"
+    far = " ".join(f"z{i}" for i in range(40))
+    df = docs_df(spark, [(1, near_a), (2, near_b), (3, far)])
+    sigs = df.select(
+        "doc_id",
+        DD.minhash_signature(
+            DD.word_shingle_hashes(F.col("text")), DD.minhash_perms(16)
+        ).alias("sig"),
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.lsh_candidate_pairs(sigs, "doc_id", "sig").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_banding_recall_is_exact_at_radius_3(spark):
+    """Pigeonhole guarantee: banded pairs == brute-force pairs for d≤3."""
+    texts = [(i, " ".join(f"t{j}" for j in range(i, i + 25))) for i in range(20)]
+    texts += [(100 + i, texts[i][1] + " tail") for i in range(5)]
+    df = docs_df(spark, texts)
+    sims = df.select("doc_id", DD.simhash32(F.col("text")).alias("sh"))
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.simhash_pairs(sims, "doc_id", "sh", max_hamming=3).collect()
+    }
+    a, b = sims.alias("a"), sims.alias("b")
+    brute = {
+        tuple(r)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id"),
+            F.col("b.doc_id"),
+            DD.hamming32(F.col("a.sh"), F.col("b.sh")).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_jaccard_pairs_exact_value(spark):
+    a = " ".join(f"w{i}" for i in range(10))  # 8 shingles
+    b = " ".join(f"w{i}" for i in range(2, 12))  # 8 shingles, 6 common
+    df = docs_df(spark, [(1, a), (2, b)])
+    sh = df.select("doc_id", DD.word_shingle_hashes(F.col("text")).alias("sh"))
+    rows = DD.jaccard_pairs(sh, "doc_id", "sh", threshold=0.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == pytest.approx(6 / 10)
+
+
+def test_cosine_and_topk(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    out = SIM.brute_force_topk(df, q, k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(2, 1), (1, 2)]
+    assert out[0]["cos"] == pytest.approx(0.707107)
+
+
+def test_lsh_topk_subset_of_brute_force(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+    planes = SIM.hyperplanes(n_planes=4, dim=16)
+    approx = SIM.lsh_topk(df, q, k=5, planes=planes).collect()
+    exact = SIM.brute_force_topk(df, q, k=60).collect()
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact}
+    # every LSH result is a real pair with the exact cosine value
+    for r in approx:
+        assert exact_cos[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+
+def test_media_table_and_decode_stub(spark):
+    df = spark.createDataFrame([(1, b"hello"), (2, b"")], "doc_id long, payload binary")
+    media = MM.as_media_table(df, "doc_id", "payload")
+    feats = {r["media_id"]: r for r in MM.decode_features(media).collect()}
+    assert feats[1]["n_bytes"] == 5
+    assert feats[1]["content_md5"] == hashlib.md5(b"hello").hexdigest()
+    assert feats[1]["first_byte"] == ord("h")
+    assert feats[2]["n_bytes"] == 0 and feats[2]["first_byte"] == 0
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
+
+
+def test_dataframe_sketch_builders_match_column_builders(spark):
+    """with_minhash/with_simhash (the codegen'd scale path) must compute
+    byte-identical sketches to the Column-expression definitions."""
+    df = docs_df(
+        spark,
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs today"),
+         (3, "sphinx of black quartz judge my vow now then")],
+    )
+    perms = DD.minhash_perms(16)
+    col_sig = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id",
+            DD.minhash_signature(
+                DD.word_shingle_hashes(F.col("text")), perms
+            ).alias("sig"),
+        ).collect()
+    }
+    df_sig = {
+        r["doc_id"]: r["sig"]
+        for r in DD.with_minhash(df, "doc_id", "text", perms).collect()
+    }
+    assert col_sig == df_sig
+
+    col_sim = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", DD.simhash32(F.col("text")).alias("sh")).collect()
+    }
+    df_sim = {
+        r["doc_id"]: r["simhash"]
+        for r in DD.with_simhash(df, "doc_id", "text").collect()
+    }
+    assert col_sim == df_sim
+
+
+def test_no_python_udf_in_sketch_plans(spark):
+    """Sketches must stay JVM-side: no BatchEvalPython/ArrowEvalPython
+    in the physical plan (multimodal decode is the sanctioned exception)."""
+    df = docs_df(spark, [(1, "a b c d e")])
+    plan_df = df.select(
+        DD.simhash32(F.col("text")),
+        DD.minhash_signature(
+            DD.word_shingle_hashes(F.col("text")), DD.minhash_perms(8)
+        ),
+        TX.rolling_min_fingerprint(F.col("text")),
+        TX.quality_score(F.col("text")),
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
