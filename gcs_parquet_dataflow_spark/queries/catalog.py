@@ -704,6 +704,154 @@ def event_time_window_agg(spark, sf_dir):
 
 
 @query(
+    "transform_cast_ladders",
+    """
+    WITH s AS (SELECT event_id,
+      CASE event_id % 8 WHEN 0 THEN 'true' WHEN 1 THEN '1' WHEN 2 THEN 'T'
+           WHEN 3 THEN 'y' WHEN 4 THEN 'YES' WHEN 5 THEN 'no'
+           WHEN 6 THEN '' ELSE '0' END AS sb,
+      CASE event_id % 4 WHEN 0 THEN CAST(event_id AS VARCHAR)
+           WHEN 1 THEN 'abc' WHEN 2 THEN '12.5' ELSE ' 7 ' END AS sn
+    FROM events)
+    SELECT event_id,
+           lower(trim(sb)) IN ('true','1','t','y','yes') AS bool_out,
+           CASE WHEN regexp_matches(trim(sn), '^[+-]?[0-9]+$')
+                THEN CAST(trim(sn) AS BIGINT) END AS int_out,
+           try_cast(trim(sn) AS DOUBLE) AS float_out
+    FROM s
+    """,
+)
+def transform_cast_ladders(spark, sf_dir):
+    """The reference's per-type cast semantics (SURVEY §1.2) on derived
+    adversarial strings: boolean truthy-set membership ('T'/'y'/'YES'
+    pass, 'no'/''/'0' fail — a plain cast("boolean") gets these wrong),
+    int-cast failure → NULL/omit ('abc', '12.5'), float parse."""
+    from pyspark.sql import types as T
+
+    from gcs_parquet_dataflow_spark.functions import casts
+
+    e = t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    sb = (
+        F.when(k % 8 == 0, "true").when(k % 8 == 1, "1").when(k % 8 == 2, "T")
+        .when(k % 8 == 3, "y").when(k % 8 == 4, "YES").when(k % 8 == 5, "no")
+        .when(k % 8 == 6, "").otherwise("0")
+    )
+    sn = (
+        F.when(k % 4 == 0, k.cast("string")).when(k % 4 == 1, "abc")
+        .when(k % 4 == 2, "12.5").otherwise(" 7 ")
+    )
+    st = T.StringType()
+    return e.select(
+        "event_id",
+        casts.cast_boolean(sb, st).alias("bool_out"),
+        casts.cast_integer(sn, st).alias("int_out"),
+        casts.cast_float(sn, st).alias("float_out"),
+    )
+
+
+@query(
+    "transform_required_dlq",
+    """
+    SELECT 'missing_required_field' AS error_type,
+           'required field ''user_id_n'' is null' AS reason,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_id % 7 = 0
+    """,
+)
+def transform_required_dlq(spark, sf_dir):
+    """Required-field DLQ semantics (F3, main.py:211-217): rows whose
+    required source field is null route to the dead-letter side with a
+    structured error; the oracle recomputes the split condition."""
+    from gcs_parquet_dataflow_spark.config.model import load_configs
+    from gcs_parquet_dataflow_spark.plans.compiler import (
+        CompilerOptions,
+        compile_config,
+        split_dlq,
+    )
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "user_id_n",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    config = load_configs(
+        [
+            {
+                "config_id": "dlq_demo",
+                "source_gcs_prefix": "gs://any/",
+                "mixpanel_event_name_from_field": "event_type",
+                "field_mappings": [
+                    {"source_field": "user_id_n", "mixpanel_field": "$user_id",
+                     "type": "string", "is_required_in_source": True},
+                ],
+            }
+        ]
+    )[0]
+    compiled = compile_config(config, e.schema, CompilerOptions())
+    _ok, dlq = split_dlq(compiled.apply(e))
+    return dlq.groupBy(
+        F.col("_error.error_type").alias("error_type"),
+        F.col("_error.reason").alias("reason"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "transform_wildcard_passthrough",
+    """
+    SELECT event_type AS event,
+           CAST(floor(epoch(ts)) AS BIGINT) AS time,
+           CAST(user_id AS VARCHAR) AS user_id,
+           value, props,
+           CAST(event_id AS BIGINT) AS event_id
+    FROM events
+    """,
+)
+def transform_wildcard_passthrough(spark, sf_dir):
+    """Wildcard passthrough (main.py:198-201, 266-269): source columns
+    not consumed by an explicit mapping are copied verbatim into the
+    properties; explicitly-mapped columns (ts→time, user_id→$user_id)
+    are excluded from the wildcard."""
+    from gcs_parquet_dataflow_spark.config.model import load_configs
+    from gcs_parquet_dataflow_spark.plans.compiler import (
+        CompilerOptions,
+        compile_config,
+        split_dlq,
+    )
+
+    e = t(spark, sf_dir, "events")
+    config = load_configs(
+        [
+            {
+                "config_id": "wild",
+                "source_gcs_prefix": "gs://any/",
+                "mixpanel_event_name_from_field": "event_type",
+                "field_mappings": [
+                    {"source_field": "ts", "mixpanel_field": "time",
+                     "type": "unix_timestamp_auto"},
+                    {"source_field": "user_id", "mixpanel_field": "$user_id",
+                     "type": "string"},
+                    {"source_field": "event_type", "mixpanel_field": "_etype",
+                     "type": "string"},
+                    {"source_field": "*", "mixpanel_field": "*"},
+                ],
+            }
+        ]
+    )[0]
+    compiled = compile_config(config, e.schema, CompilerOptions())
+    ok, _dlq = split_dlq(compiled.apply(e))
+    return ok.select(
+        F.col("event"),
+        F.col("properties.time").alias("time"),
+        F.col("properties.`$user_id`").alias("user_id"),
+        F.col("properties.value").alias("value"),
+        F.col("properties.props").alias("props"),
+        F.col("properties.event_id").alias("event_id"),
+    )
+
+
+@query(
     "events_transform",
     """
     SELECT event_type AS event,
