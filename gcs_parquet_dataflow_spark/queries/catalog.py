@@ -350,6 +350,357 @@ def prefix_route_first_match(spark, sf_dir):
     )
 
 
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)/10000.0
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND round(l_discount*100) BETWEEN 2 AND 4 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan→filter→single-agg — the plan is one
+    codegen'd stage with every filter at the scan."""
+    li = t(spark, sf_dir, "lineitem")
+    dc = cents(F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & dc.between(2, 4)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice")) * dc) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+               /10000.0 AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    ep, dc = cents(F.col("l_extendedprice")), cents(F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority LIKE '1-%'
+                           OR o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT LIKE '1-%'
+                          AND o_orderpriority NOT LIKE '2-%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: conditional counting over a fact join."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))
+                   ELSE 0 END)
+               / sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT))), 6)
+               AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — conditional ratio over a
+    broadcast dimension join, exact integer-cents arithmetic."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    ep, dc = cents(F.col("l_extendedprice")), cents(F.col("l_discount"))
+    disc = ep * (100 - dc)
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 6).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@query(
+    "q16_supplier_diversity",
+    """
+    SELECT p_brand, p_type,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size IN (1, 5, 9)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_diversity(spark, sf_dir):
+    """TPC-H Q16 shape (lineitem as the part↔supplier bridge): distinct
+    suppliers per part attribute slice."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9))
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (SELECT l_partkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                           / count(*) AS avg_qty
+                FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               /100.0/7.0 AS avg_yearly
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                  JOIN pa ON pa.l_partkey = lineitem.l_partkey
+    WHERE p_brand = (SELECT min(p_brand) FROM part)
+      AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated avg-quantity subquery, decorrelated
+    into a per-part aggregate + join (what Catalyst does to the SQL form
+    anyway). The average is computed as exact-integer sum / count so both
+    engines compare against bit-identical thresholds."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    min_brand = p.agg(F.min("p_brand")).collect()[0][0]  # tiny driver scalar
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.sum(F.col("l_quantity").cast("long")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_brand") == min_brand)),
+                li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.pa_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0 / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: groupBy + HAVING on the aggregate."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+               /10000.0 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_size BETWEEN 1 AND 5 AND l_quantity <= 20)
+       OR (p_size BETWEEN 6 AND 10 AND l_quantity > 20)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — exercises
+    Catalyst's CNF conversion / partial pushdown of disjuncts."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    ep, dc = cents(F.col("l_extendedprice")), cents(F.col("l_discount"))
+    cond = (F.col("p_size").between(1, 5) & (F.col("l_quantity") <= 20)) | (
+        F.col("p_size").between(6, 10) & (F.col("l_quantity") > 20)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+                 / count(*) AS a
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)/100.0
+               AS totacctbal
+    FROM customer
+    WHERE CAST(round(c_acctbal*100) AS BIGINT) > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'P')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: scalar aggregate subquery (exact-cents average,
+    broadcast as a 1-row cross join) + anti join + final aggregate."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    bal = cents(F.col("c_acctbal"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(bal > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(bal) / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-analog queries (batch formulations of the W1/D1 windowed-dedup
+# and session semantics; the same operators drive Structured Streaming)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_dedup_5min_windows",
+    """
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))
+               AS TIMESTAMP) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_5min_windows(spark, sf_dir):
+    """The reference's W1+D1 (5-minute tumbling dedup windows,
+    main.py:461-463) as a batch query: distinct keys per epoch-aligned
+    5-min window. In streaming the identical grouping runs with
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` (see
+    streaming/pipeline.py); F.window's buckets are epoch-aligned exactly
+    like floor(epoch/300)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_distinct_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_distinct_users",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH g AS (SELECT user_id, ts, event_id,
+                      epoch(ts) - epoch(lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id))
+                          AS gap
+               FROM events)
+    SELECT user_id,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + conditional
+    count per user — the batch analog of a session_window streaming agg."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.select("user_id", gap.alias("gap"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0)
+            ).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions / sorts / limits / set ops (SURVEY §2.8 capability set)
 # ---------------------------------------------------------------------------
