@@ -146,6 +146,62 @@ def lsh_topk(
     )
 
 
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched numpy variant of ``brute_force_topk`` — the scale
+    path for wide vectors / large query sets, where one BLAS matmul per
+    batch beats per-element Column expressions.
+
+    The query set is collected to the driver and closed over (the
+    broadcast-small-side pattern — queries are assumed to fit in memory,
+    same assumption ``F.broadcast`` makes). Each corpus partition emits
+    only its LOCAL top-k per query (k×|Q| rows, not |partition|×|Q|),
+    then one global top-k merges partitions — the classic two-phase
+    top-k. Cosines are rounded to 1e-6, matching the expression path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()  # small side only
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def part(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = mn @ qn.T  # |batch| × |Q|
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")][:k]
+                out_q.extend([qid] * len(top))
+                out_n.extend(ids[top])
+                out_c.extend(np.round(col[top], 6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        part, schema="query_id long, neighbor_id long, cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float,

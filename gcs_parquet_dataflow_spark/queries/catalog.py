@@ -184,6 +184,62 @@ def agg_pivot(spark, sf_dir):
     )
 
 
+@query(
+    "agg_statistics",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+           round(stddev_samp(l_extendedprice), 6) AS sd_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(skewness(l_extendedprice), 6) AS skew_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_statistics(spark, sf_dir):
+    """Statistical aggregates (exact percentile via sort-based agg,
+    stddev/corr/skewness via one-pass moments) — verified to match
+    DuckDB at the 1e-6 grain. At scale, prefer approx_percentile for
+    percentiles on data-sized groups (sketch-mergeable, no per-group
+    sort); exact percentile is right for bounded group counts."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("skew_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0
+               AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via the SQL API (the engine registers the
+    fixture tables as temp views, so spark.sql sees the same catalog the
+    DuckDB oracle does)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+                   AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (engine capability: J1-J3 + standard join types, SURVEY §2.5)
 # ---------------------------------------------------------------------------

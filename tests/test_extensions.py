@@ -156,6 +156,26 @@ def test_lsh_topk_subset_of_brute_force(spark):
         assert exact_cos[(r["query_id"], r["neighbor_id"])] == r["cos"]
 
 
+def test_pandas_topk_matches_expression_topk(spark):
+    """The numpy mapInPandas scale path must reproduce the Column-
+    expression brute-force top-k exactly (same ids, ranks, rounded cos)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 4)
+    a = sorted(
+        tuple(r) for r in SIM.brute_force_topk(df, q, k=7)
+        .select("query_id", "neighbor_id", "rank", "cos").collect()
+    )
+    b = sorted(
+        tuple(r) for r in SIM.brute_force_topk_pandas(df, q, k=7)
+        .select("query_id", "neighbor_id", "rank", "cos").collect()
+    )
+    assert a == b
+
+
 def test_media_table_and_decode_stub(spark):
     df = spark.createDataFrame([(1, b"hello"), (2, b"")], "doc_id long, payload binary")
     media = MM.as_media_table(df, "doc_id", "payload")

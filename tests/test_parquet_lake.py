@@ -1,0 +1,51 @@
+"""Partitioned-lake sink tests: layout, partition pruning in the read
+plan, and idempotent streaming-replay overwrite semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+    read_lake,
+    write_dlq,
+    write_partitioned,
+)
+
+
+def test_partitioned_write_and_prune(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 1.0) for i in range(100)],
+        "id long, bucket string, v double",
+    )
+    write_partitioned(df, path, ["bucket"])
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    ) == ["bucket=a", "bucket=b"]
+
+    back = read_lake(spark, path).filter(F.col("bucket") == "a")
+    assert back.count() == 50
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_batch_keyed_overwrite_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "dlq")
+    df1 = spark.createDataFrame([(1, "x")], "id long, payload string").withColumn(
+        "_error",
+        F.struct(F.lit("err_a").alias("error_type"), F.lit("r1").alias("reason")),
+    )
+    write_dlq(df1, path, batch_id=7)
+    # replaying the same batch (e.g. after a foreachBatch retry) must not duplicate
+    write_dlq(df1, path, batch_id=7)
+    out = read_lake(spark, path)
+    assert out.count() == 1
+    row = out.first()
+    assert row["error_type"] == "err_a" and row["_batch_id"] == 7
+
+    # a different batch appends alongside, not over
+    df2 = df1.withColumn("id", F.lit(2).cast("long"))
+    write_dlq(df2, path, batch_id=8)
+    assert read_lake(spark, path).count() == 2
