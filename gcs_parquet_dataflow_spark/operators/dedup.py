@@ -282,6 +282,66 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: → (id_col, cluster) where
+    ``cluster`` is the MIN node id reachable through the pair graph
+    (deterministic canonical representative).
+
+    Pregel-style min-label propagation: each iteration joins labels to
+    edges and takes the min over {self} ∪ neighbors, converging in
+    O(graph diameter) rounds — near-dup graphs are shallow (duplicates
+    of a common source), so this is a handful of shuffles even at
+    100 TB. Labels persist per round; convergence is checked with a
+    count of changed labels (small driver scalar, not a collect of data).
+    """
+    edges = (
+        pairs.selectExpr(f"{pairs.columns[0]} as src", f"{pairs.columns[1]} as dst")
+        .union(
+            pairs.selectExpr(
+                f"{pairs.columns[1]} as src", f"{pairs.columns[0]} as dst"
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("cluster")
+    ).persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(edges, labels.id == edges.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), "cluster")
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

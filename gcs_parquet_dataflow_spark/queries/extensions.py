@@ -400,6 +400,67 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     )
 
 
+LSH_PAIRS_CTES = f"""
+    aug AS ({AUG_NEAR_SQL}),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w0),
+    sig AS (SELECT doc_id, [{", ".join(MINHASH_SQL)}] AS sg FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE len([j for j in range(8)
+                     if a.sg[2*j+1] = b.sg[2*j+1]
+                    AND a.sg[2*j+2] = b.sg[2*j+2]]) > 0)
+"""
+
+
+@query(
+    "dedup_near_keep_representative",
+    f"""
+    WITH {LSH_PAIRS_CTES}
+    SELECT doc_id FROM aug
+    WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = aug.doc_id)
+    """,
+)
+def dedup_near_keep_representative(spark, sf_dir):
+    """The dedup DECISION on top of LSH candidates: drop every document
+    that near-duplicates a lower-id document (anti join on the pair
+    table's right side), keep the canonical representative."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    pairs = DD.lsh_candidate_pairs(sigs, "doc_id", "sig", rows_per_band=2)
+    return aug.join(
+        pairs.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id")
+
+
+@query(
+    "dedup_minhash_clusters",
+    f"""
+    WITH RECURSIVE {LSH_PAIRS_CTES},
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    r AS (SELECT s, d FROM e
+          UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+    m AS (SELECT s AS doc_id, min(d) AS mn FROM r GROUP BY s)
+    SELECT aug.doc_id,
+           CAST(coalesce(least(aug.doc_id, m.mn), aug.doc_id) AS BIGINT)
+               AS cluster
+    FROM aug LEFT JOIN m ON aug.doc_id = m.doc_id
+    """,
+)
+def dedup_minhash_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the LSH pair graph
+    via Pregel-style min-label propagation (O(diameter) shuffles);
+    cluster id = min doc_id in the component. The oracle computes the
+    same components with a recursive transitive-closure CTE."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    pairs = DD.lsh_candidate_pairs(sigs, "doc_id", "sig", rows_per_band=2)
+    return DD.connected_components(
+        aug.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
