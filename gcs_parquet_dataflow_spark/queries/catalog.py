@@ -1061,6 +1061,121 @@ def json_extract(spark, sf_dir):
 
 
 @query(
+    "array_map_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6)
+               AS sq_norm,
+           round(list_max(embedding::DOUBLE[]), 6) AS max_c,
+           round(list_min(embedding::DOUBLE[]), 6) AS min_c,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT)
+               AS n_positive,
+           round(embedding[1]::DOUBLE, 6) AS first_c,
+           round(list_sum(list_slice(embedding::DOUBLE[], 1, 8)), 6)
+               AS head8_sum
+    FROM embeddings
+    """,
+)
+def array_map_funcs(spark, sf_dir):
+    """Array-function surface (SURVEY §2.11: the engine exposes Spark's
+    transform/filter/aggregate/slice even though the reference used
+    none): elementwise transform+fold, predicates, indexing, slicing
+    over the embedding arrays."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.round(F.array_max(v), 6).alias("max_c"),
+        F.round(F.array_min(v), 6).alias("min_c"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(F.element_at(v, 1), 6).alias("first_c"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head8_sum"),
+    )
+
+
+@query(
+    "timestamp_lenient_parse",
+    """
+    WITH s AS (SELECT event_id, date_trunc('second', ts) AS tsec FROM events),
+    fmt AS (SELECT event_id, tsec,
+              CASE event_id % 4
+                WHEN 0 THEN strftime(tsec, '%Y-%m-%dT%H:%M:%S')
+                WHEN 1 THEN strftime(tsec, '%Y/%m/%d %H:%M:%S')
+                WHEN 2 THEN strftime(tsec, '%d %b %Y %H:%M:%S')
+                ELSE 'not a timestamp' END AS raw
+            FROM s)
+    SELECT event_id, raw,
+           CASE WHEN event_id % 4 = 3 THEN NULL
+                ELSE CAST(floor(epoch(tsec)) AS BIGINT) END AS parsed_epoch
+    FROM fmt
+    """,
+)
+def timestamp_lenient_parse(spark, sf_dir):
+    """The unix_timestamp_auto string grammar (SURVEY §1.2, reference
+    dateutil parse main.py:131-149): ISO, slashed, and day-month-name
+    forms round-trip through the coalesce-of-try_to_timestamp ladder;
+    garbage yields NULL (→ property omitted). Strings are derived from
+    ts in both engines, so parse correctness = exact round-trip."""
+    from gcs_parquet_dataflow_spark.functions.casts import parse_timestamp_lenient
+
+    e = t(spark, sf_dir, "events")
+    tsec = F.date_trunc("second", F.col("ts"))
+    k = F.col("event_id")
+    raw = (
+        F.when(k % 4 == 0, F.date_format(tsec, "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(k % 4 == 1, F.date_format(tsec, "yyyy/MM/dd HH:mm:ss"))
+        .when(k % 4 == 2, F.date_format(tsec, "dd MMM yyyy HH:mm:ss"))
+        .otherwise(F.lit("not a timestamp"))
+    )
+    return e.select(
+        "event_id",
+        raw.alias("raw"),
+        F.unix_timestamp(parse_timestamp_lenient(raw)).alias("parsed_epoch"),
+    )
+
+
+@query(
+    "json_typed_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(json_array_length(json_extract(props, '$.missing')) IS NOT NULL
+                AS BOOLEAN) AS has_missing
+    FROM events
+    """,
+)
+def json_typed_struct(spark, sf_dir):
+    """Typed JSON decode: from_json with a declared schema (vs the
+    string-path get_json_object in json_extract) — the 100 TB-preferred
+    form since the parse happens once into columnar fields."""
+    from pyspark.sql import types as T
+
+    e = t(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("missing", T.ArrayType(T.LongType())),
+        ]
+    )
+    parsed = F.from_json("props", schema)
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        parsed.getField("missing").isNotNull().alias("has_missing"),
+    )
+
+
+@query(
     "explode_words",
     """
     SELECT word, CAST(count(*) AS BIGINT) AS n
