@@ -122,6 +122,26 @@ def agg_distinct(spark, sf_dir):
 
 
 @query(
+    "agg_salted_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_distinct(spark, sf_dir):
+    """Skew-safe two-phase count-distinct (operators/skew.py): value-hash
+    sharding bounds per-reducer distinct state; the oracle is the plain
+    COUNT(DISTINCT) it must equal exactly."""
+    from gcs_parquet_dataflow_spark.operators.skew import salted_count_distinct
+
+    li = t(spark, sf_dir, "lineitem")
+    return salted_count_distinct(
+        li, ["l_returnflag"], "l_partkey", buckets=16, out="n_parts"
+    )
+
+
+@query(
     "agg_cube",
     """
     SELECT l_returnflag, l_linestatus,
