@@ -1293,6 +1293,76 @@ def transform_cast_ladders(spark, sf_dir):
 
 
 @query(
+    "transform_nan_normalization",
+    """
+    WITH s AS (SELECT event_id,
+                      CASE WHEN event_id % 5 = 0 THEN 'NaN'::DOUBLE
+                           ELSE value END AS v
+               FROM events)
+    SELECT event_id,
+           CASE WHEN isnan(v) THEN NULL ELSE v END AS v_clean,
+           CAST(isnan(v) AS BOOLEAN) AS was_nan
+    FROM s
+    """,
+)
+def transform_nan_normalization(spark, sf_dir):
+    """NaN→NULL normalization (SURVEY §7 hard part 4, reference
+    _clean_nan_value main.py:113-119): Spark keeps NaN distinct from
+    NULL in doubles — every ingest path routes through nan_to_null so
+    downstream aggregates/filters see one missing-value representation
+    (a NaN silently poisons sums; a NULL is skipped)."""
+    from pyspark.sql import types as T
+
+    from gcs_parquet_dataflow_spark.functions.casts import nan_to_null
+
+    e = t(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(float("nan"))).otherwise(
+        F.col("value")
+    )
+    return e.select(
+        "event_id",
+        nan_to_null(v, T.DoubleType()).alias("v_clean"),
+        F.isnan(v).alias("was_nan"),
+    )
+
+
+@query(
+    "scalar_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+               AS days_since_epoch_start,
+           CAST(round(date_diff('month', TIMESTAMP '1995-01-01', o_orderdate)
+               , 0) AS BIGINT) AS whole_months,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def scalar_date_arithmetic(spark, sf_dir):
+    """Date arithmetic surface: interval add, day/month diffs, day-of-
+    week, end-of-month. (DuckDB date_diff counts whole-unit boundaries;
+    Spark's datediff/months_between differ subtly — the Spark side uses
+    boundary-counting formulations to match.)"""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    start = F.lit("1995-01-01").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(d.cast("date"), start.cast("date")).cast("long").alias(
+            "days_since_epoch_start"
+        ),
+        (
+            (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(1))
+        ).cast("long").alias("whole_months"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.last_day(d.cast("date")).alias("month_end"),
+    )
+
+
+@query(
     "transform_required_dlq",
     """
     SELECT 'missing_required_field' AS error_type,
