@@ -520,6 +520,72 @@ def knn_lsh_bucketed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# End-to-end training-data pipeline (composition of the extension ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "training_data_pipeline",
+    f"""
+    WITH aug AS ({AUG_NEAR_SQL}),
+    sc AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM aug),
+    scored AS (SELECT doc_id, text, w,
+                 round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                     + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                   / len(w), 6)
+                     + 0.2 * least({_stop_sql("en")} * 10.0, 1.0), 6)
+                     AS quality,
+                 {_stop_sql("en")} AS s_en, {_stop_sql("es")} AS s_es,
+                 {_stop_sql("de")} AS s_de, {_stop_sql("fr")} AS s_fr
+               FROM sc),
+    lang AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best FROM scored),
+    filt AS (SELECT doc_id, text, quality,
+                    CAST(len(w) AS BIGINT) AS n_tokens
+             FROM lang
+             WHERE quality >= 0.6 AND best > 0 AND s_en = best),
+    ex AS (SELECT min(doc_id) AS doc_id, text,
+                  arg_min(quality, doc_id) AS quality,
+                  arg_min(n_tokens, doc_id) AS n_tokens
+           FROM filt GROUP BY text),
+    w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w2),
+    sig AS (SELECT doc_id, [{", ".join(MINHASH_SQL)}] AS sg FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE len([j for j in range(8)
+                     if a.sg[2*j+1] = b.sg[2*j+1]
+                    AND a.sg[2*j+2] = b.sg[2*j+2]]) > 0)
+    SELECT doc_id, quality, n_tokens FROM ex
+    WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = ex.doc_id)
+    """,
+)
+def training_data_pipeline(spark, sf_dir):
+    """The full training-data preparation pipeline as ONE declared
+    query: quality gate (≥0.6) → language filter (en) → exact dedup
+    (min-id per text) → MinHash-LSH near-dup drop → per-doc stats.
+    Every stage is a map or bucket-join — the whole pipeline is
+    shuffle-bounded by the dedup sketch join regardless of corpus size."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    c = F.col("text")
+    scored = aug.select(
+        "doc_id",
+        "text",
+        TX.quality_score(c).alias("quality"),
+        TX.lang_id(c).alias("lang_pred"),
+        TX.token_count(c).alias("n_tokens"),
+    )
+    filt = scored.filter(
+        (F.col("quality") >= 0.6) & (F.col("lang_pred") == "en")
+    )
+    ex = DD.exact_dedup(filt, ["text"], "doc_id")
+    sigs = DD.with_minhash(ex, "doc_id", "text", PERMS, k=3, out="sig")
+    pairs = DD.lsh_candidate_pairs(sigs, "doc_id", "sig", rows_per_band=2)
+    return ex.join(
+        pairs.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", "quality", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
 
