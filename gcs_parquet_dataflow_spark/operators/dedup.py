@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gcs_parquet_dataflow_spark.functions.text import hash32, tokens
+from gcs_parquet_dataflow_spark.operators.partitioning import ensure_parallelism
 
 MERSENNE_PRIME = 2147483647  # 2^31 - 1; hash32 < 2^32, a*(h%p)+b < 2^62
 
@@ -144,6 +145,7 @@ def with_minhash(
     inverted index + one codegen'd min-aggregate per permutation.
     Documents with fewer than ``k`` tokens drop out (empty shingle set)."""
     p = F.lit(MERSENNE_PRIME)
+    df = ensure_parallelism(df, id_col)  # sketching is compute-bound
     inv = df.select(
         F.col(id_col), F.explode(word_shingle_hashes(F.col(text_col), k)).alias("_h")
     )
@@ -170,6 +172,7 @@ def with_simhash(
     """→ (id_col, out: long) — same values as ``simhash32(text)`` but via
     token explode + 32 codegen'd sum-aggregates (one shuffle, map-side
     partial). Documents with no tokens drop out."""
+    df = ensure_parallelism(df, id_col)  # sketching is compute-bound
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).select(id_col, hash32(F.col("_t")).alias("_h"))

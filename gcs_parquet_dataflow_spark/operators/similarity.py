@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from gcs_parquet_dataflow_spark.operators.partitioning import ensure_parallelism
+
 
 def hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 13) -> list[list[float]]:
     """Deterministic pseudo-gaussian hyperplanes (sum of 6 uniforms,
@@ -86,8 +88,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -125,11 +129,11 @@ def lsh_topk(
         F.col(vec_col).alias("_qv"),
         hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
-    )
+    ))
     scored = (
         c.join(F.broadcast(q), ["_bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -213,11 +217,11 @@ def cosine_dup_pairs(
     exact cosine filter. → (id_a, id_b, cos) with cos ≥ threshold,
     id_a < id_b. Same-bucket-only recall, |bucket|²-bounded cost."""
     planes = planes if planes is not None else hyperplanes()
-    keyed = df.select(
+    keyed = ensure_parallelism(df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
-    )
+    )).persist()
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
