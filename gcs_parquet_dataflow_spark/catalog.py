@@ -57,6 +57,13 @@ def _nano_timestamp_columns(path: str) -> list[str]:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
+    # Defensive: callers (e.g. the driver harness) may pass a session not
+    # built by get_spark(); these are session-level SQL confs, safe to set
+    # at runtime, and required to read the fixtures' TIMESTAMP(NANOS)
+    # columns and to keep the reference's permissive cast semantics.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for col in _nano_timestamp_columns(path):
         df = df.withColumn(
