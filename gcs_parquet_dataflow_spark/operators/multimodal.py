@@ -83,6 +83,56 @@ def as_media_table(
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 4,
+) -> DataFrame:
+    """Frame sampling for video-like payloads: slice the payload into
+    fixed-size frames, keep every ``every_n``-th, emit per-frame features
+    — a 1→many ``mapInPandas`` (the real-ffmpeg plug-in point; the
+    deterministic stand-in frames are byte slices, so the plumbing —
+    batch shape, fan-out, schema — is fully testable and oracle-checkable).
+
+    Scale: fan-out happens executor-side per batch (no explode shuffle of
+    payload bytes); only the small per-frame feature rows flow on."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_idx, out_md5, out_n = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, every_n):
+                    frame = data[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out_id.append(media_id)
+                    out_idx.append(idx)
+                    out_md5.append(hashlib.md5(frame).hexdigest())
+                    out_n.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "media_id": out_id,
+                    "frame_idx": out_idx,
+                    "frame_md5": out_md5,
+                    "frame_bytes": out_n,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
 def decode_features(media: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over the payload column.
 

@@ -591,6 +591,36 @@ def training_data_pipeline(spark, sf_dir):
 
 
 @query(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (SELECT doc_id,
+                 [ {'idx': i, 'h': md5(substr(text, i*64 + 1, 64)),
+                    'n': length(substr(text, i*64 + 1, 64))}
+                   for i in range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)]
+                   AS frames
+               FROM documents)
+    SELECT doc_id AS media_id,
+           CAST(fr.idx AS BIGINT) AS frame_idx,
+           fr.h AS frame_md5,
+           CAST(fr.n AS BIGINT) AS frame_bytes
+    FROM f, unnest(frames) AS t(fr)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling: payload → every 4th 64-byte frame →
+    per-frame checksum/size via the 1→many mapInPandas fan-out. The
+    oracle slices the same bytes in SQL (text is ascii, so byte frames =
+    char frames) and must agree per frame."""
+    d = t(spark, sf_dir, "documents")
+    media = MM.as_media_table(
+        d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+    )
+    return MM.sample_frames(media, frame_bytes=64, every_n=4)
+
+
+@query(
     "multimodal_decode_features",
     """
     SELECT doc_id AS media_id,

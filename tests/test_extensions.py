@@ -224,6 +224,31 @@ def test_dataframe_sketch_builders_match_column_builders(spark):
     assert col_sim == df_sim
 
 
+def test_sample_frames_fanout(spark):
+    payload = bytes(range(200))  # 200 bytes → frames 0,1,2,3 of 64/64/64/8
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    media = MM.as_media_table(df, "doc_id", "payload")
+    frames = {
+        r["frame_idx"]: r
+        for r in MM.sample_frames(media, frame_bytes=64, every_n=2).collect()
+    }
+    assert sorted(frames) == [0, 2]  # every 2nd of 4 frames
+    assert frames[0]["frame_bytes"] == 64
+    assert frames[0]["frame_md5"] == hashlib.md5(payload[0:64]).hexdigest()
+    assert frames[2]["frame_md5"] == hashlib.md5(payload[128:192]).hexdigest()
+
+
+def test_query_names_are_unique_and_bound_to_their_function(spark):
+    """Every CATALOG entry's builder must be the function registered
+    under that name (guards against decorator-stacking mistakes)."""
+    from gcs_parquet_dataflow_spark.queries import CATALOG
+
+    for name, q in CATALOG.items():
+        assert q.build.__name__ == name, (
+            f"query {name!r} is bound to function {q.build.__name__!r}"
+        )
+
+
 def test_no_python_udf_in_sketch_plans(spark):
     """Sketches must stay JVM-side: no BatchEvalPython/ArrowEvalPython
     in the physical plan (multimodal decode is the sanctioned exception)."""
