@@ -56,6 +56,24 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize — requires PIL/opencv, absent in this container."""
+    raise NotImplementedError(
+        "image codecs not available in this environment; "
+        "swap this body for PIL Image.resize on a real cluster"
+    )
+
+
+def fake_resize_meta(n_bytes: int, width: int, height: int,
+                     target_w: int) -> tuple[int, int, int]:
+    """Deterministic resize METADATA transform (aspect-preserving target
+    size + estimated bytes) — the part of resize that is pure arithmetic
+    and therefore testable without codecs."""
+    target_h = max(1, round(height * target_w / max(width, 1)))
+    est_bytes = max(1, round(n_bytes * (target_w * target_h) / max(width * height, 1)))
+    return (target_w, target_h, est_bytes)
+
+
 def fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for decode: (width, height, first_byte)
     derived purely from the bytes, so the pipeline is testable and

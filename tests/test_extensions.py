@@ -186,6 +186,11 @@ def test_media_table_and_decode_stub(spark):
     assert feats[2]["n_bytes"] == 0 and feats[2]["first_byte"] == 0
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        MM.resize_image(b"\x89PNG", 64, 64)
+    # aspect-preserving resize arithmetic: 640x480 → 320 wide = 320x240,
+    # bytes scale with pixel count
+    assert MM.fake_resize_meta(1000, 640, 480, 320) == (320, 240, 250)
 
 
 def test_dataframe_sketch_builders_match_column_builders(spark):
