@@ -520,6 +520,55 @@ def knn_lsh_bucketed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_split",
+    f"""
+    WITH b AS (SELECT doc_id,
+                 {h32("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def sample_hash_split(spark, sf_dir):
+    """Reproducible 80/10/10 train/val/test split by key hash: a row's
+    split is a pure function of doc_id — identical under any
+    partitioning, engine, or dataset growth (df.sample() is none of
+    these). Disjoint + exhaustive by construction."""
+    from gcs_parquet_dataflow_spark.operators.sampling import hash_split
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, out="split"
+    )
+
+
+@query(
+    "sample_deterministic_10pct",
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE {h32("CAST(doc_id AS VARCHAR)")} % 10000 < 1000
+    """,
+)
+def sample_deterministic_10pct(spark, sf_dir):
+    """Content-derived ~10% sample — membership is stable forever, so
+    incremental reruns never resample previously processed rows."""
+    from gcs_parquet_dataflow_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return deterministic_sample(d, "doc_id", 0.10)
+
+
+# ---------------------------------------------------------------------------
 # End-to-end training-data pipeline (composition of the extension ops)
 # ---------------------------------------------------------------------------
 
