@@ -361,6 +361,72 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), "cluster")
 
 
+def shingle_hashes_exploded(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """→ (id_col, _h): the DISTINCT word-k-gram shingle hashes, one row
+    each — the codegen'd (posexplode + window lead) twin of
+    ``word_shingle_hashes`` for operators that consume shingles exploded
+    anyway (inverted-index joins)."""
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df, id_col)
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, k)]
+    return (
+        tok.select(
+            F.col(id_col),
+            F.when(leads[-1].isNotNull(), F.concat_ws(" ", *leads)).alias(
+                "_shingle"
+            ),
+        )
+        .filter(F.col("_shingle").isNotNull())
+        .select(F.col(id_col), hash32(F.col("_shingle")).alias("_h"))
+        .distinct()
+    )
+
+
+def jaccard_pairs_from_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs straight from text: codegen'd exploded
+    shingle sets → set sizes (join; broadcast at small scale, SMJ at
+    large — AQE decides) → inverted-index self-join → |A∩B| counts.
+    Identical output to ``jaccard_pairs`` over ``word_shingle_hashes``
+    arrays, without materializing per-doc arrays or interpreted lambdas."""
+    sh = shingle_hashes_exploded(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    inv = sh.join(sizes, id_col).select(
+        F.col(id_col).alias("_id"), "_n", F.col("_h").alias("h")
+    ).persist()
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

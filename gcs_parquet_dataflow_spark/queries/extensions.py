@@ -368,10 +368,9 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
     on shingle hashes (only pairs sharing ≥1 shingle materialize);
     oracle is the O(n²) set definition."""
     aug = _planted_docs(spark, sf_dir, near=True)
-    sh = aug.select(
-        "doc_id", DD.word_shingle_hashes(F.col("text"), k=3).alias("sh")
+    return DD.jaccard_pairs_from_text(
+        aug, "doc_id", "text", threshold=JACCARD_THRESHOLD, k=3
     )
-    return DD.jaccard_pairs(sh, "doc_id", "sh", threshold=JACCARD_THRESHOLD)
 
 
 @query(
