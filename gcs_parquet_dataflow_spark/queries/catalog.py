@@ -1040,6 +1040,47 @@ def scalar_math_funcs(spark, sf_dir):
 
 
 @query(
+    "null_semantics",
+    """
+    WITH s AS (SELECT event_id,
+                      CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END AS u,
+                      CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+               FROM events)
+    SELECT coalesce(CAST(u AS VARCHAR), '<null>') AS u_key,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(v) AS BIGINT) AS n_v,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_v_distinct,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_v_null,
+           CAST(coalesce(sum(CAST(round(v*100) AS BIGINT)), 0) AS BIGINT)/100.0
+               AS sum_v,
+           CAST(max(v IS NULL AND u IS NULL) AS BOOLEAN) AS any_both_null
+    FROM s GROUP BY u
+    """,
+)
+def null_semantics(spark, sf_dir):
+    """The classic SQL null traps, verified identical across engines:
+    NULL grouping keys form one group, count(*) vs count(col) vs
+    count(distinct col), sum over all-null → NULL (coalesced), and
+    three-valued logic in aggregated predicates."""
+    e = t(spark, sf_dir, "events")
+    u = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("user_id"))
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    s = e.select(u.alias("u"), v.alias("v"))
+    return s.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_v"),
+        F.countDistinct("v").alias("n_v_distinct"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_v_null"),
+        (F.coalesce(F.sum(cents(F.col("v"))), F.lit(0)) / 100.0).alias("sum_v"),
+        F.max(F.col("v").isNull() & F.col("u").isNull()).alias("any_both_null"),
+    ).select(
+        F.coalesce(F.col("u").cast("string"), F.lit("<null>")).alias("u_key"),
+        "n_rows", "n_v", "n_v_distinct", "n_v_null", "sum_v", "any_both_null",
+    )
+
+
+@query(
     "conditional_case",
     """
     SELECT c_custkey,
