@@ -53,7 +53,10 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    return F.size(tokens(col)).cast("long")
+    # F.size(NULL) is -1 (non-ANSI); propagate NULL instead
+    return F.when(col.isNull(), F.lit(None)).otherwise(
+        F.size(tokens(col))
+    ).cast("long")
 
 
 def bpe_ish_count(col: Column) -> Column:
@@ -65,16 +68,19 @@ def bpe_ish_count(col: Column) -> Column:
 
 
 def distinct_token_ratio(col: Column) -> Column:
-    """|distinct tokens| / |tokens| — low values = repetitive/spammy."""
+    """|distinct tokens| / |tokens| — low values = repetitive/spammy.
+    NULL text → NULL (size(NULL) would otherwise yield -1/-1 = 1.0)."""
     t = tokens(col)
-    return F.round(
-        F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
+    return F.when(col.isNull(), F.lit(None).cast("double")).otherwise(
+        F.round(F.size(F.array_distinct(t)).cast("double") / F.size(t), 6)
     )
 
 
 def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
     t = tokens(col)
-    return F.size(F.filter(t, lambda x: x.isin(*words))).cast("long")
+    return F.when(col.isNull(), F.lit(None)).otherwise(
+        F.size(F.filter(t, lambda x: x.isin(*words)))
+    ).cast("long")
 
 
 def stopword_ratio(col: Column, words: tuple[str, ...]) -> Column:
@@ -96,7 +102,8 @@ def lang_id(col: Column) -> Column:
     """
     scores = lang_scores(col)
     best = F.greatest(*scores.values())
-    expr = F.when(best == 0, F.lit("und"))
+    expr = F.when(col.isNull(), F.lit(None).cast("string"))
+    expr = expr.when(best == 0, F.lit("und"))
     for lang in LANG_PRIORITY:
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr.otherwise(F.lit("und"))

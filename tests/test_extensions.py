@@ -193,6 +193,26 @@ def test_media_table_and_decode_stub(spark):
     assert MM.fake_resize_meta(1000, 640, 480, 320) == (320, 240, 250)
 
 
+def test_text_builders_propagate_null(spark):
+    """NULL text must yield NULL stats, not size(NULL)=-1 artifacts
+    (ratio 1.0, lang 'en')."""
+    df = spark.createDataFrame([(1, None), (2, "the a of")], "doc_id long, text string")
+    c = F.col("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            TX.token_count(c).alias("tc"),
+            TX.distinct_token_ratio(c).alias("dr"),
+            TX.quality_score(c).alias("q"),
+            TX.lang_id(c).alias("lang"),
+        ).collect()
+    }
+    assert rows[1]["tc"] is None and rows[1]["dr"] is None
+    assert rows[1]["q"] is None and rows[1]["lang"] is None
+    assert rows[2]["tc"] == 3 and rows[2]["lang"] == "en"
+
+
 def test_dataframe_sketch_builders_match_column_builders(spark):
     """with_minhash/with_simhash (the codegen'd scale path) must compute
     byte-identical sketches to the Column-expression definitions."""
