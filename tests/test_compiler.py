@@ -252,3 +252,46 @@ def test_int_truncation_matches_python(spark):
     out = [json.loads(r["event_json"])["properties"]["x"]
            for r in compiled.serialize(df).collect()]
     assert out == [int(12.9), int(-3.7)]  # trunc toward zero, like Python
+
+
+def test_wildcard_nested_types_serialize_natively(spark):
+    """Arrays/maps/structs flow through the wildcard into to_json without
+    any special handling (SURVEY §1.2: the reference relied on Arrow
+    as_py() + json default=str; Spark serializes them natively)."""
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.config.model import load_configs
+    from gcs_parquet_dataflow_spark.plans.compiler import (
+        CompilerOptions,
+        compile_config,
+        split_dlq,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "click", [1, 2], {"k": "v"}, (5, "x"))],
+        "event_id long, event_type string, arr array<int>, "
+        "mp map<string,string>, st struct<a:int,b:string>",
+    )
+    cfg = load_configs(
+        [
+            {
+                "config_id": "c",
+                "source_gcs_prefix": "gs://b/",
+                "mixpanel_event_name_from_field": "event_type",
+                "field_mappings": [
+                    {"source_field": "event_id", "mixpanel_field": "$insert_id",
+                     "type": "string"},
+                    {"source_field": "*", "mixpanel_field": "*"},
+                ],
+            }
+        ]
+    )[0]
+    compiled = compile_config(
+        cfg, df.schema, CompilerOptions(now_epoch=F.lit(1700000000), uuid=F.lit("u"))
+    )
+    ok, dlq = split_dlq(compiled.serialize(df))
+    assert dlq.count() == 0
+    payload = ok.first()["event_json"]
+    assert '"arr":[1,2]' in payload
+    assert '"mp":{"k":"v"}' in payload
+    assert '"st":{"a":5,"b":"x"}' in payload
