@@ -985,6 +985,46 @@ def scalar_string_funcs(spark, sf_dir):
 
 
 @query(
+    "scalar_string_funcs2",
+    """
+    SELECT p_partkey,
+           CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           rpad(substr(p_type, 1, 4), 8, '.') AS type_pad,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_upper,
+           reverse(p_brand) AS brand_rev,
+           repeat(substr(p_brand, 1, 2), 3) AS brand_rep,
+           split_part(p_type, ' ', 1) AS type_first_word,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a_pos,
+           left(p_name, 6) AS name_left,
+           right(p_name, 4) AS name_right
+    FROM part
+    """,
+)
+def scalar_string_funcs2(spark, sf_dir):
+    """Second string-function tier: edit distance, padding, translate,
+    reverse/repeat, token extraction, positional search, left/right."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.rpad(F.substring("p_type", 1, 4), 8, ".").alias("type_pad"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels_upper"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_brand", 1, 2), 3).alias("brand_rep"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias(
+            "type_first_word"
+        ),
+        F.instr("p_name", "a").cast("long").alias("first_a_pos"),
+        F.substring("p_name", 1, 6).alias("name_left"),
+        F.col("p_name").substr(F.length("p_name") - 3, F.lit(4)).alias(
+            "name_right"
+        ),
+    )
+
+
+@query(
     "scalar_date_funcs",
     """
     SELECT o_orderkey,
