@@ -1025,6 +1025,34 @@ def scalar_string_funcs2(spark, sf_dir):
 
 
 @query(
+    "scalar_regexp_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]+', '_', 'g') AS name_devoweled,
+           CAST(regexp_matches(p_type, '^(STANDARD|PROMO)') AS BOOLEAN)
+               AS is_std_or_promo,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT)
+               AS n_word_runs
+    FROM part
+    """,
+)
+def scalar_regexp_funcs(spark, sf_dir):
+    """Regexp surface: group extraction (empty string on no-match in
+    both engines), global replace, anchored match, match counting."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]+", "_").alias("name_devoweled"),
+        F.col("p_type").rlike("^(STANDARD|PROMO)").alias("is_std_or_promo"),
+        F.regexp_count(F.col("p_name"), F.lit("[a-z]+")).cast("long").alias(
+            "n_word_runs"
+        ),
+    )
+
+
+@query(
     "scalar_date_funcs",
     """
     SELECT o_orderkey,
