@@ -46,12 +46,17 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the engine
     CATALOG[names[0]].build(spark, sf_dir).count()
 
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+
     timings: dict[str, float] = {}
     for name in names:
         start = time.perf_counter()
         df = CATALOG[name].build(spark, sf_dir)
         df.count()
         timings[name] = round(time.perf_counter() - start, 3)
+        release_intermediates()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

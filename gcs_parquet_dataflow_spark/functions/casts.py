@@ -67,9 +67,11 @@ def cast_boolean(col: Column, dtype: T.DataType) -> Column:
     if isinstance(dtype, T.BooleanType):
         return col
     if isinstance(dtype, T.StringType):
+        # no trim: the reference checks value.lower() membership without
+        # strip (main.py:242-249), so ' true' is False there — and here.
         return F.when(
             col.isNull(), F.lit(None).cast("boolean")
-        ).otherwise(F.lower(F.trim(col)).isin(*BOOLEAN_TRUE_STRINGS))
+        ).otherwise(F.lower(col).isin(*BOOLEAN_TRUE_STRINGS))
     if isinstance(dtype, T.NumericType):
         return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(col != 0)
     if isinstance(dtype, T.ArrayType):

@@ -25,7 +25,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gcs_parquet_dataflow_spark.functions.text import hash32, tokens
-from gcs_parquet_dataflow_spark.operators.partitioning import ensure_parallelism
+from gcs_parquet_dataflow_spark.operators.partitioning import (
+    ensure_parallelism,
+    persist_intermediate,
+)
 
 MERSENNE_PRIME = 2147483647  # 2^31 - 1; hash32 < 2^32, a*(h%p)+b < 2^62
 
@@ -246,8 +249,9 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("_id"), F.explode(bands).alias("bk")
     ).select("_id", "bk.band", F.col("bk.key").cast("array<long>").alias("key"))
     # materialize once: both self-join sides read the persisted band table
-    # instead of re-deriving the (possibly expensive) signature lineage
-    exploded = exploded.persist()
+    # instead of re-deriving the (possibly expensive) signature lineage;
+    # registered for release_intermediates() after the consuming action
+    exploded = persist_intermediate(exploded)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -279,7 +283,9 @@ def jaccard_pairs(
         F.col(shingle_col).alias("_sh"),
         F.size(F.col(shingle_col)).alias("_n"),
     )
-    inv = base.select("_id", "_n", F.explode("_sh").alias("h")).persist()
+    inv = persist_intermediate(
+        base.select("_id", "_n", F.explode("_sh").alias("h"))
+    )
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id")))
@@ -403,9 +409,9 @@ def jaccard_pairs_from_text(
     arrays, without materializing per-doc arrays or interpreted lambdas."""
     sh = shingle_hashes_exploded(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    inv = sh.join(sizes, id_col).select(
+    inv = persist_intermediate(sh.join(sizes, id_col).select(
         F.col(id_col).alias("_id"), "_n", F.col("_h").alias("h")
-    ).persist()
+    ))
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id")))
@@ -455,7 +461,8 @@ def simhash_pairs(
         F.col(id_col).alias("_id"),
         F.col(simhash_col).alias("_sh"),
         F.explode(bands).alias("bk"),
-    ).select("_id", "_sh", "bk.band", "bk.key").persist()
+    ).select("_id", "_sh", "bk.band", "bk.key")
+    exploded = persist_intermediate(exploded)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(

@@ -39,7 +39,11 @@ def observe_transform(df: DataFrame, name: str = "transform") -> tuple[DataFrame
 
     def id_field(name: str) -> Column:
         if _has_field(df, name):
-            return F.col("properties").getField(name)
+            # empty string = missing, matching the reference's Python
+            # truthiness check (main.py:274-277)
+            return F.nullif(
+                F.col("properties").getField(name).cast("string"), F.lit("")
+            )
         return F.lit(None).cast("string")
 
     missing_ids = (

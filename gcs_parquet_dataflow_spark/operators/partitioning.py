@@ -23,3 +23,33 @@ def ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key) if key else df.repartition(target)
+
+
+# ---------------------------------------------------------------------------
+# Cached-intermediate registry.
+#
+# Pair/candidate operators persist() an intermediate (band table, inverted
+# index) that BOTH sides of a self-join read — unpersisting before the
+# caller's action would defeat the cache, so the operator can't release it
+# itself. The registry tracks every such handle; callers (query runners,
+# bench loops, long-lived services) call ``release_intermediates()`` after
+# each consuming action so cached blocks don't accumulate for the driver
+# process's lifetime.
+# ---------------------------------------------------------------------------
+
+_INTERMEDIATES: list[DataFrame] = []
+
+
+def persist_intermediate(df: DataFrame) -> DataFrame:
+    """persist() + register for deferred release."""
+    handle = df.persist()
+    _INTERMEDIATES.append(handle)
+    return handle
+
+
+def release_intermediates() -> int:
+    """Unpersist every registered intermediate; returns how many."""
+    n = len(_INTERMEDIATES)
+    while _INTERMEDIATES:
+        _INTERMEDIATES.pop().unpersist()
+    return n

@@ -28,7 +28,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from gcs_parquet_dataflow_spark.operators.partitioning import ensure_parallelism
+from gcs_parquet_dataflow_spark.operators.partitioning import (
+    ensure_parallelism,
+    persist_intermediate,
+)
 
 
 def hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 13) -> list[list[float]]:
@@ -217,11 +220,11 @@ def cosine_dup_pairs(
     exact cosine filter. → (id_a, id_b, cos) with cos ≥ threshold,
     id_a < id_b. Same-bucket-only recall, |bucket|²-bounded cost."""
     planes = planes if planes is not None else hyperplanes()
-    keyed = ensure_parallelism(df.select(
+    keyed = persist_intermediate(ensure_parallelism(df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
-    )).persist()
+    )))
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

@@ -179,8 +179,19 @@ def compile_config(
     if config.mixpanel_event_name_from_field:
         src = config.mixpanel_event_name_from_field
         if src in by_name:
-            raw = F.col(src).cast("string")
+            # NaN-clean BEFORE the string cast (the reference cleans the
+            # whole row first, main.py:183 — a float-NaN event name is
+            # None → DLQ, never the string 'NaN'), then Python-truthiness
+            # falsy: None, '', numeric 0, boolean False all DLQ
+            # (main.py:184-193 `if not event_name`).
+            dtype = by_name[src]
+            clean = casts.nan_to_null(F.col(src), dtype)
+            raw = clean.cast("string")
             falsy = raw.isNull() | (raw == "")
+            if isinstance(dtype, T.NumericType):
+                falsy = falsy | (clean == 0)
+            elif isinstance(dtype, T.BooleanType):
+                falsy = falsy | (~clean)
             event_expr = F.when(falsy, F.lit(None)).otherwise(raw)
         else:
             falsy = F.lit(True)
@@ -288,9 +299,15 @@ def compile_config(
     )
 
     # --- soft validation metric (main.py:274-277) ----------------------
+    # The reference checks Python truthiness (`not properties.get(...)`),
+    # so an empty-string id counts as missing — NULLIF('') on the string
+    # form reproduces that. (Ids are strings in every reference config;
+    # a numeric-0 id would still count as present here.)
     id_exprs = [expr for name, expr in property_exprs if name in ("$user_id", "$device_id")]
     if id_exprs:
-        missing_ids = F.coalesce(*id_exprs).isNull()
+        missing_ids = F.coalesce(
+            *[F.nullif(e.cast("string"), F.lit("")) for e in id_exprs]
+        ).isNull()
     else:
         missing_ids = F.lit(True)
 

@@ -1365,7 +1365,7 @@ def event_time_window_agg(spark, sf_dir):
            WHEN 1 THEN 'abc' WHEN 2 THEN '12.5' ELSE ' 7 ' END AS sn
     FROM events)
     SELECT event_id,
-           lower(trim(sb)) IN ('true','1','t','y','yes') AS bool_out,
+           lower(sb) IN ('true','1','t','y','yes') AS bool_out,
            CASE WHEN regexp_matches(trim(sn), '^[+-]?[0-9]+$')
                 THEN CAST(trim(sn) AS BIGINT) END AS int_out,
            try_cast(trim(sn) AS DOUBLE) AS float_out

@@ -40,16 +40,19 @@ def write_partitioned(
     for streaming replays."""
     writer_df = df
     parts = list(partition_by)
+    dynamic = False
     if batch_id is not None:
         writer_df = writer_df.withColumn("_batch_id", F.lit(int(batch_id)))
         parts = ["_batch_id", *parts]
         mode = "overwrite"
-        writer_df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
+        dynamic = True
     if coalesce_files is not None:
         writer_df = writer_df.coalesce(coalesce_files)
     writer = writer_df.write.mode(mode)
+    if dynamic:
+        # per-write option, NOT session conf — mutating the session would
+        # silently change overwrite semantics for unrelated writers
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(path)

@@ -49,7 +49,9 @@ def ref_boolean(value):
     if value is None:
         return None
     if isinstance(value, str):
-        return value.strip().lower() in BOOLEAN_TRUE_STRINGS
+        # reference main.py:242-249: lower() membership, NO strip —
+        # ' true' is False.
+        return value.lower() in BOOLEAN_TRUE_STRINGS
     return bool(value)
 
 

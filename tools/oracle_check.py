@@ -40,6 +40,9 @@ def main():
 
     import __spark_entry__ as entry
     from gcs_parquet_dataflow_spark.catalog import TABLES
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
     from gcs_parquet_dataflow_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -66,6 +69,8 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            release_intermediates()
         if name not in oracles:
             print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only)")
             n_weak += 1
