@@ -96,24 +96,31 @@ def route_join(
 ) -> DataFrame:
     """General-form routing: broadcast theta join + first-match argmin.
 
-    For each URI keep the match with the smallest config_order via
+    For each input row keep the match with the smallest config_order via
     ``min_by`` — one hash aggregation (map-side partial first), cheaper
     than a row_number window which would sort each partition group.
+    The grouping key is a synthetic 8-byte row id, NOT the input columns:
+    grouping whole (possibly wide) rows would hash and compare entire
+    rows in the shuffle; here the row payload rides through the agg
+    buffer (min_by keeps exactly one candidate per group per partition)
+    while the exchange keys on a long.
     """
     cdf = configs_df(df, configs)
-    joined = df.join(
+    with_id = df.withColumn("_row_id", F.monotonically_increasing_id())
+    joined = with_id.join(
         F.broadcast(cdf),
         F.col(uri_col).startswith(cdf.source_gcs_prefix),
         "inner",
     )
     other_cols = [c for c in df.columns]
-    return (
-        joined.groupBy(*other_cols)
-        .agg(
-            F.min_by(
-                F.struct("config_id", "file_type"), F.col("config_order")
-            ).alias("_m")
-        )
-        .select(*other_cols, F.col("_m.config_id").alias("config_id"),
-                F.col("_m.file_type").alias("file_type"))
+    best = joined.groupBy("_row_id").agg(
+        F.min_by(
+            F.struct(*other_cols, "config_id", "file_type"),
+            F.col("config_order"),
+        ).alias("_m")
+    )
+    return best.select(
+        *[F.col(f"_m.{c}").alias(c) for c in other_cols],
+        F.col("_m.config_id").alias("config_id"),
+        F.col("_m.file_type").alias("file_type"),
     )

@@ -427,6 +427,40 @@ def prefix_route_first_match(spark, sf_dir):
 
 
 @query(
+    "prefix_route_first_match_join",
+    """
+    SELECT doc_id, source,
+           CASE WHEN starts_with(source, 'src1') THEN 'cfg_src1_family'
+                WHEN starts_with(source, 'src') THEN 'cfg_generic' END
+               AS config_id
+    FROM documents
+    WHERE starts_with(source, 'src')
+    """,
+)
+def prefix_route_first_match_join(spark, sf_dir):
+    """Same first-match routing semantics through the ``route_join``
+    strategy (broadcast theta join + min_by argmin on a synthetic row id)
+    — the general form for config sets too large to inline as a when-
+    chain. Unmatched rows drop (inner join), matching the reference's
+    unmatched-URIs-are-only-counted behavior."""
+    from gcs_parquet_dataflow_spark.config.model import load_configs
+    from gcs_parquet_dataflow_spark.operators.routing import route_join
+
+    configs = load_configs(
+        [
+            {"config_id": "cfg_src1_family", "source_gcs_prefix": "src1",
+             "field_mappings": []},
+            {"config_id": "cfg_generic", "source_gcs_prefix": "src",
+             "field_mappings": []},
+        ]
+    )
+    d = t(spark, sf_dir, "documents")
+    return route_join(d, configs, uri_col="source").select(
+        "doc_id", "source", "config_id"
+    )
+
+
+@query(
     "q6_forecast_revenue",
     """
     SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
