@@ -312,6 +312,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "_id",
     max_iter: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: → (id_col, cluster) where
     ``cluster`` is the MIN node id reachable through the pair graph
@@ -323,7 +324,17 @@ def connected_components(
     of a common source), so this is a handful of shuffles even at
     100 TB. Labels persist per round; convergence is checked with a
     count of changed labels (small driver scalar, not a collect of data).
+
+    Every ``checkpoint_every`` rounds the label frame is
+    ``localCheckpoint``-ed to TRUNCATE LINEAGE — without it each round
+    nests the previous round's plan and a deep graph blows up analysis/
+    optimization time (the classic iterative-DataFrame failure). The
+    final labels handle is registered for ``release_intermediates()``.
     """
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        register_intermediate,
+    )
+
     edges = (
         pairs.selectExpr(f"{pairs.columns[0]} as src", f"{pairs.columns[1]} as dst")
         .union(
@@ -337,22 +348,23 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("cluster")
     ).persist()
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             labels.join(edges, labels.id == edges.src)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster").alias("_nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
-                ).alias("cluster"),
-            )
-            .persist()
+        new_labels = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
+            ).alias("cluster"),
         )
+        if (i + 1) % checkpoint_every == 0:
+            # materializes AND cuts the logical plan back to a leaf
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -364,6 +376,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    register_intermediate(labels)
     return labels.select(F.col("id").alias(id_col), "cluster")
 
 

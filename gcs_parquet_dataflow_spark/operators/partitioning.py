@@ -47,6 +47,12 @@ def persist_intermediate(df: DataFrame) -> DataFrame:
     return handle
 
 
+def register_intermediate(df: DataFrame) -> DataFrame:
+    """Register an already-persisted/checkpointed handle for release."""
+    _INTERMEDIATES.append(df)
+    return df
+
+
 def release_intermediates() -> int:
     """Unpersist every registered intermediate; returns how many."""
     n = len(_INTERMEDIATES)

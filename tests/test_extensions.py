@@ -288,3 +288,25 @@ def test_no_python_udf_in_sketch_plans(spark):
     )
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_connected_components_deep_chain_converges_bounded_plan(spark):
+    # A planted 50-link chain is the worst case for min-label propagation
+    # (the min label travels one hop per round): proves convergence at
+    # high diameter AND that periodic localCheckpoint keeps the logical
+    # plan bounded instead of nesting 50 rounds of joins.
+    n = 51
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = DD.connected_components(nodes, pairs, max_iter=60)
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, f"plan blew up: {len(plan)} chars"
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r["cluster"] for r in rows} == {0}
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    release_intermediates()
