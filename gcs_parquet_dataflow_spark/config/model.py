@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 
 CAST_TYPES = {
@@ -120,15 +121,54 @@ class SourceConfig:
         )
 
 
-def load_configs(source: str | list[dict]) -> list[SourceConfig]:
-    """Load configs from a JSON file path, JSON text, or parsed list.
+def fetch_config_text(uri: str, spark=None) -> str:
+    """Driver-side fetch of a (tiny) config file by URI through the JVM
+    Hadoop FileSystem — the reference's GCS download
+    (gcs_utils.py:18-45 ``download_gcs_file_as_string``) generalized to
+    any scheme whose connector is on the Spark classpath: ``gs://`` on a
+    cluster with the GCS connector, ``file://``/``hdfs://`` anywhere.
+    Configs are KB-sized; this is one driver-side read, never a job."""
+    if spark is None:
+        from pyspark.sql import SparkSession
 
-    Replaces the reference's driver-side GCS fetch (gcs_utils.py:18-45);
-    for ``gs://`` URIs use ``spark.read.text`` or a GCS client upstream and
-    pass the text here — configs are tiny and driver-side by design.
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ConfigError(
+            f"fetching {uri!r} needs an active SparkSession (its JVM "
+            "Hadoop FileSystem does the read) — pass spark= or a fetcher="
+        )
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(hconf)
+    stream = fs.open(path)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, hconf, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def load_configs(
+    source: str | list[dict], spark=None, fetcher=None
+) -> list[SourceConfig]:
+    """Load configs from a JSON file path, URI, JSON text, or parsed list.
+
+    A ``scheme://`` source (``gs://…/sources.json``) is fetched driver-
+    side via ``fetch_config_text`` (reference gcs_utils.py:18-45), or via
+    ``fetcher(uri) -> str`` when injected (tests, custom clients).
     """
     if isinstance(source, str):
-        if os.path.exists(source):
+        # a URI starts with a scheme; JSON text starts with [/{/whitespace
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", source):
+            text = (
+                fetcher(source) if fetcher is not None
+                else fetch_config_text(source, spark)
+            )
+            raw = json.loads(text)
+        elif os.path.exists(source):
             with open(source, "r", encoding="utf-8") as f:
                 raw = json.load(f)
         else:

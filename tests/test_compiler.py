@@ -295,3 +295,41 @@ def test_wildcard_nested_types_serialize_natively(spark):
     assert '"arr":[1,2]' in payload
     assert '"mp":{"k":"v"}' in payload
     assert '"st":{"a":5,"b":"x"}' in payload
+
+
+def test_load_configs_from_file_uri(spark, tmp_path):
+    # S6 parity (reference gcs_utils.py:18-45): a scheme:// config URI is
+    # fetched driver-side through the JVM Hadoop FileSystem. file:// uses
+    # the same code path gs:// takes on a cluster with the GCS connector.
+    p = tmp_path / "sources.json"
+    p.write_text(json.dumps([
+        {"config_id": "remote", "source_gcs_prefix": "gs://b/",
+         "field_mappings": []},
+    ]))
+    configs = load_configs(f"file://{p}", spark=spark)
+    assert [c.config_id for c in configs] == ["remote"]
+
+
+def test_load_configs_with_injected_fetcher():
+    # custom-client injection point (no Spark session required)
+    seen = []
+
+    def fetcher(uri):
+        seen.append(uri)
+        return json.dumps([
+            {"config_id": "fetched", "source_gcs_prefix": "gs://b/",
+             "field_mappings": []},
+        ])
+
+    configs = load_configs("gs://bucket/cfg/sources.json", fetcher=fetcher)
+    assert seen == ["gs://bucket/cfg/sources.json"]
+    assert configs[0].config_id == "fetched"
+
+
+def test_load_configs_json_text_with_uri_inside_is_not_fetched():
+    # inline JSON whose VALUES contain gs:// must not trigger a fetch
+    text = json.dumps([{"config_id": "inline",
+                        "source_gcs_prefix": "gs://b/p/",
+                        "field_mappings": []}])
+    configs = load_configs(text)
+    assert configs[0].source_gcs_prefix == "gs://b/p/"
