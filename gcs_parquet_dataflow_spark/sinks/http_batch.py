@@ -1,8 +1,9 @@
 """Size-bounded, retrying HTTP batch sink (reference
 ``BatchPostToMixpanel``, main.py:306-423 / main_batch.py:318-428).
 
-Spark shape: ``mapPartitions`` over a one-column DataFrame of event-JSON
-strings. Each partition buffers events, flushes on the 2000-event / 2 MiB
+Spark shape: ``mapInPandas`` over a one-column DataFrame of event-JSON
+strings — Arrow-batched end-to-end (no per-row Python serialization).
+Each partition buffers events, flushes on the 2000-event / 2 MiB
 thresholds, gzips NDJSON, POSTs with capped exponential backoff, and
 *returns* per-event outcome rows — success and DLQ are DataFrame splits
 downstream, not side-channel outputs. Partition-level parallelism replaces
@@ -23,7 +24,7 @@ import time
 from dataclasses import dataclass
 from typing import Callable, Iterable, Iterator
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import DataFrame
 
 # thresholds/policy mirror the reference's tuned constants
 # (main.py:22-23, 355, 367, 374-376, 390-393; BASELINE.md)
@@ -135,9 +136,23 @@ def post_events(
     the deployment wants (parquet dir, Kafka, ...).
     """
 
-    def run(partition: Iterator[Row]) -> Iterator[tuple[str, str, str]]:
-        events = (row[event_col] for row in partition)
-        yield from post_partition(events, cfg, post_fn)
+    def run(batches):  # Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]
+        import pandas as pd
 
-    rdd = df.select(event_col).rdd.mapPartitions(run)
-    return df.sparkSession.createDataFrame(rdd, OUTCOME_SCHEMA)
+        def events() -> Iterator[str]:
+            for pdf in batches:
+                yield from pdf[event_col].tolist()
+
+        # one flush loop per PARTITION (batches stream through it), so the
+        # 2000-event/2MiB thresholds see the whole partition, not one
+        # Arrow batch; outcomes re-chunk to bound executor memory
+        chunk: list[tuple[str, str, str]] = []
+        for outcome in post_partition(events(), cfg, post_fn):
+            chunk.append(outcome)
+            if len(chunk) >= 10_000:
+                yield pd.DataFrame(chunk, columns=["event_json", "status", "detail"])
+                chunk = []
+        if chunk:
+            yield pd.DataFrame(chunk, columns=["event_json", "status", "detail"])
+
+    return df.select(event_col).mapInPandas(run, schema=OUTCOME_SCHEMA)
