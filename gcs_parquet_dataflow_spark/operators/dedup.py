@@ -189,23 +189,42 @@ def with_simhash(
     out: str = "simhash",
 ) -> DataFrame:
     """→ (id_col, out: long) — same values as ``simhash32(text)`` but via
-    token explode + 32 codegen'd sum-aggregates (one shuffle, map-side
-    partial). Documents with no tokens drop out."""
+    token explode + BIT-PACKED sum-aggregates (one shuffle, map-side
+    partial). Documents with no tokens drop out.
+
+    Instead of 32 per-bit ±1 sums, each token's 32 hash bits are packed
+    into 8 longs of four 16-bit lanes (long g carries bits 4g..4g+3);
+    summing the packed longs popcounts every lane simultaneously, so the
+    aggregate count drops 32→9 (8 lane-sums + 1 row count). Bit j of the
+    result is set iff its popcount exceeds half the tokens —
+    ``2*cnt > n`` ⟺ the ±1 vote sum is positive, exactly. Lane capacity
+    is 2^16-1 tokens per document (a 65k-token doc is ~0.5 MB of text;
+    split longer docs upstream)."""
     df = ensure_parallelism(df, id_col)  # sketching is compute-bound
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).select(id_col, hash32(F.col("_t")).alias("_h"))
-    bit = lambda j: ((F.col("_h") / F.lit(float(2**j))).cast("long") % 2)
-    votes = tok.groupBy(id_col).agg(
-        *[F.sum(2 * bit(j) - 1).alias(f"_v{j}") for j in range(32)]
-    )
+    h = F.col("_h")
+    lane_sums = []
+    for g in range(8):
+        packed = None
+        for i in range(4):
+            term = F.shiftright(h, 4 * g + i).bitwiseAND(F.lit(1)) * F.lit(
+                2 ** (16 * i)
+            )
+            packed = term if packed is None else packed + term
+        lane_sums.append(F.sum(packed).alias(f"_s{g}"))
+    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *lane_sums)
+    n = F.col("_n")
     sim = None
     for j in range(32):
-        term = F.when(F.col(f"_v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+        g, i = divmod(j, 4)
+        cnt = F.shiftright(F.col(f"_s{g}"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+        term = F.when(cnt * 2 > n, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sim = term if sim is None else sim + term
-    return votes.select(id_col, sim.alias(out))
+    return agg.select(id_col, sim.alias(out))
 
 
 # ---------------------------------------------------------------------------
