@@ -103,19 +103,64 @@ _TS_FORMATS = (
 )
 
 
-def parse_timestamp_lenient(col: Column) -> Column:
+def parse_timestamp_lenient(col: Column, dateutil_fallback: bool = False) -> Column:
     """Best-effort string→timestamp mimicking dateutil's lenient grammar
     with a coalesce of try_to_timestamp attempts — entirely JVM-side.
-    dateutil accepts strictly more (e.g. "Jan 5th '24"); exotic forms
-    yield NULL here, a documented parity gap (SURVEY §7 hard part 2)."""
+    dateutil accepts strictly more (e.g. "Jan 5th '24"); by default
+    exotic forms yield NULL here, a documented parity gap (SURVEY §7
+    hard part 2). With ``dateutil_fallback=True`` the gap closes: rows
+    the JVM ladder misses fall through to a vectorized pandas_udf
+    running the real dateutil grammar — the UDF input is NULLed for
+    rows the JVM already parsed, so the Python path only pays for the
+    exotic remainder."""
     trimmed = F.trim(col)
     attempts = [F.try_to_timestamp(trimmed)]
     attempts += [F.try_to_timestamp(trimmed, F.lit(fmt)) for fmt in _TS_FORMATS]
-    return F.coalesce(*attempts)
+    jvm = F.coalesce(*attempts)
+    if not dateutil_fallback:
+        return jvm
+    residual = F.when(jvm.isNull() & trimmed.isNotNull(), trimmed)
+    return F.coalesce(jvm, _dateutil_parse_udf()(residual))
+
+
+def _dateutil_parse_udf():
+    """Arrow-batched dateutil parser (reference main.py:131-149 uses
+    dateutil.parser.parse per row — here it is the vectorized slow-path
+    behind the JVM format ladder, not the hot path). tz-aware results
+    convert to UTC-naive; naive results are UTC by session convention;
+    unparseable → NULL."""
+    from datetime import timezone as _tz
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _parse(s):
+        from dateutil import parser as du
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                dt = du.parse(v)
+            except (ValueError, OverflowError, TypeError):
+                return None
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(_tz.utc).replace(tzinfo=None)
+            return dt
+
+        return s.map(one)
+
+    # real annotation objects (PEP-563 string hints can't resolve the
+    # function-local pandas import during pandas_udf type inference)
+    _parse.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_parse, returnType="timestamp")
 
 
 def cast_unix_timestamp_auto(
-    col: Column, dtype: T.DataType, now_epoch: Column | None = None
+    col: Column,
+    dtype: T.DataType,
+    now_epoch: Column | None = None,
+    dateutil_fallback: bool = False,
 ) -> Column:
     """Reference ``unix_timestamp_auto`` (main.py:131-149, 254-259):
     datetime → epoch seconds; int/float → int(v) passthrough; string →
@@ -131,7 +176,9 @@ def cast_unix_timestamp_auto(
     if isinstance(dtype, T.BooleanType):
         return col.cast("long")
     if isinstance(dtype, T.StringType):
-        return F.unix_timestamp(parse_timestamp_lenient(col))
+        return F.unix_timestamp(
+            parse_timestamp_lenient(col, dateutil_fallback=dateutil_fallback)
+        )
     return F.lit(None).cast("long")
 
 

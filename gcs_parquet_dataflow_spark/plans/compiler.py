@@ -62,6 +62,11 @@ class CompilerOptions:
     # when False, drop the wildcard/defaults nondeterminism entirely
     # (used by oracle-checked queries)
     include_defaults: bool = True
+    # when False, strings the JVM format ladder can't parse fall through
+    # to a vectorized dateutil pandas_udf — full reference-grammar parity
+    # (main.py:131-149) at Python-slow-path cost for the residual rows.
+    # True (default) keeps the transform 100% JVM-side.
+    strict_timestamps: bool = True
 
     def now_expr(self) -> Column:
         return self.now_epoch if self.now_epoch is not None else casts.now_epoch_expr()
@@ -144,7 +149,9 @@ def _compile_mapping(
     if m.type in _CAST_DISPATCH:
         return _CAST_DISPATCH[m.type](src, dtype)
     if m.type == "unix_timestamp_auto":
-        value = casts.cast_unix_timestamp_auto(src, dtype)
+        value = casts.cast_unix_timestamp_auto(
+            src, dtype, dateutil_fallback=not opts.strict_timestamps
+        )
         if m.mixpanel_field == "time" and opts.include_defaults:
             # unparseable/absent `time` falls back to now()
             # (main.py:145-149, 270-271)

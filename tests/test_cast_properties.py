@@ -100,3 +100,76 @@ def test_unix_timestamp_auto_numeric(spark, xs):
     for g, w, x in zip(got, want, xs):
         if x is not None and abs(float(x)) < 2**62:
             assert g == w, f"x={x!r}: spark={g} ref={w}"
+
+
+# --- dateutil-grammar fallback (SURVEY §7 hard part 2) --------------------
+
+EXOTIC_TS = [
+    "Jan 5th '24",
+    "5 January 2024 10:30",
+    "2024.01.05",
+    "20240105T101112",
+    "Sat Jan 6 14:15:16 2024",
+    "January 2024",
+    "10:30 AM",            # time-only: dateutil fills today's date
+    "5th of January 2024",
+    "02/29/2024 23:59:59.123",
+    "1996-07-10T14:00:00+02:00",
+    "garbage!!",
+    "",
+    None,
+]
+
+
+def _ts_strategy():
+    dates = st.datetimes(
+        min_value=__import__("datetime").datetime(1971, 1, 1),
+        max_value=__import__("datetime").datetime(2037, 12, 31),
+    )
+    fmts = st.sampled_from([
+        "%Y-%m-%d %H:%M:%S", "%d %b %Y %H:%M:%S", "%b %d %Y",
+        "%A, %B %d, %Y", "%Y%m%dT%H%M%S", "%d/%m/%Y" , "%I:%M %p %d %b %Y",
+    ])
+    return st.builds(lambda d, f: d.strftime(f), dates, fmts)
+
+
+def run_fallback_parse(spark, values):
+    schema = T.StructType([T.StructField("x", T.StringType())])
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    col = casts.cast_unix_timestamp_auto(
+        F.col("x"), T.StringType(), dateutil_fallback=True
+    )
+    return [r[0] for r in df.select(col.alias("y")).collect()]
+
+
+def test_dateutil_fallback_parses_exotic_forms(spark):
+    # skip inputs whose dateutil result depends on "today" (time-only /
+    # partial dates) — nondeterministic between driver and executor runs
+    fixed = [v for v in EXOTIC_TS if v not in ("10:30 AM", "January 2024")]
+    got = run_fallback_parse(spark, fixed)
+    want = [ref.ref_unix_timestamp_auto(v) for v in fixed]
+    assert got == want, list(zip(fixed, got, want))
+
+
+def test_dateutil_fallback_accepts_date_filling_forms(spark):
+    # partial forms parse to SOMETHING (non-null), value is date-relative
+    got = run_fallback_parse(spark, ["10:30 AM", "January 2024"])
+    assert all(g is not None for g in got)
+
+
+def test_strict_mode_has_no_python_stage(spark):
+    schema = T.StructType([T.StructField("x", T.StringType())])
+    df = spark.createDataFrame([("2024-01-05",)], schema)
+    strict = df.select(
+        casts.cast_unix_timestamp_auto(F.col("x"), T.StringType()).alias("y")
+    )
+    plan = strict._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # JVM-only hot path preserved
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(st.lists(_ts_strategy(), min_size=1, max_size=20))
+def test_dateutil_fallback_matches_reference_grammar(spark, xs):
+    got = run_fallback_parse(spark, xs)
+    want = [ref.ref_unix_timestamp_auto(v) for v in xs]
+    assert got == want, list(zip(xs, got, want))
