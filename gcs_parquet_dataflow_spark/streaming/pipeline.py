@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from gcs_parquet_dataflow_spark.config.model import SourceConfig
+from gcs_parquet_dataflow_spark.operators.routing import route_uris
 from gcs_parquet_dataflow_spark.plans.compiler import (
     CompilerOptions,
     compile_config,
@@ -130,6 +131,96 @@ def run_streaming(
 
     writer = (
         serialized.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def run_notification_stream(
+    spark: SparkSession,
+    configs: list[SourceConfig],
+    schemas: dict[str, T.StructType],
+    notifications: DataFrame,
+    checkpoint_dir: str,
+    *,
+    opts: CompilerOptions | None = None,
+    sink: Callable[[str, DataFrame, int], None] | None = None,
+    http_cfg: HttpSinkConfig | None = None,
+    dlq_dir: str | None = None,
+    horizon: str = DEFAULT_DEDUP_HORIZON,
+    uri_col: str = "uri",
+    ts_col: str = "ts",
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The reference's full notification-driven streaming DAG
+    (main.py:446-490): a message stream of file-URI notifications →
+    bounded-state URI dedup → first-match prefix routing → per-config
+    parquet read → compiled transform → DLQ split → sink.
+
+    ``notifications`` is ANY streaming DataFrame with (uri string,
+    ts timestamp) — Kafka/Pub/Sub-Lite in production, a file/rate source
+    in tests. Unlike ``run_streaming`` (whose file source makes dedup a
+    checkpoint guarantee), a message bus can RE-DELIVER: here
+    ``dropDuplicatesWithinWatermark`` state (checkpointed, evicted past
+    ``horizon``) drops re-deliveries exactly like the reference's 5-min
+    windowed Distinct (main.py:461-463).
+
+    Per micro-batch the routed notification rows are collected — FILE
+    NAMES, not data (the same driver-side file list ``plan_batch``
+    holds); each config's files are then read cluster-side with that
+    config's schema and its ONCE-compiled transform. ``sink`` receives
+    (config_id, ok_events_df, batch_id).
+    """
+    opts = opts or CompilerOptions()
+    compiled = {
+        c.config_id: compile_config(c, schemas[c.config_id], opts)
+        for c in configs
+        if c.config_id in schemas
+    }
+    deduped = dedup_within_watermark(notifications, [uri_col], ts_col, horizon)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed, _unmatched = route_uris(batch_df, configs, uri_col=uri_col)
+        rows = routed.select(uri_col, "config_id").collect()  # file list only
+        by_config: dict[str, list[str]] = {}
+        for r in rows:
+            by_config.setdefault(r["config_id"], []).append(r[uri_col])
+        for config_id, uris in sorted(by_config.items()):
+            plan = compiled.get(config_id)
+            if plan is None:
+                continue
+            data = spark.read.schema(schemas[config_id]).parquet(*uris)
+            serialized = plan.serialize(data).persist()
+            try:
+                ok = serialized.filter(F.col("_error").isNull()).select(
+                    "event_json"
+                )
+                dlq = serialized.filter(F.col("_error").isNotNull())
+                if dlq_dir is not None:
+                    (
+                        dlq.select(
+                            "event_json",
+                            F.col("_error.error_type").alias("error_type"),
+                            F.col("_error.reason").alias("reason"),
+                        )
+                        .write.mode("overwrite")
+                        .parquet(f"{dlq_dir}/{config_id}/batch_id={batch_id}")
+                    )
+                if sink is not None:
+                    sink(config_id, ok, batch_id)
+                elif http_cfg is not None:
+                    outcomes = post_events(ok, http_cfg)
+                    outcomes.filter(F.col("status") == "dlq").count()
+            finally:
+                serialized.unpersist()
+
+    writer = (
+        deduped.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

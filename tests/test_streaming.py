@@ -165,3 +165,104 @@ def test_dedup_within_watermark(spark, tmp_path):
     uris = [u for u, _ in got]
     assert uris.count("gs://b/f2") == 1
     assert 1 <= uris.count("gs://b/f1") <= 2
+
+
+def test_notification_stream_dedups_and_routes(spark, tmp_path):
+    """The reference's notification-driven DAG (main.py:446-490) as a
+    message stream: re-delivered URIs within the horizon are dropped by
+    checkpointed dedup state (across micro-batches AND restarts), and
+    each file's rows flow through the config its prefix routes to."""
+    a_data = tmp_path / "a_data"
+    b_data = tmp_path / "b_data"
+    notif = tmp_path / "notif"
+    notif.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    schema_a = T.StructType([
+        T.StructField("event_name", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+    schema_b = T.StructType([
+        T.StructField("action", T.StringType()),
+        T.StructField("uid", T.LongType()),
+    ])
+    configs = load_configs([
+        {"config_id": "cfg_a", "source_gcs_prefix": str(a_data),
+         "mixpanel_event_name_from_field": "event_name",
+         "field_mappings": [
+             {"source_field": "user_id", "mixpanel_field": "$user_id",
+              "type": "string"}]},
+        {"config_id": "cfg_b", "source_gcs_prefix": str(b_data),
+         "mixpanel_event_name": "b_event",
+         "field_mappings": [
+             {"source_field": "uid", "mixpanel_field": "$user_id",
+              "type": "string"}]},
+    ])
+    spark.createDataFrame([("click", 1), ("buy", 2)], schema_a).coalesce(
+        1
+    ).write.mode("append").parquet(str(a_data))
+    spark.createDataFrame([("scroll", 7)], schema_b).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(b_data))
+
+    captured: list[tuple[str, str]] = []  # (config_id, event_json)
+
+    def sink(config_id, df, batch_id):
+        captured.extend((config_id, r["event_json"]) for r in df.collect())
+
+    opts = CompilerOptions(now_epoch=F.lit(1700000000), uuid=F.lit("u"))
+
+    def notify(rows):
+        spark.createDataFrame(rows, "uri string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(str(notif))
+
+    def run_once():
+        from gcs_parquet_dataflow_spark.streaming.pipeline import (
+            run_notification_stream,
+        )
+
+        stream = spark.readStream.schema("uri string, ts timestamp").parquet(
+            str(notif)
+        )
+        q = run_notification_stream(
+            spark, configs,
+            {"cfg_a": schema_a, "cfg_b": schema_b},
+            stream, str(ckpt), opts=opts, sink=sink, available_now=True,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: A notified twice (in-batch re-delivery) + B once
+    notify([
+        (str(a_data), "2024-01-01 00:00:00"),
+        (str(a_data), "2024-01-01 00:01:00"),  # dup within 5-min horizon
+        (str(b_data), "2024-01-01 00:02:00"),
+        (str(tmp_path / "unrouted"), "2024-01-01 00:02:30"),  # no config
+    ])
+    run_once()
+    a_events = [json.loads(e) for c, e in captured if c == "cfg_a"]
+    b_events = [json.loads(e) for c, e in captured if c == "cfg_b"]
+    # A's file processed ONCE despite two notifications
+    assert sorted(e["event"] for e in a_events) == ["buy", "click"]
+    assert all(e["properties"]["$user_id"] in ("1", "2") for e in a_events)
+    # B routed to its own config + transform
+    assert [e["event"] for e in b_events] == ["b_event"]
+    assert b_events[0]["properties"]["$user_id"] == "7"
+
+    # batch 2 (restart on same checkpoint): another A re-delivery within
+    # the horizon → dropped by checkpointed dedup state
+    captured.clear()
+    notify([(str(a_data), "2024-01-01 00:03:00")])
+    run_once()
+    assert captured == []
+
+    # batch 3: a genuinely new URI passes
+    c_data = tmp_path / "a_data_v2"
+    spark.createDataFrame([("signup", 9)], schema_a).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(c_data))
+    captured.clear()  # prefix str(a_data) also matches a_data_v2
+    notify([(str(c_data), "2024-01-01 00:04:00")])
+    run_once()
+    got = [json.loads(e) for c, e in captured if c == "cfg_a"]
+    assert [e["event"] for e in got] == ["signup"]
