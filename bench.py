@@ -31,6 +31,23 @@ HEADLINE = [
     "text_fingerprint",
 ]
 
+# primary scanned table per headline query — rows/s denominators
+# (BASELINE.md asks the engine to self-report per-operator rows/s)
+PRIMARY_TABLE = {
+    "q1_pricing_summary": "lineitem",
+    "q3_shipping_priority": "lineitem",
+    "q5_local_supplier_volume": "lineitem",
+    "window_topk_per_group": "orders",
+    "explode_words": "documents",
+    "event_time_window_agg": "events",
+    "events_transform": "events",
+    "dedup_minhash_lsh_pairs": "documents",
+    "dedup_simhash_pairs": "documents",
+    "dedup_embedding_cosine_pairs": "embeddings",
+    "knn_brute_force_cosine": "embeddings",
+    "text_fingerprint": "documents",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,12 +67,23 @@ def main() -> None:
         release_intermediates,
     )
 
+    # table row counts (parquet metadata read, effectively free)
+    table_rows = {
+        tbl: spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+        for tbl in sorted(set(PRIMARY_TABLE.values()))
+    }
+
     timings: dict[str, float] = {}
+    rows_per_sec: dict[str, int] = {}
     for name in names:
         start = time.perf_counter()
         df = CATALOG[name].build(spark, sf_dir)
         df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 3)
+        tbl = PRIMARY_TABLE.get(name)
+        if tbl and elapsed > 0:
+            rows_per_sec[name] = int(table_rows[tbl] / elapsed)
         release_intermediates()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -69,6 +97,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "rows_per_sec": rows_per_sec,
+        "table_rows": table_rows,
         "sf": sf_val,
     }))
     spark.stop()
