@@ -1657,3 +1657,489 @@ def events_transform(spark, sf_dir):
         F.col("properties.`$insert_id`").alias("insert_id"),
         F.col("properties.value").alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes (round 2). The fixture schema is reduced
+# TPC-H (no partsupp, no commit/receipt dates), so q2/q9/q11/q20/q21 are
+# ADAPTED: same plan shape (correlated max, scalar-subquery HAVING,
+# exists / not-exists double correlation), predicates rewritten onto the
+# available columns. Docstrings note each adaptation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → left-semi join + agg. Adapted predicate:
+    no commit/receipt dates in the fixture, so "late" = shipped more
+    than 60 days after the order date."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume_cents) AS BIGINT)/10000.0 AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))
+                   AS volume_cents
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bidirectional nation-pair volume. The nation filter is
+    applied INSIDE the dim joins (both broadcast), so the fact shuffle
+    only carries rows for the two nations."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    vol = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(vol) / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_cents
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume_cents) AS DOUBLE), 6) AS mkt_share
+    FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))
+                   AS volume_cents,
+                 n2.n_name AS nation
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: national market share — conditional-sum ratio over a
+    star join; every dimension broadcast, one fact shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    vol = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0))
+                .cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_nation_profit",
+    """
+    SELECT nation, o_year, CAST(sum(volume_cents) AS BIGINT)/10000.0
+               AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))
+                   AS volume_cents
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%gear%')
+    GROUP BY nation, o_year
+    """,
+)
+def q9_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation × order year for a part
+    name pattern. Adapted: the fixture has no partsupp/supplycost, so
+    profit = discounted revenue (the join tree and agg shape are Q9's)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    n = t(spark, sf_dir, "nation")
+    vol = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(vol) / 10000.0).alias("sum_profit"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: orders-per-customer histogram via left outer join with
+    a join-side predicate (the filter must NOT drop customers — it
+    belongs in the join condition, not a WHERE). Adapted predicate:
+    no comment column, so non-urgent priority stands in."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                  AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_cents/10000.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: top supplier by quarterly revenue — the scalar
+    max-subquery is a 1-row broadcast join against the revenue table
+    (computed once, reused for both sides). Integer-cents revenue makes
+    the max-equality exact."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    vol = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(vol).alias("total_cents"))
+    )
+    mx = revenue.agg(F.max("total_cents").alias("_max"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_cents") == F.col("_max"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("total_cents") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q2_top_acctbal_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part
+    JOIN ps ON p_partkey = l_partkey
+    JOIN eu ON l_suppkey = s_suppkey
+    WHERE p_type = 'LARGE'
+      AND s_acctbal = (SELECT max(eu2.s_acctbal)
+                       FROM ps ps2 JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
+                       WHERE ps2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def q2_top_acctbal_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated per-part MAX subquery → window max over
+    the candidate join (one pass, no re-join). Adapted: no partsupp
+    table, so the part↔supplier relation is the DISTINCT (l_partkey,
+    l_suppkey) pairs from lineitem, and min supplycost becomes max
+    supplier account balance among EUROPE suppliers of the part."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_mx", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_mx"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH v AS (SELECT l_partkey,
+                      CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                           AS BIGINT) AS value_cents
+               FROM lineitem
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_name = 'NATION_5'
+               GROUP BY l_partkey)
+    SELECT l_partkey, value_cents/100.0 AS part_value
+    FROM v
+    WHERE value_cents > (SELECT sum(value_cents)*0.002 FROM v)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-group value filtered by a GLOBAL scalar
+    threshold (fraction of the grand total) — the scalar subquery is a
+    1-row broadcast cross join, and the grouped table is computed ONCE
+    and persisted for both uses. Adapted: value = extended price of one
+    nation's suppliers' lineitems (no partsupp in the fixture)."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    v = persist_intermediate(
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    thresh = v.agg((F.sum("value_cents") * 0.002).alias("_t"))
+    return (
+        v.join(F.broadcast(thresh), F.col("value_cents") > F.col("_t"))
+        .select("l_partkey", (F.col("value_cents") / 100.0).alias("part_value"))
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    """
+    WITH shipped AS (SELECT l_suppkey, l_partkey,
+                            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                                AS qty
+                     FROM lineitem
+                     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                     GROUP BY l_suppkey, l_partkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (SELECT l_suppkey FROM shipped
+                        JOIN part ON l_partkey = p_partkey
+                        WHERE p_name LIKE 'small%' AND qty > 15)
+    """,
+)
+def q20_promotion_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN-subqueries → one aggregation + semi
+    join chain. Adapted: availqty > half-of-shipped becomes total 1996
+    shipped quantity > 15 of any 'small%' part (no partsupp)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    qualifying = (
+        shipped.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qty") > 15)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH per AS (SELECT l_orderkey, l_suppkey,
+                        max(CASE WHEN l_shipdate > o_orderdate
+                                      + INTERVAL 60 DAY
+                                 THEN 1 ELSE 0 END) AS late
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 GROUP BY l_orderkey, l_suppkey),
+         agg AS (SELECT l_orderkey,
+                        CAST(count(*) AS BIGINT) AS n_supp,
+                        CAST(sum(late) AS BIGINT) AS n_late
+                 FROM per GROUP BY l_orderkey)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per
+    JOIN agg USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE per.late = 1 AND agg.n_supp > 1 AND agg.n_late = 1
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: "the ONLY late supplier on a multi-supplier
+    order" — the reference formulation's EXISTS + NOT EXISTS double
+    correlation rewritten as two aggregations over one per-(order,
+    supplier) table (computed once, persisted), which shuffles the fact
+    once instead of three self-joins. Adapted: late = shipped >60 days
+    after order date (no receipt/commit dates)."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    per = persist_intermediate(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    agg = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        per.join(agg, "l_orderkey")
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
