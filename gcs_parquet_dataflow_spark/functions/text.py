@@ -124,6 +124,37 @@ def quality_score(col: Column) -> Column:
     )
 
 
+# PII patterns shared verbatim with the DuckDB oracle — restricted to
+# syntax Java regex and RE2 interpret identically. Replacement order is
+# dict order: URLs first (so an email inside a URL is already gone),
+# then emails, then phone-shaped digit runs.
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()\-]{6,}[0-9]",
+}
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact URLs/emails/phone-shaped runs with <URL>/<EMAIL>/<PHONE>
+    placeholders — the standard pre-training scrub pass. Pure
+    ``regexp_replace`` chain: per-row, zero shuffle, runs in the scan
+    stage at any scale."""
+    out = col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind redaction counts over the RAW text (each pattern counted
+    independently, before any replacement)."""
+    return {
+        name: F.regexp_count(col, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
 def doc_md5(col: Column) -> Column:
     """Whole-document fingerprint: md5 hex of the normalized text
     (lowercased, whitespace collapsed)."""

@@ -1,0 +1,131 @@
+"""Corpus-level training-data operators: token-window chunking,
+vocabulary building, and deterministic corpus shuffling (BASELINE.json
+extension surface — the operations a pretraining data pipeline runs
+between cleaning and writing shards).
+
+Scale design:
+
+- **Chunking** is a per-row explode: no shuffle, runs in the scan stage.
+  Output rows carry (doc_id, chunk_idx) so downstream dedup/splitting
+  can key on either the document or the chunk.
+- **Vocabulary** is one explode + hash aggregation with map-side combine
+  — the shuffle carries one row per distinct term per partition. The
+  top-k is a single-partition sort of the (already tiny) qualifying
+  terms, standard for vocab sizes (≤ millions).
+- **Deterministic shuffle** orders by a content hash — the property a
+  training pipeline needs is *reproducible* global order, independent
+  of input partitioning; sorting by ``hash32(key)`` gives exactly that
+  (and is how you shard: ``hash % n_shards``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.functions.text import hash32, tokens
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_size`` with
+    ``overlap`` tokens shared between consecutive chunks (the training-
+    window chunker). → (id_col, chunk_idx, chunk_text, n_tokens).
+
+    Chunk i covers tokens [i*step, i*step + chunk_size) with
+    step = chunk_size - overlap; the last chunk may be shorter. Pure
+    Column expressions (sequence → transform → posexplode): per-row
+    work, zero shuffle, codegen'd — at 100 TB this runs inside the
+    scan stage of whatever pass reads the text.
+
+    DuckDB twin (oracle): ``range(0, len(w), step)`` +
+    ``array_to_string(w[s+1 : s+chunk_size], ' ')``.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    tok = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(F.size(tok) - 1, F.lit(0)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.slice(tok, s + 1, chunk_size).alias("toks"),
+        ),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(F.col("_c.toks"), " ").alias("chunk_text"),
+            F.size(F.col("_c.toks")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Corpus term frequencies: → (term, term_count[, rank]).
+
+    One explode + groupBy (map-side combine). With ``top_n``, ranks by
+    count desc with the term itself as the deterministic tie-break and
+    keeps the top ``top_n`` — the vocab-building step of a tokenizer
+    pipeline."""
+    from pyspark.sql import Window as W
+
+    terms = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .filter(F.col("term_count") >= min_count)
+    )
+    if top_n is None:
+        return terms
+    w = W.orderBy(F.desc("term_count"), F.asc("term"))
+    return (
+        terms.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle-v1",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Reproducible corpus shuffle: order depends only on (salt, keys) —
+    NOT on partitioning, file layout, or cluster size — so a re-run
+    shards identically. Change ``salt`` to re-shuffle.
+
+    With ``n_shards`` (the 100 TB path): → + (shuffle_shard,
+    shard_rank) where shard = hash % n_shards and the rank is within
+    the shard — every window is partitioned, fully parallel; shard
+    files written in shard_rank order ARE the shuffled dataset.
+    Without: → + (shuffle_rank), one GLOBAL row_number — a single-
+    partition sort, only for small corpora / final total orders."""
+    from pyspark.sql import Window as W
+
+    h = hash32(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string")))
+    if n_shards is not None:
+        w = W.partitionBy("shuffle_shard").orderBy("_h", key_col)
+        return (
+            df.withColumn("_h", h)
+            .withColumn("shuffle_shard", F.col("_h") % n_shards)
+            .withColumn("shard_rank", F.row_number().over(w).cast("long"))
+            .drop("_h")
+        )
+    w = W.orderBy(h, F.col(key_col))
+    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))

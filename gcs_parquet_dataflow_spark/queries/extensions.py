@@ -693,3 +693,140 @@ def multimodal_decode_features(spark, sf_dir):
         "payload",
     )
     return MM.decode_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Corpus operators (round 2): chunking, vocabulary, deterministic
+# shuffle, PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_chunk_windows",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE text IS NOT NULL),
+         s AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start
+               FROM d)
+    SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_idx,
+           array_to_string(w[start+1 : start+30], ' ') AS chunk_text,
+           CAST(len(w[start+1 : start+30]) AS BIGINT) AS n_tokens
+    FROM s
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Token-window chunking (30-token windows, 6-token overlap → step
+    24): the training-window chunker as a per-row explode — zero
+    shuffle, scan-stage work (operators/corpus.py)."""
+    from gcs_parquet_dataflow_spark.operators.corpus import chunk_by_tokens
+
+    d = t(spark, sf_dir, "documents")
+    return chunk_by_tokens(d, "doc_id", "text", chunk_size=30, overlap=6)
+
+
+@query(
+    "vocab_top_terms",
+    """
+    WITH tf AS (SELECT tk AS term, CAST(count(*) AS BIGINT) AS term_count
+                FROM (SELECT unnest(string_split(text, ' ')) AS tk
+                      FROM documents WHERE text IS NOT NULL)
+                WHERE tk <> ''
+                GROUP BY tk
+                HAVING count(*) >= 5)
+    SELECT term, term_count,
+           CAST(row_number() OVER (ORDER BY term_count DESC, term)
+                AS BIGINT) AS rank
+    FROM tf
+    QUALIFY rank <= 100
+    """,
+)
+def vocab_top_terms(spark, sf_dir):
+    """Vocabulary building: corpus term frequencies (min_count 5) ranked
+    to a top-100 vocab with a deterministic term tie-break — one explode
+    + map-side-combined aggregation (operators/corpus.py)."""
+    from gcs_parquet_dataflow_spark.operators.corpus import vocabulary
+
+    d = t(spark, sf_dir, "documents")
+    return vocabulary(d, "text", min_count=5, top_n=100)
+
+
+@query(
+    "corpus_shuffle_deterministic",
+    """
+    WITH h AS (SELECT doc_id,
+                      CAST('0x' || substr(md5('shuffle-v1:'
+                           || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                          AS hv
+               FROM documents)
+    SELECT doc_id,
+           hv % 8 AS shuffle_shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8
+                                   ORDER BY hv, doc_id) AS BIGINT)
+               AS shard_rank
+    FROM h
+    """,
+)
+def corpus_shuffle_deterministic(spark, sf_dir):
+    """Reproducible sharded shuffle: shard = content-hash % 8, rank
+    within shard — order depends only on (salt, keys), never on
+    partitioning or cluster size, and every window is partitioned
+    (parallel; no global sort) — the 100 TB shuffle-and-shard path
+    (operators/corpus.py)."""
+    from gcs_parquet_dataflow_spark.operators.corpus import (
+        deterministic_shuffle,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id", n_shards=8)
+
+
+PII_TEXT_SQL = (
+    "'contact user' || CAST(doc_id AS VARCHAR) || '@mail.com or "
+    "+1 555 0199 23 see https://ex.com/' || CAST(doc_id AS VARCHAR) "
+    "|| ' ' || text"
+)
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH s AS (SELECT doc_id, {PII_TEXT_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9 ()\\-]{{6,}}[0-9]', '<PHONE>', 'g')
+               AS scrubbed,
+           CAST(len(regexp_extract_all(raw, 'https?://[^\\s]+'))
+                AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(raw,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(raw,
+                '\\+?[0-9][0-9 ()\\-]{{6,}}[0-9]')) AS BIGINT) AS n_phone
+    FROM s
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing over a deterministically PII-seeded text (the
+    fixtures contain no emails/URLs, so each row plants a known email,
+    phone, and URL around its text): URL → email → phone regexp_replace
+    chain + independent per-kind counts (functions/text.py
+    scrub_pii/pii_counts). Patterns are shared verbatim between the
+    Spark plan and the oracle."""
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.com or +1 555 0199 23 see https://ex.com/"),
+        F.col("doc_id").cast("string"), F.lit(" "), F.col("text"),
+    )
+    counts = TX.pii_counts(raw)
+    return d.select(
+        "doc_id",
+        TX.scrub_pii(raw).alias("scrubbed"),
+        counts["url"].alias("n_url"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+    )

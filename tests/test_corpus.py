@@ -1,0 +1,80 @@
+"""Corpus operator tests: chunk coverage/overlap invariants, vocabulary
+counts, deterministic-shuffle partitioning independence, PII scrub."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.functions import text as TX
+from gcs_parquet_dataflow_spark.operators.corpus import (
+    chunk_by_tokens,
+    deterministic_shuffle,
+    vocabulary,
+)
+
+
+def test_chunks_cover_document_with_overlap(spark):
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = chunk_by_tokens(df, "doc_id", "text", chunk_size=10, overlap=2).orderBy(
+        "chunk_idx"
+    ).collect()
+    # step 8: starts 0,8,16,24 → 4 chunks, last is the 1-token tail
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["chunk_text"].split() == words[0:10]
+    assert rows[1]["chunk_text"].split() == words[8:18]   # 2-token overlap
+    assert rows[3]["chunk_text"].split() == words[24:25]
+    assert [r["n_tokens"] for r in rows] == [10, 10, 9, 1]
+    # every token appears in at least one chunk
+    seen = {w for r in rows for w in r["chunk_text"].split()}
+    assert seen == set(words)
+
+
+def test_chunking_skips_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    got = chunk_by_tokens(df, "doc_id", "text", chunk_size=2).collect()
+    assert {r["doc_id"] for r in got} == {1}
+
+
+def test_vocabulary_counts_and_rank(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a c")], "doc_id long, text string"
+    )
+    got = {
+        r["term"]: (r["term_count"], r["rank"])
+        for r in vocabulary(df, "text", min_count=2, top_n=10).collect()
+    }
+    # a×3, b×2; c dropped by min_count
+    assert got == {"a": (3, 1), "b": (2, 2)}
+
+
+def test_deterministic_shuffle_is_partitioning_independent(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = deterministic_shuffle(df.repartition(1), "doc_id", n_shards=4).collect()
+    b = deterministic_shuffle(df.repartition(13), "doc_id", n_shards=4).collect()
+    key = lambda rows: sorted(
+        (r["doc_id"], r["shuffle_shard"], r["shard_rank"]) for r in rows
+    )
+    assert key(a) == key(b)
+    # shards are ~balanced and ranks are contiguous from 1 per shard
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shuffle_shard"], []).append(r["shard_rank"])
+    for ranks in by_shard.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    raw = "mail a.b+c@x.co.uk, call +1 (555) 010-9923, see https://x.io/p?q=1 end"
+    df = spark.createDataFrame([(raw,)], "text string")
+    counts = TX.pii_counts(F.col("text"))
+    row = df.select(
+        TX.scrub_pii(F.col("text")).alias("s"),
+        counts["email"].alias("ne"),
+        counts["phone"].alias("np"),
+        counts["url"].alias("nu"),
+    ).first()
+    assert row["s"] == "mail <EMAIL>, call <PHONE>, see <URL> end"
+    assert (row["ne"], row["np"], row["nu"]) == (1, 1, 1)
