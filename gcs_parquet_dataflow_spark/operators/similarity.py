@@ -153,6 +153,100 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(k: int = 8, dim: int = 64, seed: int = 29) -> list[list[float]]:
+    """Deterministic pseudo-gaussian coarse-quantizer centroids — seeded
+    so the same literals appear in the DuckDB oracle. A production IVF
+    trains these with k-means over a sample; the index/search shape
+    below is identical either way (swap the literals for trained ones)."""
+    rng = random.Random(seed)
+    return [
+        [round(sum(rng.random() for _ in range(6)) - 3.0, 6) for _ in range(dim)]
+        for _ in range(k)
+    ]
+
+
+def _centroid_norm(c: list[float]) -> float:
+    import math
+
+    return math.sqrt(sum(x * x for x in c))
+
+
+def ivf_scores(vec: Column, cents: list[list[float]]) -> list[Column]:
+    """Per-centroid affinity round(dot(v, c)/|c|, 6). The query-vector
+    norm is constant across centroids so it cannot change any argmax and
+    is omitted; |c| is a Python float literal shared with the oracle;
+    rounding at 1e-6 makes cross-engine argmax ties identical."""
+    return [
+        F.round(dot(vec, lit_vector(c)) / F.lit(_centroid_norm(c)), 6)
+        for c in cents
+    ]
+
+
+def ivf_assign(vec: Column, cents: list[list[float]]) -> Column:
+    """Inverted-list id: argmax centroid affinity, lowest index on ties
+    (an ordered when-chain, same pattern as lang_id)."""
+    scores = ivf_scores(vec, cents)
+    best = F.greatest(*scores)
+    expr: Column | None = None
+    for i, s in enumerate(scores):
+        expr = F.when(s == best, i) if expr is None else expr.when(s == best, i)
+    return expr.cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    cents: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors land in the inverted list of their
+    nearest centroid (ONE list each — build is a map-only pass); each
+    query probes its ``nprobe`` highest-affinity lists and re-ranks
+    exactly inside them. → (query_id, neighbor_id, rank, cos).
+
+    The scale shape: candidate count drops to ~nprobe/k_lists of the
+    corpus, the standard IVF recall/cost dial (raise nprobe for recall).
+    Unlike hyperplane LSH (whose 2^planes buckets are fixed), IVF lists
+    follow the data distribution once centroids are trained."""
+    cents = cents if cents is not None else ivf_centroids()
+    assigned = ensure_parallelism(corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        ivf_assign(F.col(vec_col), cents).alias("_list"),
+    ))
+    probe_structs = F.array(*[
+        F.struct((-s).alias("ns"), F.lit(i).cast("int").alias("c"))
+        for i, s in enumerate(ivf_scores(F.col(vec_col), cents))
+    ])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, nprobe),
+                lambda st: st.getField("c"),
+            )
+        ).alias("_list"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), ["_list"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

@@ -830,3 +830,68 @@ def text_pii_scrub(spark, sf_dir):
         counts["email"].alias("n_email"),
         counts["phone"].alias("n_phone"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (round 2): seeded centroid literals shared with the oracle
+# ---------------------------------------------------------------------------
+
+IVF_CENTS = SIM.ivf_centroids()
+
+
+def _ivf_score_sql(i: int, v: str = "v") -> str:
+    c = IVF_CENTS[i]
+    return (
+        f"round(list_dot_product({v}, {_vec_lit_sql(c)})"
+        f" / {SIM._centroid_norm(c)!r}, 6)"
+    )
+
+
+_IVF_SCORES = ", ".join(f"{_ivf_score_sql(i)} AS s{i}" for i in range(len(IVF_CENTS)))
+_IVF_GREATEST = "greatest(" + ", ".join(f"s{i}" for i in range(len(IVF_CENTS))) + ")"
+_IVF_CASE = (
+    "CASE "
+    + " ".join(f"WHEN s{i} = g THEN {i}" for i in range(len(IVF_CENTS)))
+    + " END"
+)
+_IVF_PROBES_ALL = "\n UNION ALL ".join(
+    f"SELECT vec_id, v, {i} AS c, s{i} AS s FROM q"
+    for i in range(len(IVF_CENTS))
+)
+
+
+@query(
+    "knn_ivf_probe",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sc AS (SELECT vec_id, v, {_IVF_SCORES} FROM e0),
+         g AS (SELECT *, {_IVF_GREATEST} AS g FROM sc),
+         assigned AS (SELECT vec_id, v, {_IVF_CASE} AS lst FROM g),
+         q AS (SELECT * FROM sc WHERE vec_id < 5),
+         probes_all AS ({_IVF_PROBES_ALL}),
+         probes AS (SELECT vec_id, v, c
+                    FROM (SELECT vec_id, v, c, s,
+                                 row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, c) AS rn
+                          FROM probes_all)
+                    WHERE rn <= 2),
+         scored AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                           {COS_SQL.format(a="p", b="a")} AS cos
+                    FROM probes p
+                    JOIN assigned a ON a.lst = p.c AND a.vec_id <> p.vec_id)
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def knn_ivf_probe(spark, sf_dir):
+    """IVF-style ANN top-5 (nprobe=2 of 8 inverted lists): corpus
+    assigned to argmax-affinity centroid lists (map-only build), queries
+    probe their 2 best lists, exact cosine re-rank inside — the
+    data-adaptive ANN scale path alongside hyperplane LSH
+    (operators/similarity.py ivf_topk). Centroid literals + norms are
+    seed-generated once and inlined into both engines."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(e, q, k=5, nprobe=2, cents=IVF_CENTS)

@@ -310,3 +310,31 @@ def test_connected_components_deep_chain_converges_bounded_plan(spark):
         release_intermediates,
     )
     release_intermediates()
+
+
+def test_ivf_topk_invariants(spark):
+    import random as _r
+
+    rng = _r.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)
+    ]
+    # plant a near-twin of vector 0: must share vector 0's list and be
+    # its rank-1 IVF neighbor
+    rows.append((99, [x + 0.01 for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+
+    assigned = df.select(
+        "vec_id", SIM.ivf_assign(F.col("embedding"), SIM.ivf_centroids()).alias("lst")
+    ).collect()
+    assert all(r["lst"] is not None and 0 <= r["lst"] < 8 for r in assigned)
+
+    ivf = SIM.ivf_topk(df, q, k=5, nprobe=2)
+    got = {r["rank"]: r for r in ivf.collect()}
+    assert got[1]["neighbor_id"] == 99 and got[1]["cos"] > 0.99
+
+    # approximation property: per-rank cos never exceeds brute force
+    bf = {r["rank"]: r["cos"] for r in SIM.brute_force_topk(df, q, k=5).collect()}
+    for rank, row in got.items():
+        assert row["cos"] <= bf[rank] + 1e-9
