@@ -55,6 +55,32 @@ def dedup_within_watermark(
     return df.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(keys)
 
 
+def sessionize_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: events within ``gap`` of each other
+    merge into one session per key; a session closes (and emits, in
+    append mode) once the watermark passes its end. The streaming twin
+    of the batch ``sessionize_events`` query — same ``session_window``
+    operator family, with state bounded by the watermark instead of a
+    window sort. → (key, session_start, session_end, n_events)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_source(
     spark: SparkSession,
     config: SourceConfig,

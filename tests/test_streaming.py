@@ -266,3 +266,45 @@ def test_notification_stream_dedups_and_routes(spark, tmp_path):
     run_once()
     got = [json.loads(e) for c, e in captured if c == "cfg_a"]
     assert [e["event"] for e in got] == ["signup"]
+
+
+def test_sessionize_stream_merges_and_splits(spark, tmp_path):
+    """Events within the gap merge into one session; a quiet period
+    longer than the gap starts a new one; state is watermark-bounded."""
+    from gcs_parquet_dataflow_spark.streaming.pipeline import sessionize_stream
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # within 30-min gap → same session
+        (1, "2024-01-01 02:00:00"),   # 110 min quiet → new session
+        (2, "2024-01-01 00:05:00"),
+        # late sentinel far in the future: advances the watermark so the
+        # sessions above close and emit under append mode
+        (9, "2024-01-02 00:00:00"),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        str(src)
+    )
+    q = (
+        sessionize_stream(stream, "user_id", "ts", gap="30 minutes",
+                          watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("select * from sessions_out").collect()
+    }
+    assert (1, "2024-01-01 00:00:00", 2) in got      # merged pair
+    assert (1, "2024-01-01 02:00:00", 1) in got      # split session
+    assert (2, "2024-01-01 00:05:00", 1) in got
