@@ -40,6 +40,33 @@ def salted_count_distinct(
     return per_shard.groupBy(*keys).agg(F.sum("_n").cast("long").alias(out))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key equi-join: spread each big-side row across ``n_salts``
+    sub-keys and replicate the small side once per salt, so one hot key
+    becomes ``n_salts`` reducer partitions instead of one straggler.
+
+    Use when AQE's skew-join split can't help: a single key so hot that
+    even split partitions straggle, with a small side that fits
+    replicated ``n_salts``× but NOT broadcast whole (else just
+    broadcast). The big-side salt is derived from a row id — it spreads
+    rows, it does not affect correctness (every big row joins exactly
+    the one replica carrying its salt). Supports inner/left joins."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (small side must not duplicate)")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    bs = big.withColumn("_salt", salt)
+    ss = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return bs.join(ss, [key, "_salt"], how).drop("_salt")
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],

@@ -76,3 +76,68 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert "Exchange hashpartitioning" not in plan
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from gcs_parquet_dataflow_spark.operators.skew import salted_join
+
+    # 90% of big-side rows share one hot key
+    big = spark.createDataFrame(
+        [(0 if i % 10 else i % 5, i) for i in range(2000)], "k int, x long"
+    )
+    small = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "k int, d string")
+    plain = sorted((r["k"], r["x"], r["d"]) for r in big.join(small, "k").collect())
+    salted = sorted(
+        (r["k"], r["x"], r["d"]) for r in salted_join(big, small, "k").collect()
+    )
+    assert plain == salted
+    # left join keeps unmatched big rows exactly once
+    bigger = big.union(spark.createDataFrame([(99, 1)], "k int, x long"))
+    left = salted_join(bigger, small, "k", how="left")
+    assert left.filter(F.col("k") == 99).count() == 1
+
+
+def test_tpch_round2_plans_broadcast_dims_and_push_filters(spark):
+    """Plan audit encoded as a test: the round-2 TPC-H queries broadcast
+    every dimension (no dim-side shuffle), never produce a cartesian
+    product, and push the fact filters into the parquet scan."""
+    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+
+    sf_dir = "/root/testdata/sf0.001"
+    expectations = {
+        "q4_order_priority": ["LeftSemi"],
+        "q7_volume_shipping": ["BroadcastHashJoin"],
+        "q8_market_share": ["BroadcastHashJoin"],
+        "q9_nation_profit": ["BroadcastHashJoin"],
+        "q15_top_supplier": ["BroadcastHashJoin"],
+    }
+    for name, required in expectations.items():
+        df = CATALOG[name].build(spark, sf_dir)
+        df.collect()  # AQE finalizes the physical plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in required:
+            assert marker in plan, f"{name}: expected {marker}\n{plan[:2000]}"
+        assert "CartesianProduct" not in plan, name
+    # shipdate range predicate reaches the scan (q7)
+    df = CATALOG["q7_volume_shipping"].build(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """The sketch-mergeable aggregates for 100 TB groups (HLL distinct,
+    t-digest-style percentile) land within their documented error bars
+    of the exact answers — approximate ops are deliberately NOT in the
+    oracle surface (engine sketches differ), so tolerance is the check."""
+    from gcs_parquet_dataflow_spark.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    row = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_d"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+    ).first()
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05
+    assert abs(row["approx_p90"] - row["exact_p90"]) / row["exact_p90"] < 0.01
