@@ -1,0 +1,108 @@
+"""Temporal joins Spark lacks as built-ins, composed from DataFrame
+primitives (the brief's canonical "custom operator" examples):
+
+- **as-of join**: each left row picks the LATEST right row with
+  ``right_ts <= left_ts`` per key (point-in-time lookup: trades→quotes,
+  events→dimension history). Implemented as union + tagged sort +
+  windowed last-non-null — ONE shuffle on the key, no per-key Python,
+  no range self-join blowup. DuckDB twin: native ``ASOF LEFT JOIN``.
+- **range join**: events ⋈ intervals with containment
+  ``start <= ts < end``. The naive theta join compares every pair; the
+  binned form explodes each interval into the fixed-width time bins it
+  covers and equi-joins events on their bin — shuffle size
+  |events| + |intervals|×(len/bin), the standard interval-index trick.
+
+Both are deterministic and oracle-checked (queries/extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Backward as-of LEFT join: left columns + the right payload columns
+    of the latest right row per key with ``right_ts <= left_ts`` (NULLs
+    when no prior right row). Inclusive at equal timestamps, matching
+    DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` and pandas ``merge_asof``.
+
+    Shape: union both sides tagged (right sorts before left at ties),
+    one window per key ordered by (ts, side) carrying
+    ``last(right_payload, ignorenulls=True)`` — the sort-merge fill
+    pattern. One hash shuffle on ``by``; at 100 TB both inputs arrive,
+    sort, and fill inside the same exchange.
+
+    Right rows should be unique per (key, ts) — among exact duplicates
+    the surviving one is unspecified (same as engine ASOF ties).
+    """
+    rcols = [c for c in right.columns if c not in by and c != right_ts]
+    l_type = T.StructType(list(left.schema.fields))
+    r_type = T.StructType([f for f in right.schema.fields if f.name in rcols])
+    l = left.select(
+        *by,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    r = right.select(
+        *by,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_type).alias("_l"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_r"),
+    )
+    w = (
+        W.partitionBy(*by)
+        .orderBy("_ats", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select(
+            *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+            *[F.col(f"_m.{c}").alias(c) for c in rcols],
+        )
+    )
+
+
+def range_join_binned(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Containment join ``start <= ts < end`` via the interval-index
+    trick: every interval explodes into the ``bin_seconds``-wide bins it
+    overlaps, events equi-join on their own bin, and the exact predicate
+    filters bin-boundary false positives. Pick ``bin_seconds`` near the
+    typical interval length: cost is |events| + |intervals|×(length/bin)
+    shuffled rows instead of an all-pairs comparison."""
+    e_bin = F.floor(F.unix_timestamp(F.col(ts_col)) / bin_seconds)
+    start_bin = F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds)
+    end_bin = F.floor((F.unix_timestamp(F.col(end_col)) - 1) / bin_seconds)
+    exploded = intervals.withColumn(
+        "_bin", F.explode(F.sequence(start_bin, F.greatest(end_bin, start_bin)))
+    )
+    joined = events.withColumn("_bin", e_bin).join(
+        exploded,
+        ["_bin"],
+        how,
+    )
+    return joined.filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    ).drop("_bin")

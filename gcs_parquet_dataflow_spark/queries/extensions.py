@@ -895,3 +895,76 @@ def knn_ivf_probe(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return SIM.ivf_topk(e, q, k=5, nprobe=2, cents=IVF_CENTS)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (round 2): as-of and binned range join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_latest_state",
+    """
+    WITH st AS (SELECT user_id, date_trunc('day', ts) AS state_ts,
+                       CAST(count(*) AS BIGINT) AS day_events
+                FROM events GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT e.event_id, s.day_events
+    FROM events e
+    ASOF LEFT JOIN st s ON e.user_id = s.user_id AND e.ts >= s.state_ts
+    """,
+)
+def asof_join_latest_state(spark, sf_dir):
+    """Point-in-time as-of join: each event picks the user's latest
+    daily-state row at-or-before its timestamp (NULL when the user has
+    no qualifying prior day). Spark side is the union + windowed
+    last-non-null composition (operators/temporal.py asof_join — one
+    key shuffle); oracle is DuckDB's native ASOF LEFT JOIN."""
+    from gcs_parquet_dataflow_spark.operators.temporal import asof_join
+
+    e = t(spark, sf_dir, "events")
+    st = (
+        e.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("state_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("day_events"))
+        .filter(F.col("day_events") >= 2)
+    )
+    return asof_join(
+        e.select("event_id", "user_id", "ts"),
+        st,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="state_ts",
+    ).select("event_id", "day_events")
+
+
+@query(
+    "range_join_time_windows",
+    """
+    WITH r AS (SELECT i AS range_id,
+                      TIMESTAMP '2024-01-01' + INTERVAL (i*24) HOUR AS start_ts,
+                      TIMESTAMP '2024-01-01' + INTERVAL (i*24 + 36) HOUR AS end_ts
+               FROM range(0, 31) t(i))
+    SELECT e.event_id, r.range_id
+    FROM events e JOIN r ON e.ts >= r.start_ts AND e.ts < r.end_ts
+    """,
+)
+def range_join_time_windows(spark, sf_dir):
+    """Interval containment join: the January-2024 events against 31
+    overlapping 36-hour windows stepping every 24 hours (each event
+    lands in 1-2 windows). Spark side is the binned equi-join
+    (operators/temporal.py range_join_binned, 12-hour bins) —
+    |events|+|intervals|x3 shuffled rows, no all-pairs theta join;
+    oracle is the plain SQL range join."""
+    from gcs_parquet_dataflow_spark.operators.temporal import range_join_binned
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC (session TZ is UTC)
+    e = t(spark, sf_dir, "events").select("event_id", "ts")
+    r = spark.range(0, 31).select(
+        F.col("id").cast("long").alias("range_id"),
+        F.timestamp_seconds(base + F.col("id") * 86400).alias("start_ts"),
+        F.timestamp_seconds(base + F.col("id") * 86400 + 129600).alias("end_ts"),
+    )
+    return range_join_binned(
+        e, r, "ts", "start_ts", "end_ts", bin_seconds=12 * 3600
+    ).select("event_id", "range_id")

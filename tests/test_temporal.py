@@ -1,0 +1,100 @@
+"""Temporal join semantics: as-of inclusiveness/NULLs, range-join
+boundary behavior and bin false-positive filtering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+)
+
+
+def ts(s):
+    return F.lit(s).cast("timestamp")
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "e1"),
+         (1, "2024-01-01 12:00:00", "e2"),
+         (2, "2024-01-01 09:00:00", "e3")],
+        "k long, ts string, ev string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "s_old"),
+         (1, "2024-01-01 12:00:00", "s_tie"),     # equal ts → inclusive
+         (1, "2024-01-01 13:00:00", "s_future"),  # after every event
+         (3, "2024-01-01 00:00:00", "s_other")],
+        "k long, ts string, state string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["ev"]: r["state"] for r in asof_join(left, right, ["k"]).collect()}
+    assert got == {"e1": "s_old", "e2": "s_tie", "e3": None}
+
+
+def test_asof_join_keeps_all_left_rows_and_columns(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 42)], "k long, ts string, payload long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [], "k long, ts timestamp, state string"
+    )
+    rows = asof_join(left, right, ["k"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["payload"] == 42 and rows[0]["state"] is None
+
+
+def test_range_join_boundaries_and_bins(spark):
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"),   # == start → included
+         (2, "2024-01-01 11:59:59"),   # inside
+         (3, "2024-01-01 12:00:00"),   # == end → excluded
+         (4, "2024-01-01 18:00:00")],  # same bin as the interval end,
+        "event_id long, ts string",    # outside it → bin false positive
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 12:00:00")],
+        "range_id long, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.col("start_ts").cast("timestamp")).withColumn(
+        "end_ts", F.col("end_ts").cast("timestamp")
+    )
+    got = sorted(
+        r["event_id"]
+        for r in range_join_binned(
+            events, intervals, "ts", "start_ts", "end_ts", bin_seconds=86400
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_range_join_matches_theta_join(spark):
+    import random as _r
+
+    rng = _r.Random(5)
+    events = spark.createDataFrame(
+        [(i, f"2024-01-0{rng.randint(1, 9)} {rng.randint(0, 23):02d}:30:00")
+         for i in range(200)],
+        "event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [(j, f"2024-01-0{j+1} 00:00:00", f"2024-01-0{j+3} 00:00:00")
+         for j in range(1, 7)],
+        "range_id long, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.col("start_ts").cast("timestamp")).withColumn(
+        "end_ts", F.col("end_ts").cast("timestamp")
+    )
+    theta = sorted(
+        (r["event_id"], r["range_id"])
+        for r in events.join(
+            intervals,
+            (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")),
+        ).collect()
+    )
+    binned = sorted(
+        (r["event_id"], r["range_id"])
+        for r in range_join_binned(
+            events, intervals, "ts", "start_ts", "end_ts", bin_seconds=6 * 3600
+        ).collect()
+    )
+    assert theta == binned and len(theta) > 0
