@@ -2143,3 +2143,142 @@ def q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 surface widening: window frames, ordered string agg, unpivot,
+# FILTER-style conditional aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_frame_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_key,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER
+               (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)/100.0
+               AS rolling3_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_frame_funcs(spark, sf_dir):
+    """Window frame surface: ntile, percent_rank, cume_dist,
+    first/last_value over explicit ROWS frames, and a bounded rolling
+    sum — all one pass over one partitioning (a single sort per
+    partition serves every function)."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_roll = w.rowsBetween(-2, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        (F.sum(cents(F.col("o_totalprice"))).over(w_roll) / 100.0).alias(
+            "rolling3_price"
+        ),
+    )
+
+
+@query(
+    "agg_string_concat",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat(spark, sf_dir):
+    """Ordered string aggregation: concat_ws over a sort_array'd
+    collect_list — deterministic regardless of partitioning (the
+    unordered form is NOT reproducible across cluster sizes; always
+    order before concatenating)."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+            "nations"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, round(val, 6) AS val
+    FROM (SELECT l_orderkey, l_linenumber,
+                 l_quantity AS quantity,
+                 l_extendedprice AS extendedprice,
+                 l_discount AS discount
+          FROM lineitem WHERE l_orderkey < 100)
+    UNPIVOT (val FOR measure IN (quantity, extendedprice, discount))
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Wide→long unpivot (melt) of three measure columns via the
+    unpivot/stack operator — per-row fan-out in the scan stage, no
+    shuffle."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "_v",
+        )
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.regexp_replace("measure", "^l_", "").alias("measure"),
+            F.round("_v", 6).alias("val"),
+        )
+    )
+
+
+@query(
+    "agg_filtered_counts",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                AS BIGINT) AS n_urgent,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_big,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+               /100.0 AS urgent_value,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_filtered_counts(spark, sf_dir):
+    """FILTER-clause conditional aggregation: several differently-
+    filtered aggregates in ONE pass (vs one scan per predicate) —
+    count_if / conditional sum compile to the same partial-aggregate
+    shape."""
+    o = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(urgent).alias("n_urgent"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        (F.sum(F.when(urgent, cents(F.col("o_totalprice")))) / 100.0).alias(
+            "urgent_value"
+        ),
+        F.count(F.lit(1)).alias("n_total"),
+    )
