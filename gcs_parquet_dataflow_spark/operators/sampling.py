@@ -35,6 +35,31 @@ def deterministic_sample(
     return df.filter(hash_bucket(k, denominator) < int(fraction * denominator))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str | Column,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    denominator: int = 10000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction of rows, chosen by key hash — the content-derived twin of
+    ``df.sampleBy()`` (which is partitioning-dependent). Strata absent
+    from ``fractions`` keep ``default_fraction``. Reproducible under
+    any partitioning; membership is stable as the dataset grows."""
+    k = F.col(key) if isinstance(key, str) else key
+    bucket = hash_bucket(k, denominator)
+    thresh: Column | None = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        lim = F.lit(int(frac * denominator))
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    default = F.lit(int(default_fraction * denominator))
+    thresh = default if thresh is None else thresh.otherwise(default)
+    return df.filter(bucket < thresh)
+
+
 def hash_split(
     df: DataFrame,
     key: str | Column,

@@ -27,7 +27,7 @@ from gcs_parquet_dataflow_spark.functions import text as TX
 from gcs_parquet_dataflow_spark.operators import dedup as DD
 from gcs_parquet_dataflow_spark.operators import multimodal as MM
 from gcs_parquet_dataflow_spark.operators import similarity as SIM
-from gcs_parquet_dataflow_spark.queries.catalog import query, t
+from gcs_parquet_dataflow_spark.queries.catalog import cents, query, t
 
 # ---------------------------------------------------------------------------
 # Shared constants + SQL fragments (single source of truth for both engines)
@@ -968,3 +968,148 @@ def range_join_time_windows(spark, sf_dir):
     return range_join_binned(
         e, r, "ts", "start_ts", "end_ts", bin_seconds=12 * 3600
     ).select("event_id", "range_id")
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling, constraint checking, binning, full-outer coverage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_stratified_by_lang",
+    f"""
+    WITH b AS (SELECT doc_id, lang,
+                      {h32("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+               FROM documents)
+    SELECT doc_id, lang FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 2000
+                             WHEN 'es' THEN 5000
+                             ELSE 1000 END
+    """,
+)
+def sample_stratified_by_lang(spark, sf_dir):
+    """Per-stratum deterministic sampling (downsample dominant 'en' to
+    20%, keep 50% of 'es', 10% elsewhere — the language-rebalancing
+    step of corpus curation), content-hash driven so membership is
+    partitioning-independent (operators/sampling.py
+    stratified_sample)."""
+    from gcs_parquet_dataflow_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, "doc_id", "lang", {"en": 0.2, "es": 0.5}, default_fraction=0.1
+    )
+
+
+_QUALITY_SRC_SQL = """
+    SELECT event_id,
+           CASE WHEN event_id % 97 = 0 THEN -value ELSE value END AS v,
+           CASE WHEN event_id % 113 = 0 THEN NULL ELSE user_id END AS uid,
+           event_type
+    FROM events
+"""
+
+
+@query(
+    "quality_constraint_summary",
+    f"""
+    WITH s AS ({_QUALITY_SRC_SQL}),
+    agg AS (SELECT count(*) AS n,
+                   sum(CASE WHEN NOT coalesce(v >= 0, false)
+                            THEN 1 ELSE 0 END) AS v0,
+                   sum(CASE WHEN NOT coalesce(uid IS NOT NULL, false)
+                            THEN 1 ELSE 0 END) AS v1,
+                   sum(CASE WHEN NOT coalesce(event_type IN
+                            ('click','error','purchase','signup','view'),
+                            false) THEN 1 ELSE 0 END) AS v2
+            FROM s)
+    SELECT r.rule,
+           CAST(r.nv AS BIGINT) AS n_violations,
+           CAST(agg.n AS BIGINT) AS n_rows,
+           round(r.nv / agg.n, 6) AS violation_rate
+    FROM agg, LATERAL (VALUES ('value_nonnegative', v0),
+                              ('user_present', v1),
+                              ('known_event_type', v2)) r(rule, nv)
+    """,
+)
+def quality_constraint_summary(spark, sf_dir):
+    """Constraint-gate summary over an input with planted violations
+    (negative values every 97th row, NULL user every 113th): every rule
+    is a conditional count in ONE aggregation pass — no per-rule job
+    (operators/quality.py check_constraints)."""
+    from gcs_parquet_dataflow_spark.operators.quality import check_constraints
+
+    e = t(spark, sf_dir, "events")
+    s = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.when(F.col("event_id") % 113 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        "event_type",
+    )
+    return check_constraints(
+        s,
+        {
+            "value_nonnegative": F.col("v") >= 0,
+            "user_present": F.col("uid").isNotNull(),
+            "known_event_type": F.col("event_type").isin(
+                "click", "error", "purchase", "signup", "view"
+            ),
+        },
+    )
+
+
+@query(
+    "histogram_totalprice",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               /100.0 AS bin_min,
+           CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               /100.0 AS bin_max
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    """Fixed-width value histogram (feature-distribution profiling):
+    binning is a scan-stage expression, the groupBy carries one row per
+    bin per partition."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min(cents(F.col("o_totalprice"))) / 100.0).alias("bin_min"),
+        (F.max(cents(F.col("o_totalprice"))) / 100.0).alias("bin_max"),
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT c.c_custkey, o.o_orderkey
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey < 700) c
+    FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+                     WHERE o_orderkey < 5000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Full-outer join with unmatched rows on BOTH sides (customers with
+    no qualifying orders, orders whose customer is filtered out) —
+    completes the join-type surface alongside left/semi/anti."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 700).select(
+        "c_custkey"
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000).select(
+        "o_orderkey", "o_custkey"
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "full").select(
+        "c_custkey", "o_orderkey"
+    )

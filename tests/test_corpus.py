@@ -78,3 +78,23 @@ def test_scrub_pii_redacts_and_counts(spark):
     ).first()
     assert row["s"] == "mail <EMAIL>, call <PHONE>, see <URL> end"
     assert (row["ne"], row["np"], row["nu"]) == (1, 1, 1)
+
+
+def test_violating_rows_tags_failed_rules(spark):
+    from gcs_parquet_dataflow_spark.operators.quality import (
+        check_constraints,
+        violating_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "u1"), (2, -5, "u2"), (3, 7, None), (4, -1, None)],
+        "id long, v long, u string",
+    )
+    rules = {
+        "v_nonneg": F.col("v") >= 0,
+        "u_present": F.col("u").isNotNull(),
+    }
+    bad = {r["id"]: sorted(r["failed_rules"]) for r in violating_rows(df, rules).collect()}
+    assert bad == {2: ["v_nonneg"], 3: ["u_present"], 4: ["u_present", "v_nonneg"]}
+    summary = {r["rule"]: r["n_violations"] for r in check_constraints(df, rules).collect()}
+    assert summary == {"v_nonneg": 2, "u_present": 2}

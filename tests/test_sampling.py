@@ -33,3 +33,28 @@ def test_split_disjoint_exhaustive_and_partition_independent(spark):
     # identical assignment under a different partitioning
     b = hash_split(df.repartition(17), "id", fr)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_stratified_sample_is_partitioning_independent_and_per_stratum(spark):
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(2000)], "k long, g string"
+    )
+    frac = {"a": 0.5, "b": 0.1}
+    one = stratified_sample(df.repartition(1), "k", "g", frac)
+    many = stratified_sample(df.repartition(17), "k", "g", frac)
+    assert sorted(r["k"] for r in one.collect()) == sorted(
+        r["k"] for r in many.collect()
+    )
+    rates = {
+        r["g"]: r["n"]
+        for r in one.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(rates["a"] / 1000 - 0.5) < 0.08
+    assert abs(rates["b"] / 1000 - 0.1) < 0.05
+    # strata not listed use default_fraction (0.0 → dropped entirely)
+    df2 = df.withColumn("g", F.lit("other"))
+    assert stratified_sample(df2, "k", "g", frac).count() == 0
