@@ -94,8 +94,9 @@ def _send_with_retry(
             return [(e, "sent", "") for e in batch]
         if status == 429 or status >= 500 or status == -1:
             last_detail = f"http_{status}: {text}"
-            delay = min(2.0**attempt + random.uniform(0, 1), cfg.backoff_cap_s)
-            sleep_fn(delay)
+            if attempt < cfg.max_retries - 1:  # no sleep after the final try
+                delay = min(2.0**attempt + random.uniform(0, 1), cfg.backoff_cap_s)
+                sleep_fn(delay)
             continue
         # non-retryable 4xx → per-event DLQ with excerpt (main.py:377-389)
         return [(e, "dlq", f"http_{status}: {text}") for e in batch]

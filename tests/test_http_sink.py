@@ -121,10 +121,11 @@ def test_backoff_schedule_capped():
         return 500, "boom"
 
     _send_with_retry(cfg, ["{}"], failing_post, sleep_fn=sleeps.append)
-    assert len(sleeps) == 5
-    # 2^n + U(0,1), capped: attempts 0..4 → bounds [1,2],[2,3],[4,4],[4,4],[4,4]
+    # sleeps happen BETWEEN attempts only — no sleep after the final try
+    assert len(sleeps) == 4
+    # 2^n + U(0,1), capped: attempts 0..3 → bounds [1,2],[2,3],[4,4],[4,4]
     assert 1 <= sleeps[0] <= 2 and 2 <= sleeps[1] <= 3
-    assert sleeps[2] == sleeps[3] == sleeps[4] == 4.0
+    assert sleeps[2] == sleeps[3] == 4.0
 
 
 def test_post_events_distributed(spark, stub_server):

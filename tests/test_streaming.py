@@ -308,3 +308,36 @@ def test_sessionize_stream_merges_and_splits(spark, tmp_path):
     assert (1, "2024-01-01 00:00:00", 2) in got      # merged pair
     assert (1, "2024-01-01 02:00:00", 1) in got      # split session
     assert (2, "2024-01-01 00:05:00", 1) in got
+
+
+def test_streaming_http_path_writes_api_dlq(spark, tmp_path):
+    """run_streaming's HTTP branch end-to-end with an unreachable sink:
+    delivery failures exhaust retries and land in the api DLQ lake —
+    delivery failure is DATA, not a lost side effect."""
+    from gcs_parquet_dataflow_spark.sinks.http_batch import HttpSinkConfig
+    from gcs_parquet_dataflow_spark.streaming.pipeline import run_streaming
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame([("click", 1), ("buy", 2)], SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+
+    http_cfg = HttpSinkConfig(
+        url="http://127.0.0.1:1/collect",  # port 1: refused instantly
+        max_retries=1,                     # exhaust on first failure, no sleep
+        timeout_s=2,
+    )
+    dlq_dir = tmp_path / "dlq"
+    opts = CompilerOptions(now_epoch=F.lit(1700000000), uuid=F.lit("u"))
+    q = run_streaming(
+        spark, CONFIG, SCHEMA, str(tmp_path / "ckpt"), path=str(src),
+        opts=opts, http_cfg=http_cfg, dlq_dir=str(dlq_dir),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    api_dlq = spark.read.parquet(str(dlq_dir / "api_batch_id=0"))
+    rows = api_dlq.collect()
+    assert len(rows) == 2
+    assert all(r["status"] == "dlq" for r in rows)
+    assert all("retries_exhausted" in r["detail"] for r in rows)
