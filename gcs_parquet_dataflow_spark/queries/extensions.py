@@ -1113,3 +1113,137 @@ def join_full_outer(spark, sf_dir):
     return c.join(o, c["c_custkey"] == o["o_custkey"], "full").select(
         "c_custkey", "o_orderkey"
     )
+
+
+@query(
+    "text_bigram_fluency",
+    """
+    WITH tok AS (SELECT doc_id, w, row_number() OVER
+                     (PARTITION BY doc_id ORDER BY pos) AS rn
+                 FROM (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS w,
+                              generate_subscripts(string_split(text, ' '), 1)
+                                  AS pos
+                       FROM documents WHERE text IS NOT NULL)),
+         bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+         bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc
+                 FROM bg GROUP BY w1, w2),
+         ugc AS (SELECT w1, CAST(count(*) AS BIGINT) AS uc
+                 FROM bg GROUP BY w1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum((bc * 1000000) // uc) AS BIGINT) AS fluency_micro_sum,
+           round(CAST(sum((bc * 1000000) // uc) AS BIGINT)
+                 / (1000000.0 * count(*)), 6) AS fluency
+    FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_fluency(spark, sf_dir):
+    """Self-supervised fluency scoring: each document's mean corpus
+    bigram probability P(w2|w1) = count(w1,w2)/count(w1·) — the
+    statistical-LM quality signal pretraining filters use (documents
+    full of corpus-typical transitions score high, shuffled/spammy text
+    low). Bigrams come from the posexplode+lead shingle machinery;
+    corpus count tables join back to each document's bigrams.
+    Per-term probabilities are scaled to integer micro-units BEFORE
+    summing, so the aggregate is exact integer arithmetic — bit-stable
+    across engines and partitionings (a double log-prob sum would be
+    order-dependent)."""
+    from pyspark.sql import Window as W2
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "w")
+    )
+    w = W2.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    ugc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    term = F.floor(F.col("bc") * 1000000 / F.col("uc"))
+    return (
+        bg.join(bgc, ["w1", "w2"]).join(ugc, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term).cast("long").alias("fluency_micro_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "fluency_micro_sum",
+            F.round(
+                F.col("fluency_micro_sum") / (1000000.0 * F.col("n_bigrams")), 6
+            ).alias("fluency"),
+        )
+    )
+
+
+@query(
+    "training_data_pipeline_v2",
+    f"""
+    WITH scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+                 'https?://[^\\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g'),
+                 '\\+?[0-9][0-9 ()\\-]{{6,}}[0-9]', '<PHONE>', 'g') AS text
+      FROM documents WHERE text IS NOT NULL),
+    d AS (SELECT doc_id, string_split(text, ' ') AS w FROM scrubbed),
+    chunks AS (SELECT doc_id,
+                      CAST(start // 30 AS BIGINT) AS chunk_idx,
+                      array_to_string(w[start+1 : start+30], ' ')
+                          AS chunk_text
+               FROM (SELECT doc_id, w, unnest(range(0, len(w), 30)) AS start
+                     FROM d)),
+    deduped AS (SELECT doc_id, chunk_idx, chunk_text
+                FROM (SELECT *, row_number() OVER
+                          (PARTITION BY chunk_text
+                           ORDER BY doc_id, chunk_idx) AS rn
+                      FROM chunks)
+                WHERE rn = 1)
+    SELECT doc_id, chunk_idx,
+           CASE WHEN {h32("CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)")}
+                     % 10000 < 9000
+                THEN 'train' ELSE 'val' END AS split
+    FROM deduped
+    """,
+)
+def training_data_pipeline_v2(spark, sf_dir):
+    """Round-2 composed pipeline: PII scrub → 30-token chunking →
+    exact chunk-level dedup (keep the first (doc_id, chunk_idx) per
+    chunk text) → deterministic 90/10 train/val split of the surviving
+    chunks. Chains scrub_pii, chunk_by_tokens, and hash_split; chunk
+    dedup is one hash-partitioned window. Every stage is scan-stage or
+    single-shuffle work."""
+    from pyspark.sql import Window as W2
+
+    from gcs_parquet_dataflow_spark.operators.corpus import chunk_by_tokens
+    from gcs_parquet_dataflow_spark.operators.sampling import hash_split
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.scrub_pii(F.col("text")).alias("text")
+    )
+    chunks = chunk_by_tokens(d, "doc_id", "text", chunk_size=30).drop("n_tokens")
+    w = W2.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    deduped = (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("chunk_idx").cast("string")
+    )
+    return hash_split(deduped, key, {"train": 0.9, "val": 0.1}).select(
+        "doc_id", "chunk_idx", "split"
+    )
