@@ -1247,3 +1247,31 @@ def training_data_pipeline_v2(spark, sf_dir):
     return hash_split(deduped, key, {"train": 0.9, "val": 0.1}).select(
         "doc_id", "chunk_idx", "split"
     )
+
+
+@query(
+    "multimodal_dedup_exact",
+    f"""
+    WITH aug AS ({AUG_EXACT_SQL})
+    SELECT md5(text) AS content_md5,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM aug GROUP BY 1
+    """,
+)
+def multimodal_dedup_exact(spark, sf_dir):
+    """Exact media dedup on the binary payload checksum (the first pass
+    of any media pipeline — identical bytes collapse before any decode
+    runs): planted duplicate payloads group on the JVM-computed
+    content_md5, keeping the lowest id. Only (id, md5) columns shuffle —
+    payload bytes stay in the scan stage."""
+    d = _planted_docs(spark, sf_dir, near=False)
+    media = MM.as_media_table(
+        d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+    )
+    return media.select("media_id", "content_md5").groupBy("content_md5").agg(
+        F.min("media_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -81,6 +81,32 @@ def sessionize_stream(
     )
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    tolerance: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left event matches
+    right rows with the same key whose timestamp falls in
+    ``[left_ts - tolerance, left_ts]`` (enrichment from a second live
+    stream, e.g. events ⋈ recent profile updates). The time-range
+    constraint + watermarks are what make join state EVICTABLE — without
+    them a stream-stream join buffers both sides forever. Timestamp
+    columns must be distinct names (rename upstream)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def stream_source(
     spark: SparkSession,
     config: SourceConfig,

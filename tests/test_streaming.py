@@ -341,3 +341,38 @@ def test_streaming_http_path_writes_api_dlq(spark, tmp_path):
     assert len(rows) == 2
     assert all(r["status"] == "dlq" for r in rows)
     assert all("retries_exhausted" in r["detail"] for r in rows)
+
+
+def test_join_streams_time_range(spark, tmp_path):
+    """Stream-stream enrichment join: matches only within the tolerance
+    window behind each event; outside-window and other-key rows drop."""
+    from gcs_parquet_dataflow_spark.streaming.pipeline import join_streams
+
+    l_src, r_src = tmp_path / "l", tmp_path / "r"
+    l_src.mkdir(); r_src.mkdir()
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "ev1"), (2, "2024-01-01 10:00:00", "ev2")],
+        "user_id long, ts string, ev string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(l_src))
+    spark.createDataFrame(
+        [(1, "2024-01-01 09:55:00", "recent"),    # within 10 min → match
+         (1, "2024-01-01 09:40:00", "stale"),     # too old → drop
+         (1, "2024-01-01 10:05:00", "future"),    # after event → drop
+         (3, "2024-01-01 09:58:00", "otherkey")], # key mismatch → drop
+        "user_id long, r_ts string, tag string",
+    ).withColumn("r_ts", F.col("r_ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(r_src))
+
+    lstream = spark.readStream.schema("user_id long, ts timestamp, ev string").parquet(str(l_src))
+    rstream = spark.readStream.schema("user_id long, r_ts timestamp, tag string").parquet(str(r_src))
+    q = (
+        join_streams(lstream, rstream, "user_id", tolerance="10 minutes")
+        .writeStream.format("memory").queryName("ss_join_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [(r["ev"], r["tag"]) for r in spark.sql("select * from ss_join_out").collect()]
+    assert got == [("ev1", "recent")]
