@@ -60,6 +60,23 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str | Column,
+    weight: Column,
+    denominator: int = 10000,
+) -> DataFrame:
+    """Keep each row with probability ``weight`` (clamped to [0,1]),
+    decided by the row's OWN key hash — deterministic importance
+    sampling (e.g. ``weight = quality_score`` keeps good documents
+    proportionally more often). Same stability guarantees as
+    ``deterministic_sample``: membership is a pure function of
+    (key, weight), independent of partitioning."""
+    k = F.col(key) if isinstance(key, str) else key
+    thresh = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0)) * denominator
+    return df.filter(hash_bucket(k, denominator) < thresh)
+
+
 def hash_split(
     df: DataFrame,
     key: str | Column,

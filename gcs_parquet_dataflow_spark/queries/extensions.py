@@ -1275,3 +1275,37 @@ def multimodal_dedup_exact(spark, sf_dir):
         F.min("media_id").cast("long").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+@query(
+    "sample_quality_weighted",
+    f"""
+    WITH q AS (SELECT doc_id,
+                      round(0.4 * least(length(text) / 200.0, 1.0)
+                          + 0.4 * round(len(list_distinct(string_split(text, ' ')))
+                                / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                          + 0.2 * least(10.0 * round(
+                                len(list_filter(string_split(text, ' '),
+                                    t -> t IN ('the','a','of','and','to','is','in')))
+                                / CAST(len(string_split(text, ' ')) AS DOUBLE), 6),
+                                1.0), 6) AS quality
+               FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, quality
+    FROM q
+    WHERE {h32("CAST(doc_id AS VARCHAR)")} % 10000
+          < least(greatest(quality, 0.0), 1.0) * 10000
+    """,
+)
+def sample_quality_weighted(spark, sf_dir):
+    """Importance sampling by quality: each document survives with
+    probability equal to its quality score, decided by its own content
+    hash — the deterministic "keep good data proportionally more"
+    curation step (operators/sampling.py weighted_sample over
+    functions/text.py quality_score)."""
+    from gcs_parquet_dataflow_spark.operators.sampling import weighted_sample
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = d.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return weighted_sample(scored, "doc_id", F.col("quality"))

@@ -49,3 +49,38 @@ def test_batch_keyed_overwrite_is_idempotent(spark, tmp_path):
     df2 = df1.withColumn("id", F.lit(2).cast("long"))
     write_dlq(df2, path, batch_id=8)
     assert read_lake(spark, path).count() == 2
+
+
+def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
+    """write_sorted's layout claim, verified from the parquet footers:
+    every output file covers a disjoint range of the sort key, so
+    zone-map (min/max) pruning can skip whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_sorted
+
+    df = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).repartition(16)  # scrambled input
+    out = str(tmp_path / "sorted")
+    write_sorted(df, out, ["k"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: {ranges}"
+    # nothing lost
+    back = spark.read.parquet(out)
+    assert back.count() == 50_000
