@@ -224,7 +224,11 @@ def with_simhash(
             F.lit(0).cast("long")
         )
         sim = term if sim is None else sim + term
-    return agg.select(id_col, sim.alias(out))
+    # beyond lane capacity a popcount would silently bleed into the next
+    # lane — emit NULL (visible, joinable to a long-doc handler) instead
+    # of a wrong sketch
+    guarded = F.when(n < F.lit(2**16), sim)
+    return agg.select(id_col, guarded.alias(out))
 
 
 # ---------------------------------------------------------------------------

@@ -98,3 +98,33 @@ def test_violating_rows_tags_failed_rules(spark):
     assert bad == {2: ["v_nonneg"], 3: ["u_present"], 4: ["u_present", "v_nonneg"]}
     summary = {r["rule"]: r["n_violations"] for r in check_constraints(df, rules).collect()}
     assert summary == {"v_nonneg": 2, "u_present": 2}
+
+
+def test_chunks_without_overlap_reassemble_exactly(spark):
+    # property: overlap=0 chunking partitions the token stream — joining
+    # the chunks back in order reproduces the original text verbatim
+    import random as _r
+
+    rng = _r.Random(11)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(1, 120))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        chunk_by_tokens(df, "doc_id", "text", chunk_size=7)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s.getField("chunk_text"),
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    rebuilt = {r["doc_id"]: r["rebuilt"] for r in got.collect()}
+    assert rebuilt == {i: text for i, text in rows}

@@ -338,3 +338,12 @@ def test_ivf_topk_invariants(spark):
     bf = {r["rank"]: r["cos"] for r in SIM.brute_force_topk(df, q, k=5).collect()}
     for rank, row in got.items():
         assert row["cos"] <= bf[rank] + 1e-9
+
+
+def test_simhash_nulls_beyond_lane_capacity(spark):
+    # 2^16 tokens exceeds the packed-lane popcount capacity → NULL, not
+    # a silently wrong sketch; a doc under the limit still sketches
+    big = " ".join(f"w{i % 9973}" for i in range(2**16))
+    df = docs_df(spark, [(1, big), (2, "a small doc")])
+    got = {r["doc_id"]: r["simhash"] for r in DD.with_simhash(df, "doc_id", "text").collect()}
+    assert got[1] is None and got[2] is not None
