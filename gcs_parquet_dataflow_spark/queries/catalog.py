@@ -219,16 +219,22 @@ def agg_pivot(spark, sf_dir):
 def agg_statistics(spark, sf_dir):
     """Statistical aggregates (exact percentile via sort-based agg,
     stddev/corr/skewness via one-pass moments) — verified to match
-    DuckDB at the 1e-6 grain. At scale, prefer approx_percentile for
-    percentiles on data-sized groups (sketch-mergeable, no per-group
-    sort); exact percentile is right for bounded group counts."""
+    DuckDB at the 1e-6 grain. Spark's ``skewness`` is the POPULATION
+    moment g1 while DuckDB's is the bias-adjusted SAMPLE statistic
+    G1 = g1·√(n(n−1))/(n−2); the Spark side applies that exact factor
+    so both engines state the same estimator at any group size (the
+    bias gap only dips under 1e-6 rounding for n ≳ thousands). At
+    scale, prefer approx_percentile for percentiles on data-sized
+    groups (sketch-mergeable, no per-group sort)."""
     li = t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    sample_skew = F.skewness("l_extendedprice") * F.sqrt(n * (n - 1)) / (n - 2)
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.skewness("l_extendedprice"), 6).alias("skew_price"),
+        F.round(sample_skew, 6).alias("skew_price"),
     )
 
 
