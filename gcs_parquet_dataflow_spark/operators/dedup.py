@@ -469,6 +469,51 @@ def jaccard_pairs_from_text(
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing at
+    least ``min_shared`` word-``k``-gram shingles with any benchmark
+    document → (corpus_id, bench_id, n_shared). Same inverted-index
+    equi-join shape as near-dup (only co-occurring pairs materialize),
+    but CROSS-table — the shuffle carries |corpus|+|benchmark| shingle
+    rows, and the benchmark side is typically small enough that AQE
+    broadcasts it."""
+    c = shingle_hashes_exploded(corpus, id_col, text_col, k).select(
+        F.col(id_col).alias("corpus_id"), "_h"
+    )
+    b = shingle_hashes_exploded(benchmark, id_col, text_col, k).select(
+        F.col(id_col).alias("bench_id"), "_h"
+    )
+    return (
+        c.join(b, "_h")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Drop corpus documents contaminated by the benchmark set (eval-set
+    leakage removal): left-anti join against the contaminated-id set."""
+    bad = contamination_pairs(
+        corpus, benchmark, id_col, text_col, k, min_shared
+    ).select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(bad, id_col, "left_anti")
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -1309,3 +1309,80 @@ def sample_quality_weighted(spark, sf_dir):
         "doc_id", TX.quality_score(F.col("text")).alias("quality")
     )
     return weighted_sample(scored, "doc_id", F.col("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (round 2)
+# ---------------------------------------------------------------------------
+
+_BENCH_SQL = """
+    SELECT doc_id + 500000 AS doc_id, 'bench intro ' || text AS text
+    FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL
+"""
+
+_CONTAM_SHINGLES = (
+    "list_distinct(["
+    + h32("array_to_string(list_slice(w, i+1, i+3), ' ')")
+    + " for i in range(len(w)-2)])"
+)
+
+_CONTAM_PAIRS_SQL = f"""
+    corp AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents WHERE text IS NOT NULL),
+    bench AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM ({_BENCH_SQL})),
+    ce AS (SELECT doc_id AS corpus_id, unnest({_CONTAM_SHINGLES}) AS h
+           FROM corp),
+    be AS (SELECT doc_id AS bench_id, unnest({_CONTAM_SHINGLES}) AS h
+           FROM bench),
+    pairs AS (SELECT corpus_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
+              FROM ce JOIN be USING (h)
+              GROUP BY 1, 2
+              HAVING count(*) >= 5)
+"""
+
+
+def _bench_df(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 20 == 0) & F.col("text").isNotNull()
+    )
+    return d.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("bench intro "), F.col("text")).alias("text"),
+    )
+
+
+@query(
+    "decontam_pairs",
+    f"WITH {_CONTAM_PAIRS_SQL} SELECT * FROM pairs",
+)
+def decontam_pairs(spark, sf_dir):
+    """Benchmark-contamination detection: a planted benchmark set (every
+    20th document with an added preamble) is matched back to the corpus
+    by shared 3-gram shingles — the inverted-index cross-table join that
+    finds eval-set leakage (operators/dedup.py contamination_pairs)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return DD.contamination_pairs(
+        d.select("doc_id", "text"), _bench_df(spark, sf_dir),
+        "doc_id", "text", min_shared=5,
+    )
+
+
+@query(
+    "decontam_surviving_corpus",
+    f"""
+    WITH {_CONTAM_PAIRS_SQL}
+    SELECT doc_id FROM documents
+    WHERE text IS NOT NULL
+      AND doc_id NOT IN (SELECT DISTINCT corpus_id FROM pairs)
+    """,
+)
+def decontam_surviving_corpus(spark, sf_dir):
+    """The decontaminated corpus: left-anti join against contaminated
+    ids — every 20th document (leaked into the planted benchmark) drops,
+    the rest survive (operators/dedup.py decontaminate)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return DD.decontaminate(
+        d.select("doc_id", "text"), _bench_df(spark, sf_dir),
+        "doc_id", "text", min_shared=5,
+    ).select("doc_id")
