@@ -29,24 +29,35 @@ def asof_join(
     by: list[str],
     left_ts: str = "ts",
     right_ts: str = "ts",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of LEFT join: left columns + the right payload columns
-    of the latest right row per key with ``right_ts <= left_ts`` (NULLs
-    when no prior right row). Inclusive at equal timestamps, matching
-    DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` and pandas ``merge_asof``.
+    """As-of LEFT join: left columns + the right payload columns of the
+    nearest right row per key — ``backward`` (default) takes the latest
+    row with ``right_ts <= left_ts``, ``forward`` the earliest row with
+    ``right_ts >= left_ts``; NULLs when none exists. Inclusive at equal
+    timestamps in both directions, matching DuckDB ``ASOF JOIN``
+    (``>=`` / ``<=``) and pandas ``merge_asof``.
 
-    Shape: union both sides tagged (right sorts before left at ties),
-    one window per key ordered by (ts, side) carrying
-    ``last(right_payload, ignorenulls=True)`` — the sort-merge fill
-    pattern. One hash shuffle on ``by``; at 100 TB both inputs arrive,
-    sort, and fill inside the same exchange.
+    Shape: union both sides tagged, one window per key ordered by
+    (ts, side) carrying the nearest non-null right payload
+    (``last`` over preceding rows for backward, ``first`` over
+    following rows for forward; the side tag orders equal-ts right rows
+    into the visible frame) — the sort-merge fill pattern. One hash
+    shuffle on ``by``; at 100 TB both inputs arrive, sort, and fill
+    inside the same exchange.
 
     Right rows should be unique per (key, ts) — among exact duplicates
     the surviving one is unspecified (same as engine ASOF ties).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     rcols = [c for c in right.columns if c not in by and c != right_ts]
     l_type = T.StructType(list(left.schema.fields))
     r_type = T.StructType([f for f in right.schema.fields if f.name in rcols])
+    # backward: right sorts BEFORE left at equal ts so the preceding
+    # frame sees it; forward: right sorts AFTER left so the following
+    # frame sees it
+    r_side = 0 if direction == "backward" else 2
     l = left.select(
         *by,
         F.col(left_ts).alias("_ats"),
@@ -57,18 +68,20 @@ def asof_join(
     r = right.select(
         *by,
         F.col(right_ts).alias("_ats"),
-        F.lit(0).alias("_side"),
+        F.lit(r_side).alias("_side"),
         F.lit(None).cast(l_type).alias("_l"),
         F.struct(*[F.col(c) for c in rcols]).alias("_r"),
     )
-    w = (
-        W.partitionBy(*by)
-        .orderBy("_ats", "_side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    base = W.partitionBy(*by).orderBy("_ats", "_side")
+    if direction == "backward":
+        w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        nearest = F.last("_r", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        nearest = F.first("_r", ignorenulls=True).over(w)
     return (
         l.unionByName(r)
-        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .withColumn("_m", nearest)
         .filter(F.col("_side") == 1)
         .select(
             *[F.col(f"_l.{c}").alias(c) for c in left.columns],

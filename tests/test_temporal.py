@@ -98,3 +98,26 @@ def test_range_join_matches_theta_join(spark):
         ).collect()
     )
     assert theta == binned and len(theta) > 0
+
+
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "e1"),
+         (1, "2024-01-01 14:00:00", "e2"),
+         (2, "2024-01-01 10:00:00", "e3")],
+        "k long, ts string, ev string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "s_past"),     # before events → drop
+         (1, "2024-01-01 10:00:00", "s_tie"),      # equal ts → inclusive
+         (1, "2024-01-01 12:00:00", "s_next"),
+         (2, "2024-01-01 23:00:00", "s_late")],
+        "k long, ts string, state string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["ev"]: r["state"]
+        for r in asof_join(left, right, ["k"], direction="forward").collect()
+    }
+    # e1 matches at its own ts; e2's nearest following is none after
+    # 14:00 for key 1 → NULL; e3 waits until 23:00
+    assert got == {"e1": "s_tie", "e2": None, "e3": "s_late"}
