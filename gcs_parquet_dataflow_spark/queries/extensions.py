@@ -1386,3 +1386,134 @@ def decontam_surviving_corpus(spark, sf_dir):
         d.select("doc_id", "text"), _bench_df(spark, sf_dir),
         "doc_id", "text", min_shared=5,
     ).select("doc_id")
+
+
+@query(
+    "dedup_embedding_clusters",
+    f"""
+    WITH RECURSIVE
+    e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aug AS (SELECT vec_id, v FROM e0
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(v, x -> x + 0.01)
+            FROM e0 WHERE vec_id % 25 = 0),
+    b AS (SELECT vec_id, v, {BUCKET_SQL} AS bucket FROM aug),
+    p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM b a JOIN b b2
+            ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE {COS_SQL.format(a="a", b="b2")} >= {COS_DUP_THRESHOLD}),
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    r AS (SELECT s, d FROM e
+          UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+    m AS (SELECT s AS vec_id, min(d) AS mn FROM r GROUP BY s)
+    SELECT aug.vec_id,
+           CAST(coalesce(least(aug.vec_id, m.mn), aug.vec_id) AS BIGINT)
+               AS cluster
+    FROM aug LEFT JOIN m ON aug.vec_id = m.vec_id
+    """,
+)
+def dedup_embedding_clusters(spark, sf_dir):
+    """Embedding near-dup CLUSTERS: the same connected-components
+    operator that clusters MinHash pairs, composed over the cosine pair
+    graph — semantic dedup's grouping step (each planted twin forms a
+    2-node component with its source; cluster id = min vec_id)."""
+    aug = _planted_embeddings(spark, sf_dir)
+    pairs = SIM.cosine_dup_pairs(
+        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v"
+    )
+    return DD.connected_components(
+        aug.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (SELECT DISTINCT doc_id, tk AS term
+                 FROM (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS tk
+                       FROM documents WHERE text IS NOT NULL)
+                 WHERE tk <> ''),
+         tf AS (SELECT doc_id, tk AS term,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS tk
+                      FROM documents WHERE text IS NOT NULL)
+                WHERE tk <> '' GROUP BY doc_id, tk),
+         n_docs AS (SELECT count(DISTINCT doc_id) AS n
+                    FROM documents WHERE text IS NOT NULL),
+         idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                        round(ln((SELECT n FROM n_docs)
+                              / CAST(count(*) AS DOUBLE)), 6) AS idf
+                 FROM tok GROUP BY term)
+    SELECT doc_id, term, tf, df,
+           round(tf * idf, 6) AS tfidf
+    FROM (SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+                 idf.idf,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY round(tf.tf * idf.idf, 6) DESC, tf.term)
+                     AS rn
+          FROM tf JOIN idf USING (term))
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: per-document top-3 terms by
+    tf·ln(N/df) with a deterministic term tie-break — document frequency
+    is one distinct-explode aggregation, N is a 1-row broadcast, and the
+    ranking window partitions by document. ln() agrees across engines
+    well below the 1e-6 rounding grain (inputs are integer ratios)."""
+    from pyspark.sql import Window as W2
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.select(F.count_distinct("doc_id").alias("_n"))
+    idf = (
+        tok.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "term", "df",
+            F.round(F.log(F.col("_n") / F.col("df")), 6).alias("idf"),
+        )
+    )
+    w = W2.partitionBy("doc_id").orderBy(
+        F.desc(F.round(F.col("tf") * F.col("idf"), 6)), F.asc("term")
+    )
+    return (
+        tf.join(idf, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "feature_zscore_by_group",
+    """
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6)
+               AS value_z
+    FROM events
+    """,
+)
+def feature_zscore_by_group(spark, sf_dir):
+    """Per-group feature standardization (z-score within event_type) —
+    the feature-engineering primitive for numeric columns, computed as
+    analytic aggregates over one partitioning (no self-join against a
+    stats table)."""
+    from pyspark.sql import Window as W2
+
+    e = t(spark, sf_dir, "events")
+    w = W2.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return e.select("event_id", F.round(z, 6).alias("value_z"))
