@@ -31,12 +31,35 @@ from gcs_parquet_dataflow_spark.plans.compiler import (
 URI_COL = "_uri"
 
 
-def read_with_lineage(spark: SparkSession, paths: str | list[str]) -> DataFrame:
-    """Parquet read with per-row file lineage (reference tags every batch
-    with its filename, main.py:482-485 ``with_filename=True``)."""
+def read_with_lineage(
+    spark: SparkSession,
+    paths: str | list[str],
+    file_type: str = "PARQUET",
+    schema=None,
+) -> DataFrame:
+    """Typed file read with per-row file lineage (reference tags every
+    batch with its filename, main.py:482-485 ``with_filename=True``).
+    ``file_type`` extends the reference's parquet-only surface to the
+    other formats the config model can declare: JSON(L) and CSV (CSV
+    wants an explicit ``schema`` — inference costs an extra pass and
+    types drift; JSON/parquet carry their own)."""
     if isinstance(paths, str):
         paths = [paths]
-    return spark.read.parquet(*paths).withColumn(URI_COL, F.input_file_name())
+    ft = file_type.upper()
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if ft == "PARQUET":
+        df = reader.parquet(*paths)
+    elif ft in ("JSON", "JSONL"):
+        df = reader.json(*paths)
+    elif ft == "CSV":
+        if schema is None:
+            reader = reader.option("inferSchema", True)
+        df = reader.option("header", True).csv(*paths)
+    else:
+        raise ValueError(f"unsupported file_type {file_type!r}")
+    return df.withColumn(URI_COL, F.input_file_name())
 
 
 def list_files(spark: SparkSession, pattern: str) -> DataFrame:
@@ -75,6 +98,7 @@ def plan_batch(
     configs: list[SourceConfig],
     pattern: str,
     opts: CompilerOptions | None = None,
+    parquet_only: bool = True,
 ) -> tuple[list[RoutedBatch], DataFrame]:
     """Route files matching ``pattern`` to configs, then build per-config
     read+transform plans. → (routed batches, unmatched-file DataFrame).
@@ -85,7 +109,9 @@ def plan_batch(
     driver over the file *list* (tiny), never over row data.
     """
     uris = list_files(spark, pattern)
-    routed, unmatched = route_uris(uris, configs, uri_col="uri")
+    routed, unmatched = route_uris(
+        uris, configs, uri_col="uri", parquet_only=parquet_only
+    )
     pairs = routed.select("uri", "config_id").collect()  # file list: small
     by_config: dict[str, list[str]] = {}
     for r in pairs:
@@ -94,7 +120,7 @@ def plan_batch(
     batches = []
     for config_id, files in by_config.items():
         config = cfg_by_id[config_id]
-        df = read_with_lineage(spark, files)
+        df = read_with_lineage(spark, files, file_type=config.file_type)
         schema_wo_lineage = df.drop(URI_COL).schema
         compiled = compile_config(config, schema_wo_lineage, opts)
         batches.append(RoutedBatch(config, files, df, compiled))

@@ -94,3 +94,48 @@ def test_run_batch_end_to_end(spark, lake):
     payment = next(d for d in ok_rows if d["event"] == "payment")
     assert payment["properties"]["amount"] == 3.5
     assert payment["properties"]["$user_id"] == "u9"
+
+
+def test_plan_batch_reads_json_config_files(spark, tmp_path):
+    """file_type dispatch beyond the reference's parquet-only surface:
+    a JSON-typed config's files read through spark.read.json with the
+    same route-first / per-config-schema flow."""
+    import json as _json
+
+    from gcs_parquet_dataflow_spark.config.model import load_configs
+    from gcs_parquet_dataflow_spark.sources.batch import plan_batch
+
+    pdir = tmp_path / "p"
+    jdir = tmp_path / "j"
+    pdir.mkdir(); jdir.mkdir()
+    spark.createDataFrame(
+        [("click", 1)], "event_name string, user_id long"
+    ).coalesce(1).write.mode("append").parquet(str(pdir))
+    (jdir / "a.json").write_text(
+        _json.dumps({"event_name": "jtap", "user_id": 9}) + "\n"
+    )
+    configs = load_configs([
+        {"config_id": "pq", "source_gcs_prefix": f"file:{pdir}",
+         "file_type": "PARQUET",
+         "mixpanel_event_name_from_field": "event_name",
+         "field_mappings": [{"source_field": "user_id",
+                             "mixpanel_field": "$user_id", "type": "string"}]},
+        {"config_id": "js", "source_gcs_prefix": f"file:{jdir}",
+         "file_type": "JSON",
+         "mixpanel_event_name_from_field": "event_name",
+         "field_mappings": [{"source_field": "user_id",
+                             "mixpanel_field": "$user_id", "type": "string"}]},
+    ])
+    batches, unmatched = plan_batch(
+        spark, configs, f"file:{tmp_path}/*/*", parquet_only=False
+    )
+    by_id = {b.config.config_id: b for b in batches}
+    assert set(by_id) == {"pq", "js"}
+    import json as _json2
+
+    j_events = [
+        _json2.loads(r["event_json"])
+        for r in by_id["js"].events().filter(F.col("_error").isNull()).collect()
+    ]
+    assert [e["event"] for e in j_events] == ["jtap"]
+    assert j_events[0]["properties"]["$user_id"] == "9"
