@@ -84,3 +84,92 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API): timer-driven
+# session emission. Unlike applyInPandasWithState (whose timeouts are
+# polled per-batch), this registers EVENT-TIME TIMERS with the state
+# store: a session closes exactly when the watermark passes
+# last_event + gap, and emission happens in handleExpiredTimer — no
+# per-batch timeout scanning, state is dropped with the timer.
+# ---------------------------------------------------------------------------
+
+
+def session_timeout_emitter(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "0 seconds",
+):
+    """Per-key sessions closed by event-time timers: accumulates events
+    per key; each batch re-arms one timer at (max event time + gap);
+    when the watermark passes it, the session row
+    (key, n_events, session_end) emits and state clears.
+    → streaming DataFrame, append mode.
+
+    ENVIRONMENT-GATED: transformWithStateInPandas speaks protobuf to the
+    state store and this container lacks google.protobuf (SCALE.md);
+    the operator and its test ship for protobuf-equipped clusters (the
+    test self-skips here). The verified stateful surface is
+    ``running_user_totals`` on applyInPandasWithState."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.count = handle.getValueState("count", "n long")
+            self.last_ms = handle.getValueState("last_ms", "t long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_new = 0
+            max_ms = 0
+            for pdf in rows:
+                n_new += len(pdf)
+                if len(pdf):
+                    max_ms = max(
+                        max_ms,
+                        int(pdf[ts_col].max().timestamp() * 1000),
+                    )
+            n = (self.count.get()[0] if self.count.exists() else 0) + n_new
+            last = max(
+                self.last_ms.get()[0] if self.last_ms.exists() else 0, max_ms
+            )
+            self.count.update((n,))
+            self.last_ms.update((last,))
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(last + gap_seconds * 1000)
+            return iter(())  # emission happens on timer expiry only
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            n = self.count.get()[0] if self.count.exists() else 0
+            end_ms = expiredTimerInfo.getExpiryTimeInMs()
+            self.count.clear()
+            self.last_ms.clear()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=(
+                f"{key_col} long, n_events long, session_end timestamp"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

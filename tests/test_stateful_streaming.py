@@ -3,6 +3,8 @@ ACROSS micro-batches (the property a stateless foreachBatch can't give)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -55,3 +57,69 @@ def test_state_carries_across_micro_batches(spark, tmp_path):
     # the first batch must also have emitted user 1's intermediate
     # snapshot (file order may vary: 2 rows first or 1 row first)
     assert snapshots.get((1, 2)) == 15.0 or snapshots.get((1, 1)) == 2.5
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (its state "
+    "protocol); absent in this container and installs are not permitted — "
+    "environment ceiling recorded in SCALE.md",
+)
+def test_session_timeout_emitter_timer_fires_on_watermark(spark, tmp_path):
+    """transformWithStateInPandas with EVENT-TIME TIMERS: a session row
+    emits exactly when the watermark passes last_event + gap; keys whose
+    gap hasn't elapsed stay open (no emission)."""
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.streaming.stateful import (
+        session_timeout_emitter,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+
+    def feed(fname, rows):
+        spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / fname))
+
+    # three files = three micro-batches (maxFilesPerTrigger=1): user 1's
+    # timer (10:05 + 30min = 10:35) fires once the watermark (computed
+    # from the PREVIOUS batch's max event time) passes it
+    feed("f1", [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00")])
+    feed("f2", [(9, "2024-01-01 12:00:00")])
+    feed("f3", [(9, "2024-01-01 12:00:01")])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        session_timeout_emitter(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("twsp_sessions")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from twsp_sessions").collect()
+    by_user = {r["user_id"]: r for r in rows}
+    assert 1 in by_user, rows
+    assert by_user[1]["n_events"] == 2
+    assert str(by_user[1]["session_end"]) == "2024-01-01 10:35:00"
+    # user 9's session is still open (watermark never passed 12:30)
+    assert 9 not in by_user
