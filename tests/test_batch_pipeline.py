@@ -139,3 +139,17 @@ def test_plan_batch_reads_json_config_files(spark, tmp_path):
     ]
     assert [e["event"] for e in j_events] == ["jtap"]
     assert j_events[0]["properties"]["$user_id"] == "9"
+
+
+def test_read_with_lineage_csv_with_schema(spark, tmp_path):
+    from gcs_parquet_dataflow_spark.sources.batch import read_with_lineage
+
+    p = tmp_path / "c.csv"
+    p.write_text("event_name,user_id\nbuy,7\nclick,8\n")
+    df = read_with_lineage(
+        spark, f"file:{p}", file_type="CSV",
+        schema="event_name string, user_id long",
+    )
+    rows = sorted((r["event_name"], r["user_id"]) for r in df.collect())
+    assert rows == [("buy", 7), ("click", 8)]
+    assert all(r["_uri"].endswith("c.csv") for r in df.collect())
