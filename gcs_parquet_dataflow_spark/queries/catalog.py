@@ -2288,3 +2288,65 @@ def agg_filtered_counts(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    """
+    SELECT event_id,
+           event_id & 255 AS band,
+           event_id | 4096 AS bor,
+           xor(event_id, 1365) AS bxor,
+           event_id << 3 AS shl,
+           event_id >> 2 AS shr,
+           CAST(bit_count(event_id) AS BIGINT) AS popcnt
+    FROM events WHERE event_id < 2000
+    """,
+)
+def scalar_bitwise_funcs(spark, sf_dir):
+    """Bitwise scalar surface: and/or/xor, shifts, popcount — all
+    codegen'd long arithmetic (the primitives the SimHash/LSH sketches
+    build on, exposed as queryable functions)."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.col("event_id")
+    return e.select(
+        "event_id",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1365)).alias("bxor"),
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        F.bit_count(k).cast("long").alias("popcnt"),
+    )
+
+
+@query(
+    "array_set_funcs",
+    """
+    SELECT doc_id,
+           list_sort(list_distinct(list_intersect(a, b))) AS inter,
+           list_sort(list_distinct(a || b)) AS uni,
+           list_sort(list_distinct(
+               list_filter(a, x -> NOT list_contains(b, x)))) AS diff,
+           CAST(len(flatten([a, b])) AS BIGINT) AS n_flat
+    FROM (SELECT doc_id,
+                 [doc_id % 7, doc_id % 5, doc_id % 3] AS a,
+                 [doc_id % 4, doc_id % 5] AS b
+          FROM documents)
+    """,
+)
+def array_set_funcs(spark, sf_dir):
+    """Array set algebra (intersect/union/except/flatten) over derived
+    arrays — per-row expressions in the scan stage; outputs sorted so
+    both engines' set order agrees."""
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    a = F.array(k % 7, k % 5, k % 3)
+    b = F.array(k % 4, k % 5)
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.array_intersect(a, b))).alias("inter"),
+        F.array_sort(F.array_distinct(F.array_union(a, b))).alias("uni"),
+        F.array_sort(F.array_except(a, b)).alias("diff"),
+        F.size(F.flatten(F.array(a, b))).cast("long").alias("n_flat"),
+    )
