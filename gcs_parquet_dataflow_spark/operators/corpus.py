@@ -129,3 +129,111 @@ def deterministic_shuffle(
         )
     w = W.orderBy(h, F.col(key_col))
     return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document →
+    (id_col, top_word_frac, dup_word_frac, top_bigram_frac,
+    dup_bigram_frac), doubles rounded to 6; bigram columns are NULL for
+    single-token documents.
+
+    Heavily repeated content (boilerplate, keyword stuffing, generated
+    spam) is the classic pretraining-filter target (Gopher / MassiveText
+    rules): fraction of tokens that are the single most common word,
+    fraction of duplicate word occurrences (1 - distinct/total), and the
+    same two over bigrams.
+
+    Scale shape: ONE posexplode pass; bigrams come from a window lead
+    partitioned by document (same pattern as dedup.with_minhash); words
+    and bigrams then flow through a single tagged two-level hash
+    aggregation (map-side combined), so the whole operator is
+    explode → window → groupBy with no self-join and no second pass
+    over the text. At 100 TB the shuffle carries one row per distinct
+    (doc, gram) — bounded by document length, not corpus size.
+
+    DuckDB twin: unnest words / ``[w[i] || ' ' || w[i+1] for i in
+    range(1, len(w))]`` bigrams, same tagged aggregation.
+    """
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t")
+    )
+    w = W.partitionBy(id_col).orderBy("_pos")
+    # lead materialized BEFORE the explode — Spark rejects window
+    # expressions inside generator arguments
+    nxt = F.col("_nxt")
+    bigram = F.when(nxt.isNotNull(), F.concat_ws(" ", F.col("_t"), nxt))
+    grams = (
+        tok.withColumn("_nxt", F.lead("_t").over(w))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("k"), F.col("_t").alias("g")),
+                    F.struct(F.lit(2).alias("k"), bigram.alias("g")),
+                )
+            ).alias("kg"),
+        )
+        .select(id_col, F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    per_gram = grams.groupBy(id_col, "k", "g").agg(F.count("*").alias("c"))
+    per_kind = per_gram.groupBy(id_col, "k").agg(
+        F.sum("c").alias("n"), F.max("c").alias("top"), F.count("*").alias("d")
+    )
+    frac_top = F.col("top").cast("double") / F.col("n")
+    frac_dup = F.lit(1.0) - F.col("d").cast("double") / F.col("n")
+    return per_kind.groupBy(id_col).agg(
+        F.round(F.max(F.when(F.col("k") == 1, frac_top)), 6).alias("top_word_frac"),
+        F.round(F.max(F.when(F.col("k") == 1, frac_dup)), 6).alias("dup_word_frac"),
+        F.round(F.max(F.when(F.col("k") == 2, frac_top)), 6).alias("top_bigram_frac"),
+        F.round(F.max(F.when(F.col("k") == 2, frac_dup)), 6).alias("dup_bigram_frac"),
+    )
+
+
+def pack_greedy_by_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 256,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document to a pack of
+    ~``budget`` whitespace tokens → (id_col, n_tokens, pack_id).
+
+    Semantics (the streaming-greedy rule, made order-deterministic):
+    documents are laid out in ``hash32(text)`` order inside
+    ``hash % n_buckets`` buckets; a document joins the pack where its
+    first token lands — ``floor(running_total_before / budget)`` — so a
+    pack may overrun by at most one document (exactly what sequence
+    packers for fixed-context training do before truncation).
+
+    Scale shape: the only non-map step is a window cumsum PARTITIONED BY
+    bucket — raise ``n_buckets`` so each bucket's sort fits an executor
+    (1000-executor rule of thumb: n_buckets ≈ 2-4× total cores). Pack
+    ids are bucket-prefixed (bucket * 1e6 + slot) so buckets never
+    collide and packs can be written bucket-parallel. No global sort, no
+    driver state, reproducible across cluster sizes.
+    """
+    from pyspark.sql import Window as W
+
+    s = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        hash32(F.col(text_col)).alias("_h"),
+    ).withColumn("_bucket", F.col("_h") % n_buckets)
+    w = (
+        W.partitionBy("_bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return s.select(
+        id_col,
+        "n_tokens",
+        (
+            F.col("_bucket") * 1000000
+            + F.floor(before.cast("double") / budget).cast("long")
+        ).alias("pack_id"),
+    )

@@ -1517,3 +1517,82 @@ def feature_zscore_by_group(spark, sf_dir):
     w = W2.partitionBy("event_type")
     z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
     return e.select("event_id", F.round(z, 6).alias("value_z"))
+
+
+@query(
+    "text_repetition_signals",
+    f"""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE text IS NOT NULL),
+    wg AS (SELECT doc_id, 1 AS k, unnest(w) AS g FROM s
+           UNION ALL
+           SELECT doc_id, 2 AS k,
+                  unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM s),
+    gc AS (SELECT doc_id, k, g, count(*) AS c FROM wg GROUP BY 1, 2, 3),
+    gs AS (SELECT doc_id, k, sum(c) AS n, max(c) AS top, count(*) AS d
+           FROM gc GROUP BY 1, 2)
+    SELECT doc_id,
+           round(max(CASE WHEN k = 1 THEN CAST(top AS DOUBLE) / n END), 6)
+               AS top_word_frac,
+           round(max(CASE WHEN k = 1 THEN 1 - CAST(d AS DOUBLE) / n END), 6)
+               AS dup_word_frac,
+           round(max(CASE WHEN k = 2 THEN CAST(top AS DOUBLE) / n END), 6)
+               AS top_bigram_frac,
+           round(max(CASE WHEN k = 2 THEN 1 - CAST(d AS DOUBLE) / n END), 6)
+               AS dup_bigram_frac
+    FROM gs GROUP BY doc_id
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters: top-word / duplicate-word /
+    top-bigram / duplicate-bigram fractions per document — the
+    MassiveText quality rules a pretraining pipeline cuts on
+    (operators/corpus.py repetition_signals: one explode + tagged
+    two-level hash agg, no self-join)."""
+    from gcs_parquet_dataflow_spark.operators.corpus import repetition_signals
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return repetition_signals(d.select("doc_id", "text"), "doc_id", "text")
+
+
+@query(
+    "pack_sequences_budget",
+    f"""
+    WITH s AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      {h32('text')} AS h
+               FROM documents WHERE text IS NOT NULL),
+    a AS (SELECT doc_id, n_tokens, h % 8 AS bucket,
+                 sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens AS before
+          FROM s),
+    p AS (SELECT bucket * 1000000
+                     + CAST(floor(CAST(before AS DOUBLE) / 256) AS BIGINT)
+                     AS pack_id,
+                 n_tokens
+          FROM a)
+    SELECT pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM p GROUP BY pack_id
+    """,
+)
+def pack_sequences_budget(spark, sf_dir):
+    """Deterministic sequence packing into ~256-token packs: documents
+    laid out in content-hash order inside hash buckets, pack = floor of
+    the running token total before the document — the fixed-context
+    packing step before shard writing, reproducible across cluster
+    sizes (operators/corpus.py pack_greedy_by_budget: window cumsum
+    partitioned by bucket, no global sort)."""
+    from gcs_parquet_dataflow_spark.operators.corpus import pack_greedy_by_budget
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    packed = pack_greedy_by_budget(
+        d.select("doc_id", "text"), "doc_id", "text", budget=256, n_buckets=8
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )

@@ -128,3 +128,46 @@ def test_chunks_without_overlap_reassemble_exactly(spark):
     )
     rebuilt = {r["doc_id"]: r["rebuilt"] for r in got.collect()}
     assert rebuilt == {i: text for i, text in rows}
+
+
+def test_repetition_signals_known_document(spark):
+    from gcs_parquet_dataflow_spark.operators.corpus import repetition_signals
+
+    # "a a a b" → words: 4 total, top 'a'=3, 2 distinct
+    #           → bigrams: "a a","a a","a b" → 3 total, top=2, 2 distinct
+    df = spark.createDataFrame([(1, "a a a b"), (2, "x")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert r1["top_word_frac"] == 0.75
+    assert r1["dup_word_frac"] == 0.5
+    assert round(r1["top_bigram_frac"], 6) == round(2 / 3, 6)
+    assert round(r1["dup_bigram_frac"], 6) == round(1 / 3, 6)
+    # single-token doc: word fracs defined, bigram fracs NULL
+    r2 = rows[2]
+    assert r2["top_word_frac"] == 1.0 and r2["dup_word_frac"] == 0.0
+    assert r2["top_bigram_frac"] is None and r2["dup_bigram_frac"] is None
+
+
+def test_pack_greedy_assigns_every_doc_once_and_is_layout_independent(spark):
+    from gcs_parquet_dataflow_spark.operators.corpus import pack_greedy_by_budget
+
+    docs = [(i, " ".join(f"t{i}w{j}" for j in range(5 + i % 37))) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = pack_greedy_by_budget(df, "doc_id", "text", budget=64, n_buckets=4)
+    rows = got.collect()
+    assert len(rows) == 200 and len({r["doc_id"] for r in rows}) == 200
+    # packing is a function of content only — repartitioning can't move docs
+    again = pack_greedy_by_budget(
+        df.repartition(13), "doc_id", "text", budget=64, n_buckets=4
+    ).collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in again} == {
+        (r["doc_id"], r["pack_id"]) for r in rows
+    }
+    # every pack except possibly the last slot of each bucket holds < budget
+    # + one-overrun: total before last doc < budget ⇒ pack_tokens bounded by
+    # budget + max_doc_tokens - 1
+    max_doc = max(r["n_tokens"] for r in rows)
+    per_pack = {}
+    for r in rows:
+        per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(v <= 64 + max_doc - 1 for v in per_pack.values())
