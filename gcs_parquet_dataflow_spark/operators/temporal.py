@@ -119,3 +119,51 @@ def range_join_binned(
     return joined.filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     ).drop("_bin")
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse a change
+    event stream into validity intervals → (key, state, valid_from,
+    valid_to, n_events); ``valid_to`` is NULL on the current row.
+
+    Gaps-and-islands: a lag-based change flag, a running sum to number
+    the runs, one aggregate per run, then a lead for the closing
+    timestamp. All four steps share the SAME (key, order) window
+    partitioning, so the whole operator is ONE shuffle on the key —
+    at 100 TB the cost is a single exchange of the event stream,
+    identical to any per-key aggregation.
+
+    ``tiebreak_col`` makes ordering total when timestamps collide
+    (event ids are unique; wall clocks are not).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    chg = (
+        F.when(
+            ~F.lag(state_col).over(w).eqNullSafe(F.col(state_col)), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    runs = df.withColumn("_chg", chg).withColumn(
+        "_grp",
+        F.sum("_chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    spans = runs.groupBy(key_col, "_grp").agg(
+        F.first(state_col).alias(state_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = W.partitionBy(key_col).orderBy("_grp")
+    return spans.select(
+        key_col,
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )

@@ -1596,3 +1596,75 @@ def pack_sequences_budget(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
     )
+
+
+@query(
+    "scd2_user_state_history",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+    o AS (SELECT *, CASE WHEN lag(event_type)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              IS DISTINCT FROM event_type
+                         THEN 1 ELSE 0 END AS chg
+          FROM e),
+    g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM o),
+    s AS (SELECT user_id, grp, min(event_type) AS event_type,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from_s,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM g GROUP BY 1, 2)
+    SELECT user_id, event_type, valid_from_s,
+           lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY grp)
+               AS valid_to_s,
+           n_events
+    FROM s
+    """,
+)
+def scd2_user_state_history(spark, sf_dir):
+    """SCD type-2 dimension build: collapse each user's event-type
+    stream into validity intervals (valid_from, valid_to, NULL = still
+    current) — the change-data-capture shape every warehouse dimension
+    load runs (operators/temporal.py scd2_history: gaps-and-islands on
+    one key shuffle)."""
+    from gcs_parquet_dataflow_spark.operators.temporal import scd2_history
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    h = scd2_history(e, "user_id", "event_type", "ts", "event_id")
+    # epoch seconds in the oracle-compared output: the raw parquet is
+    # nanosecond-stamped, and ns→µs conversion rounds in Spark but
+    # floors in DuckDB — second granularity is engine-stable
+    return h.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("valid_from_s"),
+        F.unix_timestamp("valid_to").alias("valid_to_s"),
+        "n_events",
+    )
+
+
+from gcs_parquet_dataflow_spark.sinks.parquet_lake import zorder_key_sql as _zsql
+
+
+@query(
+    "layout_zorder_key",
+    f"""
+    WITH s AS (SELECT o_orderkey,
+                      CAST(o_custkey AS BIGINT) AS x,
+                      CAST(datediff('day', DATE '1992-01-01',
+                                    CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+               FROM orders)
+    SELECT o_orderkey, {_zsql('x', 'y', 16)} AS zkey FROM s
+    """,
+)
+def layout_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key over (customer, order-day) — the
+    2-D data-layout primitive behind sinks/parquet_lake.write_zordered:
+    sorting by this key gives parquet footer zones that prune scans
+    filtered on EITHER column (pure bit arithmetic, codegen'd)."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import zorder_key
+
+    o = t(spark, sf_dir, "orders")
+    x = F.col("o_custkey").cast("long")
+    y = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).cast("long")
+    return o.select("o_orderkey", zorder_key(x, y, 16).alias("zkey"))

@@ -101,3 +101,125 @@ def read_lake(spark: SparkSession, path: str) -> DataFrame:
     """Read a lake table back; partition columns come from directory
     names and filters on them prune at planning time."""
     return spark.read.parquet(path)
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def data_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under ``path`` via the Hadoop
+    FileSystem API — works on any Hadoop-compatible store (local, HDFS,
+    gs://, s3a://), not just the local disk tests run on."""
+    fs, hpath, _ = _fs_and_path(spark, path)
+    n = total = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):  # _SUCCESS, checksums, staging
+            continue
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite the table at ``path`` into
+    ``ceil(total_bytes / target_file_bytes)`` files (per table; with
+    ``partition_by`` the layout is preserved and sizing applies across
+    the whole table). Returns (files_before, files_after).
+
+    The operational problem this solves at 100 TB: streaming and
+    per-batch writers leave thousands of KB-sized files per partition;
+    scan planning then pays one task + one open per file. Periodic
+    compaction to ~128 MB restores scan efficiency.
+
+    Write protocol: stage to ``<path>__compact_staging``, then delete +
+    rename via the Hadoop FileSystem API. The swap is not transactional
+    (that is what table formats add on top of a Hive-style layout);
+    run compaction when no concurrent writer targets the table —
+    standard for maintenance jobs on raw-parquet lakes.
+    """
+    import math
+
+    files_before, total = data_file_stats(spark, path)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compact_staging"
+    writer_df = df.repartition(n_out)
+    writer = writer_df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(hpath, True)
+    fs.rename(spath, hpath)
+    files_after, _ = data_file_stats(spark, path)
+    return files_before, files_after
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Z-order (Morton) key of two non-negative integer columns: the low
+    ``bits`` bits of each, interleaved (x → even positions, y → odd).
+    Rows sorted by the key cluster in BOTH dimensions, so parquet
+    min/max zones prune scans filtered on either column — the
+    multi-dimensional analog of write_sorted's single-key layout.
+
+    Pure bit arithmetic (codegen'd; identical in any engine — the
+    DuckDB twin is the same shift/mask sum), columns are truncated
+    mod 2**bits first.
+    """
+    from pyspark.sql import Column
+
+    assert isinstance(x, Column) and isinstance(y, Column)
+    m = F.lit(2**bits)
+    xm, ym = (x.cast("long") % m), (y.cast("long") % m)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """The DuckDB-SQL twin of :func:`zorder_key` (single source kept
+    adjacent so the two stay in lockstep)."""
+    m = 2**bits
+    terms = []
+    # every term fully parenthesized: DuckDB's << binds LOOSER than +,
+    # so an unparenthesized "a << 2 + b << 3" chain shifts by the sum
+    for i in range(bits):
+        terms.append(f"(((({x}) % {m}) >> {i}) & 1) << {2 * i}")
+        terms.append(f"(((({y}) % {m}) >> {i}) & 1) << {2 * i + 1}")
+    return "CAST(" + " + ".join(f"({t})" for t in terms) + " AS BIGINT)"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Two-dimensional clustering: range-partition + sort by the Morton
+    key of (x_col, y_col), then drop the key — readers filtering on
+    either column skip most files via footer zones."""
+    keyed = df.withColumn("_zkey", zorder_key(F.col(x_col), F.col(y_col), bits))
+    parted = (
+        keyed.repartitionByRange(n_files, "_zkey")
+        if n_files
+        else keyed.repartitionByRange("_zkey")
+    )
+    parted.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)

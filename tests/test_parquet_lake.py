@@ -84,3 +84,51 @@ def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
     # nothing lost
     back = spark.read.parquet(out)
     assert back.count() == 50_000
+
+
+def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import compact, data_file_stats
+
+    path = str(tmp_path / "many_small")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    before, total = data_file_stats(spark, path)
+    assert before == 64
+    # target ~ quarter of the table per file → ~4 output files
+    b, a = compact(spark, path, target_file_bytes=max(1, total // 4))
+    assert (b, a) == (64, a) and a <= 8
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(10000))
+
+
+def test_zordered_write_clusters_both_dimensions(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_zordered
+
+    path = str(tmp_path / "zordered")
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    write_zordered(df, path, "x", "y", bits=6, n_files=8)
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 8
+    # every file's (x, y) bounding box must cover far less than the full
+    # grid — the point of Morton layout; a random or single-key sort
+    # layout leaves one dimension spanning its whole domain in each file
+    areas = []
+    for f in files:
+        t_ = pq.read_table(f)
+        xs, ys = t_.column("x").to_pylist(), t_.column("y").to_pylist()
+        areas.append((max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1))
+    # 8 files over a 64x64 grid: perfect quadrants would be 512 cells;
+    # allow generous slack over boundary straddle, but far below 4096
+    assert sum(areas) / len(areas) < 2048
+    total = spark.read.parquet(path)
+    assert total.count() == n

@@ -121,3 +121,21 @@ def test_asof_join_forward_direction(spark):
     # e1 matches at its own ts; e2's nearest following is none after
     # 14:00 for key 1 → NULL; e3 waits until 23:00
     assert got == {"e1": "s_tie", "e2": None, "e3": "s_late"}
+
+
+def test_scd2_collapses_runs_and_handles_null_states(spark):
+    from gcs_parquet_dataflow_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, 10, 1, "a"), (1, 20, 2, "a"), (1, 30, 3, None),
+        (1, 40, 4, None), (1, 50, 5, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, eid long, st string")
+    got = (
+        scd2_history(df, "k", "st", "ts", "eid")
+        .orderBy("valid_from")
+        .collect()
+    )
+    assert [(r["st"], r["valid_from"], r["valid_to"], r["n_events"]) for r in got] == [
+        ("a", 10, 30, 2), (None, 30, 50, 2), ("a", 50, None, 1),
+    ]
