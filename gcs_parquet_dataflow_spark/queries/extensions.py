@@ -1668,3 +1668,122 @@ def layout_zorder_key(spark, sf_dir):
     x = F.col("o_custkey").cast("long")
     y = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).cast("long")
     return o.select("o_orderkey", zorder_key(x, y, 16).alias("zkey"))
+
+
+# ---------------------------------------------------------------------------
+# Event analytics (round 2): funnel, retention cohorts, co-occurrence —
+# the product-analytics query shapes the reference's Mixpanel-bound
+# events ultimately feed; here they run directly on the lake table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered three-step funnel (view → later click → later purchase):
+    per-step earliest-qualifying-timestamp chaining — each step is a
+    per-user min + an equi-join on user (150 users here; at 100 TB the
+    per-step frames stay user-cardinality-sized and broadcastable)."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c0
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    j AS (SELECT a.user_id, f.c0,
+                 CAST(datediff('day', f.c0, a.d) // 7 AS BIGINT) AS wk
+          FROM a JOIN f ON a.user_id = f.user_id)
+    SELECT c0 AS cohort_day, wk AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM j GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: users bucketed by first-seen day,
+    counted in each later activity week. Day arithmetic (datediff//7)
+    instead of date_trunc('week') — week-truncation and week-diff
+    semantics differ across engines, day counting does not. Two hash
+    aggs + one user-key join, all on the same key."""
+    e = t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("c0"))
+    a = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    j = a.join(f, "user_id").select(
+        "user_id",
+        F.col("c0"),
+        F.floor(F.datediff("d", "c0") / 7).cast("long").alias("wk"),
+    )
+    return (
+        j.groupBy(F.col("c0").alias("cohort_day"), F.col("wk").alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+@query(
+    "cooccurrence_event_pairs",
+    """
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM u a JOIN u b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def cooccurrence_event_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: which event types the same user
+    performs. The distinct-first inverted-index shape bounds the
+    self-join at |users|×|types| rows — the same never-O(n²) discipline
+    as the dedup pair operators."""
+    e = t(spark, sf_dir, "events")
+    u = e.select("user_id", "event_type").distinct()
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
