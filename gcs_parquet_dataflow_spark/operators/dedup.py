@@ -246,6 +246,30 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Explode a signature column into its LSH band table →
+    (_id, band, key: array<long>) — the shared banding step of
+    :func:`lsh_candidate_pairs` and the incremental sketch index."""
+    num_perm_col = F.size(F.col(sig_col))
+    bands = F.transform(
+        F.sequence(F.lit(0), (num_perm_col / rows_per_band).cast("int") - 1),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band).alias(
+                "key"
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(bands).alias("bk")
+    ).select("_id", "bk.band", F.col("bk.key").cast("array<long>").alias("key"))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -258,19 +282,7 @@ def lsh_candidate_pairs(
     band content — docs never meet unless a whole band matches, so the
     shuffle is |docs|×|bands| rows, not |docs|².
     """
-    num_perm_col = F.size(F.col(sig_col))
-    bands = F.transform(
-        F.sequence(F.lit(0), (num_perm_col / rows_per_band).cast("int") - 1),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band).alias(
-                "key"
-            ),
-        ),
-    )
-    exploded = df.select(
-        F.col(id_col).alias("_id"), F.explode(bands).alias("bk")
-    ).select("_id", "bk.band", F.col("bk.key").cast("array<long>").alias("key"))
+    exploded = minhash_bands(df, id_col, sig_col, rows_per_band)
     # materialize once: both self-join sides read the persisted band table
     # instead of re-deriving the (possibly expensive) signature lineage;
     # registered for release_intermediates() after the consuming action

@@ -1,0 +1,77 @@
+"""Incremental sketch-index dedup: new batches dedup against everything
+previously accepted without rescanning accepted text."""
+
+from __future__ import annotations
+
+from gcs_parquet_dataflow_spark.operators.dedup import minhash_perms
+from gcs_parquet_dataflow_spark.operators.incremental import (
+    dedup_batch_against_index,
+    read_index,
+)
+from gcs_parquet_dataflow_spark.operators.partitioning import (
+    release_intermediates,
+)
+
+PERMS = minhash_perms(num_perm=16, seed=7)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sentence(tag: str) -> str:
+    # every word carries the tag so different tags share ZERO shingles —
+    # collisions in the tests below are only the planted ones
+    return " ".join(f"{tag}w{j}" for j in range(12))
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    idx = str(tmp_path / "sketch_index")
+
+    batch1 = _docs(spark, [(i, _sentence(f"b1u{i}")) for i in range(6)])
+    s1 = dedup_batch_against_index(
+        spark, batch1, "doc_id", "text", idx, PERMS
+    )
+    assert sorted(r["doc_id"] for r in s1.collect()) == [0, 1, 2, 3, 4, 5]
+    release_intermediates()
+    n_index_1 = read_index(spark, idx).count()
+    assert n_index_1 == 6 * 8  # 16 perms / 2 rows per band
+
+    batch2 = _docs(
+        spark,
+        [
+            (100, _sentence("b1u3")),              # exact dup of batch1 doc 3
+            (101, _sentence("b1u4") + " extra"),   # near dup of batch1 doc 4
+            (102, _sentence("fresh")),             # genuinely new
+            (103, "too short"),                    # < 3 tokens: no shingles
+        ],
+    )
+    s2 = dedup_batch_against_index(
+        spark, batch2, "doc_id", "text", idx, PERMS
+    )
+    assert sorted(r["doc_id"] for r in s2.collect()) == [102, 103]
+    release_intermediates()
+    # only the new sketchable doc added bands; the shingle-less one adds none
+    assert read_index(spark, idx).count() == n_index_1 + 8
+
+
+def test_intra_batch_duplicates_keep_min_id(spark, tmp_path):
+    idx = str(tmp_path / "sketch_index2")
+    batch = _docs(
+        spark,
+        [
+            (7, _sentence("same")),
+            (3, _sentence("same")),
+            (9, _sentence("other")),
+        ],
+    )
+    got = dedup_batch_against_index(spark, batch, "doc_id", "text", idx, PERMS)
+    assert sorted(r["doc_id"] for r in got.collect()) == [3, 9]
+    release_intermediates()
+    # replaying the same content under new ids drops everything
+    replay = _docs(
+        spark, [(50, _sentence("same")), (51, _sentence("other"))]
+    )
+    again = dedup_batch_against_index(spark, replay, "doc_id", "text", idx, PERMS)
+    assert again.count() == 0
+    release_intermediates()
