@@ -280,3 +280,72 @@ def run_notification_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def run_corpus_ingest_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    perms: list[tuple[int, int]],
+    *,
+    k: int = 3,
+    rows_per_band: int = 2,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous corpus ingestion with cross-batch near-dup dedup:
+    a streaming DataFrame of documents → per-micro-batch MinHash dedup
+    against the PERSISTED sketch index (operators/incremental.py) →
+    surviving rows appended to the ``out_path`` lake.
+
+    Exactly-once story under micro-batch replay:
+
+    - survivor rows land via batch-keyed dynamic partition overwrite
+      (sinks/parquet_lake.write_partitioned), so a replayed batch
+      overwrites its own output;
+    - index appends are NOT keyed, but duplicate band rows are
+      semantically idempotent — the index is only ever consumed through
+      a semi-join, which a duplicate row cannot change; compaction
+      (sinks/parquet_lake.compact) garbage-collects the bytes.
+
+    The dedup decision itself is deterministic given (accepted corpus,
+    batch), so replays reproduce the same survivor set.
+    """
+    from gcs_parquet_dataflow_spark.operators.incremental import (
+        dedup_batch_against_index,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        survivors = dedup_batch_against_index(
+            spark,
+            batch_df,
+            id_col,
+            text_col,
+            index_path,
+            perms,
+            k=k,
+            rows_per_band=rows_per_band,
+        )
+        write_partitioned(survivors, out_path, [], batch_id=batch_id)
+        release_intermediates()
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -75,3 +75,47 @@ def test_intra_batch_duplicates_keep_min_id(spark, tmp_path):
     again = dedup_batch_against_index(spark, replay, "doc_id", "text", idx, PERMS)
     assert again.count() == 0
     release_intermediates()
+
+
+def test_streaming_corpus_ingest_dedups_across_microbatches(spark, tmp_path):
+    import json
+
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_corpus_ingest_stream,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # two files → maxFilesPerTrigger=1 forces two micro-batches; the
+    # second file re-sends doc 1's text under a new id plus a near-dup
+    f1 = [
+        {"doc_id": 1, "text": _sentence("s1")},
+        {"doc_id": 2, "text": _sentence("s2")},
+    ]
+    f2 = [
+        {"doc_id": 10, "text": _sentence("s1")},             # cross-batch dup
+        {"doc_id": 11, "text": _sentence("s2") + " extra"},  # cross-batch near-dup
+        {"doc_id": 12, "text": _sentence("s3")},             # new
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in f1))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in f2))
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_corpus_ingest_stream(
+        spark,
+        stream,
+        "doc_id",
+        "text",
+        str(tmp_path / "index"),
+        str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"),
+        PERMS,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2, 12]
