@@ -32,12 +32,21 @@ def write_partitioned(
     mode: str = "append",
     batch_id: int | None = None,
     coalesce_files: int | None = None,
+    bloom_filter_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` as a partitioned parquet table.
 
     With ``batch_id``, the batch id becomes the leading partition column
     and the write uses dynamic partition overwrite — the idempotency key
-    for streaming replays."""
+    for streaming replays.
+
+    ``bloom_filter_cols`` embeds a split-block bloom filter per row
+    group for the named columns — the point-lookup complement to
+    min/max zones: range layouts (write_sorted/write_zordered) prune
+    range scans, blooms prune ``key = X`` probes on HIGH-CARDINALITY
+    unsorted columns (id lookups on a time-laid-out table), where
+    min/max spans are useless. Readers (Spark's vectorized reader
+    included) skip row groups whose bloom rejects the literal."""
     writer_df = df
     parts = list(partition_by)
     dynamic = False
@@ -53,6 +62,8 @@ def write_partitioned(
         # per-write option, NOT session conf — mutating the session would
         # silently change overwrite semantics for unrelated writers
         writer = writer.option("partitionOverwriteMode", "dynamic")
+    for c in bloom_filter_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(path)
