@@ -156,6 +156,13 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    # single-file inputs would otherwise explode in ONE scan partition;
+    # keying by id pre-aligns with the window/groupBy partitioning
+    df = ensure_parallelism(df, id_col)
     tok = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t")
     )
