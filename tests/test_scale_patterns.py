@@ -141,3 +141,33 @@ def test_approx_aggregates_within_tolerance(spark):
     ).first()
     assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05
     assert abs(row["approx_p90"] - row["exact_p90"]) / row["exact_p90"] < 0.01
+
+
+def test_new_operator_plans_avoid_global_sorts_and_cartesians(spark):
+    """Round-2 additions plan audit: packing/repetition/SCD2/analytics
+    never fall back to a single-partition exchange, a cartesian
+    product, or Python row evaluation."""
+    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name in (
+        "pack_sequences_budget",
+        "text_repetition_signals",
+        "scd2_user_state_history",
+        "retention_cohorts",
+        "cooccurrence_event_pairs",
+        "layout_zorder_key",
+    ):
+        df = CATALOG[name].build(spark, sf_dir)
+        df.collect()  # AQE finalizes
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
+    # SCD2's four window steps share ONE key exchange (count it in the
+    # final plan section — AQE prints the plan twice)
+    df = CATALOG["scd2_user_state_history"].build(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final[:3000]
