@@ -1787,3 +1787,68 @@ def cooccurrence_event_pairs(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "agg_boolean_aggs",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean_aggs(spark, sf_dir):
+    """Boolean aggregate surface: bool_and / bool_or / count_if — the
+    guard-condition aggregations (all rows valid? any failed? how many
+    matched?) data-quality jobs run per group; plain hash aggs with
+    map-side combine."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+    )
+
+
+@query(
+    "window_rolling_7day_revenue",
+    """
+    WITH d AS (SELECT o_custkey,
+                      CAST(datediff('day', DATE '1992-01-01',
+                                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    g AS (SELECT o_custkey, day_n, sum(cents) AS day_cents
+          FROM d GROUP BY 1, 2)
+    SELECT o_custkey, day_n,
+           CAST(sum(day_cents) OVER (PARTITION BY o_custkey ORDER BY day_n
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+               AS revenue_7d
+    FROM g
+    """,
+)
+def window_rolling_7day_revenue(spark, sf_dir):
+    """Rolling 7-day revenue per customer: a RANGE frame over day
+    numbers — the time-windowed running metric shape (value-based frame,
+    so gaps in the calendar are handled correctly, unlike a ROWS frame).
+    Day totals pre-aggregated first, so the window walks one row per
+    active day; money in integer cents."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("day_n"),
+        cents(F.col("o_totalprice")).alias("cents"),
+    )
+    g = d.groupBy("o_custkey", "day_n").agg(F.sum("cents").alias("day_cents"))
+    w = W.partitionBy("o_custkey").orderBy("day_n").rangeBetween(-6, 0)
+    return g.select(
+        "o_custkey",
+        "day_n",
+        (F.sum("day_cents").over(w).cast("long") / 100.0).alias("revenue_7d"),
+    )
