@@ -1852,3 +1852,97 @@ def window_rolling_7day_revenue(spark, sf_dir):
         "day_n",
         (F.sum("day_cents").over(w).cast("long") / 100.0).alias("revenue_7d"),
     )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH l AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS k
+               FROM documents),
+    r AS (SELECT DISTINCT CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS k
+          FROM documents)
+    SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.doc_id
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of disappearing — the join you want when
+    NULL is a real category (unknown language). Still a hash join on
+    the key, so it shuffles and broadcasts like any equi-join."""
+    d = t(spark, sf_dir, "documents")
+    k = F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("lang"))
+    l = d.select("doc_id", k.alias("k"))
+    r = d.select(k.alias("k")).distinct()
+    return (
+        l.alias("l")
+        .join(r.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+@query(
+    "table_diff_added_removed",
+    """
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id < 490),
+    added AS (SELECT 'added' AS change, doc_id FROM (
+        SELECT doc_id, text FROM v2 EXCEPT ALL SELECT doc_id, text FROM v1)),
+    removed AS (SELECT 'removed' AS change, doc_id FROM (
+        SELECT doc_id, text FROM v1 EXCEPT ALL SELECT doc_id, text FROM v2))
+    SELECT change, doc_id FROM added UNION ALL SELECT change, doc_id FROM removed
+    """,
+)
+def table_diff_added_removed(spark, sf_dir):
+    """Table diff for pipeline regression checks: EXCEPT ALL in both
+    directions tags every row as added / removed between two versions
+    (here: v2 edits every 10th doc and truncates the tail). Hash-based
+    set difference — two shuffles on the full row, the exact-answer
+    baseline a checksum comparison short-circuits."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        d.filter(F.col("doc_id") < 490)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    added = v2.exceptAll(d).select(F.lit("added").alias("change"), "doc_id")
+    removed = d.exceptAll(v2).select(F.lit("removed").alias("change"), "doc_id")
+    return added.unionByName(removed)
+
+
+@query(
+    "table_checksum",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({h32("doc_id || '|' || coalesce(text, '')")}) AS BIGINT)
+               AS content_checksum
+    FROM documents
+    """,
+)
+def table_checksum(spark, sf_dir):
+    """Order-independent whole-table content checksum (sum of per-row
+    hash32 over id|text): the O(1)-output integrity probe pipelines run
+    after every copy/migration — map-side-combined, one row out, and
+    engine-portable because hash32 is md5-based."""
+    d = t(spark, sf_dir, "documents")
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+
+    row_h = hash32(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("|"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_h).cast("long").alias("content_checksum"),
+    )
