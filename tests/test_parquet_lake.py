@@ -157,3 +157,24 @@ def test_bloom_filter_option_reaches_the_files(spark, tmp_path):
     # and the data is unchanged
     assert spark.read.parquet(bloomed).agg(F.sum("v")).first()[0] == \
         spark.read.parquet(plain).agg(F.sum("v")).first()[0]
+
+
+def test_zorder_key_is_a_bijection_on_the_bit_domain(spark):
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import zorder_key
+
+    # 6-bit domain: all 4096 (x, y) points must map to 4096 distinct
+    # z values covering exactly [0, 4096)
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    z = grid.select(zorder_key(F.col("x"), F.col("y"), 6).alias("z"))
+    stats = z.agg(
+        F.count_distinct("z").alias("d"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).first()
+    assert (stats["d"], stats["lo"], stats["hi"]) == (4096, 0, 4095)
+    # truncation semantics: values beyond the bit budget wrap mod 2^bits
+    big = spark.createDataFrame([(64 + 3, 128 + 5)], "x long, y long")
+    small = spark.createDataFrame([(3, 5)], "x long, y long")
+    zb = big.select(zorder_key(F.col("x"), F.col("y"), 6).alias("z")).first()["z"]
+    zs = small.select(zorder_key(F.col("x"), F.col("y"), 6).alias("z")).first()["z"]
+    assert zb == zs
