@@ -244,3 +244,102 @@ def pack_greedy_by_budget(
             + F.floor(before.cast("double") / budget).cast("long")
         ).alias("pack_id"),
     )
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int = 1,
+    sep: str | None = None,
+    tokens_per_segment: int = 10,
+) -> DataFrame:
+    """Line/segment-level corpus dedup (the CCNet / RefinedWeb rule):
+    drop every segment whose content appears in more than
+    ``max_doc_freq`` distinct documents, then rebuild each document from
+    its surviving segments in original order →
+    (id_col, clean_text, n_kept_segments, n_total_segments).
+
+    Boilerplate — nav bars, cookie banners, license headers — repeats
+    across pages; removing *segments* (not whole documents) is the
+    standard pretraining cleanup between exact dedup and near dedup.
+    Documents whose every segment is boilerplate drop out entirely.
+
+    ``sep`` splits on a delimiter (``"\\n"`` for real web text); when
+    ``sep`` is None, segments are non-overlapping ``tokens_per_segment``
+    windows (the fixture's text has no newlines — the paragraph-chunker
+    stand-in; reference main.py has no analog, this is extension
+    surface).
+
+    Scale shape: explode is map-side; duplicate detection is ONE hash
+    aggregation on the 8-byte segment hash (map-side combined — shuffle
+    carries distinct hashes, not occurrences); the resulting ban list is
+    the *duplicated* minority (boilerplate is a tiny fraction of
+    distinct segments), so the left-anti join broadcasts under AQE at
+    any corpus size where boilerplate fits in memory — else it is a
+    plain hash-partitioned anti join on the same 8-byte key. Rebuild is
+    one groupBy(doc) with an array_sort on (seg_idx, text) structs.
+    No self-join, nothing quadratic anywhere.
+    """
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        ensure_parallelism,
+        persist_intermediate,
+    )
+
+    if sep is not None:
+        seg = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), sep)).alias(
+                    "seg_idx", "seg_text"
+                ),
+            )
+            .withColumn("seg_idx", F.col("seg_idx").cast("long"))
+        )
+        join_sep = sep
+    else:
+        seg = chunk_by_tokens(
+            df, id_col, text_col, tokens_per_segment, overlap=0
+        ).select(
+            F.col(id_col),
+            F.col("chunk_idx").alias("seg_idx"),
+            F.col("chunk_text").alias("seg_text"),
+        )
+        join_sep = " "
+    seg = ensure_parallelism(
+        seg.filter(F.col("seg_text") != "").withColumn(
+            "_seg_h", hash32(F.col("seg_text"))
+        ),
+        id_col,
+    )
+    # seg feeds three consumers (ban list, totals, rebuild): persist once
+    seg = persist_intermediate(seg)
+    banned = (
+        seg.groupBy("_seg_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_seg_h")
+    )
+    totals = seg.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total_segments")
+    )
+    rebuilt = (
+        seg.join(banned, "_seg_h", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_idx", "seg_text"))
+                    ),
+                    lambda s: s.seg_text,
+                ),
+                join_sep,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_kept_segments"),
+        )
+    )
+    return rebuilt.join(totals, id_col).select(
+        id_col, "clean_text", "n_kept_segments", "n_total_segments"
+    )

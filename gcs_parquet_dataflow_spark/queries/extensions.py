@@ -1946,3 +1946,153 @@ def table_checksum(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_h).cast("long").alias("content_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: line-level dedup, per-source rollups, percentile gating
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_line_dedup",
+    f"""
+    WITH aug AS ({AUG_EXACT_SQL}),
+         d AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM aug WHERE text IS NOT NULL),
+         st AS (SELECT doc_id, w, unnest(range(0, len(w), 10)) AS start
+                FROM d),
+         seg AS (SELECT doc_id,
+                        CAST(start // 10 AS BIGINT) AS seg_idx,
+                        array_to_string(w[start+1 : start+10], ' ') AS seg_text
+                 FROM st),
+         seg2 AS (SELECT *, {h32('seg_text')} AS seg_h
+                  FROM seg WHERE seg_text <> ''),
+         banned AS (SELECT seg_h FROM seg2
+                    GROUP BY seg_h HAVING count(DISTINCT doc_id) > 1),
+         kept AS (SELECT * FROM seg2
+                  WHERE seg_h NOT IN (SELECT seg_h FROM banned)),
+         tot AS (SELECT doc_id, count(*) AS n_total FROM seg2 GROUP BY doc_id)
+    SELECT k.doc_id,
+           string_agg(k.seg_text, ' ' ORDER BY k.seg_idx) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept_segments,
+           CAST(any_value(t2.n_total) AS BIGINT) AS n_total_segments
+    FROM kept k JOIN tot t2 USING (doc_id)
+    GROUP BY k.doc_id
+    """,
+)
+def corpus_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb line-level dedup over documents with planted
+    whole-document duplicates: every 10-token segment appearing in >1
+    distinct document is boilerplate and dropped; documents are rebuilt
+    from the survivors (fully-duplicated docs vanish). One segment-hash
+    aggregation + broadcastable anti-join (operators/corpus.py)."""
+    from gcs_parquet_dataflow_spark.operators.corpus import dedup_segments
+
+    d = _planted_docs(spark, sf_dir, near=False)
+    return dedup_segments(
+        d, "doc_id", "text", max_doc_freq=1, tokens_per_segment=10
+    )
+
+
+@query(
+    "domain_source_rollup",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6)
+               AS avg_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def domain_source_rollup(spark, sf_dir):
+    """Per-source (domain) corpus rollup — the curation dashboard query
+    behind domain mixing decisions. One hash aggregation, map-side
+    combined; at 100 TB the shuffle carries one row per (partition,
+    source)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg(F.size(TX.tokens(F.col("text"))).cast("double")), 6)
+            .alias("avg_tokens"),
+        F.count_distinct(F.col("lang")).cast("long").alias("n_langs"),
+    )
+
+
+@query(
+    "source_blocklist_filter",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source NOT IN ('src3', 'src7', 'src11')
+    GROUP BY lang
+    """,
+)
+def source_blocklist_filter(spark, sf_dir):
+    """Domain blocklist filtering (spam/toxic-source removal): anti-join
+    against a blocklist dimension, then per-language survivor stats. The
+    blocklist is a broadcast dim at any realistic size (crawl blocklists
+    are ≤ millions of rows vs billions of docs), so the scan never
+    shuffles — Catalyst turns the broadcast anti-join into a scan-stage
+    filter."""
+    d = t(spark, sf_dir, "documents")
+    blocklist = spark.createDataFrame(
+        [("src3",), ("src7",), ("src11",)], "source string"
+    )
+    return (
+        d.join(F.broadcast(blocklist), "source", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "quality_percentile_gate",
+    f"""
+    WITH s AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+               FROM documents),
+         q AS (SELECT doc_id, lang,
+                      round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0,
+                                        1.0)
+                          + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                        / len(w), 6)
+                          + 0.2 * least({_stop_sql("en")} * 10.0, 1.0), 6)
+                          AS quality
+               FROM s),
+         r AS (SELECT doc_id, lang, quality,
+                      round(percent_rank() OVER (PARTITION BY lang
+                                                 ORDER BY quality), 6)
+                          AS pct_rank
+               FROM q)
+    SELECT doc_id, lang, quality, pct_rank
+    FROM r WHERE pct_rank >= 0.5
+    """,
+)
+def quality_percentile_gate(spark, sf_dir):
+    """Per-language quality gate: keep the top half of documents by
+    quality percentile WITHIN each language — the mixture-preserving
+    filter (a global threshold would gut low-resource languages).
+
+    Exact percent_rank needs a per-language sort; languages are few and
+    can skew, so the 100 TB variant computes approx thresholds
+    (percentile_approx per lang — one tiny agg, broadcast back) and
+    filters in the scan stage; the exact window form here IS the oracle
+    semantics the approximation targets."""
+    from pyspark.sql import Window as W2
+
+    d = t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("quality")
+    )
+    pr = F.round(
+        F.percent_rank().over(W2.partitionBy("lang").orderBy("quality")), 6
+    )
+    return q.withColumn("pct_rank", pr).filter(F.col("pct_rank") >= 0.5)

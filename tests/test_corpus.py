@@ -171,3 +171,66 @@ def test_pack_greedy_assigns_every_doc_once_and_is_layout_independent(spark):
     for r in rows:
         per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_tokens"]
     assert all(v <= 64 + max_doc - 1 for v in per_pack.values())
+
+
+def test_dedup_segments_drops_cross_doc_boilerplate_lines(spark):
+    from gcs_parquet_dataflow_spark.operators.corpus import dedup_segments
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+
+    banner = "accept all cookies"
+    df = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique one\nshared footer"),
+            (2, f"{banner}\nunique two\nshared footer"),
+            (3, "only original material\nnothing repeated"),
+            (4, f"{banner}"),  # pure boilerplate → vanishes
+            (5, None),  # NULL text → vanishes
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(
+            df, "doc_id", "text", max_doc_freq=1, sep="\n"
+        ).collect()
+    }
+    release_intermediates()
+    assert set(out) == {1, 2, 3}
+    # line order preserved, duplicated lines gone, separator restored
+    assert out[1]["clean_text"] == "unique one"
+    assert out[2]["clean_text"] == "unique two"
+    assert out[3]["clean_text"] == "only original material\nnothing repeated"
+    assert (out[1]["n_kept_segments"], out[1]["n_total_segments"]) == (1, 3)
+    assert (out[3]["n_kept_segments"], out[3]["n_total_segments"]) == (2, 2)
+
+
+def test_dedup_segments_token_windows_respect_max_doc_freq(spark):
+    from gcs_parquet_dataflow_spark.operators.corpus import dedup_segments
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+
+    common = "a b c"  # one 3-token segment shared by all three docs
+    df = spark.createDataFrame(
+        [(1, f"{common} x y z"), (2, f"{common} p q r"), (3, f"{common} k l m")],
+        "doc_id long, text string",
+    )
+    # freq 3 > max_doc_freq 2 → shared window dropped everywhere
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_segments(
+            df, "doc_id", "text", max_doc_freq=2, tokens_per_segment=3
+        ).collect()
+    }
+    assert out == {1: "x y z", 2: "p q r", 3: "k l m"}
+    # freq 3 ≤ max_doc_freq 3 → everything survives
+    out3 = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_segments(
+            df, "doc_id", "text", max_doc_freq=3, tokens_per_segment=3
+        ).collect()
+    }
+    release_intermediates()
+    assert out3[1] == f"{common} x y z"
