@@ -2096,3 +2096,54 @@ def quality_percentile_gate(spark, sf_dir):
         F.percent_rank().over(W2.partitionBy("lang").orderBy("quality")), 6
     )
     return q.withColumn("pct_rank", pr).filter(F.col("pct_rank") >= 0.5)
+
+
+@query(
+    "text_char_entropy",
+    """
+    WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+                FROM documents WHERE text IS NOT NULL),
+         cnt AS (SELECT doc_id, c, count(*) AS k
+                 FROM ch WHERE c <> '' GROUP BY doc_id, c),
+         tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id)
+    SELECT c2.doc_id,
+           round(-sum((k / CAST(n AS DOUBLE))
+                      * log2(k / CAST(n AS DOUBLE))), 6) AS char_entropy,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars
+    FROM cnt c2 JOIN tot USING (doc_id)
+    GROUP BY c2.doc_id
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Shannon entropy of the per-document character distribution — the
+    classic gibberish/binary/encoded-blob detector (low entropy =
+    repeated filler, high = random bytes; natural language sits in a
+    narrow band).
+
+    Scale shape: chars are exploded per row and immediately hash-
+    aggregated on (doc, char) with map-side combine — the shuffle
+    carries at most |alphabet| rows per document, then one more
+    per-doc agg computes −Σ p·log2 p. Zero joins on the Spark side
+    (the oracle's tot-join is fused into the second aggregation),
+    everything codegen'd."""
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    n = F.sum("k").cast("double")
+    p = F.col("k").cast("double") / n
+    # -Σ p·log2 p with p referencing the group total: expand to
+    # (Σ k·log2 k)/n − log2 n, both single-pass aggregates
+    return cnt.groupBy("doc_id").agg(
+        F.round(
+            F.log2(n)
+            - F.sum(F.col("k").cast("double") * F.log2(F.col("k").cast("double")))
+            / n,
+            6,
+        ).alias("char_entropy"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+    )
