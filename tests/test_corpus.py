@@ -234,3 +234,21 @@ def test_dedup_segments_token_windows_respect_max_doc_freq(spark):
     }
     release_intermediates()
     assert out3[1] == f"{common} x y z"
+
+
+def test_no_python_udf_in_corpus_hygiene_plans(spark):
+    """Line dedup and entropy must stay JVM-side: no BatchEvalPython/
+    ArrowEvalPython anywhere in their physical plans."""
+    from gcs_parquet_dataflow_spark.operators.corpus import dedup_segments
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b\nc d"), (2, "a b\ne f")], "doc_id long, text string"
+    )
+    out = dedup_segments(df, "doc_id", "text", sep="\n")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release_intermediates()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
