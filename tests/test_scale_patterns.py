@@ -143,6 +143,54 @@ def test_approx_aggregates_within_tolerance(spark):
     assert abs(row["approx_p90"] - row["exact_p90"]) / row["exact_p90"] < 0.01
 
 
+def test_hll_sketch_tables_merge_and_roundtrip(spark, tmp_path):
+    """Mergeable HLL sketch tables (operators/sketches.py): the 100 TB
+    rollup pattern. Per-shard sketches written to parquet, read back,
+    and union-rolled must estimate within HLL error of the exact
+    distinct count — and a two-level rollup ladder (shard→group→all)
+    must equal the single-shot rollup exactly (associativity)."""
+    from gcs_parquet_dataflow_spark.catalog import load_table
+    from gcs_parquet_dataflow_spark.operators import sketches
+
+    ord_ = load_table(spark, "/root/testdata/sf0.001", "orders")
+    # shard = (priority, status): many small groups to merge
+    shard = sketches.shard_sketches(
+        ord_, ["o_orderpriority", "o_orderstatus"], "o_custkey"
+    )
+    path = str(tmp_path / "sketches")
+    shard.write.parquet(path)
+    back = spark.read.parquet(path)
+
+    # rollup to priority level, vs exact
+    est = {
+        r["o_orderpriority"]: r["approx_distinct"]
+        for r in sketches.merge_estimates(back, ["o_orderpriority"]).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["exact"]
+        for r in ord_.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.05, k
+
+    # associativity: ladder (shard→priority sketches→global) == one-shot
+    from pyspark.sql import functions as SF
+
+    ladder_mid = back.groupBy("o_orderpriority").agg(
+        SF.hll_union_agg("hll").alias("hll")
+    )
+    ladder = sketches.merge_estimates(
+        ladder_mid.withColumn("all", SF.lit(1)), ["all"]
+    ).first()["approx_distinct"]
+    oneshot = sketches.merge_estimates(
+        back.withColumn("all", SF.lit(1)), ["all"]
+    ).first()["approx_distinct"]
+    assert ladder == oneshot
+
+
 def test_new_operator_plans_avoid_global_sorts_and_cartesians(spark):
     """Round-2 additions plan audit: packing/repetition/SCD2/analytics
     never fall back to a single-partition exchange, a cartesian
