@@ -77,6 +77,59 @@ def weighted_sample(
     return df.filter(hash_bucket(k, denominator) < thresh)
 
 
+def resample_to_mixture(
+    df: DataFrame,
+    key: str | Column,
+    source_col: str,
+    weights: dict[str, float],
+    denominator: int = 10000,
+) -> DataFrame:
+    """Downsample each source so the surviving rows match a target
+    mixture (the domain-weighting step of training-mix curation: e.g.
+    web 40% / wiki 40% / books 20%).
+
+    Only ever downsamples: the achievable total is bounded by the
+    scarcest source, T = min_s(n_s / w_s), and each source keeps
+    rate_s = w_s * T / n_s of its rows (the bottleneck source keeps
+    everything). Sources absent from ``weights`` are dropped.
+
+    Scale shape: per-source counts are a tiny hash aggregate (one row
+    per source); rates come back onto the data via a broadcast join;
+    membership is the same content-hash filter as
+    ``deterministic_sample`` — no driver collect, no full shuffle,
+    stable under any partitioning.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    w_expr: Column | None = None
+    for src, w in weights.items():
+        cond = F.col(source_col) == src
+        w_expr = (
+            F.when(cond, float(w))
+            if w_expr is None
+            else w_expr.when(cond, float(w))
+        )
+    w_expr = F.lit(0.0) if w_expr is None else w_expr.otherwise(F.lit(0.0))
+
+    caps = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_w", w_expr)
+        .filter(F.col("_w") > 0)
+        .withColumn("_cap", F.col("_n") / F.col("_w"))
+    )
+    t_min = caps.agg(F.min("_cap").alias("_t"))
+    rates = caps.crossJoin(F.broadcast(t_min)).select(
+        source_col,
+        F.least(
+            F.col("_w") * F.col("_t") / F.col("_n"), F.lit(1.0)
+        ).alias("_rate"),
+    )
+    kept = df.join(F.broadcast(rates), source_col, "inner").filter(
+        hash_bucket(k, denominator) < F.col("_rate") * denominator
+    )
+    return kept.drop("_rate")
+
+
 def hash_split(
     df: DataFrame,
     key: str | Column,

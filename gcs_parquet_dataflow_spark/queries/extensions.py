@@ -567,6 +567,130 @@ def sample_deterministic_10pct(spark, sf_dir):
     return deterministic_sample(d, "doc_id", 0.10)
 
 
+@query(
+    "sample_mixture_resample",
+    f"""
+    WITH cw AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+                       CASE source WHEN 'src0' THEN 0.5
+                                   WHEN 'src1' THEN 0.3
+                                   WHEN 'src2' THEN 0.2 ELSE 0.0 END AS w
+                FROM documents GROUP BY source),
+    caps AS (SELECT source, n, w, n / w AS cap FROM cw WHERE w > 0),
+    tmin AS (SELECT min(cap) AS t FROM caps),
+    rates AS (SELECT source, least(w * t / n, 1.0) AS rate
+              FROM caps CROSS JOIN tmin)
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN rates r ON d.source = r.source
+    WHERE {h32("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.rate * 10000
+    """,
+)
+def sample_mixture_resample(spark, sf_dir):
+    """Domain-weight resampling (operators/sampling.py
+    resample_to_mixture): downsample sources to hit a target training
+    mixture (src0 50% / src1 30% / src2 20%, everything else dropped).
+    The achievable total is pinned by the scarcest source; membership
+    is the same content-hash rule as all deterministic sampling here.
+    Tiny per-source aggregate + broadcast rate join — no driver
+    collect, scale-independent."""
+    from gcs_parquet_dataflow_spark.operators.sampling import (
+        resample_to_mixture,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return resample_to_mixture(
+        d, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
+@query(
+    "linkage_fuzzy_part_names",
+    """
+    WITH p AS (SELECT p_name AS t, split_part(p_name, ' ', 1) AS blk,
+                      min(p_partkey) AS k
+               FROM part GROUP BY t, blk)
+    SELECT a.k AS key_a, b.k AS key_b, a.t AS text_a, b.t AS text_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+    WHERE levenshtein(a.t, b.t) <= 3
+    """,
+)
+def linkage_fuzzy_part_names(spark, sf_dir):
+    """Blocked fuzzy record linkage (operators/linkage.py): pairs of
+    distinct part names within 3 edits, compared only inside
+    first-token blocks — the entity-resolution primitive for merging
+    near-identical source/author/domain names. Distinct-name hash agg
+    first, then a block equi-join: Σ|block|² cost, never all-pairs."""
+    from gcs_parquet_dataflow_spark.operators import linkage
+
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = linkage.fuzzy_pairs_blocked(
+        p, "p_partkey", "p_name",
+        linkage.first_token_block(F.col("p_name")), max_dist=3,
+    )
+    return pairs.withColumn("dist", F.col("dist").cast("long"))
+
+
+def _profile_cte() -> str:
+    num = ["event_id", "user_id", "value"]
+    strs = ["event_type", "props"]
+    parts = []
+    for c in num:
+        parts.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nulls_{c}, CAST(count(DISTINCT {c}) AS BIGINT) AS dist_{c},"
+            f" round(min(CAST({c} AS DOUBLE)), 6) AS min_{c},"
+            f" round(max(CAST({c} AS DOUBLE)), 6) AS max_{c}"
+        )
+    for c in strs:
+        parts.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nulls_{c}, CAST(count(DISTINCT {c}) AS BIGINT) AS dist_{c},"
+            f" min({c}) AS min_{c}, max({c}) AS max_{c}"
+        )
+    sel = []
+    for c in num:
+        sel.append(
+            f"SELECT '{c}' AS col_name, n_rows, nulls_{c} AS n_nulls,"
+            f" dist_{c} AS n_distinct, CAST(NULL AS VARCHAR) AS min_str,"
+            f" CAST(NULL AS VARCHAR) AS max_str, min_{c} AS min_num,"
+            f" max_{c} AS max_num FROM a"
+        )
+    for c in strs:
+        sel.append(
+            f"SELECT '{c}' AS col_name, n_rows, nulls_{c} AS n_nulls,"
+            f" dist_{c} AS n_distinct, min_{c} AS min_str,"
+            f" max_{c} AS max_str, CAST(NULL AS DOUBLE) AS min_num,"
+            f" CAST(NULL AS DOUBLE) AS max_num FROM a"
+        )
+    return (
+        "WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        + ", ".join(parts)
+        + " FROM events) "
+        + " UNION ALL ".join(sel)
+    )
+
+
+@query("profile_events_columns", _profile_cte())
+def profile_events_columns(spark, sf_dir):
+    """One-pass column profiling (operators/quality.py
+    profile_columns): per-column null count, exact distinct count, and
+    domain-typed min/max over a single scan — the first query anyone
+    runs on an unfamiliar 100 TB table. All metrics for all columns
+    share one aggregate (multi-distinct Expand); the long form is a
+    stack of the single aggregated row."""
+    from gcs_parquet_dataflow_spark.operators.quality import profile_columns
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    prof = profile_columns(
+        e, ["event_id", "user_id", "event_type", "value", "props"]
+    )
+    return prof.withColumn("min_num", F.round("min_num", 6)).withColumn(
+        "max_num", F.round("max_num", 6)
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end training-data pipeline (composition of the extension ops)
 # ---------------------------------------------------------------------------
