@@ -670,6 +670,55 @@ def _profile_cte() -> str:
     )
 
 
+_BM25_TERMS = ("vector", "merge", "slow")
+
+
+def _bm25_sql() -> str:
+    from gcs_parquet_dataflow_spark.operators.retrieval import B, K1
+
+    tf_aggs = ", ".join(
+        f"CAST(sum(CASE WHEN tk = '{term}' THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS tf{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    df_aggs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    parts = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * {K1 + 1.0!r})"
+        f" / (tf{i} + {K1!r} * ({1.0 - B!r} + {B!r} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    match = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+               FROM documents),
+    d AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl, {tf_aggs}
+          FROM w GROUP BY doc_id),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {df_aggs}
+          FROM d)
+    SELECT doc_id, round({parts}, 6) AS bm25
+    FROM d CROSS JOIN s
+    WHERE {match} > 0
+    """
+
+
+@query("retrieval_bm25_scores", _bm25_sql())
+def retrieval_bm25_scores(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (operators/retrieval.py): score
+    every document against a constant query-term set. One
+    explode+groupBy shuffle for per-doc stats, one-row broadcast for
+    corpus stats (N, avgdl, df), fixed-order term-score addition so
+    the doubles are engine-stable before the round-6."""
+    from gcs_parquet_dataflow_spark.operators.retrieval import bm25_scores
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(d, "doc_id", "text", list(_BM25_TERMS))
+
+
 @query("profile_events_columns", _profile_cte())
 def profile_events_columns(spark, sf_dir):
     """One-pass column profiling (operators/quality.py

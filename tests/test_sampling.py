@@ -58,3 +58,83 @@ def test_stratified_sample_is_partitioning_independent_and_per_stratum(spark):
     # strata not listed use default_fraction (0.0 → dropped entirely)
     df2 = df.withColumn("g", F.lit("other"))
     assert stratified_sample(df2, "k", "g", frac).count() == 0
+
+
+def test_resample_to_mixture_hits_target_and_is_stable(spark):
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.operators.sampling import (
+        resample_to_mixture,
+    )
+
+    # skewed inputs: 3000 web, 1000 wiki, 500 books; target 40/40/20.
+    # capacity = min(3000/.4, 1000/.4, 500/.2) = 2500 (wiki-bound)
+    rows = (
+        [(i, "web") for i in range(3000)]
+        + [(10000 + i, "wiki") for i in range(1000)]
+        + [(20000 + i, "books") for i in range(500)]
+        + [(30000 + i, "junk") for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "k long, src string")
+    w = {"web": 0.4, "wiki": 0.4, "books": 0.2}
+    out = resample_to_mixture(df, "k", "src", w)
+    counts = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "junk" not in counts  # unlisted sources dropped
+    # the bottleneck source (wiki: rate 1.0) keeps every row exactly
+    assert counts["wiki"] == 1000
+    # achieved mixture ≈ target (hash sampling noise only)
+    total = sum(counts.values())
+    for src, frac in w.items():
+        assert abs(counts[src] / total - frac) < 0.05, (src, counts)
+    # membership is partitioning-independent
+    again = resample_to_mixture(df.repartition(17), "k", "src", w)
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in again.collect()
+    )
+
+
+def test_fuzzy_linkage_blocks_and_orders_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.operators import linkage
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme corps"),   # dist 1, same block → pair
+            (3, "acme inc"),     # dist 4 from corp → excluded at max_dist 2
+            (4, "zenith corp"),  # different block, never compared
+            (5, "acme corp"),    # exact dup → collapses to key 1
+        ],
+        "k long, name string",
+    )
+    pairs = linkage.fuzzy_pairs_blocked(
+        df, "k", "name", linkage.first_token_block(F.col("name")), max_dist=2
+    )
+    got = [(r["key_a"], r["key_b"], r["dist"]) for r in pairs.collect()]
+    assert got == [(1, 2, 1)]
+    # block equi-join, not a cartesian product
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_columns_single_pass_and_values(spark):
+    from gcs_parquet_dataflow_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "b", None)],
+        "k long, s string, v double",
+    )
+    prof = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert set(prof) == {"k", "s", "v"}
+    assert prof["k"]["n_rows"] == 3 and prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 2
+    assert prof["k"]["min_num"] == 1.0 and prof["k"]["max_num"] == 2.0
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["min_str"] == "a"
+    assert prof["s"]["min_num"] is None  # strings never numeric-formatted
+    assert prof["v"]["max_num"] == 2.5 and prof["v"]["max_str"] is None
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
