@@ -98,3 +98,59 @@ def bm25_scores(
             F.round(score, round_to).alias("bm25"),
         )
     )
+
+
+def ranked_topk(
+    df: DataFrame, score_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Top-``k`` rows by (``score_col`` desc, ``id_col`` asc) with a
+    1-based ``rank`` column.
+
+    Scale shape: the global top-k itself is distributed (Spark plans
+    orderBy+limit as TakeOrderedAndProject — per-partition top-k then a
+    k-row merge, never a full sort); the row_number window then runs
+    over the ≤k surviving rows only, so the single-partition window is
+    bounded by k, not by the corpus. Ties break by id, making the rank
+    assignment engine-deterministic (score must already be rounded to
+    the module's 6-digit grain).
+    """
+    from pyspark.sql import Window
+
+    top = df.orderBy(F.col(score_col).desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str,
+    k: float = 60.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of named rankings (each: id_col + rank).
+
+    RRF(d) = Σ_r 1/(k + rank_r(d)) — the standard score-free way to
+    combine lexical (BM25) and vector (kNN) retrieval. Items absent
+    from a ranking contribute 0. Output: (id_col, rank_<name>…, rrf).
+
+    The inputs are top-k candidate lists (bounded), so the fusion join
+    chain is tiny regardless of corpus size; addition order over
+    rankings is fixed for engine-stable doubles.
+    """
+    out: DataFrame | None = None
+    names = [name for name, _ in rankings]
+    for name, r in rankings:
+        ri = r.select(F.col(id_col), F.col("rank").alias(f"rank_{name}"))
+        out = ri if out is None else out.join(ri, id_col, "full_outer")
+    assert out is not None
+    score = None
+    for name in names:
+        part = F.coalesce(
+            F.lit(1.0) / (k + F.col(f"rank_{name}")), F.lit(0.0)
+        )
+        score = part if score is None else score + part
+    return out.select(
+        id_col,
+        *[F.col(f"rank_{n}") for n in names],
+        F.round(score, round_to).alias("rrf"),
+    )

@@ -673,7 +673,8 @@ def _profile_cte() -> str:
 _BM25_TERMS = ("vector", "merge", "slow")
 
 
-def _bm25_sql() -> str:
+def _bm25_ctes() -> tuple[str, str, str]:
+    """(CTE body, score expr, match expr) shared by the BM25 queries."""
     from gcs_parquet_dataflow_spark.operators.retrieval import B, K1
 
     tf_aggs = ", ".join(
@@ -693,16 +694,53 @@ def _bm25_sql() -> str:
         for i in range(len(_BM25_TERMS))
     )
     match = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
-    return f"""
-    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
-               FROM documents),
+    ctes = f"""
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+          FROM documents),
     d AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl, {tf_aggs}
           FROM w GROUP BY doc_id),
     s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {df_aggs}
           FROM d)
+    """
+    return ctes, parts, match
+
+
+def _bm25_sql() -> str:
+    ctes, parts, match = _bm25_ctes()
+    return f"""
+    WITH {ctes}
     SELECT doc_id, round({parts}, 6) AS bm25
     FROM d CROSS JOIN s
     WHERE {match} > 0
+    """
+
+
+def _rrf_sql() -> str:
+    ctes, parts, match = _bm25_ctes()
+    return f"""
+    WITH {ctes},
+    bm AS (SELECT doc_id, round({parts}, 6) AS bm25
+           FROM d CROSS JOIN s WHERE {match} > 0),
+    lexall AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+               FROM bm),
+    lex AS (SELECT doc_id, CAST(r AS BIGINT) AS r FROM lexall WHERE r <= 50),
+    e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e0 WHERE vec_id = 0),
+    cosd AS (SELECT vec_id,
+                    round(list_dot_product(v, q)
+                          / (sqrt(list_dot_product(v, v))
+                             * sqrt(list_dot_product(q, q))), 6) AS cos
+             FROM e0 CROSS JOIN qv WHERE vec_id <> 0),
+    vecall AS (SELECT vec_id AS doc_id,
+                      row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+               FROM cosd),
+    vec AS (SELECT doc_id, CAST(r AS BIGINT) AS r FROM vecall WHERE r <= 50)
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           l.r AS rank_lex, v.r AS rank_vec,
+           round(coalesce(1.0 / (60.0 + l.r), 0.0)
+                 + coalesce(1.0 / (60.0 + v.r), 0.0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
     """
 
 
@@ -717,6 +755,45 @@ def retrieval_bm25_scores(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_scores(d, "doc_id", "text", list(_BM25_TERMS))
+
+
+@query("retrieval_rrf_fusion", _rrf_sql())
+def retrieval_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval (operators/retrieval.py rrf_fuse): reciprocal-
+    rank fusion of the BM25 lexical top-50 and the embedding-cosine
+    top-50 for one query vector — the standard production combination
+    of the two retrieval paths this engine ships. Both candidate lists
+    are bounded top-k (TakeOrdered, never a full sort), so the fusion
+    join is corpus-size-independent."""
+    from gcs_parquet_dataflow_spark.operators.retrieval import (
+        bm25_scores,
+        ranked_topk,
+        rrf_fuse,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = ranked_topk(
+        bm25_scores(docs, "doc_id", "text", list(_BM25_TERMS)),
+        "bm25", "doc_id", 50,
+    )
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_q")
+    )
+    cosd = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            SIM.cosine(F.col("embedding"), F.col("_q")).alias("cos"),
+        )
+    )
+    vec = ranked_topk(cosd, "cos", "doc_id", 50)
+    return rrf_fuse(
+        [("lex", lex.select("doc_id", "rank")),
+         ("vec", vec.select("doc_id", "rank"))],
+        "doc_id",
+    )
 
 
 @query("profile_events_columns", _profile_cte())
