@@ -155,6 +155,62 @@ def pii_counts(col: Column) -> dict[str, Column]:
     }
 
 
+# URL canonicalization steps shared verbatim with the DuckDB oracle
+# (Java regex and RE2 read these identically; no backreferences, so the
+# replacement strings also transfer as-is). Order matters:
+# fragment → tracking params → delimiter cleanup; the host-lowercasing
+# step sits between the two lists because it is extract+concat, not a
+# plain replace.
+URL_CANON_PRE: list[tuple[str, str]] = [
+    (r"#.*$", ""),  # drop fragment
+    (r"(utm_[a-zA-Z]+|fbclid|gclid|msclkid)=[^&#]*", ""),  # tracking args
+    (r"&&+", "&"),  # collapse runs left by removed params
+    (r"\?&", "?"),  # '?&x' → '?x'
+    (r"[?&]+$", ""),  # dangling '?'/'&'
+]
+URL_SCHEME_HOST = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+URL_CANON_POST: list[tuple[str, str]] = [
+    (r"://www\.", "://"),  # strip www. (host already lowercased)
+    (r"/+$", ""),  # trailing slash(es)
+]
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL form for dedup/rollup keys: drop the fragment and
+    tracking query params (utm_*/fbclid/gclid/msclkid), lowercase the
+    scheme+host (paths stay case-sensitive), strip ``www.`` and trailing
+    slashes. Pure regexp chain — per-row, zero shuffle, scan-stage cost
+    at any scale. SQL twin built from the SAME constants by
+    ``canonicalize_url_sql``."""
+    u = col
+    for pat, rep in URL_CANON_PRE:
+        u = F.regexp_replace(u, pat, rep)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, URL_SCHEME_HOST, 0)),
+        F.regexp_replace(u, URL_SCHEME_HOST, ""),
+    )
+    for pat, rep in URL_CANON_POST:
+        u = F.regexp_replace(u, pat, rep)
+    return u
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB expression applying exactly the steps of
+    ``canonicalize_url`` to SQL expression ``expr`` (oracle twin;
+    'g' flag because DuckDB replaces first-match by default while
+    Spark/Java replaces all)."""
+    u = expr
+    for pat, rep in URL_CANON_PRE:
+        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    u = (
+        f"lower(regexp_extract({u}, '{URL_SCHEME_HOST}')) || "
+        f"regexp_replace({u}, '{URL_SCHEME_HOST}', '')"
+    )
+    for pat, rep in URL_CANON_POST:
+        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    return u
+
+
 def doc_md5(col: Column) -> Column:
     """Whole-document fingerprint: md5 hex of the normalized text
     (lowercased, whitespace collapsed)."""

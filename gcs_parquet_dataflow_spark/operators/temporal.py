@@ -121,6 +121,96 @@ def range_join_binned(
     ).drop("_bin")
 
 
+def time_bucket_gapfill(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    bucket_seconds: int,
+    aggs: list,
+    fill: dict[str, str | list[str]] | None = None,
+) -> DataFrame:
+    """Hypertable-style rollup with gap fill (the TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` + ``interpolate`` trio, which
+    plain Spark/SQL ``GROUP BY`` cannot express because empty buckets
+    produce no rows): bucket ``ts_col`` into ``bucket_seconds``-wide
+    epochs, aggregate per (group, bucket), then densify every group to a
+    contiguous bucket spine from its first to its last observed bucket.
+
+    ``fill`` maps an aggregated column to a fill mode (or list of
+    modes), each emitted as a NEW column ``<col>_<mode>``:
+
+    - ``locf``        — last observation carried forward (trailing gaps
+      keep the last value; leading gaps stay NULL),
+    - ``interpolate`` — linear between the nearest non-NULL neighbours,
+      time-weighted on the bucket epoch (NULL outside the observed
+      range, matching Timescale),
+    - ``zero``        — ``coalesce(col, 0)``.
+
+    An ``is_gap`` flag marks spine rows with no source rows.
+
+    Scale shape: the rollup is one map-side-combined hash aggregation;
+    everything after runs on BUCKET-COUNT-sized data (rows = groups ×
+    spine length, independent of raw volume). The spine comes from a
+    per-group min/max agg + ``sequence``/``explode`` — no driver-side
+    range materialization — and the fills are windows partitioned by the
+    group key over that small rollup. At 100 TB the only data-sized cost
+    is the first aggregation; a year of 1-minute buckets is ~525k rows
+    per group, well under window-partition limits.
+
+    No reference analog (main.py has no time-series surface) — brief
+    extension surface; oracle twin: DuckDB ``generate_series`` spine +
+    ``IGNORE NULLS`` windows (queries/extensions.py
+    timeseries_gapfill_locf).
+    """
+    fill = fill or {}
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+        * bucket_seconds
+    )
+    rolled = df.groupBy(*group_cols, bucket.alias("bucket")).agg(*aggs)
+    val_cols = [c for c in rolled.columns if c not in group_cols + ["bucket"]]
+    spine = (
+        rolled.groupBy(*group_cols)
+        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+        .select(
+            *group_cols,
+            F.explode(
+                F.expr(f"sequence(_mn, _mx, interval {bucket_seconds} seconds)")
+            ).alias("bucket"),
+        )
+    )
+    dense = spine.join(rolled, [*group_cols, "bucket"], "left").withColumn(
+        "is_gap", F.col(val_cols[0]).isNull() if val_cols else F.lit(False)
+    )
+    w = W.partitionBy(*group_cols).orderBy("bucket")
+    prec = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    foll = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    epoch = F.unix_timestamp(F.col("bucket")).cast("double")
+    for col, modes in fill.items():
+        for mode in [modes] if isinstance(modes, str) else modes:
+            if mode == "locf":
+                dense = dense.withColumn(
+                    f"{col}_locf", F.last(col, ignorenulls=True).over(prec)
+                )
+            elif mode == "zero":
+                dense = dense.withColumn(
+                    f"{col}_zero", F.coalesce(F.col(col), F.lit(0))
+                )
+            elif mode == "interpolate":
+                obs_t = F.when(F.col(col).isNotNull(), epoch)
+                pv = F.last(col, ignorenulls=True).over(prec)
+                pt = F.last(obs_t, ignorenulls=True).over(prec)
+                nv = F.first(col, ignorenulls=True).over(foll)
+                nt = F.first(obs_t, ignorenulls=True).over(foll)
+                interp = F.when(F.col(col).isNotNull(), F.col(col)).otherwise(
+                    pv + (nv - pv) * (epoch - pt) / (nt - pt)
+                )
+                dense = dense.withColumn(f"{col}_interpolate", interp)
+            else:
+                raise ValueError(f"unknown fill mode {mode!r} for {col!r}")
+    return dense
+
+
 def scd2_history(
     df: DataFrame,
     key_col: str,

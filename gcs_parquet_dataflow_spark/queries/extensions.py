@@ -2397,3 +2397,270 @@ def text_char_entropy(spark, sf_dir):
         ).alias("char_entropy"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
     )
+
+
+@query(
+    "timeseries_gapfill_locf",
+    """
+    WITH src AS (SELECT event_type, date_trunc('hour', ts) AS bucket, value
+                 FROM events WHERE user_id % 25 = 0),
+         agg AS (SELECT event_type, bucket,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                            /100.0 AS total_value
+                 FROM src GROUP BY 1, 2),
+         rng AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+                 FROM agg GROUP BY 1),
+         spine AS (SELECT event_type,
+                          unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                              AS bucket
+                   FROM rng),
+         dense AS (SELECT s.event_type, s.bucket, a.n, a.total_value
+                   FROM spine s LEFT JOIN agg a USING (event_type, bucket)),
+         filled AS (SELECT *,
+            last_value(total_value IGNORE NULLS) OVER prec AS pv,
+            last_value(CASE WHEN total_value IS NOT NULL
+                       THEN epoch(bucket) END IGNORE NULLS) OVER prec AS pt,
+            first_value(total_value IGNORE NULLS) OVER foll AS nv,
+            first_value(CASE WHEN total_value IS NOT NULL
+                        THEN epoch(bucket) END IGNORE NULLS) OVER foll AS nt
+          FROM dense
+          WINDOW prec AS (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 foll AS (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, bucket, CAST(coalesce(n, 0) AS BIGINT) AS n,
+           total_value IS NULL AS is_gap,
+           round(pv, 6) AS total_locf,
+           round(CASE WHEN total_value IS NOT NULL THEN total_value
+                 ELSE pv + (nv - pv) * (epoch(bucket) - pt) / (nt - pt)
+                 END, 6) AS total_interp
+    FROM filled
+    """,
+)
+def timeseries_gapfill_locf(spark, sf_dir):
+    """Hypertable rollup with gap fill: hourly per-event-type revenue on
+    a SPARSE user slice (user_id % 25 = 0 → most hour buckets empty),
+    densified to a contiguous hourly spine per type, with LOCF and
+    time-weighted linear interpolation over the gaps — TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf`` + ``interpolate``, which plain
+    GROUP BY cannot express (empty buckets produce no rows).
+
+    Money flows as integer cents until the final divide; interpolation
+    is the identical ``pv + (nv-pv)*(t-pt)/(nt-pt)`` expression both
+    engines round at 6. Post-rollup data is bucket-count-sized, so the
+    spine join and fill windows are metadata-scale regardless of raw
+    volume (operator docstring has the 100 TB budget)."""
+    from gcs_parquet_dataflow_spark.operators.temporal import (
+        time_bucket_gapfill,
+    )
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    dense = time_bucket_gapfill(
+        e,
+        group_cols=["event_type"],
+        ts_col="ts",
+        bucket_seconds=3600,
+        aggs=[
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        ],
+        fill={"total_value": ["locf", "interpolate"]},
+    )
+    return dense.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "is_gap",
+        F.round(F.col("total_value_locf"), 6).alias("total_locf"),
+        F.round(F.col("total_value_interpolate"), 6).alias("total_interp"),
+    )
+
+
+@query(
+    "event_transition_probs",
+    """
+    WITH seq AS (SELECT user_id, event_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            AS next_type
+                 FROM events),
+         cnt AS (SELECT event_type, next_type,
+                        CAST(count(*) AS BIGINT) AS n_transitions
+                 FROM seq WHERE next_type IS NOT NULL
+                 GROUP BY 1, 2)
+    SELECT event_type, next_type, n_transitions,
+           round(n_transitions /
+                 CAST(sum(n_transitions) OVER (PARTITION BY event_type)
+                      AS DOUBLE), 6) AS prob
+    FROM cnt
+    """,
+)
+def event_transition_probs(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type). The standard
+    behavioral-model / session-analytics building block (and the
+    stochastic-matrix input to PageRank-style chains).
+
+    Scale shape: ONE shuffle — the lead() window partitions by user_id
+    (orderBy ts, event_id for a total order under timestamp ties), then
+    the (type, next_type) count is a map-side-combined hash aggregation
+    whose shuffle carries ≤ |event types|² rows, and the normalizing
+    sum-over-type window runs on that tiny matrix. Volume-independent
+    after the first exchange."""
+    from pyspark.sql import Window as WM
+
+    e = t(spark, sf_dir, "events")
+    w = WM.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        e.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    wt = WM.partitionBy("event_type")
+    return cnt.withColumn(
+        "prob",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wt).cast("double"),
+            6,
+        ),
+    )
+
+
+@query(
+    "url_canonical_dedup",
+    f"""
+    WITH u0 AS (SELECT doc_id,
+           'HTTPS://WWW.Site' || (doc_id % 7) || '.COM/Docs/'
+               || (doc_id % 50) ||
+           CASE doc_id % 4
+             WHEN 0 THEN '/?utm_source=feed&utm_campaign=c' || (doc_id % 3)
+             WHEN 1 THEN '?id=' || (doc_id % 5)
+                         || '&utm_medium=email&gclid=g123'
+             WHEN 2 THEN '/#section-' || doc_id
+             ELSE '/' END AS url
+        FROM documents),
+    c AS (SELECT doc_id, url,
+                 {TX.canonicalize_url_sql('url')} AS canonical_url
+          FROM u0)
+    SELECT doc_id, url, canonical_url,
+           doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keep
+    FROM c
+    """,
+)
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + canonical-key dedup — the first pass of
+    every web-crawl pipeline (the same page arrives as http/https,
+    with/without www., trailing slash, #fragments, and utm_*/gclid
+    tracking params; naive exact dedup misses all of it). The fixtures
+    have no URL column, so each row synthesizes a deterministic messy
+    URL from doc_id (both engines build the identical string — the
+    planted-dup pattern of this module).
+
+    functions/text.py canonicalize_url: fragment → tracking-param strip
+    → delimiter cleanup → scheme+host lowercase (paths stay cased) →
+    www./trailing-slash strip; the SQL twin is generated from the SAME
+    regex constants. ``keep`` marks the min-doc_id representative per
+    canonical key.
+
+    Scale shape: canonicalization is a scan-stage regexp chain (zero
+    shuffle); the keep flag is one window (or groupBy) on the canonical
+    key — exactly the cost of exact dedup."""
+    d = t(spark, sf_dir, "documents")
+    ds = lambda m: (F.col("doc_id") % m).cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), ds(7), F.lit(".COM/Docs/"), ds(50),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/?utm_source=feed&utm_campaign=c"), ds(3)))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("?id="), ds(5),
+                       F.lit("&utm_medium=email&gclid=g123")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("/#section-"),
+                       F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/")),
+    )
+    from pyspark.sql import Window as WU
+
+    c = d.select(
+        "doc_id",
+        url.alias("url"),
+        TX.canonicalize_url(url).alias("canonical_url"),
+    )
+    return c.withColumn(
+        "keep",
+        F.col("doc_id")
+        == F.min("doc_id").over(WU.partitionBy("canonical_url")),
+    )
+
+
+@query(
+    "outlier_mad_orders",
+    """
+    WITH med AS (SELECT o_orderpriority,
+                        quantile_cont(o_totalprice, 0.5) AS med
+                 FROM orders GROUP BY 1),
+         dev AS (SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+                        m.med
+                 FROM orders o JOIN med m USING (o_orderpriority)),
+         mad AS (SELECT o_orderpriority,
+                        quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+                 FROM dev GROUP BY 1)
+    SELECT d.o_orderkey, d.o_orderpriority, d.o_totalprice,
+           round(d.med, 6) AS group_median,
+           round(m.mad, 6) AS group_mad,
+           round(abs(d.o_totalprice - d.med) / m.mad, 6) AS robust_z
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    WHERE abs(d.o_totalprice - d.med) > 1.4 * m.mad
+    """,
+)
+def outlier_mad_orders(spark, sf_dir):
+    """Robust outlier detection per group: flag orders whose total price
+    deviates from the group (order-priority) MEDIAN by more than
+    1.4× the median-absolute-deviation — the robust z-score that, unlike
+    mean/stddev, is not itself dragged by the outliers it hunts. The
+    standard numeric-column anomaly gate in data-quality pipelines.
+
+    Both medians use exact interpolated percentile (Spark
+    ``percentile`` = DuckDB ``quantile_cont``, the pairing
+    agg_statistics established); the deviation/threshold arithmetic is
+    the identical expression tree on both sides, so doubles agree to
+    the last bit and the 1.4×MAD comparison cannot straddle engines.
+
+    Scale shape: two per-group aggregations (map-side combined, shuffle
+    ≤ |groups| rows each) + two joins against group-count-sized stat
+    tables — auto-broadcast at any realistic group count. At 100 TB
+    swap the exact percentile for ``approx_percentile`` (documented
+    dial, same plan shape)."""
+    o = t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "med"
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .filter(
+            F.abs(F.col("o_totalprice") - F.col("med"))
+            > 1.4 * F.col("mad")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round(F.col("med"), 6).alias("group_median"),
+            F.round(F.col("mad"), 6).alias("group_mad"),
+            F.round(
+                F.abs(F.col("o_totalprice") - F.col("med")) / F.col("mad"), 6
+            ).alias("robust_z"),
+        )
+    )

@@ -252,3 +252,27 @@ def test_no_python_udf_in_corpus_hygiene_plans(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     release_intermediates()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_canonicalize_url_known_forms(spark):
+    from gcs_parquet_dataflow_spark.functions.text import canonicalize_url
+
+    cases = [
+        # tracking params stripped, host lowercased, www./slash dropped
+        ("HTTPS://WWW.Example.COM/Path/?utm_source=x&utm_campaign=y",
+         "https://example.com/Path"),
+        # non-tracking params survive, dangling '&' cleaned
+        ("http://Example.com/p?id=3&utm_medium=email&gclid=g1",
+         "http://example.com/p?id=3"),
+        # fragment dropped; path case preserved
+        ("https://A.com/Path/Sub#section-2", "https://a.com/Path/Sub"),
+        # plain URL already canonical except trailing slash
+        ("https://a.com/", "https://a.com"),
+        # tracking param in the middle of others
+        ("https://a.com/p?a=1&fbclid=zz&b=2", "https://a.com/p?a=1&b=2"),
+        # no scheme/host match → string passes through the chain intact
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]

@@ -139,3 +139,86 @@ def test_scd2_collapses_runs_and_handles_null_states(spark):
     assert [(r["st"], r["valid_from"], r["valid_to"], r["n_events"]) for r in got] == [
         ("a", 10, 30, 2), (None, 30, 50, 2), ("a", 50, None, 1),
     ]
+
+
+def test_time_bucket_gapfill_spine_locf_interpolate(spark):
+    from gcs_parquet_dataflow_spark.operators.temporal import (
+        time_bucket_gapfill,
+    )
+
+    # group "a": observations at hours 0 and 3 → spine 0,1,2,3 with a
+    # 2-hour gap; group "b": single observation → 1-row spine.
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 10.0),
+            ("a", "2024-01-01 00:50:00", 20.0),
+            ("a", "2024-01-01 03:30:00", 40.0),
+            ("b", "2024-01-05 07:00:00", 7.0),
+        ],
+        "g string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_bucket_gapfill(
+        df,
+        group_cols=["g"],
+        ts_col="ts",
+        bucket_seconds=3600,
+        aggs=[
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").alias("total"),
+        ],
+        fill={"total": ["locf", "interpolate", "zero"], "n": "zero"},
+    ).orderBy("g", "bucket")
+    rows = out.collect()
+    a = [r for r in rows if r["g"] == "a"]
+    b = [r for r in rows if r["g"] == "b"]
+    assert len(a) == 4 and len(b) == 1
+    assert [r["bucket"].hour for r in a] == [0, 1, 2, 3]
+    assert [r["is_gap"] for r in a] == [False, True, True, False]
+    assert [r["n_zero"] for r in a] == [2, 0, 0, 1]
+    assert [r["total"] for r in a] == [30.0, None, None, 40.0]
+    assert [r["total_locf"] for r in a] == [30.0, 30.0, 30.0, 40.0]
+    # linear between (t=0h, 30.0) and (t=3h, 40.0)
+    got = [r["total_interpolate"] for r in a]
+    exp = [30.0, 30.0 + 10.0 / 3, 30.0 + 20.0 / 3, 40.0]
+    assert all(abs(x - y) < 1e-9 for x, y in zip(got, exp))
+    assert [r["total_zero"] for r in a] == [30.0, 0.0, 0.0, 40.0]
+    assert b[0]["is_gap"] is False and b[0]["total"] == 7.0
+
+
+def test_time_bucket_gapfill_leading_trailing_gap_semantics(spark):
+    from gcs_parquet_dataflow_spark.operators.temporal import (
+        time_bucket_gapfill,
+    )
+
+    # Force leading + trailing gaps by aggregating a filtered value
+    # column: buckets 0 and 4 exist (spine anchors) but only buckets
+    # 1 and 2 carry a non-null value.
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", None),
+            ("a", "2024-01-01 01:00:00", 10.0),
+            ("a", "2024-01-01 02:00:00", 20.0),
+            ("a", "2024-01-01 04:00:00", None),
+        ],
+        "g string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_bucket_gapfill(
+        df,
+        group_cols=["g"],
+        ts_col="ts",
+        bucket_seconds=3600,
+        aggs=[F.sum("v").alias("total")],
+        fill={"total": ["locf", "interpolate"]},
+    ).orderBy("bucket")
+    rows = out.collect()
+    assert len(rows) == 5  # hour 3 densified
+    # leading gap: LOCF and interpolate both NULL (Timescale semantics)
+    assert rows[0]["total_locf"] is None
+    assert rows[0]["total_interpolate"] is None
+    # interior gap interpolates, trailing gap carries forward but does
+    # not extrapolate
+    assert rows[3]["total_locf"] == 20.0
+    # hour-3 gap has no LATER non-null observation → no interpolation
+    assert rows[3]["total_interpolate"] is None
+    assert rows[4]["total_locf"] == 20.0
+    assert rows[4]["total_interpolate"] is None
