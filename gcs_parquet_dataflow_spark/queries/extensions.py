@@ -2664,3 +2664,68 @@ def outlier_mad_orders(spark, sf_dir):
             ).alias("robust_z"),
         )
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    f"""
+    WITH RECURSIVE {LSH_PAIRS_CTES},
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    r AS (SELECT s, d FROM e
+          UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+    m AS (SELECT s AS doc_id, min(d) AS mn FROM r GROUP BY s),
+    cl AS (SELECT aug.doc_id, aug.text,
+                  CAST(coalesce(least(aug.doc_id, m.mn), aug.doc_id)
+                       AS BIGINT) AS cluster
+           FROM aug LEFT JOIN m ON aug.doc_id = m.doc_id),
+    qs AS (SELECT doc_id, cluster, text, string_split(text, ' ') AS w
+           FROM cl),
+    qq AS (SELECT doc_id, cluster,
+                  round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0,
+                                    1.0)
+                      + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                    / len(w), 6)
+                      + 0.2 * least({{_STOP_EN}} * 10.0, 1.0), 6)
+                      AS quality
+           FROM qs)
+    SELECT doc_id, cluster, quality,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY quality DESC, doc_id) = 1 AS keep
+    FROM qq
+    """.replace("{_STOP_EN}", _stop_sql("en")),
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    """Quality-aware near-dup resolution: cluster near-duplicates
+    (MinHash-LSH pairs → connected components), then keep the HIGHEST
+    QUALITY member of each cluster instead of the arbitrary min-id —
+    what production pretraining dedup actually does (among mirror
+    copies of a page, keep the cleanest one). Tie-broken by doc_id so
+    the decision is total and engine-independent; quality is the
+    rounded-at-6 score on both sides so the ORDER BY keys agree
+    exactly.
+
+    Scale shape: pair generation is the banded LSH equi-join, clustering
+    is O(diameter) label propagation, and the keep decision is ONE
+    row_number window partitioned by cluster over doc-count-sized data.
+    No step exceeds the cost of the clustering the pipeline already
+    runs."""
+    from pyspark.sql import Window as WQ
+
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    pairs = DD.lsh_candidate_pairs(sigs, "doc_id", "sig", rows_per_band=2)
+    comp = DD.connected_components(
+        aug.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    q = aug.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    w = WQ.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster", "quality", "keep")
+    )

@@ -347,3 +347,25 @@ def test_simhash_nulls_beyond_lane_capacity(spark):
     df = docs_df(spark, [(1, big), (2, "a small doc")])
     got = {r["doc_id"]: r["simhash"] for r in DD.with_simhash(df, "doc_id", "text").collect()}
     assert got[1] is None and got[2] is not None
+
+
+def test_keep_best_quality_one_representative_per_cluster(spark):
+    """dedup_keep_best_quality keeps exactly one member per cluster and
+    it is the max-quality (tie: min doc_id) member."""
+    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+
+    rows = (
+        CATALOG["dedup_keep_best_quality"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        kept = [m for m in members if m["keep"]]
+        assert len(kept) == 1
+        best = sorted(members, key=lambda m: (-m["quality"], m["doc_id"]))[0]
+        assert kept[0]["doc_id"] == best["doc_id"]
+    # the planted near-dups create multi-member clusters
+    assert any(len(m) > 1 for m in by_cluster.values())
