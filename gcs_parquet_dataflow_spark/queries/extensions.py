@@ -2729,3 +2729,187 @@ def dedup_keep_best_quality(spark, sf_dir):
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "cluster", "quality", "keep")
     )
+
+
+@query(
+    "regression_trend_by_type",
+    """
+    WITH pts AS (SELECT event_type,
+                        CAST(floor(epoch(ts) / 3600)
+                             - (SELECT floor(min(epoch(ts)) / 3600)
+                                FROM events) AS BIGINT) AS x,
+                        CAST(round(value * 100) AS BIGINT) AS y
+                 FROM events),
+         s AS (SELECT event_type,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx
+               FROM pts GROUP BY 1)
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_hr,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS intercept_cents
+    FROM s
+    """,
+)
+def regression_trend_by_type(spark, sf_dir):
+    """Per-group ordinary-least-squares trend (slope + intercept of
+    event value over time) computed with EXACT integer sums — the
+    closed-form ``(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`` on hour-offset x and
+    cent-valued y, so the only floating-point steps are the two final
+    divisions both engines perform identically. The native
+    ``regr_slope`` aggregate would drift across partition orders
+    (double partial sums); this form is partitioning-independent —
+    the property every oracle query here guarantees.
+
+    Scale shape: ONE map-side-combined aggregation producing five
+    int64 sums per group — the cheapest possible distributed
+    regression; x is centered on the global min hour (a scalar
+    broadcast) to keep every product inside int64 at any row count
+    where Σx·y < 2^63 (hours × cents × rows; holds through ~10^5 hours
+    × 10^9 rows of 4-decimal values via the same construction)."""
+    e = t(spark, sf_dir, "events")
+    min_hr = e.agg(
+        F.floor(F.min(F.unix_timestamp("ts")) / 3600).cast("long")
+    ).collect()[0][0]  # scalar broadcast, documented driver fetch
+    pts = e.select(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long") - F.lit(min_hr)
+        ).alias("x"),
+        cents(F.col("value")).alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_hr"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    )
+
+
+@query(
+    "graph_triangle_participation",
+    """
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS hb
+               FROM events),
+         e AS (SELECT x.user_id AS u, y.user_id AS v
+               FROM b x JOIN b y
+                 ON x.event_type = y.event_type AND x.hb = y.hb
+                AND x.user_id < y.user_id
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+         tri AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+                 FROM e e1
+                 JOIN e e2 ON e1.v = e2.u
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         tn AS (SELECT unnest([a, b2, c]) AS user_id FROM tri),
+         tc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM tn GROUP BY 1),
+         deg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS degree
+                 FROM (SELECT u AS user_id FROM e
+                       UNION ALL SELECT v FROM e)
+                 GROUP BY 1)
+    SELECT d.user_id, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN tc t USING (user_id)
+    """,
+)
+def graph_triangle_participation(spark, sf_dir):
+    """Graph analytics over a behavioral co-activity graph: users are
+    linked when they act in the same (event_type, hour) bucket at least
+    3 times; per-user DEGREE and TRIANGLE participation follow — the
+    clustering/community signal (triangle-heavy neighborhoods = tight
+    cohorts, and the building block of clustering coefficient).
+
+    Triangle counting uses the standard node-ordered edge list
+    (``u < v``): each triangle a<b<c is materialized exactly once by
+    joining (a,b)⋈(b,c) and probing (a,c) — no double counting, no
+    cartesian anywhere. All-integer outputs, so the oracle matches
+    exactly.
+
+    Scale shape: the bucket self-join is an equi-join on
+    (event_type, hour) whose cost is Σ|bucket|² — bounded by bucketing
+    granularity, the same guarantee as every LSH join here. The
+    triangle join is the canonical distributed algorithm (edges
+    shuffled once on each endpoint); at web scale you'd additionally
+    degree-order nodes (u→v when deg(u)<deg(v)), which caps the join
+    fan-out at O(E^1.5) — noted as the dial, same plan shape."""
+    e0 = t(spark, sf_dir, "events")
+    b = e0.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hb"),
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.hb") == F.col("y.hb"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .groupBy(
+            F.col("x.user_id").alias("u"), F.col("y.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 3)
+        .select("u", "v")
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    e = persist_intermediate(e)  # three consumers: e1/e2/e3 + degree
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b2"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    tc = (
+        tri.select(
+            F.explode(F.array("a", "b2", "c")).alias("user_id")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("u").alias("user_id"))
+        .unionAll(e.select(F.col("v").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.join(tc, "user_id", "left").select(
+        "user_id",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )

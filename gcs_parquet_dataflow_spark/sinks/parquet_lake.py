@@ -179,6 +179,58 @@ def compact(
     return files_before, files_after
 
 
+def upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> tuple[int, int]:
+    """Delta-style MERGE (SCD type-1 upsert) on a raw-parquet table:
+    union the current table with ``updates`` and keep, per key, the row
+    with the highest ``version_col`` (ties: the update wins). New keys
+    insert, existing keys overwrite, the table stays exactly one row
+    per key. Returns (rows_before, rows_after).
+
+    Re-applying the same update batch is IDEMPOTENT: max-version-wins
+    is commutative/associative, so a retried batch converges to the
+    same table — the same batch-id safety the append path has.
+
+    Scale shape: one hash shuffle on the key (the row_number window) +
+    a full rewrite — the copy-on-write MERGE every parquet-based table
+    format performs when updates scatter across files. When updates
+    cluster, partition the table and rewrite only affected partitions
+    (write_partitioned + a key→partition pre-filter); transactional
+    visibility is what Delta/Iceberg layer on top, same as compact().
+
+    No reference analog (the reference only appends); extension
+    surface for the curation lake.
+    """
+    from pyspark.sql import Window as WU
+
+    current = spark.read.parquet(path)
+    rows_before = current.count()
+    tagged = current.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = WU.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    merged = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    staging = path.rstrip("/") + "__upsert_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(hpath, True)
+    fs.rename(spath, hpath)
+    rows_after = spark.read.parquet(path).count()
+    return rows_before, rows_after
+
+
 def zorder_key(x, y, bits: int = 16):
     """Z-order (Morton) key of two non-negative integer columns: the low
     ``bits`` bits of each, interleaved (x → even positions, y → odd).

@@ -178,3 +178,38 @@ def test_zorder_key_is_a_bijection_on_the_bit_domain(spark):
     zb = big.select(zorder_key(F.col("x"), F.col("y"), 6).alias("z")).first()["z"]
     zs = small.select(zorder_key(F.col("x"), F.col("y"), 6).alias("z")).first()["z"]
     assert zb == zs
+
+
+def test_upsert_latest_wins_inserts_and_idempotent(spark, tmp_path):
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import upsert
+
+    path = str(tmp_path / "upsert_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+        "k long, payload string, version long",
+    )
+    base.write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b-new", 2),   # overwrite existing key
+         (4, "d", 2),       # insert new key
+         (3, "c-stale", 0)],  # STALE update must lose to current v1
+        "k long, payload string, version long",
+    )
+    before, after = upsert(spark, path, updates, ["k"], "version")
+    assert (before, after) == (3, 4)
+    got = {r["k"]: (r["payload"], r["version"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 1), 2: ("b-new", 2), 3: ("c", 1), 4: ("d", 2)}
+
+    # retrying the SAME batch converges to the same table (idempotent)
+    upsert(spark, path, updates, ["k"], "version")
+    got2 = {r["k"]: (r["payload"], r["version"])
+            for r in spark.read.parquet(path).collect()}
+    assert got2 == got
+
+    # equal-version conflict: the update wins (deterministic tie rule)
+    tie = spark.createDataFrame(
+        [(1, "a-tie", 1)], "k long, payload string, version long"
+    )
+    upsert(spark, path, tie, ["k"], "version")
+    assert {r["k"]: r["payload"] for r in spark.read.parquet(path).collect()}[1] == "a-tie"
