@@ -2913,3 +2913,214 @@ def graph_triangle_participation(spark, sf_dir):
             "n_triangles"
         ),
     )
+
+
+@query(
+    "impute_missing_by_group",
+    """
+    WITH src AS (SELECT event_id, event_type,
+                        CASE WHEN event_id % 7 = 0 THEN NULL
+                             ELSE value END AS v,
+                        CASE WHEN event_id % 11 = 0 THEN NULL
+                             ELSE user_id END AS u
+                 FROM events),
+         med AS (SELECT event_type, quantile_cont(v, 0.5) AS med_v
+                 FROM src GROUP BY 1),
+         md AS (SELECT event_type, u AS mode_u FROM (
+                    SELECT event_type, u,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY count(*) DESC, u)
+                               AS rn
+                    FROM src WHERE u IS NOT NULL
+                    GROUP BY event_type, u) WHERE rn = 1)
+    SELECT s.event_id, s.event_type,
+           round(coalesce(s.v, m.med_v), 6) AS v_imputed,
+           s.v IS NULL AS v_was_missing,
+           CAST(coalesce(s.u, d.mode_u) AS BIGINT) AS u_imputed,
+           s.u IS NULL AS u_was_missing
+    FROM src s JOIN med m USING (event_type) JOIN md d USING (event_type)
+    """,
+)
+def impute_missing_by_group(spark, sf_dir):
+    """Missing-value imputation, the standard feature-prep pass:
+    numeric holes get the GROUP MEDIAN (robust to outliers), categorical
+    holes get the GROUP MODE (most frequent value, tie → smallest) —
+    with was-missing flags so downstream models can learn missingness.
+    The fixtures are complete, so holes are planted deterministically
+    (event_id % 7 / % 11) in both engines.
+
+    Median via exact interpolated percentile (the established
+    percentile/quantile_cont pairing); mode via count + row_number with
+    a total (count DESC, value ASC) order so both engines pick the same
+    winner.
+
+    Scale shape: two group-stat aggregations (map-side combined) + two
+    broadcast joins of group-count-sized tables onto the data — the
+    imputation itself is a scan-stage coalesce. At 100 TB swap exact
+    percentile for approx_percentile; mode is already a two-level
+    hash agg."""
+    from pyspark.sql import Window as WI
+
+    e = t(spark, sf_dir, "events")
+    src = e.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("u"),
+    )
+    med = src.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med_v")
+    )
+    mode = (
+        src.filter(F.col("u").isNotNull())
+        .groupBy("event_type", "u")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                WI.partitionBy("event_type").orderBy(
+                    F.col("_c").desc(), F.col("u")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("event_type", F.col("u").alias("mode_u"))
+    )
+    return (
+        src.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mode), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.coalesce(F.col("v"), F.col("med_v")), 6).alias(
+                "v_imputed"
+            ),
+            F.col("v").isNull().alias("v_was_missing"),
+            F.coalesce(F.col("u"), F.col("mode_u"))
+            .cast("long")
+            .alias("u_imputed"),
+            F.col("u").isNull().alias("u_was_missing"),
+        )
+    )
+
+
+@query(
+    "time_weighted_avg",
+    """
+    WITH s AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS yc,
+                      epoch_us(ts) AS t_us,
+                      epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                              ORDER BY ts, event_id))
+                          AS nt_us
+               FROM events),
+         d AS (SELECT event_type, yc, nt_us - t_us AS dur
+               FROM s WHERE nt_us IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(CAST(sum(yc * dur) AS DOUBLE)
+                 / CAST(sum(dur) AS DOUBLE) / 100.0, 6) AS twa_value
+    FROM d GROUP BY 1
+    """,
+)
+def time_weighted_avg(spark, sf_dir):
+    """Duration-weighted average (TimescaleDB ``time_weight``/LOCF
+    form): each observation holds until the next one, so its value is
+    weighted by how long it was current — the correct average for
+    irregularly sampled gauges, where the plain mean over-weights busy
+    periods. The trailing observation per group has no duration and
+    drops (standard LOCF-weight convention).
+
+    Exactness: value in integer cents × duration in integer
+    MICROseconds (``epoch_us``/``unix_micros`` on both engines —
+    second-granularity unix_timestamp would diverge on the fixtures'
+    microsecond stamps), summed as int64 (cents × μs × rows ≤ 2^63
+    through ~10^5-hour spans), with one final double division both
+    engines share.
+
+    Scale shape: ONE shuffle — the lead window partitions by the group
+    key and the aggregation reuses that partitioning's data; sums are
+    map-side combined."""
+    from pyspark.sql import Window as WT
+
+    e = t(spark, sf_dir, "events")
+    w = WT.partitionBy("event_type").orderBy("ts", "event_id")
+    # the fixture loads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP —
+    # the cast is identity under the session's UTC timezone
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    s = e.select(
+        "event_type",
+        cents(F.col("value")).alias("yc"),
+        us(F.col("ts")).alias("t_us"),
+        us(F.lead("ts").over(w)).alias("nt_us"),
+    ).filter(F.col("nt_us").isNotNull())
+    d = s.withColumn("dur", F.col("nt_us") - F.col("t_us"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.round(
+            F.sum(F.col("yc") * F.col("dur")).cast("double")
+            / F.sum("dur").cast("double")
+            / 100.0,
+            6,
+        ).alias("twa_value"),
+    )
+
+
+@query(
+    "counter_delta_resets",
+    """
+    WITH s AS (SELECT user_id,
+                      CAST(round(value * 100) AS BIGINT) AS c,
+                      lag(CAST(round(value * 100) AS BIGINT))
+                          OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+               FROM events)
+    SELECT user_id,
+           CAST(sum(CASE WHEN prev IS NULL THEN 0
+                         WHEN c >= prev THEN c - prev
+                         ELSE c END) AS BIGINT) AS total_increase_cents,
+           CAST(count(*) FILTER (WHERE prev IS NOT NULL AND c < prev)
+                AS BIGINT) AS n_resets
+    FROM s GROUP BY 1
+    """,
+)
+def counter_delta_resets(spark, sf_dir):
+    """Monotonic-counter delta with reset handling (TimescaleDB
+    ``counter_agg``, Prometheus ``increase()``): per entity, total
+    increase = Σ of positive deltas, where a DROP means the counter
+    reset (process restart) and the post-reset value counts from zero.
+    The metrics-pipeline primitive plain sums get wrong.
+
+    All arithmetic in integer cents — exact, partitioning-independent.
+    Scale shape: one shuffle (per-entity lag window), aggregation
+    reuses the window's partitioning; map-side combine on the final
+    group."""
+    from pyspark.sql import Window as WC
+
+    e = t(spark, sf_dir, "events")
+    w = WC.partitionBy("user_id").orderBy("ts", "event_id")
+    c = cents(F.col("value"))
+    s = e.select(
+        "user_id",
+        c.alias("c"),
+        F.lag(c).over(w).alias("prev"),
+    )
+    inc = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("c") >= F.col("prev"), F.col("c") - F.col("prev"))
+        .otherwise(F.col("c"))
+    )
+    return s.groupBy("user_id").agg(
+        F.sum(inc).cast("long").alias("total_increase_cents"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("c") < F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resets"),
+    )

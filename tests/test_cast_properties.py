@@ -173,3 +173,59 @@ def test_dateutil_fallback_matches_reference_grammar(spark, xs):
     got = run_fallback_parse(spark, xs)
     want = [ref.ref_unix_timestamp_auto(v) for v in xs]
     assert got == want, list(zip(xs, got, want))
+
+
+# --- URL canonicalization properties -------------------------------------
+
+_url_host = st.from_regex(r"[A-Za-z]([A-Za-z0-9-]{0,8})(\.[A-Za-z]{2,4}){1,2}", fullmatch=True)
+_url_path = st.lists(
+    st.from_regex(r"[A-Za-z0-9._~-]{1,6}", fullmatch=True), max_size=3
+).map(lambda segs: "".join("/" + s for s in segs))
+_url_param = st.one_of(
+    st.from_regex(r"(utm_[a-z]{1,6}|fbclid|gclid|msclkid)=[A-Za-z0-9]{0,5}", fullmatch=True),
+    st.from_regex(r"[a-z]{1,4}=[A-Za-z0-9]{0,5}", fullmatch=True),
+)
+_urls = st.builds(
+    lambda scheme, www, host, path, params, slash, frag: (
+        scheme
+        + ("www." if www else "")
+        + host
+        + path
+        + (("?" + "&".join(params)) if params else "")
+        + ("/" if slash and not params else "")
+        + (("#" + frag) if frag else "")
+    ),
+    st.sampled_from(["http://", "https://", "HTTPS://", "HtTp://"]),
+    st.booleans(),
+    _url_host,
+    _url_path,
+    st.lists(_url_param, max_size=3),
+    st.booleans(),
+    st.one_of(st.none(), st.from_regex(r"[A-Za-z0-9-]{0,6}", fullmatch=True)),
+)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(st.lists(_urls, min_size=1, max_size=25))
+def test_canonicalize_url_idempotent_and_clean(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u), the output
+    never retains fragments/tracking params/dangling delimiters, and
+    the scheme+host is lowercase."""
+    import re
+
+    from gcs_parquet_dataflow_spark.functions.text import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonicalize_url(F.col("url"))
+    twice = canonicalize_url(once)
+    rows = df.select(once.alias("c1"), twice.alias("c2")).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"]  # idempotent
+        c = r["c1"]
+        assert "#" not in c
+        assert not re.search(r"(utm_[a-z]+|fbclid|gclid|msclkid)=", c)
+        assert not re.search(r"[?&]$", c) and "?&" not in c and "&&" not in c
+        m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", c)
+        if m:
+            assert m.group(0) == m.group(0).lower()
+            assert not m.group(0).split("://", 1)[1].startswith("www.")
