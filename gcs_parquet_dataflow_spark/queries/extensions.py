@@ -3124,3 +3124,81 @@ def counter_delta_resets(spark, sf_dir):
         .cast("long")
         .alias("n_resets"),
     )
+
+
+@query(
+    "embedding_cluster_centroids",
+    f"""
+    WITH RECURSIVE
+    e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aug AS (SELECT vec_id, v FROM e0
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(v, x -> x + 0.01)
+            FROM e0 WHERE vec_id % 25 = 0),
+    b AS (SELECT vec_id, v, {{BUCKET}} AS bucket FROM aug),
+    p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM b a JOIN b b2
+            ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE {{COS}} >= {{THR}}),
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    r AS (SELECT s, d FROM e
+          UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+    m AS (SELECT s AS vec_id, min(d) AS mn FROM r GROUP BY s),
+    cl AS (SELECT aug.vec_id, aug.v,
+                  CAST(coalesce(least(aug.vec_id, m.mn), aug.vec_id)
+                       AS BIGINT) AS cluster
+           FROM aug LEFT JOIN m ON aug.vec_id = m.vec_id),
+    ex AS (SELECT cluster, i AS dim,
+                  CAST(round(v[i + 1] * 1000000) AS BIGINT) AS q
+           FROM cl CROSS JOIN range(64) r2(i))
+    SELECT cluster, CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(q) AS DOUBLE)
+                 / (count(*) * 1000000.0), 6) AS centroid_val
+    FROM ex GROUP BY cluster, dim
+    """.replace("{BUCKET}", BUCKET_SQL)
+       .replace("{COS}", COS_SQL.format(a="a", b="b2"))
+       .replace("{THR}", str(COS_DUP_THRESHOLD)),
+)
+def embedding_cluster_centroids(spark, sf_dir):
+    """Per-cluster embedding CENTROIDS — the step after semantic dedup
+    clustering: a representative vector per near-dup group (the same
+    mean that IVF training iterates, and the summary vector
+    hierarchical ANN indexes store). Output in long format
+    (cluster, dim, centroid_val) so the result is order-stable.
+
+    Determinism: components are quantized to integer MICRO-units
+    (round(v·10⁶)) before summing, so the per-dimension mean is an
+    exact int64 sum followed by one shared double division —
+    partitioning-independent where a naive double sum is not.
+
+    Scale shape: clustering cost is the LSH pair join the dedup
+    pipeline already pays; the centroid itself is posexplode (map-side)
+    + ONE hash aggregation on (cluster, dim) with map-side combine —
+    shuffle carries clusters × dims rows, independent of corpus
+    size."""
+    aug = _planted_embeddings(spark, sf_dir)
+    pairs = SIM.cosine_dup_pairs(
+        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v"
+    )
+    comp = DD.connected_components(
+        aug.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
+    )
+    ex = (
+        aug.join(comp, "vec_id")
+        .select(
+            "cluster", F.posexplode("v").alias("dim", "_val")
+        )
+        .select(
+            "cluster",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("_val") * 1000000).cast("long").alias("q"),
+        )
+    )
+    return ex.groupBy("cluster", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum("q").cast("double") / (F.count(F.lit(1)) * 1000000.0), 6
+        ).alias("centroid_val"),
+    )

@@ -89,14 +89,21 @@ def join_streams(
     right_ts: str = "r_ts",
     tolerance: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each left event matches
-    right rows with the same key whose timestamp falls in
+    """Watermarked stream-stream join: each left event matches right
+    rows with the same key whose timestamp falls in
     ``[left_ts - tolerance, left_ts]`` (enrichment from a second live
     stream, e.g. events ⋈ recent profile updates). The time-range
     constraint + watermarks are what make join state EVICTABLE — without
     them a stream-stream join buffers both sides forever. Timestamp
-    columns must be distinct names (rename upstream)."""
+    columns must be distinct names (rename upstream).
+
+    ``how="leftOuter"`` emits unmatched left rows with NULL right
+    columns — but only once the watermark has passed the row's match
+    window (the engine must prove no future right row can match before
+    it can emit the NULL), so outer results trail the watermark by
+    design."""
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
@@ -104,7 +111,7 @@ def join_streams(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"))
         & (F.col(right_ts) <= F.col(left_ts))
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(r[key])
 
 
 def stream_source(

@@ -471,3 +471,63 @@ def test_bus_source_through_notification_pipeline(spark, tmp_path):
     # duplicate notification within the horizon → file read exactly once
     assert [e["event"] for e in events] == ["click"]
     assert events[0]["properties"]["$user_id"] == "5"
+
+
+def test_join_streams_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: unmatched left rows emit with NULL
+    right columns once the watermark proves no future match can arrive
+    (advanced here by late rows on BOTH streams across a checkpointed
+    restart; outer emission needs min-of-streams watermark progress)."""
+    from gcs_parquet_dataflow_spark.streaming.pipeline import join_streams
+
+    l_src, r_src, ckpt = tmp_path / "l", tmp_path / "r", tmp_path / "ck"
+    l_src.mkdir(); r_src.mkdir()
+
+    def add_left(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts string, ev string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(str(l_src))
+
+    def add_right(rows):
+        spark.createDataFrame(
+            rows, "user_id long, r_ts string, tag string"
+        ).withColumn("r_ts", F.col("r_ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(str(r_src))
+
+    add_left([(1, "2024-01-01 10:00:00", "ev1"),
+              (5, "2024-01-01 10:00:00", "ev5")])   # no right match
+    add_right([(1, "2024-01-01 09:55:00", "recent")])
+
+    def run_once():
+        lstream = spark.readStream.schema(
+            "user_id long, ts timestamp, ev string"
+        ).parquet(str(l_src))
+        rstream = spark.readStream.schema(
+            "user_id long, r_ts timestamp, tag string"
+        ).parquet(str(r_src))
+        q = (
+            join_streams(lstream, rstream, "user_id",
+                         tolerance="10 minutes", watermark="30 minutes",
+                         how="leftOuter")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # advance BOTH watermarks past ev5's match window (non-matching keys)
+    add_left([(98, "2024-01-02 00:00:00", "adv_l")])
+    add_right([(99, "2024-01-02 00:00:00", "adv_r")])
+    run_once()
+    run_once()  # one more cycle for the eviction micro-batch
+
+    got = {(r["ev"], r["tag"])
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert ("ev1", "recent") in got          # matched row
+    assert ("ev5", None) in got              # outer NULL after watermark
+    assert ("adv_l", None) not in got        # its window is still open
