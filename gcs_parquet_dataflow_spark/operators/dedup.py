@@ -481,6 +481,67 @@ def jaccard_pairs_from_text(
     )
 
 
+def containment_pairs_from_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle CONTAINMENT
+    ``|A∩B| / min(|A|, |B|)`` — catches what symmetric Jaccard
+    structurally cannot: a truncated copy, a quoted excerpt, or a doc
+    embedded in a larger page scores containment ≈ 1 while its Jaccard
+    sits near |small|/|big| (≈ 0.5 for a half-doc), under every usual
+    threshold. The standard complement to Jaccard in pretraining dedup
+    (the broder resemblance/containment pair).
+
+    → (id_a, id_b, containment, contained_id) where ``contained_id`` is
+    the smaller (subsumed) side — the natural drop candidate.
+
+    Scale shape: identical to :func:`jaccard_pairs_from_text` — one
+    exploded shingle pass, one size agg reusing its partitioning, and
+    an inverted-index equi-join on the 8-byte shingle hash so only
+    pairs sharing ≥1 shingle ever materialize. Nothing quadratic; the
+    hot-shingle guard is the same stopword-hash cap documented there.
+    """
+    sh = shingle_hashes_exploded(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    inv = persist_intermediate(
+        sh.join(sizes, id_col).select(
+            F.col(id_col).alias("_id"), "_n", F.col("_h").alias("h")
+        )
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b, (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id"))
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.round(
+        F.col("n_common").cast("double") / F.least("n_a", "n_b"), 6
+    )
+    contained = F.when(
+        F.col("n_a") <= F.col("n_b"), F.col("id_a")
+    ).otherwise(F.col("id_b"))
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            containment.alias("containment"),
+            contained.cast("long").alias("contained_id"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,

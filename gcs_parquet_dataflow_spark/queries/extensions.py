@@ -2432,9 +2432,9 @@ def text_char_entropy(spark, sf_dir):
     SELECT event_type, bucket, CAST(coalesce(n, 0) AS BIGINT) AS n,
            total_value IS NULL AS is_gap,
            round(pv, 6) AS total_locf,
-           round(CASE WHEN total_value IS NOT NULL THEN total_value
+           floor(CASE WHEN total_value IS NOT NULL THEN total_value
                  ELSE pv + (nv - pv) * (epoch(bucket) - pt) / (nt - pt)
-                 END, 6) AS total_interp
+                 END * 1000000 + 0.5) / 1000000.0 AS total_interp
     FROM filled
     """,
 )
@@ -2473,7 +2473,15 @@ def timeseries_gapfill_locf(spark, sf_dir):
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         "is_gap",
         F.round(F.col("total_value_locf"), 6).alias("total_locf"),
-        F.round(F.col("total_value_interpolate"), 6).alias("total_interp"),
+        # floor-based half-up: interpolation can land EXACTLY on the
+        # 1e-6 rounding boundary (rational of small ints), where
+        # Spark's and DuckDB's round() implementations disagree by one
+        # ulp — floor(x*1e6+0.5)/1e6 is the identical expression tree
+        # on both engines, so the boundary decision is shared
+        (
+            F.floor(F.col("total_value_interpolate") * 1000000 + F.lit(0.5))
+            / 1000000.0
+        ).alias("total_interp"),
     )
 
 
@@ -3201,4 +3209,59 @@ def embedding_cluster_centroids(spark, sf_dir):
         F.round(
             F.sum("q").cast("double") / (F.count(F.lit(1)) * 1000000.0), 6
         ).alias("centroid_val"),
+    )
+
+
+@query(
+    "dedup_containment_pairs",
+    f"""
+    WITH aug AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 100000,
+                        array_to_string(list_slice(
+                            string_split(text, ' '), 1,
+                            greatest(len(string_split(text, ' ')) // 2, 4)
+                        ), ' ')
+                 FROM documents WHERE doc_id % 10 = 0),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh AS (SELECT doc_id, {{SHINGLES}} AS hs FROM w0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                       / least(len(a.hs), len(b.hs)), 6) AS containment,
+                 CASE WHEN len(a.hs) <= len(b.hs) THEN a.doc_id
+                      ELSE b.doc_id END AS contained_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.hs) > 0 AND len(b.hs) > 0)
+    SELECT id_a, id_b, containment,
+           CAST(contained_id AS BIGINT) AS contained_id
+    FROM p WHERE containment >= 0.9
+    """.replace("{SHINGLES}", SHINGLES_SQL),
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup: each planted row is the FIRST HALF
+    of its source document — symmetric Jaccard scores it ≈ 0.5 (below
+    every dedup threshold) while containment scores ≈ 1, which is
+    exactly the truncated-copy / quoted-excerpt case pretraining dedup
+    needs the asymmetric measure for. Oracle is the O(n²) set
+    definition; the operator is the inverted-index join
+    (operators/dedup.py containment_pairs_from_text)."""
+    d = t(spark, sf_dir, "documents")
+    half = F.concat_ws(
+        " ",
+        F.slice(
+            F.split(F.col("text"), " "),
+            1,
+            F.greatest(
+                F.floor(F.size(F.split(F.col("text"), " ")) / 2).cast("int"),
+                F.lit(4),
+            ),
+        ),
+    )
+    aug = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), half.alias("text")
+        )
+    )
+    return DD.containment_pairs_from_text(
+        aug, "doc_id", "text", threshold=0.9, k=3
     )

@@ -369,3 +369,19 @@ def test_keep_best_quality_one_representative_per_cluster(spark):
         assert kept[0]["doc_id"] == best["doc_id"]
     # the planted near-dups create multi-member clusters
     assert any(len(m) > 1 for m in by_cluster.values())
+
+
+def test_containment_catches_truncated_copy_jaccard_misses(spark):
+    """A half-length excerpt scores containment ≈ 1 but Jaccard ≈ 0.5 —
+    the case the asymmetric measure exists for."""
+    words = " ".join(f"tok{i}" for i in range(40))
+    half = " ".join(f"tok{i}" for i in range(20))
+    df = docs_df(spark, [(1, words), (2, half), (3, "unrelated words only")])
+    cont = {(r["id_a"], r["id_b"]): r for r in
+            DD.containment_pairs_from_text(df, "doc_id", "text", 0.9).collect()}
+    assert (1, 2) in cont
+    assert cont[(1, 2)]["contained_id"] == 2        # the excerpt side
+    assert cont[(1, 2)]["containment"] == 1.0
+    jac = {(r["id_a"], r["id_b"]) for r in
+           DD.jaccard_pairs_from_text(df, "doc_id", "text", 0.5).collect()}
+    assert (1, 2) not in jac                        # Jaccard misses it
