@@ -3265,3 +3265,95 @@ def dedup_containment_pairs(spark, sf_dir):
     return DD.containment_pairs_from_text(
         aug, "doc_id", "text", threshold=0.9, k=3
     )
+
+
+@query(
+    "window_rolling_median",
+    """
+    SELECT user_id, event_id,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)
+               AS rolling_median_value
+    FROM events
+    """,
+)
+def window_rolling_median(spark, sf_dir):
+    """Centered 7-point rolling MEDIAN per entity — the robust smoother
+    for spiky series (a rolling mean chases every outlier; the median
+    ignores up to 3 of 7). Exact interpolated percentile as a WINDOW
+    aggregate on both engines (the established percentile/quantile_cont
+    pairing, here over a sliding frame).
+
+    Scale shape: one shuffle on the entity key; the frame is 7 rows, so
+    the window evaluation is O(frame) per row with no extra exchange —
+    the same cost class as any lag/lead feature."""
+    from pyspark.sql import Window as WR
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        WR.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "rolling_median_value"
+        ),
+    )
+
+
+@query(
+    "quality_benford_digits",
+    """
+    WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                   AS BIGINT) AS VARCHAR), 1, 1)
+                      AS BIGINT) AS digit
+               FROM orders WHERE o_totalprice > 0),
+         c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+               FROM d GROUP BY 1),
+         tot AS (SELECT sum(n) AS t FROM c)
+    SELECT digit, n,
+           round(n / CAST((SELECT t FROM tot) AS DOUBLE), 6)
+               AS observed_frac,
+           round(log10(1.0 + 1.0 / digit) / log10(10.0), 6)
+               AS benford_frac
+    FROM c
+    """,
+)
+def quality_benford_digits(spark, sf_dir):
+    """Benford's-law digit audit — the classic fabricated-numbers /
+    corrupted-feed detector: the first significant digit of naturally
+    occurring amounts follows log10(1 + 1/d); a uniform or spiked
+    distribution flags synthetic or truncated data. (The fixture
+    amounts are uniform-ish, so they VISIBLY deviate — the audit's
+    point is the comparison columns, not conformance.)
+
+    First digit via exact integer cents → string head (no float
+    log-floor ambiguity); expected fraction from the same log10
+    expression both engines.
+
+    Scale shape: one map-side-combined count per digit (shuffle = 9
+    rows) + a scalar total — runs in the scan stage at any volume."""
+    o = t(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # scalar total via broadcast cross join (9-row left side; avoids an
+    # unpartitioned window)
+    tot = c.agg(F.sum("n").alias("_t"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("_t").cast("double"), 6).alias(
+            "observed_frac"
+        ),
+        F.round(
+            F.log10(1.0 + 1.0 / F.col("digit")) / F.log10(F.lit(10.0)), 6
+        ).alias("benford_frac"),
+    )
