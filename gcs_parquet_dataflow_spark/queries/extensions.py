@@ -3357,3 +3357,110 @@ def quality_benford_digits(spark, sf_dir):
             F.log10(1.0 + 1.0 / F.col("digit")) / F.log10(F.lit(10.0)), 6
         ).alias("benford_frac"),
     )
+
+
+@query(
+    "training_data_pipeline_v3",
+    f"""
+    WITH u0 AS (SELECT doc_id, text, lang,
+           'HTTPS://WWW.Site' || (doc_id % 7) || '.COM/Docs/'
+               || (doc_id % 50) ||
+           CASE doc_id % 4
+             WHEN 0 THEN '/?utm_source=feed&utm_campaign=c' || (doc_id % 3)
+             WHEN 1 THEN '?id=' || (doc_id % 5)
+                         || '&utm_medium=email&gclid=g123'
+             WHEN 2 THEN '/#section-' || doc_id
+             ELSE '/' END AS url
+        FROM documents),
+    c AS (SELECT doc_id, text, lang,
+                 {{CANON}} AS curl
+          FROM u0),
+    rep AS (SELECT doc_id, text, lang, curl FROM
+              (SELECT *, min(doc_id) OVER (PARTITION BY curl) AS keeper
+               FROM c)
+            WHERE doc_id = keeper),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM rep),
+    sh AS (SELECT doc_id, {{SHINGLES}} AS hs FROM w0),
+    pc AS (SELECT DISTINCT CASE WHEN len(a.hs) <= len(b.hs)
+                                THEN a.doc_id ELSE b.doc_id END AS dropped
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(a.hs) > 0 AND len(b.hs) > 0
+             AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                 / least(len(a.hs), len(b.hs)) >= 0.9),
+    surv AS (SELECT r.* FROM rep r
+             WHERE NOT EXISTS (SELECT 1 FROM pc
+                               WHERE pc.dropped = r.doc_id)),
+    q AS (SELECT doc_id, curl, lang,
+                 round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0,
+                                   1.0)
+                     + 0.4 * round(CAST(len(list_distinct(w))
+                                        AS DOUBLE) / len(w), 6)
+                     + 0.2 * least({{STOP_EN}} * 10.0, 1.0), 6) AS quality
+          FROM (SELECT *, string_split(text, ' ') AS w FROM surv))
+    SELECT doc_id, curl AS canonical_url, lang, quality,
+           CASE WHEN {h32("CAST(doc_id AS VARCHAR)")} % 10000 < 9000
+                THEN 'train' ELSE 'val' END AS split
+    FROM q
+    """.replace("{CANON}", TX.canonicalize_url_sql("url"))
+       .replace("{SHINGLES}", SHINGLES_SQL)
+       .replace("{STOP_EN}", _stop_sql("en")),
+)
+def training_data_pipeline_v3(spark, sf_dir):
+    """Round-3 composed curation pipeline — the crawl-side sequence
+    upstream of v2's chunk/scrub stage: canonical-URL dedup (the same
+    page under tracking-param/www./fragment variants collapses first,
+    before any content work) → asymmetric CONTAINMENT drop (truncated
+    copies and quoted excerpts of a surviving doc go next — the pairs
+    symmetric Jaccard misses) → quality scoring → deterministic 90/10
+    split. Chains canonicalize_url, containment_pairs_from_text,
+    quality_score, and hash_split; outputs the surviving corpus
+    manifest.
+
+    Scale shape: URL stage is scan-stage regexp + one window on the
+    canonical key; containment is the inverted-index shingle join (only
+    co-shingled pairs materialize); the drop is a broadcastable
+    left-anti join on the (small) dropped-id list; quality + split are
+    scan-stage. Nothing here exceeds the dedup pass the pipeline
+    already pays."""
+    from gcs_parquet_dataflow_spark.operators.sampling import hash_split
+    from pyspark.sql import Window as W3
+
+    d = t(spark, sf_dir, "documents")
+    ds = lambda m: (F.col("doc_id") % m).cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), ds(7), F.lit(".COM/Docs/"), ds(50),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/?utm_source=feed&utm_campaign=c"), ds(3)))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("?id="), ds(5),
+                       F.lit("&utm_medium=email&gclid=g123")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("/#section-"),
+                       F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/")),
+    )
+    c = d.select(
+        "doc_id", "text", "lang", TX.canonicalize_url(url).alias("curl")
+    )
+    rep = (
+        c.withColumn(
+            "_keep", F.min("doc_id").over(W3.partitionBy("curl"))
+        )
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+    dropped = (
+        DD.containment_pairs_from_text(rep, "doc_id", "text", 0.9, k=3)
+        .select(F.col("contained_id").alias("doc_id"))
+        .distinct()
+    )
+    surv = rep.join(dropped, "doc_id", "left_anti")
+    q = surv.select(
+        "doc_id",
+        F.col("curl").alias("canonical_url"),
+        "lang",
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    return hash_split(
+        q, F.col("doc_id").cast("string"), {"train": 0.9, "val": 0.1}
+    ).select("doc_id", "canonical_url", "lang", "quality", "split")
