@@ -3464,3 +3464,32 @@ def training_data_pipeline_v3(spark, sf_dir):
     return hash_split(
         q, F.col("doc_id").cast("string"), {"train": 0.9, "val": 0.1}
     ).select("doc_id", "canonical_url", "lang", "quality", "split")
+
+
+@query(
+    "sample_kfold_assignment",
+    f"""
+    SELECT doc_id,
+           CAST({h32("CAST(doc_id AS VARCHAR) || ':fold'")} % 5
+                AS BIGINT) AS fold,
+           CAST({h32("CAST(doc_id AS VARCHAR) || ':fold'")} % 5 = 0
+                AS BOOLEAN) AS in_test_fold0
+    FROM documents
+    """,
+)
+def sample_kfold_assignment(spark, sf_dir):
+    """Deterministic k-fold cross-validation assignment (k=5): fold =
+    content-hash of the salted id — stable across runs, partitionings,
+    and cluster shapes, with disjoint-exhaustive folds by construction
+    (the same guarantee hash_split gives train/val/test). The
+    ``in_test_fold0`` flag shows the per-fold mask consumers derive.
+    Scan-stage expression, zero shuffle."""
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+
+    d = t(spark, sf_dir, "documents")
+    h = hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":fold")))
+    return d.select(
+        "doc_id",
+        (h % 5).cast("long").alias("fold"),
+        ((h % 5) == 0).alias("in_test_fold0"),
+    )

@@ -213,3 +213,23 @@ def test_upsert_latest_wins_inserts_and_idempotent(spark, tmp_path):
     )
     upsert(spark, path, tie, ["k"], "version")
     assert {r["k"]: r["payload"] for r in spark.read.parquet(path).collect()}[1] == "a-tie"
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Lake reads tolerate schema evolution: batches written with
+    added/missing columns union under mergeSchema with NULL fill —
+    the append-only lake's upgrade path when a source adds fields."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "k long, payload string"
+    ).write.parquet(path + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, payload string, score double"
+    ).write.parquet(path + "/batch=2")
+    got = {
+        r["k"]: (r["payload"], r["score"])
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
