@@ -385,3 +385,39 @@ def test_containment_catches_truncated_copy_jaccard_misses(spark):
     jac = {(r["id_a"], r["id_b"]) for r in
            DD.jaccard_pairs_from_text(df, "doc_id", "text", 0.5).collect()}
     assert (1, 2) not in jac                        # Jaccard misses it
+
+
+def test_round3_query_plans_stay_jvm_side_no_cartesian(spark):
+    """The round-3 analytics queries must compile to plans with no
+    Python evaluation and no cartesian/nested-loop joins — the same
+    guard the sketch plans carry."""
+    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+
+    names = [
+        "timeseries_gapfill_locf",
+        "event_transition_probs",
+        "url_canonical_dedup",
+        "outlier_mad_orders",
+        "regression_trend_by_type",
+        "graph_triangle_participation",
+        "impute_missing_by_group",
+        "time_weighted_avg",
+        "counter_delta_resets",
+        "embedding_cluster_centroids",
+        "dedup_containment_pairs",
+        "training_data_pipeline_v3",
+        "window_rolling_median",
+        "quality_benford_digits",
+        "sample_kfold_assignment",
+    ]
+    sf = "/root/testdata/sf0.001"
+    for name in names:
+        df = CATALOG[name].build(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        # the only sanctioned BroadcastNestedLoopJoin is a 1-row scalar
+        # broadcast (Benford total); anything else is a plan bug
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name == "quality_benford_digits", name
