@@ -3493,3 +3493,105 @@ def sample_kfold_assignment(spark, sf_dir):
         (h % 5).cast("long").alias("fold"),
         ((h % 5) == 0).alias("in_test_fold0"),
     )
+
+
+@query(
+    "sample_alpha_mixture_weights",
+    """
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+         tot AS (SELECT sum(n_docs) AS t FROM c),
+         p AS (SELECT lang, n_docs,
+                      n_docs / CAST((SELECT t FROM tot) AS DOUBLE) AS p_raw
+               FROM c),
+         e AS (SELECT lang, n_docs, p_raw,
+                      pow(p_raw, 0.7) AS p_alpha FROM p),
+         z AS (SELECT sum(p_alpha) AS z FROM e)
+    SELECT lang, n_docs,
+           round(p_raw, 6) AS p_raw,
+           round(p_alpha / CAST((SELECT z FROM z) AS DOUBLE), 6)
+               AS p_sample,
+           round(p_alpha / CAST((SELECT z FROM z) AS DOUBLE) / p_raw, 6)
+               AS upsample_factor
+    FROM e
+    """,
+)
+def sample_alpha_mixture_weights(spark, sf_dir):
+    """Alpha-smoothed (temperature) sampling weights per language —
+    the multilingual-corpus balancing rule (XLM-R/mBERT's
+    ``p_i ∝ p_raw^α``, α=0.7): high-resource languages are
+    down-weighted, low-resource up-weighted, and ``upsample_factor``
+    is the per-language repeat rate a sampler applies. The same
+    ``pow`` expression runs on both engines; outputs rounded at 6.
+
+    Scale shape: one count per group (map-side combined, shuffle ≤
+    |languages|), two scalar totals broadcast back over the
+    group-count-sized table — volume-independent after the first
+    aggregation."""
+    c = t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = c.agg(F.sum("n_docs").alias("_t"))
+    p = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") / F.col("_t").cast("double")).alias("p_raw"),
+    )
+    e = p.withColumn("p_alpha", F.pow(F.col("p_raw"), F.lit(0.7)))
+    z = e.agg(F.sum("p_alpha").alias("_z"))
+    return e.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("p_raw"), 6).alias("p_raw"),
+        F.round(F.col("p_alpha") / F.col("_z").cast("double"), 6).alias(
+            "p_sample"
+        ),
+        F.round(
+            F.col("p_alpha") / F.col("_z").cast("double") / F.col("p_raw"), 6
+        ).alias("upsample_factor"),
+    )
+
+
+@query(
+    "dedup_cluster_size_distribution",
+    f"""
+    WITH RECURSIVE {LSH_PAIRS_CTES},
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    r AS (SELECT s, d FROM e
+          UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+    m AS (SELECT s AS doc_id, min(d) AS mn FROM r GROUP BY s),
+    cl AS (SELECT aug.doc_id,
+                  CAST(coalesce(least(aug.doc_id, m.mn), aug.doc_id)
+                       AS BIGINT) AS cluster
+           FROM aug LEFT JOIN m ON aug.doc_id = m.doc_id),
+    sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY 1)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+    """,
+)
+def dedup_cluster_size_distribution(spark, sf_dir):
+    """Near-dup cluster-size histogram — the corpus-health dashboard
+    number dedup runs are judged by (how much of the corpus sits in
+    2-clusters vs mega-clusters; a fat tail means boilerplate or a
+    crawler trap). Composes the existing LSH → connected-components
+    clustering with two count aggregations; both shuffles carry
+    cluster-count-sized data."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    pairs = DD.lsh_candidate_pairs(sigs, "doc_id", "sig", rows_per_band=2)
+    comp = DD.connected_components(
+        aug.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    sizes = comp.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+    )
