@@ -222,3 +222,63 @@ def test_time_bucket_gapfill_leading_trailing_gap_semantics(spark):
     assert rows[3]["total_interpolate"] is None
     assert rows[4]["total_locf"] == 20.0
     assert rows[4]["total_interpolate"] is None
+
+
+def test_time_bucket_gapfill_properties(spark):
+    """Property-style invariants over random sparse series: contiguous
+    spine, gap flags match nulls, LOCF carries the latest observation,
+    interpolation stays inside its bracketing observations and is NULL
+    outside the observed range."""
+    import random
+
+    from gcs_parquet_dataflow_spark.operators.temporal import (
+        time_bucket_gapfill,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for g in ("a", "b", "c"):
+        hours = sorted(rng.sample(range(0, 50), rng.randint(1, 8)))
+        for h in hours:
+            rows.append((g, h, float(rng.randint(1, 999))))
+    df = spark.createDataFrame(rows, "g string, h int, v double").select(
+        "g",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("h"))).alias("ts"),
+        "v",
+    )
+    out = time_bucket_gapfill(
+        df,
+        group_cols=["g"],
+        ts_col="ts",
+        bucket_seconds=3600,
+        aggs=[F.sum("v").alias("total")],
+        fill={"total": ["locf", "interpolate", "zero"]},
+    ).orderBy("g", "bucket").collect()
+
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    for g, rs in by_g.items():
+        # contiguous hourly spine
+        hours = [int((r["bucket"] - rs[0]["bucket"]).total_seconds() // 3600)
+                 for r in rs]
+        assert hours == list(range(len(rs))), g
+        # endpoints observed by construction
+        assert rs[0]["total"] is not None and rs[-1]["total"] is not None
+        last_seen = None
+        for i, r in enumerate(rs):
+            assert r["is_gap"] == (r["total"] is None)
+            assert r["total_zero"] == (r["total"] or 0.0)
+            if r["total"] is not None:
+                last_seen = r["total"]
+                assert r["total_locf"] == r["total"]
+                assert r["total_interpolate"] == r["total"]
+            else:
+                assert r["total_locf"] == last_seen
+                prev_obs = next(rs[j]["total"] for j in range(i, -1, -1)
+                                if rs[j]["total"] is not None)
+                next_obs = next(rs[j]["total"] for j in range(i, len(rs))
+                                if rs[j]["total"] is not None)
+                lo, hi = min(prev_obs, next_obs), max(prev_obs, next_obs)
+                assert lo - 1e-9 <= r["total_interpolate"] <= hi + 1e-9
