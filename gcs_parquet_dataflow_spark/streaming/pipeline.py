@@ -356,3 +356,68 @@ def run_corpus_ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def run_upsert_stream(
+    spark: SparkSession,
+    updates: DataFrame,
+    lake_path: str,
+    key_cols: list[str],
+    version_col: str,
+    checkpoint_dir: str,
+    *,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """CDC-apply pipeline: a streaming DataFrame of change records
+    (inserts + updates carrying a monotonically increasing
+    ``version_col`` — CDC LSN, updated_at, source offset) is MERGED
+    into the parquet lake per micro-batch via
+    sinks/parquet_lake.upsert — max-version-wins per key, so the table
+    converges to exactly one current row per key. The streaming twin of
+    Delta's ``MERGE INTO`` apply-changes loop.
+
+    Consistency story: within a batch, rows are pre-collapsed to the
+    highest version per key (deterministic when versions are unique per
+    key — the CDC contract); a REPLAYED batch re-applies the same
+    max-version-wins merge, which is idempotent, so checkpoint recovery
+    cannot double-apply or regress a row. The first batch initializes
+    the lake.
+
+    Scale shape: each micro-batch costs one key shuffle + a
+    copy-on-write rewrite (upsert's documented profile); with a
+    partitioned lake only affected partitions rewrite. Trigger interval
+    dials the rewrite amortization.
+    """
+    from pyspark.sql import Window as WU
+
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import upsert
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = WU.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        fs_path = spark._jvm.org.apache.hadoop.fs.Path(lake_path)  # noqa: SLF001
+        fs = fs_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        if fs.exists(fs_path):
+            upsert(spark, lake_path, latest, key_cols, version_col)
+        else:
+            latest.write.mode("overwrite").parquet(lake_path)
+
+    writer = (
+        updates.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -531,3 +531,42 @@ def test_join_streams_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     assert ("ev1", "recent") in got          # matched row
     assert ("ev5", None) in got              # outer NULL after watermark
     assert ("adv_l", None) not in got        # its window is still open
+
+
+def test_run_upsert_stream_applies_cdc_changes(spark, tmp_path):
+    """CDC apply: streamed change records merge into the lake with
+    max-version-wins per key across micro-batches; a second run picks
+    up only new changes and cannot regress applied ones."""
+    from gcs_parquet_dataflow_spark.streaming.pipeline import run_upsert_stream
+
+    src = tmp_path / "changes"; src.mkdir()
+    lake = str(tmp_path / "lake"); ckpt = str(tmp_path / "ck")
+
+    def add_changes(rows):
+        spark.createDataFrame(
+            rows, "k long, payload string, version long"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        updates = spark.readStream.schema(
+            "k long, payload string, version long"
+        ).parquet(str(src))
+        q = run_upsert_stream(
+            spark, updates, lake, ["k"], "version", ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: initial snapshot (+ an in-batch stale row that must lose)
+    add_changes([(1, "a1", 1), (2, "b1", 1), (2, "b0-stale", 0)])
+    run_once()
+    got1 = {r["k"]: (r["payload"], r["version"])
+            for r in spark.read.parquet(lake).collect()}
+    assert got1 == {1: ("a1", 1), 2: ("b1", 1)}
+
+    # batch 2: update k=2, insert k=3, stale change for k=1 loses
+    add_changes([(2, "b2", 2), (3, "c1", 1), (1, "a0-stale", 0)])
+    run_once()
+    got2 = {r["k"]: (r["payload"], r["version"])
+            for r in spark.read.parquet(lake).collect()}
+    assert got2 == {1: ("a1", 1), 2: ("b2", 2), 3: ("c1", 1)}
