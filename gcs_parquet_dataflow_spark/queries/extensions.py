@@ -3595,3 +3595,100 @@ def dedup_cluster_size_distribution(spark, sf_dir):
         .cast("long")
         .alias("n_docs"),
     )
+
+
+@query(
+    "pipeline_stage_attrition",
+    f"""
+    WITH u0 AS (SELECT doc_id, text,
+           'HTTPS://WWW.Site' || (doc_id % 7) || '.COM/Docs/'
+               || (doc_id % 50) ||
+           CASE doc_id % 4
+             WHEN 0 THEN '/?utm_source=feed&utm_campaign=c' || (doc_id % 3)
+             WHEN 1 THEN '?id=' || (doc_id % 5)
+                         || '&utm_medium=email&gclid=g123'
+             WHEN 2 THEN '/#section-' || doc_id
+             ELSE '/' END AS url
+        FROM documents),
+    c AS (SELECT doc_id, text, {{CANON}} AS curl FROM u0),
+    rep AS (SELECT doc_id, text, curl FROM
+              (SELECT *, min(doc_id) OVER (PARTITION BY curl) AS keeper
+               FROM c)
+            WHERE doc_id = keeper),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM rep),
+    sh AS (SELECT doc_id, {{SHINGLES}} AS hs FROM w0),
+    pc AS (SELECT DISTINCT CASE WHEN len(a.hs) <= len(b.hs)
+                                THEN a.doc_id ELSE b.doc_id END AS dropped
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(a.hs) > 0 AND len(b.hs) > 0
+             AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                 / least(len(a.hs), len(b.hs)) >= 0.9),
+    surv AS (SELECT r.doc_id FROM rep r
+             WHERE NOT EXISTS (SELECT 1 FROM pc
+                               WHERE pc.dropped = r.doc_id)),
+    stages(stage_order, stage, n_docs) AS (
+        SELECT 1, 'raw', (SELECT CAST(count(*) AS BIGINT) FROM documents)
+        UNION ALL
+        SELECT 2, 'url_canonical', (SELECT CAST(count(*) AS BIGINT)
+                                    FROM rep)
+        UNION ALL
+        SELECT 3, 'containment', (SELECT CAST(count(*) AS BIGINT)
+                                  FROM surv))
+    SELECT CAST(stage_order AS BIGINT) AS stage_order, stage, n_docs,
+           round(n_docs / CAST((SELECT count(*) FROM documents)
+                               AS DOUBLE), 6) AS frac_of_raw
+    FROM stages
+    """.replace("{CANON}", TX.canonicalize_url_sql("url"))
+       .replace("{SHINGLES}", SHINGLES_SQL),
+)
+def pipeline_stage_attrition(spark, sf_dir):
+    """Per-stage attrition report for the v3 curation pipeline — the
+    observability table every production dedup run ships with (how many
+    docs each stage removed, as counts and fraction-of-raw). Reuses the
+    v3 stages; each row costs one count over the already-computed stage
+    frame, so the report is free relative to the pipeline itself."""
+    d = t(spark, sf_dir, "documents")
+    ds = lambda m: (F.col("doc_id") % m).cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), ds(7), F.lit(".COM/Docs/"), ds(50),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/?utm_source=feed&utm_campaign=c"), ds(3)))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("?id="), ds(5),
+                       F.lit("&utm_medium=email&gclid=g123")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("/#section-"),
+                       F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/")),
+    )
+    from pyspark.sql import Window as WA
+
+    c = d.select("doc_id", "text", TX.canonicalize_url(url).alias("curl"))
+    rep = (
+        c.withColumn("_k", F.min("doc_id").over(WA.partitionBy("curl")))
+        .filter(F.col("doc_id") == F.col("_k"))
+        .drop("_k")
+    )
+    dropped = (
+        DD.containment_pairs_from_text(rep, "doc_id", "text", 0.9, k=3)
+        .select(F.col("contained_id").alias("doc_id"))
+        .distinct()
+    )
+    surv = rep.join(dropped, "doc_id", "left_anti")
+    n_raw = d.count()
+    rows = [
+        (1, "raw", n_raw),
+        (2, "url_canonical", rep.count()),
+        (3, "containment", surv.count()),
+    ]
+    out = spark.createDataFrame(
+        rows, "stage_order long, stage string, n_docs long"
+    )
+    return out.select(
+        "stage_order",
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.lit(float(n_raw)), 6).alias(
+            "frac_of_raw"
+        ),
+    )
