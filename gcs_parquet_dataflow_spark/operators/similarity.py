@@ -333,3 +333,80 @@ def cosine_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    cents: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Materialize the IVF inverted lists as a PERSISTED parquet index
+    partitioned by list id — the build-once/query-many form a 100 TB
+    corpus requires (recomputing assignments per query batch, as
+    ``ivf_topk`` does, re-scans the corpus every time). Returns the
+    number of indexed vectors.
+
+    Layout: ``path/_list=<n>/`` holds (neighbor_id, _cv) for that
+    inverted list, so a probe reads ONLY its nprobe partitions —
+    Hive-style partition pruning does the list selection at the scan,
+    no shuffle. Incremental growth = append new batches with the same
+    assignment expression (idempotent per batch id via the lake's
+    partitioned writer if needed)."""
+    cents = cents if cents is not None else ivf_centroids()
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        ivf_assign(F.col(vec_col), cents).alias("_list"),
+    )
+    assigned.write.mode("overwrite").partitionBy("_list").parquet(path)
+    return assigned.count()
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    cents: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index (``build_ivf_index``): each query
+    reads only its ``nprobe`` highest-affinity list partitions
+    (partition-pruned scan) and re-ranks exactly within them —
+    identical results to ``ivf_topk`` over the same corpus/centroids,
+    without touching the raw corpus. → (query_id, neighbor_id, rank,
+    cos)."""
+    cents = cents if cents is not None else ivf_centroids()
+    index = spark.read.parquet(path)
+    probe_structs = F.array(*[
+        F.struct((-s).alias("ns"), F.lit(i).cast("int").alias("c"))
+        for i, s in enumerate(ivf_scores(F.col(vec_col), cents))
+    ])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, nprobe),
+                lambda st: st.getField("c"),
+            )
+        ).alias("_list"),
+    )
+    scored = (
+        index.join(F.broadcast(q), ["_list"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

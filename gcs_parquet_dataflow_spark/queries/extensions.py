@@ -3692,3 +3692,81 @@ def pipeline_stage_attrition(spark, sf_dir):
             "frac_of_raw"
         ),
     )
+
+
+@query(
+    "drift_psi_by_event_type",
+    """
+    WITH binned AS (SELECT event_type,
+                           CAST(least(floor(value / 10.0), 9) AS BIGINT)
+                               AS bin,
+                           day(ts) <= 15 AS is_base
+                    FROM events WHERE value >= 0),
+         cnt AS (SELECT event_type, bin,
+                        CAST(count(*) FILTER (WHERE is_base) AS BIGINT)
+                            AS n_base,
+                        CAST(count(*) FILTER (WHERE NOT is_base) AS BIGINT)
+                            AS n_cur
+                 FROM binned GROUP BY 1, 2),
+         tot AS (SELECT event_type,
+                        sum(n_base) AS t_base, sum(n_cur) AS t_cur
+                 FROM cnt GROUP BY 1),
+         p AS (SELECT c.event_type, c.bin,
+                      (c.n_base + 1) / CAST(t.t_base + 10 AS DOUBLE) AS pb,
+                      (c.n_cur + 1) / CAST(t.t_cur + 10 AS DOUBLE) AS pc
+               FROM cnt c JOIN tot t USING (event_type))
+    SELECT event_type,
+           round(sum((pc - pb) * ln(pc / pb)), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM p GROUP BY 1
+    """,
+)
+def drift_psi_by_event_type(spark, sf_dir):
+    """Population stability index per group — the standard
+    distribution-drift monitor (features/scores in production ML, value
+    columns in pipeline health checks): compares the first half of the
+    month against the second over 10 fixed-width value bins,
+    PSI = Σ (q−p)·ln(q/p) with +1 Laplace smoothing so empty bins
+    contribute finitely. Rule of thumb: <0.1 stable, >0.25 shifted.
+
+    Fixed bin edges (not data-dependent quantiles) keep the binning
+    partitioning-independent; the smoothed fractions are rationals both
+    engines compute identically and PSI's log terms are irrational, so
+    rounding at 6 is boundary-safe.
+
+    Scale shape: one pass bins and counts both snapshots via FILTER
+    aggregates (map-side combined, shuffle ≤ groups × bins), then a
+    group-count-sized join and a 10-row-per-group sum. At 100 TB this
+    is the cheapest possible two-snapshot comparison — no self-join of
+    the raw data."""
+    e = t(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    binned = e.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 10.0), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        (F.dayofmonth("ts") <= 15).alias("is_base"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("is_base")).cast("long").alias("n_base"),
+        F.count_if(~F.col("is_base")).cast("long").alias("n_cur"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+    )
+    p = cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        ((F.col("n_base") + 1) / (F.col("t_base") + 10).cast("double")).alias(
+            "pb"
+        ),
+        ((F.col("n_cur") + 1) / (F.col("t_cur") + 10).cast("double")).alias(
+            "pc"
+        ),
+    )
+    return p.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))),
+            6,
+        ).alias("psi"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )

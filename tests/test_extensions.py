@@ -421,3 +421,30 @@ def test_round3_query_plans_stay_jvm_side_no_cartesian(spark):
         # broadcast (Benford total); anything else is a plan bug
         if "BroadcastNestedLoopJoin" in plan:
             assert name == "quality_benford_digits", name
+
+
+def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
+    """build_ivf_index + ivf_query_index reproduce ivf_topk exactly,
+    and the probe plan prunes to the probed list partitions."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(rows[:5], "vec_id long, embedding array<double>")
+
+    path = str(tmp_path / "ivf_index")
+    n = SIM.build_ivf_index(corpus, path)
+    assert n == 200
+
+    inline = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in SIM.ivf_topk(corpus, queries, k=5, nprobe=2).collect()}
+    from_index = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                  for r in SIM.ivf_query_index(
+                      spark, path, queries, k=5, nprobe=2).collect()}
+    assert from_index == inline and len(from_index) > 0
+
+    # partition pruning: the scan must filter on _list (partition col)
+    df = SIM.ivf_query_index(spark, path, queries, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
