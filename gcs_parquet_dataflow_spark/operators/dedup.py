@@ -633,3 +633,73 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplicated_window_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level duplication profile (the ExactSubstr signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): hash every k-token sliding
+    window, mark windows whose hash occurs in >= 2 DISTINCT documents,
+    and report per document how much of it is duplicated text.
+    → (id_col, n_windows, n_dup_windows, dup_fraction).
+
+    The paper removes 50-token duplicated byte spans with a suffix
+    array; a suffix array is a single-machine construct. The same
+    signal distributes as an inverted index: posexplode + window lead
+    builds the sliding windows inside one doc-keyed shuffle (the
+    MinHash shingle idiom), one hash-agg counts distinct docs per
+    window hash, and an equi-join tags each occurrence. Nothing is
+    O(n²) and every step is codegen'd, so at 100 TB this is two
+    shuffles over windows (~tokens × 1 rows) — the same cost class as
+    MinHash sketching. Downstream use: filter dup_fraction > tau, or
+    feed the flagged spans to a span-removal rewrite.
+
+    Documents shorter than ``k`` tokens contribute no windows and drop
+    out (they cannot contain a duplicated k-gram)."""
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df, id_col)
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, k)]
+    win = (
+        tok.select(
+            F.col(id_col),
+            F.when(leads[-1].isNotNull(), hash32(F.concat_ws(" ", *leads))).alias(
+                "_h"
+            ),
+        )
+        .filter(F.col("_h").isNotNull())
+    )
+    win = persist_intermediate(win)
+    dup = (
+        win.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h", F.lit(True).alias("_dup"))
+    )
+    return (
+        win.join(dup, "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.count_if(F.col("_dup").isNotNull()).cast("long").alias(
+                "n_dup_windows"
+            ),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows").cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+    )

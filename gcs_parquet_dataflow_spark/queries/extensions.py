@@ -3770,3 +3770,124 @@ def drift_psi_by_event_type(spark, sf_dir):
         ).alias("psi"),
         F.count(F.lit(1)).cast("long").alias("n_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 (cont.): corpus quality scoring + substring-level duplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_lm_bigram_score",
+    """
+    WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    ux AS (SELECT doc_id, unnest(w) AS u FROM w0),
+    uni AS (SELECT u, CAST(count(*) AS BIGINT) AS cu FROM ux GROUP BY u),
+    vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    bx AS (SELECT doc_id,
+                  unnest([w[i+1] || ' ' || w[i+2]
+                          for i in range(len(w)-1)]) AS b
+           FROM w0),
+    bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bx GROUP BY b),
+    sc AS (SELECT bx.doc_id,
+                  -ln((bc.cb + 1)
+                      / CAST(uni.cu + (SELECT v FROM vsz) AS DOUBLE)) AS nll
+           FROM bx
+           JOIN bc USING (b)
+           JOIN uni ON uni.u = split_part(bx.b, ' ', 1))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 6) AS avg_nll,
+           round(exp(avg(nll)), 6) AS ppl
+    FROM sc GROUP BY doc_id
+    """,
+)
+def quality_lm_bigram_score(spark, sf_dir):
+    """CCNet-style language-model quality scoring, self-contained: train
+    an add-one-smoothed bigram LM on the corpus itself, then score every
+    document by its average bigram negative log-likelihood (and its
+    exp, the per-token perplexity). Production curation pipelines
+    (CCNet, GPT-3/LLaMA data work) rank/filter web text exactly this
+    way, with the LM trained on a trusted corpus; the relational shape
+    is identical — swap the count tables' source to change the LM.
+
+    Scale shape: the LM is two hash-aggregates (unigram + bigram
+    counts, map-side combined); scoring is two equi-joins of the
+    per-doc bigram stream against those count tables (vocabulary-sized
+    — broadcastable when the vocab fits, AQE decides) followed by a
+    doc-keyed average. No O(n²), no Python. The vocabulary size V
+    enters as one driver-side scalar (count of a counted aggregate —
+    the same class of tiny action as the pipeline reports).
+
+    P(v|u) = (C(u,v)+1)/(C(u)+V) ≤ 1, so nll ≥ 0; avg-of-ln values are
+    irrational, so round(·,6) is boundary-safe (engine-order diffs
+    ~1e-14)."""
+    from pyspark.sql import Window as WL
+
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    tok = persist_intermediate(
+        d.select(
+            "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "u")
+        )
+    )
+    uni = tok.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    uni = persist_intermediate(uni)
+    v_size = uni.count()
+    w = WL.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id", "u", F.lead("u", 1).over(w).alias("v")
+    ).filter(F.col("v").isNotNull())
+    bc = big.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    nll = -F.log(
+        (F.col("cb") + 1) / (F.col("cu") + F.lit(v_size)).cast("double")
+    )
+    return (
+        big.join(bc, ["u", "v"])
+        .join(uni, "u")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
+        )
+    )
+
+
+@query(
+    "dedup_duplicated_window_fraction",
+    f"""
+    WITH aug AS ({AUG_EXACT_SQL}),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    wx AS (SELECT doc_id,
+                  unnest([{h32("array_to_string(list_slice(w, i+1, i+8), ' ')")}
+                          for i in range(len(w)-7)]) AS h
+           FROM w0),
+    dup AS (SELECT h FROM wx GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (WHERE h IN (SELECT h FROM dup))
+                AS BIGINT) AS n_dup_windows,
+           round(count(*) FILTER (WHERE h IN (SELECT h FROM dup))
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+    FROM wx GROUP BY doc_id
+    """,
+)
+def dedup_duplicated_window_fraction(spark, sf_dir):
+    """Substring-level duplication profile over the planted-exact-dup
+    corpus (operators/dedup.py duplicated_window_stats): fraction of
+    each document's 8-token sliding windows whose hash occurs in >= 2
+    distinct documents. The planted full copies drive their sources'
+    (and their own) dup_fraction to 1.0 while unplanted docs stay at
+    ~0 — the ExactSubstr signal of Lee et al. 2022 as an inverted
+    index instead of a suffix array."""
+    return DD.duplicated_window_stats(
+        _planted_docs(spark, sf_dir, near=False), "doc_id", "text", k=8
+    )

@@ -448,3 +448,30 @@ def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
     df = SIM.ivf_query_index(spark, path, queries, k=5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_duplicated_window_stats_flags_copies_and_partial_overlap(spark):
+    """A full copy scores dup_fraction 1.0 on both sides; a doc sharing
+    only a k-window-sized prefix is flagged partially; a unique doc
+    scores 0; a doc shorter than k tokens drops out."""
+    base = " ".join(f"w{i}" for i in range(16))
+    prefix = " ".join(f"w{i}" for i in range(8)) + " " + " ".join(
+        f"x{i}" for i in range(8)
+    )
+    df = docs_df(
+        spark,
+        [
+            (1, base),
+            (2, base),                       # exact copy
+            (3, prefix),                     # shares exactly one 8-window
+            (4, "totally different words here only once padded padding"),
+            (5, "too short"),                # < k tokens -> no windows
+        ],
+    )
+    out = {r["doc_id"]: r for r in
+           DD.duplicated_window_stats(df, "doc_id", "text", k=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["dup_fraction"] == 1.0 and out[2]["dup_fraction"] == 1.0
+    assert out[1]["n_windows"] == 9          # 16 - 8 + 1
+    assert out[3]["n_dup_windows"] == 1      # just the shared prefix window
+    assert out[4]["n_dup_windows"] == 0 and out[4]["dup_fraction"] == 0.0
