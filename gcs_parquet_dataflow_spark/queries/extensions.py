@@ -3891,3 +3891,126 @@ def dedup_duplicated_window_fraction(spark, sf_dir):
     return DD.duplicated_window_stats(
         _planted_docs(spark, sf_dir, near=False), "doc_id", "text", k=8
     )
+
+
+@query(
+    "sample_dsir_importance",
+    f"""
+    WITH tok AS (SELECT doc_id, lang,
+                        unnest(string_split(text, ' ')) AS u
+                 FROM documents),
+    bk AS (SELECT doc_id, lang, {h32("u")} % 256 AS bkt FROM tok),
+    cnt AS (SELECT bkt,
+                   CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT)
+                       AS nt,
+                   CAST(count(*) AS BIGINT) AS nr
+            FROM bk GROUP BY bkt),
+    tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt,
+                   CAST(sum(nr) AS BIGINT) AS tr FROM cnt),
+    sc AS (SELECT b.doc_id,
+                  ln(((c.nt + 1) / CAST(t.tt + 256 AS DOUBLE))
+                     / ((c.nr + 1) / CAST(t.tr + 256 AS DOUBLE))) AS lr
+           FROM bk b JOIN cnt c USING (bkt) CROSS JOIN tot t)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lr), 6) AS avg_log_ratio
+    FROM sc GROUP BY doc_id
+    """,
+)
+def sample_dsir_importance(spark, sf_dir):
+    """DSIR-style data selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the average log importance ratio of its hashed
+    unigram features between a target distribution (here: the corpus's
+    English docs as the in-domain proxy) and the raw distribution (all
+    docs), with add-one smoothing over the 256 hash buckets. Rank or
+    Gumbel-top-k-sample by this weight to select pretraining data that
+    matches the target domain.
+
+    Scale shape: one explode + one 256-bucket hash-agg with FILTER
+    partials builds BOTH distributions in a single pass; the bucket
+    table is 256 rows (broadcast), totals are one tiny driver scalar
+    read; scoring is a map-side join + doc-keyed average. At 100 TB
+    the feature pass is scan-bound, exactly like the token-stats
+    queries."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    bk = d.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("u")
+    ).select("doc_id", "lang", (TX.hash32(F.col("u")) % 256).alias("bkt"))
+    bk = persist_intermediate(bk)
+    cnt = bk.groupBy("bkt").agg(
+        F.count_if(F.col("lang") == "en").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("nr"),
+    )
+    cnt = persist_intermediate(cnt)
+    tot = cnt.agg(
+        F.sum("nt").cast("long").alias("tt"), F.sum("nr").cast("long").alias("tr")
+    ).first()
+    lr = F.log(
+        ((F.col("nt") + 1) / F.lit(float(tot["tt"] + 256)))
+        / ((F.col("nr") + 1) / F.lit(float(tot["tr"] + 256)))
+    )
+    return (
+        bk.join(F.broadcast(cnt), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(lr), 6).alias("avg_log_ratio"),
+        )
+    )
+
+
+@query(
+    "text_readability",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                      / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                 - CAST(84.6 AS DOUBLE)
+                   * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS DOUBLE)
+                      / len(string_split(text, ' '))), 6) AS flesch
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document from deterministic counts:
+    words (whitespace tokens), sentences (runs of [.!?], min 1), and a
+    syllable proxy (vowel-group runs — the standard cheap estimator).
+    Readability is a stock quality-filter feature next to the
+    stopword/length signals in text_quality_score.
+
+    Pure per-row Column expressions — runs inside the scan stage with
+    zero shuffle at any scale. Both engines evaluate the identical
+    double expression tree (decimal literals cast to double), so
+    round(·,6) compares bit-identical values."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.size(TX.tokens(F.col("text"))).cast("long")
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syll = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast(
+        "long"
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents)
+        - F.lit(84.6) * (syll.cast("double") / words)
+    )
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+    )
