@@ -4014,3 +4014,162 @@ def text_readability(spark, sf_dir):
         syll.alias("n_syllables"),
         F.round(flesch, 6).alias("flesch"),
     )
+
+
+@query(
+    "anomaly_seasonal_zscore",
+    """
+    WITH e AS (SELECT event_type, hour(ts) AS hr,
+                      CAST(round(value * 100) AS BIGINT) AS vc,
+                      day(ts) <= 15 AS is_base
+               FROM events),
+    base AS (SELECT event_type, hr,
+                    CAST(count(*) AS BIGINT) AS n_base,
+                    CAST(sum(vc) AS BIGINT) AS s,
+                    CAST(sum(vc * vc) AS BIGINT) AS ss
+             FROM e WHERE is_base GROUP BY 1, 2),
+    stats AS (SELECT event_type, hr, n_base,
+                     s / CAST(n_base AS DOUBLE) AS mc,
+                     sqrt(greatest(ss * n_base - s * s, 0)
+                          / (CAST(n_base AS DOUBLE) * n_base)) AS sdc
+              FROM base),
+    cur AS (SELECT event_type, hr, vc FROM e WHERE NOT is_base)
+    SELECT s.event_type, CAST(s.hr AS BIGINT) AS hr, s.n_base,
+           round(s.mc / 100, 6) AS mean_value,
+           round(s.sdc / 100, 6) AS sd_value,
+           CAST(count(c.vc) AS BIGINT) AS n_current,
+           CAST(count(*) FILTER (WHERE abs(c.vc - s.mc) > 3 * s.sdc)
+                AS BIGINT) AS n_anomalies
+    FROM stats s LEFT JOIN cur c
+      ON c.event_type = s.event_type AND c.hr = s.hr
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def anomaly_seasonal_zscore(spark, sf_dir):
+    """Seasonal-baseline anomaly monitor: learn a per (event_type,
+    hour-of-day) mean/σ from the first half of the month in EXACT
+    integer-cents sums (Σv, Σv² in int64 — partitioning-independent),
+    then count second-half events deviating more than 3σ from their
+    seasonal slot. The hour-of-day profile is the cheapest seasonal
+    model that catches diurnal-pattern breaks a global z-score smears
+    over.
+
+    σ is a sqrt of a rational — irrational — so the 3σ comparison and
+    the rounded outputs cannot straddle engines; a constant slot
+    (σ = 0) flags only strict deviations identically on both sides.
+
+    Scale shape: one FILTER-aggregated pass builds the baseline
+    (shuffle ≤ types × 24 rows), the second-half stream joins that
+    broadcast-sized stats table and re-aggregates to the same keys. At
+    100 TB this is two scan-bound passes (or one, reusing the binned
+    intermediate), never a self-join."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        cents(F.col("value")).alias("vc"),
+        (F.dayofmonth("ts") <= 15).alias("is_base"),
+    )
+    base = (
+        e.filter("is_base")
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_base"),
+            F.sum("vc").cast("long").alias("s"),
+            F.sum(F.col("vc") * F.col("vc")).cast("long").alias("ss"),
+        )
+    )
+    stats = base.select(
+        "event_type",
+        "hr",
+        "n_base",
+        (F.col("s") / F.col("n_base").cast("double")).alias("mc"),
+        F.sqrt(
+            F.greatest(
+                F.col("ss") * F.col("n_base") - F.col("s") * F.col("s"),
+                F.lit(0),
+            )
+            / (F.col("n_base").cast("double") * F.col("n_base"))
+        ).alias("sdc"),
+    )
+    cur = e.filter(~F.col("is_base")).select("event_type", "hr", "vc")
+    return (
+        F.broadcast(stats)
+        .join(cur, ["event_type", "hr"], "left")
+        .groupBy(
+            "event_type",
+            F.col("hr").cast("long").alias("hr"),
+            "n_base",
+            F.round(F.col("mc") / 100, 6).alias("mean_value"),
+            F.round(F.col("sdc") / 100, 6).alias("sd_value"),
+        )
+        .agg(
+            F.count("vc").cast("long").alias("n_current"),
+            F.count_if(
+                F.abs(F.col("vc") - F.col("mc")) > 3 * F.col("sdc")
+            ).cast("long").alias("n_anomalies"),
+        )
+    )
+
+
+@query(
+    "quality_winsorize_by_type",
+    """
+    WITH q AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS p05,
+                      quantile_cont(value, 0.95) AS p95,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    w AS (SELECT e.event_type, q.n, q.p05, q.p95,
+                 least(greatest(e.value, q.p05), q.p95) AS wv,
+                 e.value < q.p05 AS lo, e.value > q.p95 AS hi
+          FROM events e JOIN q USING (event_type))
+    SELECT event_type, n,
+           round(p05, 6) AS p05, round(p95, 6) AS p95,
+           CAST(count(*) FILTER (WHERE lo) AS BIGINT) AS n_clipped_low,
+           CAST(count(*) FILTER (WHERE hi) AS BIGINT) AS n_clipped_high,
+           round(avg(wv), 6) AS winsorized_mean
+    FROM w GROUP BY 1, 2, 3, 4
+    """,
+)
+def quality_winsorize_by_type(spark, sf_dir):
+    """Per-group winsorization report: clamp each event value into its
+    group's [p05, p95] (exact interpolated percentiles — the
+    percentile/quantile_cont pairing) and report clip counts plus the
+    winsorized mean — the standard tail-robust normalization before
+    feature aggregation, next to the MAD gate.
+
+    Scale shape: one exact-percentile agg per group (at 100 TB: the
+    documented approx_percentile dial, same plan), a broadcast join of
+    the group-count-sized bounds table, one re-aggregation. The clip
+    comparisons use the identical doubles both engines derived from
+    the same sorted-order interpolation, so the boundary rows agree."""
+    e = t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = e.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "n",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "wv"
+        ),
+        (F.col("value") < F.col("p05")).alias("lo"),
+        (F.col("value") > F.col("p95")).alias("hi"),
+    )
+    return (
+        w.groupBy(
+            "event_type",
+            "n",
+            F.round(F.col("p05"), 6).alias("p05"),
+            F.round(F.col("p95"), 6).alias("p95"),
+        )
+        .agg(
+            F.count_if(F.col("lo")).cast("long").alias("n_clipped_low"),
+            F.count_if(F.col("hi")).cast("long").alias("n_clipped_high"),
+            F.round(F.avg("wv"), 6).alias("winsorized_mean"),
+        )
+    )
