@@ -4092,22 +4092,32 @@ def anomaly_seasonal_zscore(spark, sf_dir):
         ).alias("sdc"),
     )
     cur = e.filter(~F.col("is_base")).select("event_type", "hr", "vc")
-    return (
-        F.broadcast(stats)
-        .join(cur, ["event_type", "hr"], "left")
-        .groupBy(
-            "event_type",
-            F.col("hr").cast("long").alias("hr"),
-            "n_base",
-            F.round(F.col("mc") / 100, 6).alias("mean_value"),
-            F.round(F.col("sdc") / 100, 6).alias("sd_value"),
-        )
+    # Big side stays map-only: inner-join cur against the broadcast
+    # stats table (a left-outer build-left broadcast is unsupported and
+    # would silently shuffle cur on ~|types|×24 keys), aggregate, then
+    # left-join the tiny aggregate back onto stats to keep empty slots.
+    agg = (
+        cur.join(F.broadcast(stats), ["event_type", "hr"])
+        .groupBy("event_type", "hr")
         .agg(
             F.count("vc").cast("long").alias("n_current"),
             F.count_if(
                 F.abs(F.col("vc") - F.col("mc")) > 3 * F.col("sdc")
             ).cast("long").alias("n_anomalies"),
         )
+    )
+    return stats.join(agg, ["event_type", "hr"], "left").select(
+        "event_type",
+        F.col("hr").cast("long").alias("hr"),
+        "n_base",
+        F.round(F.col("mc") / 100, 6).alias("mean_value"),
+        F.round(F.col("sdc") / 100, 6).alias("sd_value"),
+        F.coalesce(F.col("n_current"), F.lit(0)).cast("long").alias(
+            "n_current"
+        ),
+        F.coalesce(F.col("n_anomalies"), F.lit(0)).cast("long").alias(
+            "n_anomalies"
+        ),
     )
 
 
