@@ -257,3 +257,89 @@ def scd2_history(
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Nearest-in-time LEFT join: left columns + the right payload of
+    the temporally CLOSEST right row per key in either direction
+    (pandas ``merge_asof(direction='nearest')``), + ``gap_us`` (exact
+    microsecond distance, NULL when unmatched). Ties (equal distance
+    before and after) take the earlier right row. With
+    ``max_gap_seconds``, matches farther than the horizon become NULL.
+
+    Shape: the as-of union-sort pattern run once with BOTH window
+    fills — last-non-null right struct over the preceding frame and
+    first-non-null over the following frame — then a per-row pick of
+    the nearer side. Still ONE hash shuffle on ``by``; no range
+    self-join. Right rows should be unique per (key, ts); among exact
+    duplicates the survivor is unspecified (same caveat as asof_join).
+    """
+    rcols = [c for c in right.columns if c not in by and c != right_ts]
+    l_type = T.StructType(list(left.schema.fields))
+    r_fields = [f for f in right.schema.fields if f.name in rcols]
+    r_type = T.StructType(
+        r_fields + [T.StructField("__nts", right.schema[right_ts].dataType)]
+    )
+    l = left.select(
+        *by,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    r = right.select(
+        *by,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_type).alias("_l"),
+        F.struct(
+            *[F.col(c) for c in rcols], F.col(right_ts).alias("__nts")
+        ).alias("_r"),
+    )
+    base = W.partitionBy(*by).orderBy("_ats", "_side")
+    prev = F.last("_r", ignorenulls=True).over(
+        base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    nxt = F.first("_r", ignorenulls=True).over(
+        base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    u = (
+        l.unionByName(r)
+        .withColumn("_p", prev)
+        .withColumn("_n", nxt)
+        .filter(F.col("_side") == 1)
+    )
+    # NTZ fixtures: unix_micros needs TIMESTAMP; session TZ is UTC so
+    # the cast is the identity epoch both engines compute
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    db = us(F.col("_ats")) - us(F.col("_p.__nts"))
+    df_ = us(F.col("_n.__nts")) - us(F.col("_ats"))
+    chosen = (
+        F.when(F.col("_p").isNull(), F.col("_n"))
+        .when(F.col("_n").isNull(), F.col("_p"))
+        .when(db <= df_, F.col("_p"))
+        .otherwise(F.col("_n"))
+    )
+    u = u.withColumn("_m", chosen).withColumn(
+        "gap_us",
+        F.abs(us(F.col("_m.__nts")) - us(F.col("_ats"))).cast("long"),
+    )
+    if max_gap_seconds is not None:
+        horizon = F.lit(int(max_gap_seconds) * 1_000_000)
+        u = u.withColumn(
+            "_m", F.when(F.col("gap_us") <= horizon, F.col("_m"))
+        ).withColumn(
+            "gap_us", F.when(F.col("gap_us") <= horizon, F.col("gap_us"))
+        )
+    return u.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(c) for c in rcols],
+        "gap_us",
+    )

@@ -4183,3 +4183,52 @@ def quality_winsorize_by_type(spark, sf_dir):
             F.round(F.avg("wv"), 6).alias("winsorized_mean"),
         )
     )
+
+
+@query(
+    "nearest_error_per_purchase",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    x0 AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'error'),
+    x AS (SELECT user_id, ts, min(event_id) AS nearest_error_id
+          FROM x0 GROUP BY user_id, ts),
+    cand AS (SELECT p.event_id, p.user_id, x.nearest_error_id,
+                    abs(epoch_us(p.ts) - epoch_us(x.ts)) AS gap_us,
+                    epoch_us(x.ts) AS xts
+             FROM p LEFT JOIN x USING (user_id)),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY event_id
+              ORDER BY gap_us ASC NULLS LAST, xts ASC NULLS LAST) AS rn
+          FROM cand)
+    SELECT event_id, user_id, nearest_error_id,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM r WHERE rn = 1
+    """,
+)
+def nearest_error_per_purchase(spark, sf_dir):
+    """Nearest-in-time join (operators/temporal.py nearest_join —
+    pandas merge_asof direction='nearest' as one union-sort window
+    pass): for every purchase, the temporally closest error event by
+    the same user in either direction, with the exact microsecond gap
+    — the root-cause / attribution lookup ("what broke nearest to this
+    conversion"). Right side pre-deduped per (user, ts) to min
+    event_id so the tie rule is total on both engines. The oracle is
+    the O(pairs-per-user) rank-over-join set definition; the engine
+    path is the single-shuffle merge — same rows."""
+    from gcs_parquet_dataflow_spark.operators.temporal import nearest_join
+
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    x = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("nearest_error_id"))
+        .select("user_id", "ts", "nearest_error_id")
+    )
+    return nearest_join(p, x, by=["user_id"]).select(
+        "event_id", "user_id", "nearest_error_id", "gap_us"
+    )

@@ -282,3 +282,32 @@ def test_time_bucket_gapfill_properties(spark):
                                 if rs[j]["total"] is not None)
                 lo, hi = min(prev_obs, next_obs), max(prev_obs, next_obs)
                 assert lo - 1e-9 <= r["total_interpolate"] <= hi + 1e-9
+
+
+def test_nearest_join_picks_closer_side_tie_earlier_and_horizon(spark):
+    from gcs_parquet_dataflow_spark.operators.temporal import nearest_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"),   # closer to s1 (09:59) than s2
+         (1, "2024-01-01 11:30:00", "b"),   # exactly between s2/s3 -> earlier
+         (2, "2024-01-01 09:00:00", "c"),   # key with no right rows
+         (3, "2024-01-01 09:00:00", "d")],  # only match 2h away
+        "k long, ts string, ev string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:59:00", "s1"),
+         (1, "2024-01-01 11:00:00", "s2"),
+         (1, "2024-01-01 12:00:00", "s3"),
+         (3, "2024-01-01 11:00:00", "far")],
+        "k long, ts string, state string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["ev"]: (r["state"], r["gap_us"]) for r in
+           nearest_join(left, right, ["k"]).collect()}
+    assert got["a"] == ("s1", 60_000_000)
+    assert got["b"] == ("s2", 1800_000_000)     # tie -> earlier right row
+    assert got["c"] == (None, None)
+    assert got["d"] == ("far", 7200_000_000)
+    # horizon: the 2h match falls outside a 1h gap limit
+    capped = {r["ev"]: r["state"] for r in
+              nearest_join(left, right, ["k"], max_gap_seconds=3600).collect()}
+    assert capped["d"] is None and capped["a"] == "s1"
