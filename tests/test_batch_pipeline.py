@@ -153,3 +153,56 @@ def test_read_with_lineage_csv_with_schema(spark, tmp_path):
     rows = sorted((r["event_name"], r["user_id"]) for r in df.collect())
     assert rows == [("buy", 7), ("click", 8)]
     assert all(r["_uri"].endswith("c.csv") for r in df.collect())
+
+
+def test_read_jsonl_with_dlq_quarantines_malformed_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from gcs_parquet_dataflow_spark.sources.text_formats import (
+        read_jsonl_with_dlq,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "score": 1.5}\n'
+        '{"id": 2, "name": "b"}\n'                       # missing field -> NULL
+        '{"id": "x", "name": "c", "score": 2.0}\n'       # uncastable id
+        '{"id": 3, "name": "d", "score":\n'              # truncated JSON
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    ok, dlq = read_jsonl_with_dlq(spark, str(p), schema)
+    rows = {r["id"]: r for r in ok.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["score"] is None
+    bad = [r["raw_record"] for r in dlq.collect()]
+    assert len(bad) == 2 and all(b.startswith('{"id":') for b in bad)
+
+
+def test_read_csv_with_dlq_quarantines_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from gcs_parquet_dataflow_spark.sources.text_formats import (
+        read_csv_with_dlq,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,score\n1,a,1.5\nnope,b,2.0\n3,c,oops\n4,d,4.0\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    ok, dlq = read_csv_with_dlq(spark, str(p), schema)
+    assert {r["id"] for r in ok.collect()} == {1, 4}
+    assert sorted(r["raw_record"] for r in dlq.collect()) == [
+        "3,c,oops",
+        "nope,b,2.0",
+    ]
