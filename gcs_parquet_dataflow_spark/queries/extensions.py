@@ -4232,3 +4232,230 @@ def nearest_error_per_purchase(spark, sf_dir):
     return nearest_join(p, x, by=["user_id"]).select(
         "event_id", "user_id", "nearest_error_id", "gap_us"
     )
+
+
+# Exponential weights inlined into BOTH engines (float repr round-trips,
+# so each side parses the identical double)
+EWMA_DECAY = 0.8
+EWMA_W = [EWMA_DECAY**j for j in range(10)]
+
+
+@query(
+    "window_ewma_value",
+    """
+    WITH o AS (SELECT event_id, event_type, ts,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events),
+    l AS (SELECT event_id, event_type, vc,
+          """
+    + ",\n          ".join(
+        f"lag(vc, {j}) OVER (PARTITION BY event_type "
+        f"ORDER BY ts, event_id) AS v{j}"
+        for j in range(10)
+    )
+    + """
+          FROM o)
+    SELECT event_id, event_type,
+           round((
+    """
+    + " + ".join(
+        f"coalesce({w!r} * v{j}, 0.0)" for j, w in enumerate(EWMA_W)
+    )
+    + """
+           ) / (
+    """
+    + " + ".join(
+        f"CASE WHEN v{j} IS NULL THEN 0.0 ELSE {w!r} END"
+        for j, w in enumerate(EWMA_W)
+    )
+    + """
+           ) / 100, 6) AS ewma_value
+    FROM l
+    """,
+)
+def window_ewma_value(spark, sf_dir):
+    """Exponentially weighted moving average over the trailing 10
+    events per type (decay 0.8), the smoothing curve on every
+    monitoring dashboard. The recursive EWMA definition doesn't fit a
+    window aggregate, but its 10-term truncation (weight < 0.14 beyond
+    that) does: ten lag() terms over one (type-partitioned, ts+id
+    ordered) window, weighted by Python-computed doubles inlined
+    verbatim into both engines and summed in fixed written order — so
+    the doubles match bit-for-bit. Values enter as exact integer
+    cents; partial windows renormalize by the present weights.
+
+    Scale shape: one key-partitioned sort (the same exchange every
+    per-entity sequence feature shares), zero joins; 10 lags are one
+    window pass. Output is per-event — at 100 TB this is a map-side
+    feature column, not a reduction."""
+    from pyspark.sql import Window as WE
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", cents(F.col("value")).alias("vc")
+    )
+    w = WE.partitionBy("event_type").orderBy("ts", "event_id")
+    lags = [F.lag("vc", j).over(w) for j in range(10)]
+    num = None
+    den = None
+    for j, wt in enumerate(EWMA_W):
+        nj = F.coalesce(F.lit(wt) * lags[j], F.lit(0.0))
+        dj = F.when(lags[j].isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = nj if num is None else num + nj
+        den = dj if den is None else den + dj
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(num / den / 100, 6).alias("ewma_value"),
+    )
+
+
+@query(
+    "corpus_novelty_by_source",
+    """
+    WITH aug AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, 'zsrc_replay'
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    h AS (SELECT doc_id, source, md5(text) AS ch FROM aug),
+    r AS (SELECT source,
+                 row_number() OVER (PARTITION BY ch
+                                    ORDER BY source, doc_id) AS rn
+          FROM h)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_novel,
+           round(count(*) FILTER (WHERE rn = 1)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+    FROM r GROUP BY source
+    """,
+)
+def corpus_novelty_by_source(spark, sf_dir):
+    """Per-source novelty rate — the ingest-health metric that catches
+    a feed re-sending old content: a doc is novel iff it is the first
+    occurrence of its content hash in the (source, doc_id) total
+    order. A replayed batch is planted as source 'zsrc_replay' (copies
+    of every 10th doc) and correctly scores novelty 0.0 while real
+    sources stay at 1.0.
+
+    Scale shape: hash in the scan stage, ONE content-hash-partitioned
+    window to rank first occurrences, one source-keyed count — the
+    streaming twin is incremental.dedup_against_index, this is the
+    batch observability view."""
+    from pyspark.sql import Window as WN
+
+    d = t(spark, sf_dir, "documents")
+    aug = d.select("doc_id", "text", "source").unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text",
+            F.lit("zsrc_replay").alias("source"),
+        )
+    )
+    h = aug.select("doc_id", "source", F.md5(F.col("text")).alias("ch"))
+    rn = F.row_number().over(
+        WN.partitionBy("ch").orderBy("source", "doc_id")
+    )
+    return (
+        h.withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("rn") == 1).cast("long").alias("n_novel"),
+            F.round(
+                F.count_if(F.col("rn") == 1) / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+@query(
+    "source_vocab_overlap",
+    """
+    WITH st AS (SELECT DISTINCT source, u AS term
+                FROM (SELECT source,
+                             unnest(string_split(text, ' ')) AS u
+                      FROM documents)
+                WHERE u <> ''),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms
+           FROM st GROUP BY source),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM st a JOIN st b
+                ON a.term = b.term AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b, sa.n_terms AS n_terms_a,
+           sb.n_terms AS n_terms_b, i.n_shared,
+           round(i.n_shared / CAST(sa.n_terms + sb.n_terms - i.n_shared
+                                   AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.source_a
+    JOIN sz sb ON sb.source = i.source_b
+    """,
+)
+def source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources — the corpus-
+    comparison matrix behind "which feeds are near-mirrors / which add
+    unique coverage" decisions. Inverted-index shape: distinct
+    (source, term) postings self-joined on term (co-occurring pairs
+    only — never a source×source cartesian), per-source sizes
+    broadcast back in. Posting-list length is bounded by |sources| per
+    term, so the join output is ≤ vocab × |sources|²/2 regardless of
+    corpus bytes — the same scale argument as the n-gram Jaccard
+    dedup."""
+    d = t(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source", F.explode(TX.tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    st = persist_intermediate(st)
+    sz = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sz.select(
+        F.col("source").alias("source_a"), F.col("n_terms").alias("n_terms_a")
+    )
+    sb = sz.select(
+        F.col("source").alias("source_b"), F.col("n_terms").alias("n_terms_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_terms_a",
+            "n_terms_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (
+                    F.col("n_terms_a") + F.col("n_terms_b") - F.col("n_shared")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
