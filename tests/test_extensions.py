@@ -475,3 +475,30 @@ def test_duplicated_window_stats_flags_copies_and_partial_overlap(spark):
     assert out[1]["n_windows"] == 9          # 16 - 8 + 1
     assert out[3]["n_dup_windows"] == 1      # just the shared prefix window
     assert out[4]["n_dup_windows"] == 0 and out[4]["dup_fraction"] == 0.0
+
+
+def test_round3b_query_plans_stay_jvm_side_no_cartesian(spark):
+    """Plan guard for the round-3 continuation queries: no Python
+    evaluation, no cartesian products, no nested-loop joins."""
+    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+
+    names = [
+        "quality_lm_bigram_score",
+        "dedup_duplicated_window_fraction",
+        "sample_dsir_importance",
+        "text_readability",
+        "anomaly_seasonal_zscore",
+        "quality_winsorize_by_type",
+        "nearest_error_per_purchase",
+        "window_ewma_value",
+        "corpus_novelty_by_source",
+        "source_vocab_overlap",
+    ]
+    sf = "/root/testdata/sf0.001"
+    for name in names:
+        df = CATALOG[name].build(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
