@@ -4459,3 +4459,106 @@ def source_vocab_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "quantile_histogram_rollup",
+    """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           round(quantile_cont(vc, 0.5) / 100, 6) AS p5,
+           round(quantile_cont(vc, 0.95) / 100, 6) AS p95,
+           round(quantile_cont(vc, 0.99) / 100, 6) AS p99
+    FROM c GROUP BY event_type
+    """,
+)
+def quantile_histogram_rollup(spark, sf_dir):
+    """Exact p50/p95/p99 per event type computed FROM the mergeable
+    distinct-value histogram (operators/sketches.py value_histogram →
+    quantiles_from_histogram), not from the raw rows — proving the
+    scan-free quantile-rollup path gives the same interpolated
+    percentiles a full sort would. At 100 TB the histogram table is
+    built once per shard/day (size = distinct cents values, not row
+    count), merged by summing counts, and every later percentile ask
+    is histogram-sized. The oracle takes quantile_cont over the same
+    cents directly — same h = p·(n−1) interpolation."""
+    from gcs_parquet_dataflow_spark.operators.sketches import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("vc")
+    )
+    hist = value_histogram(e, ["event_type"], "vc")
+    return quantiles_from_histogram(
+        hist, ["event_type"], [0.5, 0.95, 0.99]
+    )
+
+
+@query(
+    "skew_hot_key_report",
+    """
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+               FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n_keys FROM c),
+    r AS (SELECT user_id, n_rows,
+                 row_number() OVER (ORDER BY n_rows DESC, user_id) AS rk,
+                 sum(n_rows) OVER (ORDER BY n_rows DESC, user_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c)
+    SELECT r.rk AS rank, r.user_id, r.n_rows,
+           t.n_keys AS n_distinct_keys,
+           round(r.n_rows / CAST(t.t AS DOUBLE), 6) AS frac,
+           round(r.cum / CAST(t.t AS DOUBLE), 6) AS cum_frac
+    FROM r CROSS JOIN tot t WHERE r.rk <= 20
+    """,
+)
+def skew_hot_key_report(spark, sf_dir):
+    """Hot-key diagnostic for join/agg planning: the top-20 heaviest
+    keys of a prospective shuffle column with each key's share and the
+    cumulative share — the number you read before choosing salting
+    (operators/skew.py) vs plain hash partitioning. A top key owning
+    >1% of rows at 1000 partitions means one straggler partition.
+
+    Scale shape: one map-side-combined count per key, then ranking over
+    the KEY-COUNT table (never the raw rows); the global top-20 window
+    sorts |keys| rows — at 100 TB swap in a per-partition top-k merge
+    if even the key table is huge (the pattern knn's two-phase top-k
+    already implements)."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    c = persist_intermediate(c)
+    tot = c.agg(
+        F.sum("n_rows").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    ).first()
+    w = WS.orderBy(F.desc("n_rows"), F.asc("user_id"))
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum", F.sum("n_rows").over(w.rowsBetween(WS.unboundedPreceding, 0))
+        )
+        .filter(F.col("rank") <= 20)
+        .select(
+            "rank",
+            "user_id",
+            "n_rows",
+            F.lit(tot["n_keys"]).cast("long").alias("n_distinct_keys"),
+            F.round(F.col("n_rows") / F.lit(float(tot["t"])), 6).alias("frac"),
+            F.round(F.col("cum") / F.lit(float(tot["t"])), 6).alias(
+                "cum_frac"
+            ),
+        )
+    )

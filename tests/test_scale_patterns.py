@@ -219,3 +219,46 @@ def test_new_operator_plans_avoid_global_sorts_and_cartesians(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, final[:3000]
+
+
+def test_histogram_quantiles_match_percentile_and_merge(spark):
+    """quantiles_from_histogram == percentile() on raw rows, and shard
+    histograms merged with merge_histograms give the same answer as one
+    global histogram (the mergeable-rollup property)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.operators.sketches import (
+        merge_histograms,
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, f"g{i % 3}", rng.randrange(0, 50000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "i long, g string, vc long").select(
+        "i", "g", "vc"
+    )
+    direct = {
+        r["g"]: (r["p5"], r["p99"])
+        for r in df.groupBy("g")
+        .agg(
+            F.round(F.expr("percentile(vc, 0.5)") / 100, 6).alias("p5"),
+            F.round(F.expr("percentile(vc, 0.99)") / 100, 6).alias("p99"),
+        )
+        .collect()
+    }
+    hist = value_histogram(df, ["g"], "vc")
+    via_hist = {
+        r["g"]: (r["p5"], r["p99"])
+        for r in quantiles_from_histogram(hist, ["g"], [0.5, 0.99]).collect()
+    }
+    assert via_hist == direct
+    # mergeability: two disjoint shards -> merged histogram -> same total
+    h1 = value_histogram(df.filter("i < 1500").select("g", "vc"), ["g"], "vc")
+    h2 = value_histogram(df.filter("i >= 1500").select("g", "vc"), ["g"], "vc")
+    merged = merge_histograms([h1, h2])
+    tot_direct = hist.agg(F.sum("n")).first()[0]
+    tot_merged = merged.agg(F.sum("n")).first()[0]
+    assert tot_merged == tot_direct
