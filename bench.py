@@ -57,6 +57,10 @@ EXTENDED = [
     "training_data_pipeline_v3",
     "embedding_cluster_centroids",
     "event_transition_probs",
+    "quality_lm_bigram_score",
+    "dedup_duplicated_window_fraction",
+    "window_ewma_value",
+    "quantile_histogram_rollup",
 ]
 
 
