@@ -286,3 +286,134 @@ def write_zordered(
         else keyed.repartitionByRange("_zkey")
     )
     parted.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots: time travel on a raw-parquet lake
+# ---------------------------------------------------------------------------
+
+_VERSION_FMT = "v%08d"
+
+
+def _list_versions(spark: SparkSession, root: str) -> list[int]:
+    fs, hroot, jvm = _fs_and_path(spark, root)
+    if not fs.exists(hroot):
+        return []
+    out = []
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            # only COMMITTED versions count (rename is the commit point;
+            # _SUCCESS guards against a torn copy on non-atomic stores)
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            ):
+                out.append(int(name[1:]))
+    return sorted(out)
+
+
+def latest_version(spark: SparkSession, root: str) -> int | None:
+    """Highest committed snapshot version under ``root`` (None if no
+    snapshot exists yet)."""
+    vs = _list_versions(spark, root)
+    return vs[-1] if vs else None
+
+
+def write_version(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit ``df`` as the next immutable snapshot of the table at
+    ``root`` and return its version number.
+
+    Layout: ``root/v00000000, root/v00000001, …`` — each version a
+    complete, self-contained parquet table. Write protocol: stage to
+    ``root/__snapshot_staging``, then a single rename into the version
+    dir; readers only see versions whose rename completed (plus
+    ``_SUCCESS``), so a crashed writer leaves garbage staging, never a
+    torn snapshot. This is the poor-man's transaction log: Delta/
+    Iceberg add manifest-level metadata, but the essential time-travel
+    contract — immutable snapshots + monotonically increasing commit
+    ids — holds on any Hadoop-compatible store.
+
+    Full-copy snapshots cost storage proportional to versions kept;
+    ``vacuum_versions`` bounds that. At 100 TB, snapshot partitioned
+    tables and version per partition, or adopt a manifest format —
+    the read/commit API here stays the same."""
+    fs, hroot, jvm = _fs_and_path(spark, root)
+    lv = latest_version(spark, root)
+    nxt = 0 if lv is None else lv + 1
+    if not fs.exists(hroot):
+        fs.mkdirs(hroot)
+    staging = root.rstrip("/") + "/__snapshot_staging"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    vpath = jvm.org.apache.hadoop.fs.Path(hroot, _VERSION_FMT % nxt)
+    if not fs.rename(spath, vpath):
+        raise IOError(f"snapshot commit failed: {staging} -> {vpath}")
+    return nxt
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the table as of snapshot ``version`` (default:
+    latest committed)."""
+    vs = _list_versions(spark, root)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshots under {root}")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise FileNotFoundError(
+            f"version {version} not available under {root} (have {vs})"
+        )
+    return spark.read.parquet(root.rstrip("/") + "/" + _VERSION_FMT % version)
+
+
+def upsert_versioned(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> int:
+    """Non-destructive MERGE: apply max-version-wins upsert semantics
+    (same rule as ``upsert``) against the latest snapshot and commit
+    the result as a NEW snapshot — prior versions stay readable, so a
+    bad batch is one ``read_version(n-1)`` away from recovery."""
+    from pyspark.sql import Window as WU
+
+    current = read_version(spark, root)
+    tagged = current.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = WU.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    merged = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    return write_version(spark, root, merged)
+
+
+def vacuum_versions(
+    spark: SparkSession, root: str, keep_last: int = 2
+) -> list[int]:
+    """Delete all but the newest ``keep_last`` snapshots; returns the
+    versions removed. Run on the maintenance schedule, like compact()."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _list_versions(spark, root)
+    doomed = vs[:-keep_last] if len(vs) > keep_last else []
+    fs, hroot, jvm = _fs_and_path(spark, root)
+    for v in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(hroot, _VERSION_FMT % v), True)
+    return doomed

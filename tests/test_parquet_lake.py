@@ -233,3 +233,42 @@ def test_schema_evolution_merge_read(spark, tmp_path):
         .collect()
     }
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_versioned_snapshots_time_travel_upsert_and_vacuum(spark, tmp_path):
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        latest_version,
+        read_version,
+        upsert_versioned,
+        vacuum_versions,
+        write_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    v0 = write_version(
+        spark, root, spark.createDataFrame([(1, "a", 1)], "k long, s string, ver long")
+    )
+    v1 = write_version(
+        spark, root,
+        spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k long, s string, ver long"),
+    )
+    assert (v0, v1) == (0, 1) and latest_version(spark, root) == 1
+    # MERGE commits a NEW snapshot; history intact
+    v2 = upsert_versioned(
+        spark, root,
+        spark.createDataFrame([(1, "A", 2), (3, "c", 1)], "k long, s string, ver long"),
+        ["k"], "ver",
+    )
+    assert v2 == 2
+    latest = {r["k"]: r["s"] for r in read_version(spark, root).collect()}
+    assert latest == {1: "A", 2: "b", 3: "c"}
+    # time travel: v0 still exactly the first write
+    assert [r["k"] for r in read_version(spark, root, 0).collect()] == [1]
+    # vacuum: drop everything but the last 1; old reads now fail
+    assert vacuum_versions(spark, root, keep_last=1) == [0, 1]
+    assert latest_version(spark, root) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, root, 0)
+    assert {r["k"] for r in read_version(spark, root).collect()} == {1, 2, 3}
