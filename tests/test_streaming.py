@@ -570,3 +570,42 @@ def test_run_upsert_stream_applies_cdc_changes(spark, tmp_path):
     got2 = {r["k"]: (r["payload"], r["version"])
             for r in spark.read.parquet(lake).collect()}
     assert got2 == {1: ("a1", 1), 2: ("b2", 2), 3: ("c1", 1)}
+
+
+def test_stream_metrics_recorder_captures_batch_progress(spark, tmp_path):
+    """The listener-based ops table records one row per committed
+    micro-batch with real row counts, and is queryable as a DataFrame."""
+    from gcs_parquet_dataflow_spark.streaming.observability import (
+        record_metrics,
+        stop_recording,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, s string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(indir / "f1"))
+    rec = record_metrics(spark)
+    try:
+        q = (
+            spark.readStream.schema("id long, s string")
+            .parquet(str(indir / "f1"))
+            .writeStream.format("memory")
+            .queryName("obs_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert rec.wait_for_batches(1), "no progress events delivered"
+        df = rec.to_dataframe(spark)
+        rows = df.collect()
+        assert sum(r["n_input_rows"] for r in rows) == 3
+        assert all(r["trigger_ms"] >= 0 for r in rows)
+        assert any(r["query_name"] == "obs_out" for r in rows)
+        # the ops table composes with the query surface
+        agg = df.groupBy("query_name").agg(
+            F.sum("n_input_rows").alias("rows")
+        ).collect()
+        assert {r["query_name"]: r["rows"] for r in agg}["obs_out"] == 3
+    finally:
+        stop_recording(spark, rec)
