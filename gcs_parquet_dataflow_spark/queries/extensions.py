@@ -4562,3 +4562,157 @@ def skew_hot_key_report(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "user_rfm_segments",
+    """
+    WITH p AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT max(ts) AS now_ts FROM p),
+    u AS (SELECT user_id,
+                 CAST(date_diff('day', max(ts), (SELECT now_ts FROM mx))
+                      AS BIGINT) AS recency_days,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(vc) AS BIGINT) AS monetary_cents
+          FROM p GROUP BY user_id),
+    q AS (SELECT *,
+                 CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+                      AS BIGINT) AS r_score,
+                 CAST(ntile(5) OVER (ORDER BY frequency, user_id)
+                      AS BIGINT) AS f_score,
+                 CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id)
+                      AS BIGINT) AS m_score
+          FROM u)
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           r_score || '-' || f_score || '-' || m_score AS segment
+    FROM q
+    """,
+)
+def user_rfm_segments(spark, sf_dir):
+    """RFM user segmentation — the classic behavioral value model:
+    recency (days since last purchase, measured against the corpus
+    max so the query is replayable), frequency (purchase count) and
+    monetary (exact cents), each scored into quintiles with a total
+    (metric, user_id) order so ntile is deterministic on both
+    engines; higher score = better on every axis.
+
+    Scale shape: one purchase-filtered agg per user, then three
+    ntile windows over the USER table (not the raw events). The
+    global quintile sort is |users|-sized; at 100 TB use the
+    histogram-quantile rollup to cut scores without a global sort —
+    same output contract."""
+    from pyspark.sql import Window as WR
+
+    p = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", cents(F.col("value")).alias("vc"))
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    p = persist_intermediate(p)
+    now_ts = p.agg(F.max("ts").alias("m")).first()["m"]
+    u = p.groupBy("user_id").agg(
+        F.datediff(F.lit(now_ts), F.max("ts")).cast("long").alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum("vc").cast("long").alias("monetary_cents"),
+    )
+    r_w = WR.orderBy(F.desc("recency_days"), F.asc("user_id"))
+    f_w = WR.orderBy(F.asc("frequency"), F.asc("user_id"))
+    m_w = WR.orderBy(F.asc("monetary_cents"), F.asc("user_id"))
+    q = (
+        u.withColumn("r_score", F.ntile(5).over(r_w).cast("long"))
+        .withColumn("f_score", F.ntile(5).over(f_w).cast("long"))
+        .withColumn("m_score", F.ntile(5).over(m_w).cast("long"))
+    )
+    return q.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment"),
+    )
+
+
+@query(
+    "experiment_conversion_ztest",
+    f"""
+    WITH a AS (SELECT user_id,
+                      {h32("CAST(user_id AS VARCHAR)")} % 2 AS variant,
+                      bool_or(event_type = 'purchase') AS converted
+               FROM events GROUP BY user_id),
+    g AS (SELECT variant,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(count(*) FILTER (WHERE converted) AS BIGINT)
+                     AS n_converted
+          FROM a GROUP BY variant),
+    w AS (SELECT
+            max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+            max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+            max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+            max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+          FROM g)
+    SELECT n0, c0, n1, c1,
+           round(c0 / CAST(n0 AS DOUBLE), 6) AS p0,
+           round(c1 / CAST(n1 AS DOUBLE), 6) AS p1,
+           round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+                 / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                        * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+    FROM w
+    """,
+)
+def experiment_conversion_ztest(spark, sf_dir):
+    """Two-proportion z-test on a deterministic 50/50 experiment split
+    (variant = content-hash of the user id, the same
+    partitioning-independent assignment sample_hash_split uses):
+    compares purchase conversion between variants with the pooled
+    standard error. The A/B readout every growth pipeline runs; on a
+    hash split of uniform traffic z ≈ 0, so it doubles as an A/A
+    sanity check.
+
+    All inputs are exact integer counts; both engines evaluate the
+    identical double expression tree, and z is an irrational ratio, so
+    round(·,6) is boundary-safe. Scale: one user-keyed agg + one
+    2-row pivot — nothing above |users|."""
+    e = t(spark, sf_dir, "events")
+    a = e.groupBy("user_id").agg(
+        F.bool_or(F.col("event_type") == "purchase").alias("converted")
+    ).select(
+        (TX.hash32(F.col("user_id").cast("string")) % 2).alias("variant"),
+        "converted",
+    )
+    g = a.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count_if(F.col("converted")).cast("long").alias("n_converted"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")).cast(
+        "double"
+    )
+    z = (p1 - p0) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(z, 6).alias("z_score"),
+    )
