@@ -4716,3 +4716,89 @@ def experiment_conversion_ztest(spark, sf_dir):
         F.round(p1, 6).alias("p1"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 5, scale: int = 10**9,
+                         d: int = 850) -> str:
+    """Unrolled-iteration DuckDB twin of operators/graph.py
+    pagerank_quantized: each round is one CTE (standard SQL forbids
+    aggregation in a recursive term, and unrolling keeps the integer
+    arithmetic textually identical to the Spark plan)."""
+    rounds = []
+    for k in range(1, iterations + 1):
+        rounds.append(f"""
+    r{k} AS (SELECT dg.node,
+                CAST((SELECT base FROM prm)
+                     + ({d} * coalesce(s.s, 0)) // 1000 AS BIGINT) AS r
+             FROM deg dg LEFT JOIN (
+                 SELECT u.dst AS node,
+                        CAST(sum(p.r // pd.degree) AS BIGINT) AS s
+                 FROM r{k - 1} p
+                 JOIN deg pd ON pd.node = p.node
+                 JOIN und u ON u.src = p.node
+                 GROUP BY u.dst) s ON s.node = dg.node)""")
+    return f"""
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS hb
+               FROM events),
+    e AS (SELECT x.user_id AS u, y.user_id AS v
+          FROM b x JOIN b y
+            ON x.event_type = y.event_type AND x.hb = y.hb
+           AND x.user_id < y.user_id
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+    und AS (SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM und GROUP BY 1),
+    prm AS (SELECT CAST({scale} AS BIGINT) // count(*) AS r_init,
+                   ((1000 - {d}) * (CAST({scale} AS BIGINT) // count(*)))
+                       // 1000 AS base
+            FROM deg),
+    r0 AS (SELECT node, (SELECT r_init FROM prm) AS r FROM deg),
+    {",".join(rounds)}
+    SELECT node AS user_id, r AS rank_q FROM r{iterations}
+    """
+
+
+@query("graph_pagerank_coactivity", _pagerank_oracle_sql())
+def graph_pagerank_coactivity(spark, sf_dir):
+    """PageRank centrality over the behavioral co-activity graph (same
+    edge rule as graph_triangle_participation), 5 damped iterations in
+    integer micro-units (operators/graph.py pagerank_quantized) — the
+    influence/centrality score production graphs rank users, domains,
+    or documents by. Exact int64 arithmetic end to end, so the
+    iterative result is partitioning-independent and both engines
+    return identical longs; the oracle unrolls the same five rounds as
+    CTEs."""
+    from gcs_parquet_dataflow_spark.operators.graph import (
+        pagerank_quantized,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    e0 = t(spark, sf_dir, "events")
+    b = e0.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hb"),
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.hb") == F.col("y.hb"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .groupBy(
+            F.col("x.user_id").alias("u"), F.col("y.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 3)
+        .select("u", "v")
+    )
+    edges = persist_intermediate(edges)
+    return pagerank_quantized(edges).select(
+        F.col("node").alias("user_id"), "rank_q"
+    )

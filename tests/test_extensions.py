@@ -502,3 +502,22 @@ def test_round3b_query_plans_stay_jvm_side_no_cartesian(spark):
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pagerank_quantized_ranks_hub_highest_and_is_layout_independent(spark):
+    """On a star-plus-chain graph the hub outranks every leaf, and the
+    integer-quantized iteration returns identical longs regardless of
+    input partitioning (the determinism the quantization buys)."""
+    from gcs_parquet_dataflow_spark.operators.graph import pagerank_quantized
+
+    edges = [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    r1 = {r["node"]: r["rank_q"] for r in pagerank_quantized(df).collect()}
+    hub, leaves = r1[0], [r1[i] for i in range(1, 6)]
+    assert all(hub > x for x in leaves)
+    assert len(set(leaves)) == 1          # symmetric leaves tie exactly
+    r2 = {
+        r["node"]: r["rank_q"]
+        for r in pagerank_quantized(df.repartition(7, "v")).collect()
+    }
+    assert r1 == r2
