@@ -410,3 +410,144 @@ def ivf_query_index(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain similarity
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    n_sub: int = 8, k: int = 8, dim: int = 64, seed: int = 17
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks → [m][k] = centroid of
+    ``dim // n_sub`` floats, scaled to the fixture embeddings'
+    component range (~±0.5). Seeded like the LSH hyperplanes so the
+    identical literals appear in the oracle SQL; a trained k-means
+    codebook drops in without changing any consumer."""
+    rng = random.Random(seed)
+    sub = dim // n_sub
+    return [
+        [
+            [
+                round(0.15 * (sum(rng.random() for _ in range(6)) - 3.0), 6)
+                for _ in range(sub)
+            ]
+            for _ in range(k)
+        ]
+        for _ in range(n_sub)
+    ]
+
+
+def _pq_subdist(vec: Column, m: int, cent: list[float]) -> Column:
+    """Squared L2 distance of subvector m to ``cent``, summed in fixed
+    written order (left-assoc) so both engines produce the identical
+    double."""
+    sub = len(cent)
+    out = None
+    for j, c in enumerate(cent):
+        x = F.element_at(vec, m * sub + j + 1) - F.lit(c)
+        term = x * x
+        out = term if out is None else out + term
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding → (id_col, m, code): per subspace, the index of the
+    nearest codebook centroid (tie → lowest index, via min over
+    (distance, index) structs — total order on both engines).
+
+    8 subspaces × 8 centroids compress a 64-dim float vector to 8
+    3-bit codes — a 32× memory/bandwidth reduction. Map-only: the
+    explode is 64 rows per vector inside the scan stage, the argmin a
+    per-(vector, subspace) min — no shuffle wider than the codes
+    table itself."""
+    v = F.col(vec_col).cast("array<double>")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
+                F.lit(kk).cast("int").alias("k"),
+                _pq_subdist(v, m, cent).alias("d"),
+            )
+            for m, book in enumerate(books)
+            for kk, cent in enumerate(book)
+        ]
+    )
+    ex = df.select(F.col(id_col), F.explode(cells).alias("c")).select(
+        id_col,
+        F.col("c.m").alias("m"),
+        F.col("c.k").alias("k"),
+        F.col("c.d").alias("d"),
+    )
+    return ex.groupBy(id_col, "m").agg(
+        F.min(F.struct("d", "k")).getField("k").alias("code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int,
+    books: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k in the compressed domain →
+    (query_id, neighbor_id, rank, dist_q).
+
+    Each query computes its 8×8 distance table against the codebooks,
+    QUANTIZED to integer ``scale``-units so the per-pair approximate
+    distance is an exact int64 sum — deterministic ranking under any
+    partitioning (the PageRank trick applied to ADC). Corpus rows are
+    scored via their 8 codes joined against the broadcast distance
+    table: the classic PQ linear scan that touches 8 bytes per vector
+    instead of 256 — the bandwidth dial. Candidate PRUNING is a
+    different dial: compose with the IVF lists (ivf_topk /
+    build_ivf_index) for IVFPQ, same pieces."""
+    books = books if books is not None else pq_codebooks()
+    codes = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    dcells = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
+                F.lit(kk).cast("int").alias("k"),
+                F.round(_pq_subdist(v, m, cent) * scale)
+                .cast("long")
+                .alias("dq"),
+            )
+            for m, book in enumerate(books)
+            for kk, cent in enumerate(book)
+        ]
+    )
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(dcells).alias("c")
+    ).select(
+        "query_id",
+        F.col("c.m").alias("m"),
+        F.col("c.k").alias("code"),
+        F.col("c.dq").alias("dq"),
+    )
+    from pyspark.sql import Window as WP
+
+    scored = (
+        codes.join(F.broadcast(qd), ["m", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dq").cast("long").alias("dist_q"))
+    )
+    w = WP.partitionBy("query_id").orderBy("dist_q", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "dist_q")
+    )

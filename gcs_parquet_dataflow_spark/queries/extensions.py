@@ -4802,3 +4802,71 @@ def graph_pagerank_coactivity(spark, sf_dir):
     return pagerank_quantized(edges).select(
         F.col("node").alias("user_id"), "rank_q"
     )
+
+
+PQ_BOOKS = SIM.pq_codebooks()
+_PQ_SCALE = 10**9
+
+
+def _pq_cells_sql(quant: bool) -> str:
+    """DuckDB twin of the PQ distance cells: list of {'m','k',d} structs
+    with the squared-L2 terms written in the same left-assoc order as
+    operators/similarity.py _pq_subdist."""
+    cells = []
+    for m, book in enumerate(PQ_BOOKS):
+        sub = len(book[0])
+        for kk, cent in enumerate(book):
+            d = " + ".join(
+                f"(v[{m * sub + j + 1}] - {float(c)!r})"
+                f"*(v[{m * sub + j + 1}] - {float(c)!r})"
+                for j, c in enumerate(cent)
+            )
+            val = (
+                f"CAST(round(({d}) * {_PQ_SCALE}) AS BIGINT)"
+                if quant
+                else f"({d})"
+            )
+            key = "dq" if quant else "d"
+            cells.append(f"{{'m': {m}, 'k': {kk}, '{key}': {val}}}")
+    return "[" + ", ".join(cells) + "]"
+
+
+@query(
+    "knn_pq_adc",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    px AS (SELECT vec_id, unnest({_pq_cells_sql(quant=False)}) AS t
+           FROM e0),
+    codes AS (SELECT vec_id AS neighbor_id, t['m'] AS m,
+                     min({{'d': t['d'], 'k': t['k']}})['k'] AS code
+              FROM px GROUP BY vec_id, t['m']),
+    qx AS (SELECT vec_id AS query_id,
+                  unnest({_pq_cells_sql(quant=True)}) AS t
+           FROM e0 WHERE vec_id < 5),
+    qd AS (SELECT query_id, t['m'] AS m, t['k'] AS code, t['dq'] AS dq
+           FROM qx),
+    sc AS (SELECT q.query_id, c.neighbor_id,
+                  CAST(sum(q.dq) AS BIGINT) AS dist_q
+           FROM codes c JOIN qd q ON q.m = c.m AND q.code = c.code
+           WHERE q.query_id <> c.neighbor_id
+           GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist_q, neighbor_id) AS rk
+          FROM sc)
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, dist_q
+    FROM r WHERE rk <= 5
+    """,
+)
+def knn_pq_adc(spark, sf_dir):
+    """Product-quantization ANN in the compressed domain
+    (operators/similarity.py pq_encode + pq_adc_topk): vectors encode
+    to 8 subspace codes against seeded codebooks, queries score the
+    whole corpus through their integer-quantized 8×8 distance tables
+    (asymmetric distance), top-5 per query. The PQ linear scan reads
+    8 bytes per vector instead of 256 — the memory-bandwidth dial of
+    billion-scale ANN (compose with the IVF lists for IVFPQ candidate
+    pruning). Integer-quantized tables make the ranking exactly
+    deterministic on both engines."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.pq_adc_topk(e, q, k_neighbors=5, books=PQ_BOOKS)

@@ -521,3 +521,38 @@ def test_pagerank_quantized_ranks_hub_highest_and_is_layout_independent(spark):
         for r in pagerank_quantized(df.repartition(7, "v")).collect()
     }
     assert r1 == r2
+
+
+def test_pq_encode_and_adc_find_near_duplicate_first(spark):
+    """An exact duplicate shares all 8 PQ codes and ranks first in the
+    ADC scan with distance 0-ish; results are layout-independent."""
+    import random as _random
+
+    from gcs_parquet_dataflow_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = _random.Random(3)
+    base = [round(rng.uniform(-0.5, 0.5), 4) for _ in range(64)]
+    rows = [
+        (0, base),
+        (1, base),                                           # exact copy
+        (2, [round(rng.uniform(-0.5, 0.5), 4) for _ in range(64)]),
+        (3, [round(rng.uniform(-0.5, 0.5), 4) for _ in range(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks()
+    codes = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in pq_encode(df, books).collect()
+    }
+    assert all(codes[(0, m)] == codes[(1, m)] for m in range(8))
+    top = pq_adc_topk(df, df.filter("vec_id = 0"), 3, books=books).collect()
+    first = min(top, key=lambda r: r["rank"])
+    assert first["neighbor_id"] == 1
+    top2 = pq_adc_topk(
+        df.repartition(5, "vec_id"), df.filter("vec_id = 0"), 3, books=books
+    ).collect()
+    assert sorted(map(tuple, top)) == sorted(map(tuple, top2))
