@@ -151,3 +151,43 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     return df.withColumn(out, last if expr is None else expr.otherwise(last))
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    n: int,
+    salt: str = "gumbel-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, size exactly ``n``
+    (Efraimidis–Spirakis via Gumbel-top-k): rank rows by
+    ``ln(w) + Gumbel(hash)`` and keep the top n — each subset's
+    selection probability proportional to its weights, in ONE pass +
+    one top-k, no sequential draws. The noise is a pure function of
+    (salt, key): u = (hash32 + 0.5) / 2³², g = −ln(−ln(u)) — so the
+    sample is reproducible and partitioning-independent, and a new
+    ``salt`` is a fresh draw. Rows with non-positive weight are
+    excluded (ln undefined — and their probability is 0 anyway).
+
+    → input columns + (gumbel_key, sample_rank). At 100 TB the global
+    top-k is the two-phase per-partition pattern AQE already applies
+    to ORDER BY…LIMIT; DSIR importance weights (sample_dsir_importance)
+    plug in directly as ``weight = exp(avg_log_ratio)`` — i.e. add the
+    log-ratio to the key instead."""
+    from pyspark.sql import Window as W
+
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+
+    u = (
+        hash32(F.concat(F.lit(salt), F.lit(":"), F.col(key).cast("string")))
+        + 0.5
+    ) / F.lit(float(2**32))
+    gk = F.log(weight) - F.log(-F.log(u))
+    w = W.orderBy(F.desc("gumbel_key"), F.asc(key))
+    return (
+        df.filter(weight > 0)
+        .withColumn("gumbel_key", gk)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n)
+    )

@@ -4870,3 +4870,40 @@ def knn_pq_adc(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return SIM.pq_adc_topk(e, q, k_neighbors=5, books=PQ_BOOKS)
+
+
+@query(
+    "sample_weighted_gumbel",
+    f"""
+    WITH k AS (SELECT doc_id, n_chars,
+                      ln(n_chars)
+                      - ln(-ln(({h32("'gumbel-v1:' || CAST(doc_id AS VARCHAR)")}
+                                + 0.5) / 4294967296.0)) AS gk
+               FROM documents WHERE n_chars > 0),
+    r AS (SELECT *, row_number() OVER (ORDER BY gk DESC, doc_id) AS rk
+          FROM k)
+    SELECT rk AS sample_rank, doc_id, n_chars, round(gk, 6) AS gumbel_key
+    FROM r WHERE rk <= 50
+    """,
+)
+def sample_weighted_gumbel(spark, sf_dir):
+    """Length-weighted sample of 50 documents without replacement via
+    deterministic Gumbel-top-k (operators/sampling.py
+    gumbel_topk_sample) — the one-pass distributed replacement for
+    sequential weighted draws, used for weight-proportional corpus
+    subsetting (DSIR resampling, eval-set carving). Hash-derived noise
+    makes the draw reproducible; both engines compute identical
+    doubles, and the Gumbel key is irrational so ranking never
+    straddles the rounding grain."""
+    from gcs_parquet_dataflow_spark.operators.sampling import (
+        gumbel_topk_sample,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = gumbel_topk_sample(d, "doc_id", F.col("n_chars"), n=50)
+    return out.select(
+        "sample_rank",
+        "doc_id",
+        "n_chars",
+        F.round(F.col("gumbel_key"), 6).alias("gumbel_key"),
+    )
