@@ -4907,3 +4907,70 @@ def sample_weighted_gumbel(spark, sf_dir):
         "n_chars",
         F.round(F.col("gumbel_key"), 6).alias("gumbel_key"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH f AS (SELECT user_id,
+                      min(ts) FILTER (WHERE event_type = 'view')
+                          AS first_view,
+                      min(ts) FILTER (WHERE event_type = 'purchase')
+                          AS first_purchase
+               FROM events GROUP BY user_id),
+    d AS (SELECT user_id,
+                 (epoch_us(first_purchase) - epoch_us(first_view))
+                     // 1000000 AS secs_to_convert
+          FROM f
+          WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+            AND first_purchase >= first_view)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(secs_to_convert) AS BIGINT) AS min_secs,
+           round(quantile_cont(secs_to_convert, 0.5), 6) AS p50_secs,
+           round(quantile_cont(secs_to_convert, 0.9), 6) AS p90_secs,
+           CAST(max(secs_to_convert) AS BIGINT) AS max_secs
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution — the companion metric to the
+    step-count funnel: per user, seconds from first view to first
+    purchase (converters only, purchase at-or-after view), summarized
+    as min/p50/p90/max with the exact-percentile pairing. Durations
+    are exact integer seconds, so every output is
+    partitioning-independent.
+
+    Scale shape: one FILTER-aggregated min pair per user (map-side
+    combined), then one global percentile over the |users|-sized
+    duration table (at 100 TB: the histogram-rollup or
+    approx_percentile dial, same contract)."""
+    e = t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    d = f.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (us(F.col("first_purchase")) - us(F.col("first_view"))).alias("_us")
+    ).select(
+        F.expr("_us div 1000000").cast("long").alias("secs_to_convert")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("secs_to_convert").cast("long").alias("min_secs"),
+        F.round(F.expr("percentile(secs_to_convert, 0.5)"), 6).alias(
+            "p50_secs"
+        ),
+        F.round(F.expr("percentile(secs_to_convert, 0.9)"), 6).alias(
+            "p90_secs"
+        ),
+        F.max("secs_to_convert").cast("long").alias("max_secs"),
+    )
