@@ -4974,3 +4974,59 @@ def funnel_time_to_convert(spark, sf_dir):
         ),
         F.max("secs_to_convert").cast("long").alias("max_secs"),
     )
+
+
+@query(
+    "knn_ivfpq",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc AS (SELECT vec_id, v, {_IVF_SCORES} FROM e0),
+    g AS (SELECT *, {_IVF_GREATEST} AS g FROM sc),
+    assigned AS (SELECT vec_id, {_IVF_CASE} AS lst FROM g),
+    px AS (SELECT vec_id, unnest({_pq_cells_sql(quant=False)}) AS t
+           FROM e0),
+    codes AS (SELECT vec_id AS neighbor_id, t['m'] AS m,
+                     min({{'d': t['d'], 'k': t['k']}})['k'] AS code
+              FROM px GROUP BY vec_id, t['m']),
+    q AS (SELECT * FROM sc WHERE vec_id < 5),
+    probes_all AS ({_IVF_PROBES_ALL}),
+    probes AS (SELECT vec_id, c
+               FROM (SELECT vec_id, c, s,
+                            row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, c) AS rn
+                     FROM probes_all)
+               WHERE rn <= 2),
+    qx AS (SELECT vec_id AS query_id,
+                  unnest({_pq_cells_sql(quant=True)}) AS t
+           FROM e0 WHERE vec_id < 5),
+    qd AS (SELECT query_id, t['m'] AS m, t['k'] AS code, t['dq'] AS dq
+           FROM qx),
+    qj AS (SELECT p.vec_id AS query_id, p.c AS lst, d.m, d.code, d.dq
+           FROM probes p JOIN qd d ON d.query_id = p.vec_id),
+    sc2 AS (SELECT qj.query_id, c.neighbor_id,
+                   CAST(sum(qj.dq) AS BIGINT) AS dist_q
+            FROM codes c
+            JOIN assigned a ON a.vec_id = c.neighbor_id
+            JOIN qj ON qj.lst = a.lst AND qj.m = c.m
+                   AND qj.code = c.code
+            WHERE qj.query_id <> c.neighbor_id
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, dist_q
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY dist_q, neighbor_id) AS rk FROM sc2)
+    WHERE rk <= 5
+    """,
+)
+def knn_ivfpq(spark, sf_dir):
+    """IVFPQ ANN (operators/similarity.py ivfpq_topk): IVF lists prune
+    candidates to the 2 probed lists per query, PQ asymmetric distance
+    ranks inside them from 8-byte codes — the composition billion-
+    scale vector search actually ships (FAISS IVFADC). Every constant
+    (IVF centroids seed 29, PQ codebooks seed 17) is inlined into both
+    engines; ranking is integer-quantized, so the approximate index is
+    exactly reproducible."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.ivfpq_topk(
+        e, q, k_neighbors=5, nprobe=2, cents=IVF_CENTS, books=PQ_BOOKS
+    )
