@@ -5030,3 +5030,142 @@ def knn_ivfpq(spark, sf_dir):
     return SIM.ivfpq_topk(
         e, q, k_neighbors=5, nprobe=2, cents=IVF_CENTS, books=PQ_BOOKS
     )
+
+
+@query(
+    "quality_chi2_type_independence",
+    """
+    WITH o AS (SELECT event_type, day(ts) <= 15 AS is_base,
+                      CAST(count(*) AS BIGINT) AS obs
+               FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_tot
+           FROM o GROUP BY 1),
+    ct AS (SELECT is_base, CAST(sum(obs) AS BIGINT) AS col_tot
+           FROM o GROUP BY 1),
+    tt AS (SELECT CAST(sum(obs) AS BIGINT) AS grand FROM o),
+    x AS (SELECT o.event_type, o.is_base, o.obs,
+                 (r.row_tot * c.col_tot) / CAST(t.grand AS DOUBLE) AS exp
+          FROM o JOIN rt r USING (event_type)
+          JOIN ct c USING (is_base) CROSS JOIN tt t)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((obs - exp) * (obs - exp) / exp), 6) AS chi2,
+           CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+               * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof
+    FROM x
+    """,
+)
+def quality_chi2_type_independence(spark, sf_dir):
+    """Chi-square independence audit: is the event-type mix the same in
+    both halves of the month? The contingency-table test behind "did
+    the traffic composition shift" alarms, complementing the per-bin
+    PSI monitor. Observed counts are exact integers; expected counts
+    and the statistic are the identical rational-then-double
+    expression on both engines.
+
+    Scale shape: one (type × half) count (shuffle ≤ cells), two
+    marginal sums over the CELL table, one scalar join — nothing
+    rescans raw data."""
+    e = t(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", (F.dayofmonth("ts") <= 15).alias("is_base")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    o = persist_intermediate(o)
+    rt = o.groupBy("event_type").agg(
+        F.sum("obs").cast("long").alias("row_tot")
+    )
+    ct = o.groupBy("is_base").agg(F.sum("obs").cast("long").alias("col_tot"))
+    n_r = rt.count()
+    n_c = ct.count()
+    grand = o.agg(F.sum("obs").cast("long").alias("g")).first()["g"]
+    x = o.join(F.broadcast(rt), "event_type").join(
+        F.broadcast(ct), "is_base"
+    ).select(
+        "obs",
+        (
+            (F.col("row_tot") * F.col("col_tot")) / F.lit(float(grand))
+        ).alias("exp"),
+    )
+    return x.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(
+            F.sum(
+                (F.col("obs") - F.col("exp"))
+                * (F.col("obs") - F.col("exp"))
+                / F.col("exp")
+            ),
+            6,
+        ).alias("chi2"),
+        F.lit((n_r - 1) * (n_c - 1)).cast("long").alias("dof"),
+    )
+
+
+@query(
+    "vocab_zipf_fit",
+    """
+    WITH tf AS (SELECT u AS term, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS u
+                      FROM documents)
+                WHERE u <> '' GROUP BY u),
+    r AS (SELECT term, n,
+                 row_number() OVER (ORDER BY n DESC, term) AS rk
+          FROM tf),
+    l AS (SELECT ln(rk) AS x, ln(n) AS y FROM r),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM l)
+    SELECT cnt AS n_terms,
+           round((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 6)
+               AS zipf_slope,
+           round((sy - (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) * sx)
+                 / cnt, 6) AS intercept
+    FROM s
+    """,
+)
+def vocab_zipf_fit(spark, sf_dir):
+    """Zipf-law fit of the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) — natural text sits near −1;
+    boilerplate-heavy or synthetic corpora bend away, making the slope
+    a one-number corpus-health indicator next to entropy and the
+    repetition signals. Ranking is total-ordered (count desc, term),
+    and the log sums feed the closed-form OLS both engines evaluate
+    identically.
+
+    Note the double Σ over ln values IS order-sensitive in the last
+    bits; at ~1e3 terms the drift (~1e-13) sits five orders below the
+    rounding grain — same budget as every avg-of-logs query here. At
+    100 TB the vocab agg is the only data-sized step."""
+    from pyspark.sql import Window as WZ
+
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    r = tf.withColumn(
+        "rk", F.row_number().over(WZ.orderBy(F.desc("n"), F.asc("term")))
+    )
+    l_ = r.select(F.log("rk").alias("x"), F.log("n").alias("y"))
+    s = l_.agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("cnt").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("cnt"), 6
+        ).alias("intercept"),
+    )
