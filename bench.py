@@ -61,6 +61,10 @@ EXTENDED = [
     "dedup_duplicated_window_fraction",
     "window_ewma_value",
     "quantile_histogram_rollup",
+    "knn_pq_adc",
+    "knn_ivfpq",
+    "graph_pagerank_coactivity",
+    "nearest_error_per_purchase",
 ]
 
 

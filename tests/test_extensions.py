@@ -493,6 +493,17 @@ def test_round3b_query_plans_stay_jvm_side_no_cartesian(spark):
         "window_ewma_value",
         "corpus_novelty_by_source",
         "source_vocab_overlap",
+        "quantile_histogram_rollup",
+        "skew_hot_key_report",
+        "user_rfm_segments",
+        "experiment_conversion_ztest",
+        "graph_pagerank_coactivity",
+        "knn_pq_adc",
+        "knn_ivfpq",
+        "sample_weighted_gumbel",
+        "funnel_time_to_convert",
+        "quality_chi2_type_independence",
+        "vocab_zipf_fit",
     ]
     sf = "/root/testdata/sf0.001"
     for name in names:
