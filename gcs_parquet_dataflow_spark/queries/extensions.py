@@ -5169,3 +5169,142 @@ def vocab_zipf_fit(spark, sf_dir):
             (F.col("sy") - slope * F.col("sx")) / F.col("cnt"), 6
         ).alias("intercept"),
     )
+
+
+@query(
+    "growth_cumulative_users_by_day",
+    """
+    WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY user_id),
+    nd AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+           FROM fs GROUP BY 1),
+    ad AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+           FROM events GROUP BY 1)
+    SELECT ad.day, ad.active_users,
+           CAST(coalesce(nd.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(nd.new_users, 0))
+                OVER (ORDER BY ad.day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_users
+    FROM ad LEFT JOIN nd ON nd.day = ad.day
+    """,
+)
+def growth_cumulative_users_by_day(spark, sf_dir):
+    """The product growth curve: per day, active users, NEW users
+    (first-ever appearance) and the cumulative distinct-user count —
+    computed without any cumulative-distinct state by reducing each
+    user to a first-seen day first (the standard trick: cumulative
+    distinct ≡ running sum of first occurrences).
+
+    Scale shape: one user-keyed min, one day-keyed count-distinct, and
+    a |days|-sized running window — the raw stream is touched twice,
+    never self-joined. The final window is days-sized, so the global
+    order is trivially small."""
+    from pyspark.sql import Window as WG
+
+    e = t(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.min(F.to_date(F.col("ts"))).alias("first_day")
+    )
+    nd = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    ad = e.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("active_users")
+    )
+    w = WG.orderBy("day").rowsBetween(WG.unboundedPreceding, 0)
+    return (
+        ad.join(nd, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce(F.col("new_users"), F.lit(0)).cast("long").alias(
+                "new_users"
+            ),
+        )
+        .withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("long")
+        )
+    )
+
+
+@query(
+    "vocab_ctfidf_top_terms",
+    """
+    WITH tf AS (SELECT lang, u AS term, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT lang,
+                             unnest(string_split(text, ' ')) AS u
+                      FROM documents)
+                WHERE u <> '' GROUP BY 1, 2),
+    lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_tokens
+           FROM tf GROUP BY 1),
+    df_ AS (SELECT term, CAST(count(*) AS BIGINT) AS n_langs
+            FROM tf GROUP BY 1),
+    nl AS (SELECT CAST(count(*) AS BIGINT) AS total_langs FROM lt),
+    sc AS (SELECT tf.lang, tf.term, tf.n,
+                  (tf.n / CAST(l.lang_tokens AS DOUBLE))
+                  * ln(1 + t.total_langs / CAST(d.n_langs AS DOUBLE))
+                      AS ctfidf
+           FROM tf JOIN lt l USING (lang)
+           JOIN df_ d USING (term) CROSS JOIN nl t),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                        ORDER BY ctfidf DESC, term) AS rk
+          FROM sc)
+    SELECT lang, rk AS rank, term, n AS term_count,
+           round(ctfidf, 6) AS ctfidf
+    FROM r WHERE rk <= 10
+    """,
+)
+def vocab_ctfidf_top_terms(spark, sf_dir):
+    """Class-based TF-IDF (the BERTopic keyword extractor): terms
+    scored per language group by in-group frequency × smoothed inverse
+    group frequency, top-10 per group with a total tie order — "what
+    words characterize this slice" for corpus exploration and topic
+    labeling. The score is the identical rational×ln(rational)
+    expression on both engines.
+
+    Scale shape: one (group, term) count, two group/term-sized
+    marginals joined back (broadcast), one per-group top-k window over
+    the SCORED VOCAB — raw text is scanned once."""
+    from pyspark.sql import Window as WC
+
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tf = persist_intermediate(tf)
+    lt = tf.groupBy("lang").agg(F.sum("n").cast("long").alias("lang_tokens"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs")
+    )
+    total_langs = lt.count()
+    sc = tf.join(F.broadcast(lt), "lang").join(df_, "term").select(
+        "lang",
+        "term",
+        "n",
+        (
+            (F.col("n") / F.col("lang_tokens").cast("double"))
+            * F.log(
+                1 + F.lit(total_langs) / F.col("n_langs").cast("double")
+            )
+        ).alias("ctfidf"),
+    )
+    w = WC.partitionBy("lang").orderBy(F.desc("ctfidf"), F.asc("term"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "lang",
+            "rank",
+            "term",
+            F.col("n").alias("term_count"),
+            F.round(F.col("ctfidf"), 6).alias("ctfidf"),
+        )
+    )
