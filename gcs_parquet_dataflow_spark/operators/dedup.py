@@ -96,7 +96,13 @@ def simhash32(col: Column) -> Column:
     One pass: fold token hashes into a 32-long bit-vote accumulator via
     ``aggregate``+``zip_with``, then fold votes into the integer.
     """
-    hashes = F.transform(tokens(col), hash32)
+    return simhash32_from_hashes(F.transform(tokens(col), hash32))
+
+
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """SimHash fold over an ALREADY-hashed array — the shared core of
+    the text simhash and the byte-gram media phash
+    (operators/multimodal.py phash_stub)."""
     pow2 = lambda j: F.pow(F.lit(2.0), j).cast("long")  # exact for j ≤ 31
     bit = lambda h, j: ((h / pow2(j)).cast("long") % 2)
     votes = F.aggregate(

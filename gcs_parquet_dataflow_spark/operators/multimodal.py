@@ -179,3 +179,32 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=DECODED_SCHEMA
     )
+
+
+def phash_stub(payload: Column) -> Column:
+    """Deterministic byte-level perceptual-hash STAND-IN: simhash32
+    over the payload's 4-byte (8 hex char) grams — identical media get
+    identical hashes, payloads differing in a few bytes land within a
+    small hamming radius, so the banded simhash pair join
+    (operators/dedup.py simhash_pairs) does near-dup media detection
+    with zero decoding. A real pHash (DCT over decoded pixels) slots
+    in behind the same 32-bit column contract once codecs are
+    available (see decode_image) — every downstream banding/pairing
+    step is unchanged.
+
+    Hex is lowercased explicitly: Spark's ``hex`` emits uppercase,
+    DuckDB's lowercase, and the gram hashes must agree."""
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+    from gcs_parquet_dataflow_spark.operators.dedup import (
+        simhash32_from_hashes,
+    )
+
+    h = F.lower(F.hex(payload))
+    n_grams = F.greatest(
+        F.ceil(F.length(h) / F.lit(8.0)).cast("int"), F.lit(1)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: h.substr((i - 1) * 8 + 1, F.lit(8)),
+    )
+    return simhash32_from_hashes(F.transform(grams, hash32))

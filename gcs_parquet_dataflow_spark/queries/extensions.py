@@ -5308,3 +5308,62 @@ def vocab_ctfidf_top_terms(spark, sf_dir):
             F.round(F.col("ctfidf"), 6).alias("ctfidf"),
         )
     )
+
+
+@query(
+    "media_phash_near_dup",
+    f"""
+    WITH d0 AS (SELECT doc_id, text FROM documents),
+    aug AS (SELECT doc_id, text FROM d0
+            UNION ALL
+            SELECT doc_id + 100000, 'X' || substr(text, 2)
+            FROM d0 WHERE doc_id % 10 = 0),
+    m AS (SELECT doc_id AS media_id,
+                 lower(hex(encode(text))) AS hx FROM aug),
+    g AS (SELECT media_id,
+                 unnest([substr(hx, i*8+1, 8)
+                         for i in range(greatest(
+                             CAST(ceil(len(hx)/8.0) AS INT), 1))]) AS gram
+          FROM m),
+    th AS (SELECT media_id, {h32("gram")} AS h FROM g),
+    bits AS (SELECT media_id, j, sum(2 * ((h >> j) & 1) - 1) AS s
+             FROM th CROSS JOIN range(32) r(j) GROUP BY 1, 2),
+    sim AS (SELECT media_id,
+                   CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j
+                                 ELSE 0 END) AS BIGINT) AS ph
+            FROM bits GROUP BY 1)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 7
+    """,
+)
+def media_phash_near_dup(spark, sf_dir):
+    """Near-duplicate MEDIA detection without decoding: payloads (text
+    bytes standing in for image bytes, same as the other multimodal
+    stubs) hash to a byte-level perceptual-hash stand-in
+    (operators/multimodal.py phash_stub — simhash over 4-byte grams),
+    then the banded simhash pair join finds corrupted/re-encoded
+    copies: planted one-byte corruptions land at hamming ≤ 7, caught
+    with EXACT recall by the 8-band pigeonhole. The oracle computes
+    the full pairwise definition; the engine path is the bucketed
+    join — identical pairs required."""
+    d0 = t(spark, sf_dir, "documents")
+    aug = d0.select("doc_id", "text").unionByName(
+        d0.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(
+                F.lit("X"), F.substring(F.col("text"), 2, 1 << 30)
+            ).alias("text"),
+        )
+    )
+    media = aug.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    sims = media.select(
+        "media_id", MM.phash_stub(F.col("payload")).alias("ph")
+    )
+    return DD.simhash_pairs(
+        sims, "media_id", "ph", max_hamming=7, n_bands=8
+    )
