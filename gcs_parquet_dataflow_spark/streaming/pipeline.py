@@ -421,3 +421,109 @@ def run_upsert_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def run_drift_monitor_stream(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    baseline: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    n_bins: int = 10,
+    bin_width: float = 10.0,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous distribution-drift monitoring: per micro-batch,
+    compute the population stability index of each group's value
+    distribution against a STATIC baseline table, and append one row
+    per (batch, group) to the ``out_path`` ops lake — the streaming
+    twin of the drift_psi_by_event_type query, with the same fixed
+    bins + Laplace smoothing (alert on psi > 0.25).
+
+    Baseline bin counts are computed ONCE up front (the monitor's
+    contract: the reference distribution is pinned, e.g. last month's
+    accepted traffic) and broadcast into every batch; each batch then
+    costs one |batch|-scan bin-count plus a groups×bins-sized join —
+    nothing stateful, so replays are idempotent via batch-keyed
+    partition overwrite, like every foreachBatch sink here.
+    """
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    def binned(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(group_col).alias("grp"),
+            F.least(
+                F.floor(F.col(value_col) / bin_width), F.lit(n_bins - 1)
+            )
+            .cast("long")
+            .alias("bin"),
+        ).filter(F.col("bin") >= 0)
+
+    base_cnt = (
+        binned(baseline)
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    )
+    base_tot = base_cnt.groupBy("grp").agg(
+        F.sum("n_base").cast("long").alias("t_base")
+    )
+    base = base_cnt.join(base_tot, "grp").collect()
+    base_df = spark.createDataFrame(
+        base, "grp string, bin long, n_base long, t_base long"
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = (
+            binned(batch_df)
+            .groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+        )
+        tot = cur.groupBy("grp").agg(
+            F.sum("n_cur").cast("long").alias("t_cur")
+        )
+        j = (
+            F.broadcast(base_df)
+            .join(cur, ["grp", "bin"], "left")
+            .join(F.broadcast(tot), "grp", "left")
+            .select(
+                "grp",
+                (
+                    (F.col("n_base") + 1)
+                    / (F.col("t_base") + n_bins).cast("double")
+                ).alias("pb"),
+                (
+                    (F.coalesce(F.col("n_cur"), F.lit(0)) + 1)
+                    / (F.coalesce(F.col("t_cur"), F.lit(0)) + n_bins).cast(
+                        "double"
+                    )
+                ).alias("pc"),
+            )
+        )
+        psi = j.groupBy("grp").agg(
+            F.round(
+                F.sum(
+                    (F.col("pc") - F.col("pb"))
+                    * F.log(F.col("pc") / F.col("pb"))
+                ),
+                6,
+            ).alias("psi"),
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+        )
+        write_partitioned(psi, out_path, [], batch_id=batch_id)
+        release_intermediates()
+
+    writer = events_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -609,3 +609,51 @@ def test_stream_metrics_recorder_captures_batch_progress(spark, tmp_path):
         assert {r["query_name"]: r["rows"] for r in agg}["obs_out"] == 3
     finally:
         stop_recording(spark, rec)
+
+
+def test_drift_monitor_stream_flags_shifted_batch(spark, tmp_path):
+    """Two micro-batches against a pinned baseline: the in-distribution
+    batch scores a small PSI, the shifted batch a large one, and rows
+    land batch-keyed in the ops lake."""
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_drift_monitor_stream,
+    )
+
+    baseline = spark.createDataFrame(
+        [("a", float(v % 100)) for v in range(400)], "grp string, value double"
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    stable = spark.createDataFrame(
+        [("a", float((v * 7) % 100)) for v in range(200)],
+        "grp string, value double",
+    )
+    shifted = spark.createDataFrame(
+        [("a", float(90 + (v % 10))) for v in range(200)],
+        "grp string, value double",
+    )
+    stable.coalesce(1).write.parquet(str(indir / "b0"))
+    shifted.coalesce(1).write.parquet(str(indir / "b1"))
+    stream = (
+        spark.readStream.schema("grp string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "*"))
+    )
+    q = run_drift_monitor_stream(
+        spark,
+        stream,
+        baseline,
+        "grp",
+        "value",
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 2
+    psi = {r["_batch_id"]: r["psi"] for r in rows}
+    assert len(psi) == 2
+    lo, hi = sorted(psi.values())
+    assert lo < 0.25 < hi          # shifted batch alarms, stable doesn't
+    assert all(r["n_bins"] == 10 for r in rows)
