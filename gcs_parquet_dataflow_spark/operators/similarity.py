@@ -636,3 +636,119 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "rank", "dist_q")
     )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    n_sub: int = 8,
+    k: int = 8,
+    dim: int = 64,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10**6,
+) -> list[list[list[float]]]:
+    """Deterministic Lloyd (k-means) training of PQ codebooks on the
+    corpus itself → the same [m][k][dim/n_sub] shape pq_codebooks
+    fakes, but fit to the data (recall jumps accordingly — see
+    tests). Randomness-free and partitioning-independent:
+
+    - init: per subspace, the k data subvectors whose owning rows have
+      the smallest ``hash32(id:m)`` (a seeded reservoir, stable under
+      any layout);
+    - assign: nearest centroid via min-over-(distance, index) structs
+      (the pq_encode argmin);
+    - update: centroid components re-estimated as integer
+      ``quant``-unit means (exact int64 sums → identical doubles
+      everywhere), ``iterations`` rounds driver-looped.
+
+    The codebook is 512 floats — collecting it per round is the
+    canonical tiny-model/big-data split (same as the IVF index
+    metadata). Empty clusters keep their previous centroid."""
+    sub = dim // n_sub
+    v = F.col(vec_col).cast("array<double>")
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+
+    seeds = (
+        df.select(
+            *[
+                F.struct(
+                    hash32(
+                        F.concat(
+                            F.col(id_col).cast("string"), F.lit(f":{m}")
+                        )
+                    ).alias("h"),
+                    F.slice(v, m * sub + 1, sub).alias("sv"),
+                ).alias(f"s{m}")
+                for m in range(n_sub)
+            ]
+        )
+    )
+    books: list[list[list[float]]] = []
+    for m in range(n_sub):
+        rows = (
+            seeds.select(F.col(f"s{m}.h").alias("h"), F.col(f"s{m}.sv").alias("sv"))
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        )
+        books.append([[float(x) for x in r["sv"]] for r in rows])
+    for _ in range(iterations):
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(m).cast("int").alias("m"),
+                    F.lit(kk).cast("int").alias("k"),
+                    _pq_subdist(v, m, cent).alias("d"),
+                )
+                for m, book in enumerate(books)
+                for kk, cent in enumerate(book)
+            ]
+        )
+        assigned = (
+            df.select(v.alias("_v"), F.explode(cells).alias("c"))
+            .select(
+                "_v",
+                F.col("c.m").alias("m"),
+                F.col("c.k").alias("k"),
+                F.col("c.d").alias("d"),
+            )
+            .groupBy("_v", "m")
+            .agg(F.min(F.struct("d", "k")).getField("k").alias("code"))
+        )
+        comp = assigned.select(
+            "m",
+            "code",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(sub - 1)),
+                    lambda j: F.round(
+                        F.element_at(
+                            F.col("_v"), F.col("m") * sub + j + 1
+                        )
+                        * quant
+                    ).cast("long"),
+                )
+            ).alias("j", "q"),
+        )
+        stats = (
+            comp.groupBy("m", "code", "j")
+            .agg(
+                F.sum("q").alias("sq"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        upd: dict[tuple[int, int], list[float]] = {}
+        for r in stats:
+            upd.setdefault((r["m"], r["code"]), [0.0] * sub)[r["j"]] = (
+                r["sq"] / r["n"] / quant
+            )
+        books = [
+            [
+                upd.get((m, kk), books[m][kk])
+                for kk in range(k)
+            ]
+            for m in range(n_sub)
+        ]
+    return books
