@@ -5367,3 +5367,194 @@ def media_phash_near_dup(spark, sf_dir):
     return DD.simhash_pairs(
         sims, "media_id", "ph", max_hamming=7, n_bands=8
     )
+
+
+@query(
+    "cohort_ltv_weekly",
+    """
+    WITH fw AS (SELECT user_id,
+                       min(CAST(date_trunc('week', ts) AS DATE))
+                           AS cohort_week
+                FROM events GROUP BY user_id),
+    rev AS (SELECT e.user_id,
+                   CAST(date_trunc('week', e.ts) AS DATE) AS wk,
+                   CAST(round(e.value * 100) AS BIGINT) AS vc
+            FROM events e WHERE e.event_type = 'purchase'),
+    wkrev AS (SELECT f.cohort_week,
+                     CAST(date_diff('week', f.cohort_week, r.wk)
+                          AS BIGINT) AS week_index,
+                     CAST(sum(r.vc) AS BIGINT) AS revenue_cents
+              FROM rev r JOIN fw f USING (user_id)
+              GROUP BY 1, 2),
+    cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+           FROM fw GROUP BY 1)
+    SELECT w.cohort_week, w.week_index, c.cohort_users, w.revenue_cents,
+           CAST(sum(w.revenue_cents)
+                OVER (PARTITION BY w.cohort_week ORDER BY w.week_index
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_cents,
+           round(sum(w.revenue_cents)
+                 OVER (PARTITION BY w.cohort_week ORDER BY w.week_index
+                       ROWS UNBOUNDED PRECEDING)
+                 / CAST(c.cohort_users * 100 AS DOUBLE), 6)
+               AS ltv_per_user
+    FROM wkrev w JOIN cs c USING (cohort_week)
+    """,
+)
+def cohort_ltv_weekly(spark, sf_dir):
+    """Cohort lifetime-value curve: users cohorted by first-seen week,
+    purchase revenue accumulated per cohort across week offsets, and
+    LTV-per-user — the retention matrix's revenue twin. Exact integer
+    cents everywhere; the only double is the final per-user ratio.
+
+    Scale shape: one first-seen reduction per user, one
+    (cohort, week)-keyed revenue agg, then windows over the
+    cohort×week table (tiny). Raw events are scanned twice (first-seen
+    + revenue), never joined to themselves."""
+    from pyspark.sql import Window as WL
+
+    e = t(spark, sf_dir, "events")
+    wk = lambda c: F.to_date(F.date_trunc("week", c))  # noqa: E731
+    fw = e.groupBy("user_id").agg(
+        F.min(wk(F.col("ts"))).alias("cohort_week")
+    )
+    rev = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", wk(F.col("ts")).alias("wk"), cents(F.col("value")).alias("vc")
+    )
+    wkrev = (
+        rev.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.col("wk"), F.col("cohort_week")) / 7
+                )
+            ).cast("long").alias("week_index"),
+        )
+        .agg(F.sum("vc").cast("long").alias("revenue_cents"))
+    )
+    cs = fw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    w = WL.partitionBy("cohort_week").orderBy("week_index").rowsBetween(
+        WL.unboundedPreceding, 0
+    )
+    return (
+        wkrev.join(F.broadcast(cs), "cohort_week")
+        .withColumn(
+            "cumulative_cents", F.sum("revenue_cents").over(w).cast("long")
+        )
+        .select(
+            "cohort_week",
+            "week_index",
+            "cohort_users",
+            "revenue_cents",
+            "cumulative_cents",
+            F.round(
+                F.col("cumulative_cents")
+                / (F.col("cohort_users") * 100).cast("double"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+@query(
+    "metric_wow_change",
+    """
+    WITH w AS (SELECT event_type,
+                      CAST(date_trunc('week', ts) AS DATE) AS wk,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS revenue_cents,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, wk, revenue_cents, n_events,
+           CAST(lag(revenue_cents) OVER (PARTITION BY event_type
+                ORDER BY wk) AS BIGINT) AS prev_cents,
+           round(CASE WHEN lag(revenue_cents) OVER (PARTITION BY
+                          event_type ORDER BY wk) > 0
+                 THEN (revenue_cents - lag(revenue_cents)
+                       OVER (PARTITION BY event_type ORDER BY wk))
+                      / CAST(lag(revenue_cents) OVER (PARTITION BY
+                             event_type ORDER BY wk) AS DOUBLE)
+                 END, 6) AS wow_change
+    FROM w
+    """,
+)
+def metric_wow_change(spark, sf_dir):
+    """Week-over-week change per metric slice — the KPI report every
+    dashboard derives from a rollup: weekly revenue/volume per type
+    with the relative change vs the prior week (NULL on the first week
+    or a zero base). Exact integer sums; one rollup + one tiny
+    window."""
+    from pyspark.sql import Window as WW
+
+    e = t(spark, sf_dir, "events")
+    w = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+    ).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    win = WW.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("revenue_cents").over(win)
+    return w.select(
+        "event_type",
+        "wk",
+        "revenue_cents",
+        "n_events",
+        prev.cast("long").alias("prev_cents"),
+        F.round(
+            F.when(
+                prev > 0,
+                (F.col("revenue_cents") - prev) / prev.cast("double"),
+            ),
+            6,
+        ).alias("wow_change"),
+    )
+
+
+@query(
+    "path_top_trigrams",
+    """
+    WITH s AS (SELECT user_id, ts, event_id, event_type,
+                      lead(event_type) OVER w AS t2,
+                      lead(event_type, 2) OVER w AS t3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tg AS (SELECT event_type || '>' || t2 || '>' || t3 AS path
+           FROM s WHERE t3 IS NOT NULL)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM tg GROUP BY path
+    ORDER BY n_occurrences DESC, path LIMIT 20
+    """,
+)
+def path_top_trigrams(spark, sf_dir):
+    """Top-20 behavioral paths: the most frequent 3-step event-type
+    sequences across user journeys (per-user time order, deterministic
+    event_id tie-break) — the path-exploration view product analytics
+    tools build funnels from, and the Markov transition matrix's
+    higher-order companion.
+
+    Scale shape: two leads on ONE user-keyed window exchange, one
+    hash-aggregated count over trigram strings (≤ types³ groups), and
+    a types³-sized top-k sort."""
+    from pyspark.sql import Window as WP
+
+    e = t(spark, sf_dir, "events")
+    w = WP.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        s.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(20)
+    )
