@@ -5558,3 +5558,69 @@ def path_top_trigrams(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "feature_target_encode_loo",
+    """
+    WITH o AS (SELECT o_orderkey, o_orderpriority,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS tc
+               FROM orders),
+    g AS (SELECT o_orderpriority,
+                 CAST(sum(tc) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM o GROUP BY 1),
+    t AS (SELECT CAST(sum(tc) AS BIGINT) AS gs,
+                 CAST(count(*) AS BIGINT) AS gn FROM o)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round(((g.s - o.tc) + 20 * (t.gs / CAST(t.gn AS DOUBLE)))
+                 / CAST(g.n - 1 + 20 AS DOUBLE) / 100, 6) AS te_loo,
+           round((g.s + 20 * (t.gs / CAST(t.gn AS DOUBLE)))
+                 / CAST(g.n + 20 AS DOUBLE) / 100, 6) AS te_smoothed
+    FROM o JOIN g USING (o_orderpriority) CROSS JOIN t
+    """,
+)
+def feature_target_encode_loo(spark, sf_dir):
+    """Target encoding with additive smoothing, in both the standard
+    and LEAVE-ONE-OUT forms (each row's own target excluded — the
+    leakage-safe variant training pipelines need): category mean of
+    the target (order total) shrunk toward the global mean with prior
+    weight 20. All sums are exact integer cents; the global mean
+    enters as one broadcast scalar.
+
+    Scale shape: one category-keyed agg + one broadcast join back over
+    the rows — the canonical two-pass encode; at 100 TB the category
+    table is dictionary-sized."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("tc"),
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    o = persist_intermediate(o)
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum("tc").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tot = o.agg(
+        F.sum("tc").cast("long").alias("gs"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    ).first()
+    gmean = F.lit(tot["gs"]) / F.lit(float(tot["gn"]))
+    return o.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(
+            ((F.col("s") - F.col("tc")) + 20 * gmean)
+            / (F.col("n") - 1 + 20).cast("double")
+            / 100,
+            6,
+        ).alias("te_loo"),
+        F.round(
+            (F.col("s") + 20 * gmean) / (F.col("n") + 20).cast("double") / 100,
+            6,
+        ).alias("te_smoothed"),
+    )
