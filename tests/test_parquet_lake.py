@@ -272,3 +272,52 @@ def test_versioned_snapshots_time_travel_upsert_and_vacuum(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         read_version(spark, root, 0)
     assert {r["k"] for r in read_version(spark, root).collect()} == {1, 2, 3}
+
+
+def test_export_ndjson_and_csv_round_trip(spark, tmp_path):
+    """Exports are readable back with the DLQ readers (the ingest
+    twins); CSV refuses nested columns instead of corrupting them."""
+    import gzip as _gzip
+    import json
+    import pathlib
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from gcs_parquet_dataflow_spark.sinks.export import write_csv, write_ndjson
+    from gcs_parquet_dataflow_spark.sources.text_formats import (
+        read_csv_with_dlq,
+        read_jsonl_with_dlq,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, None), (2, "b", None, 3.0)],
+        "id long, name string, x double, y double",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+    jd = str(tmp_path / "j")
+    write_ndjson(df, jd, gzip=True, n_files=1)
+    gz = next(pathlib.Path(jd).glob("*.json.gz"))
+    lines = [json.loads(ln) for ln in _gzip.open(gz, "rt")]
+    assert len(lines) == 2 and "x" not in [
+        k for ln in lines if ln["id"] == 2 for k in ln
+    ]  # nulls omitted
+    ok, dlq = read_jsonl_with_dlq(spark, jd, schema)
+    assert ok.count() == 2 and dlq.count() == 0
+
+    cd = str(tmp_path / "c")
+    write_csv(df, cd, n_files=1)
+    ok_c, dlq_c = read_csv_with_dlq(spark, cd, schema)
+    assert {r["id"] for r in ok_c.collect()} == {1, 2} and dlq_c.count() == 0
+
+    nested = df.select("id", F.struct("name").alias("s"))
+    with _pytest.raises(ValueError):
+        write_csv(nested, str(tmp_path / "bad"))
