@@ -5624,3 +5624,112 @@ def feature_target_encode_loo(spark, sf_dir):
             6,
         ).alias("te_smoothed"),
     )
+
+
+@query(
+    "dedup_semantic_keep_centroid_closest",
+    f"""
+    WITH RECURSIVE
+    e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aug AS (SELECT vec_id, v FROM e0
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(v, x -> x + 0.01)
+            FROM e0 WHERE vec_id % 25 = 0),
+    b AS (SELECT vec_id, v, {{BUCKET}} AS bucket FROM aug),
+    p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM b a JOIN b b2
+            ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE {{COS}} >= {{THR}}),
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    r AS (SELECT s, d FROM e
+          UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+    m AS (SELECT s AS vec_id, min(d) AS mn FROM r GROUP BY s),
+    cl AS (SELECT aug.vec_id, aug.v,
+                  CAST(coalesce(least(aug.vec_id, m.mn), aug.vec_id)
+                       AS BIGINT) AS cluster
+           FROM aug LEFT JOIN m ON aug.vec_id = m.vec_id),
+    ex AS (SELECT cluster, vec_id, i AS dim,
+                  CAST(round(v[i + 1] * 1000000) AS BIGINT) AS q
+           FROM cl CROSS JOIN range(64) r2(i)),
+    cq AS (SELECT cluster, dim,
+                  CAST(round(sum(q) / CAST(count(*) AS DOUBLE))
+                       AS BIGINT) AS c_q
+           FROM ex GROUP BY 1, 2),
+    dist AS (SELECT ex.cluster, ex.vec_id,
+                    CAST(sum((ex.q - cq.c_q) * (ex.q - cq.c_q))
+                         AS BIGINT) AS dist_q
+             FROM ex JOIN cq ON cq.cluster = ex.cluster
+                            AND cq.dim = ex.dim
+             GROUP BY 1, 2),
+    pick AS (SELECT cluster,
+                    min({{'d': dist_q, 'id': vec_id}}) AS w,
+                    CAST(count(*) AS BIGINT) AS n_members
+             FROM dist GROUP BY cluster)
+    SELECT cluster, CAST(w['id'] AS BIGINT) AS kept_vec_id,
+           CAST(w['d'] AS BIGINT) AS kept_dist_q, n_members
+    FROM pick
+    """.replace("{BUCKET}", BUCKET_SQL)
+       .replace("{COS}", COS_SQL.format(a="a", b="b2"))
+       .replace("{THR}", str(COS_DUP_THRESHOLD)),
+)
+def dedup_semantic_keep_centroid_closest(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): inside each embedding near-dup
+    cluster keep the member CLOSEST TO THE CLUSTER CENTROID (the most
+    representative copy), drop the rest. Composition of the existing
+    pieces — LSH pair join → connected components → micro-unit
+    centroid — plus an integer-quantized member-to-centroid distance,
+    so the keep decision is a total order (dist, id) both engines
+    resolve identically.
+
+    Scale shape: adds ONE (cluster,dim)-keyed join + hash agg on top
+    of the centroid pipeline; the distance table is members×dims rows,
+    map-side combined. Singleton clusters keep themselves (distance
+    0 to their own centroid)."""
+    aug = _planted_embeddings(spark, sf_dir)
+    pairs = SIM.cosine_dup_pairs(
+        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v"
+    )
+    comp = DD.connected_components(
+        aug.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    ex = persist_intermediate(
+        aug.join(comp, "vec_id")
+        .select("cluster", "vec_id", F.posexplode("v").alias("dim", "_val"))
+        .select(
+            "cluster",
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("_val") * 1000000).cast("long").alias("q"),
+        )
+    )
+    cq = ex.groupBy("cluster", "dim").agg(
+        F.round(F.sum("q") / F.count(F.lit(1)).cast("double"))
+        .cast("long")
+        .alias("c_q")
+    )
+    dist = (
+        ex.join(cq, ["cluster", "dim"])
+        .groupBy("cluster", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("c_q")) * (F.col("q") - F.col("c_q"))
+            )
+            .cast("long")
+            .alias("dist_q")
+        )
+    )
+    return dist.groupBy("cluster").agg(
+        F.min(F.struct(F.col("dist_q").alias("d"), F.col("vec_id").alias("id")))
+        .alias("w"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    ).select(
+        "cluster",
+        F.col("w.id").cast("long").alias("kept_vec_id"),
+        F.col("w.d").cast("long").alias("kept_dist_q"),
+        "n_members",
+    )
