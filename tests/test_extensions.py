@@ -504,6 +504,14 @@ def test_round3b_query_plans_stay_jvm_side_no_cartesian(spark):
         "funnel_time_to_convert",
         "quality_chi2_type_independence",
         "vocab_zipf_fit",
+        "growth_cumulative_users_by_day",
+        "vocab_ctfidf_top_terms",
+        "media_phash_near_dup",
+        "cohort_ltv_weekly",
+        "metric_wow_change",
+        "path_top_trigrams",
+        "feature_target_encode_loo",
+        "dedup_semantic_keep_centroid_closest",
     ]
     sf = "/root/testdata/sf0.001"
     for name in names:
