@@ -321,3 +321,22 @@ def test_export_ndjson_and_csv_round_trip(spark, tmp_path):
     nested = df.select("id", F.struct("name").alias("s"))
     with _pytest.raises(ValueError):
         write_csv(nested, str(tmp_path / "bad"))
+
+
+def test_orc_round_trip_preserves_schema_and_values(spark, tmp_path):
+    """The lake layer is format-agnostic where Spark is: ORC (the other
+    production columnar format) round-trips the same typed rows with
+    predicate pushdown available — a config switch, not new code."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, x double"
+    )
+    p = str(tmp_path / "t.orc")
+    df.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    pushed = (
+        back.filter(F.col("id") == 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in pushed or "pushed" in pushed.lower()
