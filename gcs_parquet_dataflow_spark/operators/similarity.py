@@ -452,6 +452,87 @@ def _pq_subdist(vec: Column, m: int, cent: list[float]) -> Column:
     return out
 
 
+
+
+def _pq_subdist_sql(vexpr: str, m: int, cent: list[float]) -> str:
+    """Spark-SQL text of the squared subspace distance, terms in the
+    same written order as the Column form and the DuckDB oracle —
+    generated as ONE string because building the 512-term forest from
+    Python Column ops costs seconds of py4j round-trips per query."""
+    sub = len(cent)
+    return " + ".join(
+        f"(element_at({vexpr}, {m * sub + j + 1}) - {float(c)!r})"
+        f"*(element_at({vexpr}, {m * sub + j + 1}) - {float(c)!r})"
+        for j, c in enumerate(cent)
+    )
+
+
+def _pq_codes_expr(books: list[list[list[float]]], vec_col: str) -> str:
+    v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    cells = ", ".join(
+        f"struct({m} AS m, array_min(array("
+        + ", ".join(
+            f"struct(({_pq_subdist_sql(v, m, cent)}) AS d, {kk} AS k)"
+            for kk, cent in enumerate(book)
+        )
+        + ")).k AS code)"
+        for m, book in enumerate(books)
+    )
+    return f"explode(array({cells}))"
+
+
+def _pq_dtable_expr(
+    books: list[list[list[float]]], vec_col: str, scale: int
+) -> str:
+    v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    cells = ", ".join(
+        f"struct({m} AS m, {kk} AS k, "
+        f"CAST(round(({_pq_subdist_sql(v, m, cent)}) * {scale}) AS BIGINT)"
+        " AS dq)"
+        for m, book in enumerate(books)
+        for kk, cent in enumerate(book)
+    )
+    return f"explode(array({cells}))"
+
+
+def _codebook_df(df: DataFrame, books: list[list[list[float]]]):
+    rows = [
+        (m, kk, [float(x) for x in cent])
+        for m, book in enumerate(books)
+        for kk, cent in enumerate(book)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "m int, k int, cent array<double>"
+    )
+
+
+def _sub_slices(vec_col: str, books: list[list[list[float]]]):
+    v = F.col(vec_col).cast("array<double>")
+    sub = len(books[0][0])
+    return F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
+                F.slice(v, m * sub + 1, sub).alias("sv"),
+            )
+            for m in range(len(books))
+        ]
+    )
+
+
+def _subdist_cols(sv: Column, cent: Column, sub: int) -> Column:
+    """Squared L2 between two array COLUMNS, unrolled by index so the
+    whole thing stays in whole-stage codegen (the zip_with/aggregate
+    fold runs interpreted — measured ~10 s of pure lambda overhead on
+    128k joined rows). Written order matches the oracle SQL."""
+    out = None
+    for j in range(sub):
+        x = F.element_at(sv, j + 1) - F.element_at(cent, j + 1)
+        term = x * x
+        out = term if out is None else out + term
+    return out
+
+
 def pq_encode(
     df: DataFrame,
     books: list[list[list[float]]],
@@ -463,30 +544,22 @@ def pq_encode(
     (distance, index) structs — total order on both engines).
 
     8 subspaces × 8 centroids compress a 64-dim float vector to 8
-    3-bit codes — a 32× memory/bandwidth reduction. Map-only: the
-    explode is 64 rows per vector inside the scan stage, the argmin a
-    per-(vector, subspace) min — no shuffle wider than the codes
-    table itself."""
-    v = F.col(vec_col).cast("array<double>")
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(m).cast("int").alias("m"),
-                F.lit(kk).cast("int").alias("k"),
-                _pq_subdist(v, m, cent).alias("d"),
-            )
-            for m, book in enumerate(books)
-            for kk, cent in enumerate(book)
-        ]
-    )
-    ex = df.select(F.col(id_col), F.explode(cells).alias("c")).select(
-        id_col,
-        F.col("c.m").alias("m"),
-        F.col("c.k").alias("k"),
-        F.col("c.d").alias("d"),
-    )
-    return ex.groupBy(id_col, "m").agg(
-        F.min(F.struct("d", "k")).getField("k").alias("code")
+    3-bit codes — a 32× memory/bandwidth reduction. The codebook is a
+    BROADCAST TABLE joined against exploded subvectors, not an
+    unrolled expression forest: a production codebook (M=16, K=256 →
+    4096 cells) cannot be inlined into a plan, and the join form keeps
+    plan size constant in M×K. The fold-based distance sums in the
+    same left-assoc order as the oracle SQL, so doubles stay
+    bit-identical."""
+    subs = df.select(
+        F.col(id_col), F.explode(_sub_slices(vec_col, books)).alias("s")
+    ).select(id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    j = subs.join(F.broadcast(_codebook_df(df, books)), "m")
+    d = _subdist_cols(F.col("sv"), F.col("cent"), len(books[0][0]))
+    return (
+        j.select(F.col(id_col), "m", d.alias("d"), "k")
+        .groupBy(id_col, "m")
+        .agg(F.min(F.struct("d", "k")).getField("k").alias("code"))
     )
 
 
@@ -515,27 +588,23 @@ def pq_adc_topk(
     codes = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    v = F.col(vec_col).cast("array<double>")
-    dcells = F.array(
-        *[
-            F.struct(
-                F.lit(m).cast("int").alias("m"),
-                F.lit(kk).cast("int").alias("k"),
-                F.round(_pq_subdist(v, m, cent) * scale)
-                .cast("long")
-                .alias("dq"),
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_sub_slices(vec_col, books)).alias("s"),
+    ).select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    qd = (
+        qsubs.join(F.broadcast(_codebook_df(queries, books)), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("k").alias("code"),
+            F.round(
+                _subdist_cols(F.col("sv"), F.col("cent"), len(books[0][0]))
+                * scale
             )
-            for m, book in enumerate(books)
-            for kk, cent in enumerate(book)
-        ]
-    )
-    qd = queries.select(
-        F.col(id_col).alias("query_id"), F.explode(dcells).alias("c")
-    ).select(
-        "query_id",
-        F.col("c.m").alias("m"),
-        F.col("c.k").alias("code"),
-        F.col("c.dq").alias("dq"),
+            .cast("long")
+            .alias("dq"),
+        )
     )
     from pyspark.sql import Window as WP
 
@@ -599,27 +668,23 @@ def ivfpq_topk(
             )
         ).alias("_list"),
     )
-    v = F.col(vec_col).cast("array<double>")
-    dcells = F.array(
-        *[
-            F.struct(
-                F.lit(m).cast("int").alias("m"),
-                F.lit(kk).cast("int").alias("k"),
-                F.round(_pq_subdist(v, m, cent) * scale)
-                .cast("long")
-                .alias("dq"),
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_sub_slices(vec_col, books)).alias("s"),
+    ).select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    qd = (
+        qsubs.join(F.broadcast(_codebook_df(queries, books)), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("k").alias("code"),
+            F.round(
+                _subdist_cols(F.col("sv"), F.col("cent"), len(books[0][0]))
+                * scale
             )
-            for m, book in enumerate(books)
-            for kk, cent in enumerate(book)
-        ]
-    )
-    qd = queries.select(
-        F.col(id_col).alias("query_id"), F.explode(dcells).alias("c")
-    ).select(
-        "query_id",
-        F.col("c.m").alias("m"),
-        F.col("c.k").alias("code"),
-        F.col("c.dq").alias("dq"),
+            .cast("long")
+            .alias("dq"),
+        )
     )
     qj = q_lists.join(qd, "query_id")
     from pyspark.sql import Window as WP
