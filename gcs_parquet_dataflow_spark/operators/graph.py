@@ -73,18 +73,21 @@ def pagerank_quantized(
     base = ((1000 - damping_permille) * r_init) // 1000
     r = deg.select("node", F.lit(r_init).cast("long").alias("r"))
     for _ in range(iterations):
-        out = r.join(deg, "node").select(
+        # rank/degree tables are |V|-sized — broadcast them so the edge
+        # list (the big side) never shuffles; each round is map-only
+        # over edges plus one dst-keyed aggregation
+        out = r.join(F.broadcast(deg), "node").select(
             "node", F.expr("r div degree").alias("o")
         )
         s = (
-            und.join(out, und["src"] == out["node"])
+            und.join(F.broadcast(out), und["src"] == out["node"])
             .groupBy("dst")
             .agg(F.sum("o").cast("long").alias("s"))
             .withColumnRenamed("dst", "node")
         )
         r = (
             deg.select("node")
-            .join(s, "node", "left")
+            .join(F.broadcast(s), "node", "left")
             .select(
                 "node",
                 (
