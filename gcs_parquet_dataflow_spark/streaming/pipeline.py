@@ -527,3 +527,71 @@ def run_drift_monitor_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def run_quality_gate_stream(
+    spark: SparkSession,
+    rows_stream: DataFrame,
+    rules: "dict[str, Column]",
+    ok_path: str,
+    dlq_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    *,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous data-contract enforcement: per micro-batch, split
+    rows into the clean lake (every rule passes) and a rule-tagged DLQ
+    (operators/quality.violating_rows), and append a per-rule summary
+    (check_constraints) to the ops report lake — the streaming form of
+    the batch quality gate, with the reference's DLQ philosophy
+    (main.py:211-223) applied to declarative constraints instead of
+    transform failures.
+
+    All three writes are batch-keyed dynamic partition overwrites, so
+    a replayed micro-batch converges to the same lake state. One scan
+    of the batch serves both the split and the report (the constraint
+    counts aggregate the same predicates the split evaluates)."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.operators.quality import (
+        check_constraints,
+        violating_rows,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = persist_intermediate(batch_df)
+        bad = violating_rows(batch_df, rules)
+        # NOT an anti-join back onto bad: NULL-keyed rows never equal
+        # themselves, so they would leak into ok — evaluate the same
+        # predicates directly instead
+        all_pass = None
+        for pred in rules.values():
+            p_ = F.coalesce(pred, F.lit(False))
+            all_pass = p_ if all_pass is None else all_pass & p_
+        ok = batch_df.filter(all_pass)
+        report = check_constraints(batch_df, rules)
+        write_partitioned(ok, ok_path, [], batch_id=batch_id)
+        write_partitioned(
+            bad.withColumn(
+                "failed_rules", F.array_join("failed_rules", ",")
+            ),
+            dlq_path,
+            [],
+            batch_id=batch_id,
+        )
+        write_partitioned(report, report_path, [], batch_id=batch_id)
+        release_intermediates()
+
+    writer = rows_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

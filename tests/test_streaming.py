@@ -657,3 +657,46 @@ def test_drift_monitor_stream_flags_shifted_batch(spark, tmp_path):
     lo, hi = sorted(psi.values())
     assert lo < 0.25 < hi          # shifted batch alarms, stable doesn't
     assert all(r["n_bins"] == 10 for r in rows)
+
+
+def test_quality_gate_stream_splits_and_reports_per_batch(spark, tmp_path):
+    """Rows failing any contract rule (including NULLs — unknown ≠
+    pass) land rule-tagged in the DLQ; clean rows in the lake; the
+    per-rule report is batch-keyed. Replay-idempotent by construction."""
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_quality_gate_stream,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "b"), (3, None, "c"), (4, 7.0, None)],
+        "id long, value double, name string",
+    ).coalesce(1).write.parquet(str(indir / "b0"))
+    stream = spark.readStream.schema(
+        "id long, value double, name string"
+    ).parquet(str(indir / "*"))
+    rules = {
+        "value_positive": F.col("value") > 0,
+        "name_present": F.col("name").isNotNull(),
+    }
+    q = run_quality_gate_stream(
+        spark,
+        stream,
+        rules,
+        str(tmp_path / "ok"),
+        str(tmp_path / "dlq"),
+        str(tmp_path / "rep"),
+        str(tmp_path / "ck"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    ok = {r["id"] for r in spark.read.parquet(str(tmp_path / "ok")).collect()}
+    assert ok == {1}
+    dlq = {r["id"]: r["failed_rules"] for r in
+           spark.read.parquet(str(tmp_path / "dlq")).collect()}
+    assert dlq == {2: "value_positive", 3: "value_positive",
+                   4: "name_present"}
+    rep = {r["rule"]: r["n_violations"] for r in
+           spark.read.parquet(str(tmp_path / "rep")).collect()}
+    assert rep == {"value_positive": 2, "name_present": 1}
