@@ -118,20 +118,57 @@ def lsh_topk(
     planes: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates = same hyperplane bucket, exact
     cosine re-rank within. → (query_id, neighbor_id, rank, cos).
 
-    Recall is per-bucket (a bucket-0 neighbor is invisible) — the
-    documented approximation; multiply probe tables or reduce n_planes
-    to trade cost for recall.
+    Recall is per-bucket (a bucket-0 neighbor is invisible); two
+    documented dials trade cost for recall: fewer planes (bigger
+    buckets), or MULTI-PROBE (``extra_probes`` > 0) — each query also
+    probes the buckets reached by flipping its least-confident sign
+    bits (smallest |dot|, the standard multi-probe LSH heuristic), so
+    near-boundary neighbors in adjacent buckets become visible at the
+    cost of extra_probes× candidate volume. The flip order is total
+    ((rounded |dot|, plane index)) so probe sets are deterministic on
+    both engines; flipped buckets are all distinct, so no candidate is
+    scored twice.
     """
     planes = planes if planes is not None else hyperplanes()
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
-    )
+    bucket = hyperplane_bucket(F.col(vec_col), planes)
+    if extra_probes:
+        flips = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(F.abs(dot(F.col(vec_col), lit_vector(p))), 6)
+                        .alias("a"),
+                        F.lit(i).cast("int").alias("i"),
+                    )
+                    for i, p in enumerate(planes)
+                ]
+            )
+        )
+        probe_buckets = F.concat(
+            F.array(bucket),
+            F.transform(
+                F.slice(flips, 1, extra_probes),
+                lambda st: bucket.bitwiseXOR(
+                    F.pow(F.lit(2.0), st.getField("i")).cast("long")
+                ),
+            ),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probe_buckets).alias("_bucket"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            bucket.alias("_bucket"),
+        )
     c = ensure_parallelism(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),

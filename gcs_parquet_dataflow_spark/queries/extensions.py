@@ -5733,3 +5733,51 @@ def dedup_semantic_keep_centroid_closest(spark, sf_dir):
         F.col("w.d").cast("long").alias("kept_dist_q"),
         "n_members",
     )
+
+
+_MP_PROBES_ALL = "\n    UNION ALL ".join(
+    f"SELECT vec_id, bucket, {i} AS i,"
+    f" round(abs(list_dot_product(v, {_vec_lit_sql(p)})), 6) AS a FROM q0"
+    for i, p in enumerate(PLANES)
+)
+
+
+@query(
+    "knn_lsh_multiprobe",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, v, {BUCKET_SQL} AS bucket FROM e0),
+    q0 AS (SELECT * FROM e WHERE vec_id < 5),
+    pa AS ({_MP_PROBES_ALL}),
+    fl AS (SELECT vec_id, bucket, i FROM (
+             SELECT vec_id, bucket, i,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY a, i) AS rn
+             FROM pa)
+           WHERE rn <= 2),
+    probes AS (SELECT vec_id, bucket FROM q0
+               UNION ALL
+               SELECT vec_id, xor(bucket, (CAST(1 AS BIGINT) << i)) FROM fl),
+    qq AS (SELECT p.vec_id, q0.v, p.bucket
+           FROM probes p JOIN q0 ON q0.vec_id = p.vec_id),
+    scored AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      {COS_SQL.format(a="qq", b="c")} AS cos
+               FROM e c JOIN qq
+                 ON c.vec_id <> qq.vec_id AND c.bucket = qq.bucket)
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def knn_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-5 (operators/similarity.py lsh_topk with
+    extra_probes=2): each query also searches the two buckets reached
+    by flipping its least-confident hyperplane signs — the standard
+    recall dial that trades 3× candidate volume for visibility of
+    near-boundary neighbors plain bucketed LSH (knn_lsh_bucketed)
+    misses. Flip order is the total (rounded |dot|, plane index) key,
+    so both engines probe identical buckets."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(e, q, k=5, planes=PLANES, extra_probes=2)

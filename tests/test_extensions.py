@@ -615,3 +615,43 @@ def test_train_pq_codebooks_reduces_distortion_deterministically(spark):
     assert d3 < d1 < d_rand
     b3b = SIM.train_pq_codebooks(corp.repartition(13, "vec_id"), iterations=3)
     assert b3 == b3b
+
+
+def test_lsh_multiprobe_finds_adjacent_bucket_neighbor(spark):
+    """Construct a near-identical pair separated only by the query's
+    least-confident hyperplane: plain bucketed LSH cannot see it,
+    multi-probe (1 extra probe) must."""
+    import random as _random
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    planes = SIM.hyperplanes()
+    pair = None
+    for seed in range(200):
+        rng = _random.Random(seed)
+        v = [rng.uniform(-0.5, 0.5) for _ in range(64)]
+        ds = [dot(v, p) for p in planes]
+        i = min(range(len(planes)), key=lambda j: (round(abs(ds[j]), 6), j))
+        pn = dot(planes[i], planes[i])
+        # reflect across plane i -> flips its sign, perturbs the others
+        v2 = [x - 2 * ds[i] / pn * c for x, c in zip(v, planes[i])]
+        b = sum(2**j for j, d in enumerate(ds) if d > 0)
+        b2 = sum(2**j for j, d in enumerate(dot(v2, p) for p in planes) if d > 0)
+        if b2 == b ^ (1 << i):
+            pair = (v, v2)
+            break
+    assert pair is not None, "no constructible boundary pair in 200 seeds"
+    v, v2 = pair
+    rng = _random.Random(999)
+    corpus = [(1, v2)] + [
+        (j, [rng.uniform(-0.5, 0.5) for _ in range(64)]) for j in range(2, 30)
+    ]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame([(0, v)], "vec_id long, embedding array<double>")
+    single = {r["neighbor_id"] for r in
+              SIM.lsh_topk(cdf, qdf, k=5, extra_probes=0).collect()}
+    multi = {r["neighbor_id"] for r in
+             SIM.lsh_topk(cdf, qdf, k=5, extra_probes=1).collect()}
+    assert 1 not in single          # adjacent bucket -> invisible
+    assert 1 in multi               # weakest-bit probe finds it
