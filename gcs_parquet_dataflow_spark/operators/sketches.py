@@ -131,3 +131,167 @@ def quantiles_from_histogram(
             F.round((v_lo + frac * (v_hi - v_lo)) / 100, 6).alias(name)
         )
     return h.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distinct-count sketch (salted-min / bottom-1×k, the
+# Flajolet–Martin-style estimator over k independent salted md5 hashes).
+# Unlike the HLL surface above, this one is DETERMINISTIC and therefore
+# value-exact oracle-checkable: both engines compute the identical
+# integer minima and the identical IEEE estimate expression.
+# ---------------------------------------------------------------------------
+
+HASH_SPACE = 4294967296.0  # 2^32 — hash32's value range
+
+
+def salted_min_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Per-group minimum of ``n_salts`` independently salted 32-bit
+    hashes of ``value_col`` → (group_cols…, m0..m{k−1}).
+
+    The mergeable distinct sketch in its simplest deterministic form:
+    state per group is k longs, the aggregation is one shuffle with
+    map-side combine, and shard sketches merge by per-salt ``min`` —
+    associative, so shard → day → total rollups give bit-identical
+    estimates to a single-shot pass. At 100 TB the shuffle carries
+    k×8 bytes per group instead of every distinct key.
+    """
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+
+    v = F.col(value_col).cast("string")
+    aggs = [
+        F.min(hash32(F.concat(v, F.lit(f"#s{i}")))).alias(f"m{i}")
+        for i in range(n_salts)
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def merge_min_sketches(
+    sketch_df: DataFrame, group_cols: list[str], n_salts: int = 8
+) -> DataFrame:
+    """Roll salted-min sketches up to coarser ``group_cols`` (per-salt
+    ``min`` over the sketch table only — never re-reads raw data)."""
+    return sketch_df.groupBy(*group_cols).agg(
+        *[F.min(f"m{i}").alias(f"m{i}") for i in range(n_salts)]
+    )
+
+
+def distinct_estimate_from_mins(
+    sketch_df: DataFrame, group_cols: list[str], n_salts: int = 8
+) -> DataFrame:
+    """Distinct-count estimate from a salted-min sketch.
+
+    For n distinct values, each salted min is ≈ 2^32/(n+1); averaging
+    the k ratios R_i = (m_i+1)/2^32 and inverting gives
+    n̂ = 1/mean(R) − 1. The expression is written in one fixed
+    order (integer sum, then two divisions, then the subtraction) so
+    the DuckDB oracle twin produces the bit-identical double.
+    """
+    merged = merge_min_sketches(sketch_df, group_cols, n_salts)
+    s = F.col("m0") + F.lit(n_salts)
+    for i in range(1, n_salts):
+        s = s + F.col(f"m{i}")
+    mean_r = s / F.lit(n_salts * HASH_SPACE)
+    est = F.round(F.lit(1.0) / mean_r - F.lit(1.0), 2)
+    return merged.select(*group_cols, est.alias("approx_distinct"))
+
+
+def salted_min_sql(value_sql: str, n_salts: int = 8) -> list[str]:
+    """DuckDB twins of ``salted_min_sketch``'s aggregates (one per
+    salt), for inlining into oracle SQL."""
+    return [
+        "min(CAST('0x' || substr(md5(" + value_sql + f" || '#s{i}'), 1, 8) "
+        "AS BIGINT))"
+        for i in range(n_salts)
+    ]
+
+
+def distinct_estimate_sql(n_salts: int = 8) -> str:
+    """DuckDB twin of ``distinct_estimate_from_mins``'s projection over
+    columns m0..m{k−1} (same operation order → bit-identical double)."""
+    s = " + ".join([f"m0 + {n_salts}"] + [f"m{i}" for i in range(1, n_salts)])
+    return f"round(1.0 / (({s}) / {n_salts * HASH_SPACE!r}) - 1.0, 2)"
+
+
+# ---------------------------------------------------------------------------
+# Count–min sketch: mergeable frequency table of depth×width counters.
+# Deterministic (salted md5 bucket hashes) → value-exact oracle twin.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 512
+
+
+def count_min_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build the sketch: (d, b, n) counter rows, ≤ depth×width of them.
+
+    One explode(depth) + hash aggregation with map-side combine; the
+    shuffle carries at most depth×width counter rows per partition no
+    matter how many input rows or distinct keys — the bounded-memory
+    frequency summary for heavy-hitter queries over unbounded key
+    spaces. Sketches from different shards merge by summing n per
+    (d, b) (linearity of counters).
+    """
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+
+    v = F.col(value_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                (hash32(F.concat(v, F.lit(f"#cm{d}"))) % width).alias("b"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.d", "p.b")
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def count_min_lookup(
+    sketch: DataFrame,
+    keys_df: DataFrame,
+    value_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-estimate counts for ``keys_df[value_col]``: min over the
+    key's depth buckets (the classic CM upper-bound estimate, ≥ truth,
+    overcount from collisions only). The sketch side is ≤ depth×width
+    rows → Spark broadcasts it; the probe never touches raw data."""
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+
+    v = F.col(value_col).cast("string")
+    probes = keys_df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("d"),
+                        (hash32(F.concat(v, F.lit(f"#cm{d}"))) % width).alias(
+                            "b"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(*keys_df.columns, "p.d", "p.b")
+    joined = probes.join(F.broadcast(sketch), ["d", "b"], "inner")
+    return joined.groupBy(*keys_df.columns).agg(
+        F.min("n").cast("long").alias("n_cm")
+    )

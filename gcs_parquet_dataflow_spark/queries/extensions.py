@@ -5781,3 +5781,295 @@ def knn_lsh_multiprobe(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return SIM.lsh_topk(e, q, k=5, planes=PLANES, extra_probes=2)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable sketches (operators/sketches.py): unlike the
+# HLL surface (engine-specific binaries, error-bound-tested only), the
+# salted-min and count-min sketches hash with md5 and therefore have
+# value-exact DuckDB twins.
+# ---------------------------------------------------------------------------
+
+from gcs_parquet_dataflow_spark.operators import sketches as SK
+
+_FM_MINS = SK.salted_min_sql("CAST(user_id AS VARCHAR)", 8)
+_FM_MINS_SQL = ",\n           ".join(
+    f"{m} AS m{i}" for i, m in enumerate(_FM_MINS)
+)
+_FM_MERGE_SQL = ", ".join(f"min(m{i}) AS m{i}" for i in range(8))
+
+
+@query(
+    "sketch_fm_distinct_users",
+    f"""
+    WITH sh AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+           {_FM_MINS_SQL}
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    mg AS (SELECT event_type, {_FM_MERGE_SQL} FROM sh GROUP BY event_type),
+    es AS (SELECT event_type,
+                  {SK.distinct_estimate_sql(8)} AS approx_distinct
+           FROM mg),
+    ex AS (SELECT event_type,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM events GROUP BY event_type)
+    SELECT ex.event_type, ex.n_exact, es.approx_distinct,
+           round((es.approx_distinct - ex.n_exact) / ex.n_exact, 6)
+               AS rel_err
+    FROM ex JOIN es USING (event_type)
+    """,
+)
+def sketch_fm_distinct_users(spark, sf_dir):
+    """Deterministic distinct-count sketch rollup: per-(type, day)
+    salted-min sketches (operators/sketches.py salted_min_sketch) are
+    merged up to per-type — the shard → rollup ladder exercised
+    explicitly, proving per-salt min-merge gives the same estimate as a
+    single-shot sketch — then the FM-style estimate is compared to the
+    exact distinct count in the same output row.
+
+    Scale shape: the sketch table carries 8 longs per (type, day)
+    regardless of cardinality; every later rollup reads sketches, not
+    raw events. The estimate arithmetic (integer sum → two divisions →
+    subtraction) is order-fixed so DuckDB reproduces the identical
+    IEEE double."""
+    e = t(spark, sf_dir, "events")
+    sh = SK.salted_min_sketch(
+        e.withColumn("d", F.date_trunc("day", F.col("ts"))),
+        ["event_type", "d"],
+        "user_id",
+        n_salts=8,
+    )
+    es = SK.distinct_estimate_from_mins(sh, ["event_type"], n_salts=8)
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return ex.join(es, "event_type").select(
+        "event_type",
+        "n_exact",
+        "approx_distinct",
+        F.round(
+            (F.col("approx_distinct") - F.col("n_exact")) / F.col("n_exact"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+@query(
+    "sketch_count_min_heavy_hitters",
+    f"""
+    WITH pairs AS (
+      SELECT CAST(r.d AS BIGINT) AS d,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                  || '#cm' || CAST(r.d AS VARCHAR)), 1, 8) AS BIGINT)
+                 % {SK.CM_WIDTH} AS b
+      FROM events CROSS JOIN range({SK.CM_DEPTH}) r(d)
+    ),
+    sk AS (SELECT d, b, CAST(count(*) AS BIGINT) AS n
+           FROM pairs GROUP BY d, b),
+    exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+              FROM events GROUP BY user_id),
+    top AS (SELECT user_id, n_exact, rk FROM (
+              SELECT user_id, n_exact,
+                     row_number() OVER (ORDER BY n_exact DESC, user_id) AS rk
+              FROM exact)
+            WHERE rk <= 10),
+    kb AS (SELECT t.user_id, t.n_exact, t.rk, CAST(r.d AS BIGINT) AS d,
+                  CAST('0x' || substr(md5(CAST(t.user_id AS VARCHAR)
+                       || '#cm' || CAST(r.d AS VARCHAR)), 1, 8) AS BIGINT)
+                      % {SK.CM_WIDTH} AS b
+           FROM top t CROSS JOIN range({SK.CM_DEPTH}) r(d))
+    SELECT CAST(kb.rk AS BIGINT) AS rank, kb.user_id, kb.n_exact,
+           CAST(min(sk.n) AS BIGINT) AS n_cm,
+           CAST(min(sk.n) - kb.n_exact AS BIGINT) AS overcount
+    FROM kb JOIN sk ON sk.d = kb.d AND sk.b = kb.b
+    GROUP BY kb.rk, kb.user_id, kb.n_exact
+    """,
+)
+def sketch_count_min_heavy_hitters(spark, sf_dir):
+    """Count–min sketch audit: build the depth×width counter table
+    (operators/sketches.py count_min_build — bounded shuffle state no
+    matter the key cardinality), then point-estimate the top-10 exact
+    heavy hitters through the sketch and report the collision
+    overcount per key (CM estimates are upper bounds: n_cm ≥ n_exact
+    always; equality when the key's lightest bucket has no collisions).
+
+    Scale shape: the sketch is ≤ 4×512 rows → broadcast to the probe
+    side; merging shard sketches is a sum per (d, b). The heavy-hitter
+    candidates here come from the exact count table for audit purposes;
+    in production the candidate set is whatever keys you care to probe
+    — the sketch answers without rescanning raw data."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    sk = SK.count_min_build(e, "user_id")
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    top = (
+        exact.withColumn(
+            "rank",
+            F.row_number()
+            .over(WS.orderBy(F.desc("n_exact"), F.asc("user_id")))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    est = SK.count_min_lookup(sk, top, "user_id")
+    return est.select(
+        "rank",
+        "user_id",
+        "n_exact",
+        "n_cm",
+        (F.col("n_cm") - F.col("n_exact")).cast("long").alias("overcount"),
+    )
+
+
+@query(
+    "skip_pruned_range_read",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0
+               AS sum_total
+    FROM orders
+    WHERE o_custkey >= 100 AND o_custkey <= 300
+    GROUP BY o_orderstatus
+    """,
+)
+def skip_pruned_range_read(spark, sf_dir):
+    """End-to-end data-skipping path (sinks/parquet_lake.py): the
+    orders table is rewritten range-clustered on o_custkey
+    (write_sorted → disjoint per-file key zones), a file-level zone-map
+    manifest is collected (collect_file_stats), and a custkey range
+    query is answered through ``read_skipping`` — only files whose
+    [min, max] custkey zone overlaps the range are opened, the residual
+    filter restores exactness, and the aggregate must equal DuckDB's
+    plain ``WHERE o_custkey BETWEEN`` over the raw table.
+    tests/test_parquet_lake.py asserts the prune actually drops files;
+    this oracle row asserts it never drops rows.
+
+    Scale shape: manifest is one row per file; the pruned read opens
+    O(selectivity) files because range clustering keeps per-file
+    custkey zones disjoint. This is the Delta/Iceberg data-skipping
+    pattern on raw parquet. (Z-ordering serves the same role for
+    two-dimensional predicates — but only when both columns occupy
+    their full bit range; narrow-domain ints cluster better per-column
+    via plain range layout, which is what this query uses.)"""
+    import os
+
+    from gcs_parquet_dataflow_spark.sinks import parquet_lake as PL
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp", f"sgpd_skip_lake_{sfname}")
+    o = t(spark, sf_dir, "orders")
+    PL.write_sorted(o, path, ["o_custkey"], n_files=16)
+    stats = PL.collect_file_stats(spark, path, ["o_custkey"])
+    pruned = PL.read_skipping(spark, path, stats, "o_custkey", 100, 300)
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("sum_total"),
+    )
+
+
+@query(
+    "affinity_basket_pairs",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM b),
+    it AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+           FROM b GROUP BY l_partkey),
+    pr AS (SELECT a.l_partkey AS p1, bb.l_partkey AS p2,
+                  CAST(count(*) AS BIGINT) AS n_ab
+           FROM b a JOIN b bb
+             ON a.l_orderkey = bb.l_orderkey AND a.l_partkey < bb.l_partkey
+           GROUP BY a.l_partkey, bb.l_partkey),
+    sc AS (SELECT pr.p1, pr.p2, pr.n_ab,
+                  i1.n_item AS n1, i2.n_item AS n2, n.n_orders
+           FROM pr
+           JOIN it i1 ON i1.l_partkey = pr.p1
+           JOIN it i2 ON i2.l_partkey = pr.p2
+           CROSS JOIN n
+           WHERE pr.n_ab >= 2),
+    sl AS (SELECT p1, p2, n_ab,
+                  round(n_ab / CAST(n_orders AS DOUBLE), 6) AS support,
+                  round(n_ab / CAST(n1 AS DOUBLE), 6) AS confidence,
+                  round((n_ab * n_orders) / CAST(n1 * n2 AS DOUBLE), 6)
+                      AS lift
+           FROM sc)
+    SELECT CAST(rk AS BIGINT) AS rank, p1, p2, n_ab,
+           support, confidence, lift
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY lift DESC, n_ab DESC, p1, p2) AS rk FROM sl)
+    WHERE rk <= 20
+    """,
+)
+def affinity_basket_pairs(spark, sf_dir):
+    """Market-basket affinity (the FP-growth first pass expressed
+    relationally): distinct (order, part) presence pairs self-joined on
+    the order key → co-occurrence counts, then support / confidence /
+    lift against the single-item frequencies, top-20 by lift with a
+    full (rounded-lift, count, p1, p2) tie-break.
+
+    Scale shape: the self-join is an equi-join on l_orderkey, so the
+    shuffle is basket-sized — candidate pairs are generated per order
+    (Σ|basket|² rows), never items×items; the item-frequency joins are
+    key equi-joins on the pair table. Lift ordering uses the rounded
+    double (exact integer cross-products feed one fixed-order double
+    division), so both engines rank identically."""
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    b = persist_intermediate(b)
+    n_orders = b.select("l_orderkey").distinct().count()
+    it = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a2, b2 = b.alias("a"), b.alias("bb")
+    pr = (
+        a2.join(
+            b2,
+            (F.col("a.l_orderkey") == F.col("bb.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("bb.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("bb.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    sc = (
+        pr.join(it.withColumnRenamed("n_item", "n1"),
+                pr.p1 == F.col("l_partkey")).drop("l_partkey")
+        .join(it.withColumnRenamed("n_item", "n2"),
+              F.col("p2") == F.col("l_partkey")).drop("l_partkey")
+    )
+    sl = sc.select(
+        "p1",
+        "p2",
+        "n_ab",
+        F.round(F.col("n_ab") / F.lit(float(n_orders)), 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n1").cast("double"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            (F.col("n_ab") * F.lit(n_orders))
+            / (F.col("n1") * F.col("n2")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+    from pyspark.sql import Window as WS
+
+    w = WS.orderBy(
+        F.desc("lift"), F.desc("n_ab"), F.asc("p1"), F.asc("p2")
+    )
+    return (
+        sl.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "p1", "p2", "n_ab", "support", "confidence", "lift")
+    )

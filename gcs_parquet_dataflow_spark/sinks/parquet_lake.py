@@ -417,3 +417,66 @@ def vacuum_versions(
     for v in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(hroot, _VERSION_FMT % v), True)
     return doomed
+
+
+# ---------------------------------------------------------------------------
+# Data skipping: file-level zone maps (min/max manifest) + pruned reads
+# ---------------------------------------------------------------------------
+
+
+def collect_file_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file zone map — (file, n_rows, min_<c>, max_<c>…) — the
+    Delta-style data-skipping manifest for a raw-parquet table, built
+    with one scan (``input_file_name()`` groupBy; map-side combine, one
+    row per file). Persist it next to the table and every later range
+    query prunes files from the manifest instead of reading footers —
+    at 100 TB the manifest is file-count-sized (thousands of rows), so
+    planning a pruned read costs a manifest scan, not a data scan.
+
+    Pairs with ``write_zordered``: clustering makes per-file [min, max]
+    ranges narrow, which is what makes zone-map pruning selective.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def read_skipping(
+    spark: SparkSession,
+    path: str,
+    stats: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Range read through the zone-map manifest: keep only files whose
+    [min_<col>, max_<col>] interval overlaps [lo, hi], read just those,
+    then apply the exact predicate (zone maps admit false positives at
+    file granularity, never false negatives — the residual filter makes
+    the result exactly equal to an unpruned ``WHERE col BETWEEN``).
+
+    Only FILE NAMES are collected to the driver (the same contract as
+    plan_batch's file listing) — data never leaves the executors.
+    """
+    hits = (
+        stats.filter(
+            (F.col(f"max_{col}") >= F.lit(lo))
+            & (F.col(f"min_{col}") <= F.lit(hi))
+        )
+        .select("file")
+        .collect()
+    )
+    files = [r["file"] for r in hits]
+    base = spark.read.parquet(path)
+    if not files:
+        return base.filter(F.lit(False))
+    return (
+        spark.read.schema(base.schema)
+        .parquet(*files)
+        .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    )

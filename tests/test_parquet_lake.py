@@ -340,3 +340,37 @@ def test_orc_round_trip_preserves_schema_and_values(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in pushed or "pushed" in pushed.lower()
+
+
+def test_zone_map_pruning_skips_files_and_loses_no_rows(spark, tmp_path):
+    """Data-skipping contract (collect_file_stats + read_skipping): on
+    a range-clustered table a narrow range read opens strictly fewer
+    files than the table holds, and returns exactly the rows a
+    full-scan filter returns; an out-of-range probe reads zero files
+    but keeps the schema."""
+    from gcs_parquet_dataflow_spark.catalog import load_table
+    from gcs_parquet_dataflow_spark.sinks import parquet_lake as PL
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "zlake")
+    PL.write_sorted(o, path, ["o_custkey"], n_files=12)
+    stats = PL.collect_file_stats(spark, path, ["o_custkey"])
+    n_files_total = stats.count()
+    assert n_files_total >= 10
+
+    hit = (
+        stats.filter((F.col("max_o_custkey") >= 10) & (F.col("min_o_custkey") <= 40))
+        .count()
+    )
+    assert hit < n_files_total  # the prune actually skips files
+
+    got = PL.read_skipping(spark, path, stats, "o_custkey", 10, 40)
+    want = (
+        spark.read.parquet(path)
+        .filter((F.col("o_custkey") >= 10) & (F.col("o_custkey") <= 40))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    empty = PL.read_skipping(spark, path, stats, "o_custkey", -50, -10)
+    assert empty.count() == 0
+    assert empty.columns == want.columns
