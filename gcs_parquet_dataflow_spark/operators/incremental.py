@@ -111,3 +111,83 @@ def dedup_batch_against_index(
     ).select("band", "key", "_id")
     new_rows.write.mode("append").partitionBy("band").parquet(index_path)
     return survivors
+
+
+# ---------------------------------------------------------------------------
+# Generic incremental-maintenance building blocks: snapshot diff (CDC
+# read / change-data-feed between two materialized states) and partial-
+# aggregate merge (incremental rollup maintenance without rescans).
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Change rows between two snapshots of the same keyed table →
+    (keys…, change_type ∈ {insert, delete, update}, old_<c>…, new_<c>…).
+
+    The change-data-feed read for a lake without a transaction log:
+    one full-outer equi-join on the key (both sides shuffle-partitioned
+    by the same key — co-located at any scale), null-safe column
+    comparison, unchanged rows dropped. Feed the output to
+    ``parquet_lake.upsert``-style appliers or downstream incremental
+    consumers. Pair with ``parquet_lake.read_version`` to diff two
+    committed snapshot versions (tests/test_parquet_lake.py).
+    """
+    non = [c for c in old.columns if c not in keys]
+    if old.columns != new.columns:
+        raise ValueError("snapshot schemas differ")
+    o = old.select(
+        *keys,
+        F.lit(1).alias("_po"),
+        *[F.col(c).alias(f"old_{c}") for c in non],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("_pn"),
+        *[F.col(c).alias(f"new_{c}") for c in non],
+    )
+    j = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for c in non:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    ct = (
+        F.when(F.col("_pn").isNull(), F.lit("delete"))
+        .when(F.col("_po").isNull(), F.lit("insert"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", ct)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[f"old_{c}" for c in non],
+            *[f"new_{c}" for c in non],
+        )
+    )
+
+
+def merge_partial_aggs(
+    parts: list[DataFrame],
+    keys: list[str],
+    count_col: str = "n",
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Combine per-shard partial aggregates (counts + sums) into the
+    rollup of the union — incremental materialized-aggregate
+    maintenance: when a new partition of raw data lands, aggregate ONLY
+    the new partition and merge it with the stored rollup; the old raw
+    data is never rescanned. Counts and sums are the mergeable carriers
+    — averages/rates are recovered at read time (sum/n), exactly, which
+    is why the stored state holds sums, never averages."""
+    if not parts:
+        raise ValueError("no partial aggregates to merge")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    sums = sum_cols or [
+        c for c in u.columns if c not in keys and c != count_col
+    ]
+    return u.groupBy(*keys).agg(
+        F.sum(count_col).cast("long").alias(count_col),
+        *[F.sum(c).cast("long").alias(c) for c in sums],
+    )

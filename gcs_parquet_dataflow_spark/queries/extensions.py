@@ -6073,3 +6073,220 @@ def affinity_basket_pairs(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .select("rank", "p1", "p2", "n_ab", "support", "confidence", "lift")
     )
+
+
+_CORR_VARS = [
+    ("q", "l_quantity", "CAST(l_quantity AS BIGINT)"),
+    ("ep", "l_extendedprice", "CAST(round(l_extendedprice*100) AS BIGINT)"),
+    ("dc", "l_discount", "CAST(round(l_discount*100) AS BIGINT)"),
+    ("tx", "l_tax", "CAST(round(l_tax*100) AS BIGINT)"),
+]
+_CORR_PAIRS = [
+    (_CORR_VARS[i], _CORR_VARS[j])
+    for i in range(len(_CORR_VARS))
+    for j in range(i + 1, len(_CORR_VARS))
+]
+
+
+def _corr_sums_sql() -> str:
+    parts = ["CAST(count(*) AS DOUBLE) AS nd", "CAST(count(*) AS BIGINT) AS n"]
+    for a, _, _ in _CORR_VARS:
+        parts.append(f"CAST(sum({a}) AS DOUBLE) AS s_{a}")
+        parts.append(f"CAST(sum({a}*{a}) AS DOUBLE) AS s_{a}{a}")
+    for (a, _, _), (b, _, _) in _CORR_PAIRS:
+        parts.append(f"CAST(sum({a}*{b}) AS DOUBLE) AS s_{a}{b}")
+    return ", ".join(parts)
+
+
+_CORR_ROWS_SQL = "\n    UNION ALL ".join(
+    f"SELECT '{an}' AS var_x, '{bn}' AS var_y, n,"
+    f" round((nd*s_{a}{b} - s_{a}*s_{b})"
+    f" / (sqrt(nd*s_{a}{a} - s_{a}*s_{a})"
+    f" * sqrt(nd*s_{b}{b} - s_{b}*s_{b})), 6) AS corr FROM s"
+    for (a, an, _), (b, bn, _) in _CORR_PAIRS
+)
+
+
+@query(
+    "corr_matrix_lineitem",
+    f"""
+    WITH v AS (SELECT {", ".join(f"{sql} AS {a}" for a, _, sql in _CORR_VARS)}
+               FROM lineitem),
+    s AS (SELECT {_corr_sums_sql()} FROM v)
+    {_CORR_ROWS_SQL}
+    """,
+)
+def corr_matrix_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns, computed from EXACT integer moment sums (Σx, Σx², Σxy in
+    int128-safe decimal accumulation, converted to double only once at
+    the end) — unlike the built-in ``corr``, whose streaming double
+    sums depend on partition order, this is bit-reproducible at any
+    cluster size, which is what lets the DuckDB twin match it exactly.
+
+    Scale shape: one scan, one map-side-combined aggregate carrying 15
+    numbers total; the 6-row matrix is driver-side arithmetic on that
+    single row (stack). The pattern extends to any moment-based
+    statistic (covariance, OLS, z-scores)."""
+    li = t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        cents(F.col("l_extendedprice")).alias("ep"),
+        cents(F.col("l_discount")).alias("dc"),
+        cents(F.col("l_tax")).alias("tx"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ]
+    for a, _, _ in _CORR_VARS:
+        aggs.append(
+            F.sum(F.col(a).cast("decimal(38,0)")).cast("double").alias(f"s_{a}")
+        )
+        aggs.append(
+            F.sum((F.col(a) * F.col(a)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{a}{a}")
+        )
+    for (a, _, _), (b, _, _) in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{a}{b}")
+        )
+    s = v.agg(*aggs)
+    corr_cols = []
+    for (a, _, _), (b, _, _) in _CORR_PAIRS:
+        num = F.col("nd") * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            F.col("nd") * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ) * F.sqrt(
+            F.col("nd") * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        )
+        corr_cols.append(F.round(num / den, 6).alias(f"c_{a}_{b}"))
+    row = s.select("n", *corr_cols)
+    stack_args = ", ".join(
+        f"'{an}', '{bn}', c_{a}_{b}"
+        for (a, an, _), (b, bn, _) in _CORR_PAIRS
+    )
+    return row.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (var_x, var_y, corr)",
+        "n",
+    ).select("var_x", "var_y", "n", "corr")
+
+
+@query(
+    "lake_snapshot_changes",
+    """
+    WITH v1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                           AS sum_cents
+                FROM events WHERE ts < TIMESTAMP '2024-01-21'
+                GROUP BY user_id),
+    v2 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                      AS sum_cents
+           FROM events WHERE ts >= TIMESTAMP '2024-01-10'
+           GROUP BY user_id)
+    SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+           CASE WHEN v2.user_id IS NULL THEN 'delete'
+                WHEN v1.user_id IS NULL THEN 'insert'
+                ELSE 'update' END AS change_type,
+           v1.n_events AS old_n_events, v1.sum_cents AS old_sum_cents,
+           v2.n_events AS new_n_events, v2.sum_cents AS new_sum_cents
+    FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+    WHERE v1.user_id IS NULL OR v2.user_id IS NULL
+       OR v1.n_events IS DISTINCT FROM v2.n_events
+       OR v1.sum_cents IS DISTINCT FROM v2.sum_cents
+    """,
+)
+def lake_snapshot_changes(spark, sf_dir):
+    """Change-data-feed between two materialized snapshots
+    (operators/incremental.py snapshot_diff): per-user rollup states
+    over two overlapping time windows are diffed into
+    insert / delete / update change rows with old/new values side by
+    side — the log-free CDC read that feeds incremental consumers.
+    tests/test_parquet_lake.py drives the same operator over committed
+    ``write_version`` snapshots (time-travel diff).
+
+    Scale shape: one full-outer equi-join on the snapshot key; both
+    sides hash-partition on that key so the diff is co-located, and
+    unchanged keys are dropped before anything downstream sees them."""
+    from gcs_parquet_dataflow_spark.operators.incremental import snapshot_diff
+
+    e = t(spark, sf_dir, "events")
+
+    def state(pred):
+        return (
+            e.filter(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(cents(F.col("value"))).cast("long").alias("sum_cents"),
+            )
+        )
+
+    v1 = state(F.col("ts") < F.lit("2024-01-21").cast("timestamp"))
+    v2 = state(F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+    return snapshot_diff(v1, v2, ["user_id"])
+
+
+@query(
+    "rollup_incremental_merge",
+    """
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      event_type,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                          AS sum_cents
+               FROM events GROUP BY day, event_type)
+    SELECT day, event_type, n, sum_cents,
+           round((sum_cents / 100.0) / n, 6) AS avg_value
+    FROM d
+    """,
+)
+def rollup_incremental_merge(spark, sf_dir):
+    """Incremental materialized-rollup maintenance
+    (operators/incremental.py merge_partial_aggs): the daily rollup is
+    produced by aggregating two disjoint shards of the raw table
+    SEPARATELY (as an arriving partition would be) and merging the
+    partial counts/sums — the result must equal DuckDB's single-shot
+    rollup over everything, proving sums+counts are a lossless
+    incremental carrier (averages recomputed at read time, never
+    stored).
+
+    Scale shape: the merge reads the stored rollup (groups-sized) plus
+    only the new shard's aggregate; raw history is never rescanned.
+    This is the Spark-native form of the reference's append-only
+    day-partition layout upgraded with mergeable state."""
+    from gcs_parquet_dataflow_spark.operators.incremental import (
+        merge_partial_aggs,
+    )
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+
+    def part(pred):
+        return (
+            e.filter(pred)
+            .groupBy("day", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(cents(F.col("value"))).cast("long").alias("sum_cents"),
+            )
+        )
+
+    half = F.col("event_id") % 2
+    merged = merge_partial_aggs(
+        [part(half == 0), part(half == 1)], ["day", "event_type"]
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        "sum_cents",
+        F.round((F.col("sum_cents") / 100.0) / F.col("n"), 6).alias(
+            "avg_value"
+        ),
+    )

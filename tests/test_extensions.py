@@ -655,3 +655,27 @@ def test_lsh_multiprobe_finds_adjacent_bucket_neighbor(spark):
              SIM.lsh_topk(cdf, qdf, k=5, extra_probes=1).collect()}
     assert 1 not in single          # adjacent bucket -> invisible
     assert 1 in multi               # weakest-bit probe finds it
+
+
+def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
+    """Plan guard for the round-4 additions: no Python evaluation, no
+    cartesian products, no nested-loop joins."""
+    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+
+    names = [
+        "sketch_fm_distinct_users",
+        "sketch_count_min_heavy_hitters",
+        "skip_pruned_range_read",
+        "affinity_basket_pairs",
+        "corr_matrix_lineitem",
+        "lake_snapshot_changes",
+        "rollup_incremental_merge",
+    ]
+    sf = "/root/testdata/sf0.001"
+    for name in names:
+        df = CATALOG[name].build(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -374,3 +374,38 @@ def test_zone_map_pruning_skips_files_and_loses_no_rows(spark, tmp_path):
     empty = PL.read_skipping(spark, path, stats, "o_custkey", -50, -10)
     assert empty.count() == 0
     assert empty.columns == want.columns
+
+
+def test_snapshot_diff_over_committed_versions(spark, tmp_path):
+    """Time-travel CDC: diff two committed lake versions
+    (write_version + read_version + incremental.snapshot_diff) —
+    updates, inserts, and deletes each surface exactly once with old
+    and new values side by side; identical snapshots diff to zero
+    rows."""
+    from gcs_parquet_dataflow_spark.operators.incremental import snapshot_diff
+    from gcs_parquet_dataflow_spark.sinks import parquet_lake as PL
+
+    root = str(tmp_path / "vlake")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    PL.write_version(spark, root, v0)          # version 0
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 25), (4, "d", 40)], "id long, s string, v long"
+    )
+    PL.write_version(spark, root, v1)          # version 1
+
+    old = PL.read_version(spark, root, 0)
+    new = PL.read_version(spark, root, 1)
+    changes = {
+        r["id"]: r for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert set(changes) == {2, 3, 4}
+    assert changes[2]["change_type"] == "update"
+    assert (changes[2]["old_s"], changes[2]["new_s"]) == ("b", "B")
+    assert changes[3]["change_type"] == "delete"
+    assert changes[3]["new_v"] is None
+    assert changes[4]["change_type"] == "insert"
+    assert changes[4]["old_v"] is None
+
+    assert snapshot_diff(new, new, ["id"]).count() == 0

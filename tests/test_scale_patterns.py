@@ -339,3 +339,80 @@ def test_count_min_upper_bounds_and_merges(spark):
     assert sorted(map(tuple, summed.collect())) == sorted(
         map(tuple, sk.collect())
     )
+
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    """Incremental rollup invariant: aggregating three disjoint shards
+    separately and merging (operators/incremental.py merge_partial_aggs)
+    equals the single-shot aggregate of the union — including when a
+    shard contributes keys no other shard has."""
+    from gcs_parquet_dataflow_spark.catalog import load_table
+    from gcs_parquet_dataflow_spark.operators.incremental import (
+        merge_partial_aggs,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("s"),
+        )
+
+    shards = [agg(ev.filter(F.col("event_id") % 3 == i)) for i in range(3)]
+    merged = merge_partial_aggs(shards, ["event_type"])
+    full = agg(ev)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """AQE runtime-filter check: with the runtime bloom filter enabled
+    and thresholds permitting, a selective dim-side filter on a
+    fact⋈dim join injects a bloom probe (might_contain) into the fact
+    scan side — Spark's automatic semi-join pushdown, the mechanism
+    that turns a 100 TB fact scan into a pre-filtered one."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        # the default 10 GB apply-side threshold reflects real clusters;
+        # zero it so the fixture-sized fact table qualifies in the test
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # shuffle join required: broadcast joins don't need runtime filters
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from gcs_parquet_dataflow_spark.catalog import load_table
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        o = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
