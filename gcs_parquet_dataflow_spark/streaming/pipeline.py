@@ -595,3 +595,95 @@ def run_quality_gate_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def run_heavy_hitter_stream(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    key_col: str,
+    sketch_path: str,
+    candidates_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    *,
+    depth: int | None = None,
+    width: int | None = None,
+    top_k: int = 20,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming heavy hitters over an unbounded key space with BOUNDED
+    state — the streaming twin of the sketch_count_min_heavy_hitters
+    query. Per micro-batch:
+
+    1. a count–min sketch shard of the batch (depth×width counter rows,
+       operators/sketches.py count_min_build) and the batch's own exact
+       top-``top_k`` keys (the candidate feed) are appended
+       batch-keyed → replaying a batch overwrites its own partitions,
+       so the cumulative state is replay-idempotent;
+    2. the CUMULATIVE sketch (sum per (d, b) across all batch shards —
+       counter linearity) is probed with the union of all candidate
+       keys seen so far, and the current global top-``top_k`` estimate
+       is written batch-keyed to the report lake.
+
+    State grows with batches × (depth×width + top_k) rows — never with
+    key cardinality. Candidate recall follows the standard shard-HH
+    argument: a key holding an α fraction globally holds ≥ α in some
+    batch, so it enters the candidate feed; the sketch then scores it
+    over ALL batches (including ones where it wasn't a local top-k).
+    """
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.operators.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        count_min_build,
+        count_min_lookup,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    d_, w_ = depth or CM_DEPTH, width or CM_WIDTH
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sk = count_min_build(batch_df, key_col, depth=d_, width=w_)
+        write_partitioned(sk, sketch_path, [], batch_id=batch_id,
+                          coalesce_files=1)
+        counts = batch_df.groupBy(key_col).agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        )
+        cand = (
+            counts.orderBy(F.desc("_n"), F.asc(key_col))
+            .limit(top_k)
+            .select(key_col)
+        )
+        write_partitioned(cand, candidates_path, [], batch_id=batch_id,
+                          coalesce_files=1)
+
+        merged = (
+            spark.read.parquet(sketch_path)
+            .groupBy("d", "b")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        cands = (
+            spark.read.parquet(candidates_path).select(key_col).distinct()
+        )
+        est = count_min_lookup(merged, cands, key_col, depth=d_, width=w_)
+        report = (
+            est.orderBy(F.desc("n_cm"), F.asc(key_col))
+            .limit(top_k)
+            .select(key_col, "n_cm")
+        )
+        write_partitioned(report, report_path, [], batch_id=batch_id,
+                          coalesce_files=1)
+        release_intermediates()
+
+    writer = (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -700,3 +700,68 @@ def test_quality_gate_stream_splits_and_reports_per_batch(spark, tmp_path):
     rep = {r["rule"]: r["n_violations"] for r in
            spark.read.parquet(str(tmp_path / "rep")).collect()}
     assert rep == {"value_positive": 2, "name_present": 1}
+
+
+def test_heavy_hitter_stream_tracks_global_top_keys(spark, tmp_path):
+    """Two micro-batches with a planted globally-heavy key: the report
+    after the second batch scores the heavy key at/above its true
+    cumulative count (CM upper bound), ranks it first, and replaying a
+    batch (same batch id) leaves the cumulative state unchanged
+    (idempotent batch-keyed shards)."""
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_heavy_hitter_stream,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # batch 0: "hot" 50×, others 1-2×; batch 1: "hot" 30×, "warm" 25×
+    b0 = spark.createDataFrame(
+        [("hot",)] * 50 + [(f"k{i}",) for i in range(30)], "key string"
+    )
+    b1 = spark.createDataFrame(
+        [("hot",)] * 30 + [("warm",)] * 25 + [(f"j{i}",) for i in range(20)],
+        "key string",
+    )
+    b0.coalesce(1).write.parquet(str(indir / "b0"))
+    b1.coalesce(1).write.parquet(str(indir / "b1"))
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "*"))
+    )
+    paths = dict(
+        sketch_path=str(tmp_path / "sk"),
+        candidates_path=str(tmp_path / "cand"),
+        report_path=str(tmp_path / "rep"),
+    )
+    q = run_heavy_hitter_stream(
+        spark, stream, "key", checkpoint_dir=str(tmp_path / "ck"),
+        available_now=True, **paths
+    )
+    q.awaitTermination(120)
+
+    rep = spark.read.parquet(paths["report_path"])
+    last = rep.filter(F.col("_batch_id") == rep.agg(F.max("_batch_id")).first()[0])
+    rows = sorted(last.collect(), key=lambda r: (-r["n_cm"], r["key"]))
+    assert rows[0]["key"] == "hot" and rows[0]["n_cm"] >= 80
+    assert {"warm"} <= {r["key"] for r in rows[:2]} | {rows[1]["key"]}
+    assert rows[1]["n_cm"] >= 25
+
+    # replay idempotence: re-writing batch 0's shards must not change
+    # the cumulative sketch (dynamic partition overwrite of _batch_id=0)
+    from gcs_parquet_dataflow_spark.operators.sketches import count_min_build
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    before = sorted(
+        map(tuple, spark.read.parquet(paths["sketch_path"])
+            .groupBy("d", "b").agg(F.sum("n").alias("n")).collect())
+    )
+    write_partitioned(
+        count_min_build(b0, "key"), paths["sketch_path"], [], batch_id=0,
+        coalesce_files=1,
+    )
+    after = sorted(
+        map(tuple, spark.read.parquet(paths["sketch_path"])
+            .groupBy("d", "b").agg(F.sum("n").alias("n")).collect())
+    )
+    assert before == after
