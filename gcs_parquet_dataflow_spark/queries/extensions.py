@@ -6290,3 +6290,137 @@ def rollup_incremental_merge(spark, sf_dir):
             "avg_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy / governance surface: re-identification risk audits. The
+# quasi-identifier (QI) tuple here is (event_type, day, value decile) —
+# coarse enough to be a realistic release candidate, fine enough that
+# small groups exist in the fixture.
+# ---------------------------------------------------------------------------
+
+_QI_SQL = """(SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     CAST(least(floor(value / 10.0), 9) AS BIGINT) AS vbucket,
+                     user_id
+              FROM events WHERE value >= 0)"""
+
+
+@query(
+    "privacy_k_anonymity_audit",
+    f"""
+    WITH qi AS {_QI_SQL},
+    g AS (SELECT event_type, day, vbucket,
+                 CAST(count(*) AS BIGINT) AS group_size
+          FROM qi GROUP BY event_type, day, vbucket)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(sum(CASE WHEN group_size < k THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_k,
+           CAST(count(*) AS BIGINT) AS groups_total,
+           CAST(sum(CASE WHEN group_size < k THEN group_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           round(sum(CASE WHEN group_size < k THEN group_size ELSE 0 END)
+                 / CAST(sum(group_size) AS DOUBLE), 6) AS frac_rows_at_risk
+    FROM g CROSS JOIN (SELECT unnest([2, 5, 10]) AS k)
+    GROUP BY k
+    """,
+)
+def privacy_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit of a candidate release: for each k in
+    {{2, 5, 10}}, how many quasi-identifier groups (event_type × day ×
+    value-decile) fall below k members and how many rows they expose —
+    the re-identification risk report run before any data release or
+    cross-team share.
+
+    Scale shape: one map-side-combined group count over the QI tuple,
+    then a 3×|groups| conditional aggregate on the GROUP table (never
+    raw rows). The QI group table is the reusable artifact — the same
+    table feeds l-diversity and generalization decisions."""
+    e = t(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    qi = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.least(F.floor(F.col("value") / 10.0), F.lit(9))
+        .cast("long")
+        .alias("vbucket"),
+        "user_id",
+    )
+    g = qi.groupBy("event_type", "day", "vbucket").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    g = persist_intermediate(g)
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(2,), (5,), (10,)], "k long"
+    )
+    j = g.crossJoin(F.broadcast(ks))
+    below = F.when(F.col("group_size") < F.col("k"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    risk = F.when(
+        F.col("group_size") < F.col("k"), F.col("group_size")
+    ).otherwise(F.lit(0))
+    return j.groupBy("k").agg(
+        F.sum(below).cast("long").alias("groups_below_k"),
+        F.count(F.lit(1)).cast("long").alias("groups_total"),
+        F.sum(risk).cast("long").alias("rows_at_risk"),
+        F.round(
+            F.sum(risk) / F.sum("group_size").cast("double"), 6
+        ).alias("frac_rows_at_risk"),
+    )
+
+
+@query(
+    "privacy_l_diversity",
+    f"""
+    WITH qi AS {_QI_SQL},
+    g AS (SELECT event_type, day, vbucket,
+                 CAST(count(*) AS BIGINT) AS group_size,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS l_distinct
+          FROM qi GROUP BY event_type, day, vbucket)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(l_distinct) AS BIGINT) AS min_l,
+           round(avg(CAST(l_distinct AS DOUBLE)), 6) AS avg_l,
+           CAST(sum(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_2
+    FROM g GROUP BY event_type
+    """,
+)
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity companion to the k-anonymity audit: per event type,
+    the distribution of DISTINCT sensitive values (user_id) within each
+    quasi-identifier group — a group can be k-anonymous yet expose its
+    sensitive attribute if all members share it (l = 1). Reports the
+    minimum and mean l and the count of degenerate groups.
+
+    Scale shape: distinct-within-group is the only extra cost over the
+    k-audit (two-level aggregation, both map-side combinable); at very
+    high cardinality swap the exact distinct for the salted-min sketch
+    estimate (operators/sketches.py) — same report, bounded state."""
+    e = t(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    qi = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.least(F.floor(F.col("value") / 10.0), F.lit(9))
+        .cast("long")
+        .alias("vbucket"),
+        "user_id",
+    )
+    g = qi.groupBy("event_type", "day", "vbucket").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("user_id").cast("long").alias("l_distinct"),
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.round(F.avg(F.col("l_distinct").cast("double")), 6).alias("avg_l"),
+        F.sum(
+            F.when(F.col("l_distinct") < 2, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("groups_below_2"),
+    )

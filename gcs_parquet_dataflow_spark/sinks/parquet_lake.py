@@ -480,3 +480,28 @@ def read_skipping(
         .parquet(*files)
         .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
     )
+
+
+def delete_keys(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key_col: str,
+) -> int:
+    """Right-to-be-forgotten on the versioned lake: commit a NEW
+    snapshot equal to the latest one minus every row whose ``key_col``
+    appears in ``keys`` — a broadcastable left-anti join (deletion
+    lists are small; the big side never shuffles), written through the
+    same stage-and-rename commit as any snapshot. Returns the new
+    version number.
+
+    History note: prior versions still contain the rows — complete the
+    erasure by ``vacuum_versions`` after the retention window, exactly
+    the Delta VACUUM contract. The non-destructive write means a bad
+    deletion list never corrupts the table: roll back by reading the
+    previous version.
+    """
+    cur = read_version(spark, root)
+    keyset = keys.select(F.col(key_col)).distinct()
+    remaining = cur.join(F.broadcast(keyset), key_col, "left_anti")
+    return write_version(spark, root, remaining)

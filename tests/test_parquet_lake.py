@@ -409,3 +409,32 @@ def test_snapshot_diff_over_committed_versions(spark, tmp_path):
     assert changes[4]["old_v"] is None
 
     assert snapshot_diff(new, new, ["id"]).count() == 0
+
+
+def test_delete_keys_forgets_rows_in_new_version_only(spark, tmp_path):
+    """GDPR-delete on the versioned lake: the new snapshot contains no
+    trace of the deleted keys, the prior snapshot still does (until
+    vacuum), and vacuuming old versions completes the erasure."""
+    from gcs_parquet_dataflow_spark.sinks import parquet_lake as PL
+
+    root = str(tmp_path / "gdpr")
+    data = spark.createDataFrame(
+        [(u, f"pay{u}-{i}") for u in (1, 2, 3) for i in range(4)],
+        "user_id long, payload string",
+    )
+    PL.write_version(spark, root, data)
+    gone = spark.createDataFrame([(2,)], "user_id long")
+    v = PL.delete_keys(spark, root, gone, "user_id")
+
+    new = PL.read_version(spark, root, v)
+    assert new.filter(F.col("user_id") == 2).count() == 0
+    assert new.count() == 8
+    old = PL.read_version(spark, root, v - 1)
+    assert old.filter(F.col("user_id") == 2).count() == 4
+
+    PL.vacuum_versions(spark, root, keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        PL.read_version(spark, root, v - 1)
+    assert PL.read_version(spark, root).count() == 8
