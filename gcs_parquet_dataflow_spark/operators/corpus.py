@@ -343,3 +343,159 @@ def dedup_segments(
     return rebuilt.join(totals, id_col).select(
         id_col, "clean_text", "n_kept_segments", "n_total_segments"
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-pair-encoding tokenizer training (Sennrich et al. 2016): the
+# subword-vocabulary learner of the GPT/Llama tokenizer family,
+# expressed over the DISTINCT-WORD table (classic BPE operates on word
+# types weighted by frequency, so every iteration costs vocabulary-
+# sized work regardless of corpus size — the property that makes BPE
+# trainable at 100 TB: one corpus-sized pass builds the word counts,
+# everything after runs on the tiny type table).
+# ---------------------------------------------------------------------------
+
+
+def word_type_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, word_count) over the corpus — the one corpus-sized pass
+    of BPE training (one explode + map-side-combined count)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("word_count"))
+    )
+
+
+def _merge_pair_udf():
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def apply_merge(syms, a, b):
+        out = []
+        for s, x, y in zip(syms, a, b):
+            merged, i, n = [], 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == x and s[i + 1] == y:
+                    merged.append(x + y)
+                    i += 2
+                else:
+                    merged.append(s[i])
+                    i += 1
+            out.append(merged)
+        return pd.Series(out)
+
+    # real annotation objects (PEP-563 string hints can't resolve the
+    # function-local pandas import during pandas_udf type inference)
+    apply_merge.__annotations__ = {
+        "syms": pd.Series, "a": pd.Series, "b": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(apply_merge, returnType="array<string>")
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 20,
+    min_freq: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges → [(left, right, pair_freq)…].
+
+    Each round: adjacent-symbol pair frequencies over the word-type
+    table (weighted by word_count; JVM-side transform+explode), argmax
+    with (freq desc, left, right) as the total deterministic order, then
+    one Arrow-batched pandas_udf pass applies the winning merge
+    left-to-right (the per-word scan is inherently sequential — the
+    documented custom-operator slow path, run on the type table only).
+    Symbol arrays are eagerly localCheckpoint-ed per round so lineage
+    (and the UDF chain) never re-executes.
+
+    The first-round pair table is oracle-checked as
+    ``bpe_pair_frequencies``; the iterative trainer is pytest-verified
+    on a corpus with known merges (tests/test_corpus.py).
+    """
+    words = word_type_table(df, text_col)
+    syms = words.select(
+        "word",
+        "word_count",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").alias(
+            "sym"
+        ),
+    ).localCheckpoint(eager=True)
+    merge_udf = _merge_pair_udf()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            syms.filter(F.size("sym") >= 2)
+            .select(
+                "word_count",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(sym)-2),"
+                        " j -> struct(sym[j] AS l, sym[j+1] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("word_count").cast("long").alias("freq"))
+        )
+        top = (
+            pairs.orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["freq"] < min_freq:
+            break
+        l_, r_, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
+        merges.append((l_, r_, freq))
+        syms = syms.withColumn(
+            "sym", merge_udf(F.col("sym"), F.lit(l_), F.lit(r_))
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list: per word, the
+    standard rank-greedy BPE apply (always merge the LOWEST-rank pair
+    present — exactly how GPT-2-family tokenizers consume their merges
+    file), as one Arrow-batched pandas_udf pass over the corpus.
+    Deterministic for a fixed merge list; concatenating the output
+    tokens of a word restores the word (lossless segmentation,
+    asserted in tests)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(l_, r_): i for i, (l_, r_, *_) in enumerate(merges)}
+
+    def encode_word(w: str) -> list[str]:
+        s = list(w)
+        while len(s) >= 2:
+            best, bi = None, -1
+            for i in range(len(s) - 1):
+                rk = ranks.get((s[i], s[i + 1]))
+                if rk is not None and (best is None or rk < best):
+                    best, bi = rk, i
+            if best is None:
+                break
+            s[bi : bi + 2] = [s[bi] + s[bi + 1]]
+        return s
+
+    def _encode(word_arrays):
+        out = []
+        for words in word_arrays:
+            toks: list[str] = []
+            for w in words if words is not None else []:
+                toks.extend(encode_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    _encode.__annotations__ = {"word_arrays": pd.Series, "return": pd.Series}
+    encode = pandas_udf(_encode, returnType="array<string>")
+    return df.withColumn(out_col, encode(tokens(F.col(text_col))))

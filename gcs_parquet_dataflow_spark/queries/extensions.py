@@ -6424,3 +6424,62 @@ def privacy_l_diversity(spark, sf_dir):
         .cast("long")
         .alias("groups_below_2"),
     )
+
+
+@query(
+    "bpe_pair_frequencies",
+    """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE text IS NOT NULL),
+    wt AS (SELECT word, CAST(count(*) AS BIGINT) AS word_count
+           FROM w WHERE word <> '' GROUP BY word),
+    pr AS (SELECT unnest(list_transform(range(1, length(word)),
+                         i -> substr(word, CAST(i AS INT), 2))) AS pair,
+                  word_count
+           FROM wt WHERE length(word) >= 2),
+    agg AS (SELECT pair, CAST(sum(word_count) AS BIGINT) AS freq
+            FROM pr GROUP BY pair)
+    SELECT CAST(rk AS BIGINT) AS rank, pair, freq
+    FROM (SELECT pair, freq,
+                 row_number() OVER (ORDER BY freq DESC, pair) AS rk
+          FROM agg)
+    WHERE rk <= 30
+    """,
+)
+def bpe_pair_frequencies(spark, sf_dir):
+    """The E-step of BPE tokenizer training
+    (operators/corpus.py bpe_train), oracle-checked at round 1:
+    adjacent character-pair frequencies over the corpus, weighted by
+    word occurrence — computed on the DISTINCT-WORD table, which is
+    the property that bounds every BPE iteration to vocabulary-sized
+    work (one corpus-sized pass builds word counts; the 100 TB corpus
+    is never rescanned during training). Top-30 with (freq, pair) as
+    the deterministic order. The full iterative trainer and the
+    rank-greedy encoder are pytest-verified with known merges
+    (tests/test_corpus.py)."""
+    from gcs_parquet_dataflow_spark.operators.corpus import word_type_table
+
+    d = t(spark, sf_dir, "documents")
+    wt = word_type_table(d, "text")
+    pr = (
+        wt.filter(F.length("word") >= 2)
+        .select(
+            "word_count",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)-1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("word_count").cast("long").alias("freq"))
+    )
+    from pyspark.sql import Window as WS
+
+    w = WS.orderBy(F.desc("freq"), F.asc("pair"))
+    return (
+        pr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 30)
+        .select("rank", "pair", "freq")
+    )

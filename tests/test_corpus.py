@@ -276,3 +276,49 @@ def test_canonicalize_url_known_forms(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_bpe_train_learns_known_merges_and_encode_roundtrips(spark):
+    """BPE on the classic Sennrich-style corpus: frequent pairs merge
+    first and in a deterministic order; encoding with the learned
+    merges segments words losslessly (concat of tokens == word) and
+    reuses multi-char merges ('lower' → 'low' + 'er' once l+o, lo+w,
+    e+r are learned)."""
+    from gcs_parquet_dataflow_spark.operators.corpus import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("low low low low low",),
+            ("lower lower",),
+            ("newest newest newest newest newest newest",),
+            ("wider wider wider",),
+        ],
+        "text string",
+    )
+    merges = bpe_train(corpus, "text", n_merges=10, min_freq=2)
+    assert len(merges) >= 5
+    pairs = [(l_, r_) for l_, r_, _ in merges]
+    # weighted pair counts: (w,e) = newest×6 + lower×2 = 8 wins round 1;
+    # (l,o) = low×5 + lower×2 = 7 next
+    assert pairs[0] == ("w", "e") and pairs[1] == ("l", "o")
+    freqs = [f for _, _, f in merges]
+    assert freqs[0] == 8 and freqs[1] == 7
+    # determinism: retraining gives the identical merge list
+    assert merges == bpe_train(corpus, "text", n_merges=10, min_freq=2)
+
+    enc = bpe_encode(corpus, "text", merges)
+    rows = {r["text"]: r["bpe_tokens"] for r in enc.collect()}
+    # lossless segmentation for every word of every doc
+    for text, toks in rows.items():
+        rebuilt, queue = [], list(toks)
+        for w in text.split():
+            acc = ""
+            while acc != w:
+                acc += queue.pop(0)
+            rebuilt.append(acc)
+        assert rebuilt == text.split()
+    # the hot word became a single token
+    assert "low" in rows["low low low low low"]
