@@ -295,3 +295,20 @@ def count_min_lookup(
     return joined.groupBy(*keys_df.columns).agg(
         F.min("n").cast("long").alias("n_cm")
     )
+
+
+def cm_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count–min sketches built
+    on the join keys: |A ⋈ B| = Σ_k a_k·b_k ≤ min_d Σ_b A_d[b]·B_d[b]
+    (the AMS/CM inner-product upper bound). One depth×width-sized join —
+    the pre-flight size check a planner (or an engineer) runs before
+    committing to a shuffle strategy, without touching either table.
+    → single row (est_join_size: long)."""
+    j = sketch_a.alias("a").join(
+        sketch_b.alias("b"),
+        (F.col("a.d") == F.col("b.d")) & (F.col("a.b") == F.col("b.b")),
+    )
+    per_depth = j.groupBy(F.col("a.d")).agg(
+        F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("s")
+    )
+    return per_depth.agg(F.min("s").cast("long").alias("est_join_size"))

@@ -6353,10 +6353,11 @@ def privacy_k_anonymity_audit(spark, sf_dir):
     )
 
     g = persist_intermediate(g)
-    ks = spark.range(0).sparkSession.createDataFrame(
-        [(2,), (5,), (10,)], "k long"
+    # fan each group row out to the three k thresholds map-side
+    # (explode of a 3-literal array — no join in the plan)
+    j = g.withColumn(
+        "k", F.explode(F.array(*[F.lit(k).cast("long") for k in (2, 5, 10)]))
     )
-    j = g.crossJoin(F.broadcast(ks))
     below = F.when(F.col("group_size") < F.col("k"), F.lit(1)).otherwise(
         F.lit(0)
     )
@@ -6482,4 +6483,64 @@ def bpe_pair_frequencies(spark, sf_dir):
         pr.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 30)
         .select("rank", "pair", "freq")
+    )
+
+
+@query(
+    "sketch_join_size_estimate",
+    f"""
+    WITH pairs AS (
+      SELECT CAST(r.d AS BIGINT) AS d,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                  || '#cm' || CAST(r.d AS VARCHAR)), 1, 8) AS BIGINT)
+                 % {SK.CM_WIDTH} AS b
+      FROM events CROSS JOIN range({SK.CM_DEPTH}) r(d)
+    ),
+    sk AS (SELECT d, b, CAST(count(*) AS BIGINT) AS n
+           FROM pairs GROUP BY d, b),
+    per_d AS (SELECT d, CAST(sum(n*n) AS BIGINT) AS s FROM sk GROUP BY d),
+    est AS (SELECT CAST(min(s) AS BIGINT) AS est_join_size FROM per_d),
+    ex AS (SELECT CAST(sum(c*c) AS BIGINT) AS exact_join_size
+           FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY user_id))
+    SELECT ex.exact_join_size, est.est_join_size,
+           round(est.est_join_size / CAST(ex.exact_join_size AS DOUBLE), 6)
+               AS over_ratio
+    FROM ex CROSS JOIN est
+    """,
+)
+def sketch_join_size_estimate(spark, sf_dir):
+    """Pre-flight join-cardinality estimation from sketches
+    (operators/sketches.py cm_join_size): the self-join size of events
+    on user_id (Σ n_u² — the skew bomb a planner most needs to see
+    coming) estimated as the count–min inner product min_d Σ_b n_d[b]²,
+    compared against the exact size in the same row. The estimate is a
+    guaranteed upper bound; collisions only inflate it.
+
+    Scale shape: once per-shard sketches exist (streaming
+    run_heavy_hitter_stream materializes exactly these), the estimate
+    costs a depth×width-row join — no scan of either input. This is the
+    check you run BEFORE choosing salted-join vs plain shuffle
+    (operators/skew.py)."""
+    e = t(spark, sf_dir, "events")
+    sk = SK.count_min_build(e, "user_id")
+    est = SK.cm_join_size(sk, sk)
+    ex = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias(
+            "exact_join_size"
+        ))
+    )
+    # literal-key equi-join of the two single-row sides (keeps the plan
+    # a BroadcastHashJoin — the guard tests ban nested-loop shapes)
+    return ex.withColumn("_k", F.lit(1)).join(
+        est.withColumn("_k", F.lit(1)), "_k"
+    ).select(
+        "exact_join_size",
+        F.col("est_join_size"),
+        F.round(
+            F.col("est_join_size") / F.col("exact_join_size").cast("double"),
+            6,
+        ).alias("over_ratio"),
     )

@@ -670,6 +670,10 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "corr_matrix_lineitem",
         "lake_snapshot_changes",
         "rollup_incremental_merge",
+        "privacy_k_anonymity_audit",
+        "privacy_l_diversity",
+        "bpe_pair_frequencies",
+        "sketch_join_size_estimate",
     ]
     sf = "/root/testdata/sf0.001"
     for name in names:
