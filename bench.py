@@ -65,6 +65,14 @@ EXTENDED = [
     "knn_ivfpq",
     "graph_pagerank_coactivity",
     "nearest_error_per_purchase",
+    # round-4 additions
+    "sketch_fm_distinct_users",
+    "sketch_count_min_heavy_hitters",
+    "affinity_basket_pairs",
+    "corr_matrix_lineitem",
+    "privacy_k_anonymity_audit",
+    "bpe_pair_frequencies",
+    "rollup_incremental_merge",
 ]
 
 
