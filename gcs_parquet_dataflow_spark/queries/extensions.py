@@ -6542,3 +6542,227 @@ def sketch_join_size_estimate(spark, sf_dir):
             6,
         ).alias("over_ratio"),
     )
+
+
+@query(
+    "drift_ks_by_event_type",
+    """
+    WITH s AS (SELECT event_type,
+                      CAST(round(value*100) AS BIGINT) AS v,
+                      CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                          AS h1
+               FROM events WHERE value IS NOT NULL),
+    c AS (SELECT event_type, v,
+                 CAST(sum(h1) AS BIGINT) AS n1,
+                 CAST(sum(1 - h1) AS BIGINT) AS n2
+          FROM s GROUP BY event_type, v),
+    cum AS (SELECT event_type, v,
+                   sum(n1) OVER (PARTITION BY event_type ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS c1,
+                   sum(n2) OVER (PARTITION BY event_type ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS c2,
+                   sum(n1) OVER (PARTITION BY event_type) AS t1,
+                   sum(n2) OVER (PARTITION BY event_type) AS t2
+            FROM c)
+    SELECT event_type,
+           CAST(max(t1) AS BIGINT) AS n_first,
+           CAST(max(t2) AS BIGINT) AS n_second,
+           round(max(abs(c1 / CAST(t1 AS DOUBLE)
+                         - c2 / CAST(t2 AS DOUBLE))), 6) AS ks_stat,
+           round(1.36 * sqrt((max(t1) + max(t2))
+                 / (CAST(max(t1) AS DOUBLE) * max(t2))), 6) AS ks_crit_05
+    FROM cum GROUP BY event_type
+    """,
+)
+def drift_ks_by_event_type(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift test per event type: the
+    max gap between the first-half and second-half empirical CDFs of
+    ``value``, with the α=0.05 critical value in the same row — the
+    nonparametric companion to the binned PSI monitor
+    (drift_psi_by_event_type): KS needs no bin choice and catches
+    shape changes PSI's fixed bins can blur.
+
+    Determinism: CDFs are exact integer cumulative counts over the
+    distinct-value axis (cents); the only doubles are two fixed-order
+    divisions per distinct value, so both engines produce the
+    identical max. Scale shape: one count per (type, value) with
+    map-side combine, then windows over the DISTINCT-VALUE table
+    (value_histogram's size bound, not the row count)."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        "event_type",
+        cents(F.col("value")).alias("v"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("h1"),
+    )
+    c = s.groupBy("event_type", "v").agg(
+        F.sum("h1").cast("long").alias("n1"),
+        F.sum(1 - F.col("h1")).cast("long").alias("n2"),
+    )
+    wo = WS.partitionBy("event_type").orderBy("v").rowsBetween(
+        WS.unboundedPreceding, 0
+    )
+    wp = WS.partitionBy("event_type")
+    cum = (
+        c.withColumn("c1", F.sum("n1").over(wo))
+        .withColumn("c2", F.sum("n2").over(wo))
+        .withColumn("t1", F.sum("n1").over(wp))
+        .withColumn("t2", F.sum("n2").over(wp))
+    )
+    gap = F.abs(
+        F.col("c1") / F.col("t1").cast("double")
+        - F.col("c2") / F.col("t2").cast("double")
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("t1").cast("long").alias("n_first"),
+        F.max("t2").cast("long").alias("n_second"),
+        F.round(F.max(gap), 6).alias("ks_stat"),
+        F.round(
+            F.lit(1.36)
+            * F.sqrt(
+                (F.max("t1") + F.max("t2"))
+                / (F.max("t1").cast("double") * F.max("t2"))
+            ),
+            6,
+        ).alias("ks_crit_05"),
+    )
+
+
+@query(
+    "inequality_gini_revenue",
+    """
+    WITH cust AS (SELECT o_custkey,
+                         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                              AS BIGINT) AS rev
+                  FROM orders GROUP BY o_custkey),
+    r AS (SELECT rev,
+                 row_number() OVER (ORDER BY rev, o_custkey) AS i
+          FROM cust),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rev) AS DOUBLE) AS tot,
+                 CAST(sum(i * rev) AS DOUBLE) AS wsum
+          FROM r)
+    SELECT n AS n_customers,
+           round(tot / 100.0, 2) AS total_revenue,
+           round((2.0 * wsum) / (n * tot) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+)
+def inequality_gini_revenue(spark, sf_dir):
+    """Gini coefficient of per-customer revenue — the concentration
+    number behind "top x% of customers drive y% of revenue" (and the
+    corpus-curation twin: source-concentration of a training mix).
+    Computed from the exact rank-weighted integer sum
+    (G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over ascending revenue with a total
+    (rev, custkey) order), decimal-accumulated then converted once —
+    identical doubles on both engines.
+
+    Scale shape: one per-customer rollup (map-side combine), one global
+    rank over the CUSTOMER table. The global window sorts |customers|
+    rows — at extreme cardinality swap in the two-phase rank (sort
+    within range partitions + offset merge) the knn top-k already
+    demonstrates."""
+    from pyspark.sql import Window as WS
+
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev")
+    )
+    r = cust.select(
+        "rev",
+        F.row_number()
+        .over(WS.orderBy(F.asc("rev"), F.asc("o_custkey")))
+        .alias("i"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).cast("double").alias("tot"),
+        F.sum((F.col("i") * F.col("rev")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("wsum"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("tot") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * F.col("wsum")) / (F.col("n") * F.col("tot"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_touch
+      FROM events
+    ),
+    p AS (SELECT coalesce(last_touch, 'none') AS attributed_type
+          FROM seq WHERE event_type = 'purchase'),
+    a AS (SELECT attributed_type, CAST(count(*) AS BIGINT) AS n_purchases
+          FROM p GROUP BY attributed_type),
+    tt AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS tot FROM a)
+    SELECT a.attributed_type, a.n_purchases,
+           round(a.n_purchases / CAST(tt.tot AS DOUBLE), 6) AS share
+    FROM a CROSS JOIN tt
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent NON-purchase event before it (total
+    (ts, event_id) order; users whose first event is the purchase
+    credit 'none'), rolled up to credited-type shares — the
+    sessionless attribution model, and the template for first-touch
+    (min instead of last) and windowed variants.
+
+    Scale shape: one user-partitioned ordered window over events (the
+    same partitioning sessionize_events uses — at 100 TB this is one
+    shuffle on user_id), then a tiny type-level rollup. The window
+    carries one string of state per row; no self-join of events ever
+    happens."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        WS.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(WS.unboundedPreceding, -1)
+    )
+    seq = e.withColumn(
+        "last_touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("last_touch"), F.lit("none")).alias(
+            "attributed_type"
+        )
+    )
+    a = p.groupBy("attributed_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    a = persist_intermediate(a)
+    tot = a.agg(F.sum("n_purchases").cast("long").alias("t")).first()["t"]
+    return a.select(
+        "attributed_type",
+        "n_purchases",
+        F.round(F.col("n_purchases") / F.lit(float(tot)), 6).alias("share"),
+    )

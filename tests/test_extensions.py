@@ -674,6 +674,9 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "privacy_l_diversity",
         "bpe_pair_frequencies",
         "sketch_join_size_estimate",
+        "drift_ks_by_event_type",
+        "inequality_gini_revenue",
+        "attribution_last_touch",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
