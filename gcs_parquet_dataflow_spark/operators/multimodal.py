@@ -21,7 +21,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -208,3 +208,44 @@ def phash_stub(payload: Column) -> Column:
         lambda i: h.substr((i - 1) * 8 + 1, F.lit(8)),
     )
     return simhash32_from_hashes(F.transform(grams, hash32))
+
+
+def ingest_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    media_type: str = "image",
+) -> DataFrame:
+    """Ingest raw media FILES into the typed media table via Spark's
+    ``binaryFile`` source — the bridge from an object-store prefix of
+    images/audio/video blobs to the relational media surface
+    (as_media_table schema + source path and mtime lineage columns).
+
+    Scale shape: binaryFile is a real FileFormat — listing parallelizes
+    across executors, each file is read once on one executor, and
+    ``pathGlobFilter`` prunes at listing time (never opens filtered-out
+    files). Media ids are the hash32 of the source path: stable across
+    re-ingests, no global counter. Spark refuses to split individual
+    files (a blob is one row), so row size = file size — cap blob size
+    upstream or store pointers for >2 GB objects (parquet binary and
+    Spark rows are both int32-bounded).
+    """
+    from pyspark.sql import functions as _F
+
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    p = _F.col("content")
+    return raw.select(
+        hash32(_F.col("path")).alias("media_id"),
+        _F.lit(media_type).alias("media_type"),
+        p.alias("payload"),
+        _F.octet_length(p).cast("long").alias("n_bytes"),
+        _F.md5(p).alias("content_md5"),
+        _F.col("path").alias("source_path"),
+        _F.col("modificationTime").alias("source_mtime"),
+    )

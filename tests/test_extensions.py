@@ -690,3 +690,45 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
         if name not in bnlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ingest_media_dir_builds_typed_table_with_glob_pruning(spark, tmp_path):
+    """binaryFile ingestion: raw blob files land in the typed media
+    table with stable path-hash ids, exact sizes and checksums, and the
+    glob filter prunes non-matching files at listing time (they are
+    never read). Re-ingesting yields identical ids (no counters)."""
+    import hashlib
+
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        ingest_media_dir,
+    )
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    payloads = {}
+    for i in range(3):
+        b = bytes([i] * (100 + i))
+        (d / f"img_{i}.bin").write_bytes(b)
+        payloads[f"img_{i}.bin"] = b
+    (d / "notes.txt").write_text("not media")
+
+    media = ingest_media_dir(spark, str(d), glob="*.bin")
+    rows = media.collect()
+    assert len(rows) == 3                      # .txt pruned by the glob
+    by_name = {r["source_path"].rsplit("/", 1)[-1]: r for r in rows}
+    for name, b in payloads.items():
+        r = by_name[name]
+        assert bytes(r["payload"]) == b
+        assert r["n_bytes"] == len(b)
+        assert r["content_md5"] == hashlib.md5(b).hexdigest()
+        assert r["media_type"] == "image"
+
+    again = {r["source_path"]: r["media_id"]
+             for r in ingest_media_dir(spark, str(d), glob="*.bin").collect()}
+    assert again == {r["source_path"]: r["media_id"] for r in rows}
+
+    # composes with the downstream media ops (phash over the payload)
+    from gcs_parquet_dataflow_spark.operators.multimodal import phash_stub
+
+    ph = media.select(phash_stub(F.col("payload")).alias("ph")).collect()
+    assert all(r["ph"] is not None for r in ph)
