@@ -854,3 +854,27 @@ def train_pq_codebooks(
             for m in range(n_sub)
         ]
     return books
+
+
+def append_to_ivf_index(
+    corpus_batch: DataFrame,
+    path: str,
+    cents: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF growth: assign an ARRIVING batch of vectors with
+    the same pinned centroid table and append its rows into the
+    existing list partitions — the index never rebuilds, and queries
+    see the union immediately (tests prove append ≡ rebuild). The
+    centroids stay frozen, exactly how production IVF serves writes;
+    re-train + full rebuild is a scheduled maintenance job, not an
+    ingest-path cost. Returns the number of vectors appended."""
+    cents = cents if cents is not None else ivf_centroids()
+    assigned = corpus_batch.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        ivf_assign(F.col(vec_col), cents).alias("_list"),
+    )
+    assigned.write.mode("append").partitionBy("_list").parquet(path)
+    return assigned.count()

@@ -6766,3 +6766,66 @@ def attribution_last_touch(spark, sf_dir):
         "n_purchases",
         F.round(F.col("n_purchases") / F.lit(float(tot)), 6).alias("share"),
     )
+
+
+_RECALL_EXACT = COS_SQL.format(a="q", b="c")
+
+
+@query(
+    "knn_lsh_recall",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, v, {BUCKET_SQL} AS bucket FROM e0),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_RECALL_EXACT} DESC, c.vec_id) AS rn
+        FROM e c JOIN q ON c.vec_id <> q.vec_id)
+      WHERE rn <= 5),
+    approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_RECALL_EXACT} DESC, c.vec_id) AS rn
+        FROM e c JOIN q ON c.vec_id <> q.vec_id AND c.bucket = q.bucket)
+      WHERE rn <= 5)
+    SELECT exact.query_id,
+           CAST(count(approx.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(approx.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM exact LEFT JOIN approx
+      ON exact.query_id = approx.query_id
+     AND exact.neighbor_id = approx.neighbor_id
+    GROUP BY exact.query_id
+    """,
+)
+def knn_lsh_recall(spark, sf_dir):
+    """ANN self-evaluation: recall@5 of the bucketed-LSH index against
+    the exact brute-force top-5, per query — the measure-don't-guess
+    gauge you run before trusting an approximate index in a pipeline
+    (and after every recall-dial change: more planes ↓candidates
+    ↓recall, extra probes ↑both). Both the exact and approximate
+    rankings use the identical (cosine, id) total order, so the recall
+    fractions are engine-exact.
+
+    Scale shape: the exact side is the linear-scan baseline (bounded:
+    |queries|×|corpus| map-only + per-query top-k); production runs it
+    on a SAMPLE of queries — the recall estimate needs hundreds of
+    queries, not the full workload."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = SIM.lsh_topk(e, q, k=5, planes=PLANES).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    j = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("an").cast("long").alias("n_hit"),
+        F.round(F.count("an") / F.lit(5.0), 6).alias("recall_at_5"),
+    )

@@ -677,6 +677,7 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "drift_ks_by_event_type",
         "inequality_gini_revenue",
         "attribution_last_touch",
+        "knn_lsh_recall",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
@@ -732,3 +733,25 @@ def test_ingest_media_dir_builds_typed_table_with_glob_pruning(spark, tmp_path):
 
     ph = media.select(phash_stub(F.col("payload")).alias("ph")).collect()
     assert all(r["ph"] is not None for r in ph)
+
+
+def test_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental ANN maintenance: building the persisted IVF index on
+    half the corpus and appending the rest (append_to_ivf_index, same
+    pinned centroids) must answer queries identically to a full
+    rebuild."""
+    from gcs_parquet_dataflow_spark.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    full_path = str(tmp_path / "ivf_full")
+    incr_path = str(tmp_path / "ivf_incr")
+
+    SIM.build_ivf_index(e, full_path)
+    SIM.build_ivf_index(e.filter(F.col("vec_id") % 2 == 0), incr_path)
+    n = SIM.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), incr_path)
+    assert n > 0
+
+    a = sorted(map(tuple, SIM.ivf_query_index(spark, full_path, q, k=5).collect()))
+    b = sorted(map(tuple, SIM.ivf_query_index(spark, incr_path, q, k=5).collect()))
+    assert a == b and len(a) > 0
