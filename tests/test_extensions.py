@@ -681,7 +681,12 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
-    bnlj_ok = {"sketch_join_size_estimate"}
+    bnlj_ok = {
+        "sketch_join_size_estimate",
+        # exact-baseline side is the documented broadcast-queries ×
+        # corpus linear scan (same shape as knn_brute_force_cosine)
+        "knn_lsh_recall",
+    }
     sf = "/root/testdata/sf0.001"
     for name in names:
         df = CATALOG[name].build(spark, sf)
