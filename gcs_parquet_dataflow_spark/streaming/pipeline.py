@@ -687,3 +687,58 @@ def run_heavy_hitter_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def run_ann_ingest_stream(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    cents: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming vector ingestion into the persisted IVF ANN index:
+    each micro-batch is assigned to inverted lists with the PINNED
+    centroid table (operators/similarity.py ivf_assign — the same
+    expression the batch builder uses) and written batch-keyed under
+    the list partitions, so a replayed batch overwrites its own rows
+    instead of duplicating index entries. ``ivf_query_index`` reads
+    the growing index unchanged (the extra ``_batch_id`` partition
+    level is just another column; list pruning still applies).
+
+    This is the serving-side contract of every production IVF system:
+    writes assign against frozen centroids in the ingest path;
+    re-training centroids (train_pq_codebooks-style) and rebuilding is
+    a scheduled maintenance job."""
+    from gcs_parquet_dataflow_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    cents_ = cents if cents is not None else ivf_centroids()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = batch_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            ivf_assign(F.col(vec_col), cents_).alias("_list"),
+        )
+        write_partitioned(
+            assigned, index_path, ["_list"], batch_id=batch_id,
+            coalesce_files=1,
+        )
+
+    writer = (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

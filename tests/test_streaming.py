@@ -765,3 +765,53 @@ def test_heavy_hitter_stream_tracks_global_top_keys(spark, tmp_path):
             .groupBy("d", "b").agg(F.sum("n").alias("n")).collect())
     )
     assert before == after
+
+
+def test_ann_ingest_stream_grows_index_idempotently(spark, tmp_path):
+    """Two micro-batches of vectors stream into the IVF index; queries
+    against the streamed index match a batch rebuild over the same
+    vectors, and replaying a batch (same id) changes nothing."""
+    from gcs_parquet_dataflow_spark.catalog import load_table
+    from gcs_parquet_dataflow_spark.operators import similarity as SIM
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_ann_ingest_stream,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    b0 = e.filter(F.col("vec_id") % 2 == 0)
+    b1 = e.filter(F.col("vec_id") % 2 == 1)
+    indir = tmp_path / "vecs"
+    indir.mkdir()
+    b0.coalesce(1).write.parquet(str(indir / "b0"))
+    b1.coalesce(1).write.parquet(str(indir / "b1"))
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "*"))
+    )
+    idx = str(tmp_path / "ivf_stream")
+    q = run_ann_ingest_stream(
+        spark, stream, idx, str(tmp_path / "ck"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    rebuilt = str(tmp_path / "ivf_rebuild")
+    SIM.build_ivf_index(e, rebuilt)
+    probe = e.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, SIM.ivf_query_index(spark, idx, probe, k=5).collect()))
+    b = sorted(map(tuple, SIM.ivf_query_index(spark, rebuilt, probe, k=5).collect()))
+    assert a == b and len(a) > 0
+
+    # replay batch 0: same batch id overwrites its own partition
+    from pyspark.sql import functions as SF
+
+    assigned = b0.select(
+        SF.col("vec_id").alias("neighbor_id"),
+        SF.col("embedding").alias("_cv"),
+        SIM.ivf_assign(SF.col("embedding"), SIM.ivf_centroids()).alias("_list"),
+    )
+    write_partitioned(assigned, idx, ["_list"], batch_id=0, coalesce_files=1)
+    a2 = sorted(map(tuple, SIM.ivf_query_index(spark, idx, probe, k=5).collect()))
+    assert a2 == a
