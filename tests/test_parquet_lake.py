@@ -438,3 +438,41 @@ def test_delete_keys_forgets_rows_in_new_version_only(spark, tmp_path):
     with _pytest.raises(Exception):
         PL.read_version(spark, root, v - 1)
     assert PL.read_version(spark, root).count() == 8
+
+
+def test_rank_zorder_clusters_narrow_domain_columns(spark, tmp_path):
+    """The measured failure rank-Z-order fixes: orders' custkey is a
+    narrow-domain int, so raw-Morton files don't prune custkey ranges —
+    rank-bucketed Morton must cluster BOTH dimensions (a narrow custkey
+    range hits a strict subset of files, and so does a totalprice
+    range), with no rows lost."""
+    from gcs_parquet_dataflow_spark.catalog import load_table
+    from gcs_parquet_dataflow_spark.sinks import parquet_lake as PL
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "_tc", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    path = str(tmp_path / "rz")
+    PL.write_zordered_ranked(o, path, "o_custkey", "_tc", bits=8, n_files=16)
+
+    stats = PL.collect_file_stats(spark, path, ["o_custkey", "_tc"])
+    n_files = stats.count()
+    assert n_files >= 12
+
+    hit_x = stats.filter(
+        (F.col("max_o_custkey") >= 10) & (F.col("min_o_custkey") <= 40)
+    ).count()
+    lo, hi = 500_000, 1_500_000  # a cents range on the other dimension
+    hit_y = stats.filter(
+        (F.col("max__tc") >= lo) & (F.col("min__tc") <= hi)
+    ).count()
+    assert hit_x < n_files, (hit_x, n_files)
+    assert hit_y < n_files, (hit_y, n_files)
+
+    got = PL.read_skipping(spark, path, stats, "o_custkey", 10, 40)
+    want = spark.read.parquet(path).filter(
+        (F.col("o_custkey") >= 10) & (F.col("o_custkey") <= 40)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -416,3 +416,50 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join check: a join with one dominant key, forced to
+    sort-merge with fixture-scaled thresholds, is re-planned at runtime
+    with the hot partition SPLIT (SortMergeJoin(skew=true)) — Spark's
+    automatic half of the skew story; operators/skew.py salting covers
+    the aggregation cases AQE can't touch."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # production defaults (256MB/64MB) scaled to fixture bytes
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2"
+        )
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, 7)
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.col("id").alias("x"),
+        )
+        small = spark.range(0, 97).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("d")
+        )
+        j = big.join(small, "k")
+        assert len(j.collect()) == 200_000  # collect finalizes THIS plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
