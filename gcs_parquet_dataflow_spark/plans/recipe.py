@@ -1,0 +1,155 @@
+"""Declarative curation-recipe compiler: a JSON-able list of named
+stages compiled into one composed DataFrame plan — the pipeline-level
+twin of the reference's config-compiled row transform
+(plans/compiler.py; reference main.py builds its DAG from fetched JSON
+configs the same way). A data engineer ships a recipe file; the engine
+validates it and emits a single declarative plan Catalyst optimizes
+end-to-end (filters merge into the scan, stages don't materialize
+between steps).
+
+Every stage maps onto an operator that already has its own oracle/test
+coverage; the compiler's own guarantee — compiled(recipe) ≡ the manual
+composition of those operators — is pinned by tests/test_recipe.py.
+
+Scale notes are per-stage: scan-stage Column work (quality, lang, pii,
+length, annotate, sample, split) fuses into one codegen pass; the dedup
+stages cost exactly their operator's documented join shape and nothing
+more.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.functions import text as TX
+from gcs_parquet_dataflow_spark.operators import dedup as DD
+from gcs_parquet_dataflow_spark.operators.sampling import (
+    hash_bucket,
+    hash_split,
+)
+
+
+class RecipeError(ValueError):
+    pass
+
+
+def _stage_filter_in(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    return df.filter(F.col(p["col"]).isin(list(p["keep"])))
+
+
+def _stage_length_gate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    c = F.length(F.col(ctx["text_col"]))
+    out = df
+    if "min_chars" in p:
+        out = out.filter(c >= int(p["min_chars"]))
+    if "max_chars" in p:
+        out = out.filter(c <= int(p["max_chars"]))
+    return out
+
+
+def _stage_quality_gate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    return df.filter(
+        TX.quality_score(F.col(ctx["text_col"])) >= float(p["min_score"])
+    )
+
+
+def _stage_lang_annotate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    return df.withColumn(p.get("out", "lang_id"), TX.lang_id(F.col(ctx["text_col"])))
+
+
+def _stage_pii_scrub(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    return df.withColumn(ctx["text_col"], TX.scrub_pii(F.col(ctx["text_col"])))
+
+
+def _stage_dedup_exact(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    return DD.exact_dedup(df, [ctx["text_col"]], ctx["id_col"])
+
+
+def _stage_dedup_minhash(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    perms = DD.minhash_perms(
+        num_perm=int(p.get("num_perm", 16)), seed=int(p.get("seed", 7))
+    )
+    sigs = DD.with_minhash(
+        df, ctx["id_col"], ctx["text_col"], perms, k=int(p.get("k", 3))
+    )
+    pairs = DD.lsh_candidate_pairs(sigs, ctx["id_col"], "sig")
+    losers = pairs.select(F.col("id_b").alias(ctx["id_col"])).distinct()
+    return df.join(losers, ctx["id_col"], "left_anti")
+
+
+def _stage_token_stats(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    return df.withColumn(
+        p.get("out", "n_tokens"), TX.token_count(F.col(ctx["text_col"]))
+    )
+
+
+def _stage_sample(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    denom = int(p.get("denominator", 10000))
+    keep = int(float(p["fraction"]) * denom)
+    return df.filter(
+        hash_bucket(F.col(ctx["id_col"]).cast("string"), denom) < keep
+    )
+
+
+def _stage_split(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    return hash_split(
+        df,
+        F.col(ctx["id_col"]).cast("string"),
+        dict(p["fractions"]),
+        out=p.get("out", "split"),
+    )
+
+
+STAGES: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
+    "filter_in": _stage_filter_in,
+    "length_gate": _stage_length_gate,
+    "quality_gate": _stage_quality_gate,
+    "lang_annotate": _stage_lang_annotate,
+    "pii_scrub": _stage_pii_scrub,
+    "dedup_exact": _stage_dedup_exact,
+    "dedup_minhash": _stage_dedup_minhash,
+    "token_stats": _stage_token_stats,
+    "sample": _stage_sample,
+    "split": _stage_split,
+}
+
+
+def compile_recipe(
+    df: DataFrame,
+    recipe: list[dict[str, Any]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the recipe's stages in order → one composed DataFrame.
+
+    Each entry is ``{"op": <name>, ...params}``. Unknown ops and
+    missing required params fail at COMPILE time (before any job runs),
+    like the config compiler's schema validation."""
+    ctx = {"id_col": id_col, "text_col": text_col}
+    out = df
+    for i, entry in enumerate(recipe):
+        if not isinstance(entry, dict) or "op" not in entry:
+            raise RecipeError(f"stage {i}: missing 'op'")
+        op = entry["op"]
+        if op not in STAGES:
+            raise RecipeError(
+                f"stage {i}: unknown op {op!r}; known: {sorted(STAGES)}"
+            )
+        params = {k: v for k, v in entry.items() if k != "op"}
+        try:
+            out = STAGES[op](out, ctx, params)
+        except KeyError as e:
+            raise RecipeError(f"stage {i} ({op}): missing param {e}") from e
+    return out
+
+
+def load_recipe(text: str) -> list[dict[str, Any]]:
+    """Parse a JSON recipe (a list of stage objects) with validation."""
+    data = json.loads(text)
+    if not isinstance(data, list):
+        raise RecipeError("recipe must be a JSON list of stages")
+    return data

@@ -1,0 +1,90 @@
+"""Recipe-compiler tests: compiled(recipe) must equal the manual
+composition of the underlying operators, and malformed recipes must
+fail at compile time (before any job runs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.catalog import load_table
+from gcs_parquet_dataflow_spark.functions import text as TX
+from gcs_parquet_dataflow_spark.operators import dedup as DD
+from gcs_parquet_dataflow_spark.operators.sampling import hash_split
+from gcs_parquet_dataflow_spark.plans.recipe import (
+    RecipeError,
+    compile_recipe,
+    load_recipe,
+)
+
+
+RECIPE_JSON = """
+[
+  {"op": "length_gate", "min_chars": 20},
+  {"op": "quality_gate", "min_score": 0.3},
+  {"op": "dedup_exact"},
+  {"op": "dedup_minhash", "num_perm": 16, "seed": 7},
+  {"op": "pii_scrub"},
+  {"op": "token_stats"},
+  {"op": "split", "fractions": {"train": 0.9, "val": 0.1}}
+]
+"""
+
+
+def test_compiled_recipe_equals_manual_composition(spark):
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = compile_recipe(d, load_recipe(RECIPE_JSON))
+
+    # the same stages, composed by hand from the operators themselves
+    m = d.filter(F.length("text") >= 20)
+    m = m.filter(TX.quality_score(F.col("text")) >= 0.3)
+    m = DD.exact_dedup(m, ["text"], "doc_id")
+    sigs = DD.with_minhash(m, "doc_id", "text", DD.minhash_perms(16, seed=7))
+    losers = (
+        DD.lsh_candidate_pairs(sigs, "doc_id", "sig")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    m = m.join(losers, "doc_id", "left_anti")
+    m = m.withColumn("text", TX.scrub_pii(F.col("text")))
+    m = m.withColumn("n_tokens", TX.token_count(F.col("text")))
+    m = hash_split(
+        m, F.col("doc_id").cast("string"), {"train": 0.9, "val": 0.1}
+    )
+
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, m.collect()))
+    assert a == b and len(a) > 100
+    assert got.columns == m.columns
+
+
+def test_recipe_validation_fails_fast(spark):
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(RecipeError, match="unknown op"):
+        compile_recipe(d, [{"op": "summon_gpu"}])
+    with pytest.raises(RecipeError, match="missing param"):
+        compile_recipe(d, [{"op": "quality_gate"}])
+    with pytest.raises(RecipeError, match="missing 'op'"):
+        compile_recipe(d, [{"min_chars": 5}])
+    with pytest.raises(RecipeError, match="JSON list"):
+        load_recipe('{"op": "split"}')
+
+
+def test_recipe_scan_stages_fuse_into_one_python_free_plan(spark):
+    """The scan-stage subset (gates, scrub, stats, split) compiles to a
+    single Python-free codegen pass — no joins, no shuffles."""
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = compile_recipe(
+        d,
+        [
+            {"op": "length_gate", "min_chars": 10},
+            {"op": "quality_gate", "min_score": 0.2},
+            {"op": "pii_scrub"},
+            {"op": "token_stats"},
+            {"op": "sample", "fraction": 0.5},
+            {"op": "split", "fractions": {"train": 0.8, "val": 0.2}},
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange", "Join"):
+        assert bad not in plan, bad
