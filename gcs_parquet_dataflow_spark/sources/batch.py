@@ -16,6 +16,7 @@ reader + row-group splits replace the reference's hand-rolled
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -151,3 +152,76 @@ def run_batch(
     ok = all_events.filter(F.col("_error").isNull()).select("event_json")
     dlq = all_events.filter(F.col("_error").isNotNull())
     return ok, dlq, unmatched
+
+
+# ---------------------------------------------------------------------------
+# Resumable backfill: a ledger-driven partition-at-a-time driver
+# ---------------------------------------------------------------------------
+
+
+def backfill(
+    spark: SparkSession,
+    units: list[str],
+    process: Callable[[str], None],
+    ledger_path: str,
+    rerun_failed: bool = True,
+) -> dict[str, str]:
+    """Drive a backfill over named work units (day partitions, file
+    groups, table shards) with a PERSISTED ledger — the operational
+    wrapper the reference's ``run_batch`` (main_batch.py:431-503)
+    leaves to the operator: re-invoking the same backfill after a crash
+    or a partial run processes only units the ledger doesn't already
+    mark done, so the whole job is resumable and idempotent as long as
+    each unit's ``process`` is (the lake writers here are — batch-keyed
+    or overwrite-per-partition).
+
+    The ledger is an append-only parquet table of (unit, status); the
+    latest row per unit wins. Returns {unit: final_status} for this
+    invocation. Failures are recorded (status='failed') and re-raised
+    only after every unit has been attempted, so one bad partition
+    doesn't strand the rest of the backfill.
+    """
+    try:
+        ledger = spark.read.parquet(ledger_path)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("unit").orderBy(F.desc("seq"))
+        latest = (
+            ledger.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("unit", "status")
+        )
+        state = {r["unit"]: r["status"] for r in latest.collect()}
+        seq0 = ledger.agg(F.max("seq")).first()[0] or 0
+    except Exception:
+        state, seq0 = {}, 0
+
+    def record(unit: str, status: str, seq: int) -> None:
+        spark.createDataFrame(
+            [(unit, status, seq)], "unit string, status string, seq long"
+        ).write.mode("append").parquet(ledger_path)
+
+    results: dict[str, str] = {}
+    errors: list[tuple[str, Exception]] = []
+    seq = seq0
+    for unit in units:
+        prev = state.get(unit)
+        if prev == "done" or (prev == "failed" and not rerun_failed):
+            results[unit] = prev
+            continue
+        seq += 1
+        try:
+            process(unit)
+        except Exception as e:  # noqa: BLE001 — recorded, re-raised below
+            record(unit, "failed", seq)
+            results[unit] = "failed"
+            errors.append((unit, e))
+            continue
+        record(unit, "done", seq)
+        results[unit] = "done"
+    if errors:
+        unit, e = errors[0]
+        raise RuntimeError(
+            f"backfill: {len(errors)} unit(s) failed, first: {unit}: {e}"
+        ) from e
+    return results

@@ -206,3 +206,40 @@ def test_read_csv_with_dlq_quarantines_bad_rows(spark, tmp_path):
         "3,c,oops",
         "nope,b,2.0",
     ]
+
+
+def test_backfill_ledger_resumes_and_records_failures(spark, tmp_path):
+    """Resumable backfill: a mid-run failure is recorded and re-raised
+    after all units are attempted; re-invoking skips completed units
+    and re-runs only the failed one; a third run is a no-op."""
+    import pytest as _pytest
+
+    from gcs_parquet_dataflow_spark.sources.batch import backfill
+
+    ledger = str(tmp_path / "ledger")
+    out = tmp_path / "out"
+    out.mkdir()
+    calls = []
+
+    def mk(fail_units):
+        def process(unit):
+            calls.append(unit)
+            if unit in fail_units:
+                raise RuntimeError(f"boom {unit}")
+            (out / f"{unit}.ok").write_text("done")
+        return process
+
+    units = ["d1", "d2", "d3", "d4"]
+    with _pytest.raises(RuntimeError, match="boom d3"):
+        backfill(spark, units, mk({"d3"}), ledger)
+    assert calls == units                      # one failure didn't stop d4
+    assert (out / "d4.ok").exists()
+
+    calls.clear()
+    res = backfill(spark, units, mk(set()), ledger)
+    assert calls == ["d3"]                     # only the failed unit reran
+    assert res == {"d1": "done", "d2": "done", "d3": "done", "d4": "done"}
+
+    calls.clear()
+    res = backfill(spark, units, mk(set()), ledger)
+    assert calls == [] and set(res.values()) == {"done"}
