@@ -100,6 +100,63 @@ class CompiledTransform:
             self.error_expr.alias(ERROR_COL),
         )
 
+    def lineage(self, spark: "SparkSession") -> DataFrame:
+        """Column-level lineage of the compiled transform → one row per
+        OUTPUT property: (config_id, output_field, source_field,
+        cast_type, required, is_wildcard) plus the event-name row.
+
+        The config IS the lineage (that's the point of a declarative
+        transform); this materializes it as a queryable DataFrame so
+        governance tooling can answer "which source columns feed field
+        X across all configs" with a plain join — no plan parsing.
+        Wildcard passthroughs expand to one row per actually-mapped
+        source column at compile time (property_exprs is already the
+        expanded list)."""
+        cfg = self.config
+        explicit = {
+            m.mixpanel_field: m
+            for m in cfg.field_mappings
+            if not m.is_wildcard
+        }
+        rows = []
+        src_of_event = (
+            cfg.mixpanel_event_name_from_field
+            if cfg.mixpanel_event_name_from_field
+            else None
+        )
+        rows.append(
+            (
+                cfg.config_id,
+                "event",
+                src_of_event or "<literal>",
+                "event_name",
+                src_of_event is not None,
+                False,
+            )
+        )
+        for name, _ in self.property_exprs:
+            m = explicit.get(name)
+            if m is not None:
+                rows.append(
+                    (
+                        cfg.config_id,
+                        name,
+                        m.source_field,
+                        m.type,
+                        m.is_required_in_source,
+                        False,
+                    )
+                )
+            else:
+                rows.append(
+                    (cfg.config_id, name, name, "passthrough", False, True)
+                )
+        return spark.createDataFrame(
+            rows,
+            "config_id string, output_field string, source_field string,"
+            " cast_type string, required boolean, from_wildcard boolean",
+        )
+
     def serialize(self, df: DataFrame) -> DataFrame:
         """Event-JSON shape the reference POSTs (main.py:279-284):
         ``{"event": ..., "properties": {...}}`` with NULL properties

@@ -333,3 +333,54 @@ def test_load_configs_json_text_with_uri_inside_is_not_fetched():
                         "field_mappings": []}])
     configs = load_configs(text)
     assert configs[0].source_gcs_prefix == "gs://b/p/"
+
+
+def test_compiled_lineage_reports_every_output_column(spark):
+    """lineage(): one row per output property + the event row; explicit
+    mappings carry their cast type and required flag, wildcard
+    passthroughs are marked and expanded to real source columns."""
+    from gcs_parquet_dataflow_spark.config.model import load_configs
+    from gcs_parquet_dataflow_spark.plans.compiler import (
+        CompilerOptions,
+        compile_config,
+    )
+
+    events = spark.createDataFrame(
+        [(1, "u1", "click", 2.0)],
+        "ts long, user_id string, event_type string, value double",
+    )
+    cfg = load_configs(
+        [
+            {
+                "config_id": "c1",
+                "source_gcs_prefix": "gs://b/",
+                "mixpanel_event_name_from_field": "event_type",
+                "field_mappings": [
+                    {
+                        "source_field": "ts",
+                        "mixpanel_field": "time",
+                        "type": "unix_timestamp_auto",
+                        "is_required_in_source": True,
+                    },
+                    {
+                        "source_field": "user_id",
+                        "mixpanel_field": "$user_id",
+                        "type": "string",
+                    },
+                    {"source_field": "*", "mixpanel_field": "*"},
+                ],
+            }
+        ]
+    )[0]
+    compiled = compile_config(cfg, events.schema, CompilerOptions(token="t"))
+    lin = {r["output_field"]: r for r in compiled.lineage(spark).collect()}
+
+    assert lin["event"]["source_field"] == "event_type"
+    assert lin["time"]["cast_type"] == "unix_timestamp_auto"
+    assert lin["time"]["required"] is True
+    assert lin["$user_id"]["source_field"] == "user_id"
+    # wildcard expanded to the real remaining columns
+    assert lin["value"]["from_wildcard"] is True
+    assert lin["value"]["source_field"] == "value"
+    # every compiled output property is covered
+    assert set(lin) == {"event"} | {n for n, _ in compiled.property_exprs}
