@@ -234,3 +234,14 @@ def rolling_min_fingerprint(col: Column, gram: int = 8) -> Column:
         lambda i: col.substr(i, F.lit(gram)),
     )
     return F.array_min(F.transform(grams, hash32))
+
+
+def pseudonymize(col: Column, pepper: str) -> Column:
+    """Keyed pseudonymization: sha256(pepper ‖ value) hex — stable
+    within a pepper (joins/groupBys still line up across tables) while
+    unlinkable to the raw id without it. Rotate the pepper to unlink
+    historical releases. DuckDB twin: ``sha256(pepper || CAST(x AS
+    VARCHAR))``. This is scan-stage Column work (JVM sha2, codegen);
+    for k-anonymity of the RELEASE, pair with the QI audits — tokens
+    alone don't anonymize quasi-identifiers."""
+    return F.sha2(F.concat(F.lit(pepper), col.cast("string")), 256)

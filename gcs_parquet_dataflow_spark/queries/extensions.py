@@ -6829,3 +6829,139 @@ def knn_lsh_recall(spark, sf_dir):
         F.count("an").cast("long").alias("n_hit"),
         F.round(F.count("an") / F.lit(5.0), 6).alias("recall_at_5"),
     )
+
+
+@query(
+    "privacy_pseudonymize_rollup",
+    """
+    WITH p AS (SELECT sha256('pepper-2024-01' || CAST(user_id AS VARCHAR))
+                   AS token,
+                  CAST(round(value*100) AS BIGINT) AS vc
+           FROM events),
+    a AS (SELECT token, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(vc) AS BIGINT) AS sum_cents
+          FROM p GROUP BY token)
+    SELECT token, n_events, sum_cents
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY n_events DESC, token) AS rk FROM a)
+    WHERE rk <= 10
+    """,
+)
+def privacy_pseudonymize_rollup(spark, sf_dir):
+    """Keyed pseudonymization in an analytics rollup
+    (functions/text.py pseudonymize): user ids are replaced by
+    sha256(pepper ‖ id) tokens BEFORE aggregation, and the per-token
+    rollup still works (stable tokens join/group exactly like the raw
+    id) — the release-side pattern: raw ids never leave the trust
+    boundary, the pepper rotates to unlink future releases, and the
+    k-anonymity audit runs on what remains.
+
+    Scale shape: sha2 is scan-stage JVM codegen; the rollup is the
+    same map-side-combined aggregate as on raw ids. Top-10 with
+    (count, token) total order keeps the output deterministic."""
+    e = t(spark, sf_dir, "events")
+    p = e.select(
+        TX.pseudonymize(F.col("user_id"), "pepper-2024-01").alias("token"),
+        cents(F.col("value")).alias("vc"),
+    )
+    a = p.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vc").cast("long").alias("sum_cents"),
+    )
+    from pyspark.sql import Window as WS
+
+    w = WS.orderBy(F.desc("n_events"), F.asc("token"))
+    return (
+        a.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("token", "n_events", "sum_cents")
+    )
+
+
+@query(
+    "forecast_holt_linear",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                          AS vc
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type,
+                 list(CAST(vc AS DOUBLE) ORDER BY day) AS vals
+          FROM d GROUP BY event_type),
+    f AS (SELECT event_type, len(vals) AS n_days,
+                 list_reduce(
+                   list_prepend([vals[1], CAST(0.0 AS DOUBLE)],
+                       list_transform(vals[2:],
+                                      v -> [v, CAST(0.0 AS DOUBLE)])),
+                   (acc, x) -> [
+                     CAST(0.4 AS DOUBLE)*x[1]
+                       + CAST(0.6 AS DOUBLE)*(acc[1]+acc[2]),
+                     CAST(0.3 AS DOUBLE)*((CAST(0.4 AS DOUBLE)*x[1]
+                       + CAST(0.6 AS DOUBLE)*(acc[1]+acc[2])) - acc[1])
+                       + CAST(0.7 AS DOUBLE)*acc[2]
+                   ]) AS st
+          FROM g)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(st[1] / 100.0, 6) AS level,
+           round(st[2] / 100.0, 6) AS trend,
+           round((st[1] + st[2]) / 100.0, 6) AS forecast_next
+    FROM f
+    """,
+)
+def forecast_holt_linear(spark, sf_dir):
+    """Holt double-exponential (level + trend) smoothing of each event
+    type's daily revenue, α=0.4, β=0.3, forecasting the next day — the
+    capacity-planning baseline one notch above EWMA (window_ewma_value),
+    expressed as a deterministic fold so both engines run the IDENTICAL
+    recurrence in the identical order.
+
+    Scale shape: the corpus-sized work is one (type, day) aggregate
+    with map-side combine; the recurrence folds over the DAILY series
+    (≤ days-of-history elements per group — bounded), so the
+    higher-order-function lambda here runs on group-count × history
+    arrays, never on raw rows (the documented HOF exception for tiny
+    inputs). The daily series values are exact integer cents converted
+    to double once, so the fold is bit-reproducible at any
+    partitioning."""
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    g = d.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("vc")))
+            ),
+            lambda s: s.getField("vc").cast("double"),
+        ).alias("vals")
+    )
+    a, b = F.lit(0.4), F.lit(0.3)
+
+    def step(acc, x):
+        newl = a * x[0] + (F.lit(1.0) - a) * (acc[0] + acc[1])
+        newt = b * (newl - acc[0]) + (F.lit(1.0) - b) * acc[1]
+        return F.array(newl, newt)
+
+    st = F.aggregate(
+        F.transform(
+            F.slice(F.col("vals"), 2, F.size(F.col("vals")) - 1),
+            lambda v: F.array(v, F.lit(0.0)),
+        ),
+        F.array(F.element_at(F.col("vals"), 1), F.lit(0.0)),
+        step,
+    )
+    f = g.select(
+        "event_type",
+        F.size("vals").cast("long").alias("n_days"),
+        st.alias("st"),
+    )
+    return f.select(
+        "event_type",
+        "n_days",
+        F.round(F.element_at("st", 1) / 100.0, 6).alias("level"),
+        F.round(F.element_at("st", 2) / 100.0, 6).alias("trend"),
+        F.round(
+            (F.element_at("st", 1) + F.element_at("st", 2)) / 100.0, 6
+        ).alias("forecast_next"),
+    )

@@ -678,6 +678,8 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "inequality_gini_revenue",
         "attribution_last_touch",
         "knn_lsh_recall",
+        "privacy_pseudonymize_rollup",
+        "forecast_holt_linear",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
