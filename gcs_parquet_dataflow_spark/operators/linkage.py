@@ -76,3 +76,49 @@ def fuzzy_pairs_blocked(
             F.levenshtein(F.col("a._t"), F.col("b._t")).alias("dist"),
         )
     )
+
+
+def refine_pairs_difflib(
+    pairs: DataFrame,
+    left_text: str = "text_a",
+    right_text: str = "text_b",
+    min_ratio: float = 0.9,
+) -> DataFrame:
+    """Exact-verify CANDIDATE pairs with difflib's Ratcliff/Obershelp
+    similarity (Arrow-batched ``mapInPandas``): the two-stage near-dup
+    contract — cheap sketch joins (LSH bands / blocked fuzzy keys)
+    produce a candidate set orders of magnitude smaller than n², then
+    the expensive Python comparator runs ONLY on that bounded set.
+    Adds ``ratio`` (rounded to 6) and keeps pairs ≥ ``min_ratio``.
+
+    Python-per-PAIR is the documented slow path, priced correctly
+    here: cost scales with |candidates|, never with |corpus|²; difflib
+    is deterministic so re-runs and retries are stable. Swap in any
+    Python comparator (jellyfish, rapidfuzz wheels on a real cluster)
+    behind the same contract."""
+    import pandas as pd
+
+    cols = pairs.columns
+    schema = ", ".join(
+        f"{c} {dict(pairs.dtypes)[c]}" for c in cols
+    ) + ", ratio double"
+
+    def score(batches):
+        from difflib import SequenceMatcher
+
+        for pdf in batches:
+            ratios = [
+                round(
+                    SequenceMatcher(
+                        None, a if a is not None else "",
+                        b if b is not None else ""
+                    ).ratio(),
+                    6,
+                )
+                for a, b in zip(pdf[left_text], pdf[right_text])
+            ]
+            out = pdf.copy()
+            out["ratio"] = pd.Series(ratios, index=pdf.index, dtype="float64")
+            yield out[out["ratio"] >= min_ratio]
+
+    return pairs.mapInPandas(score, schema=schema)

@@ -343,3 +343,59 @@ def nearest_join(
         *[F.col(f"_m.{c}").alias(c) for c in rcols],
         "gap_us",
     )
+
+
+def fit_trend_poly(
+    df: "DataFrame",
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    degree: int = 1,
+) -> "DataFrame":
+    """Per-group polynomial trend fit (numpy.polyfit least squares) via
+    the grouped-map ``applyInPandas`` extension point — the batch twin
+    of streaming/stateful.py's per-key state: each group's rows arrive
+    as ONE pandas DataFrame on one executor, the fit runs in C-backed
+    numpy, and a single summary row comes back →
+    (group_cols…, degree, n_points, c0..c<degree>) with c0 the
+    constant term.
+
+    This is the documented slow path (Python per GROUP, not per row) —
+    appropriate because model-per-group is irreducibly imperative
+    beyond degree 1 (the degree-1 case is expressible as exact
+    closed-form Column algebra — queries/extensions.py
+    regression_trend_by_type — which is the cross-check in
+    tests/test_temporal.py). Groups shuffle once on the group key;
+    state per group is the (x, y) vectors, so keep group row counts
+    bounded (aggregate to a time bucket first, as the tests do).
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401  (doc parity)
+
+    coef_cols = ", ".join(f"c{i} double" for i in range(degree + 1))
+    gcols_schema = ", ".join(
+        f"{c} {dict(df.dtypes)[c]}" for c in group_cols
+    )
+    schema = (
+        f"{gcols_schema}, degree long, n_points long, {coef_cols}"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        xs = pdf[x_col].to_numpy(dtype="float64")
+        ys = pdf[y_col].to_numpy(dtype="float64")
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out["degree"] = [degree]
+        out["n_points"] = [len(pdf)]
+        if len(pdf) >= degree + 1:
+            # polyfit returns highest power first; store c0 lowest first
+            coeffs = np.polyfit(xs, ys, degree)[::-1]
+        else:
+            coeffs = [float("nan")] * (degree + 1)
+        for i in range(degree + 1):
+            out[f"c{i}"] = [float(coeffs[i])]
+        return pd.DataFrame(out)
+
+    return df.groupBy(*group_cols).applyInPandas(fit, schema=schema)

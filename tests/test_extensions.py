@@ -762,3 +762,30 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     a = sorted(map(tuple, SIM.ivf_query_index(spark, full_path, q, k=5).collect()))
     b = sorted(map(tuple, SIM.ivf_query_index(spark, incr_path, q, k=5).collect()))
     assert a == b and len(a) > 0
+
+
+def test_refine_pairs_difflib_keeps_only_true_near_dups(spark):
+    """Two-stage dedup contract: the Python exact-verify stage scores
+    candidate pairs deterministically, keeps near-identical ones, and
+    drops sketch false positives."""
+    from gcs_parquet_dataflow_spark.operators.linkage import (
+        refine_pairs_difflib,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "the quick brown fox jumps", "the quick brown fox jumped"),
+            (3, 4, "completely different text here", "nothing alike at all!!"),
+            (5, 6, "same same same", "same same same"),
+        ],
+        "id_a long, id_b long, text_a string, text_b string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["ratio"]
+           for r in refine_pairs_difflib(pairs, min_ratio=0.85).collect()}
+    assert (5, 6) in out and out[(5, 6)] == 1.0
+    assert (1, 2) in out and out[(1, 2)] >= 0.9
+    assert (3, 4) not in out
+    # deterministic across runs
+    again = {(r["id_a"], r["id_b"]): r["ratio"]
+             for r in refine_pairs_difflib(pairs, min_ratio=0.85).collect()}
+    assert out == again

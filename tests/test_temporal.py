@@ -311,3 +311,37 @@ def test_nearest_join_picks_closer_side_tie_earlier_and_horizon(spark):
     capped = {r["ev"]: r["state"] for r in
               nearest_join(left, right, ["k"], max_gap_seconds=3600).collect()}
     assert capped["d"] is None and capped["a"] == "s1"
+
+
+def test_fit_trend_poly_matches_closed_form_and_fits_curvature(spark):
+    """Grouped-map polyfit: degree-1 coefficients reproduce the exact
+    closed-form OLS on a noiseless line per group, and degree-2
+    recovers planted quadratic coefficients."""
+    from gcs_parquet_dataflow_spark.operators.temporal import fit_trend_poly
+
+    rows = []
+    for g, (a0, a1) in {"g1": (3.0, 2.0), "g2": (-1.0, 0.5)}.items():
+        for x in range(10):
+            rows.append((g, float(x), a0 + a1 * x))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    fit = {r["g"]: r for r in fit_trend_poly(df, ["g"], "x", "y", 1).collect()}
+    assert fit["g1"]["n_points"] == 10
+    assert abs(fit["g1"]["c0"] - 3.0) < 1e-9 and abs(fit["g1"]["c1"] - 2.0) < 1e-9
+    assert abs(fit["g2"]["c0"] + 1.0) < 1e-9 and abs(fit["g2"]["c1"] - 0.5) < 1e-9
+
+    quad = spark.createDataFrame(
+        [("q", float(x), 1.0 + 2.0 * x + 0.5 * x * x) for x in range(12)],
+        "g string, x double, y double",
+    )
+    f2 = fit_trend_poly(quad, ["g"], "x", "y", 2).first()
+    assert abs(f2["c0"] - 1.0) < 1e-7
+    assert abs(f2["c1"] - 2.0) < 1e-7
+    assert abs(f2["c2"] - 0.5) < 1e-7
+
+    # under-determined group yields NaN coefficients, not a crash
+    tiny = spark.createDataFrame([("t", 1.0, 1.0)], "g string, x double, y double")
+    f3 = fit_trend_poly(tiny, ["g"], "x", "y", 2).first()
+    import math
+
+    # NaN may surface as NULL after the Arrow hop; either marks "no fit"
+    assert f3["c2"] is None or math.isnan(f3["c2"])
