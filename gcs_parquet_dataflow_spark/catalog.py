@@ -87,3 +87,20 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, prefix: str = ""
+) -> list[str]:
+    """Register every fixture table as a temp view (``prefix<name>``)
+    so the full engine surface is reachable from plain ``spark.sql`` —
+    the SQL-first entry point alongside the DataFrame builders; both
+    compile to the same Catalyst plans, so pushdown/pruning behavior is
+    identical (verified in tests/test_batch_pipeline.py). Returns the
+    view names registered."""
+    names = []
+    for t in TABLES:
+        name = f"{prefix}{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names

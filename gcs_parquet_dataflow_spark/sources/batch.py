@@ -225,3 +225,44 @@ def backfill(
             f"backfill: {len(errors)} unit(s) failed, first: {unit}: {e}"
         ) from e
     return results
+
+
+def read_resilient(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """Read a parquet directory tolerating corrupt members: files whose
+    footer/pages fail to decode are SKIPPED (per-read
+    ``ignoreCorruptFiles`` option — scoped to this reader, never the
+    session) instead of failing the whole 100 TB job because one
+    upload was torn. Pair with :func:`quarantine_corrupt_files` to
+    report exactly which files were dropped — silent-skip without the
+    report is how datasets lose days of data unnoticed."""
+    reader = spark.read.option("ignoreCorruptFiles", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def quarantine_corrupt_files(
+    spark: SparkSession, pattern: str
+) -> tuple[list[str], list[str]]:
+    """Probe every file matching ``pattern`` and split (readable,
+    corrupt) by validating the parquet footer — the audit companion to
+    :func:`read_resilient`.
+
+    Probes run on the DRIVER over the file LIST (the same small-side
+    contract as plan_batch's listing): fine up to tens of thousands of
+    files; beyond that, shard the pattern (per day/prefix) through the
+    ``backfill`` ledger so each unit probes its own slice."""
+    import pyarrow.parquet as pq
+
+    ok, bad = [], []
+    for r in list_files(spark, pattern).collect():
+        uri = r["uri"]
+        local = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            pq.read_schema(local)
+            ok.append(uri)
+        except Exception:
+            bad.append(uri)
+    return ok, bad

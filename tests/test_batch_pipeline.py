@@ -243,3 +243,73 @@ def test_backfill_ledger_resumes_and_records_failures(spark, tmp_path):
     calls.clear()
     res = backfill(spark, units, mk(set()), ledger)
     assert calls == [] and set(res.values()) == {"done"}
+
+
+def test_register_views_enables_raw_sql_with_pushdown(spark):
+    """SQL entry point: registered views answer plain spark.sql with
+    results identical to the DataFrame builder, and filters still reach
+    the parquet scan (same Catalyst plans either way)."""
+    from gcs_parquet_dataflow_spark.catalog import load_table, register_views
+    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and len(names) == 10
+
+    sql_rows = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    df_rows = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+    )
+    assert sorted(map(tuple, sql_rows.collect())) == sorted(
+        map(tuple, df_rows.collect())
+    )
+
+    pushed = spark.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'"
+    )
+    pushed.collect()
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters", 1
+    )[1][:300]
+
+
+def test_resilient_read_skips_corrupt_files_and_quarantine_names_them(
+    spark, tmp_path
+):
+    """One torn upload must not fail the batch: read_resilient returns
+    every row of the healthy files, and quarantine_corrupt_files names
+    exactly the corrupt member."""
+    from gcs_parquet_dataflow_spark.sources.batch import (
+        quarantine_corrupt_files,
+        read_resilient,
+    )
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    spark.range(0, 50).toDF("id").coalesce(1).write.parquet(str(d / "p1"))
+    spark.range(50, 100).toDF("id").coalesce(1).write.parquet(str(d / "p2"))
+    # flatten the two part files into one dir + plant a torn file
+    import glob
+    import shutil
+
+    files = glob.glob(str(d / "p*" / "*.parquet"))
+    for i, f in enumerate(files):
+        shutil.copy(f, str(d / f"part-{i}.parquet"))
+    shutil.rmtree(str(d / "p1"))
+    shutil.rmtree(str(d / "p2"))
+    (d / "part-torn.parquet").write_bytes(b"PAR1 this is not a real footer")
+
+    got = read_resilient(spark, str(d))
+    assert sorted(r["id"] for r in got.collect()) == list(range(100))
+
+    ok, bad = quarantine_corrupt_files(spark, str(d / "*.parquet"))
+    assert len(ok) == 2 and len(bad) == 1
+    assert bad[0].endswith("part-torn.parquet")
