@@ -6965,3 +6965,71 @@ def forecast_holt_linear(spark, sf_dir):
             (F.element_at("st", 1) + F.element_at("st", 2)) / 100.0, 6
         ).alias("forecast_next"),
     )
+
+
+@query(
+    "trend_poly_by_type",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                          AS vc
+               FROM events GROUP BY 1, 2),
+    x AS (SELECT event_type, vc,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+                     AS xi
+          FROM d),
+    s AS (SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(xi) AS DOUBLE) AS sx,
+                 CAST(sum(vc) AS DOUBLE) AS sy,
+                 CAST(sum(xi * vc) AS DOUBLE) AS sxy,
+                 CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+                 CAST(count(*) AS BIGINT) AS n_points
+          FROM x GROUP BY event_type)
+    SELECT event_type, n_points,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 2) AS slope,
+           round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 2)
+               AS intercept
+    FROM s
+    """,
+)
+def trend_poly_by_type(spark, sf_dir):
+    """The grouped-map extension point under the oracle gate: per-type
+    daily-revenue trend fitted by numpy.polyfit inside
+    ``applyInPandas`` (operators/temporal.py fit_trend_poly), checked
+    against DuckDB's closed-form OLS on the same exact integer series.
+    polyfit solves the same least-squares system via SVD, so the
+    results agree to ~1e-12 relative; coefficients are rounded to 2
+    decimals (cents/day scale) to sit far above that gap.
+
+    Scale shape: one (type, day) aggregate with map-side combine, one
+    shuffle on the group key, then a bounded per-group fit (≤ days of
+    history rows per group) — the applyInPandas contract priced
+    correctly."""
+    from gcs_parquet_dataflow_spark.operators.temporal import fit_trend_poly
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    x = d.select(
+        "event_type",
+        (
+            F.row_number().over(
+                WS.partitionBy("event_type").orderBy("day")
+            )
+            - 1
+        )
+        .cast("double")
+        .alias("xi"),
+        F.col("vc").cast("double").alias("y"),
+    )
+    fit = fit_trend_poly(x, ["event_type"], "xi", "y", degree=1)
+    return fit.select(
+        "event_type",
+        "n_points",
+        F.round(F.col("c1"), 2).alias("slope"),
+        F.round(F.col("c0"), 2).alias("intercept"),
+    )
