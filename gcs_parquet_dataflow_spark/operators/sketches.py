@@ -291,9 +291,12 @@ def count_min_lookup(
             )
         ).alias("p"),
     ).select(*keys_df.columns, "p.d", "p.b")
-    joined = probes.join(F.broadcast(sketch), ["d", "b"], "inner")
+    # rename the counter column so a probe table carrying its own "n"
+    # (e.g. an exact-count audit) never collides
+    sk = sketch.withColumnRenamed("n", "_cm_n")
+    joined = probes.join(F.broadcast(sk), ["d", "b"], "inner")
     return joined.groupBy(*keys_df.columns).agg(
-        F.min("n").cast("long").alias("n_cm")
+        F.min("_cm_n").cast("long").alias("n_cm")
     )
 
 
