@@ -7033,3 +7033,129 @@ def trend_poly_by_type(spark, sf_dir):
         F.round(F.col("c1"), 2).alias("slope"),
         F.round(F.col("c0"), 2).alias("intercept"),
     )
+
+
+@query(
+    "concurrency_peak_by_day",
+    """
+    WITH o AS (SELECT user_id, ts,
+                      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                                > INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS brk
+               FROM events),
+    s AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    sess AS (SELECT user_id, sid, min(ts) AS st,
+                    max(ts) + INTERVAL 5 MINUTE AS en
+             FROM s GROUP BY user_id, sid),
+    seg AS (SELECT CAST(d.day AS TIMESTAMP) AS day,
+                   greatest(st, CAST(d.day AS TIMESTAMP)) AS seg_s,
+                   least(en, CAST(d.day AS TIMESTAMP) + INTERVAL 1 DAY)
+                       AS seg_e
+            FROM sess,
+                 LATERAL (SELECT unnest(generate_series(
+                              date_trunc('day', st),
+                              date_trunc('day', en),
+                              INTERVAL 1 DAY)) AS day) d
+            WHERE CAST(d.day AS TIMESTAMP) < en),
+    pts AS (SELECT day, seg_s AS t, 1 AS delta FROM seg
+            UNION ALL
+            SELECT day, seg_e AS t, -1 AS delta FROM seg),
+    run AS (SELECT day,
+                   sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+                                    ROWS UNBOUNDED PRECEDING) AS c,
+                   delta
+            FROM pts)
+    SELECT day,
+           CAST(max(c) AS BIGINT) AS peak_concurrent,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_segments
+    FROM run GROUP BY day
+    """,
+)
+def concurrency_peak_by_day(spark, sf_dir):
+    """Peak concurrent sessions per day — the sweep-line classic
+    (capacity planning, license sizing, live-user dashboards): gap-
+    based sessions (30-min idle cut, 5-min trailing activity window)
+    are split at day boundaries, each segment contributes a +1/−1
+    endpoint pair, and a per-day running sum over the time-ordered
+    endpoints yields the concurrency curve; its max is the peak. Ends
+    sort before starts at identical timestamps ((t, delta) order), so
+    touching sessions never double-count.
+
+    Scale shape: sessionization is one user-keyed window (the shuffle
+    sessionize_events already pays); the sweep is windowed PER DAY —
+    endpoints within a day are the only serial axis, and days
+    parallelize. At 100 TB the per-day endpoint count is the dial:
+    bucket the sweep by (day, hour) with carried-in open counts if a
+    single day's endpoints outgrow a partition."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    wu = WS.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.col("ts") - F.lag("ts").over(wu)
+                > F.expr("INTERVAL 30 MINUTE")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    s = o.withColumn(
+        "sid",
+        F.sum("brk").over(wu.rowsBetween(WS.unboundedPreceding, 0)),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("st"),
+        (F.max("ts") + F.expr("INTERVAL 5 MINUTE")).alias("en"),
+    )
+    seg = (
+        sess.select(
+            "st",
+            "en",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("day", F.col("st")),
+                    F.date_trunc("day", F.col("en")),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+        .filter(F.col("day") < F.col("en"))
+        .select(
+            "day",
+            F.greatest(F.col("st"), F.col("day")).alias("seg_s"),
+            F.least(
+                F.col("en"), F.col("day") + F.expr("INTERVAL 1 DAY")
+            ).alias("seg_e"),
+        )
+    )
+    pts = seg.select(
+        "day", F.col("seg_s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        seg.select(
+            "day", F.col("seg_e").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    wd = WS.partitionBy("day").orderBy("t", "delta").rowsBetween(
+        WS.unboundedPreceding, 0
+    )
+    run = pts.withColumn("c", F.sum("delta").over(wd))
+    return run.groupBy("day").agg(
+        F.max("c").cast("long").alias("peak_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_segments"),
+    )

@@ -680,6 +680,7 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "knn_lsh_recall",
         "privacy_pseudonymize_rollup",
         "forecast_holt_linear",
+        "concurrency_peak_by_day",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
