@@ -7159,3 +7159,134 @@ def concurrency_peak_by_day(spark, sf_dir):
         .cast("long")
         .alias("n_segments"),
     )
+
+
+@query(
+    "time_in_state_by_type",
+    """
+    WITH s AS (SELECT user_id, event_type, ts,
+                      lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS nxt
+               FROM events),
+    d AS (SELECT event_type,
+                 CAST(date_diff('microsecond', ts, nxt) AS BIGINT) AS mu
+          FROM s WHERE nxt IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(mu) AS BIGINT) AS total_micros,
+           round((sum(mu) / 1000000.0) / count(*), 6) AS avg_seconds
+    FROM d GROUP BY event_type
+    """,
+)
+def time_in_state_by_type(spark, sf_dir):
+    """Time-in-state telemetry: each event opens a state (its type)
+    that lasts until the user's NEXT event; per type, the count, the
+    exact total microseconds, and the mean dwell — the state-machine
+    rollup behind "how long do users sit in the cart?" dashboards and
+    device-status (LOCF) monitoring alike. Last events are open
+    intervals and excluded, deterministically.
+
+    Scale shape: one user-keyed ordered window (shared with
+    sessionization) + one map-side-combined aggregate on (type) —
+    exact integer microsecond arithmetic end to end."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    wu = WS.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", "ts", F.lead("ts").over(wu).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    d = s.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("nxt").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("mu"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("mu").cast("long").alias("total_micros"),
+        F.round(
+            (F.sum("mu") / 1000000.0) / F.count(F.lit(1)), 6
+        ).alias("avg_seconds"),
+    )
+
+
+@query(
+    "rolling_corr_revenue_volume",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                          AS rev,
+                      CAST(count(*) AS BIGINT) AS vol
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, day,
+                 CAST(count(*) OVER win AS DOUBLE) AS n,
+                 CAST(sum(rev) OVER win AS DOUBLE) AS sx,
+                 CAST(sum(vol) OVER win AS DOUBLE) AS sy,
+                 CAST(sum(rev*vol) OVER win AS DOUBLE) AS sxy,
+                 CAST(sum(rev*rev) OVER win AS DOUBLE) AS sxx,
+                 CAST(sum(vol*vol) OVER win AS DOUBLE) AS syy,
+                 CAST(count(*) OVER win AS BIGINT) AS n_days
+          FROM d
+          WINDOW win AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, n_days,
+           round((n*sxy - sx*sy)
+                 / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+               AS corr_7d
+    FROM w WHERE n_days = 7
+    """,
+)
+def rolling_corr_revenue_volume(spark, sf_dir):
+    """Trailing-7-day rolling Pearson correlation between each type's
+    daily revenue and daily event volume — the drift gauge for "is
+    revenue still tracking traffic?", computed from exact integer
+    moment sums inside one ROWS-frame window (the corr_matrix pattern
+    made rolling). Partial head windows (< 7 days) are excluded so
+    every output row is a full-width correlation.
+
+    Scale shape: one (type, day) pre-aggregate shrinks the input to
+    groups×days rows; the six windowed sums share a single frame over
+    that tiny table. Doubles appear only in the final fixed-order
+    formula, so both engines emit identical values."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("vol"),
+    )
+    win = (
+        WS.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(win).cast("double").alias("n"),
+        F.sum("rev").over(win).cast("double").alias("sx"),
+        F.sum("vol").over(win).cast("double").alias("sy"),
+        F.sum(F.col("rev") * F.col("vol")).over(win).cast("double").alias(
+            "sxy"
+        ),
+        F.sum(F.col("rev") * F.col("rev")).over(win).cast("double").alias(
+            "sxx"
+        ),
+        F.sum(F.col("vol") * F.col("vol")).over(win).cast("double").alias(
+            "syy"
+        ),
+        F.count(F.lit(1)).over(win).cast("long").alias("n_days"),
+    ).filter(F.col("n_days") == 7)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return w.select(
+        "event_type",
+        "day",
+        "n_days",
+        F.round(num / den, 6).alias("corr_7d"),
+    )

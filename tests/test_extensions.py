@@ -681,6 +681,8 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "privacy_pseudonymize_rollup",
         "forecast_holt_linear",
         "concurrency_peak_by_day",
+        "time_in_state_by_type",
+        "rolling_corr_revenue_volume",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
