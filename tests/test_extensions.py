@@ -792,3 +792,53 @@ def test_refine_pairs_difflib_keeps_only_true_near_dups(spark):
     again = {(r["id_a"], r["id_b"]): r["ratio"]
              for r in refine_pairs_difflib(pairs, min_ratio=0.85).collect()}
     assert out == again
+
+
+def test_our_lsh_dedup_agrees_with_mllib_minhash_lsh(spark):
+    """Independent-implementation cross-check: the hand-built
+    MinHash-LSH pipeline and Spark MLlib's MinHashLSH must BOTH
+    recover every planted near-duplicate pair on the same corpus —
+    two unrelated hash families agreeing on the same recall set."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
+
+    from gcs_parquet_dataflow_spark.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    planted = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    expected = {
+        (r["doc_id"], r["doc_id"] + 100000)
+        for r in d.filter(F.col("doc_id") % 25 == 0).collect()
+    }
+
+    # ours: md5 shingle minhash + banded candidates + exact jaccard
+    perms = DD.minhash_perms(16, seed=7)
+    sigs = DD.with_minhash(corpus, "doc_id", "text", perms)
+    cand = DD.lsh_candidate_pairs(sigs, "doc_id", "sig")
+    ours = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert expected <= ours
+
+    # MLlib: tokenizer → 3-gram → hashingTF → MinHashLSH similarity join
+    pipe_df = corpus.filter(F.col("text").isNotNull())
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(pipe_df)
+    grams = NGram(n=3, inputCol="words", outputCol="shingles").transform(toks)
+    grams = grams.filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18
+    ).transform(grams)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=7
+    ).fit(tf)
+    joined = model.approxSimilarityJoin(tf, tf, 0.6, distCol="jacc_dist")
+    mllib = {
+        (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+        for r in joined.filter(
+            F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+        ).collect()
+    }
+    assert expected <= mllib
