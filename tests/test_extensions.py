@@ -842,3 +842,36 @@ def test_our_lsh_dedup_agrees_with_mllib_minhash_lsh(spark):
         ).collect()
     }
     assert expected <= mllib
+
+
+def test_pq_codebook_training_distortion_near_mllib_kmeans(spark):
+    """Quality cross-check: on the first PQ subspace, the deterministic
+    hash-seeded Lloyd trainer must reach within 25% of MLlib KMeans'
+    within-cluster cost (MLlib gets k-means|| init and more freedom —
+    matching it closely means the determinism isn't costing real
+    quality)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from gcs_parquet_dataflow_spark.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sub = e.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 8).alias("sv")
+    )
+
+    cents = SIM.train_pq_codebooks(
+        e, n_sub=8, k=8, dim=64, iterations=3
+    )[0]
+    data = np.array([r["sv"] for r in sub.collect()], dtype="float64")
+    c = np.array(cents, dtype="float64")
+    d2 = ((data[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    ours_cost = d2.min(axis=1).sum()
+
+    km = KMeans(k=8, seed=7, maxIter=20, featuresCol="features").fit(
+        sub.select(array_to_vector(F.col("sv").cast("array<double>")).alias("features"))
+    )
+    mllib_cost = km.summary.trainingCost
+
+    assert ours_cost <= mllib_cost * 1.25, (ours_cost, mllib_cost)
