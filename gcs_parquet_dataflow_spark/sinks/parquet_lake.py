@@ -555,3 +555,65 @@ def write_zordered_ranked(
     parted.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(
         path
     )
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """One-call table maintenance — the Delta ``OPTIMIZE`` analog for a
+    raw-parquet lake, composing the layout tools this module already
+    proves piecewise:
+
+    1. rewrite range-clustered on ``sort_cols`` (disjoint per-file
+       zones) sized to ``target_file_bytes``, with split-block bloom
+       filters on ``bloom_cols`` (point-lookup pruning on unsorted
+       high-cardinality ids);
+    2. collect the zone-map manifest for ``stats_cols`` (default: the
+       sort columns) and persist it at ``<path>__manifest`` for
+       ``read_skipping`` planners.
+
+    Returns {files_before, files_after, n_rows, manifest_path}. The
+    rewrite is stage-and-swap (same pattern as compact) so readers
+    never see a half-written table; re-running is idempotent.
+    """
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    files_before, total_bytes = data_file_stats(spark, path)
+    n_files = max(1, int(total_bytes // target_file_bytes) or 1)
+
+    staging = path.rstrip("/") + "__optimize_staging"
+    writer_df = (
+        df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+        if sort_cols
+        else df.coalesce(n_files)
+    )
+    writer = writer_df.write.mode("overwrite")
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(staging)
+
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    hstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(hpath, True)
+    fs.rename(hstaging, hpath)
+
+    manifest_path = path.rstrip("/") + "__manifest"
+    mcols = stats_cols if stats_cols is not None else (sort_cols or [])
+    if mcols:
+        collect_file_stats(spark, path, mcols).write.mode(
+            "overwrite"
+        ).parquet(manifest_path)
+    files_after, _ = data_file_stats(spark, path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "n_rows": n_rows,
+        "manifest_path": manifest_path if mcols else None,
+    }

@@ -476,3 +476,48 @@ def test_rank_zorder_clusters_narrow_domain_columns(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_optimize_table_compacts_sorts_blooms_and_manifests(spark, tmp_path):
+    """The one-call OPTIMIZE: many small unsorted files become few
+    range-clustered ones with blooms and a persisted manifest; rows
+    survive exactly; the manifest prunes a range read that still
+    returns exactly the filtered rows."""
+    from gcs_parquet_dataflow_spark.sinks import parquet_lake as PL
+
+    path = str(tmp_path / "messy")
+    df = spark.range(20000).select(
+        (F.col("id") * 7919 % 20011).alias("k"), F.col("id").alias("v")
+    )
+    df.repartition(32).write.parquet(path)
+
+    before, total = PL.data_file_stats(spark, path)
+    assert before == 32
+    res = PL.optimize_table(
+        spark,
+        path,
+        sort_cols=["k"],
+        bloom_cols=["v"],
+        target_file_bytes=max(1, total // 6),
+    )
+    assert res["files_before"] == 32 and res["files_after"] <= 8
+    assert res["n_rows"] == 20000
+    back = spark.read.parquet(path)
+    assert back.count() == 20000
+    assert back.agg(F.sum("v")).first()[0] == sum(range(20000))
+
+    stats = spark.read.parquet(res["manifest_path"])
+    got = PL.read_skipping(spark, path, stats, "k", 100, 900)
+    want = back.filter((F.col("k") >= 100) & (F.col("k") <= 900))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    hit = stats.filter((F.col("max_k") >= 100) & (F.col("min_k") <= 900)).count()
+    assert hit < res["files_after"]
+
+    # idempotent re-run
+    res2 = PL.optimize_table(
+        spark, path, sort_cols=["k"], target_file_bytes=max(1, total // 6)
+    )
+    assert res2["n_rows"] == 20000
+    assert spark.read.parquet(path).count() == 20000
