@@ -709,3 +709,64 @@ def duplicated_window_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Llama training-hygiene
+    step): flag every corpus document sharing a k-token window with the
+    evaluation benchmark → (id_col, n_windows, n_contam,
+    contam_fraction, is_contaminated). Filter ``is_contaminated`` (or
+    threshold the fraction) before training so eval scores measure
+    generalization, not leakage.
+
+    Scale shape: both sides build sliding-window hashes with the
+    doc-keyed posexplode + lead idiom (one shuffle each, codegen'd);
+    the benchmark's DISTINCT hash set is typically millions of rows —
+    tiny next to the corpus — so the membership join is an equi-join
+    the optimizer happily broadcasts. Nothing is O(corpus × bench).
+    """
+    from pyspark.sql import Window
+
+    def window_hashes(df: DataFrame) -> DataFrame:
+        d = ensure_parallelism(df, id_col)
+        tok = d.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+        )
+        w = Window.partitionBy(id_col).orderBy("_pos")
+        leads = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, k)]
+        return tok.select(
+            F.col(id_col),
+            F.when(
+                leads[-1].isNotNull(), hash32(F.concat_ws(" ", *leads))
+            ).alias("_h"),
+        ).filter(F.col("_h").isNotNull())
+
+    cw = window_hashes(corpus)
+    bh = (
+        window_hashes(benchmark)
+        .select(F.col("_h"))
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    j = cw.join(bh, "_h", "left")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contam"),
+    ).select(
+        id_col,
+        "n_windows",
+        "n_contam",
+        F.round(F.col("n_contam") / F.col("n_windows").cast("double"), 6).alias(
+            "contam_fraction"
+        ),
+        (F.col("n_contam") > 0).alias("is_contaminated"),
+    )

@@ -7290,3 +7290,45 @@ def rolling_corr_revenue_volume(spark, sf_dir):
         "n_days",
         F.round(num / den, 6).alias("corr_7d"),
     )
+
+
+@query(
+    "dedup_benchmark_decontaminate",
+    f"""
+    WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE text IS NOT NULL),
+    cw AS (SELECT doc_id,
+                  unnest(list_transform(range(len(w) - 7),
+                      i -> {h32("array_to_string(list_slice(w, i+1, i+8), ' ')")}))
+                      AS h
+           FROM w0 WHERE len(w) >= 8),
+    bh AS (SELECT DISTINCT h FROM cw WHERE doc_id % 17 = 0),
+    j AS (SELECT cw.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_contam
+          FROM cw LEFT JOIN bh ON cw.h = bh.h
+          GROUP BY cw.doc_id)
+    SELECT doc_id, n_windows, n_contam,
+           round(n_contam / CAST(n_windows AS DOUBLE), 6)
+               AS contam_fraction,
+           n_contam > 0 AS is_contaminated
+    FROM j
+    """,
+)
+def dedup_benchmark_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py
+    benchmark_contamination): every 17th document stands in for the
+    held-out eval benchmark, and each corpus document reports how many
+    of its 8-token sliding windows appear in the benchmark's window
+    set — benchmark members flag at fraction 1.0, genuine cross-doc
+    8-gram collisions at small fractions, clean docs at 0. The
+    pre-training hygiene filter (drop is_contaminated) falls out as a
+    WHERE clause.
+
+    Scale shape: same cost class as the substring-duplication profile
+    (two codegen'd window shuffles + one broadcastable membership
+    join); the benchmark hash set is tiny next to the corpus."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    return DD.benchmark_contamination(d, bench, "doc_id", "text", k=8)

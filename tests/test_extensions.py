@@ -683,6 +683,7 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "concurrency_peak_by_day",
         "time_in_state_by_type",
         "rolling_corr_revenue_volume",
+        "dedup_benchmark_decontaminate",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
@@ -875,3 +876,28 @@ def test_pq_codebook_training_distortion_near_mllib_kmeans(spark):
     mllib_cost = km.summary.trainingCost
 
     assert ours_cost <= mllib_cost * 1.25, (ours_cost, mllib_cost)
+
+
+def test_benchmark_contamination_flags_planted_leaks_only(spark):
+    """A corpus doc that quotes an 8-gram of the benchmark is flagged
+    with the right window counts; unrelated docs are clean; benchmark
+    members self-flag at fraction 1.0."""
+    bench = docs_df(spark, [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")])
+    corpus = docs_df(
+        spark,
+        [
+            # quotes benchmark tokens 1-8 → one contaminated window
+            (1, "intro words alpha beta gamma delta epsilon zeta eta theta closing remark"),
+            (2, "totally unrelated text with enough tokens to form several windows here"),
+            (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in DD.benchmark_contamination(
+            corpus, bench, "doc_id", "text", k=8
+        ).collect()
+    }
+    assert out[100]["contam_fraction"] == 1.0
+    assert out[1]["is_contaminated"] and out[1]["n_contam"] == 1
+    assert not out[2]["is_contaminated"] and out[2]["n_contam"] == 0
