@@ -245,3 +245,51 @@ def pseudonymize(col: Column, pepper: str) -> Column:
     for k-anonymity of the RELEASE, pair with the QI audits — tokens
     alone don't anonymize quasi-identifiers."""
     return F.sha2(F.concat(F.lit(pepper), col.cast("string")), 256)
+
+
+# HTML strip pipeline: ordered (pattern, replacement) steps shared
+# verbatim with the DuckDB twin. RE2-safe (no backreferences, no
+# lookaround) so both engines' regex dialects agree; entity decode
+# runs &amp; LAST so double-escaped entities decode exactly once.
+HTML_STRIP_STEPS = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+)
+HTML_ENTITY_STEPS = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(col: Column) -> Column:
+    """Main-text extraction from raw HTML — the first stage of every
+    crawl-curation pipeline: drop script/style/comment blocks, strip
+    tags, decode the common entities, collapse whitespace. Pure
+    regexp_replace chain (scan-stage, codegen'd, zero shuffle);
+    the DuckDB twin is :func:`strip_html_sql` built from the SAME step
+    tables. For layout-aware boilerplate removal (trafilatura-class),
+    slot a pandas_udf behind the same signature — this chain is the
+    deterministic, dependency-free baseline."""
+    out = col
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in HTML_ENTITY_STEPS:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_html_sql(x: str) -> str:
+    """DuckDB twin of :func:`strip_html` (same step tables)."""
+    out = x
+    for pat, rep in HTML_STRIP_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    for ent, ch in HTML_ENTITY_STEPS:
+        ch_sql = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{ch_sql}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -7332,3 +7332,52 @@ def dedup_benchmark_decontaminate(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 17 == 0)
     return DD.benchmark_contamination(d, bench, "doc_id", "text", k=8)
+
+
+_HTML_PRE = (
+    "<html><head><style>p color red</style>"
+    "<script>var x=1 && y<2;</script></head><body><!-- note --><h1>Doc "
+)
+_HTML_MID = "</h1><p>"
+_HTML_POST = "</p><div>&amp;co &lt;raw&gt;&nbsp;end</div></body></html>"
+
+
+@query(
+    "text_html_extract",
+    f"""
+    WITH h AS (SELECT doc_id,
+                      '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) ||
+                      '{_HTML_MID}' || text || '{_HTML_POST}' AS html
+               FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           {TX.strip_html_sql("html")} AS extracted,
+           CAST(length({TX.strip_html_sql("html")}) AS BIGINT) AS n_chars
+    FROM h
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """Crawl-side main-text extraction (functions/text.py strip_html):
+    documents wrapped in a deterministic HTML shell — script and style
+    blocks, comments, tags, and double-escaped entities included — are
+    reduced back to clean text by the shared regexp chain; both
+    engines run the identical RE2-safe steps, so extraction is
+    value-exact. The first stage of training_data_pipeline-style
+    curation when the input is raw crawl HTML rather than clean text.
+
+    Scale shape: scan-stage regexp/replace Column chain — zero
+    shuffle, codegen'd, and fused by Catalyst with whatever gate comes
+    next."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_POST),
+    )
+    ex = TX.strip_html(html)
+    return d.select(
+        "doc_id",
+        ex.alias("extracted"),
+        F.length(ex).cast("long").alias("n_chars"),
+    )

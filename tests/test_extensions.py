@@ -684,6 +684,7 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "time_in_state_by_type",
         "rolling_corr_revenue_volume",
         "dedup_benchmark_decontaminate",
+        "text_html_extract",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
@@ -901,3 +902,30 @@ def test_benchmark_contamination_flags_planted_leaks_only(spark):
     assert out[100]["contam_fraction"] == 1.0
     assert out[1]["is_contaminated"] and out[1]["n_contam"] == 1
     assert not out[2]["is_contaminated"] and out[2]["n_contam"] == 0
+
+
+def test_strip_html_handles_blocks_entities_and_nesting(spark):
+    """Known-form HTML: script/style/comment content disappears
+    entirely, tags collapse to whitespace, entities decode exactly
+    once (&amp;lt; → &lt; as TEXT, never twice), whitespace collapses."""
+    cases = spark.createDataFrame(
+        [
+            (1, "<p>plain</p>"),
+            (2, "<script>alert('x<y')</script>visible<style>a b</style>"),
+            (3, "a &amp; b &lt;tag&gt; &amp;lt;escaped&amp;gt;"),
+            (4, "<!-- secret -->shown<br/><div   class='x'>in  div</div>"),
+            (5, None),
+        ],
+        "id long, html string",
+    )
+    out = {
+        r["id"]: r["t"]
+        for r in cases.select(
+            "id", TX.strip_html(F.col("html")).alias("t")
+        ).collect()
+    }
+    assert out[1] == "plain"
+    assert out[2] == "visible"
+    assert out[3] == "a & b <tag> &lt;escaped&gt;"
+    assert out[4] == "shown in div"
+    assert out[5] is None
