@@ -65,6 +65,10 @@ def _stage_pii_scrub(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     return df.withColumn(ctx["text_col"], TX.scrub_pii(F.col(ctx["text_col"])))
 
 
+def _stage_html_extract(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    return df.withColumn(ctx["text_col"], TX.strip_html(F.col(ctx["text_col"])))
+
+
 def _stage_dedup_exact(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     return DD.exact_dedup(df, [ctx["text_col"]], ctx["id_col"])
 
@@ -110,6 +114,7 @@ STAGES: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
     "quality_gate": _stage_quality_gate,
     "lang_annotate": _stage_lang_annotate,
     "pii_scrub": _stage_pii_scrub,
+    "html_extract": _stage_html_extract,
     "dedup_exact": _stage_dedup_exact,
     "dedup_minhash": _stage_dedup_minhash,
     "token_stats": _stage_token_stats,

@@ -77,6 +77,7 @@ def test_recipe_scan_stages_fuse_into_one_python_free_plan(spark):
     out = compile_recipe(
         d,
         [
+            {"op": "html_extract"},
             {"op": "length_gate", "min_chars": 10},
             {"op": "quality_gate", "min_score": 0.2},
             {"op": "pii_scrub"},
