@@ -7381,3 +7381,83 @@ def text_html_extract(spark, sf_dir):
         ex.alias("extracted"),
         F.length(ex).cast("long").alias("n_chars"),
     )
+
+
+@query(
+    "training_data_pipeline_v4",
+    f"""
+    WITH h AS (SELECT doc_id,
+                      '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) ||
+                      '{_HTML_MID}' || text || '{_HTML_POST}' AS html
+               FROM documents WHERE text IS NOT NULL),
+    x AS (SELECT doc_id, {TX.strip_html_sql("html")} AS text FROM h),
+    w0 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM x),
+    cw AS (SELECT doc_id,
+                  unnest(list_transform(range(len(w) - 7),
+                      i -> {h32("array_to_string(list_slice(w, i+1, i+8), ' ')")}))
+                      AS hh
+           FROM w0 WHERE len(w) >= 8),
+    bh AS (SELECT DISTINCT hh FROM cw WHERE doc_id % 17 = 0),
+    contam AS (SELECT DISTINCT cw.doc_id FROM cw JOIN bh ON cw.hh = bh.hh),
+    clean AS (SELECT w0.doc_id, w0.text, w0.w
+              FROM w0 LEFT JOIN contam c ON w0.doc_id = c.doc_id
+              WHERE c.doc_id IS NULL),
+    q AS (SELECT doc_id, w,
+                 round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                     + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                   / len(w), 6)
+                     + 0.2 * least({_stop_sql("en")} * 10.0, 1.0), 6)
+                     AS quality
+          FROM clean),
+    g AS (SELECT * FROM q WHERE quality >= 0.3)
+    SELECT doc_id, quality,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CASE WHEN {h32("CAST(doc_id AS VARCHAR)")} % 10000 < 9500
+                THEN 'train' ELSE 'val' END AS split
+    FROM g
+    """,
+)
+def training_data_pipeline_v4(spark, sf_dir):
+    """Round-4 capstone composition — the crawl-to-manifest path with
+    this round's stages chained end to end: raw HTML (deterministic
+    shell) → main-text extraction (strip_html) → benchmark
+    DECONTAMINATION (docs sharing any 8-token window with the held-out
+    eval set are dropped — including the benchmark members themselves)
+    → quality gate → deterministic 95/5 split. Output is the training
+    manifest (doc_id, quality, n_tokens, split).
+
+    Scale shape: extraction and quality are scan-stage Column chains;
+    decontamination is the inverted-index membership join
+    (dedup_benchmark_decontaminate); the split is a pure hash. One
+    corpus-sized window shuffle total — everything else is fused into
+    scans or tiny joins."""
+    from gcs_parquet_dataflow_spark.operators.sampling import hash_split
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_POST),
+    )
+    x = d.select("doc_id", TX.strip_html(html).alias("text"))
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    x = persist_intermediate(x)
+    bench = x.filter(F.col("doc_id") % 17 == 0)
+    contam = DD.benchmark_contamination(x, bench, "doc_id", "text", k=8)
+    dropped = contam.filter(F.col("is_contaminated")).select("doc_id")
+    clean = x.join(dropped, "doc_id", "left_anti")
+    q = clean.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    ).filter(F.col("quality") >= 0.3)
+    return hash_split(
+        q,
+        F.col("doc_id").cast("string"),
+        {"train": 0.95, "val": 0.05},
+    ).select("doc_id", "quality", "n_tokens", "split")

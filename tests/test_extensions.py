@@ -685,6 +685,7 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "rolling_corr_revenue_volume",
         "dedup_benchmark_decontaminate",
         "text_html_extract",
+        "training_data_pipeline_v4",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
