@@ -930,3 +930,55 @@ def test_strip_html_handles_blocks_entities_and_nesting(spark):
     assert out[3] == "a & b <tag> &lt;escaped&gt;"
     assert out[4] == "shown in div"
     assert out[5] is None
+
+
+def test_unicode_text_flows_through_hashing_and_dedup(spark):
+    """Non-ASCII corpora (accents, CJK, emoji) flow through hash32,
+    tokenization, minhash, and exact dedup without crashes, with
+    hash32 still matching md5-over-UTF-8 (the oracle contract) and
+    identical unicode docs still deduplicating."""
+    s = "héllo wörld 你好 世界 🚀 emoji tail here now"
+    row = spark.range(1).select(TX.hash32(F.lit(s)).alias("h")).first()
+    assert row["h"] == int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+    df = docs_df(
+        spark,
+        [(1, s), (2, s), (3, "ascii only text that differs completely ok")],
+    )
+    kept = {r["doc_id"] for r in DD.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert kept == {1, 3}
+
+    sigs = DD.with_minhash(df, "doc_id", "text", DD.minhash_perms(8))
+    got = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    assert got[1] == got[2] != got[3]
+
+    assert TX is not None  # strip_html on unicode content
+    out = (
+        spark.createDataFrame([("<p>héllo&nbsp;你好</p>",)], "h string")
+        .select(TX.strip_html(F.col("h")).alias("t"))
+        .first()["t"]
+    )
+    assert out == "héllo 你好"
+
+
+def test_new_operators_tolerate_empty_inputs(spark):
+    """Empty tables: sketches, diffs, and contamination checks return
+    empty (typed) results instead of failing — the behavior batch
+    drivers rely on when a partition turns out vacant."""
+    from gcs_parquet_dataflow_spark.operators.incremental import snapshot_diff
+    from gcs_parquet_dataflow_spark.operators.sketches import (
+        count_min_build,
+        salted_min_sketch,
+    )
+
+    empty_kv = spark.createDataFrame([], "k long, v long")
+    assert salted_min_sketch(empty_kv, ["k"], "v").count() == 0
+    assert count_min_build(empty_kv, "v").count() == 0
+    assert snapshot_diff(empty_kv, empty_kv, ["k"]).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    some_docs = docs_df(spark, [(1, "a few words of text right here ok")])
+    out = DD.benchmark_contamination(
+        some_docs, empty_docs, "doc_id", "text", k=3
+    ).collect()
+    assert len(out) == 1 and out[0]["n_contam"] == 0
