@@ -770,3 +770,84 @@ def benchmark_contamination(
         ),
         (F.col("n_contam") > 0).alias("is_contaminated"),
     )
+
+
+def remove_duplicated_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al.): delete every
+    token covered by a k-token window that occurs in ≥ 2 distinct
+    documents, and rebuild the surviving text →
+    (id_col, n_tokens, n_removed, cleaned_text).
+
+    Where ``duplicated_window_stats`` reports the signal, this applies
+    the edit: a token at position p is covered iff some duplicated
+    window STARTS in [p−k+1, p], computed with one ROWS-frame max over
+    the per-doc position axis (positions are dense, so the frame is
+    exact interval cover-merge); the cleaned text is the ordered
+    concat of uncovered tokens. Docs shorter than ``k`` tokens carry
+    no windows and pass through untouched.
+
+    Scale shape: the same two codegen'd shuffles as the stats op
+    (doc-keyed windows + one hash-agg over window hashes) plus one
+    doc-keyed rebuild aggregation — cost class unchanged; no Python,
+    no O(n²)."""
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(df, id_col)
+    tok = d.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, k)]
+    win = tok.select(
+        F.col(id_col),
+        "_pos",
+        "_t",
+        F.when(leads[-1].isNotNull(), hash32(F.concat_ws(" ", *leads))).alias(
+            "_h"
+        ),
+    )
+    counts = (
+        win.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("_h", F.lit(1).alias("_dup"))
+    )
+    marked = win.join(counts, "_h", "left").select(
+        F.col(id_col),
+        "_pos",
+        "_t",
+        F.coalesce(F.col("_dup"), F.lit(0)).alias("_start_dup"),
+    )
+    cover = marked.withColumn(
+        "_covered",
+        F.max("_start_dup").over(
+            Window.partitionBy(id_col)
+            .orderBy("_pos")
+            .rowsBetween(-(k - 1), 0)
+        ),
+    )
+    return cover.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("_covered").cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_covered") == 0,
+                            F.struct(F.col("_pos"), F.col("_t")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("_t"),
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

@@ -7461,3 +7461,50 @@ def training_data_pipeline_v4(spark, sf_dir):
         F.col("doc_id").cast("string"),
         {"train": 0.95, "val": 0.05},
     ).select("doc_id", "quality", "n_tokens", "split")
+
+
+@query(
+    "dedup_remove_duplicated_spans",
+    f"""
+    WITH aug AS ({AUG_NEAR_SQL}),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM aug WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, unnest(range(len(w))) AS pos, w FROM w0),
+    tw AS (SELECT doc_id, pos, w[pos+1] AS t,
+                  CASE WHEN pos <= len(w) - 8 THEN
+                      {h32("array_to_string(list_slice(w, pos+1, pos+8), ' ')")}
+                  END AS h
+           FROM tok),
+    dup AS (SELECT h FROM tw WHERE h IS NOT NULL
+            GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    mk AS (SELECT tw.doc_id, tw.pos, tw.t,
+                  CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END AS sd
+           FROM tw LEFT JOIN dup d ON tw.h = d.h),
+    cov AS (SELECT doc_id, pos, t,
+                   max(sd) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                       AS covered
+            FROM mk)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(covered) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN covered = 0 THEN t END, ' '
+                               ORDER BY pos), '') AS cleaned_text
+    FROM cov GROUP BY doc_id
+    """,
+)
+def dedup_remove_duplicated_spans(spark, sf_dir):
+    """ExactSubstr span REMOVAL (operators/dedup.py
+    remove_duplicated_windows) on the planted near-dup corpus: every
+    token covered by a cross-document 8-token window is cut and the
+    text rebuilt — planted copies lose their whole shared prefix (the
+    originals lose it too, the documented ExactSubstr semantics: the
+    duplicated SPAN is removed everywhere, keep-one policies live a
+    layer above), unique tails and unique docs survive verbatim.
+
+    Scale shape: identical cost class to the stats op — two codegen'd
+    doc-keyed shuffles plus the rebuild aggregation; interval
+    cover-merge is a ROWS-frame max because token positions are
+    dense."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    return DD.remove_duplicated_windows(aug, "doc_id", "text", k=8)

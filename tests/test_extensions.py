@@ -686,6 +686,7 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "dedup_benchmark_decontaminate",
         "text_html_extract",
         "training_data_pipeline_v4",
+        "dedup_remove_duplicated_spans",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
@@ -982,3 +983,39 @@ def test_new_operators_tolerate_empty_inputs(spark):
         some_docs, empty_docs, "doc_id", "text", k=3
     ).collect()
     assert len(out) == 1 and out[0]["n_contam"] == 0
+
+
+def test_remove_duplicated_windows_cuts_shared_spans_exactly(spark):
+    """Hand-built corpus: the shared 10-token prefix disappears from
+    BOTH docs that carry it (plus the k−1 tokens its windows cover),
+    unique tails survive verbatim, a short doc passes untouched, and a
+    full duplicate is emptied."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    df = docs_df(
+        spark,
+        [
+            (1, shared + " tail_a1 tail_a2 tail_a3"),
+            (2, shared + " tail_b1 tail_b2 tail_b3"),
+            (3, "totally unique document with its own words here ok"),
+            (4, "tiny doc"),                      # < k tokens: untouched
+            (5, "full dup full dup full dup full dup"),
+            (6, "full dup full dup full dup full dup"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in DD.remove_duplicated_windows(df, "doc_id", "text", k=8).collect()
+    }
+    # shared prefix (10 tokens) gone; windows starting at prefix
+    # positions also cover nothing of the distinct tails beyond k−1
+    # overlap — tails themselves contain no cross-doc window starts,
+    # but tokens within k−1 of the last shared start are covered too
+    assert out[1]["n_removed"] == out[2]["n_removed"] >= 10
+    assert out[1]["cleaned_text"].endswith("tail_a3")
+    assert "s1" not in out[1]["cleaned_text"]
+    assert out[2]["cleaned_text"].endswith("tail_b3")
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"].startswith("totally unique")
+    assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "tiny doc"
+    assert out[5]["cleaned_text"] == "" and out[6]["cleaned_text"] == ""
+    assert out[5]["n_removed"] == out[5]["n_tokens"]
