@@ -73,6 +73,12 @@ EXTENDED = [
     "privacy_k_anonymity_audit",
     "bpe_pair_frequencies",
     "rollup_incremental_merge",
+    "dedup_benchmark_decontaminate",
+    "dedup_remove_duplicated_spans",
+    "text_html_extract",
+    "training_data_pipeline_v4",
+    "concurrency_peak_by_day",
+    "forecast_holt_linear",
 ]
 
 
