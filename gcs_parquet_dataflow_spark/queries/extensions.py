@@ -7508,3 +7508,91 @@ def dedup_remove_duplicated_spans(spark, sf_dir):
     dense."""
     aug = _planted_docs(spark, sf_dir, near=True)
     return DD.remove_duplicated_windows(aug, "doc_id", "text", k=8)
+
+
+@query(
+    "metric_rolling_wau",
+    """
+    WITH pres AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                  FROM events),
+    spine AS (SELECT CAST(unnest(generate_series(
+                  (SELECT min(day) FROM pres),
+                  (SELECT max(day) FROM pres),
+                  INTERVAL 1 DAY)) AS TIMESTAMP) AS day),
+    contrib AS (SELECT p.user_id,
+                       CAST(p.day + CAST(o.off AS INT) * INTERVAL 1 DAY
+                            AS TIMESTAMP) AS wday
+                FROM pres p
+                CROSS JOIN (SELECT unnest(range(7)) AS off) o),
+    wau AS (SELECT wday AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM contrib GROUP BY wday),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+            FROM pres GROUP BY day)
+    SELECT s.day, coalesce(d.dau, 0) AS dau, w.wau,
+           round(coalesce(d.dau, 0) / CAST(w.wau AS DOUBLE), 6)
+               AS stickiness
+    FROM spine s
+    JOIN wau w ON w.day = s.day
+    LEFT JOIN dau d ON d.day = s.day
+    """,
+)
+def metric_rolling_wau(spark, sf_dir):
+    """Rolling 7-day active users (WAU) plus DAU/WAU stickiness per
+    day — the growth dashboard's sliding DISTINCT count, which no
+    window frame computes directly (distinct doesn't decompose over
+    frames). The relational form: each (user, active-day) presence row
+    contributes to the 7 window-days it falls inside (a 7× map-side
+    fan-out of the small presence table), then one count-distinct per
+    window day; the calendar spine keeps the output to days inside the
+    observed range (trailing windows beyond max(day) are clipped).
+
+    Scale shape: presence is users×active-days (already deduplicated,
+    far smaller than raw events); the 7× explode + count-distinct is
+    one shuffle with map-side combine. For 28/90-day windows at
+    extreme scale swap the exact distinct for the salted-min sketch —
+    same query shape, bounded state."""
+    e = t(spark, sf_dir, "events")
+    pres = (
+        e.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        ).distinct()
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    pres = persist_intermediate(pres)
+    bounds = pres.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).first()
+    contrib = pres.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda o: F.col("day")
+                + o.cast("int") * F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    ).filter(
+        (F.col("day") >= F.lit(bounds["lo"]))
+        & (F.col("day") <= F.lit(bounds["hi"]))
+    )
+    dau = pres.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    j = wau.join(dau, "day", "left")
+    return j.select(
+        "day",
+        F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+        "wau",
+        F.round(
+            F.coalesce(F.col("dau"), F.lit(0)) / F.col("wau").cast("double"),
+            6,
+        ).alias("stickiness"),
+    )
