@@ -7596,3 +7596,104 @@ def metric_rolling_wau(spark, sf_dir):
             6,
         ).alias("stickiness"),
     )
+
+
+@query(
+    "sample_apply_language_mixture",
+    f"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+         tot AS (SELECT sum(n_docs) AS t FROM c),
+         p AS (SELECT lang, n_docs,
+                      n_docs / CAST((SELECT t FROM tot) AS DOUBLE) AS p_raw
+               FROM c),
+         e AS (SELECT lang, n_docs, p_raw,
+                      pow(p_raw, 0.7) AS p_alpha FROM p),
+         z AS (SELECT sum(p_alpha) AS z FROM e),
+         f AS (SELECT lang, n_docs,
+                      CAST(floor(round(least(1.0,
+                          0.6 * ((p_alpha / CAST((SELECT z FROM z) AS DOUBLE))
+                                 / p_raw)), 6) * 10000) AS BIGINT) AS thr
+               FROM e),
+         kept AS (SELECT d.lang,
+                         CAST(count(*) AS BIGINT) AS n_kept
+                  FROM documents d
+                  JOIN f ON f.lang = d.lang
+                  WHERE {h32("CAST(doc_id AS VARCHAR)")} % 10000 < f.thr
+                  GROUP BY d.lang)
+    SELECT f.lang, f.n_docs, f.thr,
+           coalesce(kept.n_kept, 0) AS n_kept,
+           round(coalesce(kept.n_kept, 0) / CAST(f.n_docs AS DOUBLE), 6)
+               AS realized_frac
+    FROM f LEFT JOIN kept ON kept.lang = f.lang
+    """,
+)
+def sample_apply_language_mixture(spark, sf_dir):
+    """The APPLY half of alpha-smoothed language balancing
+    (sample_alpha_mixture_weights computes the weights; this query
+    executes them): each language keeps a hash-deterministic fraction
+    ∝ min(1, budget · p_sample/p_raw) of its documents — high-resource
+    languages are down-sampled toward the α=0.7 mixture under a 60%
+    corpus budget, low-resource ones keep everything (capping at 1.0;
+    up-sampling repeats live in the loader, not the corpus). Membership
+    is a pure function of doc_id, so re-runs and engines agree
+    row-for-row.
+
+    Scale shape: the weight table is |languages| rows broadcast into a
+    scan-stage hash filter — the whole mixture apply costs one corpus
+    scan. The double threshold is rounded to 6 places BEFORE the
+    integer floor so the two engines' last-ulp sums can never straddle
+    a bucket boundary."""
+    from gcs_parquet_dataflow_spark.operators.sampling import hash_bucket
+
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    c = persist_intermediate(c)
+    t_ = c.agg(F.sum("n_docs")).first()[0]
+    p = c.select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") / F.lit(float(t_))).alias("p_raw"),
+    ).withColumn("p_alpha", F.pow(F.col("p_raw"), F.lit(0.7)))
+    p = persist_intermediate(p)
+    z = p.agg(F.sum("p_alpha")).first()[0]
+    f = p.select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(0.6)
+                    * ((F.col("p_alpha") / F.lit(float(z))) / F.col("p_raw")),
+                ),
+                6,
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    kept = (
+        d.join(F.broadcast(f.select("lang", "thr")), "lang")
+        .filter(
+            hash_bucket(F.col("doc_id").cast("string"), 10000) < F.col("thr")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return f.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "thr",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.round(
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("realized_frac"),
+    )

@@ -688,6 +688,7 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "training_data_pipeline_v4",
         "dedup_remove_duplicated_spans",
         "metric_rolling_wau",
+        "sample_apply_language_mixture",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
