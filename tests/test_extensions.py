@@ -689,6 +689,7 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "dedup_remove_duplicated_spans",
         "metric_rolling_wau",
         "sample_apply_language_mixture",
+        "corpus_health_scorecard",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
