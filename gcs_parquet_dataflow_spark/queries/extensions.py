@@ -7780,3 +7780,77 @@ def corpus_health_scorecard(spark, sf_dir):
         "dup_rate",
         F.round(F.col("n_exact_dups") / F.col("n_docs").cast("double"), 6),
     )
+
+
+_PHRASE = "slow hash batch"
+
+
+@query(
+    "search_phrase_index",
+    f"""
+    WITH w0 AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                FROM documents WHERE text IS NOT NULL),
+    cw AS (SELECT doc_id,
+                  unnest(list_transform(range(len(w) - 2),
+                      i -> {h32("array_to_string(list_slice(w, i+1, i+3), ' ')")}))
+                      AS h
+           FROM w0 WHERE len(w) >= 3),
+    -- the ORACLE side deliberately ignores the index: brute-force
+    -- token-aligned LIKE over every document, so the differential
+    -- proves the Spark side's index+verify changes nothing
+    v AS (SELECT w0.doc_id, ' ' || w0.text || ' ' AS padded
+          FROM w0
+          WHERE ' ' || w0.text || ' ' LIKE '% {_PHRASE} %')
+    SELECT doc_id,
+           CAST((length(padded)
+                 - length(replace(padded, ' {_PHRASE} ', '')))
+                / length(' {_PHRASE} ') AS BIGINT) AS n_occurrences
+    FROM v
+    """,
+)
+def search_phrase_index(spark, sf_dir):
+    """Index-accelerated corpus phrase search ("grep at 100 TB"): the
+    3-token window-hash table — the SAME structure the dedup and
+    decontamination ops maintain, persistable as an inverted index —
+    supplies candidate documents by one hash probe, and an exact
+    token-aligned containment check + occurrence count verifies them.
+    Result must equal DuckDB's brute-force LIKE scan: the index may
+    only accelerate, never change, the answer (hash collisions are
+    killed by the verify step; token-aligned recall is exact because
+    every token-aligned occurrence IS a window).
+
+    Scale shape: the probe reads index rows for one hash value
+    (partition-prunable when the index is hash-bucketed on disk); only
+    candidate documents are re-read for verification — the corpus scan
+    of a naive LIKE disappears."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from pyspark.sql import Window as WS
+
+    tok = d.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("_pos", "_t")
+    )
+    w = WS.partitionBy("doc_id").orderBy("_pos")
+    leads = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, 3)]
+    cw = tok.select(
+        "doc_id",
+        F.when(
+            leads[-1].isNotNull(),
+            TX.hash32(F.concat_ws(" ", *leads)),
+        ).alias("_h"),
+    ).filter(F.col("_h").isNotNull())
+    target = TX.hash32(F.lit(_PHRASE))
+    cand = cw.filter(F.col("_h") == target).select("doc_id").distinct()
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    needle = f" {_PHRASE} "
+    v = d.join(cand, "doc_id").filter(
+        padded.contains(F.lit(needle))
+    )
+    return v.select(
+        "doc_id",
+        (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(needle))))
+            / F.length(F.lit(needle))
+        )
+        .cast("long")
+        .alias("n_occurrences"),
+    )

@@ -690,6 +690,7 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "metric_rolling_wau",
         "sample_apply_language_mixture",
         "corpus_health_scorecard",
+        "search_phrase_index",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
