@@ -158,3 +158,67 @@ def load_recipe(text: str) -> list[dict[str, Any]]:
     if not isinstance(data, list):
         raise RecipeError("recipe must be a JSON list of stages")
     return data
+
+
+# stages expressible as pure scan-stage Column work — safe to run
+# unchanged inside a streaming micro-batch (no joins, no global state)
+STREAMABLE_STAGES = {
+    "filter_in",
+    "length_gate",
+    "quality_gate",
+    "lang_annotate",
+    "pii_scrub",
+    "html_extract",
+    "token_stats",
+    "sample",
+    "split",
+}
+
+
+def validate_streamable(recipe: list[dict[str, Any]]) -> None:
+    """Raise RecipeError if any stage needs cross-row state (dedup
+    stages join against the whole corpus — in streaming that's the
+    sketch-index path, run_corpus_ingest_stream, not a per-batch map)."""
+    bad = [e.get("op") for e in recipe if e.get("op") not in STREAMABLE_STAGES]
+    if bad:
+        raise RecipeError(
+            f"stages not streamable per-batch: {bad}; "
+            "route dedup through run_corpus_ingest_stream's index instead"
+        )
+
+
+def run_recipe_stream(
+    docs_stream: DataFrame,
+    recipe: list[dict[str, Any]],
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = False,
+    trigger_seconds: int = 10,
+):
+    """Run a STREAMABLE recipe continuously: each micro-batch flows
+    through the same compiled stage chain batch mode uses (identical
+    semantics — the stages are pure row functions, so batch/stream
+    parity is by construction) and appends batch-keyed to the curated
+    lake (replay-idempotent). Validation happens before the query
+    starts: a recipe with corpus-level stages fails fast, pointing at
+    the index-backed streaming dedup entry point instead."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    validate_streamable(recipe)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = compile_recipe(batch_df, recipe, id_col=id_col, text_col=text_col)
+        write_partitioned(out, out_path, [], batch_id=batch_id,
+                          coalesce_files=1)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -89,3 +89,52 @@ def test_recipe_scan_stages_fuse_into_one_python_free_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange", "Join"):
         assert bad not in plan, bad
+
+
+def test_streamable_recipe_matches_batch_and_rejects_corpus_stages(
+    spark, tmp_path
+):
+    """Batch/stream parity: the same streamable recipe over the same
+    docs produces identical rows whether run in batch or as micro-
+    batches; corpus-level stages are rejected before the stream
+    starts."""
+    from gcs_parquet_dataflow_spark.catalog import load_table
+    from gcs_parquet_dataflow_spark.plans.recipe import (
+        compile_recipe,
+        run_recipe_stream,
+        validate_streamable,
+    )
+
+    recipe = [
+        {"op": "length_gate", "min_chars": 30},
+        {"op": "pii_scrub"},
+        {"op": "token_stats"},
+        {"op": "split", "fractions": {"train": 0.9, "val": 0.1}},
+    ]
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(indir / "b0")
+    )
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(indir / "b1")
+    )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "*"))
+    )
+    q = run_recipe_stream(
+        stream, recipe, str(tmp_path / "out"), str(tmp_path / "ck"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(str(tmp_path / "out")).drop("_batch_id")
+    batch = compile_recipe(d, recipe)
+    assert sorted(map(tuple, streamed.select(*batch.columns).collect())) == \
+        sorted(map(tuple, batch.collect()))
+
+    with pytest.raises(Exception, match="not streamable"):
+        validate_streamable(recipe + [{"op": "dedup_minhash"}])
