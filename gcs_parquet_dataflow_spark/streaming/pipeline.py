@@ -742,3 +742,64 @@ def run_ann_ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def run_decontamination_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    clean_path: str,
+    contam_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming benchmark decontamination: the eval benchmark's
+    k-token window-hash set is computed ONCE (pinned, like the drift
+    monitor's baseline — benchmarks are small and static by
+    definition) and each arriving micro-batch of documents is split
+    into the clean lake and the contaminated quarantine, batch-keyed
+    (replay-idempotent). The same operator the batch query
+    dedup_benchmark_decontaminate checks against DuckDB does the
+    flagging, so batch and streaming verdicts agree by construction."""
+    from gcs_parquet_dataflow_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    bench_rows = benchmark.select(id_col, text_col).collect()
+    bench_df = spark.createDataFrame(
+        bench_rows, benchmark.select(id_col, text_col).schema
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        flags = benchmark_contamination(
+            batch_df, bench_df, id_col, text_col, k=k
+        ).select(id_col, "contam_fraction", "is_contaminated")
+        joined = batch_df.join(flags, id_col, "left")
+        contam = joined.filter(F.coalesce("is_contaminated", F.lit(False)))
+        clean = joined.filter(
+            ~F.coalesce(F.col("is_contaminated"), F.lit(False))
+        ).drop("contam_fraction", "is_contaminated")
+        write_partitioned(clean, clean_path, [], batch_id=batch_id,
+                          coalesce_files=1)
+        write_partitioned(contam, contam_path, [], batch_id=batch_id,
+                          coalesce_files=1)
+        release_intermediates()
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -815,3 +815,51 @@ def test_ann_ingest_stream_grows_index_idempotently(spark, tmp_path):
     write_partitioned(assigned, idx, ["_list"], batch_id=0, coalesce_files=1)
     a2 = sorted(map(tuple, SIM.ivf_query_index(spark, idx, probe, k=5).collect()))
     assert a2 == a
+
+
+def test_decontamination_stream_quarantines_benchmark_quoters(spark, tmp_path):
+    """Two micro-batches against a pinned benchmark: docs quoting an
+    8-token benchmark window land in quarantine with their overlap
+    fraction; clean docs flow to the clean lake; short docs (no
+    windows) count as clean."""
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_decontamination_stream,
+    )
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    b0 = spark.createDataFrame(
+        [
+            (1, "intro alpha beta gamma delta epsilon zeta eta theta outro"),
+            (2, "completely clean text with plenty of harmless words inside"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "another clean document of sufficient length for windows"),
+         (4, "tiny")],
+        "doc_id long, text string",
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    b0.coalesce(1).write.parquet(str(indir / "b0"))
+    b1.coalesce(1).write.parquet(str(indir / "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "*"))
+    )
+    q = run_decontamination_stream(
+        spark, stream, bench,
+        str(tmp_path / "clean"), str(tmp_path / "contam"),
+        str(tmp_path / "ck"), available_now=True,
+    )
+    q.awaitTermination(120)
+
+    contam = spark.read.parquet(str(tmp_path / "contam"))
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert {r["doc_id"] for r in contam.collect()} == {1}
+    assert contam.first()["contam_fraction"] > 0
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3, 4}
