@@ -1,0 +1,186 @@
+"""Scale-amplification smoke: run representative operators on 10×
+(or N×) amplified copies of the fixtures — the direct local evidence
+for the would-it-survive-100× question, one decade further than
+scaling_probe's sf0.001→0.1 span.
+
+Amplification preserves the workload's shape: keys are offset per copy
+(so cardinalities scale with volume — joins, distincts, and near-dup
+structures grow realistically) and text gets a per-copy suffix token
+(so amplified documents are near-dups OF each other across copies, not
+byte-identical — the LSH pair volume scales the way a real crawl's
+would).
+
+Usage: python tools/scale_smoke.py [factor]     (default 10)
+Writes amplified parquet under /tmp/sgpd_scale_smoke_<factor>x/ once
+(reused if present) and prints one JSON line of wall times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def amplify(spark, factor: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    copies = spark.range(factor).select(F.col("id").alias("_c"))
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (
+        li.crossJoin(copies)
+        .select(
+            (F.col("l_orderkey") + F.col("_c") * 10_000_000).alias(
+                "l_orderkey"
+            ),
+            (F.col("l_partkey") + F.col("_c") * 1_000_000).alias("l_partkey"),
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/lineitem.parquet")
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("_c") * 10_000_000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" copytag"), F.col("_c").cast("string")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    (
+        ev.crossJoin(copies)
+        .select(
+            (F.col("event_id") + F.col("_c") * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_c") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/events.parquet")
+    )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = f"/tmp/sgpd_scale_smoke_{factor}x"
+
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.operators import dedup as DD
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_smoke")
+    try:
+        if not os.path.exists(f"{out_dir}/events.parquet"):
+            amplify(spark, factor, out_dir)
+
+        li = spark.read.parquet(f"{out_dir}/lineitem.parquet")
+        docs = spark.read.parquet(f"{out_dir}/documents.parquet")
+        ev = spark.read.parquet(f"{out_dir}/events.parquet")
+        rows = {
+            "lineitem": li.count(),
+            "documents": docs.count(),
+            "events": ev.count(),
+        }
+
+        timings = {}
+
+        def timed(name, fn):
+            t0 = time.monotonic()
+            fn()
+            timings[name] = round(time.monotonic() - t0, 2)
+            release_intermediates()
+
+        # q1 shape: scan + agg over the amplified fact table
+        def q1():
+            c = F.round(F.col("l_extendedprice") * 100).cast("long")
+            li.groupBy("l_returnflag", "l_linestatus").agg(
+                F.sum(F.col("l_quantity").cast("long")),
+                F.sum(c),
+                F.count(F.lit(1)),
+            ).collect()
+
+        timed("q1_agg", q1)
+
+        # fact⋈fact join on the amplified key space
+        def join_heavy():
+            a = li.select("l_orderkey", "l_extendedprice")
+            b = li.select("l_orderkey", "l_quantity")
+            a.join(b, "l_orderkey").groupBy().count().collect()
+
+        timed("self_join", join_heavy)
+
+        # MinHash signatures + banded candidate pairs over the
+        # amplified near-dup corpus (pair volume scales with copies)
+        def lsh():
+            sigs = DD.with_minhash(
+                docs, "doc_id", "text", DD.minhash_perms(16, seed=7)
+            )
+            DD.lsh_candidate_pairs(sigs, "doc_id", "sig").groupBy().count().collect()
+
+        timed("minhash_lsh_pairs", lsh)
+
+        # sliding-window dedup signal over the amplified corpus
+        def windows():
+            DD.duplicated_window_stats(docs, "doc_id", "text", k=8).groupBy().agg(
+                F.sum("n_dup_windows")
+            ).collect()
+
+        timed("dup_window_stats", windows)
+
+        # user-keyed window + rollup over amplified events
+        def sess():
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("user_id").orderBy("ts", "event_id")
+            ev.withColumn("rn", F.row_number().over(w)).groupBy(
+                "event_type"
+            ).agg(F.max("rn")).collect()
+
+        timed("user_window", sess)
+
+        print(
+            json.dumps(
+                {
+                    "factor": factor,
+                    "base_sf_dir": SF_DIR,
+                    "rows": rows,
+                    "timings_sec": timings,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
