@@ -1023,3 +1023,47 @@ def test_remove_duplicated_windows_cuts_shared_spans_exactly(spark):
     assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "tiny doc"
     assert out[5]["cleaned_text"] == "" and out[6]["cleaned_text"] == ""
     assert out[5]["n_removed"] == out[5]["n_tokens"]
+
+
+def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
+    """Catalog-WIDE plan guard (every declared query, present and
+    future — no per-round list to forget): no row-at-a-time Python, no
+    scalar pandas UDFs, no cartesian products anywhere; nested-loop
+    joins only in the enumerated legitimate shapes (scalar/one-row
+    broadcast comparisons, deliberate theta joins, and the
+    broadcast-queries × corpus linear-scan baselines)."""
+    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+
+    # every BNLJ here is a one-row/scalar broadcast or a documented
+    # deliberate scan shape — reviewed individually; a NEW name showing
+    # up means a join lost its equi-key and must be justified or fixed
+    bnlj_ok = {
+        "prefix_route_first_match_join",   # theta prefix join (by design)
+        "q22_global_sales_opportunity",    # scalar avg-balance subquery
+        "q11_important_parts",             # scalar threshold subquery
+        "knn_brute_force_cosine",          # broadcast queries × corpus scan
+        "knn_lsh_recall",                  # exact baseline side of recall
+        "sample_mixture_resample",         # scalar totals broadcast
+        "sample_alpha_mixture_weights",    # scalar z/t broadcast
+        "retrieval_bm25_scores",           # scalar corpus stats broadcast
+        "retrieval_rrf_fusion",            # same, through bm25
+        "text_tfidf_top_terms",            # scalar doc-count broadcast
+        "funnel_view_click_purchase",      # scalar stage totals
+        "quality_benford_digits",          # scalar row-total broadcast
+        "sketch_join_size_estimate",       # 1×1 scalar combination
+    }
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, q in CATALOG.items():
+        df = q.build(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            k
+            for k in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct")
+            if k in plan
+        ]
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
