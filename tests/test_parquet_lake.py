@@ -521,3 +521,32 @@ def test_optimize_table_compacts_sorts_blooms_and_manifests(spark, tmp_path):
     )
     assert res2["n_rows"] == 20000
     assert spark.read.parquet(path).count() == 20000
+
+
+def test_export_dataset_layout_produces_loadable_splits(spark, tmp_path):
+    """The training-side handoff: per-split shard directories + a
+    manifest written last; every split round-trips with exact rows and
+    no split column; the manifest counts match."""
+    import glob
+    import json
+
+    from gcs_parquet_dataflow_spark.sinks.export import export_dataset_layout
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", "train" if i % 10 else "val") for i in range(1000)],
+        "doc_id long, text string, split string",
+    )
+    out = str(tmp_path / "ds")
+    man = export_dataset_layout(spark, df, out, shards_per_split=3)
+    assert man["splits"]["train"]["num_rows"] == 900
+    assert man["splits"]["val"]["num_rows"] == 100
+    assert man["splits"]["train"]["num_shards"] == 3
+
+    train = spark.read.parquet(f"{out}/train")
+    assert train.count() == 900 and "split" not in train.columns
+    assert len(glob.glob(f"{out}/train/*.parquet")) == 3
+    val_ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/val").collect()}
+    assert val_ids == {i for i in range(1000) if i % 10 == 0}
+
+    txt = spark.read.text(f"{out}/_manifest").first()["value"]
+    assert json.loads(txt)["splits"]["val"]["num_rows"] == 100
