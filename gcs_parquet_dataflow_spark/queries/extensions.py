@@ -7854,3 +7854,75 @@ def search_phrase_index(spark, sf_dir):
         .cast("long")
         .alias("n_occurrences"),
     )
+
+
+@query(
+    "trend_theil_sen_by_type",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                          AS vc
+               FROM events GROUP BY 1, 2),
+    x AS (SELECT event_type, vc,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+                     AS xi
+          FROM d),
+    pr AS (SELECT a.event_type,
+                  (b.vc - a.vc) / CAST(b.xi - a.xi AS DOUBLE) AS slope
+           FROM x a JOIN x b
+             ON a.event_type = b.event_type AND a.xi < b.xi)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+    FROM pr GROUP BY event_type
+    """,
+)
+def trend_theil_sen_by_type(spark, sf_dir):
+    """Theil–Sen robust trend per event type: the MEDIAN of all
+    pairwise daily-revenue slopes — immune to the outlier days that
+    drag OLS (trend_poly_by_type / regression_trend_by_type are the
+    least-squares companions; compare the two to spot
+    outlier-distorted trends). Exact: slopes are single divisions of
+    exact integers, and the median is the interpolated percentile both
+    engines define identically.
+
+    Scale shape: pairs are generated per GROUP over the daily series —
+    days² per type (≈ 435 pairs for a month), never rows² — one
+    equi-join on the type key over the group-count×days table. For
+    multi-year series, sample pairs or bucket to weeks first; the
+    estimator tolerates both."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    x = d.select(
+        "event_type",
+        "vc",
+        (
+            F.row_number().over(
+                WS.partitionBy("event_type").orderBy("day")
+            )
+            - 1
+        ).alias("xi"),
+    )
+    a, b = x.alias("a"), x.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.xi") < F.col("b.xi")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.vc") - F.col("a.vc"))
+            / (F.col("b.xi") - F.col("a.xi")).cast("double")
+        ).alias("slope"),
+    )
+    return pr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+            "theil_sen_slope"
+        ),
+    )

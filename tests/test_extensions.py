@@ -691,6 +691,7 @@ def test_round4_query_plans_stay_jvm_side_no_cartesian(spark):
         "sample_apply_language_mixture",
         "corpus_health_scorecard",
         "search_phrase_index",
+        "trend_theil_sen_by_type",
     ]
     # single-row × single-row scalar combinations where a 1×1
     # nested-loop join is the correct plan, not a scale risk
