@@ -7926,3 +7926,482 @@ def trend_theil_sen_by_type(spark, sf_dir):
             "theil_sen_slope"
         ),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+                UNION ALL
+                SELECT l_orderkey + 1000000000, l_partkey + 2000000000,
+                       l_suppkey + 3000000000
+                FROM lineitem WHERE l_orderkey % 97 = 0),
+    ord AS (SELECT o_orderkey, o_custkey FROM orders
+            UNION ALL
+            SELECT o_orderkey + 1000000000, o_custkey + 2000000000
+            FROM orders WHERE o_orderkey % 101 = 0),
+    r1 AS (SELECT 'lineitem->orders' AS relation,
+                  CAST(count(*) AS BIGINT) AS n_child,
+                  CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL)
+                       AS BIGINT) AS n_orphans
+           FROM li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON li.l_orderkey = o.o_orderkey),
+    r2 AS (SELECT 'lineitem->part' AS relation,
+                  CAST(count(*) AS BIGINT) AS n_child,
+                  CAST(count(*) FILTER (WHERE p.p_partkey IS NULL)
+                       AS BIGINT) AS n_orphans
+           FROM li LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+             ON li.l_partkey = p.p_partkey),
+    r3 AS (SELECT 'lineitem->supplier' AS relation,
+                  CAST(count(*) AS BIGINT) AS n_child,
+                  CAST(count(*) FILTER (WHERE s.s_suppkey IS NULL)
+                       AS BIGINT) AS n_orphans
+           FROM li LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+             ON li.l_suppkey = s.s_suppkey),
+    r4 AS (SELECT 'orders->customer' AS relation,
+                  CAST(count(*) AS BIGINT) AS n_child,
+                  CAST(count(*) FILTER (WHERE c.c_custkey IS NULL)
+                       AS BIGINT) AS n_orphans
+           FROM ord LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON ord.o_custkey = c.c_custkey),
+    u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+    SELECT relation, n_child, n_orphans,
+           round(n_orphans / CAST(n_child AS DOUBLE), 6) AS orphan_rate
+    FROM u ORDER BY relation
+    """,
+)
+def referential_integrity_audit(spark, sf_dir):
+    """Foreign-key orphan audit across the star schema — the
+    data-quality gate a warehouse runs after every load (and the first
+    thing to check before trusting any join-based metric). Orphans are
+    PLANTED (key + 1e9 shifts on a modulo slice of each child) so the
+    audit provably detects them against otherwise-clean fixtures.
+
+    Scale shape: each relation is one left join from the fact to the
+    DISTINCT parent-key set, aggregated to a single row — parent key
+    sets (part/supplier/customer) broadcast; lineitem->orders shuffles
+    on orderkey, the natural co-location key. Nothing wider than the
+    fact scan; the four audits share the augmented child scan."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    li = li.unionByName(
+        li.filter(F.col("l_orderkey") % 97 == 0).select(
+            (F.col("l_orderkey") + 1000000000).alias("l_orderkey"),
+            (F.col("l_partkey") + 2000000000).alias("l_partkey"),
+            (F.col("l_suppkey") + 3000000000).alias("l_suppkey"),
+        )
+    )
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    od = od.unionByName(
+        od.filter(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+            (F.col("o_custkey") + 2000000000).alias("o_custkey"),
+        )
+    )
+
+    def audit(child, fk, parent, pk, name):
+        j = child.join(
+            parent.select(pk).distinct(), child[fk] == parent[pk], "left"
+        )
+        return j.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.count_if(F.isnull(F.col(pk))).cast("long").alias("n_orphans"),
+        )
+
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    o_clean = t(spark, sf_dir, "orders")
+    rows = (
+        audit(li, "l_orderkey", o_clean, "o_orderkey", "lineitem->orders")
+        .unionByName(audit(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionByName(
+            audit(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier")
+        )
+        .unionByName(
+            audit(od, "o_custkey", c, "c_custkey", "orders->customer")
+        )
+    )
+    return rows.select(
+        "relation",
+        "n_child",
+        "n_orphans",
+        F.round(
+            F.col("n_orphans") / F.col("n_child").cast("double"), 6
+        ).alias("orphan_rate"),
+    ).orderBy("relation")
+
+
+@query(
+    "ab_cuped_adjustment",
+    f"""
+    WITH u AS (SELECT user_id,
+                      {h32("CAST(user_id AS VARCHAR)")} % 2 AS variant,
+                      CAST(coalesce(sum(CAST(round(value*100) AS BIGINT))
+                           FILTER (WHERE dayofmonth(ts) <= 15), 0)
+                           AS DOUBLE) AS x,
+                      CAST(coalesce(sum(CAST(round(value*100) AS BIGINT))
+                           FILTER (WHERE dayofmonth(ts) > 15), 0)
+                           AS DOUBLE) AS y
+               FROM events GROUP BY user_id),
+    th AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x*x) AS sxx, sum(x*y) AS sxy
+           FROM u),
+    tc AS (SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS theta,
+                  sx / n AS mx
+           FROM th)
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(y) / 100.0, 6) AS mean_post,
+           round(avg(y - tc.theta * (x - tc.mx)) / 100.0, 6)
+               AS mean_post_cuped,
+           round(any_value(tc.theta), 6) AS theta
+    FROM u CROSS JOIN tc
+    GROUP BY variant ORDER BY variant
+    """,
+)
+def ab_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. 2013, the standard
+    experimentation readout): per-user post-period revenue adjusted by
+    the pre-period covariate, y' = y - theta*(x - mean(x)) with
+    theta = cov(x,y)/var(x) pooled across arms. Arms come from the
+    same deterministic content-hash split as
+    experiment_conversion_ztest, so on uniform traffic the two arm
+    means stay ~equal while per-arm variance drops — the A/A shape.
+
+    Parity: x/y are exact integer cents cast to double; theta and the
+    means are the identical expression tree over exact sums (products
+    stay far under 2^53 at test SFs), so round(·,6) is boundary-safe.
+    Scale: one user-keyed agg, one 1-row global reduce broadcast back
+    over the user table — nothing above |users|."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.dayofmonth(F.col("ts")) <= 15, cents(F.col("value")))
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(F.dayofmonth(F.col("ts")) > 15, cents(F.col("value")))
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("y"),
+    ).select(
+        (TX.hash32(F.col("user_id").cast("string")) % 2).alias("variant"),
+        "x",
+        "y",
+    )
+    th = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("mx"),
+    )
+    j = u.crossJoin(F.broadcast(th))
+    return (
+        j.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("y") / 100.0, 6).alias("mean_post"),
+            F.round(
+                F.avg(
+                    F.col("y")
+                    - F.col("theta") * (F.col("x") - F.col("mx"))
+                )
+                / 100.0,
+                6,
+            ).alias("mean_post_cuped"),
+            F.round(F.any_value(F.col("theta")), 6).alias("theta"),
+        )
+        .orderBy("variant")
+    )
+
+
+@query(
+    "changepoint_cusum_by_type",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                          AS vc
+               FROM events GROUP BY 1, 2),
+    c AS (SELECT event_type, day, vc,
+                 sum(vc) OVER w - row_number() OVER w
+                     * (avg(vc) OVER (PARTITION BY event_type)) AS cusum
+          FROM d
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    r AS (SELECT event_type, day, cusum,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(cusum) DESC, day)
+                     AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n_days
+          FROM c)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           day AS changepoint_day,
+           round(abs(cusum) / 100.0, 6) AS max_abs_cusum
+    FROM r WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def changepoint_cusum_by_type(spark, sf_dir):
+    """CUSUM changepoint scan per event type: the day where the
+    cumulative deviation of daily revenue from its series mean peaks —
+    the classic level-shift detector (Page 1954) every metrics
+    monitoring stack runs before alerting on a trend break.
+
+    Parity: daily values are exact integer cents; the running sum is
+    exact, the mean is one double division applied identically, and
+    ties on |cusum| (exact arithmetic) break by day. Scale: one daily
+    rollup (map-side combined), then windows over the tiny
+    types × days table — the window partitions by event_type and never
+    touches raw rows."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    w = (
+        WS.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(WS.unboundedPreceding, WS.currentRow)
+    )
+    wp = WS.partitionBy("event_type")
+    c = d.select(
+        "event_type",
+        "day",
+        (
+            F.sum("vc").over(w)
+            - F.row_number().over(w) * F.avg("vc").over(wp)
+        ).alias("cusum"),
+        F.count(F.lit(1)).over(wp).alias("n_days"),
+    )
+    r = c.withColumn(
+        "rk",
+        F.row_number().over(
+            WS.partitionBy("event_type").orderBy(
+                F.abs(F.col("cusum")).desc(), F.col("day")
+            )
+        ),
+    )
+    return (
+        r.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs(F.col("cusum")) / 100.0, 6).alias(
+                "max_abs_cusum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "embedding_int8_quantize",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS maxabs
+          FROM e),
+    q AS (SELECT vec_id, v, maxabs,
+                 list_transform(v, x -> CAST(round(x * 127.0 / maxabs)
+                                             AS BIGINT)) AS codes
+          FROM s WHERE maxabs > 0)
+    SELECT vec_id,
+           round(maxabs / 127.0, 6) AS scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           round(list_sum(list_transform(
+                 list_zip(v, codes),
+                 p -> (p[1] - p[2] * maxabs / 127.0)
+                      * (p[1] - p[2] * maxabs / 127.0))) * 1e6, 6)
+               AS mse_ppm
+    FROM q ORDER BY vec_id LIMIT 50
+    """,
+)
+def embedding_int8_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization — the 4x storage shrink
+    every vector store applies before ANN serving (scale = max|x|/127,
+    code = round(x/scale) in [-127,127]). Reports per-vector scale,
+    code checksum, and reconstruction error so a pipeline can gate on
+    quantization loss before swapping the fp32 index out.
+
+    Parity: the code is round(x*127/maxabs) — an exact-input double
+    rounding both engines define identically away from measure-zero
+    .5 boundaries (arbitrary floats never land there); the error sum
+    is the same expression tree, scaled to ppm before round(·,6).
+    Scale shape: pure map over the vector column, no shuffle at all —
+    at 100 TB this runs in the scan stage at read bandwidth."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    s = e.select(
+        "vec_id",
+        "v",
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))).alias(
+            "maxabs"
+        ),
+    ).filter(F.col("maxabs") > 0)
+    q = s.withColumn(
+        "codes",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * 127.0 / F.col("maxabs")).cast("long"),
+        ),
+    )
+    recon_err = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("codes"),
+            lambda x, c: (x - c * F.col("maxabs") / 127.0)
+            * (x - c * F.col("maxabs") / 127.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.select(
+            "vec_id",
+            F.round(F.col("maxabs") / 127.0, 6).alias("scale"),
+            F.aggregate(
+                F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("code_sum"),
+            F.array_max(F.col("codes")).cast("long").alias("code_max"),
+            F.round(recon_err * 1e6, 6).alias("mse_ppm"),
+        )
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+@query(
+    "survival_kaplan_meier",
+    """
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),
+    u AS (SELECT user_id,
+                 datediff('day', min(CAST(ts AS DATE)),
+                          max(CAST(ts AS DATE))) AS dur,
+                 CAST(max(CAST(ts AS DATE))
+                      <= (SELECT horizon FROM mx) - INTERVAL 3 DAY
+                      AS BOOLEAN) AS churned
+          FROM events GROUP BY user_id, event_type),
+    d AS (SELECT dur,
+                 CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(count(*) FILTER (WHERE churned) AS BIGINT) AS n_events
+          FROM u GROUP BY dur),
+    k AS (SELECT dur, n_events, n_total,
+                 CAST(sum(n_total) OVER (ORDER BY dur DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS n_at_risk
+          FROM d)
+    SELECT dur AS duration_days, n_at_risk, n_events,
+           round(exp(sum(ln(1.0 - n_events / CAST(n_at_risk AS DOUBLE)))
+                     OVER (ORDER BY dur
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS survival
+    FROM k WHERE n_events > 0 ORDER BY duration_days
+    """,
+)
+def survival_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier "time until a user abandons an activity" curve:
+    each (user, event_type) pair is a subject, duration = first to
+    last occurrence of that activity; subjects still active in the
+    final 3 days of the window are right-CENSORED (they leave the risk
+    set without counting as abandonment) — the estimator
+    product-limits over event times only, exactly the KM definition.
+    The survival-analysis upgrade of retention_cohorts: censored
+    subjects contribute their partial lifetimes instead of being
+    dropped. (Subjects are per-activity because the fixture's users
+    are all active through the whole window — user-level churn is
+    degenerate; activity-level abandonment has real variation.)
+
+    Parity: risk sets and event counts are exact integers; S(t) is
+    exp(sum(ln(1-d/n))) — the identical double expression tree in both
+    engines, rounded to 6. Scale: one subject-keyed agg, then windows
+    over the tiny durations table (≤ days-in-window rows)."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    horizon = e.agg(
+        F.max(F.col("ts").cast("date")).alias("horizon")
+    )
+    u = (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            ).alias("dur"),
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "dur",
+            (
+                F.col("last_day") <= F.date_sub(F.col("horizon"), 3)
+            ).alias("churned"),
+        )
+    )
+    d = u.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.count_if(F.col("churned")).cast("long").alias("n_events"),
+    )
+    k = d.withColumn(
+        "n_at_risk",
+        F.sum("n_total")
+        .over(
+            WS.orderBy(F.col("dur").desc()).rowsBetween(
+                WS.unboundedPreceding, WS.currentRow
+            )
+        )
+        .cast("long"),
+    )
+    km = k.withColumn(
+        "survival",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        1.0
+                        - F.col("n_events")
+                        / F.col("n_at_risk").cast("double")
+                    )
+                ).over(
+                    WS.orderBy("dur").rowsBetween(
+                        WS.unboundedPreceding, WS.currentRow
+                    )
+                )
+            ),
+            6,
+        ),
+    )
+    return (
+        km.filter(F.col("n_events") > 0)
+        .select(
+            F.col("dur").alias("duration_days"),
+            "n_at_risk",
+            "n_events",
+            "survival",
+        )
+        .orderBy("duration_days")
+    )
