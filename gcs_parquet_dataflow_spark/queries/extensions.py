@@ -8405,3 +8405,320 @@ def survival_kaplan_meier(spark, sf_dir):
         )
         .orderBy("duration_days")
     )
+
+
+@query(
+    "seasonal_decompose_dow",
+    """
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                          AS vc
+               FROM events GROUP BY 1),
+    tr AS (SELECT day, vc,
+                  CASE WHEN count(*) OVER w = 7
+                       THEN avg(CAST(vc AS DOUBLE)) OVER w END AS trend
+           FROM d
+           WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                        AND 3 FOLLOWING)),
+    se AS (SELECT dayofweek(day) AS dow,
+                  CAST(count(trend) AS BIGINT) AS n_days,
+                  avg(vc - trend) AS seasonal_c,
+                  avg(CASE WHEN trend IS NOT NULL THEN CAST(vc AS DOUBLE)
+                      END) AS lvl
+           FROM tr GROUP BY 1)
+    SELECT dow,
+           n_days,
+           round(seasonal_c / 100.0, 6) AS seasonal,
+           round(seasonal_c / lvl, 6) AS seasonal_ratio
+    FROM se ORDER BY dow
+    """,
+)
+def seasonal_decompose_dow(spark, sf_dir):
+    """Classical additive seasonal decomposition, weekly cycle: trend
+    = centered 7-day moving average (full windows only), seasonal =
+    mean detrended residual per day-of-week, reported in dollars and
+    as a share of the detrended level — the decomposition behind every
+    "is Sunday really our slow day?" question, and the input
+    anomaly_seasonal_zscore's hourly baseline generalizes.
+
+    Parity: daily totals are exact cents; DuckDB's ``dayofweek`` and
+    Spark's ``dayofweek(day)-1`` both give 0=Sunday after the explicit
+    -1 shift on the Spark side; trend/seasonal are identical double
+    trees rounded to 6. Scale: one daily rollup, then windows over the
+    days table — raw rows are touched once."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    w = WS.orderBy("day").rowsBetween(-3, 3)
+    tr = d.select(
+        "day",
+        "vc",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.avg(F.col("vc").cast("double")).over(w),
+        ).alias("trend"),
+    )
+    se = tr.groupBy(
+        (F.dayofweek(F.col("day")) - 1).alias("dow")
+    ).agg(
+        F.count(F.col("trend")).cast("long").alias("n_days"),
+        F.avg(F.col("vc") - F.col("trend")).alias("seasonal_c"),
+        F.avg(
+            F.when(
+                F.col("trend").isNotNull(), F.col("vc").cast("double")
+            )
+        ).alias("lvl"),
+    )
+    return se.select(
+        "dow",
+        "n_days",
+        F.round(F.col("seasonal_c") / 100.0, 6).alias("seasonal"),
+        F.round(F.col("seasonal_c") / F.col("lvl"), 6).alias(
+            "seasonal_ratio"
+        ),
+    ).orderBy("dow")
+
+
+@query(
+    "text_mojibake_audit",
+    """
+    WITH aug AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 17 = 0
+                    THEN text || ' caf' || chr(195) || chr(169)
+                         || ' na' || chr(65533) || 've'
+                    ELSE text END AS text
+        FROM documents),
+    m AS (SELECT doc_id, source,
+                 length(text) AS n_chars,
+                 length(list_filter(string_split_regex(text, ''),
+                        c -> c >= chr(192) AND c <= chr(197)))
+                     AS n_moji_lead,
+                 CAST(contains(text, chr(65533)) AS BOOLEAN)
+                     AS has_replacement,
+                 length(list_filter(string_split_regex(text, ''),
+                        c -> c < chr(128))) AS n_ascii
+          FROM aug)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE has_replacement) AS BIGINT)
+               AS n_replacement_docs,
+           CAST(count(*) FILTER (WHERE n_moji_lead > 0) AS BIGINT)
+               AS n_mojibake_docs,
+           round(avg(n_ascii / CAST(n_chars AS DOUBLE)), 6)
+               AS mean_ascii_ratio
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def text_mojibake_audit(spark, sf_dir):
+    """Encoding-health audit — the crawl-ingest gate that catches
+    double-decoded UTF-8 (mojibake 'Ã©'-style lead bytes in the
+    Latin-1 supplement), U+FFFD replacement characters from lossy
+    decodes, and the overall ASCII ratio per source. Deterministic
+    planting (every 17th doc gets a mojibake+replacement suffix)
+    proves detection against the otherwise-clean fixtures.
+
+    Parity: both engines count CODEPOINTS — DuckDB via per-character
+    split + filter, Spark via regexp_count over the identical
+    codepoint classes; `length()` is codepoints in both. Scale: pure
+    per-row column expressions + one small group-by-source agg — runs
+    in the scan stage."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" cafÃ© na�ve"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    m = d.select(
+        "source",
+        F.length(F.col("text")).alias("n_chars"),
+        F.regexp_count(
+            F.col("text"), F.lit("[À-Å]")
+        ).alias("n_moji_lead"),
+        F.col("text").contains("�").alias("has_replacement"),
+        F.regexp_count(F.col("text"), F.lit("[\\x00-\\x7F]")).alias(
+            "n_ascii"
+        ),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("has_replacement"))
+            .cast("long")
+            .alias("n_replacement_docs"),
+            F.count_if(F.col("n_moji_lead") > 0)
+            .cast("long")
+            .alias("n_mojibake_docs"),
+            F.round(
+                F.avg(
+                    F.col("n_ascii") / F.col("n_chars").cast("double")
+                ),
+                6,
+            ).alias("mean_ascii_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "feature_quantile_bins",
+    """
+    WITH b AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice*100) AS BIGINT) AS pc,
+                      ntile(10) OVER (ORDER BY
+                          CAST(round(o_totalprice*100) AS BIGINT),
+                          o_orderkey) AS bin
+               FROM orders)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(pc) / 100.0, 6) AS lo,
+           round(max(pc) / 100.0, 6) AS hi,
+           round(avg(pc) / 100.0, 6) AS mean_price
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def feature_quantile_bins(spark, sf_dir):
+    """Equal-frequency discretization (10-bin quantile binning) of
+    order value with the learned bin EDGES reported — the feature-prep
+    pass that turns a skewed continuous feature into a uniform
+    categorical one (and the edge table is what a serving system ships
+    to bucketize online traffic identically).
+
+    Parity: ntile over the exact-cents sort key with the orderkey
+    tie-break is fully deterministic in both engines. Scale: the
+    global ntile is a single total sort — the one operation here that
+    needs care at 100 TB; the production path is
+    approx_percentile-derived edges (one pass, mergeable) with this
+    exact form as the small-data oracle of that approximation."""
+    from pyspark.sql import Window as WS
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("pc")
+    )
+    b = o.select(
+        "pc",
+        F.ntile(10)
+        .over(WS.orderBy("pc", "o_orderkey"))
+        .alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("pc") / 100.0, 6).alias("lo"),
+            F.round(F.max("pc") / 100.0, 6).alias("hi"),
+            F.round(F.avg("pc") / 100.0, 6).alias("mean_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "contrastive_hard_negatives",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    aug AS (SELECT vec_id, v FROM e
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(v, x -> x + 0.01) AS v
+            FROM e WHERE vec_id % 25 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM aug
+          WHERE vec_id % 25 = 0 AND vec_id < 125),
+    sc AS (SELECT q.query_id, a.vec_id AS cand_id,
+                  round(list_dot_product(q.qv, a.v) /
+                        (sqrt(list_dot_product(q.qv, q.qv)) *
+                         sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+           FROM q CROSS JOIN aug a
+           WHERE a.vec_id <> q.query_id),
+    r AS (SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, cand_id) AS rk
+          FROM sc WHERE cos < 0.98)
+    SELECT query_id, cand_id, cos, CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 3 ORDER BY query_id, rank
+    """,
+)
+def contrastive_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor, the top-3 most similar corpus vectors that are NOT
+    near-duplicates (cosine < 0.98) — similar enough to be
+    informative, dissimilar enough to be true negatives. The planted
+    +0.01-shift twins (cos ≈ 0.996+) sit ABOVE the threshold, so the
+    query provably excludes the positives it would otherwise leak as
+    negatives — the classic contrastive-training bug this operator
+    exists to prevent.
+
+    Scale shape: anchors broadcast against the corpus (the exact
+    brute-force baseline, linear map-only + per-anchor top-k);
+    production swaps the scan for knn_lsh_bucketed candidates and
+    keeps the same threshold filter. One window over
+    |anchors|×|corpus| scored rows capped by the per-partition
+    WindowGroupLimit heap."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    plant = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x + 0.01).alias("v"),
+    )
+    aug = e.unionByName(plant)
+    q = aug.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 125)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(c), F.col(c), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sc = (
+        F.broadcast(q)
+        .crossJoin(aug)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(dot / (norm("qv") * norm("v")), 6).alias("cos"),
+        )
+    )
+    r = sc.filter(F.col("cos") < 0.98).withColumn(
+        "rk",
+        F.row_number().over(
+            WS.partitionBy("query_id").orderBy(
+                F.col("cos").desc(), F.col("cand_id")
+            )
+        ),
+    )
+    return (
+        r.filter(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            "cand_id",
+            "cos",
+            F.col("rk").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
