@@ -8722,3 +8722,164 @@ def contrastive_hard_negatives(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "knn_label_eval",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sc AS (SELECT a.vec_id, a.label AS true_label,
+                  b.label AS cand_label,
+                  round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) *
+                         sqrt(list_dot_product(b.v, b.v))), 6) AS cos,
+                  b.vec_id AS cand_id
+           FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+    top5 AS (SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cand_id) AS rk
+                 FROM sc) WHERE rk <= 5),
+    votes AS (SELECT vec_id, true_label, cand_label,
+                     count(*) AS n_votes
+              FROM top5 GROUP BY vec_id, true_label, cand_label),
+    pred AS (SELECT vec_id, true_label, cand_label AS pred_label
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY n_votes DESC, cand_label) AS vr
+                   FROM votes) WHERE vr = 1),
+    cls AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+            FROM e GROUP BY label),
+    tot AS (SELECT sum(n_vectors) AS n_total,
+                   count(*) AS n_classes FROM cls)
+    SELECT p.true_label AS label,
+           c.n_vectors,
+           round(t.n_total / (t.n_classes
+                 * CAST(c.n_vectors AS DOUBLE)), 6) AS class_weight,
+           round(count(*) FILTER (WHERE p.pred_label = p.true_label)
+                 / CAST(count(*) AS DOUBLE), 6) AS knn_accuracy
+    FROM pred p
+    JOIN cls c ON c.label = p.true_label
+    CROSS JOIN tot t
+    GROUP BY p.true_label, c.n_vectors, t.n_total, t.n_classes
+    ORDER BY label
+    """,
+)
+def knn_label_eval(spark, sf_dir):
+    """Embedding-space label evaluation: leave-one-out 5-NN
+    majority-vote classification accuracy per class, plus the
+    inverse-frequency class weights (n/(k·n_c)) a trainer would feed
+    its loss — THE standard probe for "do these embeddings separate
+    my labels?" before spending GPU time fine-tuning on them. Vote
+    ties break (votes desc, label asc); rank ties break by vec_id —
+    fully deterministic in both engines.
+
+    Scale shape: written as the exact all-pairs baseline (per-anchor
+    top-k via WindowGroupLimit heaps, never a global sort); at corpus
+    scale the identical vote/accuracy pipeline runs over
+    knn_lsh_bucketed / knn_ivf_probe candidates instead of the cross
+    join — the eval contract stays the same while candidate generation
+    drops to bucket joins."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("av"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("v").alias("bv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("av"), F.col("bv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sc = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") != F.col("cand_id"))
+        .select(
+            "a_id",
+            "true_label",
+            "cand_label",
+            "cand_id",
+            F.round(dot / (nrm("av") * nrm("bv")), 6).alias("cos"),
+        )
+    )
+    top5 = sc.withColumn(
+        "rk",
+        F.row_number().over(
+            WS.partitionBy("a_id").orderBy(
+                F.col("cos").desc(), F.col("cand_id")
+            )
+        ),
+    ).filter(F.col("rk") <= 5)
+    votes = top5.groupBy("a_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    pred = (
+        votes.withColumn(
+            "vr",
+            F.row_number().over(
+                WS.partitionBy("a_id").orderBy(
+                    F.col("n_votes").desc(), F.col("cand_label")
+                )
+            ),
+        )
+        .filter(F.col("vr") == 1)
+        .select(
+            "a_id",
+            "true_label",
+            F.col("cand_label").alias("pred_label"),
+        )
+    )
+    cls = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = cls.agg(
+        F.sum("n_vectors").alias("n_total"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+    return (
+        pred.join(
+            F.broadcast(cls),
+            pred["true_label"] == cls["label"],
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("true_label", "n_vectors", "n_total", "n_classes")
+        .agg(
+            F.round(
+                F.count_if(F.col("pred_label") == F.col("true_label"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("knn_accuracy")
+        )
+        .select(
+            F.col("true_label").alias("label"),
+            "n_vectors",
+            F.round(
+                F.col("n_total")
+                / (
+                    F.col("n_classes")
+                    * F.col("n_vectors").cast("double")
+                ),
+                6,
+            ).alias("class_weight"),
+            "knn_accuracy",
+        )
+        .orderBy("label")
+    )
