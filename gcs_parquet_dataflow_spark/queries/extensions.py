@@ -8810,7 +8810,7 @@ def knn_label_eval(spark, sf_dir):
         )
     )
     sc = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("a_id") != F.col("cand_id"))
         .select(
             "a_id",

@@ -1052,6 +1052,10 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "funnel_view_click_purchase",      # scalar stage totals
         "quality_benford_digits",          # scalar row-total broadcast
         "sketch_join_size_estimate",       # 1×1 scalar combination
+        "ab_cuped_adjustment",             # scalar theta/mean broadcast
+        "survival_kaplan_meier",           # scalar censoring-horizon broadcast
+        "contrastive_hard_negatives",      # broadcast anchors × corpus scan
+        "knn_label_eval",                  # LOO corpus × corpus exact eval baseline
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
