@@ -8883,3 +8883,263 @@ def knn_label_eval(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "media_type_sniff",
+    """
+    WITH aug AS (SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB || encode(text)
+          WHEN 1 THEN '\\xFF\\xD8\\xFF'::BLOB || encode(text)
+          WHEN 2 THEN 'RIFF0000WAVE'::BLOB || encode(text)
+          ELSE encode(text) END AS payload
+        FROM documents),
+    s AS (SELECT doc_id, payload, upper(hex(payload)) AS hx,
+                 octet_length(payload) AS n_bytes
+          FROM aug),
+    c AS (SELECT doc_id, n_bytes,
+                 CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A'
+                          THEN 'image/png'
+                      WHEN substr(hx, 1, 6) = 'FFD8FF'
+                          THEN 'image/jpeg'
+                      WHEN substr(hx, 1, 8) = '52494646'
+                       AND substr(hx, 17, 8) = '57415645'
+                          THEN 'audio/wav'
+                      ELSE 'application/octet-stream' END AS mime
+          FROM s)
+    SELECT mime,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(avg(CAST(n_bytes AS DOUBLE)), 6) AS mean_bytes
+    FROM c GROUP BY mime ORDER BY mime
+    """,
+)
+def media_type_sniff(spark, sf_dir):
+    """Content-type sniffing from magic bytes — the first pass of any
+    multimodal ingest (never trust the extension): PNG / JPEG /
+    RIFF-WAVE signatures matched on the payload's leading bytes, with
+    deterministic planting (doc_id % 4 picks the wrapper) proving each
+    branch. Operates entirely on the binary column via hex prefixes —
+    no decode, no Python — so it composes with the multimodal media
+    table before any expensive codec stage.
+
+    Scale shape: pure scan-stage column expressions + one tiny
+    group-by-mime agg; payload bytes never shuffle. Parity: both
+    engines hex the identical bytes; counts and byte totals are exact
+    integers."""
+    d = t(spark, sf_dir, "documents")
+    png = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+    jpg = bytes([0xFF, 0xD8, 0xFF])
+    wav = b"RIFF0000WAVE"
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit(png))
+            .when(F.col("doc_id") % 4 == 1, F.lit(jpg))
+            .when(F.col("doc_id") % 4 == 2, F.lit(wav))
+            .otherwise(F.lit(b"")),
+            F.encode(F.col("text"), "UTF-8"),
+        ).alias("payload"),
+    )
+    s = aug.select(
+        F.upper(F.hex(F.col("payload"))).alias("hx"),
+        F.length(F.col("payload")).alias("n_bytes"),
+    )
+    c = s.select(
+        "n_bytes",
+        F.when(
+            F.substring(F.col("hx"), 1, 16) == "89504E470D0A1A0A",
+            F.lit("image/png"),
+        )
+        .when(
+            F.substring(F.col("hx"), 1, 6) == "FFD8FF",
+            F.lit("image/jpeg"),
+        )
+        .when(
+            (F.substring(F.col("hx"), 1, 8) == "52494646")
+            & (F.substring(F.col("hx"), 17, 8) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("mime"),
+    )
+    return (
+        c.groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.round(F.avg(F.col("n_bytes").cast("double")), 6).alias(
+                "mean_bytes"
+            ),
+        )
+        .orderBy("mime")
+    )
+
+
+@query(
+    "privacy_contribution_bounds",
+    """
+    WITH u AS (SELECT event_type, user_id,
+                      CAST(count(*) AS BIGINT) AS user_rows
+               FROM events GROUP BY event_type, user_id),
+    g AS (SELECT event_type,
+                 CAST(sum(user_rows) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(max(user_rows) AS BIGINT) AS max_user_rows,
+                 quantile_cont(CAST(user_rows AS DOUBLE), 0.99) AS p99
+          FROM u GROUP BY event_type)
+    SELECT g.event_type, n_rows, n_users, max_user_rows,
+           round(p99, 6) AS p99_user_rows,
+           CAST(sum(least(u.user_rows,
+                          CAST(ceil(g.p99) AS BIGINT))) AS BIGINT)
+               AS rows_after_clamp
+    FROM g JOIN u ON u.event_type = g.event_type
+    GROUP BY g.event_type, n_rows, n_users, max_user_rows, p99
+    ORDER BY g.event_type
+    """,
+)
+def privacy_contribution_bounds(spark, sf_dir):
+    """Per-user contribution-bound audit — the pre-flight every
+    differential-privacy (and abuse-resistant analytics) release
+    needs: the L-inf sensitivity of each per-type count is the MAX
+    rows any single user contributes; the report shows that max, the
+    p99 contribution, and how many rows survive clamping contributions
+    at ceil(p99) — i.e. what bounding the sensitivity actually costs.
+
+    Parity: contributions are exact integers; p99 is the interpolated
+    percentile both engines define identically; the clamp threshold is
+    ceil'd to an integer before comparison so no float boundary
+    exists. Scale: one (type,user) agg with map-side combine, then a
+    rollup of that — the user table never re-shuffles raw rows."""
+    u = t(spark, sf_dir, "events").groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("user_rows")
+    )
+    g = u.groupBy("event_type").agg(
+        F.sum("user_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.max("user_rows").cast("long").alias("max_user_rows"),
+        F.expr("percentile(CAST(user_rows AS DOUBLE), 0.99)").alias(
+            "p99"
+        ),
+    )
+    j = u.join(F.broadcast(g), "event_type")
+    return (
+        j.groupBy(
+            "event_type", "n_rows", "n_users", "max_user_rows", "p99"
+        )
+        .agg(
+            F.sum(
+                F.least(
+                    F.col("user_rows"),
+                    F.ceil(F.col("p99")).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("rows_after_clamp")
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_users",
+            "max_user_rows",
+            F.round(F.col("p99"), 6).alias("p99_user_rows"),
+            "rows_after_clamp",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "source_unigram_kl",
+    """
+    WITH tok AS (SELECT source, tk FROM (
+                     SELECT source,
+                            unnest(string_split(text, ' ')) AS tk
+                     FROM documents WHERE text IS NOT NULL)
+                 WHERE tk <> ''),
+    vocab AS (SELECT tk FROM tok GROUP BY tk HAVING count(*) >= 5),
+    sv AS (SELECT t.source, t.tk FROM tok t
+           JOIN vocab v ON v.tk = t.tk),
+    cs AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+           FROM sv GROUP BY source, tk),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cs
+           GROUP BY source),
+    cq AS (SELECT tk, CAST(sum(c) AS BIGINT) AS cq FROM cs GROUP BY tk),
+    nv AS (SELECT CAST(sum(cq) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS v FROM cq),
+    kl AS (SELECT cs.source,
+                  sum(((cs.c + 1) / CAST(ns.n_s + nv.v AS DOUBLE))
+                      * ln(((cs.c + 1) / CAST(ns.n_s + nv.v AS DOUBLE))
+                           / ((cq.cq + 1) / CAST(nv.n + nv.v AS DOUBLE))))
+                      AS kl_part
+           FROM cs JOIN ns ON ns.source = cs.source
+                   JOIN cq ON cq.tk = cs.tk
+                   CROSS JOIN nv
+           GROUP BY cs.source)
+    SELECT kl.source, ns.n_s AS n_vocab_tokens,
+           round(kl.kl_part, 6) AS kl_to_corpus
+    FROM kl JOIN ns ON ns.source = kl.source
+    ORDER BY kl.source
+    """,
+)
+def source_unigram_kl(spark, sf_dir):
+    """Per-source unigram KL divergence to the corpus distribution
+    (add-one smoothing over the shared min-count-5 vocabulary) — the
+    distributional companion to source_vocab_overlap's set Jaccard:
+    it catches a source whose vocabulary LOOKS normal but whose word
+    FREQUENCIES are skewed (spam templates, boilerplate farms, SEO
+    keyword stuffing). High KL = idiosyncratic source worth a look
+    before it tilts the training mixture.
+
+    Parity note: each source's KL is a sum of per-term doubles —
+    summed in one groupBy whose addition order differs between
+    engines, but every term is an exact-integer rational × ln of
+    rationals with |term| ≥ 1e-9 structure; accumulated error is
+    ~1e-13, five orders below the 1e-6 rounding grain (same argument
+    as quality_lm_bigram_score). Scale: explode + two hash aggs + an
+    equi-join on term — the vocab and per-term corpus counts are
+    term-keyed tables that broadcast; nothing pairwise."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("tk"),
+        )
+        .filter(F.col("tk") != "")
+    )
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= 5
+    ).select("tk")
+    sv = tok.join(F.broadcast(vocab), "tk")
+    cs = sv.groupBy("source", "tk").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ns = cs.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_s")
+    )
+    cq = cs.groupBy("tk").agg(F.sum("c").cast("long").alias("cq"))
+    nv = cq.agg(
+        F.sum("cq").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    j = (
+        cs.join(F.broadcast(ns), "source")
+        .join(F.broadcast(cq), "tk")
+        .crossJoin(F.broadcast(nv))
+    )
+    p = (F.col("c") + 1) / (F.col("n_s") + F.col("v")).cast("double")
+    q = (F.col("cq") + 1) / (F.col("n") + F.col("v")).cast("double")
+    kl = j.groupBy("source").agg(
+        F.sum(p * F.log(p / q)).alias("kl_part")
+    )
+    return (
+        kl.join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_vocab_tokens"),
+            F.round(F.col("kl_part"), 6).alias("kl_to_corpus"),
+        )
+        .orderBy("source")
+    )

@@ -1056,6 +1056,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "survival_kaplan_meier",           # scalar censoring-horizon broadcast
         "contrastive_hard_negatives",      # broadcast anchors × corpus scan
         "knn_label_eval",                  # LOO corpus × corpus exact eval baseline
+        "source_unigram_kl",               # 1-row corpus-totals broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
