@@ -9143,3 +9143,391 @@ def source_unigram_kl(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "json_schema_drift_audit",
+    """
+    WITH aug AS (SELECT event_id,
+        CASE event_id % 7
+          WHEN 0 THEN '{"k": "' || CAST(event_id % 100 AS VARCHAR) || '"}'
+          WHEN 1 THEN '{"q": ' || CAST(event_id % 100 AS VARCHAR) || '}'
+          WHEN 2 THEN '{"k": null}'
+          WHEN 3 THEN '{}'
+          ELSE props END AS props
+        FROM events),
+    f AS (SELECT event_id,
+                 json_extract_string(props, '$.k') AS ks,
+                 json_extract(props, '$.k') AS kr,
+                 json_extract_string(props, '$.q') AS qs
+          FROM aug),
+    c AS (SELECT event_id, key,
+                 CASE WHEN raw IS NULL OR raw = 'null' THEN 'missing_or_null'
+                      WHEN try_cast(sval AS BIGINT) IS NOT NULL
+                           AND NOT starts_with(raw, '"') THEN 'number'
+                      ELSE 'string' END AS vtype
+          FROM (SELECT event_id, 'k' AS key, ks AS sval,
+                       CAST(kr AS VARCHAR) AS raw FROM f
+                UNION ALL
+                SELECT event_id, 'q', qs,
+                       CAST(json_extract(props, '$.q') AS VARCHAR)
+                FROM f JOIN aug USING (event_id)))
+    SELECT key, vtype,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(count(*) / CAST((SELECT count(*) FROM aug) AS DOUBLE), 6)
+               AS frac
+    FROM c GROUP BY key, vtype ORDER BY key, vtype
+    """,
+)
+def json_schema_drift_audit(spark, sf_dir):
+    """Semi-structured schema-drift audit over the ``props`` JSON
+    column: per candidate key, how many events carry it as a number,
+    as a STRING (the classic upstream type regression), or not at all
+    — the ingest alarm that fires when a producer silently changes
+    payload shape. Drifted shapes are planted deterministically
+    (event_id % 7 rotates string-typed k, renamed key, null, empty
+    object) so every branch is provably detected.
+
+    Parity: both engines classify from the raw JSON token — quoted →
+    string, castable bare token → number — so the type taxonomy is
+    identical; counts are exact. Scale: scan-stage JSON extraction +
+    one tiny (key,type) agg; the scalar total broadcasts."""
+    e = t(spark, sf_dir, "events")
+    aug = e.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit('{"k": "'),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit('"}'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 7 == 1,
+            F.concat(
+                F.lit('{"q": '),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .when(F.col("event_id") % 7 == 2, F.lit('{"k": null}'))
+        .when(F.col("event_id") % 7 == 3, F.lit("{}"))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+
+    def classify(key):
+        raw = F.get_json_object(F.col("props"), f"$.{key}")
+        # get_json_object strips quotes; recover "was it quoted" from
+        # the raw text (same rule the oracle applies to the JSON token)
+        quoted = F.col("props").rlike(
+            f'"{key}"\\s*:\\s*"'
+        )
+        return (
+            F.when(
+                raw.isNull() | (raw == "null"), F.lit("missing_or_null")
+            )
+            .when(
+                raw.cast("long").isNotNull() & ~quoted, F.lit("number")
+            )
+            .otherwise(F.lit("string"))
+            .alias("vtype")
+        )
+
+    rows = aug.select(
+        F.lit("k").alias("key"), classify("k")
+    ).unionByName(aug.select(F.lit("q").alias("key"), classify("q")))
+    total = aug.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        rows.groupBy("key", "vtype")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "vtype",
+            "n_events",
+            F.round(
+                F.col("n_events") / F.col("n_total").cast("double"), 6
+            ).alias("frac"),
+        )
+        .orderBy("key", "vtype")
+    )
+
+
+@query(
+    "dedup_minhash_estimate_error",
+    f"""
+    WITH aug AS ({AUG_NEAR_SQL}),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w0),
+    sg AS (SELECT doc_id, hs,
+                  list_value({", ".join(MINHASH_SQL)}) AS sig
+           FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_filter(list_zip(a.sig, b.sig),
+                     x -> x[1] = x[2])) AS n_match,
+                 len(list_intersect(a.hs, b.hs)) AS inter,
+                 len(a.hs) + len(b.hs)
+                     - len(list_intersect(a.hs, b.hs)) AS uni
+          FROM sg a JOIN sg b ON b.doc_id = a.doc_id + 100000)
+    SELECT id_a, id_b,
+           round(n_match / 16.0, 6) AS jaccard_est,
+           round(inter / CAST(uni AS DOUBLE), 6) AS jaccard_exact,
+           round(abs(n_match / 16.0 - inter / CAST(uni AS DOUBLE)), 6)
+               AS abs_error
+    FROM p ORDER BY id_a
+    """,
+)
+def dedup_minhash_estimate_error(spark, sf_dir):
+    """MinHash estimator CALIBRATION — the self-evaluation row for the
+    whole LSH dedup stack (the sketch analog of knn_lsh_recall): for
+    every planted near-dup pair, the 16-lane signature's matching-lane
+    fraction (the Jaccard estimate LSH banding thresholds on) against
+    the exact shingle-set Jaccard, with the absolute error. Run this
+    before trusting a band/row configuration at a new corpus — E[err]
+    ~ 1/sqrt(perms) tells you whether 16 lanes is enough for your
+    threshold margin.
+
+    Parity: identical inlined permutation constants both sides; lane
+    matches and set sizes are exact integers, the two ratios are
+    single divisions. Scale: signatures are per-doc map work; the pair
+    join is a key-shifted equi-join on doc_id — |planted| rows, no
+    pairwise blowup. The 16-element HOF zips are short-array lane
+    compares, not per-token paths."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sh = aug.select(
+        "doc_id", DD.word_shingle_hashes(F.col("text")).alias("hs")
+    )
+    sg = sh.select(
+        "doc_id",
+        "hs",
+        DD.minhash_signature(F.col("hs"), PERMS).alias("sig"),
+    )
+    a = sg.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sg.select(
+        (F.col("doc_id") - 100000).alias("join_id"),
+        F.col("doc_id").alias("id_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    p = a.join(b, a["id_a"] == b["join_id"]).select(
+        "id_a",
+        "id_b",
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_match"),
+        F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).alias(
+            "inter"
+        ),
+        (
+            F.size(F.col("hs_a"))
+            + F.size(F.col("hs_b"))
+            - F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+        ).alias("uni"),
+    )
+    return p.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("n_match") / 16.0, 6).alias("jaccard_est"),
+        F.round(
+            F.col("inter") / F.col("uni").cast("double"), 6
+        ).alias("jaccard_exact"),
+        F.round(
+            F.abs(
+                F.col("n_match") / 16.0
+                - F.col("inter") / F.col("uni").cast("double")
+            ),
+            6,
+        ).alias("abs_error"),
+    ).orderBy("id_a")
+
+
+@query(
+    "timeseries_autocorr_by_type",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                          AS vc
+               FROM events GROUP BY 1, 2),
+    lagged AS (SELECT event_type, lag_k, vc AS y,
+                      lag(vc, lag_k) OVER (PARTITION BY event_type, lag_k
+                                           ORDER BY day) AS x
+               FROM d CROSS JOIN (SELECT unnest([1, 7]) AS lag_k)),
+    pairs AS (SELECT * FROM lagged WHERE x IS NOT NULL),
+    s AS (SELECT event_type, lag_k,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS DOUBLE)) AS sx, sum(CAST(y AS DOUBLE)) AS sy,
+                 sum(CAST(x AS DOUBLE)*x) AS sxx,
+                 sum(CAST(y AS DOUBLE)*y) AS syy,
+                 sum(CAST(x AS DOUBLE)*y) AS sxy
+          FROM pairs GROUP BY event_type, lag_k)
+    SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k, n AS n_pairs,
+           round((n*sxy - sx*sy)
+                 / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+               AS autocorr
+    FROM s ORDER BY event_type, lag_k
+    """,
+)
+def timeseries_autocorr_by_type(spark, sf_dir):
+    """Lag-1 and lag-7 autocorrelation of each type's daily revenue —
+    the two numbers that justify (or kill) the seasonal models
+    upstream: lag-7 high → weekly cycle is real
+    (seasonal_decompose_dow applies); lag-1 high → momentum
+    (forecast_holt_linear's trend term earns its keep). Pearson is
+    computed from exact integer-cents sums in the closed form, not
+    the engines' internal corr() accumulators, so both sides evaluate
+    the identical expression tree.
+
+    Scale: one daily rollup, a 2× lag fan-out over the tiny
+    types × days table, windows partitioned by (type, lag) — raw rows
+    are touched once."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    fan = d.select(
+        "*", F.explode(F.array(F.lit(1), F.lit(7))).alias("lag_k")
+    )
+    lagged = fan.select(
+        "event_type",
+        "lag_k",
+        F.col("vc").alias("y"),
+        F.when(
+            F.col("lag_k") == 1,
+            F.lag("vc", 1).over(
+                WS.partitionBy("event_type", "lag_k").orderBy("day")
+            ),
+        )
+        .otherwise(
+            F.lag("vc", 7).over(
+                WS.partitionBy("event_type", "lag_k").orderBy("day")
+            )
+        )
+        .alias("x"),
+    ).filter(F.col("x").isNotNull())
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    s = lagged.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("lag_k").cast("long").alias("lag_k"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(
+                    F.col("n") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                )
+                * F.sqrt(
+                    F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("autocorr"),
+    ).orderBy("event_type", "lag_k")
+
+
+@query(
+    "curriculum_order_manifest",
+    f"""
+    WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents),
+    q AS (SELECT doc_id,
+                 round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                     + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                   / len(w), 6)
+                     + 0.2 * least({{stop}} * 10.0, 1.0), 6) AS quality
+          FROM s),
+    st AS (SELECT doc_id, quality,
+                  CASE WHEN quality >= 0.75 THEN 1
+                       WHEN quality >= 0.5 THEN 2
+                       ELSE 3 END AS stage,
+                  CAST('0x' || substr(md5('curriculum-v1:'
+                       || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+           FROM q),
+    r AS (SELECT doc_id, quality, stage,
+                 CAST(row_number() OVER (ORDER BY stage, h, doc_id)
+                      AS BIGINT) AS position
+          FROM st)
+    SELECT position, doc_id, CAST(stage AS BIGINT) AS stage, quality
+    FROM r WHERE position <= 50 ORDER BY position
+    """.format(stop="{stop}").replace("{stop}", _stop_sql("en")),
+)
+def curriculum_order_manifest(spark, sf_dir):
+    """Curriculum-learning manifest: documents staged easy→hard by the
+    shared quality heuristic (fixed stage cutoffs 0.75/0.5 — the
+    production path learns them once from approx-quantiles and pins
+    them), SHUFFLED deterministically within each stage by a seeded
+    content hash (stage-ordered but not quality-sorted — the
+    within-stage shuffle curriculum training expects), and assigned a
+    global training position. The first 50 manifest rows are the
+    declared output; the full manifest is what a trainer would
+    consume.
+
+    Parity: quality is the exact shared formula; stage is an exact
+    threshold on a 6-rounded value; the order (stage, hash, doc_id)
+    is total and engine-independent. Scale: per-doc map + ONE global
+    row_number — at corpus scale the position is assigned per
+    (stage, shard) with a shard-offset add, same manifest contract;
+    the global window here is the small-data oracle of that."""
+    from pyspark.sql import Window as WS
+
+    d = t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    st = q.select(
+        "doc_id",
+        "quality",
+        F.when(F.col("quality") >= 0.75, 1)
+        .when(F.col("quality") >= 0.5, 2)
+        .otherwise(3)
+        .alias("stage"),
+        TX.hash32(
+            F.concat(
+                F.lit("curriculum-v1:"), F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+    )
+    r = st.select(
+        "doc_id",
+        "quality",
+        "stage",
+        F.row_number()
+        .over(WS.orderBy("stage", "h", "doc_id"))
+        .cast("long")
+        .alias("position"),
+    )
+    return (
+        r.filter(F.col("position") <= 50)
+        .select(
+            "position",
+            "doc_id",
+            F.col("stage").cast("long").alias("stage"),
+            "quality",
+        )
+        .orderBy("position")
+    )

@@ -1057,6 +1057,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "contrastive_hard_negatives",      # broadcast anchors × corpus scan
         "knn_label_eval",                  # LOO corpus × corpus exact eval baseline
         "source_unigram_kl",               # 1-row corpus-totals broadcast
+        "json_schema_drift_audit",         # 1-row event-total broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
