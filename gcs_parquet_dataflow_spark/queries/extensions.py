@@ -9531,3 +9531,297 @@ def curriculum_order_manifest(spark, sf_dir):
         )
         .orderBy("position")
     )
+
+
+@query(
+    "funnel_conversion_by_variant",
+    f"""
+    WITH a AS (SELECT user_id,
+                      {h32("CAST(user_id AS VARCHAR)")} % 2 AS variant
+               FROM events GROUP BY user_id),
+    v AS (SELECT e.user_id, a.variant, min(e.ts) AS t1
+          FROM events e JOIN a ON a.user_id = e.user_id
+          WHERE e.event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT e.user_id, v.variant, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1, 2),
+    p AS (SELECT e.user_id, c.variant, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1, 2),
+    s AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_view FROM v
+          GROUP BY variant),
+    sc AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_click FROM c
+           GROUP BY variant),
+    sp AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_purchase FROM p
+           GROUP BY variant)
+    SELECT s.variant, s.n_view,
+           coalesce(sc.n_click, 0) AS n_click_after_view,
+           coalesce(sp.n_purchase, 0) AS n_purchase_after_click,
+           round(coalesce(sp.n_purchase, 0)
+                 / CAST(s.n_view AS DOUBLE), 6) AS full_funnel_rate
+    FROM s LEFT JOIN sc ON sc.variant = s.variant
+           LEFT JOIN sp ON sp.variant = s.variant
+    ORDER BY s.variant
+    """,
+)
+def funnel_conversion_by_variant(spark, sf_dir):
+    """The experiment readout product teams actually ship: the ordered
+    view→click→purchase funnel SPLIT BY experiment arm (same
+    deterministic hash assignment as experiment_conversion_ztest /
+    ab_cuped_adjustment), with per-arm step counts and the
+    full-funnel conversion rate. Composes the funnel chain with the
+    A/B split — on a hash split of uniform traffic the two arms'
+    funnels should match (the A/A guard for funnel instrumentation).
+
+    Scale: identical cost class to funnel_view_click_purchase — three
+    per-user min-aggs chained by user-keyed equi-joins (user-sized
+    frames), plus a 2-row rollup."""
+    e = t(spark, sf_dir, "events")
+    a = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            (TX.hash32(F.col("user_id").cast("string")) % 2).alias(
+                "variant"
+            ),
+        )
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(a, "user_id")
+        .groupBy("user_id", "variant")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "variant")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "variant")
+        .agg(F.min("ts").alias("t3"))
+    )
+    s = v.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_view")
+    )
+    sc = c.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_click")
+    )
+    sp = p.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchase")
+    )
+    return (
+        s.join(sc, "variant", "left")
+        .join(sp, "variant", "left")
+        .select(
+            "variant",
+            "n_view",
+            F.coalesce(F.col("n_click"), F.lit(0)).alias(
+                "n_click_after_view"
+            ),
+            F.coalesce(F.col("n_purchase"), F.lit(0)).alias(
+                "n_purchase_after_click"
+            ),
+            F.round(
+                F.coalesce(F.col("n_purchase"), F.lit(0))
+                / F.col("n_view").cast("double"),
+                6,
+            ).alias("full_funnel_rate"),
+        )
+        .orderBy("variant")
+    )
+
+
+@query(
+    "window_bollinger_flags",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                          AS vc
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, day, vc,
+                 count(*) OVER w AS n_w,
+                 sum(vc) OVER w AS s_w,
+                 sum(vc*vc) OVER w AS ss_w
+          FROM d
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    f AS (SELECT event_type, day, vc,
+                 s_w / CAST(n_w AS DOUBLE) AS mu,
+                 sqrt(greatest(ss_w * n_w - s_w * s_w, 0))
+                     / CAST(n_w AS DOUBLE) AS sigma
+          FROM b WHERE n_w = 7)
+    SELECT event_type, day,
+           round(vc / 100.0, 6) AS revenue,
+           round(mu / 100.0, 6) AS band_mid,
+           round((mu + 2*sigma) / 100.0, 6) AS band_hi,
+           round((mu - 2*sigma) / 100.0, 6) AS band_lo,
+           CAST(vc > mu + 2*sigma AS BOOLEAN) AS breakout_hi,
+           CAST(vc < mu - 2*sigma AS BOOLEAN) AS breakout_lo
+    FROM f
+    WHERE vc > mu + 2*sigma OR vc < mu - 2*sigma
+    ORDER BY event_type, day
+    """,
+)
+def window_bollinger_flags(spark, sf_dir):
+    """Bollinger-band breakout flags on daily revenue per type: a
+    trailing 7-day mean ± 2 population-σ envelope (full windows only),
+    emitting only the breakout days — the volatility-aware alarm that
+    complements the fixed-season baseline of anomaly_seasonal_zscore
+    and the level-shift view of changepoint_cusum_by_type.
+
+    Parity: window sums over exact integer cents; σ via the integer
+    identity n·Σx² − (Σx)² inside greatest(·,0), one sqrt + divisions
+    applied identically; the band comparison is double-vs-double on
+    the same trees. Scale: one daily rollup then a per-type ROWS
+    window — raw rows touched once, windows over types × days."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    w = (
+        WS.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, WS.currentRow)
+    )
+    b = d.select(
+        "event_type",
+        "day",
+        "vc",
+        F.count(F.lit(1)).over(w).alias("n_w"),
+        F.sum("vc").over(w).alias("s_w"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("ss_w"),
+    ).filter(F.col("n_w") == 7)
+    mu = F.col("s_w") / F.col("n_w").cast("double")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("ss_w") * F.col("n_w") - F.col("s_w") * F.col("s_w"),
+            F.lit(0),
+        )
+    ) / F.col("n_w").cast("double")
+    f = b.select(
+        "event_type",
+        "day",
+        "vc",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+    )
+    cond_hi = F.col("vc") > F.col("mu") + 2 * F.col("sigma")
+    cond_lo = F.col("vc") < F.col("mu") - 2 * F.col("sigma")
+    return (
+        f.filter(cond_hi | cond_lo)
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("vc") / 100.0, 6).alias("revenue"),
+            F.round(F.col("mu") / 100.0, 6).alias("band_mid"),
+            F.round(
+                (F.col("mu") + 2 * F.col("sigma")) / 100.0, 6
+            ).alias("band_hi"),
+            F.round(
+                (F.col("mu") - 2 * F.col("sigma")) / 100.0, 6
+            ).alias("band_lo"),
+            cond_hi.alias("breakout_hi"),
+            cond_lo.alias("breakout_lo"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "user_activity_entropy",
+    """
+    WITH aug AS (SELECT user_id, event_type FROM events
+                 UNION ALL
+                 SELECT user_id + 100000, event_type FROM events
+                 WHERE user_id % 10 = 0 AND event_type = 'view'),
+    c AS (SELECT user_id, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM aug GROUP BY user_id, event_type),
+    tt AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_total FROM c
+           GROUP BY user_id),
+    u AS (SELECT c.user_id, tt.n_total,
+                 round(-sum((c.n / CAST(tt.n_total AS DOUBLE))
+                            * ln(c.n / CAST(tt.n_total AS DOUBLE)))
+                       + 0.0, 6) AS entropy
+          FROM c JOIN tt ON tt.user_id = c.user_id
+          GROUP BY c.user_id, tt.n_total)
+    SELECT CAST(floor(entropy / 0.25) AS BIGINT) AS entropy_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(n_total) AS BIGINT) AS min_events,
+           CAST(max(n_total) AS BIGINT) AS max_events
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def user_activity_entropy(spark, sf_dir):
+    """Behavioral-diversity segmentation: Shannon entropy of each
+    user's event-type mix (0 = single-behavior bot-like, ln(5) ≈ 1.61
+    = uniform across all five types), histogrammed in 0.25-nat
+    buckets — the feature that separates scripted/spam accounts
+    (degenerate mixes) from organic users in abuse and engagement
+    models, complementing user_rfm_segments' volume view. The
+    fixture's users are all organically diverse, so single-behavior
+    "bot" twins are PLANTED (view-only copies of every 10th user) —
+    they land in bucket 0 while organics land near ln(5), proving the
+    separation; their -0.0 entropy is sign-normalized (+0.0) before
+    rounding so both engines bucket identically.
+
+    Parity: per-user shares are exact-integer rationals; entropy is
+    the identical Σ p·ln p tree rounded to 6 BEFORE the fixed-width
+    bucket floor (the same round-then-floor boundary discipline as
+    sample_apply_language_mixture). Scale: one (user,type) agg with
+    map-side combine, a user-partitioned window over the ≤ users×5
+    table, then a tiny histogram agg."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_type")
+    aug = e.unionByName(
+        e.filter(
+            (F.col("user_id") % 10 == 0)
+            & (F.col("event_type") == "view")
+        ).select(
+            (F.col("user_id") + 100000).alias("user_id"), "event_type"
+        )
+    )
+    c = aug.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = F.sum("n").over(WS.partitionBy("user_id")).cast("double")
+    share = F.col("n") / tot
+    u = (
+        c.select(
+            "user_id",
+            F.col("n"),
+            (-share * F.log(share)).alias("ent_part"),
+            tot.alias("n_total_d"),
+        )
+        .groupBy("user_id", "n_total_d")
+        .agg(
+            F.sum("n").cast("long").alias("n_total"),
+            F.round(F.sum("ent_part") + F.lit(0.0), 6).alias(
+                "entropy"
+            ),
+        )
+    )
+    return (
+        u.groupBy(
+            F.floor(F.col("entropy") / 0.25)
+            .cast("long")
+            .alias("entropy_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("n_total").cast("long").alias("min_events"),
+            F.max("n_total").cast("long").alias("max_events"),
+        )
+        .orderBy("entropy_bucket")
+    )
