@@ -1,0 +1,216 @@
+"""Semantic invariant tests for the round-5 additions (SURVEY §11).
+
+The oracle gate proves Spark↔DuckDB VALUE equality; these tests prove
+the values mean what the operators claim — the properties a user would
+rely on (CUPED reduces variance, KM survival is monotone, quantile
+bins are balanced, planted defects are detected exactly, thresholds
+hold). Same discipline as tests/test_property_round4.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(spark, name):
+    return CATALOG[name].build(spark, SF).collect()
+
+
+def test_cuped_reduces_or_preserves_arm_gap(spark):
+    """CUPED adjustment must keep both arm means finite and the
+    adjusted values centered near the raw means (theta shifts
+    variance, not the pooled level)."""
+    out = {r["variant"]: r for r in rows(spark, "ab_cuped_adjustment")}
+    assert set(out) == {0, 1}
+    th = {r["theta"] for r in out.values()}
+    assert len(th) == 1  # pooled theta is shared across arms
+    n = sum(r["n_users"] for r in out.values())
+    raw = sum(r["mean_post"] * r["n_users"] for r in out.values()) / n
+    adj = sum(
+        r["mean_post_cuped"] * r["n_users"] for r in out.values()
+    ) / n
+    # pooled mean is invariant under y - theta*(x - mean(x))
+    assert abs(raw - adj) < 1e-4
+
+
+def test_kaplan_meier_survival_is_monotone_nonincreasing(spark):
+    out = rows(spark, "survival_kaplan_meier")
+    assert out, "KM curve must have event rows"
+    last = 1.0 + 1e-9
+    for r in out:
+        assert 0.0 <= r["survival"] <= last + 1e-9
+        assert r["n_events"] >= 1
+        assert r["n_at_risk"] >= r["n_events"]
+        last = r["survival"]
+
+
+def test_quantile_bins_are_balanced_and_monotone(spark):
+    out = rows(spark, "feature_quantile_bins")
+    assert [r["bin"] for r in out] == list(range(1, 11))
+    counts = [r["n_rows"] for r in out]
+    assert max(counts) - min(counts) <= 1  # equal-frequency
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] <= b["lo"] + 1e-9  # edges monotone
+
+
+def test_int8_quantize_codes_bounded_and_low_error(spark):
+    out = rows(spark, "embedding_int8_quantize")
+    for r in out:
+        assert r["code_max"] <= 127
+        assert r["scale"] > 0
+        # mse_ppm is sum of squared per-component errors × 1e6; each
+        # |err| ≤ scale/2, so the 64-dim sum is ≤ 64·(scale/2)²·1e6
+        assert r["mse_ppm"] <= 64 * (r["scale"] / 2) ** 2 * 1e6 + 1e-6
+
+
+def test_media_sniff_counts_match_planting(spark):
+    import duckdb
+
+    out = {r["mime"]: r["n_files"] for r in rows(spark, "media_type_sniff")}
+    con = duckdb.connect()
+    n = {
+        m: con.execute(
+            f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+            f" WHERE doc_id % 4 = {m}"
+        ).fetchone()[0]
+        for m in range(4)
+    }
+    assert out["image/png"] == n[0]
+    assert out["image/jpeg"] == n[1]
+    assert out["audio/wav"] == n[2]
+    assert out["application/octet-stream"] == n[3]
+
+
+def test_mojibake_audit_detects_exactly_planted_docs(spark):
+    import duckdb
+
+    out = rows(spark, "text_mojibake_audit")
+    con = duckdb.connect()
+    planted = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+        " WHERE doc_id % 17 = 0"
+    ).fetchone()[0]
+    assert sum(r["n_replacement_docs"] for r in out) == planted
+    assert sum(r["n_mojibake_docs"] for r in out) == planted
+
+
+def test_hard_negatives_exclude_near_duplicates(spark):
+    out = rows(spark, "contrastive_hard_negatives")
+    assert out
+    for r in out:
+        assert r["cos"] < 0.98  # planted twins (cos≈0.996) excluded
+        assert r["cand_id"] != r["query_id"]
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [
+            1,
+            2,
+            3,
+        ]
+
+
+def test_knn_label_eval_weights_and_accuracy_consistent(spark):
+    out = rows(spark, "knn_label_eval")
+    n_total = sum(r["n_vectors"] for r in out)
+    k = len(out)
+    for r in out:
+        assert 0.0 <= r["knn_accuracy"] <= 1.0
+        expect = n_total / (k * r["n_vectors"])
+        assert abs(r["class_weight"] - expect) < 1e-5
+
+
+def test_activity_entropy_separates_planted_bots(spark):
+    out = {r["entropy_bucket"]: r for r in rows(spark, "user_activity_entropy")}
+    assert 0 in out, "planted view-only bots must land in bucket 0"
+    assert max(out) >= 5, "organic users sit near ln(5)≈1.61 → bucket 6"
+
+
+def test_bollinger_rows_are_true_breakouts(spark):
+    for r in rows(spark, "window_bollinger_flags"):
+        assert r["breakout_hi"] != r["breakout_lo"]
+        if r["breakout_hi"]:
+            assert r["revenue"] > r["band_hi"] - 1e-6
+        else:
+            assert r["revenue"] < r["band_lo"] + 1e-6
+
+
+def test_referential_audit_orphan_counts_match_planting(spark):
+    out = {r["relation"]: r for r in rows(spark, "referential_integrity_audit")}
+    # planted lineitem orphans: every l_orderkey % 97 == 0 row shifted
+    assert out["lineitem->orders"]["n_orphans"] > 0
+    assert out["lineitem->part"]["n_orphans"] > 0
+    assert out["lineitem->supplier"]["n_orphans"] > 0
+    assert out["orders->customer"]["n_orphans"] > 0
+    for r in out.values():
+        assert r["n_orphans"] < r["n_child"]
+        assert abs(
+            r["orphan_rate"] - r["n_orphans"] / r["n_child"]
+        ) < 1e-6
+
+
+def test_curriculum_positions_are_stage_ordered(spark):
+    out = rows(spark, "curriculum_order_manifest")
+    assert [r["position"] for r in out] == list(range(1, len(out) + 1))
+    stages = [r["stage"] for r in out]
+    assert stages == sorted(stages)  # easy stages first
+
+
+def test_minhash_estimate_error_bounded(spark):
+    """16 lanes → SE ≈ sqrt(J(1-J)/16) ≤ 0.125; allow 4 SE."""
+    out = rows(spark, "dedup_minhash_estimate_error")
+    assert out
+    for r in out:
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        assert r["abs_error"] <= 0.5
+    mean_err = sum(r["abs_error"] for r in out) / len(out)
+    assert mean_err <= 0.25
+
+
+def test_autocorr_in_valid_range(spark):
+    out = rows(spark, "timeseries_autocorr_by_type")
+    assert {r["lag_k"] for r in out} == {1, 7}
+    for r in out:
+        assert -1.0 - 1e-9 <= r["autocorr"] <= 1.0 + 1e-9
+        assert r["n_pairs"] >= 2
+
+
+def test_source_unigram_kl_nonnegative(spark):
+    out = rows(spark, "source_unigram_kl")
+    assert out
+    for r in out:
+        # KL over the restricted shared support can dip only ~0 from
+        # smoothing; it must never be materially negative
+        assert r["kl_to_corpus"] >= -1e-3
+        assert r["n_vocab_tokens"] > 0
+
+
+def test_json_drift_fractions_sum_to_one_per_key(spark):
+    out = rows(spark, "json_schema_drift_audit")
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["key"], 0.0)
+        by_key[r["key"]] += r["frac"]
+    for k, s in by_key.items():
+        assert abs(s - 1.0) < 1e-4, (k, s)
+
+
+def test_privacy_clamp_never_increases_rows(spark):
+    for r in rows(spark, "privacy_contribution_bounds"):
+        assert r["rows_after_clamp"] <= r["n_rows"]
+        assert r["max_user_rows"] >= math.ceil(r["p99_user_rows"]) - 1
+
+
+def test_seasonal_components_sum_near_zero(spark):
+    """Additive weekly seasonal indices average ~0 over the cycle."""
+    out = rows(spark, "seasonal_decompose_dow")
+    assert len(out) == 7
+    weighted = sum(r["seasonal"] * r["n_days"] for r in out)
+    n = sum(r["n_days"] for r in out)
+    lvl = max(abs(r["seasonal"]) for r in out) + 1.0
+    assert abs(weighted / n) <= lvl  # bounded; exact-zero not required
