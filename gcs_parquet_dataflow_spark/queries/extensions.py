@@ -9825,3 +9825,266 @@ def user_activity_entropy(spark, sf_dir):
         )
         .orderBy("entropy_bucket")
     )
+
+
+@query(
+    "behavior_sequence_surprisal",
+    """
+    WITH seq AS (SELECT user_id, event_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            AS next_type
+                 FROM events),
+    cnt AS (SELECT event_type, next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_t FROM cnt
+            GROUP BY event_type),
+    p AS (SELECT c.event_type, c.next_type,
+                 (c.n + 1) / CAST(t.n_t + 5 AS DOUBLE) AS prob
+          FROM cnt c JOIN tot t ON t.event_type = c.event_type),
+    sc AS (SELECT s.user_id,
+                  CAST(count(*) AS BIGINT) AS n_steps,
+                  round(avg(-ln(p.prob)), 6) AS mean_surprisal
+           FROM seq s JOIN p ON p.event_type = s.event_type
+                         AND p.next_type = s.next_type
+           GROUP BY s.user_id),
+    r AS (SELECT *, row_number() OVER (ORDER BY mean_surprisal DESC,
+                                       user_id) AS rk
+          FROM sc WHERE n_steps >= 5)
+    SELECT user_id, n_steps, mean_surprisal, CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 20 ORDER BY rank
+    """,
+)
+def behavior_sequence_surprisal(spark, sf_dir):
+    """Behavioral anomaly scoring by Markov surprisal: the corpus-wide
+    first-order transition model (event_transition_probs with add-one
+    smoothing over the 5 event types) scores every user's OWN
+    sequence; mean −ln P(next|cur) ranks the 20 most statistically
+    unusual users — the sequence-level abuse/bot detector that catches
+    what volume features (user_rfm_segments) and mix features
+    (user_activity_entropy) both miss: normal volumes, normal mix,
+    IMPOSSIBLE order.
+
+    Parity: transition counts are exact; the smoothed probability and
+    the per-user mean of −ln p are identical double trees rounded to
+    6; ties rank by user_id. Scale: one user-partitioned lead window
+    over raw events, a ≤ types² model table broadcast back onto the
+    transitions, one user-keyed agg, and a top-20 heap."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(WS.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    steps = seq.filter(F.col("next_type").isNotNull())
+    cnt = steps.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_t")
+    )
+    p = cnt.join(tot, "event_type").select(
+        "event_type",
+        "next_type",
+        (
+            (F.col("n") + 1) / (F.col("n_t") + 5).cast("double")
+        ).alias("prob"),
+    )
+    sc = (
+        steps.join(F.broadcast(p), ["event_type", "next_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.round(F.avg(-F.log(F.col("prob"))), 6).alias(
+                "mean_surprisal"
+            ),
+        )
+        .filter(F.col("n_steps") >= 5)
+    )
+    r = sc.withColumn(
+        "rank",
+        F.row_number()
+        .over(WS.orderBy(F.col("mean_surprisal").desc(), "user_id"))
+        .cast("long"),
+    )
+    return (
+        r.filter(F.col("rank") <= 20)
+        .select("user_id", "n_steps", "mean_surprisal", "rank")
+        .orderBy("rank")
+    )
+
+
+@query(
+    "forecast_backtest_naive",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                          AS vc
+               FROM events GROUP BY 1, 2),
+    f AS (SELECT event_type, day, vc,
+                 lag(vc, 1) OVER w AS pred_persist,
+                 lag(vc, 7) OVER w AS pred_seasonal
+          FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    b AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 round(avg(abs(CAST(vc - pred_persist AS DOUBLE)))
+                       / 100.0, 6) AS mae_persistence,
+                 round(avg(abs(CAST(vc - pred_seasonal AS DOUBLE)))
+                       / 100.0, 6) AS mae_seasonal_naive
+          FROM f WHERE pred_seasonal IS NOT NULL
+          GROUP BY event_type)
+    SELECT event_type, n_days, mae_persistence, mae_seasonal_naive,
+           CASE WHEN mae_seasonal_naive < mae_persistence
+                THEN 'seasonal_naive' ELSE 'persistence' END AS winner
+    FROM b ORDER BY event_type
+    """,
+)
+def forecast_backtest_naive(spark, sf_dir):
+    """Forecast-model BACKTEST — the honesty check every forecasting
+    pipeline needs before trusting a fancier model: walk-forward MAE
+    of the two classical baselines (persistence = yesterday's value,
+    seasonal-naive = same weekday last week) per series, scored only
+    on days where both predict, with the per-series winner. If
+    forecast_holt_linear can't beat the winner here, ship the
+    baseline. (Lag-7 winning corroborates timeseries_autocorr_by_type
+    showing lag-7 structure.)
+
+    Parity: predictions are lagged exact integers; MAE is one double
+    division per row averaged in the identical tree, rounded to 6;
+    the winner CASE compares 6-rounded values. Scale: one daily
+    rollup + one per-type ordered window — raw rows touched once."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    w = WS.partitionBy("event_type").orderBy("day")
+    f = d.select(
+        "event_type",
+        "vc",
+        F.lag("vc", 1).over(w).alias("pred_persist"),
+        F.lag("vc", 7).over(w).alias("pred_seasonal"),
+    ).filter(F.col("pred_seasonal").isNotNull())
+    b = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.avg(
+                F.abs(
+                    (F.col("vc") - F.col("pred_persist")).cast("double")
+                )
+            )
+            / 100.0,
+            6,
+        ).alias("mae_persistence"),
+        F.round(
+            F.avg(
+                F.abs(
+                    (F.col("vc") - F.col("pred_seasonal")).cast(
+                        "double"
+                    )
+                )
+            )
+            / 100.0,
+            6,
+        ).alias("mae_seasonal_naive"),
+    )
+    return b.select(
+        "event_type",
+        "n_days",
+        "mae_persistence",
+        "mae_seasonal_naive",
+        F.when(
+            F.col("mae_seasonal_naive") < F.col("mae_persistence"),
+            F.lit("seasonal_naive"),
+        )
+        .otherwise(F.lit("persistence"))
+        .alias("winner"),
+    ).orderBy("event_type")
+
+
+@query(
+    "embedding_norm_audit",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    aug AS (SELECT vec_id, v FROM e
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(v, x -> x * 0.0) AS v
+            FROM e WHERE vec_id % 50 = 0),
+    m AS (SELECT vec_id,
+                 sqrt(list_dot_product(v, v)) AS nrm,
+                 len(v) AS dim,
+                 len(list_filter(v, x -> x = 0.0)) AS n_zero
+          FROM aug)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(*) FILTER (WHERE nrm = 0.0) AS BIGINT)
+               AS n_zero_vectors,
+           CAST(count(*) FILTER (WHERE dim <> 64) AS BIGINT)
+               AS n_bad_dim,
+           round(min(nrm) FILTER (WHERE nrm > 0), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(avg(nrm), 6) AS mean_norm,
+           round(avg(n_zero / CAST(dim AS DOUBLE)), 6)
+               AS mean_zero_frac
+    FROM m
+    """,
+)
+def embedding_norm_audit(spark, sf_dir):
+    """Embedding-table ingest gate: vector-norm distribution,
+    dimension conformance, zero-component sparsity, and — the failure
+    this audit exists to catch — ALL-ZERO vectors (the classic
+    upstream encoder bug that silently poisons cosine math with
+    0/0 = NaN downstream). Zero vectors are PLANTED (every 50th
+    vector ×0) so detection is proven; any nonzero n_zero_vectors or
+    n_bad_dim in production blocks the ANN index build
+    (knn_* / dedup_embedding_* all assume nonzero 64-dim inputs).
+
+    Parity: norms are the identical dot-product/sqrt tree; zero
+    comparisons are exact; one global agg. Scale: pure map over the
+    vector column + single-row reduce — scan-stage cost, no
+    shuffle beyond the 1-row combine."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("v"), lambda x: x * 0.0).alias("v"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    m = aug.select(
+        F.sqrt(dot).alias("nrm"),
+        F.size(F.col("v")).alias("dim"),
+        F.size(F.filter(F.col("v"), lambda x: x == 0.0)).alias(
+            "n_zero"
+        ),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.count_if(F.col("nrm") == 0.0).cast("long").alias(
+            "n_zero_vectors"
+        ),
+        F.count_if(F.col("dim") != 64).cast("long").alias("n_bad_dim"),
+        F.round(
+            F.min(F.when(F.col("nrm") > 0, F.col("nrm"))), 6
+        ).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(
+            F.avg(F.col("n_zero") / F.col("dim").cast("double")), 6
+        ).alias("mean_zero_frac"),
+    )
