@@ -10088,3 +10088,99 @@ def embedding_norm_audit(spark, sf_dir):
             F.avg(F.col("n_zero") / F.col("dim").cast("double")), 6
         ).alias("mean_zero_frac"),
     )
+
+
+@query(
+    "session_window_native",
+    """
+    WITH g AS (SELECT user_id, ts,
+                      CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                             OR lag(ts) OVER w IS NULL
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sess_id
+          FROM g),
+    agg AS (SELECT user_id, sess_id,
+                   min(ts) AS session_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                       AS duration_us
+            FROM s GROUP BY user_id, sess_id),
+    r AS (SELECT user_id, session_start, n_events, duration_us,
+                 row_number() OVER (ORDER BY duration_us DESC, user_id,
+                                    session_start) AS rk
+          FROM agg)
+    SELECT user_id, session_start, n_events,
+           CAST(duration_us // 1000000 AS BIGINT) AS duration_s,
+           CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 20 ORDER BY rank
+    """,
+)
+def session_window_native(spark, sf_dir):
+    """Spark's NATIVE ``session_window`` operator (dynamic-gap session
+    aggregation inside the engine — the same operator the streaming
+    path uses, here in batch) proven equal to the classic
+    lag/island SQL construction: top-20 longest sessions with start,
+    event count, and duration. Boundary semantics verified
+    empirically: an event exactly gap-seconds after the previous one
+    MERGES (Spark merges while event_ts <= session end), so the
+    island rule is strictly-greater — identical to sessionize_events'
+    convention.
+
+    Why it matters: session_window is the one aggregation whose
+    grouping key is DATA-DEPENDENT (windows merge as rows arrive) —
+    the differential check proves the engine's merge logic against
+    first-principles SQL. Scale: one user-keyed shuffle either way;
+    session_window avoids the two window passes the island form needs.
+    Duration = session_window.end − gap − start, exactly last−first."""
+    e = t(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            (
+                F.unix_micros(F.col("sw.end").cast("timestamp"))
+                - F.lit(1800 * 1000000).cast("long")
+                - F.unix_micros(F.col("sw.start").cast("timestamp"))
+            )
+            .cast("long")
+            .alias("duration_us"),
+        )
+    )
+    from pyspark.sql import Window as WS
+
+    r = agg.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            WS.orderBy(
+                F.col("duration_us").desc(),
+                "user_id",
+                "session_start",
+            )
+        )
+        .cast("long"),
+    )
+    return (
+        r.filter(F.col("rank") <= 20)
+        .select(
+            "user_id",
+            "session_start",
+            "n_events",
+            F.floor(F.col("duration_us") / 1000000)
+            .cast("long")
+            .alias("duration_s"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
