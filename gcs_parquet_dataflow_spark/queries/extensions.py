@@ -10184,3 +10184,214 @@ def session_window_native(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "retrieval_mrr_eval",
+    f"""
+    WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w0),
+    q AS (SELECT doc_id AS query_id,
+                 {SHINGLES_SQL.replace("w", "list_slice(w, 6, 11)")} AS qh
+          FROM w0 WHERE doc_id IN (3, 7, 11, 19, 23)),
+    sc AS (SELECT q.query_id, s.doc_id,
+                  len(list_intersect(s.hs, q.qh)) AS overlap
+           FROM q JOIN sh s ON len(list_intersect(s.hs, q.qh)) > 0),
+    rk AS (SELECT query_id, doc_id, overlap,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY overlap DESC, doc_id) AS r
+           FROM sc)
+    SELECT a.query_id,
+           CAST(a.r AS BIGINT) AS relevant_rank,
+           b.doc_id AS top1_doc,
+           CAST(a.r = 1 AS BOOLEAN) AS hit_at_1,
+           CAST(a.r <= 5 AS BOOLEAN) AS hit_at_5,
+           round(1.0 / a.r, 6) AS reciprocal_rank
+    FROM rk a JOIN rk b ON b.query_id = a.query_id AND b.r = 1
+    WHERE a.doc_id = a.query_id
+    ORDER BY a.query_id
+    """,
+)
+def retrieval_mrr_eval(spark, sf_dir):
+    """Retrieval EVALUATION harness — the metric machinery (MRR,
+    hit@1, hit@5) every search/RAG pipeline needs, with planted
+    ground truth: each query is a 6-word phrase sliced from a known
+    document (words 6-11 of docs 3/7/11/19/23), so that document is
+    the known-relevant answer; candidates are scored by 3-gram
+    shingle overlap and the relevant doc's rank yields the
+    per-query reciprocal rank. The scorer is deliberately the simple
+    lexical baseline — swap in retrieval_bm25_scores or the hybrid
+    rrf_fuse and re-run the SAME metric rows to compare systems.
+
+    Parity: shingle hashes are the shared hash32; overlap counts are
+    exact integers; ties rank by doc_id. Scale: the tiny query set
+    (5×4 shingles) broadcasts against the corpus shingle scan — the
+    knn_brute_force plan shape; at corpus scale candidate generation
+    explodes shingles into the inverted-index equi-join
+    (dedup_ngram_jaccard_pairs' shape) and the metric windows are
+    per-query top-k heaps either way."""
+    from pyspark.sql import Window as WS
+
+    d = t(spark, sf_dir, "documents")
+    w0 = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    sh = w0.select(
+        "doc_id",
+        DD.word_shingle_hashes(
+            F.concat_ws(" ", F.col("w"))
+        ).alias("hs"),
+    )
+    q = (
+        w0.filter(F.col("doc_id").isin(3, 7, 11, 19, 23))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            DD.word_shingle_hashes(
+                F.concat_ws(" ", F.slice(F.col("w"), 6, 6))
+            ).alias("qh"),
+        )
+    )
+    sc = (
+        sh.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(
+                F.array_intersect(F.col("hs"), F.col("qh"))
+            ).alias("overlap"),
+        )
+        .filter(F.col("overlap") > 0)
+    )
+    rk = sc.withColumn(
+        "r",
+        F.row_number().over(
+            WS.partitionBy("query_id").orderBy(
+                F.col("overlap").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    rel = rk.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", F.col("r").alias("relevant_rank")
+    )
+    top1 = rk.filter(F.col("r") == 1).select(
+        "query_id", F.col("doc_id").alias("top1_doc")
+    )
+    return (
+        rel.join(top1, "query_id")
+        .select(
+            "query_id",
+            F.col("relevant_rank").cast("long").alias("relevant_rank"),
+            "top1_doc",
+            (F.col("relevant_rank") == 1).alias("hit_at_1"),
+            (F.col("relevant_rank") <= 5).alias("hit_at_5"),
+            F.round(1.0 / F.col("relevant_rank"), 6).alias(
+                "reciprocal_rank"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "mixture_epoch_allocation",
+    f"""
+    WITH s AS (SELECT doc_id, source, text,
+                      string_split(text, ' ') AS w FROM documents),
+    dq AS (SELECT source, len(w) AS n_tokens,
+                  round(0.4 * least(CAST(length(text) AS DOUBLE)
+                                    / 200.0, 1.0)
+                      + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                    / len(w), 6)
+                      + 0.2 * least({{stop}} * 10.0, 1.0), 6) AS quality
+           FROM s),
+    q AS (SELECT source,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                 round(avg(quality), 6) AS mean_quality
+          FROM dq GROUP BY source),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS corpus_tokens FROM q),
+    rkd AS (SELECT q.*, tot.corpus_tokens,
+                   2 * tot.corpus_tokens - tot.corpus_tokens
+                       AS extra_budget,
+                   row_number() OVER (ORDER BY mean_quality DESC, source)
+                       AS rk,
+                   coalesce(CAST(sum(3 * tokens) OVER (
+                       ORDER BY mean_quality DESC, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS cum_before
+            FROM q CROSS JOIN tot)
+    SELECT source, tokens, mean_quality, CAST(rk AS BIGINT) AS quality_rank,
+           CAST(1 + greatest(least(
+                CAST((extra_budget - cum_before) // tokens AS BIGINT),
+                3), 0) AS BIGINT) AS epochs,
+           CAST(tokens * (1 + greatest(least(
+                CAST((extra_budget - cum_before) // tokens AS BIGINT),
+                3), 0)) AS BIGINT) AS allocated_tokens
+    FROM rkd ORDER BY quality_rank
+    """.format(stop="{stop}").replace("{stop}", _stop_sql("en")),
+)
+def mixture_epoch_allocation(spark, sf_dir):
+    """Data-constrained training-mixture allocator (the
+    repeat-good-data-up-to-4-epochs recipe from the data-constrained
+    scaling literature): with a token budget of 2× the corpus, every
+    source gets one epoch and the EXTRA budget buys up to 3 more
+    whole epochs, granted greedily in mean-quality order — the
+    manifest that decides which sources get repeated when you've run
+    out of fresh data. Composes the shared quality formula with exact
+    token counts.
+
+    Parity: token counts and the greedy cumulative allocation are
+    exact integer arithmetic (floor division; the quality ORDER uses
+    the 6-rounded score with a source tie-break). Scale: one
+    source-keyed agg over the scan + windows on the tiny source
+    table; the scalar budget broadcasts."""
+    from pyspark.sql import Window as WS
+
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    q = s.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )
+    tot = q.agg(
+        F.sum("tokens").cast("long").alias("corpus_tokens")
+    )
+    w = WS.orderBy(F.col("mean_quality").desc(), "source")
+    rkd = (
+        q.crossJoin(F.broadcast(tot))
+        .withColumn("extra_budget", F.col("corpus_tokens"))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum(3 * F.col("tokens"))
+                .over(w.rowsBetween(WS.unboundedPreceding, -1))
+                .cast("long"),
+                F.lit(0),
+            ),
+        )
+    )
+    extra = F.greatest(
+        F.least(
+            F.floor(
+                (F.col("extra_budget") - F.col("cum_before"))
+                / F.col("tokens")
+            ).cast("long"),
+            F.lit(3).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
+    return rkd.select(
+        "source",
+        "tokens",
+        "mean_quality",
+        F.col("rk").cast("long").alias("quality_rank"),
+        (1 + extra).cast("long").alias("epochs"),
+        (F.col("tokens") * (1 + extra))
+        .cast("long")
+        .alias("allocated_tokens"),
+    ).orderBy("quality_rank")

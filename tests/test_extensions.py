@@ -1058,6 +1058,8 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "knn_label_eval",                  # LOO corpus × corpus exact eval baseline
         "source_unigram_kl",               # 1-row corpus-totals broadcast
         "json_schema_drift_audit",         # 1-row event-total broadcast
+        "retrieval_mrr_eval",              # broadcast query-shingles × corpus scan
+        "mixture_epoch_allocation",        # 1-row corpus-budget broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
