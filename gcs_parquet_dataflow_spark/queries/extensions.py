@@ -10395,3 +10395,234 @@ def mixture_epoch_allocation(spark, sf_dir):
         .cast("long")
         .alias("allocated_tokens"),
     ).orderBy("quality_rank")
+
+
+@query(
+    "pareto_abc_parts",
+    """
+    WITH pr AS (SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                            * (1 - l_discount) * 100) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM pr),
+    r AS (SELECT l_partkey, rev_c, tot.total_c,
+                 CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_c
+          FROM pr CROSS JOIN tot),
+    cl AS (SELECT l_partkey, rev_c,
+                  CASE WHEN cum_c <= total_c * 0.8 THEN 'A'
+                       WHEN cum_c <= total_c * 0.95 THEN 'B'
+                       ELSE 'C' END AS abc_class,
+                  total_c
+           FROM r)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev_c) / CAST(any_value(total_c) AS DOUBLE), 6)
+               AS revenue_share,
+           round(sum(rev_c) / 100.0, 6) AS revenue
+    FROM cl GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def pareto_abc_parts(spark, sf_dir):
+    """Pareto / ABC classification of parts by discounted revenue —
+    the 80/15/5 concentration analysis every inventory, catalog, and
+    corpus-curation team runs (class A = the head that earns 80% of
+    revenue, C = the long tail): per class, part counts and exact
+    revenue shares. The Gini query (inequality_gini_revenue) gives
+    one concentration NUMBER; this gives the actionable cut.
+
+    Parity: revenues are exact cents; the cumulative-share class
+    boundary compares integer cum_c against total_c×0.8/0.95 — an
+    integer-vs-double compare on identical values; ties in the
+    cumulative order break by partkey. Scale: one part-keyed agg
+    (map-side combined), then a window over the parts table ordered
+    by revenue — the one global sort is over |parts|, not |lineitem|,
+    and at 100 TB becomes a two-pass range-partitioned sort."""
+    from pyspark.sql import Window as WS
+
+    li = t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            )
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    tot = pr.agg(F.sum("rev_c").cast("long").alias("total_c"))
+    r = pr.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_c",
+        F.sum("rev_c")
+        .over(
+            WS.orderBy(F.col("rev_c").desc(), "l_partkey").rowsBetween(
+                WS.unboundedPreceding, WS.currentRow
+            )
+        )
+        .cast("long"),
+    )
+    cl = r.select(
+        "rev_c",
+        "total_c",
+        F.when(F.col("cum_c") <= F.col("total_c") * 0.8, "A")
+        .when(F.col("cum_c") <= F.col("total_c") * 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        cl.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(
+                F.sum("rev_c")
+                / F.any_value(F.col("total_c")).cast("double"),
+                6,
+            ).alias("revenue_share"),
+            F.round(F.sum("rev_c") / 100.0, 6).alias("revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@query(
+    "lang_id_confusion_matrix",
+    f"""
+    WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents),
+    sc AS (SELECT doc_id, lang,
+             {_stop_sql("en")} AS s_en, {_stop_sql("es")} AS s_es,
+             {_stop_sql("de")} AS s_de, {_stop_sql("fr")} AS s_fr
+           FROM s),
+    m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best FROM sc),
+    p AS (SELECT lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_fr = best THEN 'fr'
+                      ELSE 'und' END AS pred
+          FROM m),
+    tot AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM p
+            GROUP BY label)
+    SELECT p.label, p.pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / CAST(any_value(t.n_label) AS DOUBLE), 6)
+               AS row_frac
+    FROM p JOIN tot t ON t.label = p.label
+    GROUP BY p.label, p.pred ORDER BY p.label, p.pred
+    """,
+)
+def lang_id_confusion_matrix(spark, sf_dir):
+    """Classifier-evaluation machinery as a declared query: the
+    row-normalized confusion matrix of the stopword language-ID
+    heuristic against the fixture's lang label (the label is
+    synthetic noise, so the numbers measure the MACHINERY — per
+    (label, pred) counts and per-label recall fractions — not model
+    skill; point the same query at labeled data and it's the real
+    eval). Complements knn_label_eval (embedding-side) with the
+    text-classifier side.
+
+    Parity: predictions are the exact text_lang_id rule; counts are
+    integers, row fractions one division. Scale: per-doc scoring in
+    the scan stage, one (label,pred) agg ≤ langs² rows, label totals
+    broadcast."""
+    d = t(spark, sf_dir, "documents")
+    p = d.select(
+        F.col("lang").alias("label"),
+        TX.lang_id(F.col("text")).alias("pred"),
+    )
+    tot = p.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_label")
+    )
+    return (
+        p.groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(F.broadcast(tot), "label")
+        .select(
+            "label",
+            "pred",
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.col("n_label").cast("double"), 6
+            ).alias("row_frac"),
+        )
+        .orderBy("label", "pred")
+    )
+
+
+@query(
+    "order_to_ship_latency",
+    """
+    WITH j AS (SELECT o.o_orderpriority,
+                      CAST(epoch_us(l.l_shipdate)
+                           - epoch_us(o.o_orderdate) AS BIGINT)
+                          // 86400000000 AS lag_days
+               FROM lineitem l JOIN orders o
+                 ON o.o_orderkey = l.l_orderkey
+               WHERE l.l_shipdate >= o.o_orderdate)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 6)
+               AS p50_days,
+           round(quantile_cont(CAST(lag_days AS DOUBLE), 0.95), 6)
+               AS p95_days,
+           CAST(max(lag_days) AS BIGINT) AS max_days
+    FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_to_ship_latency(spark, sf_dir):
+    """Fulfillment-latency SLA report: order-to-ship lag percentiles
+    per order priority — the operational query that answers "do
+    URGENT orders actually ship faster?", and the standard
+    latency-percentile shape (p50/p95/max per class) every SLA
+    dashboard uses.
+
+    Parity: lags are exact integer days (microsecond epoch floor
+    division); percentiles are the interpolated definition both
+    engines share, over integer-valued doubles. Scale: the
+    lineitem⋈orders join shuffles on orderkey (the natural
+    co-location key — same plan class as q3/q12); percentile is an
+    exact sort-based agg per small priority group, with
+    quantile_histogram_rollup's mergeable-histogram form as the
+    documented wide-cardinality variant."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.floor(
+                (
+                    F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                    - F.unix_micros(
+                        F.col("o_orderdate").cast("timestamp")
+                    )
+                )
+                / (86400 * 1000000)
+            )
+            .cast("long")
+            .alias("lag_days"),
+        )
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.expr("percentile(CAST(lag_days AS DOUBLE), 0.5)"), 6
+            ).alias("p50_days"),
+            F.round(
+                F.expr("percentile(CAST(lag_days AS DOUBLE), 0.95)"),
+                6,
+            ).alias("p95_days"),
+            F.max("lag_days").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

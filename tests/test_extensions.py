@@ -1060,6 +1060,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "json_schema_drift_audit",         # 1-row event-total broadcast
         "retrieval_mrr_eval",              # broadcast query-shingles × corpus scan
         "mixture_epoch_allocation",        # 1-row corpus-budget broadcast
+        "pareto_abc_parts",                # 1-row revenue-total broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -214,3 +214,105 @@ def test_seasonal_components_sum_near_zero(spark):
     n = sum(r["n_days"] for r in out)
     lvl = max(abs(r["seasonal"]) for r in out) + 1.0
     assert abs(weighted / n) <= lvl  # bounded; exact-zero not required
+
+
+def test_surprisal_ranked_descending_and_positive(spark):
+    out = rows(spark, "behavior_sequence_surprisal")
+    assert out and [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    vals = [r["mean_surprisal"] for r in out]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v > 0 for v in vals)  # -ln p of probs < 1
+
+
+def test_forecast_backtest_winner_matches_maes(spark):
+    for r in rows(spark, "forecast_backtest_naive"):
+        if r["mae_seasonal_naive"] < r["mae_persistence"]:
+            assert r["winner"] == "seasonal_naive"
+        else:
+            assert r["winner"] == "persistence"
+        assert r["mae_persistence"] >= 0 and r["mae_seasonal_naive"] >= 0
+
+
+def test_embedding_norm_audit_finds_planted_zero_vectors(spark):
+    import duckdb
+
+    (r,) = rows(spark, "embedding_norm_audit")
+    con = duckdb.connect()
+    planted = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF}/embeddings.parquet')"
+        " WHERE vec_id % 50 = 0"
+    ).fetchone()[0]
+    assert r["n_zero_vectors"] == planted
+    assert r["n_bad_dim"] == 0
+    assert r["min_norm"] > 0 and r["max_norm"] >= r["min_norm"]
+
+
+def test_session_window_native_matches_island_sessionize_totals(spark):
+    """The native-operator query and the island query must agree on
+    the total number of sessions (same gap rule, same data)."""
+    from pyspark.sql import functions as F
+
+    native = (
+        CATALOG["session_window_native"].build(spark, SF).count()
+    )
+    assert native == 20  # top-20 contract
+    sess = CATALOG["sessionize_events"].build(spark, SF)
+    total_island = sess.agg(F.sum("n_sessions")).collect()[0][0]
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    total_native = (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes"), "user_id"
+        )
+        .count()
+        .count()
+    )
+    assert total_native == total_island
+
+
+def test_retrieval_mrr_planted_phrases_rank_first(spark):
+    out = rows(spark, "retrieval_mrr_eval")
+    assert len(out) == 5
+    for r in out:
+        # the source document contains its own query phrase verbatim →
+        # maximal overlap → rank 1 with the doc_id tie-break
+        assert r["hit_at_1"] and r["relevant_rank"] == 1
+        assert r["top1_doc"] == r["query_id"]
+        assert r["reciprocal_rank"] == 1.0
+
+
+def test_epoch_allocation_respects_budget_and_caps(spark):
+    out = rows(spark, "mixture_epoch_allocation")
+    corpus = sum(r["tokens"] for r in out)
+    allocated = sum(r["allocated_tokens"] for r in out)
+    assert allocated <= 2 * corpus  # budget = 2× corpus
+    for r in out:
+        assert 1 <= r["epochs"] <= 4
+        assert r["allocated_tokens"] == r["tokens"] * r["epochs"]
+    # greedy: epochs are non-increasing in quality rank
+    es = [r["epochs"] for r in sorted(out, key=lambda r: r["quality_rank"])]
+    assert all(a >= b for a, b in zip(es, es[1:]))
+
+
+def test_pareto_abc_shares_sum_to_one_and_head_is_small(spark):
+    out = {r["abc_class"]: r for r in rows(spark, "pareto_abc_parts")}
+    assert abs(sum(r["revenue_share"] for r in out.values()) - 1.0) < 1e-4
+    if "A" in out and "C" in out:
+        # the head class earns more per part than the tail class
+        a = out["A"]["revenue"] / out["A"]["n_parts"]
+        c = out["C"]["revenue"] / out["C"]["n_parts"]
+        assert a > c
+
+
+def test_confusion_matrix_rows_normalize(spark):
+    out = rows(spark, "lang_id_confusion_matrix")
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], 0.0)
+        by_label[r["label"]] += r["row_frac"]
+    for lbl, s in by_label.items():
+        assert abs(s - 1.0) < 1e-4, (lbl, s)
+
+
+def test_ship_latency_percentiles_ordered(spark):
+    for r in rows(spark, "order_to_ship_latency"):
+        assert 0 <= r["p50_days"] <= r["p95_days"] <= r["max_days"]
