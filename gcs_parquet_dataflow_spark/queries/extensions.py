@@ -10626,3 +10626,365 @@ def order_to_ship_latency(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "training_data_pipeline_v5",
+    f"""
+    WITH raw AS (SELECT doc_id, source,
+                        CASE WHEN doc_id % 17 = 0
+                             THEN text || ' caf' || chr(195) || chr(169)
+                                  || ' na' || chr(65533) || 've'
+                             ELSE text END AS text
+                 FROM documents WHERE text IS NOT NULL),
+    clean AS (SELECT doc_id, source, text FROM raw
+              WHERE NOT contains(text, chr(65533))
+                AND length(list_filter(string_split_regex(text, ''),
+                        c -> c >= chr(192) AND c <= chr(197))) = 0),
+    wq AS (SELECT doc_id, source, len(w) AS n_tokens,
+                  round(0.4 * least(CAST(length(text) AS DOUBLE)
+                                    / 200.0, 1.0)
+                      + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                    / len(w), 6)
+                      + 0.2 * least({{stop}} * 10.0, 1.0), 6) AS quality
+           FROM (SELECT doc_id, source, text,
+                        string_split(text, ' ') AS w FROM clean)),
+    q AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                 round(avg(quality), 6) AS mean_quality
+          FROM wq GROUP BY source),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS corpus_tokens FROM q),
+    alloc AS (SELECT q.source,
+                     1 + greatest(least(CAST((tot.corpus_tokens
+                         - coalesce(CAST(sum(3 * q.tokens) OVER (
+                             ORDER BY q.mean_quality DESC, q.source
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS BIGINT), 0))
+                         // q.tokens AS BIGINT), 3), 0) AS epochs
+              FROM q CROSS JOIN tot),
+    st AS (SELECT w.doc_id, w.source, w.quality, w.n_tokens,
+                  a.epochs,
+                  CASE WHEN w.quality >= 0.75 THEN 1
+                       WHEN w.quality >= 0.5 THEN 2
+                       ELSE 3 END AS stage,
+                  CAST('0x' || substr(md5('curriculum-v1:'
+                       || CAST(w.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                      AS h
+           FROM wq w JOIN alloc a ON a.source = w.source),
+    r AS (SELECT doc_id, source, quality, n_tokens, stage, epochs,
+                 CAST(row_number() OVER (ORDER BY stage, h, doc_id)
+                      AS BIGINT) AS position
+          FROM st)
+    SELECT position, doc_id, source, CAST(stage AS BIGINT) AS stage,
+           quality, n_tokens, CAST(epochs AS BIGINT) AS epochs
+    FROM r WHERE position <= 50 ORDER BY position
+    """.format(stop="{stop}").replace("{stop}", _stop_sql("en")),
+)
+def training_data_pipeline_v5(spark, sf_dir):
+    """Round-5 capstone composition — the INGEST-HEALTH + SCHEDULING
+    half of corpus preparation, chaining this round's gates into one
+    plan: encoding gate (drop mojibake/U+FFFD docs — the planted
+    defects provably fall out) → shared quality scoring →
+    curriculum staging (0.75/0.5 cutoffs, deterministic within-stage
+    shuffle) → per-source data-constrained epoch allocation (greedy
+    quality-ordered repeats under the 2× budget) → one training
+    manifest (position, doc, source, stage, quality, tokens, epochs).
+    v3/v4 cover the CONTENT pipeline (dedup/decontamination/extraction);
+    v5 is the scheduling layer a trainer consumes after them.
+
+    Scale shape: the gate and scoring are scan-stage Column chains;
+    the allocation runs on the tiny source table (scalar budget
+    broadcast); the only corpus-wide shuffle is the manifest
+    row_number — per-shard positions + shard offsets at 100 TB, same
+    contract."""
+    from pyspark.sql import Window as WS
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    raw = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.col("text"), F.lit(" cafÃ© na�ve")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = raw.filter(
+        (~F.col("text").contains("�"))
+        & (F.regexp_count(F.col("text"), F.lit("[À-Å]")) == 0)
+    )
+    wq = clean.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    q = wq.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )
+    tot = q.agg(F.sum("tokens").cast("long").alias("corpus_tokens"))
+    w = WS.orderBy(F.col("mean_quality").desc(), "source")
+    alloc = (
+        q.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum(3 * F.col("tokens"))
+                .over(w.rowsBetween(WS.unboundedPreceding, -1))
+                .cast("long"),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "source",
+            (
+                1
+                + F.greatest(
+                    F.least(
+                        F.floor(
+                            (
+                                F.col("corpus_tokens")
+                                - F.col("cum_before")
+                            )
+                            / F.col("tokens")
+                        ).cast("long"),
+                        F.lit(3).cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("epochs"),
+        )
+    )
+    st = wq.join(F.broadcast(alloc), "source").select(
+        "doc_id",
+        "source",
+        "quality",
+        "n_tokens",
+        "epochs",
+        F.when(F.col("quality") >= 0.75, 1)
+        .when(F.col("quality") >= 0.5, 2)
+        .otherwise(3)
+        .alias("stage"),
+        TX.hash32(
+            F.concat(
+                F.lit("curriculum-v1:"), F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+    )
+    r = st.withColumn(
+        "position",
+        F.row_number()
+        .over(WS.orderBy("stage", "h", "doc_id"))
+        .cast("long"),
+    )
+    return (
+        r.filter(F.col("position") <= 50)
+        .select(
+            "position",
+            "doc_id",
+            "source",
+            F.col("stage").cast("long").alias("stage"),
+            "quality",
+            "n_tokens",
+            F.col("epochs").cast("long").alias("epochs"),
+        )
+        .orderBy("position")
+    )
+
+
+@query(
+    "attribution_linear_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             count(*) FILTER (WHERE event_type <> 'purchase')
+                 OVER w AS n_prev,
+             count(*) FILTER (WHERE event_type = 'view') OVER w AS c_view,
+             count(*) FILTER (WHERE event_type = 'click') OVER w AS c_click,
+             count(*) FILTER (WHERE event_type = 'signup') OVER w AS c_signup,
+             count(*) FILTER (WHERE event_type = 'error') OVER w AS c_error
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (SELECT n_prev, c_view, c_click, c_signup, c_error FROM seq
+          WHERE event_type = 'purchase'),
+    credit AS (
+      SELECT 'view' AS touch_type,
+             sum(CASE WHEN n_prev > 0
+                      THEN c_view / CAST(n_prev AS DOUBLE) END) AS credit
+      FROM p
+      UNION ALL
+      SELECT 'click', sum(CASE WHEN n_prev > 0
+                               THEN c_click / CAST(n_prev AS DOUBLE) END)
+      FROM p
+      UNION ALL
+      SELECT 'signup', sum(CASE WHEN n_prev > 0
+                                THEN c_signup / CAST(n_prev AS DOUBLE) END)
+      FROM p
+      UNION ALL
+      SELECT 'error', sum(CASE WHEN n_prev > 0
+                               THEN c_error / CAST(n_prev AS DOUBLE) END)
+      FROM p
+      UNION ALL
+      SELECT 'none', CAST(count(*) FILTER (WHERE n_prev = 0) AS DOUBLE)
+      FROM p),
+    tt AS (SELECT sum(credit) AS tot FROM credit)
+    SELECT c.touch_type, round(c.credit, 6) AS credit,
+           round(c.credit / tt.tot, 6) AS share
+    FROM credit c CROSS JOIN tt
+    WHERE c.credit IS NOT NULL AND c.credit > 0
+    ORDER BY c.touch_type
+    """,
+)
+def attribution_linear_touch(spark, sf_dir):
+    """LINEAR multi-touch attribution — the fractional-credit
+    companion to attribution_last_touch: each purchase splits one
+    unit of credit EQUALLY across all the user's preceding
+    non-purchase touches (purchases with no preceding touch credit
+    'none'), rolled up to credited-type totals and shares. Last-touch
+    over-credits the final click; linear is the standard corrective
+    every marketing-mix comparison runs alongside it.
+
+    Parity: per-purchase type counts come from the same total-ordered
+    window frame as last-touch; credits are exact-integer ratios
+    summed in the identical tree, rounded to 6. Total credit equals
+    the purchase count — the conservation invariant the test asserts.
+    Scale: ONE user-partitioned window pass computing five running
+    counts over the same frame, then a 5-row rollup."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        WS.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(WS.unboundedPreceding, -1)
+    )
+    cnt = lambda typ: F.count(
+        F.when(F.col("event_type") == typ, F.lit(1))
+    ).over(w)
+    seq = e.select(
+        "event_type",
+        F.count(F.when(F.col("event_type") != "purchase", F.lit(1)))
+        .over(w)
+        .alias("n_prev"),
+        cnt("view").alias("c_view"),
+        cnt("click").alias("c_click"),
+        cnt("signup").alias("c_signup"),
+        cnt("error").alias("c_error"),
+    )
+    p = seq.filter(F.col("event_type") == "purchase")
+
+    def credit(col, name):
+        return p.agg(
+            F.lit(name).alias("touch_type"),
+            F.sum(
+                F.when(
+                    F.col("n_prev") > 0,
+                    F.col(col) / F.col("n_prev").cast("double"),
+                )
+            ).alias("credit"),
+        )
+
+    none_row = p.agg(
+        F.lit("none").alias("touch_type"),
+        F.count_if(F.col("n_prev") == 0)
+        .cast("double")
+        .alias("credit"),
+    )
+    cr = (
+        credit("c_view", "view")
+        .unionByName(credit("c_click", "click"))
+        .unionByName(credit("c_signup", "signup"))
+        .unionByName(credit("c_error", "error"))
+        .unionByName(none_row)
+    )
+    tt = cr.agg(F.sum("credit").alias("tot"))
+    return (
+        cr.crossJoin(F.broadcast(tt))
+        .filter(F.col("credit").isNotNull() & (F.col("credit") > 0))
+        .select(
+            "touch_type",
+            F.round(F.col("credit"), 6).alias("credit"),
+            F.round(F.col("credit") / F.col("tot"), 6).alias("share"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@query(
+    "dedup_lsh_precision_recall",
+    f"""
+    WITH aug AS ({AUG_NEAR_SQL}),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w0),
+    sig AS (SELECT doc_id, hs, [{", ".join(MINHASH_SQL)}] AS sg FROM sh),
+    pred AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             WHERE len([j for j in range(8)
+                        if a.sg[2*j+1] = b.sg[2*j+1]
+                       AND a.sg[2*j+2] = b.sg[2*j+2]]) > 0),
+    truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.hs, b.hs))
+                    / CAST(len(a.hs) + len(b.hs)
+                           - len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                    >= {JACCARD_THRESHOLD}),
+    hit AS (SELECT count(*) AS n_hit FROM pred p
+            JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b),
+    np AS (SELECT count(*) AS n_pred FROM pred),
+    nt AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT CAST(nt.n_truth AS BIGINT) AS n_truth,
+           CAST(np.n_pred AS BIGINT) AS n_pred,
+           CAST(hit.n_hit AS BIGINT) AS n_hit,
+           round(hit.n_hit / CAST(np.n_pred AS DOUBLE), 6) AS precision,
+           round(hit.n_hit / CAST(nt.n_truth AS DOUBLE), 6) AS recall
+    FROM hit CROSS JOIN np CROSS JOIN nt
+    """,
+)
+def dedup_lsh_precision_recall(spark, sf_dir):
+    """Set-level LSH dedup evaluation: precision and recall of the
+    8-band MinHash candidate pairs against the EXACT Jaccard ≥ 0.5
+    ground truth on the planted corpus — the one-row report that
+    tells you whether a band/row configuration is catching the
+    near-dups it must (recall) without flooding the verifier
+    (precision). Completes the sketch-eval triad:
+    dedup_minhash_estimate_error calibrates the estimator per pair,
+    knn_lsh_recall evaluates ANN, this evaluates the DEDUP decision
+    set.
+
+    Parity: both pair sets are exact integer constructions from the
+    shared constants; counts and the two ratios are deterministic.
+    Scale: the Spark side generates candidates via the banded
+    equi-join and the truth set via the shingle inverted index —
+    both |docs|×k shuffles; only the oracle does the O(n²)
+    definition."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    pred = DD.lsh_candidate_pairs(
+        sigs, "doc_id", "sig", rows_per_band=2
+    ).select("id_a", "id_b")
+    truth = DD.jaccard_pairs_from_text(
+        aug, "doc_id", "text", threshold=JACCARD_THRESHOLD, k=3
+    ).select("id_a", "id_b")
+    hit = pred.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    np_ = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return (
+        hit.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n_truth",
+            "n_pred",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.col("n_pred").cast("double"), 6
+            ).alias("precision"),
+            F.round(
+                F.col("n_hit") / F.col("n_truth").cast("double"), 6
+            ).alias("recall"),
+        )
+    )

@@ -1061,6 +1061,9 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "retrieval_mrr_eval",              # broadcast query-shingles × corpus scan
         "mixture_epoch_allocation",        # 1-row corpus-budget broadcast
         "pareto_abc_parts",                # 1-row revenue-total broadcast
+        "attribution_linear_touch",        # 1-row credit-total broadcast
+        "dedup_lsh_precision_recall",      # 1×1×1 scalar count combination
+        "training_data_pipeline_v5",       # 1-row corpus-budget broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

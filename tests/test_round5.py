@@ -316,3 +316,33 @@ def test_confusion_matrix_rows_normalize(spark):
 def test_ship_latency_percentiles_ordered(spark):
     for r in rows(spark, "order_to_ship_latency"):
         assert 0 <= r["p50_days"] <= r["p95_days"] <= r["max_days"]
+
+
+def test_linear_attribution_conserves_credit(spark):
+    from pyspark.sql import functions as F
+
+    out = rows(spark, "attribution_linear_touch")
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    n_purchases = e.filter(F.col("event_type") == "purchase").count()
+    total_credit = sum(r["credit"] for r in out)
+    assert abs(total_credit - n_purchases) < 1e-3  # conservation
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-4
+
+
+def test_lsh_precision_recall_catches_planted_dups(spark):
+    (r,) = rows(spark, "dedup_lsh_precision_recall")
+    assert r["n_truth"] > 0  # planted near-dups form the truth set
+    assert r["recall"] == 1.0  # 8×2 banding must catch J≈0.9 pairs
+    assert 0.0 < r["precision"] <= 1.0
+    assert r["n_hit"] <= min(r["n_pred"], r["n_truth"])
+
+
+def test_pipeline_v5_manifest_contract(spark):
+    out = rows(spark, "training_data_pipeline_v5")
+    assert [r["position"] for r in out] == list(range(1, len(out) + 1))
+    for r in out:
+        assert r["doc_id"] % 17 != 0  # planted mojibake docs gated out
+        assert 1 <= r["epochs"] <= 4
+        assert r["stage"] in (1, 2, 3)
+    stages = [r["stage"] for r in out]
+    assert stages == sorted(stages)
