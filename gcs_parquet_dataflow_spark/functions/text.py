@@ -293,3 +293,20 @@ def strip_html_sql(x: str) -> str:
         ch_sql = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{ch_sql}')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def encoding_ok(col: Column) -> Column:
+    """True iff the text shows no signs of encoding damage: no U+FFFD
+    replacement character (lossy decode) and no Latin-1-supplement
+    mojibake lead bytes À-Å (the 'Ã©'-style double-decode signature).
+
+    The Column form of the text_mojibake_audit / pipeline-v5 gate —
+    exposed here so the recipe stage, the audit query, and any ad-hoc
+    filter share one definition. DuckDB twin:
+    ``NOT contains(text, chr(65533)) AND length(list_filter(
+    string_split_regex(text, ''), c -> c >= chr(192) AND
+    c <= chr(197))) = 0``.
+    """
+    return (~col.contains("�")) & (
+        F.regexp_count(col, F.lit("[À-Å]")) == 0
+    )

@@ -57,6 +57,32 @@ def _stage_quality_gate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     )
 
 
+def _stage_encoding_gate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    return df.filter(TX.encoding_ok(F.col(ctx["text_col"])))
+
+
+def _stage_curriculum_annotate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    """stage 1..3 by quality cutoffs + the deterministic within-stage
+    shuffle key (the curriculum_order_manifest discipline); positions
+    are assigned downstream per shard + offset, so the stage stays
+    scan-only and streamable."""
+    hi = float(p.get("hi", 0.75))
+    lo = float(p.get("lo", 0.5))
+    q = TX.quality_score(F.col(ctx["text_col"]))
+    return df.withColumn(
+        p.get("out", "stage"),
+        F.when(q >= hi, 1).when(q >= lo, 2).otherwise(3),
+    ).withColumn(
+        p.get("shuffle_out", "shuffle_key"),
+        TX.hash32(
+            F.concat(
+                F.lit(str(p.get("salt", "curriculum-v1")) + ":"),
+                F.col(ctx["id_col"]).cast("string"),
+            )
+        ),
+    )
+
+
 def _stage_lang_annotate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     return df.withColumn(p.get("out", "lang_id"), TX.lang_id(F.col(ctx["text_col"])))
 
@@ -112,6 +138,8 @@ STAGES: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
     "filter_in": _stage_filter_in,
     "length_gate": _stage_length_gate,
     "quality_gate": _stage_quality_gate,
+    "encoding_gate": _stage_encoding_gate,
+    "curriculum_annotate": _stage_curriculum_annotate,
     "lang_annotate": _stage_lang_annotate,
     "pii_scrub": _stage_pii_scrub,
     "html_extract": _stage_html_extract,
@@ -166,6 +194,8 @@ STREAMABLE_STAGES = {
     "filter_in",
     "length_gate",
     "quality_gate",
+    "encoding_gate",
+    "curriculum_annotate",
     "lang_annotate",
     "pii_scrub",
     "html_extract",

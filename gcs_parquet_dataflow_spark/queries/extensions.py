@@ -10709,10 +10709,7 @@ def training_data_pipeline_v5(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    clean = raw.filter(
-        (~F.col("text").contains("�"))
-        & (F.regexp_count(F.col("text"), F.lit("[À-Å]")) == 0)
-    )
+    clean = raw.filter(TX.encoding_ok(F.col("text")))
     wq = clean.select(
         "doc_id",
         "source",

@@ -138,3 +138,42 @@ def test_streamable_recipe_matches_batch_and_rejects_corpus_stages(
 
     with pytest.raises(Exception, match="not streamable"):
         validate_streamable(recipe + [{"op": "dedup_minhash"}])
+
+
+def test_encoding_gate_and_curriculum_stages(spark):
+    """Round-5 stages: the encoding gate drops exactly the damaged
+    docs; curriculum_annotate adds deterministic stage + shuffle-key
+    columns; both run per micro-batch (streamable set)."""
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.plans.recipe import (
+        STREAMABLE_STAGES,
+        compile_recipe,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean text with enough words here"),
+            (2, "lossy decode � inside"),
+            (3, "double decoded cafÃ© here"),
+            (4, "another clean document text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = compile_recipe(
+        df,
+        [
+            {"op": "encoding_gate"},
+            {"op": "curriculum_annotate", "hi": 0.9, "lo": 0.2},
+        ],
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 4}  # 2 (U+FFFD) and 3 (mojibake) gated
+    for r in rows.values():
+        assert r["stage"] in (1, 2, 3)
+        assert isinstance(r["shuffle_key"], int)
+    # deterministic: same input -> same shuffle keys
+    again = {r["doc_id"]: r["shuffle_key"] for r in out.collect()}
+    assert {k: v["shuffle_key"] for k, v in rows.items()} == again
+    assert "encoding_gate" in STREAMABLE_STAGES
+    assert "curriculum_annotate" in STREAMABLE_STAGES

@@ -168,6 +168,14 @@ def main() -> None:
 
         timed("user_window", sess)
 
+        # native data-dependent session aggregation (round-5 surface)
+        def native_sessions():
+            ev.groupBy(
+                F.session_window(F.col("ts"), "30 minutes"), "user_id"
+            ).count().groupBy().agg(F.count(F.lit(1))).collect()
+
+        timed("session_window_native", native_sessions)
+
         print(
             json.dumps(
                 {
