@@ -10985,3 +10985,169 @@ def dedup_lsh_precision_recall(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "experiment_srm_check",
+    f"""
+    WITH a AS (SELECT user_id,
+                      {h32("CAST(user_id AS VARCHAR)")} % 2 AS variant
+               FROM events GROUP BY user_id),
+    g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users
+          FROM a GROUP BY variant),
+    w AS (SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+                 max(CASE WHEN variant = 1 THEN n_users END) AS n1
+          FROM g)
+    SELECT n0, n1,
+           round((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0)
+               + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0), 6) AS chi2,
+           CAST(((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0)
+               + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0)) > 3.841 AS BOOLEAN) AS srm_alarm
+    FROM w
+    """,
+)
+def experiment_srm_check(spark, sf_dir):
+    """Sample-Ratio-Mismatch check — the FIRST gate of every
+    experiment readout (an arm-size imbalance beyond chance means the
+    assignment or logging is broken and every downstream metric is
+    untrustworthy): chi-square of the observed arm sizes against the
+    designed 50/50, alarmed at the 0.05 critical value (3.841, df=1).
+    On the deterministic hash split this must NOT alarm — the
+    assignment-health invariant the test asserts; run the same query
+    on production assignments to catch redirect losses and logging
+    drops.
+
+    Parity: arm counts are exact; chi2 is one shared double tree.
+    Scale: one user-keyed agg + a 2-row pivot — nothing above
+    |users|."""
+    e = t(spark, sf_dir, "events")
+    a = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            (TX.hash32(F.col("user_id").cast("string")) % 2).alias(
+                "variant"
+            )
+        )
+    )
+    g = a.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias(
+            "n0"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias(
+            "n1"
+        ),
+    )
+    exp = (F.col("n0") + F.col("n1")) / 2.0
+    chi2 = (F.col("n0") - exp) * (F.col("n0") - exp) / exp + (
+        F.col("n1") - exp
+    ) * (F.col("n1") - exp) / exp
+    return w.select(
+        "n0",
+        "n1",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_alarm"),
+    )
+
+
+@query(
+    "embedding_dimension_variance",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    x AS (SELECT d.dim, e.v[d.dim + 1] AS val
+          FROM e CROSS JOIN (SELECT unnest(range(64)) AS dim) d),
+    s AS (SELECT dim, count(*) AS n, sum(val) AS sx,
+                 sum(val * val) AS sxx
+          FROM x GROUP BY dim),
+    vr AS (SELECT dim, (sxx - sx * sx / n) / n AS variance FROM s),
+    tot AS (SELECT sum(variance) AS total_var FROM vr),
+    r AS (SELECT dim, variance, total_var,
+                 row_number() OVER (ORDER BY variance DESC, dim) AS rk,
+                 sum(variance) OVER (ORDER BY variance DESC, dim
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_var
+          FROM vr CROSS JOIN tot)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(variance, 6) AS variance,
+           round(variance / total_var, 6) AS var_share,
+           round(cum_var / total_var, 6) AS cum_share,
+           CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 16 ORDER BY rank
+    """,
+)
+def embedding_dimension_variance(spark, sf_dir):
+    """Per-dimension variance spectrum of the embedding table — the
+    PCA-lite diagnostic (exact marginal variances, no rotation) that
+    answers "how many dimensions carry the energy?": top-16 dims with
+    variance shares and the cumulative curve. A fast-decaying
+    spectrum means aggressive PQ/IVF compression is safe
+    (knn_pq_adc's codebooks); a dead-flat one means the encoder is
+    undertrained; a single dominant dim is the classic
+    un-normalized-feature bug.
+
+    Parity: population variance from exact double sums over the same
+    values, one division; ranks tie-break by dim. Scale: posexplode →
+    64-key hash agg with map-side partials (the explode is 64 rows
+    per vector but they combine in-partition before any shuffle);
+    windows over the 64-row table."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        )
+    )
+    s = e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("sx"),
+        F.sum(F.col("val") * F.col("val")).alias("sxx"),
+    )
+    vr = s.select(
+        "dim",
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / F.col("n")
+        ).alias("variance"),
+    )
+    tot = vr.agg(F.sum("variance").alias("total_var"))
+    r = (
+        vr.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                WS.orderBy(F.col("variance").desc(), "dim")
+            ),
+        )
+        .withColumn(
+            "cum_var",
+            F.sum("variance").over(
+                WS.orderBy(
+                    F.col("variance").desc(), "dim"
+                ).rowsBetween(WS.unboundedPreceding, WS.currentRow)
+            ),
+        )
+    )
+    return (
+        r.filter(F.col("rk") <= 16)
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("variance"), 6).alias("variance"),
+            F.round(
+                F.col("variance") / F.col("total_var"), 6
+            ).alias("var_share"),
+            F.round(F.col("cum_var") / F.col("total_var"), 6).alias(
+                "cum_share"
+            ),
+            F.col("rk").cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )

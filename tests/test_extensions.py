@@ -1064,6 +1064,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "attribution_linear_touch",        # 1-row credit-total broadcast
         "dedup_lsh_precision_recall",      # 1×1×1 scalar count combination
         "training_data_pipeline_v5",       # 1-row corpus-budget broadcast
+        "embedding_dimension_variance",    # 1-row total-variance broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -346,3 +346,19 @@ def test_pipeline_v5_manifest_contract(spark):
         assert r["stage"] in (1, 2, 3)
     stages = [r["stage"] for r in out]
     assert stages == sorted(stages)
+
+
+def test_srm_does_not_alarm_on_clean_hash_split(spark):
+    (r,) = rows(spark, "experiment_srm_check")
+    assert not r["srm_alarm"]  # deterministic hash split is balanced
+    assert r["n0"] + r["n1"] > 0 and r["chi2"] >= 0
+
+
+def test_dimension_variance_shares_well_formed(spark):
+    out = rows(spark, "embedding_dimension_variance")
+    assert len(out) == 16
+    vs = [r["variance"] for r in out]
+    assert vs == sorted(vs, reverse=True)
+    assert all(v >= 0 for v in vs)
+    cs = [r["cum_share"] for r in out]
+    assert cs == sorted(cs) and cs[-1] <= 1.0 + 1e-6
