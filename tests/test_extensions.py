@@ -1065,6 +1065,8 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "dedup_lsh_precision_recall",      # 1×1×1 scalar count combination
         "training_data_pipeline_v5",       # 1-row corpus-budget broadcast
         "embedding_dimension_variance",    # 1-row total-variance broadcast
+        "release_gate_scoreboard",         # 1×1×1×1 scalar audit combination
+        "text_tfidf_cosine_pairs",         # 1-row corpus-size broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

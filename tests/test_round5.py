@@ -362,3 +362,23 @@ def test_dimension_variance_shares_well_formed(spark):
     assert all(v >= 0 for v in vs)
     cs = [r["cum_share"] for r in out]
     assert cs == sorted(cs) and cs[-1] <= 1.0 + 1e-6
+
+
+def test_release_gate_passes_on_clean_fixtures(spark):
+    (r,) = rows(spark, "release_gate_scoreboard")
+    assert r["release_ok"]
+    assert r["n_fk_orphans"] == 0
+    assert r["n_encoding_damaged"] == 0
+    assert r["n_zero_vectors"] == 0
+    assert not r["srm_alarm"]
+
+
+def test_tfidf_pairs_are_symmetric_free_and_high(spark):
+    out = rows(spark, "text_tfidf_cosine_pairs")
+    assert out  # the fixture's natural template near-dups
+    seen = set()
+    for r in out:
+        assert r["id_a"] < r["id_b"]  # canonical orientation, no dupes
+        assert r["cosine"] >= 0.9
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
