@@ -11409,3 +11409,172 @@ def release_gate_scoreboard(spark, sf_dir):
             ).alias("release_ok"),
         )
     )
+
+
+@query(
+    "experiment_power_mde",
+    f"""
+    WITH u AS (SELECT user_id,
+                      {h32("CAST(user_id AS VARCHAR)")} % 2 AS variant,
+                      CAST(coalesce(sum(CAST(round(value*100) AS BIGINT)),
+                           0) AS DOUBLE) AS y
+               FROM events GROUP BY user_id),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 avg(y) AS mu,
+                 (sum(y*y) - sum(y)*sum(y)/count(*)) / count(*) AS var_y
+          FROM u)
+    SELECT n, round(mu / 100.0, 6) AS mean_revenue,
+           round(sqrt(var_y) / 100.0, 6) AS sd_revenue,
+           round((1.959964 + 0.841621) * sqrt(2 * var_y / (n / 2.0))
+                 / 100.0, 6) AS mde_absolute,
+           round((1.959964 + 0.841621) * sqrt(2 * var_y / (n / 2.0))
+                 / mu, 6) AS mde_relative
+    FROM s
+    """,
+)
+def experiment_power_mde(spark, sf_dir):
+    """Experiment POWER PLANNING from observed data: the minimum
+    detectable effect (80% power, two-sided α=0.05, z-approximation
+    MDE = (z_{{α/2}}+z_{{β}})·sqrt(2σ²/n_arm)) on per-user revenue at
+    the current traffic — the number that tells a team whether the
+    test they're about to run can possibly succeed, computed BEFORE
+    burning two weeks of traffic. Completes the experimentation
+    suite: SRM (assignment health) → power/MDE (design) → z-test /
+    CUPED (readout).
+
+    Parity: population variance from exact-cents sums; the z
+    constants are shared literals; everything else is one double
+    tree. Scale: one user-keyed agg + a single-row reduce."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(cents(F.col("value"))), F.lit(0))
+        .cast("double")
+        .alias("y")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("y").alias("mu"),
+        (
+            (
+                F.sum(F.col("y") * F.col("y"))
+                - F.sum("y") * F.sum("y") / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1))
+        ).alias("var_y"),
+    )
+    z = 1.959964 + 0.841621
+    mde = z * F.sqrt(2 * F.col("var_y") / (F.col("n") / 2.0))
+    return s.select(
+        "n",
+        F.round(F.col("mu") / 100.0, 6).alias("mean_revenue"),
+        F.round(F.sqrt(F.col("var_y")) / 100.0, 6).alias(
+            "sd_revenue"
+        ),
+        F.round(mde / 100.0, 6).alias("mde_absolute"),
+        F.round(mde / F.col("mu"), 6).alias("mde_relative"),
+    )
+
+
+@query(
+    "filter_agreement_matrix",
+    f"""
+    WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT doc_id,
+                 CAST(round(0.4 * least(CAST(length(text) AS DOUBLE)
+                                        / 200.0, 1.0)
+                     + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                   / len(w), 6)
+                     + 0.2 * least({{stop}} * 10.0, 1.0), 6) >= 0.5
+                      AS INT) AS gate_quality,
+                 CAST(round(CAST(len(list_distinct(w)) AS DOUBLE)
+                            / len(w), 6) >= 0.5 AS INT) AS gate_diversity,
+                 CAST(length(text) BETWEEN 100 AND 2000 AS INT)
+                     AS gate_length
+          FROM s),
+    pairs AS (
+      SELECT 'quality~diversity' AS pair, gate_quality AS a,
+             gate_diversity AS b FROM g
+      UNION ALL
+      SELECT 'quality~length', gate_quality, gate_length FROM g
+      UNION ALL
+      SELECT 'diversity~length', gate_diversity, gate_length FROM g),
+    m AS (SELECT pair,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) FILTER (WHERE a = b) AS BIGINT) AS n_agree,
+                 avg(CAST(a AS DOUBLE)) AS pa,
+                 avg(CAST(b AS DOUBLE)) AS pb
+          FROM pairs GROUP BY pair)
+    SELECT pair, n, n_agree,
+           round(n_agree / CAST(n AS DOUBLE), 6) AS po,
+           round((n_agree / CAST(n AS DOUBLE)
+                  - (pa * pb + (1 - pa) * (1 - pb)))
+                 / (1 - (pa * pb + (1 - pa) * (1 - pb))), 6) AS kappa
+    FROM m ORDER BY pair
+    """.format(stop="{stop}").replace("{stop}", _stop_sql("en")),
+)
+def filter_agreement_matrix(spark, sf_dir):
+    """Curation-filter AGREEMENT analysis: pairwise observed agreement
+    and Cohen's kappa between three binary document gates (composite
+    quality ≥ 0.5, lexical diversity ≥ 0.5, length band 100-2000) —
+    the redundancy check before stacking filters in a pipeline:
+    kappa ≈ 1 means a gate adds nothing over its partner (drop it),
+    kappa ≈ 0 means independent signals (keep both), and chance
+    agreement is properly discounted where raw overlap (po) lies.
+
+    Parity: gates are exact threshold comparisons on 6-rounded
+    values; po/pe/kappa are one shared double tree over exact counts.
+    Scale: per-doc gating in the scan stage, a 3×|docs| fan-out that
+    map-side combines into a 3-row matrix."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    g = d.select(
+        (TX.quality_score(F.col("text")) >= 0.5)
+        .cast("int")
+        .alias("gate_quality"),
+        (TX.distinct_token_ratio(F.col("text")) >= 0.5)
+        .cast("int")
+        .alias("gate_diversity"),
+        F.length(F.col("text")).between(100, 2000)
+        .cast("int")
+        .alias("gate_length"),
+    )
+    pairs = (
+        g.select(
+            F.lit("quality~diversity").alias("pair"),
+            F.col("gate_quality").alias("a"),
+            F.col("gate_diversity").alias("b"),
+        )
+        .unionByName(
+            g.select(
+                F.lit("quality~length").alias("pair"),
+                F.col("gate_quality").alias("a"),
+                F.col("gate_length").alias("b"),
+            )
+        )
+        .unionByName(
+            g.select(
+                F.lit("diversity~length").alias("pair"),
+                F.col("gate_diversity").alias("a"),
+                F.col("gate_length").alias("b"),
+            )
+        )
+    )
+    m = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("a") == F.col("b"))
+        .cast("long")
+        .alias("n_agree"),
+        F.avg(F.col("a").cast("double")).alias("pa"),
+        F.avg(F.col("b").cast("double")).alias("pb"),
+    )
+    pe = F.col("pa") * F.col("pb") + (1 - F.col("pa")) * (
+        1 - F.col("pb")
+    )
+    po = F.col("n_agree") / F.col("n").cast("double")
+    return m.select(
+        "pair",
+        "n",
+        "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    ).orderBy("pair")

@@ -382,3 +382,25 @@ def test_tfidf_pairs_are_symmetric_free_and_high(spark):
         assert r["cosine"] >= 0.9
         assert (r["id_a"], r["id_b"]) not in seen
         seen.add((r["id_a"], r["id_b"]))
+
+
+def test_power_mde_positive_and_scales_with_sd(spark):
+    (r,) = rows(spark, "experiment_power_mde")
+    assert r["mde_absolute"] > 0 and r["mde_relative"] > 0
+    assert r["sd_revenue"] > 0
+    # MDE formula consistency: mde = 2.801585*sqrt(2*var/(n/2))
+    import math
+
+    expect = 2.801585 * math.sqrt(
+        2 * (r["sd_revenue"] ** 2) / (r["n"] / 2.0)
+    )
+    assert abs(r["mde_absolute"] - expect) < 2e-2 * expect + 1e-4
+
+
+def test_filter_agreement_kappa_bounded(spark):
+    out = rows(spark, "filter_agreement_matrix")
+    assert len(out) == 3
+    for r in out:
+        assert 0.0 <= r["po"] <= 1.0
+        assert -1.0 - 1e-9 <= r["kappa"] <= 1.0 + 1e-9
+        assert r["n_agree"] <= r["n"]
