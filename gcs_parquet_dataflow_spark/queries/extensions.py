@@ -11578,3 +11578,97 @@ def filter_agreement_matrix(spark, sf_dir):
         F.round(po, 6).alias("po"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
     ).orderBy("pair")
+
+
+@query(
+    "quality_threshold_tradeoff",
+    f"""
+    WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents WHERE text IS NOT NULL),
+    dq AS (SELECT len(w) AS n_tokens,
+                  round(0.4 * least(CAST(length(text) AS DOUBLE)
+                                    / 200.0, 1.0)
+                      + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                    / len(w), 6)
+                      + 0.2 * least({{stop}} * 10.0, 1.0), 6) AS quality
+           FROM s),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM dq),
+    th AS (SELECT CAST(unnest([0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6,
+                               0.7, 0.8]) AS DOUBLE) AS threshold),
+    c AS (SELECT th.threshold,
+                 CAST(count(*) FILTER (WHERE dq.quality >= th.threshold)
+                      AS BIGINT) AS docs_kept,
+                 CAST(coalesce(sum(dq.n_tokens)
+                      FILTER (WHERE dq.quality >= th.threshold), 0)
+                      AS BIGINT) AS tokens_kept
+          FROM dq CROSS JOIN th GROUP BY th.threshold)
+    SELECT c.threshold, c.docs_kept, c.tokens_kept,
+           round(c.docs_kept / CAST(tot.n_docs AS DOUBLE), 6)
+               AS doc_retention,
+           round(c.tokens_kept / CAST(tot.n_tokens AS DOUBLE), 6)
+               AS token_retention
+    FROM c CROSS JOIN tot ORDER BY c.threshold
+    """.format(stop="{stop}").replace("{stop}", _stop_sql("en")),
+)
+def quality_threshold_tradeoff(spark, sf_dir):
+    """The gate-setting tradeoff curve every curation decision needs
+    BEFORE picking a quality threshold: for each candidate cutoff,
+    how many documents and tokens survive — the retention curve whose
+    knee is where you set quality_gate (training_data_pipeline_* use
+    0.3; this query is the evidence for that number). One scan, all
+    nine thresholds at once — never nine separate filter jobs.
+
+    Parity: per-doc quality is the shared 6-rounded formula;
+    threshold comparisons against exact decimal literals; counts are
+    integers. Scale: per-doc scoring in the scan stage, a 9× literal
+    fan-out that map-side combines into 9 rows; the totals row
+    broadcasts."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dq = d.select(
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    tot = dq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_tot"),
+    )
+    th = [i / 10.0 for i in range(9)]
+    fan = dq.select(
+        "n_tokens",
+        "quality",
+        F.explode(F.array(*[F.lit(x) for x in th])).alias("threshold"),
+    )
+    c = fan.groupBy("threshold").agg(
+        F.count_if(F.col("quality") >= F.col("threshold"))
+        .cast("long")
+        .alias("docs_kept"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("quality") >= F.col("threshold"),
+                    F.col("n_tokens"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "docs_kept",
+            "tokens_kept",
+            F.round(
+                F.col("docs_kept") / F.col("n_docs").cast("double"), 6
+            ).alias("doc_retention"),
+            F.round(
+                F.col("tokens_kept")
+                / F.col("n_tokens_tot").cast("double"),
+                6,
+            ).alias("token_retention"),
+        )
+        .orderBy("threshold")
+    )

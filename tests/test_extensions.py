@@ -1067,6 +1067,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "embedding_dimension_variance",    # 1-row total-variance broadcast
         "release_gate_scoreboard",         # 1×1×1×1 scalar audit combination
         "text_tfidf_cosine_pairs",         # 1-row corpus-size broadcast
+        "quality_threshold_tradeoff",      # 1-row corpus-totals broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -404,3 +404,13 @@ def test_filter_agreement_kappa_bounded(spark):
         assert 0.0 <= r["po"] <= 1.0
         assert -1.0 - 1e-9 <= r["kappa"] <= 1.0 + 1e-9
         assert r["n_agree"] <= r["n"]
+
+
+def test_quality_tradeoff_curve_monotone(spark):
+    out = rows(spark, "quality_threshold_tradeoff")
+    assert len(out) == 9
+    docs = [r["docs_kept"] for r in out]
+    toks = [r["tokens_kept"] for r in out]
+    assert docs == sorted(docs, reverse=True)  # raising the gate keeps fewer
+    assert toks == sorted(toks, reverse=True)
+    assert out[0]["doc_retention"] == 1.0  # threshold 0 keeps everything
