@@ -11672,3 +11672,153 @@ def quality_threshold_tradeoff(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    """
+    WITH aug AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               'mirror-' || source AS source, text
+        FROM documents WHERE doc_id % 7 = 0),
+    h AS (SELECT doc_id, source,
+                 md5(text) AS th
+          FROM aug),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_shared_docs
+          FROM h a JOIN h b
+            ON b.th = a.th AND a.doc_id < b.doc_id
+           AND a.source <> b.source
+          GROUP BY a.source, b.source)
+    SELECT source_a, source_b, n_shared_docs
+    FROM p ORDER BY n_shared_docs DESC, source_a, source_b
+    LIMIT 30
+    """,
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """CROSS-SOURCE duplication matrix — mirror/scraper detection:
+    which source pairs share byte-identical documents (content-hash
+    equi-join restricted to differing sources), ranked by shared-doc
+    count. The fixture plants a 'mirror-<src>' copy of every 10th doc
+    so each source provably pairs with its mirror; in production this
+    is the query that catches two crawl feeds covering the same CDN
+    or a plagiarising domain, BEFORE per-doc dedup silently throws
+    half of one source away (breaking per-source mixture weights).
+
+    Parity: md5 content hashes and counts are exact; ties order by
+    source names. Scale: one hash per doc in the scan stage, one
+    equi-join ON HASH (only same-content docs meet), a source² upper-
+    bounded rollup — the same inverted-index discipline as every
+    dedup op here."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("mirror-"), F.col("source")).alias(
+                "source"
+            ),
+            "text",
+        )
+    )
+    h = aug.select(
+        "doc_id", "source", F.md5(F.col("text")).alias("th")
+    )
+    a = h.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("source_a"),
+        "th",
+    )
+    b = h.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("source_b"),
+        "th",
+    )
+    p = (
+        a.join(b, "th")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("source_a") != F.col("source_b"))
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_docs"))
+    )
+    return (
+        p.orderBy(
+            F.col("n_shared_docs").desc(), "source_a", "source_b"
+        )
+        .limit(30)
+    )
+
+
+@query(
+    "session_bounce_rate_daily",
+    """
+    WITH g AS (SELECT user_id, ts,
+                      CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                             OR lag(ts) OVER w IS NULL
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sess_id
+          FROM g),
+    agg AS (SELECT user_id, sess_id,
+                   CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sess_id)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT)
+               AS n_bounces,
+           round(count(*) FILTER (WHERE n_events = 1)
+                 / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+    FROM agg GROUP BY day ORDER BY day
+    """,
+)
+def session_bounce_rate_daily(spark, sf_dir):
+    """Daily bounce rate — the engagement-health headline: sessions
+    (30-min gap rule, same islands as sessionize_events /
+    session_window_native) that contain exactly ONE event, per
+    session-start day. A bounce-rate step change is usually the first
+    visible symptom of a broken landing flow or a bot wave — this is
+    the series window_bollinger_flags / changepoint_cusum_by_type
+    would be pointed at next.
+
+    Parity: session islands and event counts are exact; one ratio.
+    Scale: one user-keyed window pass + a sessions-table day
+    rollup — raw rows touched once."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.date_trunc(
+                "day", F.col("sw.start").cast("timestamp")
+            ).alias("day"),
+            "n_events",
+        )
+    )
+    return (
+        agg.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.count_if(F.col("n_events") == 1)
+            .cast("long")
+            .alias("n_bounces"),
+            F.round(
+                F.count_if(F.col("n_events") == 1)
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )

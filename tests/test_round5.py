@@ -414,3 +414,26 @@ def test_quality_tradeoff_curve_monotone(spark):
     assert docs == sorted(docs, reverse=True)  # raising the gate keeps fewer
     assert toks == sorted(toks, reverse=True)
     assert out[0]["doc_retention"] == 1.0  # threshold 0 keeps everything
+
+
+def test_cross_source_matrix_every_source_pairs_with_its_mirror(spark):
+    out = rows(spark, "dedup_cross_source_matrix")
+    assert out
+    for r in out:
+        assert r["source_a"] != r["source_b"]
+        assert r["n_shared_docs"] > 0
+    # planted mirrors dominate: each (src, mirror-src) pair present
+    mirror_pairs = {
+        (r["source_a"], r["source_b"])
+        for r in out
+        if r["source_b"] == f"mirror-{r['source_a']}"
+    }
+    assert len(mirror_pairs) >= 10  # every source cycle member mirrored
+
+
+def test_bounce_rate_bounded_and_sessions_positive(spark):
+    out = rows(spark, "session_bounce_rate_daily")
+    assert out
+    for r in out:
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+        assert r["n_bounces"] <= r["n_sessions"]
