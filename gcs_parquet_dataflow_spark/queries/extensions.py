@@ -11822,3 +11822,99 @@ def session_bounce_rate_daily(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+def _ivf_curve_block(np_: int) -> str:
+    """One nprobe setting's recall row (shares the CTEs of the curve
+    query below)."""
+    return f"""
+    SELECT {np_} AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY {COS_SQL.format(a="p", b="a")} DESC,
+                          a.vec_id) AS rn
+      FROM (SELECT vec_id, v, c
+            FROM (SELECT vec_id, v, c, s,
+                         row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, c) AS prn
+                  FROM probes_all)
+            WHERE prn <= {np_}) p
+      JOIN assigned a ON a.lst = p.c AND a.vec_id <> p.vec_id) x
+    JOIN truth t ON t.query_id = x.query_id
+                AND t.neighbor_id = x.neighbor_id
+    WHERE x.rn <= 5
+    """
+
+
+@query(
+    "knn_ivf_nprobe_curve",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sc AS (SELECT vec_id, v, {_IVF_SCORES} FROM e0),
+         g AS (SELECT *, {_IVF_GREATEST} AS g FROM sc),
+         assigned AS (SELECT vec_id, v, {_IVF_CASE} AS lst FROM g),
+         q AS (SELECT * FROM sc WHERE vec_id < 5),
+         probes_all AS ({_IVF_PROBES_ALL}),
+         truth AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY {COS_SQL.format(a="q", b="a")} DESC,
+                                 a.vec_id) AS rn
+             FROM q JOIN e0 a ON a.vec_id <> q.vec_id)
+           WHERE rn <= 5),
+         curve AS ({" UNION ALL ".join(_ivf_curve_block(np_)
+                                       for np_ in (1, 2, 4, 8))})
+    SELECT nprobe, n_hits,
+           round(n_hits / CAST((SELECT count(*) FROM truth) AS DOUBLE),
+                 6) AS recall_at_5
+    FROM curve ORDER BY nprobe
+    """,
+)
+def knn_ivf_nprobe_curve(spark, sf_dir):
+    """The IVF TUNING CURVE: recall@5 against the exact brute-force
+    top-5 at nprobe ∈ {{1, 2, 4, 8}} (of 8 lists) — the
+    latency/recall dial every IVF deployment sets empirically, here
+    as a declared one-scan query. nprobe=8 probes every list, so its
+    recall is exactly 1.0 by construction (the built-in sanity row);
+    the knee between 1 and 4 is the operating point. The ANN
+    companion to quality_threshold_tradeoff's gate curve.
+
+    Parity: shared seeded centroid literals; candidate sets and ranks
+    are exact; recall is one division. Scale: assignment is map-only;
+    each curve point is a probes→list equi-join with per-query top-5
+    heaps; the truth set is the 5-query broadcast-scan baseline. The
+    4 settings share the assignment scan."""
+    truth = SIM.brute_force_topk(
+        t(spark, sf_dir, "embeddings"),
+        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5),
+        k=5,
+    ).select("query_id", "neighbor_id")
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    truth = persist_intermediate(truth)
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    n_truth = truth.count()
+    rows_ = None
+    for np_ in (1, 2, 4, 8):
+        approx = SIM.ivf_topk(
+            e, q, k=5, nprobe=np_, cents=IVF_CENTS
+        ).select("query_id", "neighbor_id")
+        hits = approx.join(truth, ["query_id", "neighbor_id"]).agg(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        rows_ = hits if rows_ is None else rows_.unionByName(hits)
+    return rows_.select(
+        "nprobe",
+        "n_hits",
+        F.round(F.col("n_hits") / F.lit(float(n_truth)), 6).alias(
+            "recall_at_5"
+        ),
+    ).orderBy("nprobe")

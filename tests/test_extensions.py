@@ -1068,6 +1068,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "release_gate_scoreboard",         # 1×1×1×1 scalar audit combination
         "text_tfidf_cosine_pairs",         # 1-row corpus-size broadcast
         "quality_threshold_tradeoff",      # 1-row corpus-totals broadcast
+        "knn_ivf_nprobe_curve",            # truth set = broadcast 5-query exact baseline
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -437,3 +437,11 @@ def test_bounce_rate_bounded_and_sessions_positive(spark):
     for r in out:
         assert 0.0 <= r["bounce_rate"] <= 1.0
         assert r["n_bounces"] <= r["n_sessions"]
+
+
+def test_ivf_nprobe_curve_monotone_to_perfect_recall(spark):
+    out = rows(spark, "knn_ivf_nprobe_curve")
+    assert [r["nprobe"] for r in out] == [1, 2, 4, 8]
+    rec = [r["recall_at_5"] for r in out]
+    assert rec == sorted(rec)  # more probes never hurt recall
+    assert rec[-1] == 1.0  # probing all 8 lists IS exact search
