@@ -11918,3 +11918,106 @@ def knn_ivf_nprobe_curve(spark, sf_dir):
             "recall_at_5"
         ),
     ).orderBy("nprobe")
+
+
+def _band_pair_sql(bands: int, rows_pb: int) -> str:
+    """Shared-band predicate over the 16-lane sig arrays a.sg/b.sg."""
+    conds = " AND ".join(
+        f"a.sg[{{j}}*{rows_pb}+{k+1}] = b.sg[{{j}}*{rows_pb}+{k+1}]"
+        for k in range(rows_pb)
+    )
+    return (
+        f"len([j for j in range({bands}) if "
+        + conds.format(j="j")
+        + "]) > 0"
+    )
+
+
+@query(
+    "dedup_lsh_band_config_curve",
+    f"""
+    WITH aug AS ({AUG_NEAR_SQL}),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w0),
+    sig AS (SELECT doc_id, hs, [{", ".join(MINHASH_SQL)}] AS sg FROM sh),
+    truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.hs, b.hs))
+                    / CAST(len(a.hs) + len(b.hs)
+                           - len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                    >= {JACCARD_THRESHOLD}),
+    curve AS ({" UNION ALL ".join(
+        f'''SELECT '{bands}x{rows_pb}' AS config,
+               CAST(count(*) AS BIGINT) AS n_pred,
+               CAST(count(*) FILTER (WHERE t.id_a IS NOT NULL)
+                    AS BIGINT) AS n_hit
+        FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE {_band_pair_sql(bands, rows_pb)}) p
+        LEFT JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b'''
+        for bands, rows_pb in ((16, 1), (8, 2), (4, 4)))})
+    SELECT config, n_pred, n_hit,
+           round(n_hit / CAST(nullif(n_pred, 0) AS DOUBLE), 6)
+               AS precision,
+           round(n_hit / CAST((SELECT count(*) FROM truth) AS DOUBLE),
+                 6) AS recall
+    FROM curve ORDER BY config
+    """,
+)
+def dedup_lsh_band_config_curve(spark, sf_dir):
+    """The LSH BANDING dial: precision/recall of the 16-lane MinHash
+    candidate pairs at three (bands × rows) configurations — 16×1
+    (max recall, noisiest), 8×2 (the production default every
+    dedup_* query uses), 4×4 (max precision) — against the exact
+    Jaccard ≥ 0.5 truth. The S-curve threshold (1/b)^(1/r) moves from
+    J≈0.06 through 0.35 to 0.71 across the three; this query is the
+    empirical version of that formula on YOUR corpus, the same way
+    knn_ivf_nprobe_curve dials the ANN index.
+
+    Parity: identical inlined permutation constants; pair sets and
+    counts exact. Scale: the Spark side generates each config's pairs
+    via the banded equi-join on (band_index, band_content) keys —
+    |docs|×bands shuffle rows; only the oracle does the O(n²)
+    definition."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    sigs = persist_intermediate(sigs)
+    truth = DD.jaccard_pairs_from_text(
+        aug, "doc_id", "text", threshold=JACCARD_THRESHOLD, k=3
+    ).select("id_a", "id_b")
+    truth = persist_intermediate(truth)
+    n_truth = truth.count()
+    out = None
+    for bands, rows_pb in ((16, 1), (8, 2), (4, 4)):
+        pred = DD.lsh_candidate_pairs(
+            sigs, "doc_id", "sig", rows_per_band=rows_pb
+        ).select("id_a", "id_b")
+        row = (
+            pred.join(truth.withColumn("_t", F.lit(1)),
+                      ["id_a", "id_b"], "left")
+            .agg(
+                F.lit(f"{bands}x{rows_pb}").alias("config"),
+                F.count(F.lit(1)).cast("long").alias("n_pred"),
+                F.count_if(F.col("_t").isNotNull())
+                .cast("long")
+                .alias("n_hit"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "config",
+        "n_pred",
+        "n_hit",
+        F.round(
+            F.col("n_hit")
+            / F.nullif(F.col("n_pred"), F.lit(0)).cast("double"),
+            6,
+        ).alias("precision"),
+        F.round(F.col("n_hit") / F.lit(float(n_truth)), 6).alias(
+            "recall"
+        ),
+    ).orderBy("config")

@@ -445,3 +445,14 @@ def test_ivf_nprobe_curve_monotone_to_perfect_recall(spark):
     rec = [r["recall_at_5"] for r in out]
     assert rec == sorted(rec)  # more probes never hurt recall
     assert rec[-1] == 1.0  # probing all 8 lists IS exact search
+
+
+def test_lsh_band_curve_recall_precision_tradeoff(spark):
+    out = {r["config"]: r for r in rows(spark, "dedup_lsh_band_config_curve")}
+    assert set(out) == {"16x1", "8x2", "4x4"}
+    # more rows per band -> stricter candidates: fewer predictions
+    assert out["16x1"]["n_pred"] >= out["8x2"]["n_pred"] >= out["4x4"]["n_pred"]
+    # recall never increases as bands get stricter
+    assert out["16x1"]["recall"] >= out["8x2"]["recall"] >= out["4x4"]["recall"]
+    # the production default must keep full recall on planted J≈0.9 pairs
+    assert out["8x2"]["recall"] == 1.0
