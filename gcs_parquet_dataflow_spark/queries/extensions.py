@@ -12021,3 +12021,160 @@ def dedup_lsh_band_config_curve(spark, sf_dir):
             "recall"
         ),
     ).orderBy("config")
+
+
+_RAKE_STOPS = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS["en"])
+
+
+@query(
+    "text_rake_keyphrases",
+    f"""
+    WITH tok AS (SELECT doc_id, tk, pos,
+                        CAST(list_contains([{_RAKE_STOPS}], tk) AS INT)
+                            AS is_stop
+                 FROM (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS tk,
+                              generate_subscripts(string_split(text, ' '),
+                                                  1) AS pos
+                       FROM documents WHERE text IS NOT NULL)
+                 WHERE tk <> ''),
+    isl AS (SELECT doc_id, tk, pos, is_stop,
+                   sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS phrase_grp
+            FROM tok),
+    member AS (SELECT doc_id, phrase_grp, tk, pos FROM isl
+               WHERE is_stop = 0),
+    phr AS (SELECT doc_id, phrase_grp,
+                   string_agg(tk, ' ' ORDER BY pos) AS phrase,
+                   CAST(count(*) AS BIGINT) AS plen
+            FROM member GROUP BY doc_id, phrase_grp),
+    wstat AS (SELECT m.tk,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(p.plen) AS BIGINT) AS degree
+              FROM member m JOIN phr p
+                ON p.doc_id = m.doc_id AND p.phrase_grp = m.phrase_grp
+              GROUP BY m.tk),
+    pscore AS (SELECT p.phrase,
+                      round(sum(w.degree / CAST(w.freq AS DOUBLE)), 6)
+                          AS score
+               FROM phr p
+               JOIN member m ON m.doc_id = p.doc_id
+                            AND m.phrase_grp = p.phrase_grp
+               JOIN wstat w ON w.tk = m.tk
+               GROUP BY p.doc_id, p.phrase_grp, p.phrase),
+    best AS (SELECT phrase, max(score) AS score,
+                    CAST(count(*) AS BIGINT) AS n_occurrences
+             FROM pscore GROUP BY phrase)
+    SELECT phrase, score, n_occurrences,
+           CAST(row_number() OVER (ORDER BY score DESC, phrase)
+                AS BIGINT) AS rank
+    FROM best
+    QUALIFY rank <= 20
+    ORDER BY rank
+    """,
+)
+def text_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-delimited word runs
+    (window-island segmentation); each word scores degree/frequency
+    (degree = summed length of phrases it appears in — favors words
+    that live in LONG phrases); a phrase scores the sum of its member
+    word scores; top-20 phrase types by score. The PHRASE-level
+    keyword extractor alongside the unigram TF-IDF / cTF-IDF rows —
+    RAKE surfaces multi-word terms ("machine learning pipeline") that
+    unigram scoring fragments.
+
+    Parity: islands, frequencies, and degrees are exact integers; the
+    score is a sum of integer ratios per occurrence, rounded at the
+    per-occurrence phrase level before the max-over-occurrences
+    (identical trees); ties rank by phrase text. Scale: one
+    doc-partitioned island window over tokens, then term-keyed aggs —
+    phrase stats shuffle on (doc, phrase_grp) and words on term, both
+    map-side combined; nothing pairwise."""
+    from pyspark.sql import Window as WS
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias(
+                "pos", "tk"
+            ),
+        )
+        .filter(F.col("tk") != "")
+        .select(
+            "doc_id",
+            "tk",
+            "pos",
+            F.col("tk")
+            .isin(*TX.LANG_STOPWORDS["en"])
+            .cast("int")
+            .alias("is_stop"),
+        )
+    )
+    isl = tok.withColumn(
+        "phrase_grp",
+        F.sum("is_stop").over(
+            WS.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(WS.unboundedPreceding, WS.currentRow)
+        ),
+    )
+    member = isl.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_grp", "tk", "pos"
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    member = persist_intermediate(member)
+    phr = member.groupBy("doc_id", "phrase_grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tk"))
+                ),
+                lambda s: s["tk"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    phr = persist_intermediate(phr)
+    wstat = (
+        member.join(phr, ["doc_id", "phrase_grp"])
+        .groupBy("tk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    pscore = (
+        phr.join(member, ["doc_id", "phrase_grp"])
+        .join(F.broadcast(wstat), "tk")
+        .groupBy("doc_id", "phrase_grp", "phrase")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("degree") / F.col("freq").cast("double")
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    best = pscore.groupBy("phrase").agg(
+        F.max("score").alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    r = best.withColumn(
+        "rank",
+        F.row_number()
+        .over(WS.orderBy(F.col("score").desc(), "phrase"))
+        .cast("long"),
+    )
+    return (
+        r.filter(F.col("rank") <= 20)
+        .select("phrase", "score", "n_occurrences", "rank")
+        .orderBy("rank")
+    )

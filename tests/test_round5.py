@@ -456,3 +456,16 @@ def test_lsh_band_curve_recall_precision_tradeoff(spark):
     assert out["16x1"]["recall"] >= out["8x2"]["recall"] >= out["4x4"]["recall"]
     # the production default must keep full recall on planted J≈0.9 pairs
     assert out["8x2"]["recall"] == 1.0
+
+
+def test_rake_prefers_long_phrases_and_is_ranked(spark):
+    out = rows(spark, "text_rake_keyphrases")
+    assert len(out) == 20
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # degree/freq scoring: top phrases are multi-word (RAKE's point)
+    assert any(" " in r["phrase"] for r in out[:5])
+    stops = {"the", "a", "of", "and", "to", "is", "in"}
+    for r in out:
+        assert r["n_occurrences"] >= 1
+        assert not (set(r["phrase"].split()) & stops)  # no stopwords inside
