@@ -12178,3 +12178,129 @@ def text_rake_keyphrases(spark, sf_dir):
         .select("phrase", "score", "n_occurrences", "rank")
         .orderBy("rank")
     )
+
+
+@query(
+    "funnel_within_session",
+    """
+    WITH g AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                             OR lag(ts) OVER w IS NULL
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, event_id, event_type,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts,
+                     event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                     CURRENT ROW) AS sess_id
+          FROM g),
+    f AS (SELECT user_id, sess_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM s GROUP BY user_id, sess_id),
+    conv AS (SELECT f.user_id, f.sess_id, f.n_events,
+                    CAST(f.t_view IS NOT NULL AS INT) AS has_view,
+                    CAST(max(CASE WHEN s.event_type = 'purchase'
+                                   AND s.ts > f.t_view THEN 1 ELSE 0 END)
+                         AS INT) AS converted
+             FROM f LEFT JOIN s ON s.user_id = f.user_id
+                               AND s.sess_id = f.sess_id
+             GROUP BY f.user_id, f.sess_id, f.n_events, f.t_view)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(has_view) AS BIGINT) AS n_sessions_with_view,
+           CAST(sum(CASE WHEN has_view = 1 THEN converted ELSE 0 END)
+                AS BIGINT) AS n_converted_sessions,
+           round(sum(CASE WHEN has_view = 1 THEN converted ELSE 0 END)
+                 / CAST(nullif(sum(has_view), 0) AS DOUBLE), 6)
+               AS session_conversion_rate
+    FROM conv
+    """,
+)
+def funnel_within_session(spark, sf_dir):
+    """SESSION-scoped funnel — the conversion question product teams
+    actually ask ("did the visit convert?"), distinct from the
+    user-lifetime funnels: a session converts iff it contains a view
+    and a LATER purchase in the SAME session (30-min islands, the
+    shared gap rule). User-level funnels over-credit: a view today
+    and a purchase next week count there but not here.
+
+    Parity: islands, per-session first-view timestamps, and the
+    ordered purchase test are exact; one ratio. Scale: the island
+    window + two session-keyed aggs — the session table is the only
+    shuffle after the scan; the self-join is session-keyed equi
+    (co-partitioned with the agg)."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    w = WS.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 1800 * 1000000
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    s = g.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(WS.unboundedPreceding, WS.currentRow)
+        ),
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    s = persist_intermediate(s)
+    f = s.groupBy("user_id", "sess_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("t_view"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    conv = (
+        f.join(s, ["user_id", "sess_id"], "left")
+        .groupBy("user_id", "sess_id", "n_events", "t_view")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_view")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.col("t_view").isNotNull().cast("int").alias("has_view"),
+            "converted",
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("has_view").cast("long").alias("n_sessions_with_view"),
+        F.sum(
+            F.when(F.col("has_view") == 1, F.col("converted")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_converted_sessions"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("has_view") == 1, F.col("converted")
+                ).otherwise(0)
+            )
+            / F.nullif(F.sum("has_view"), F.lit(0)).cast("double"),
+            6,
+        ).alias("session_conversion_rate"),
+    )

@@ -469,3 +469,13 @@ def test_rake_prefers_long_phrases_and_is_ranked(spark):
     for r in out:
         assert r["n_occurrences"] >= 1
         assert not (set(r["phrase"].split()) & stops)  # no stopwords inside
+
+
+def test_session_funnel_counts_nest(spark):
+    (r,) = rows(spark, "funnel_within_session")
+    assert (
+        r["n_converted_sessions"]
+        <= r["n_sessions_with_view"]
+        <= r["n_sessions"]
+    )
+    assert 0.0 <= r["session_conversion_rate"] <= 1.0
