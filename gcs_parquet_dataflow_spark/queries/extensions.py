@@ -12304,3 +12304,105 @@ def funnel_within_session(spark, sf_dir):
             6,
         ).alias("session_conversion_rate"),
     )
+
+
+@query(
+    "user_feature_matrix",
+    """
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),
+    base AS (SELECT user_id,
+                    CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(count(DISTINCT event_type) AS BIGINT)
+                        AS n_types,
+                    CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                         AS BIGINT) AS n_purchases,
+                    CAST(coalesce(sum(CAST(round(value*100) AS BIGINT))
+                         FILTER (WHERE event_type = 'purchase'), 0)
+                         AS BIGINT) AS monetary_c,
+                    datediff('day', max(CAST(ts AS DATE)),
+                             (SELECT horizon FROM mx)) AS recency_days,
+                    datediff('day', min(CAST(ts AS DATE)),
+                             max(CAST(ts AS DATE))) + 1 AS tenure_days,
+                    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                        AS n_active_days
+             FROM events GROUP BY user_id)
+    SELECT user_id, n_events, n_types, n_purchases,
+           round(monetary_c / 100.0, 6) AS monetary,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(tenure_days AS BIGINT) AS tenure_days,
+           n_active_days,
+           round(n_events / CAST(tenure_days AS DOUBLE), 6)
+               AS events_per_day,
+           round(n_active_days / CAST(tenure_days AS DOUBLE), 6)
+               AS active_day_ratio
+    FROM base ORDER BY user_id LIMIT 50
+    """,
+)
+def user_feature_matrix(spark, sf_dir):
+    """The FEATURE-STORE export: one wide row per user with the
+    behavioral features a churn/LTV model consumes — volume
+    (n_events), breadth (n_types), value (purchases, monetary),
+    recency vs the corpus horizon, tenure, activity density — all
+    from ONE user-keyed aggregation (every feature is an agg of the
+    same grouping, so there's no join at all; compare
+    user_rfm_segments which buckets three of these). First 50 users
+    are the declared output; the full matrix is the training input.
+
+    Parity: all features are exact integers or single divisions;
+    recency uses the same broadcast horizon as survival_kaplan_meier.
+    Scale: one map-side-combined agg over the scan + a tiny scalar
+    broadcast; the LIMIT is an ordered take on |users|."""
+    e = t(spark, sf_dir, "events")
+    horizon = e.agg(
+        F.max(F.col("ts").cast("date")).alias("horizon")
+    )
+    base = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("long")
+            .alias("n_purchases"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        cents(F.col("value")),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("monetary_c"),
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.min(F.col("ts").cast("date")).alias("first_day"),
+            F.countDistinct(F.col("ts").cast("date"))
+            .cast("long")
+            .alias("n_active_days"),
+        )
+        .crossJoin(F.broadcast(horizon))
+    )
+    tenure = F.datediff(F.col("last_day"), F.col("first_day")) + 1
+    return (
+        base.select(
+            "user_id",
+            "n_events",
+            "n_types",
+            "n_purchases",
+            F.round(F.col("monetary_c") / 100.0, 6).alias("monetary"),
+            F.datediff(F.col("horizon"), F.col("last_day"))
+            .cast("long")
+            .alias("recency_days"),
+            tenure.cast("long").alias("tenure_days"),
+            "n_active_days",
+            F.round(
+                F.col("n_events") / tenure.cast("double"), 6
+            ).alias("events_per_day"),
+            F.round(
+                F.col("n_active_days") / tenure.cast("double"), 6
+            ).alias("active_day_ratio"),
+        )
+        .orderBy("user_id")
+        .limit(50)
+    )

@@ -1069,6 +1069,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "text_tfidf_cosine_pairs",         # 1-row corpus-size broadcast
         "quality_threshold_tradeoff",      # 1-row corpus-totals broadcast
         "knn_ivf_nprobe_curve",            # truth set = broadcast 5-query exact baseline
+        "user_feature_matrix",             # 1-row corpus-horizon broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -479,3 +479,15 @@ def test_session_funnel_counts_nest(spark):
         <= r["n_sessions"]
     )
     assert 0.0 <= r["session_conversion_rate"] <= 1.0
+
+
+def test_feature_matrix_internally_consistent(spark):
+    out = rows(spark, "user_feature_matrix")
+    assert out
+    for r in out:
+        assert r["n_purchases"] <= r["n_events"]
+        assert 1 <= r["n_types"] <= 5
+        assert r["n_active_days"] <= r["tenure_days"]
+        assert r["recency_days"] >= 0
+        assert 0.0 < r["active_day_ratio"] <= 1.0
+        assert (r["monetary"] > 0) == (r["n_purchases"] > 0)
