@@ -12406,3 +12406,135 @@ def user_feature_matrix(spark, sf_dir):
         .orderBy("user_id")
         .limit(50)
     )
+
+
+@query(
+    "text_language_purity",
+    f"""
+    WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
+    sc AS (SELECT doc_id, source,
+             {_stop_sql("en")} AS s_en, {_stop_sql("es")} AS s_es,
+             {_stop_sql("de")} AS s_de, {_stop_sql("fr")} AS s_fr
+           FROM s),
+    m AS (SELECT doc_id, source,
+                 greatest(s_en, s_es, s_de, s_fr) AS best,
+                 s_en, s_es, s_de, s_fr
+          FROM sc)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE best > 0 AND
+                (s_en + s_es + s_de + s_fr - best) >= best * 0.8)
+                AS BIGINT) AS n_mixed,
+           round(count(*) FILTER (WHERE best > 0 AND
+                 (s_en + s_es + s_de + s_fr - best) >= best * 0.8)
+                 / CAST(count(*) AS DOUBLE), 6) AS mixed_rate
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def text_language_purity(spark, sf_dir):
+    """Code-switching / mixed-language detector per source: a doc is
+    MIXED when the non-winning languages' combined stopword evidence
+    reaches 80% of the winner's — the signal that flags
+    machine-merged pages and comment-section soup, which degrade
+    monolingual training even after per-doc language ID has
+    confidently (and uselessly) picked one label. Reported as a
+    per-source rate for the curation dashboard.
+
+    Parity: the four stopword ratios are the shared 6-rounded
+    formulas; the mixed test is arithmetic over them. Scale:
+    scan-stage scoring + one source rollup."""
+    d = t(spark, sf_dir, "documents")
+    scores = TX.lang_scores(F.col("text"))
+    best = F.greatest(*scores.values())
+    total = None
+    for c in scores.values():
+        total = c if total is None else total + c
+    mixed = (best > 0) & ((total - best) >= best * 0.8)
+    return (
+        d.select("source", mixed.alias("is_mixed"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("is_mixed")).cast("long").alias("n_mixed"),
+            F.round(
+                F.count_if(F.col("is_mixed"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mixed_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "completeness_daily_trend",
+    """
+    WITH aug AS (SELECT event_id, ts,
+                        CASE WHEN event_id % 13 = 0 THEN NULL
+                             ELSE user_id END AS user_id,
+                        CASE WHEN event_id % 19 = 0 THEN NULL
+                             ELSE value END AS value,
+                        props
+                 FROM events),
+    d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(user_id) AS BIGINT) AS n_user,
+                 CAST(count(value) AS BIGINT) AS n_value,
+                 CAST(count(props) AS BIGINT) AS n_props
+          FROM aug GROUP BY 1)
+    SELECT day, n_rows,
+           round(1.0 - n_user / CAST(n_rows AS DOUBLE), 6)
+               AS null_rate_user_id,
+           round(1.0 - n_value / CAST(n_rows AS DOUBLE), 6)
+               AS null_rate_value,
+           round(1.0 - n_props / CAST(n_rows AS DOUBLE), 6)
+               AS null_rate_props
+    FROM d ORDER BY day
+    """,
+)
+def completeness_daily_trend(spark, sf_dir):
+    """Column-completeness TREND — the monitoring dimension the
+    one-shot profile (profile_events_columns) lacks: per-day null
+    rates for the load-bearing columns, the series that catches "the
+    mobile client stopped sending user_id on Tuesday" as a step
+    change rather than a diluted monthly average. Nulls are PLANTED
+    deterministically (event_id % 13 / % 19) so the rates are
+    non-trivial and provably detected; production runs the same query
+    un-augmented.
+
+    Parity: count(col) null semantics are identical; rates are single
+    divisions. Scale: one day-keyed agg with map-side combine —
+    count(col) per column rides the same pass."""
+    e = t(spark, sf_dir, "events")
+    aug = e.select(
+        "ts",
+        F.when(
+            F.col("event_id") % 13 == 0, F.lit(None)
+        ).otherwise(F.col("user_id")).alias("user_id"),
+        F.when(
+            F.col("event_id") % 19 == 0, F.lit(None).cast("double")
+        ).otherwise(F.col("value")).alias("value"),
+        "props",
+    )
+    d = aug.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("user_id").cast("long").alias("n_user"),
+        F.count("value").cast("long").alias("n_value"),
+        F.count("props").cast("long").alias("n_props"),
+    )
+    return d.select(
+        "day",
+        "n_rows",
+        F.round(
+            1.0 - F.col("n_user") / F.col("n_rows").cast("double"), 6
+        ).alias("null_rate_user_id"),
+        F.round(
+            1.0 - F.col("n_value") / F.col("n_rows").cast("double"), 6
+        ).alias("null_rate_value"),
+        F.round(
+            1.0 - F.col("n_props") / F.col("n_rows").cast("double"), 6
+        ).alias("null_rate_props"),
+    ).orderBy("day")

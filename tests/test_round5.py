@@ -491,3 +491,23 @@ def test_feature_matrix_internally_consistent(spark):
         assert r["recency_days"] >= 0
         assert 0.0 < r["active_day_ratio"] <= 1.0
         assert (r["monetary"] > 0) == (r["n_purchases"] > 0)
+
+
+def test_language_purity_rates_bounded(spark):
+    out = rows(spark, "text_language_purity")
+    assert out
+    for r in out:
+        assert 0.0 <= r["mixed_rate"] <= 1.0
+        assert r["n_mixed"] <= r["n_docs"]
+
+
+def test_completeness_trend_matches_planting(spark):
+    out = rows(spark, "completeness_daily_trend")
+    assert out
+    # planted null rates: ~1/13 for user_id, ~1/19 for value, 0 for props
+    tot = sum(r["n_rows"] for r in out)
+    u = sum(r["null_rate_user_id"] * r["n_rows"] for r in out) / tot
+    v = sum(r["null_rate_value"] * r["n_rows"] for r in out) / tot
+    assert abs(u - 1 / 13) < 0.02
+    assert abs(v - 1 / 19) < 0.02
+    assert all(r["null_rate_props"] == 0.0 for r in out)
