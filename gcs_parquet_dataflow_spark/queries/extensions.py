@@ -12538,3 +12538,220 @@ def completeness_daily_trend(spark, sf_dir):
             1.0 - F.col("n_props") / F.col("n_rows").cast("double"), 6
         ).alias("null_rate_props"),
     ).orderBy("day")
+
+
+@query(
+    "dedup_url_vs_content_venn",
+    f"""
+    WITH u0 AS (SELECT doc_id,
+           'HTTPS://WWW.Site' || (doc_id % 7) || '.COM/Docs/'
+               || (doc_id % 50) ||
+           CASE doc_id % 4
+             WHEN 0 THEN '/?utm_source=feed&utm_campaign=c' || (doc_id % 3)
+             WHEN 1 THEN '?id=' || (doc_id % 5)
+                         || '&utm_medium=email&gclid=g123'
+             WHEN 2 THEN '/#section-' || doc_id
+             ELSE '/' END AS url,
+           CASE WHEN doc_id % 10 = 0
+                THEN (SELECT d2.text FROM documents d2
+                      WHERE d2.doc_id = 0)
+                ELSE text END AS text
+        FROM documents),
+    c AS (SELECT doc_id,
+                 {TX.canonicalize_url_sql('url')} AS curl,
+                 md5(text) AS th
+          FROM u0),
+    f AS (SELECT doc_id,
+                 CAST(doc_id <> min(doc_id) OVER (PARTITION BY curl)
+                      AS INT) AS url_dup,
+                 CAST(doc_id <> min(doc_id) OVER (PARTITION BY th)
+                      AS INT) AS content_dup
+          FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE url_dup = 1 AND content_dup = 0)
+                AS BIGINT) AS url_only,
+           CAST(count(*) FILTER (WHERE url_dup = 0 AND content_dup = 1)
+                AS BIGINT) AS content_only,
+           CAST(count(*) FILTER (WHERE url_dup = 1 AND content_dup = 1)
+                AS BIGINT) AS both_dup,
+           CAST(count(*) FILTER (WHERE url_dup = 0 AND content_dup = 0)
+                AS BIGINT) AS neither
+    FROM f
+    """,
+)
+def dedup_url_vs_content_venn(spark, sf_dir):
+    """Dedup-STRATEGY comparison — the Venn of what URL
+    canonicalization catches vs what content hashing catches, on a
+    corpus with both phenomena planted (tracking-parameter URL
+    variants of the same page slots, and every 10th doc body replaced
+    with doc 0's text): url_only = same canonical page re-crawled
+    with changed body (staleness, not duplication!), content_only =
+    the same text republished at different URLs (the mirror case),
+    both = true re-fetch. The counts tell a crawl team which dedup
+    layer is load-bearing — and the url_only bucket is exactly the
+    set a naive URL-dedup would WRONGLY drop as "duplicates" when the
+    content actually changed.
+
+    Parity: canonicalization is the shared rule chain; dup flags are
+    min-over-partition comparisons on exact keys. Scale: two
+    window-free alternatives exist (groupBy min + join) but the
+    partition windows here are canonical-key- and hash-keyed — one
+    shuffle each over |docs|."""
+    d = t(spark, sf_dir, "documents")
+    doc0 = d.filter(F.col("doc_id") == 0).select(
+        F.col("text").alias("text0")
+    )
+    u0 = d.crossJoin(F.broadcast(doc0)).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM/Docs/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("/?utm_source=feed&utm_campaign=c"),
+                    (F.col("doc_id") % 3).cast("string"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit("?id="),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit("&utm_medium=email&gclid=g123"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit("/#section-"), F.col("doc_id").cast("string")
+                ),
+            )
+            .otherwise(F.lit("/")),
+        ).alias("url"),
+        F.when(F.col("doc_id") % 10 == 0, F.col("text0"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    c = u0.select(
+        "doc_id",
+        TX.canonicalize_url(F.col("url")).alias("curl"),
+        F.md5(F.col("text")).alias("th"),
+    )
+    from pyspark.sql import Window as WS
+
+    f = c.select(
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(WS.partitionBy("curl"))
+        )
+        .cast("int")
+        .alias("url_dup"),
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(WS.partitionBy("th"))
+        )
+        .cast("int")
+        .alias("content_dup"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(
+            (F.col("url_dup") == 1) & (F.col("content_dup") == 0)
+        )
+        .cast("long")
+        .alias("url_only"),
+        F.count_if(
+            (F.col("url_dup") == 0) & (F.col("content_dup") == 1)
+        )
+        .cast("long")
+        .alias("content_only"),
+        F.count_if(
+            (F.col("url_dup") == 1) & (F.col("content_dup") == 1)
+        )
+        .cast("long")
+        .alias("both_dup"),
+        F.count_if(
+            (F.col("url_dup") == 0) & (F.col("content_dup") == 0)
+        )
+        .cast("long")
+        .alias("neither"),
+    )
+
+
+@query(
+    "dedup_survivorship_by_source",
+    f"""
+    WITH aug AS ({AUG_NEAR_SQL.replace("SELECT doc_id, text FROM",
+                 "SELECT doc_id, source, text FROM").replace(
+                 "SELECT doc_id + 100000, text || ' extra' FROM",
+                 "SELECT doc_id + 100000, source, text || ' extra' FROM")}),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w0),
+    sig AS (SELECT doc_id, [{", ".join(MINHASH_SQL)}] AS sg FROM sh),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE len([j for j in range(8)
+                         if a.sg[2*j+1] = b.sg[2*j+1]
+                        AND a.sg[2*j+2] = b.sg[2*j+2]]) > 0),
+    losers AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+    r AS (SELECT g.source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(*) FILTER (WHERE l.doc_id IS NOT NULL)
+                      AS BIGINT) AS n_removed
+          FROM aug g LEFT JOIN losers l ON l.doc_id = g.doc_id
+          GROUP BY g.source)
+    SELECT source, n_docs, n_removed,
+           round(n_removed / CAST(n_docs AS DOUBLE), 6) AS removal_rate
+    FROM r ORDER BY source
+    """,
+)
+def dedup_survivorship_by_source(spark, sf_dir):
+    """Dedup FAIRNESS audit: per-source removal rate under the
+    standard MinHash-LSH keep-lowest-id policy — the mixture-bias
+    check every curation run owes its language/source weights:
+    near-dup removal is NOT uniform (mirrored or templated sources
+    lose disproportionately), and a skewed removal_rate silently
+    re-weights the training mixture AFTER the mixture weights were
+    set. Read together with dedup_cross_source_matrix (who mirrors
+    whom) and sample_apply_language_mixture (the weights at stake).
+
+    Parity: the candidate pair set is the shared 8×2 banding; the
+    keep policy is min-id (losers = distinct id_b of ordered pairs);
+    counts exact. Scale: banded equi-join for pairs, a distinct on
+    the loser ids, one broadcast-ish anti/left join back onto the
+    corpus, source rollup."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    src = src.unionByName(
+        src.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source"
+        )
+    )
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    pairs = DD.lsh_candidate_pairs(
+        sigs, "doc_id", "sig", rows_per_band=2
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    r = (
+        src.join(
+            losers.withColumn("_l", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("_l").isNotNull())
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+    return r.select(
+        "source",
+        "n_docs",
+        "n_removed",
+        F.round(
+            F.col("n_removed") / F.col("n_docs").cast("double"), 6
+        ).alias("removal_rate"),
+    ).orderBy("source")

@@ -1070,6 +1070,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "quality_threshold_tradeoff",      # 1-row corpus-totals broadcast
         "knn_ivf_nprobe_curve",            # truth set = broadcast 5-query exact baseline
         "user_feature_matrix",             # 1-row corpus-horizon broadcast
+        "dedup_url_vs_content_venn",       # 1-row doc-0-text broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

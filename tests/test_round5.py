@@ -511,3 +511,23 @@ def test_completeness_trend_matches_planting(spark):
     assert abs(u - 1 / 13) < 0.02
     assert abs(v - 1 / 19) < 0.02
     assert all(r["null_rate_props"] == 0.0 for r in out)
+
+
+def test_dedup_venn_partitions_the_corpus(spark):
+    (r,) = rows(spark, "dedup_url_vs_content_venn")
+    assert (
+        r["url_only"] + r["content_only"] + r["both_dup"] + r["neither"]
+        == r["n_docs"]
+    )
+    # both planted phenomena must be detected
+    assert r["content_only"] + r["both_dup"] > 0  # replaced bodies
+    assert r["url_only"] + r["both_dup"] > 0      # tracking-param variants
+
+
+def test_survivorship_rates_bounded_and_planted_sources_lose(spark):
+    out = rows(spark, "dedup_survivorship_by_source")
+    assert out
+    for r in out:
+        assert 0.0 <= r["removal_rate"] <= 1.0
+        assert r["n_removed"] <= r["n_docs"]
+    assert sum(r["n_removed"] for r in out) > 0  # planted twins removed
