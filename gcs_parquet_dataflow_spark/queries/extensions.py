@@ -12755,3 +12755,107 @@ def dedup_survivorship_by_source(spark, sf_dir):
             F.col("n_removed") / F.col("n_docs").cast("double"), 6
         ).alias("removal_rate"),
     ).orderBy("source")
+
+
+@query(
+    "pack_efficiency_report",
+    f"""
+    WITH s AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tokens,
+                      {h32('text')} AS h
+               FROM documents WHERE text IS NOT NULL),
+    a AS (SELECT doc_id, n_tokens, h % 8 AS bucket,
+                 sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens AS before
+          FROM s),
+    p AS (SELECT bucket * 1000000
+                     + CAST(floor(CAST(before AS DOUBLE) / 256) AS BIGINT)
+                     AS pack_id,
+                 n_tokens
+          FROM a),
+    packs AS (SELECT pack_id,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+              FROM p GROUP BY pack_id),
+    f AS (SELECT *,
+                 CAST(floor(least(pack_tokens / 256.0, 1.0) * 10)
+                      AS BIGINT) AS fill_decile
+          FROM packs)
+    SELECT fill_decile,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(pack_tokens) AS BIGINT) AS tokens,
+           CAST(sum(greatest(256 - pack_tokens, 0)) AS BIGINT)
+               AS padding_tokens
+    FROM f GROUP BY fill_decile ORDER BY fill_decile
+    """,
+)
+def pack_efficiency_report(spark, sf_dir):
+    """Packing OBSERVABILITY — the fill-rate histogram for the
+    sequence packer (pack_sequences_budget): packs bucketed by fill
+    decile against the 256-token context, with document counts,
+    packed tokens, and the PADDING each under-filled pack would waste
+    on the accelerator. Padding ÷ (padding + tokens) is the fraction
+    of paid FLOPs training on air — the single number that justifies
+    (or kills) a smarter packer.
+
+    Parity: pack assignment is the shared deterministic layout; fill
+    deciles floor exact integer ratios capped at 1.0. Scale: the
+    packer's window cumsum (bucket-partitioned, no global sort) +
+    two tiny rollups."""
+    from pyspark.sql import Window as WS
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    s = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+        TX.hash32(F.col("text")).alias("h"),
+    )
+    a = s.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("h") % 8).alias("bucket"),
+        (
+            F.sum("n_tokens").over(
+                WS.partitionBy(F.col("h") % 8)
+                .orderBy("h", "doc_id")
+                .rowsBetween(WS.unboundedPreceding, WS.currentRow)
+            )
+            - F.col("n_tokens")
+        ).alias("before"),
+    )
+    p = a.select(
+        (
+            F.col("bucket") * 1000000
+            + F.floor(F.col("before").cast("double") / 256).cast(
+                "long"
+            )
+        ).alias("pack_id"),
+        "n_tokens",
+    )
+    packs = p.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+    f = packs.withColumn(
+        "fill_decile",
+        F.floor(
+            F.least(F.col("pack_tokens") / 256.0, F.lit(1.0)) * 10
+        ).cast("long"),
+    )
+    return (
+        f.groupBy("fill_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("pack_tokens").cast("long").alias("tokens"),
+            F.sum(F.greatest(256 - F.col("pack_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("padding_tokens"),
+        )
+        .orderBy("fill_decile")
+    )

@@ -531,3 +531,18 @@ def test_survivorship_rates_bounded_and_planted_sources_lose(spark):
         assert 0.0 <= r["removal_rate"] <= 1.0
         assert r["n_removed"] <= r["n_docs"]
     assert sum(r["n_removed"] for r in out) > 0  # planted twins removed
+
+
+def test_pack_efficiency_accounts_for_all_docs(spark):
+    import duckdb
+
+    out = rows(spark, "pack_efficiency_report")
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+        " WHERE text IS NOT NULL"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in out) == n_docs  # nothing dropped
+    for r in out:
+        assert 0 <= r["fill_decile"] <= 10
+        assert r["padding_tokens"] >= 0
