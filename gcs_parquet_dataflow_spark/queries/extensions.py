@@ -12859,3 +12859,138 @@ def pack_efficiency_report(spark, sf_dir):
         )
         .orderBy("fill_decile")
     )
+
+
+@query(
+    "quality_otsu_threshold",
+    f"""
+    WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents WHERE text IS NOT NULL),
+    dq AS (SELECT CAST(round(
+                  (0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                               / len(w), 6)
+                 + 0.2 * least({{stop}} * 10.0, 1.0)) * 1000)
+                  AS BIGINT) AS qm
+           FROM s),
+    th AS (SELECT CAST(unnest(range(1, 20)) AS BIGINT) * 50
+               AS threshold_m),
+    c AS (SELECT th.threshold_m,
+                 CAST(count(*) FILTER (WHERE dq.qm < th.threshold_m)
+                      AS BIGINT) AS w0,
+                 CAST(count(*) FILTER (WHERE dq.qm >= th.threshold_m)
+                      AS BIGINT) AS w1,
+                 CAST(coalesce(sum(dq.qm)
+                      FILTER (WHERE dq.qm < th.threshold_m), 0)
+                      AS BIGINT) AS s0,
+                 CAST(coalesce(sum(dq.qm)
+                      FILTER (WHERE dq.qm >= th.threshold_m), 0)
+                      AS BIGINT) AS s1
+          FROM dq CROSS JOIN th GROUP BY th.threshold_m),
+    v AS (SELECT threshold_m, w0, w1,
+                 CASE WHEN w0 > 0 AND w1 > 0
+                      THEN round(w0 * w1
+                           * (s1 / CAST(w1 AS DOUBLE)
+                              - s0 / CAST(w0 AS DOUBLE))
+                           * (s1 / CAST(w1 AS DOUBLE)
+                              - s0 / CAST(w0 AS DOUBLE))
+                           / 1000000.0, 6)
+                      ELSE 0.0 END AS between_var
+          FROM c)
+    SELECT round(threshold_m / 1000.0, 6) AS threshold,
+           w0 AS n_below, w1 AS n_above, between_var,
+           CAST(between_var = max(between_var) OVER ()
+                AND between_var > 0 AS BOOLEAN) AS is_otsu_optimal
+    FROM v ORDER BY threshold
+    """.format(stop="{stop}").replace("{stop}", _stop_sql("en")),
+)
+def quality_otsu_threshold(spark, sf_dir):
+    """Otsu's method (1979) on the quality distribution: the
+    threshold maximizing between-class variance w0·w1·(μ1−μ0)² over
+    19 candidate cutoffs — the PRINCIPLED answer to "where do I set
+    the gate?" that quality_threshold_tradeoff leaves to eyeballing:
+    Otsu picks the split as if the corpus were a mixture of a
+    low-quality and a high-quality population. All 19 candidates are
+    reported with the argmax flagged, so the dashboard shows the
+    whole variance curve, not just the winner.
+
+    Parity: per-doc quality is quantized to exact integer permille
+    BEFORE any aggregation, so class counts/sums are exact and the
+    variance is one shared double tree; the argmax compares
+    6-rounded values. Scale: per-doc scoring + a 19× literal fan-out
+    map-side combined into 19 rows; one tiny window for the max."""
+    from pyspark.sql import Window as WS
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dq = d.select(
+        F.round(TX.quality_score(F.col("text")) * 1000)
+        .cast("long")
+        .alias("qm")
+    )
+    fan = dq.select(
+        "qm",
+        F.explode(
+            F.array(*[F.lit(i * 50).cast("long") for i in range(1, 20)])
+        ).alias("threshold_m"),
+    )
+    c = fan.groupBy("threshold_m").agg(
+        F.count_if(F.col("qm") < F.col("threshold_m"))
+        .cast("long")
+        .alias("w0"),
+        F.count_if(F.col("qm") >= F.col("threshold_m"))
+        .cast("long")
+        .alias("w1"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("qm") < F.col("threshold_m"), F.col("qm")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s0"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("qm") >= F.col("threshold_m"), F.col("qm")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s1"),
+    )
+    mu_diff = F.col("s1") / F.col("w1").cast("double") - F.col(
+        "s0"
+    ) / F.col("w0").cast("double")
+    v = c.select(
+        "threshold_m",
+        "w0",
+        "w1",
+        F.when(
+            (F.col("w0") > 0) & (F.col("w1") > 0),
+            F.round(
+                F.col("w0") * F.col("w1") * mu_diff * mu_diff
+                / 1000000.0,
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("between_var"),
+    )
+    return v.select(
+        F.round(F.col("threshold_m") / 1000.0, 6).alias("threshold"),
+        F.col("w0").alias("n_below"),
+        F.col("w1").alias("n_above"),
+        "between_var",
+        (
+            (
+                F.col("between_var")
+                == F.max("between_var").over(
+                    WS.partitionBy(F.lit(1))
+                )
+            )
+            & (F.col("between_var") > 0)
+        ).alias("is_otsu_optimal"),
+    ).orderBy("threshold")

@@ -546,3 +546,15 @@ def test_pack_efficiency_accounts_for_all_docs(spark):
     for r in out:
         assert 0 <= r["fill_decile"] <= 10
         assert r["padding_tokens"] >= 0
+
+
+def test_otsu_flags_exactly_one_optimal_threshold(spark):
+    out = rows(spark, "quality_otsu_threshold")
+    assert len(out) == 19
+    best = [r for r in out if r["is_otsu_optimal"]]
+    assert len(best) >= 1  # ties share the max, but at least one
+    mx = max(r["between_var"] for r in out)
+    for r in best:
+        assert r["between_var"] == mx > 0
+    for r in out:
+        assert r["n_below"] + r["n_above"] == out[0]["n_below"] + out[0]["n_above"]
