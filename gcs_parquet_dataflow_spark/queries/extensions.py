@@ -12994,3 +12994,141 @@ def quality_otsu_threshold(spark, sf_dir):
             & (F.col("between_var") > 0)
         ).alias("is_otsu_optimal"),
     ).orderBy("threshold")
+
+
+@query(
+    "lm_generalization_gap",
+    f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+                         CASE WHEN {h32("'lmsplit-v1:' || CAST(doc_id AS VARCHAR)")}
+                                   % 10 < 8
+                              THEN 'train' ELSE 'heldout' END AS split
+                  FROM documents WHERE text IS NOT NULL),
+    tr AS (SELECT * FROM base WHERE split = 'train'),
+    ux AS (SELECT unnest(w) AS u FROM tr),
+    uni AS (SELECT u, CAST(count(*) AS BIGINT) AS cu FROM ux GROUP BY u),
+    vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    btr AS (SELECT unnest([w[i+1] || ' ' || w[i+2]
+                           for i in range(len(w)-1)]) AS b FROM tr),
+    bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM btr GROUP BY b),
+    bx AS (SELECT split,
+                  unnest([w[i+1] || ' ' || w[i+2]
+                          for i in range(len(w)-1)]) AS b
+           FROM base),
+    sc AS (SELECT bx.split,
+                  -ln((coalesce(bc.cb, 0) + 1)
+                      / CAST(coalesce(uni.cu, 0)
+                             + (SELECT v FROM vsz) AS DOUBLE)) AS nll
+           FROM bx
+           LEFT JOIN bc USING (b)
+           LEFT JOIN uni ON uni.u = split_part(bx.b, ' ', 1)),
+    agg AS (SELECT split,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(exp(avg(nll)), 6) AS ppl
+            FROM sc GROUP BY split)
+    SELECT a.n_bigrams AS n_train_bigrams,
+           b.n_bigrams AS n_heldout_bigrams,
+           a.ppl AS train_ppl,
+           b.ppl AS heldout_ppl,
+           round(b.ppl / a.ppl, 6) AS generalization_ratio
+    FROM agg a CROSS JOIN agg b
+    WHERE a.split = 'train' AND b.split = 'heldout'
+    """,
+)
+def lm_generalization_gap(spark, sf_dir):
+    """LM GENERALIZATION eval: the corpus bigram model
+    (quality_lm_bigram_score's LM) trained on a deterministic 80%
+    hash split and evaluated on BOTH splits — heldout/train
+    perplexity ratio is the overfitting check that tells you whether
+    LM-based quality scores are measuring language or memorizing the
+    corpus (ratio ≈ 1 on homogeneous data; ≫ 1 means the scorer's
+    rankings on unseen text can't be trusted). Unseen heldout
+    bigrams/unigrams fall back to the add-one floor, exactly the
+    smoothing contract.
+
+    Parity: the split is the shared content hash; counts exact; nll
+    trees identical (coalesce-to-0 on both sides). Scale: two hash
+    aggs for the LM + two equi-joins for scoring — identical cost
+    class to the scorer itself; the 2-row pivot is free."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("w"),
+        F.when(
+            TX.hash32(
+                F.concat(
+                    F.lit("lmsplit-v1:"), F.col("doc_id").cast("string")
+                )
+            )
+            % 10
+            < 8,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    base = persist_intermediate(base)
+    tr = base.filter(F.col("split") == "train")
+    uni = (
+        tr.select(F.explode("w").alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    vsz = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    big = lambda df: df.select(
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w)-1),"
+                " i -> concat(w[i-1], ' ', w[i]))"
+            )
+        ).alias("b"),
+    )
+    bc = (
+        big(tr)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    bx = big(base)
+    sc = (
+        bx.join(bc, "b", "left")
+        .withColumn("u", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .join(uni, "u", "left")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "split",
+            (
+                -F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + 1)
+                    / (
+                        F.coalesce(F.col("cu"), F.lit(0)) + F.col("v")
+                    ).cast("double")
+                )
+            ).alias("nll"),
+        )
+    )
+    agg = sc.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(F.avg("nll")), 6).alias("ppl"),
+    )
+    a = agg.filter(F.col("split") == "train").select(
+        F.col("n_bigrams").alias("n_train_bigrams"),
+        F.col("ppl").alias("train_ppl"),
+    )
+    b = agg.filter(F.col("split") == "heldout").select(
+        F.col("n_bigrams").alias("n_heldout_bigrams"),
+        F.col("ppl").alias("heldout_ppl"),
+    )
+    return a.crossJoin(b).select(
+        "n_train_bigrams",
+        "n_heldout_bigrams",
+        "train_ppl",
+        "heldout_ppl",
+        F.round(F.col("heldout_ppl") / F.col("train_ppl"), 6).alias(
+            "generalization_ratio"
+        ),
+    )

@@ -1071,6 +1071,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "knn_ivf_nprobe_curve",            # truth set = broadcast 5-query exact baseline
         "user_feature_matrix",             # 1-row corpus-horizon broadcast
         "dedup_url_vs_content_venn",       # 1-row doc-0-text broadcast
+        "lm_generalization_gap",           # 1-row vocab-size broadcast + 1x1 pivot
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -558,3 +558,11 @@ def test_otsu_flags_exactly_one_optimal_threshold(spark):
         assert r["between_var"] == mx > 0
     for r in out:
         assert r["n_below"] + r["n_above"] == out[0]["n_below"] + out[0]["n_above"]
+
+
+def test_lm_gap_heldout_worse_than_train(spark):
+    (r,) = rows(spark, "lm_generalization_gap")
+    assert r["n_train_bigrams"] > r["n_heldout_bigrams"] > 0
+    assert r["train_ppl"] > 1.0
+    # the model has seen the train split: heldout can't be easier
+    assert r["generalization_ratio"] >= 1.0 - 1e-6
