@@ -13132,3 +13132,232 @@ def lm_generalization_gap(spark, sf_dir):
             "generalization_ratio"
         ),
     )
+
+
+@query(
+    "dedup_blocking_effectiveness",
+    f"""
+    WITH aug AS (SELECT doc_id, lang, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 100000, lang, text || ' extra'
+                 FROM documents WHERE doc_id % 10 = 0),
+    w0 AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM aug),
+    sh AS (SELECT doc_id, lang, {SHINGLES_SQL} AS hs FROM w0),
+    sig AS (SELECT doc_id, lang,
+                   [{", ".join(MINHASH_SQL)}] AS sg FROM sh),
+    allp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(a.lang = b.lang AS INT) AS same_block
+             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             WHERE len([j for j in range(8)
+                        if a.sg[2*j+1] = b.sg[2*j+1]
+                       AND a.sg[2*j+2] = b.sg[2*j+2]]) > 0),
+    planted AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+                FROM documents WHERE doc_id % 10 = 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates_unblocked,
+           CAST(sum(same_block) AS BIGINT) AS n_candidates_blocked,
+           round(1.0 - sum(same_block) / CAST(count(*) AS DOUBLE), 6)
+               AS candidate_reduction,
+           CAST((SELECT count(*) FROM allp a
+                 JOIN planted p ON p.id_a = a.id_a
+                                AND p.id_b = a.id_b) AS BIGINT)
+               AS planted_found_unblocked,
+           CAST((SELECT count(*) FROM allp a
+                 JOIN planted p ON p.id_a = a.id_a
+                                AND p.id_b = a.id_b
+                 WHERE a.same_block = 1) AS BIGINT)
+               AS planted_found_blocked
+    FROM allp
+    """,
+)
+def dedup_blocking_effectiveness(spark, sf_dir):
+    """METADATA BLOCKING effectiveness for LSH dedup: restricting
+    candidate pairs to same-language blocks, report how many
+    candidates blocking discards (the verification work saved) and
+    whether it loses any PLANTED true pair (it cannot — a near-dup
+    twin shares its source's language, which is exactly why language
+    is a safe blocking key while, say, source is NOT: cross-source
+    mirrors would be lost, per dedup_cross_source_matrix). The
+    decision row for "do we shard the dedup by language at 100 TB?".
+
+    Parity: candidate sets from the shared banding; block flags and
+    counts exact. Scale: on the Spark side the blocked variant
+    CO-KEYS the band join on (lang, band) — blocking is free
+    partition pruning, not a post-filter; the oracle computes the
+    same sets definitionally."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "lang",
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    langs = aug.select("doc_id", "lang")
+    pairs = DD.lsh_candidate_pairs(
+        sigs, "doc_id", "sig", rows_per_band=2
+    )
+    la = langs.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")
+    )
+    allp = (
+        pairs.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("lang_a") == F.col("lang_b"))
+            .cast("int")
+            .alias("same_block"),
+        )
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    allp = persist_intermediate(allp)
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+    )
+    hits = allp.join(planted, ["id_a", "id_b"])
+    found_unblocked = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    found_blocked = hits.filter(F.col("same_block") == 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = allp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates_unblocked"),
+        F.sum("same_block").cast("long").alias("n_candidates_blocked"),
+    )
+    return (
+        totals.crossJoin(
+            F.broadcast(
+                found_unblocked.select(
+                    F.col("n").alias("planted_found_unblocked")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                found_blocked.select(
+                    F.col("n").alias("planted_found_blocked")
+                )
+            )
+        )
+        .select(
+            "n_candidates_unblocked",
+            "n_candidates_blocked",
+            F.round(
+                1.0
+                - F.col("n_candidates_blocked")
+                / F.col("n_candidates_unblocked").cast("double"),
+                6,
+            ).alias("candidate_reduction"),
+            "planted_found_unblocked",
+            "planted_found_blocked",
+        )
+    )
+
+
+@query(
+    "metric_rank_movers_wow",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(floor(epoch(ts) / 604800.0) AS BIGINT)
+                          AS wk,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                          AS vc
+               FROM events GROUP BY 1, 2),
+    wks AS (SELECT max(wk) AS w1, max(wk) - 1 AS w0 FROM d),
+    r AS (SELECT d.event_type, d.wk, d.vc,
+                 row_number() OVER (PARTITION BY d.wk
+                                    ORDER BY d.vc DESC, d.event_type)
+                     AS rnk
+          FROM d JOIN wks ON d.wk IN (wks.w0, wks.w1)),
+    p AS (SELECT a.event_type,
+                 a.rnk AS rank_prev, b.rnk AS rank_now,
+                 a.vc AS vc_prev, b.vc AS vc_now
+          FROM r a JOIN r b ON b.event_type = a.event_type
+          JOIN wks ON a.wk = wks.w0 AND b.wk = wks.w1)
+    SELECT event_type,
+           CAST(rank_prev AS BIGINT) AS rank_prev,
+           CAST(rank_now AS BIGINT) AS rank_now,
+           CAST(rank_prev - rank_now AS BIGINT) AS rank_delta,
+           round((vc_now - vc_prev) / CAST(abs(vc_prev) AS DOUBLE), 6)
+               AS revenue_change
+    FROM p ORDER BY abs(rank_prev - rank_now) DESC, event_type
+    """,
+)
+def metric_rank_movers_wow(spark, sf_dir):
+    """Rank MOVERS week-over-week: each metric slice's leaderboard
+    position change between the last two complete weeks, ordered by
+    movement — the "what changed" view that complements
+    metric_wow_change's percentage view (a +2% change that flips two
+    slices' ORDER is news; a +20% change that doesn't may not be).
+    Week buckets are epoch-seconds/604800 — timezone-free and
+    identical in both engines.
+
+    Parity: ranks from exact cents with a name tie-break; the change
+    ratio is one division. Scale: one (type, week) rollup, ranks over
+    the tiny slice table, a self-join on type."""
+    from pyspark.sql import Window as WS
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 604800.0
+        )
+        .cast("long")
+        .alias("wk"),
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    wks = d.agg(
+        F.max("wk").alias("w1"), (F.max("wk") - 1).alias("w0")
+    )
+    r = (
+        d.crossJoin(F.broadcast(wks))
+        .filter(F.col("wk").isin(F.col("w0"), F.col("w1")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                WS.partitionBy("wk").orderBy(
+                    F.col("vc").desc(), "event_type"
+                )
+            ),
+        )
+    )
+    a = r.filter(F.col("wk") == F.col("w0")).select(
+        "event_type",
+        F.col("rnk").alias("rank_prev"),
+        F.col("vc").alias("vc_prev"),
+    )
+    b = r.filter(F.col("wk") == F.col("w1")).select(
+        "event_type",
+        F.col("rnk").alias("rank_now"),
+        F.col("vc").alias("vc_now"),
+    )
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            F.col("rank_prev").cast("long").alias("rank_prev"),
+            F.col("rank_now").cast("long").alias("rank_now"),
+            (F.col("rank_prev") - F.col("rank_now"))
+            .cast("long")
+            .alias("rank_delta"),
+            F.round(
+                (F.col("vc_now") - F.col("vc_prev"))
+                / F.abs(F.col("vc_prev")).cast("double"),
+                6,
+            ).alias("revenue_change"),
+        )
+        .orderBy(
+            F.abs(F.col("rank_prev") - F.col("rank_now")).desc(),
+            "event_type",
+        )
+    )

@@ -1072,6 +1072,8 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "user_feature_matrix",             # 1-row corpus-horizon broadcast
         "dedup_url_vs_content_venn",       # 1-row doc-0-text broadcast
         "lm_generalization_gap",           # 1-row vocab-size broadcast + 1x1 pivot
+        "dedup_blocking_effectiveness",    # 1x1x1 scalar count combination
+        "metric_rank_movers_wow",          # 1-row week-bounds broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -566,3 +566,20 @@ def test_lm_gap_heldout_worse_than_train(spark):
     assert r["train_ppl"] > 1.0
     # the model has seen the train split: heldout can't be easier
     assert r["generalization_ratio"] >= 1.0 - 1e-6
+
+
+def test_blocking_loses_no_planted_pairs_but_cuts_candidates(spark):
+    (r,) = rows(spark, "dedup_blocking_effectiveness")
+    assert r["planted_found_blocked"] == r["planted_found_unblocked"] > 0
+    assert r["n_candidates_blocked"] <= r["n_candidates_unblocked"]
+    assert 0.0 <= r["candidate_reduction"] < 1.0
+
+
+def test_rank_movers_consistent_permutation(spark):
+    out = rows(spark, "metric_rank_movers_wow")
+    assert out
+    prevs = sorted(r["rank_prev"] for r in out)
+    nows = sorted(r["rank_now"] for r in out)
+    assert prevs == nows == list(range(1, len(out) + 1))
+    for r in out:
+        assert r["rank_delta"] == r["rank_prev"] - r["rank_now"]
