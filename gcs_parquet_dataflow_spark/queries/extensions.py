@@ -13361,3 +13361,73 @@ def metric_rank_movers_wow(spark, sf_dir):
             "event_type",
         )
     )
+
+
+@query(
+    "orders_double_charge_detect",
+    """
+    WITH aug AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                        CAST(round(o_totalprice*100) AS BIGINT) AS pc
+                 FROM orders
+                 UNION ALL
+                 SELECT o_orderkey + 1000000000, o_custkey,
+                        o_orderdate,
+                        CAST(round(o_totalprice*100) AS BIGINT)
+                 FROM orders WHERE o_orderkey % 211 = 0),
+    g AS (SELECT o_custkey, o_orderdate, pc,
+                 CAST(count(*) AS BIGINT) AS n_charges,
+                 CAST(min(o_orderkey) AS BIGINT) AS first_orderkey
+          FROM aug GROUP BY o_custkey, o_orderdate, pc
+          HAVING count(*) > 1)
+    SELECT o_custkey, o_orderdate,
+           round(pc / 100.0, 6) AS amount,
+           n_charges, first_orderkey,
+           round((n_charges - 1) * pc / 100.0, 6) AS overcharge
+    FROM g ORDER BY o_custkey, o_orderdate, pc
+    """,
+)
+def orders_double_charge_detect(spark, sf_dir):
+    """Duplicate-transaction (double-charge) detection — the
+    payments-ops staple: orders sharing (customer, date, exact
+    amount) flagged with the duplicate count and the implied
+    overcharge, keeping the first orderkey as the legitimate one.
+    Planted duplicates (every 211th order re-submitted under a
+    shifted key) prove detection; the same grouping key is what a
+    payment processor dedups retries on.
+
+    Parity: amounts are exact cents BEFORE grouping (never group
+    floats); counts and min-keys exact. Scale: one hash agg on the
+    natural retry key with map-side combine — the exact_dedup shape
+    with a HAVING."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        cents(F.col("o_totalprice")).alias("pc"),
+    )
+    aug = o.unionByName(
+        o.filter(F.col("o_orderkey") % 211 == 0).select(
+            (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderdate",
+            "pc",
+        )
+    )
+    g = (
+        aug.groupBy("o_custkey", "o_orderdate", "pc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_charges"),
+            F.min("o_orderkey").cast("long").alias("first_orderkey"),
+        )
+        .filter(F.col("n_charges") > 1)
+    )
+    return g.select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("pc") / 100.0, 6).alias("amount"),
+        "n_charges",
+        "first_orderkey",
+        F.round(
+            (F.col("n_charges") - 1) * F.col("pc") / 100.0, 6
+        ).alias("overcharge"),
+    ).orderBy("o_custkey", "o_orderdate", "pc")

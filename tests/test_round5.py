@@ -583,3 +583,20 @@ def test_rank_movers_consistent_permutation(spark):
     assert prevs == nows == list(range(1, len(out) + 1))
     for r in out:
         assert r["rank_delta"] == r["rank_prev"] - r["rank_now"]
+
+
+def test_double_charge_detects_exactly_planted_dupes(spark):
+    import duckdb
+
+    out = rows(spark, "orders_double_charge_detect")
+    con = duckdb.connect()
+    planted = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE o_orderkey % 211 = 0"
+    ).fetchone()[0]
+    # fixtures have no natural (cust, date, amount) collisions, so the
+    # flagged groups are exactly the planted resubmissions
+    assert len(out) == planted
+    for r in out:
+        assert r["n_charges"] == 2
+        assert abs(r["overcharge"] - r["amount"]) < 1e-6
