@@ -13431,3 +13431,61 @@ def orders_double_charge_detect(spark, sf_dir):
             (F.col("n_charges") - 1) * F.col("pc") / 100.0, 6
         ).alias("overcharge"),
     ).orderBy("o_custkey", "o_orderdate", "pc")
+
+
+@query(
+    "events_hour_dow_heatmap",
+    """
+    WITH b AS (SELECT dayofweek(CAST(ts AS DATE)) AS dow,
+                      hour(ts) AS hr
+               FROM events)
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(count(*) FILTER (WHERE hr BETWEEN 0 AND 5) AS BIGINT)
+               AS h00_05,
+           CAST(count(*) FILTER (WHERE hr BETWEEN 6 AND 11) AS BIGINT)
+               AS h06_11,
+           CAST(count(*) FILTER (WHERE hr BETWEEN 12 AND 17) AS BIGINT)
+               AS h12_17,
+           CAST(count(*) FILTER (WHERE hr BETWEEN 18 AND 23) AS BIGINT)
+               AS h18_23,
+           CAST(count(*) AS BIGINT) AS total
+    FROM b GROUP BY dow ORDER BY dow
+    """,
+)
+def events_hour_dow_heatmap(spark, sf_dir):
+    """The activity heatmap every ops dashboard opens with: event
+    volume as a weekday × day-part matrix (wide pivot, 0=Sunday rows,
+    four 6-hour columns) — the at-a-glance view that places load
+    peaks before the seasonal models (seasonal_decompose_dow hourly
+    baselines) quantify them. Conditional-count pivot keeps the
+    matrix one map-side-combined aggregation.
+
+    Parity: DuckDB dayofweek (0=Sunday) vs Spark dayofweek-1; hour()
+    identical; counts exact. Scale: scan → 7-row agg."""
+    e = t(spark, sf_dir, "events")
+    b = e.select(
+        (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow"),
+        F.hour(F.col("ts")).alias("hr"),
+    )
+    band = lambda lo, hi: F.count_if(
+        F.col("hr").between(lo, hi)
+    ).cast("long")
+    return (
+        b.groupBy("dow")
+        .agg(
+            band(0, 5).alias("h00_05"),
+            band(6, 11).alias("h06_11"),
+            band(12, 17).alias("h12_17"),
+            band(18, 23).alias("h18_23"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        )
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            "h00_05",
+            "h06_11",
+            "h12_17",
+            "h18_23",
+            "total",
+        )
+        .orderBy("dow")
+    )

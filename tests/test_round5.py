@@ -600,3 +600,13 @@ def test_double_charge_detects_exactly_planted_dupes(spark):
     for r in out:
         assert r["n_charges"] == 2
         assert abs(r["overcharge"] - r["amount"]) < 1e-6
+
+
+def test_heatmap_bands_partition_each_day(spark):
+    out = rows(spark, "events_hour_dow_heatmap")
+    assert len(out) == 7 and [r["dow"] for r in out] == list(range(7))
+    for r in out:
+        assert (
+            r["h00_05"] + r["h06_11"] + r["h12_17"] + r["h18_23"]
+            == r["total"]
+        )
