@@ -13489,3 +13489,79 @@ def events_hour_dow_heatmap(spark, sf_dir):
         )
         .orderBy("dow")
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    """
+    WITH r AS (SELECT p.p_type,
+                      l.l_suppkey,
+                      CAST(sum(CAST(round(l.l_extendedprice
+                           * (1 - l.l_discount) * 100) AS BIGINT))
+                           AS BIGINT) AS rev_c
+               FROM lineitem l JOIN part p
+                 ON p.p_partkey = l.l_partkey
+               GROUP BY p.p_type, l.l_suppkey),
+    tt AS (SELECT p_type, CAST(sum(rev_c) AS BIGINT) AS total_c,
+                  CAST(count(*) AS BIGINT) AS n_suppliers
+           FROM r GROUP BY p_type),
+    h AS (SELECT r.p_type, tt.n_suppliers,
+                 round(sum((r.rev_c / CAST(tt.total_c AS DOUBLE))
+                           * (r.rev_c / CAST(tt.total_c AS DOUBLE)))
+                       * 10000, 6) AS hhi
+          FROM r JOIN tt ON tt.p_type = r.p_type
+          GROUP BY r.p_type, tt.n_suppliers)
+    SELECT p_type, n_suppliers, hhi,
+           CASE WHEN hhi > 2500 THEN 'concentrated'
+                WHEN hhi > 1500 THEN 'moderate'
+                ELSE 'competitive' END AS market_class
+    FROM h ORDER BY hhi DESC, p_type
+    """,
+)
+def supplier_concentration_hhi(spark, sf_dir):
+    """Supply-concentration risk per part category: the
+    Herfindahl–Hirschman index (Σ share², ×10 000) of supplier
+    revenue shares, with the DOJ's standard 1500/2500 class bands —
+    the single-source-of-failure audit a procurement (or data-vendor)
+    review runs; the category-level, named-metric companion to
+    inequality_gini_revenue and pareto_abc_parts.
+
+    Parity: revenues exact cents; HHI is the identical sum of squared
+    exact-rational shares, rounded 6; class bands compare the rounded
+    value. Scale: lineitem⋈part shuffles on partkey (part broadcast
+    at dim size), then two (type)-keyed rollups — nothing above the
+    fact scan."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    r = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(
+                cents(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            )
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    tt = r.groupBy("p_type").agg(
+        F.sum("rev_c").cast("long").alias("total_c"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share = F.col("rev_c") / F.col("total_c").cast("double")
+    h = (
+        r.join(F.broadcast(tt), "p_type")
+        .groupBy("p_type", "n_suppliers")
+        .agg(F.round(F.sum(share * share) * 10000, 6).alias("hhi"))
+    )
+    return h.select(
+        "p_type",
+        "n_suppliers",
+        "hhi",
+        F.when(F.col("hhi") > 2500, "concentrated")
+        .when(F.col("hhi") > 1500, "moderate")
+        .otherwise("competitive")
+        .alias("market_class"),
+    ).orderBy(F.col("hhi").desc(), "p_type")

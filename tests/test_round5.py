@@ -610,3 +610,12 @@ def test_heatmap_bands_partition_each_day(spark):
             r["h00_05"] + r["h06_11"] + r["h12_17"] + r["h18_23"]
             == r["total"]
         )
+
+
+def test_hhi_bounded_by_definition(spark):
+    out = rows(spark, "supplier_concentration_hhi")
+    assert out
+    for r in out:
+        # HHI in (10000/n, 10000]: equality at perfect monopoly
+        assert 10000.0 / r["n_suppliers"] - 1e-3 <= r["hhi"] <= 10000.0 + 1e-6
+        assert r["market_class"] in ("competitive", "moderate", "concentrated")
