@@ -14,6 +14,70 @@ from pyspark.sql import types as T
 BOOLEAN_TRUE_STRINGS = ("true", "1", "t", "y", "yes")
 
 
+# --- Python numeric-literal grammar, reproduced exactly ---------------------
+#
+# The reference casts with Python ``int(value)`` / ``float(value)``
+# (main.py:227-240); Spark's string→long/double cast accepts MORE than
+# Python does (it strips every char ≤ U+0020, so int("0\x1f") → 0 where
+# Python raises → the reference omits the property). Found by hypothesis
+# (tests/test_cast_properties.py, counterexample '0\x1f'). The expressions
+# below gate Spark's cast on the exact Python acceptance grammar, derived
+# empirically against CPython 3.11 over the full codepoint range:
+#
+# * whitespace: int()/float() strip exactly these 25 codepoints — NOT the
+#   \x1c-\x1f separators that str.strip() also removes;
+# * sign: ASCII '+'/'-' only;
+# * digits: any Unicode Nd decimal digit (660 codepoints, incl. astral
+#   planes — int("٣")==3), normalized to ASCII via a translate table
+#   before validation/cast;
+# * underscores: allowed between digits only (int("1_0")==10, "1__0"/
+#   "_1"/"1_" raise).
+_PY_NUM_WS = (
+    "\t\n\x0b\x0c\r \x85\xa0"
+    "\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+    "\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+_WS_STRIP_RE = "^[" + _PY_NUM_WS + "]+|[" + _PY_NUM_WS + "]+$"
+# digit run with optional single underscores between digits
+_D = "[0-9](_?[0-9])*"
+_INT_RE = f"^[+-]?{_D}$"
+# Python float literal: digits[.digits] | .digits, optional exponent, or
+# inf/infinity/nan (case-insensitive). "1." and "1.e3" are valid.
+_FLOAT_RE = f"^[+-]?(({_D}(\\.({_D})?)?|\\.{_D})([eE][+-]?{_D})?)$"
+_INF_RE = "^[+-]?(?i:inf(inity)?)$"
+_NAN_RE = "^[+-]?(?i:nan)$"
+
+
+def _nd_translate_tables() -> tuple[str, str]:
+    """(from, to) tables mapping every Unicode Nd decimal digit to its
+    ASCII value digit — computed once, cached; used via F.translate so
+    digit normalization stays a single JVM expression (Spark's translate
+    is codepoint-correct incl. supplementary planes, verified)."""
+    global _ND_TABLES
+    if _ND_TABLES is None:
+        import unicodedata
+
+        frm, to = [], []
+        for c in range(0x110000):
+            ch = chr(c)
+            if unicodedata.category(ch) == "Nd":
+                frm.append(ch)
+                to.append(str(unicodedata.digit(ch)))
+        _ND_TABLES = ("".join(frm), "".join(to))
+    return _ND_TABLES
+
+
+_ND_TABLES: tuple[str, str] | None = None
+
+
+def _python_numeric_normalize(col: Column) -> Column:
+    """Strip Python-numeric whitespace, normalize Unicode Nd digits to
+    ASCII. The result is validated against the grammar regexes; rows that
+    fail validation yield NULL (the reference omits on ValueError)."""
+    frm, to = _nd_translate_tables()
+    return F.translate(F.regexp_replace(col, _WS_STRIP_RE, ""), frm, to)
+
+
 def nan_to_null(col: Column, dtype: T.DataType) -> Column:
     """NaN → NULL for float/double columns (reference main.py:113-119
     ``_clean_nan_value``). Spark keeps NaN distinct from NULL; the engine
@@ -41,9 +105,16 @@ def cast_integer(col: Column, dtype: T.DataType) -> Column:
     ValueError/TypeError, main.py:227-233 — NULL + null-stripping at
     serialization is observably identical, SURVEY §1.2)."""
     if isinstance(dtype, T.StringType):
-        # Python int("12.5") raises; Spark's string→long cast also yields
-        # NULL for non-integral strings, matching the omit semantics.
-        return F.trim(col).try_cast("long")
+        # Gate on the exact Python int() grammar (see module header):
+        # int("12.5") / int("0\x1f") raise where Spark's bare cast would
+        # accept, and int("1_0")==10 / int("٣")==3 where it would reject.
+        # try_cast still guards the long range (Python ints are unbounded;
+        # >64-bit literals clamp to NULL, documented deviation).
+        norm = _python_numeric_normalize(col)
+        return F.when(
+            norm.rlike(_INT_RE),
+            F.regexp_replace(norm, "_", "").try_cast("long"),
+        ).otherwise(F.lit(None).cast("long"))
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         # Python int(datetime) raises TypeError → omit.
         return F.lit(None).cast("long")
@@ -53,7 +124,26 @@ def cast_integer(col: Column, dtype: T.DataType) -> Column:
 def cast_float(col: Column, dtype: T.DataType) -> Column:
     """``float(value)``; failure → NULL (reference main.py:234-240)."""
     if isinstance(dtype, T.StringType):
-        return F.trim(col).try_cast("double")
+        # Same Python-grammar gate as cast_integer, with float()'s larger
+        # literal language: "1." / ".5" / "1.e3" / "1_0.5", and the
+        # case-insensitive inf/infinity/nan words (float("nan") IS NaN in
+        # the reference's output, not NULL — nan_to_null applies to
+        # INPUTS, not cast results, main.py:113-119 vs 234-240).
+        norm = _python_numeric_normalize(col)
+        return (
+            F.when(norm.rlike(_NAN_RE), F.lit(float("nan")))
+            .when(
+                norm.rlike(_INF_RE),
+                F.when(norm.startswith("-"), F.lit(float("-inf"))).otherwise(
+                    F.lit(float("inf"))
+                ),
+            )
+            .when(
+                norm.rlike(_FLOAT_RE),
+                F.regexp_replace(norm, "_", "").try_cast("double"),
+            )
+            .otherwise(F.lit(None).cast("double"))
+        )
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return F.lit(None).cast("double")
     return col.cast("double")

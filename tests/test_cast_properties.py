@@ -20,10 +20,24 @@ finite_doubles = st.floats(allow_infinity=False, width=64)
 small_strings = st.one_of(
     st.sampled_from(
         ["", " ", "true", "TRUE", "t", "y", "yes", "1", "0", "no",
-         "false", "12", "-3", "12.5", "abc", "1e3", " 7 ", "NaN"]
+         "false", "12", "-3", "12.5", "abc", "1e3", " 7 ", "NaN",
+         # regression set: control chars (int() does NOT strip \x1c-\x1f
+         # though Spark's bare cast does), digit underscores, Unicode Nd
+         # digits (BMP + astral), Python-only float forms
+         "0\x1f", "\x1c5", "1_0", "1__0", "_1", "1_", "٣", "𝟏𝟐", "١_٢",
+         "1.", ".5", "1.e3", "-.5", "inf", "-Infinity", "+nan", "1_0.5e1_0",
+         "\t12\n", "\xa012", "+", "-", "."]
     ),
     st.text(max_size=8),
 )
+
+
+def same_float(g, w):
+    """NaN-aware float equality (float('nan') is a VALUE in the reference
+    output, not a missing property)."""
+    if g is None or w is None:
+        return g is None and w is None
+    return (math.isnan(g) and math.isnan(w)) or g == w
 
 
 def run_ladder(spark, values, dtype, builder):
@@ -67,6 +81,61 @@ def test_integer_of_string(spark, xs):
     # Python int("12.5") raises (→ omit/None); int(" 7 ") == 7. Spark
     # try_cast agrees on both. Whitespace-only → None both sides.
     assert got == want
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(st.lists(st.one_of(st.none(), small_strings), min_size=1, max_size=30))
+def test_float_of_string(spark, xs):
+    """The latent twin of the '0\\x1f' integer bug (VERDICT r3): Spark's
+    bare string→double cast over-accepts; the grammar-gated ladder must
+    reproduce Python float() exactly, incl. inf/nan words, '1.'/'.5'
+    forms, digit underscores, and Unicode digits."""
+    got = run_ladder(spark, xs, T.StringType(), casts.cast_float)
+    want = [ref.ref_float(x) for x in xs]
+    want = [None if w is ref.OMIT else w for w in want]
+    assert all(same_float(g, w) for g, w in zip(got, want)), list(
+        zip(xs, got, want)
+    )
+
+
+def test_integer_of_string_regressions(spark):
+    """Deterministic pin of the hypothesis counterexample plus the grammar
+    corners (verdict r3 item 1): control chars reject, underscores accept,
+    Unicode Nd digits accept."""
+    cases = {
+        "0\x1f": None, "\x1c5": None, "5\x1d": None,  # int() keeps \x1c-\x1f
+        "1_0": 10, "1__0": None, "_1": None, "1_": None,
+        "٣": 3, "𝟏𝟐": 12, "١_٢": 12,
+        " 7 ": 7, "\t12\n": 12, "\xa012": 12, " 7　": 7,
+        "12.5": None, "+12": 12, "-0": 0, "": None, "+": None,
+    }
+    got = run_ladder(spark, list(cases), T.StringType(), casts.cast_integer)
+    assert got == list(cases.values()), list(zip(cases, got, cases.values()))
+
+
+def test_float_of_string_regressions(spark):
+    cases = {
+        "0\x1f": None, "1_.5": None, "1._5": None, "1e_5": None,
+        "1.": 1.0, ".5": 0.5, "1.e3": 1000.0, "-.5": -0.5,
+        "1_0.5_5e1_0": 105500000000.0, "٣.٥": 3.5,
+        "inf": float("inf"), "-Infinity": float("-inf"),
+        "INFINITY": float("inf"), "5e999": float("inf"), "1e-999": 0.0,
+        "+nan": float("nan"), "NaN": float("nan"),
+        "0x10": None, "1j": None, ".": None,
+    }
+    got = run_ladder(spark, list(cases), T.StringType(), casts.cast_float)
+    assert all(same_float(g, w) for g, w in zip(got, cases.values())), list(
+        zip(cases, got, cases.values())
+    )
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(st.lists(st.one_of(st.none(), finite_doubles), min_size=1, max_size=30))
+def test_float_of_double(spark, xs):
+    got = run_ladder(spark, xs, T.DoubleType(), casts.cast_float)
+    want = [ref.ref_float(x) for x in xs]
+    want = [None if w is ref.OMIT else w for w in want]
+    assert all(same_float(g, w) for g, w in zip(got, want))
 
 
 @settings(max_examples=N_EXAMPLES, deadline=None)
@@ -173,6 +242,19 @@ def test_dateutil_fallback_matches_reference_grammar(spark, xs):
     got = run_fallback_parse(spark, xs)
     want = [ref.ref_unix_timestamp_auto(v) for v in xs]
     assert got == want, list(zip(xs, got, want))
+
+
+def test_unix_timestamp_auto_intlike_strings(spark):
+    """Reference _parse_timestamp routes STRINGS through dateutil even
+    when they look numeric (main.py:131-149): '20240105' parses as a
+    DATE, '1700000000' raises → None — NOT an epoch-seconds passthrough.
+    ('123'/'2024' fill month/day from today → nondeterministic, excluded;
+    covered by the non-null partial-form test above.)"""
+    vals = ["20240105", "19991231", "1700000000", "0", "999999999999",
+            "00000000"]
+    got = run_fallback_parse(spark, vals)
+    want = [ref.ref_unix_timestamp_auto(v) for v in vals]
+    assert got == want, list(zip(vals, got, want))
 
 
 # --- URL canonicalization properties -------------------------------------
