@@ -151,7 +151,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
@@ -162,8 +162,17 @@ def main() -> None:
         "queries_extended": extended,
         "table_rows": table_rows,
         "sf": sf_val,
-    }))
+    })
+    # Stop the JVM BEFORE printing so nothing (progress bars are already
+    # off via session.py, but also shutdown logs) can land on stdout after
+    # — or interleave with — the JSON line the driver tail-captures
+    # (BENCH_r03.json came back "parsed": null from exactly that).
     spark.stop()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_result.json"), "w") as f:
+        f.write(line + "\n")
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

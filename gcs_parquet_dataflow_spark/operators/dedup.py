@@ -276,19 +276,54 @@ def minhash_bands(
     ).select("_id", "bk.band", F.col("bk.key").cast("array<long>").alias("key"))
 
 
+def cap_hot_buckets(
+    exploded: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Drop every row belonging to a bucket with more than
+    ``max_bucket_size`` members — the hot-bucket guard for candidate
+    generators whose join cost is Σ|bucket|² (SCALE.md: boilerplate
+    headers/footers/licence blocks put 10⁵⁺ docs in one LSH band or
+    shingle bucket, and that single bucket's |b|² dwarfs the whole join).
+
+    The hot set is structurally tiny (a handful of boilerplate keys), so
+    removal is a broadcast LEFT ANTI join — the corpus-sized side never
+    reshuffles. A bucket that hot carries no discriminative signal:
+    members still meet through their OTHER buckets, which is why recall
+    on genuine near-dup pairs survives (asserted by
+    tests/test_scale_patterns.py)."""
+    hot = (
+        exploded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") > max_bucket_size)
+        .select(*bucket_cols)
+    )
+    return exploded.join(F.broadcast(hot), bucket_cols, "left_anti")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
     sig_col: str,
     rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding: explode (band_idx, band_slice) and self-join.
 
     → (id_a, id_b, n_shared_bands), id_a < id_b. The join key is the
     band content — docs never meet unless a whole band matches, so the
     shuffle is |docs|×|bands| rows, not |docs|².
+
+    ``max_bucket_size`` arms the hot-bucket guard (:func:`cap_hot_buckets`):
+    bands shared by more members are excluded from candidate generation,
+    bounding the join at Σ min(|bucket|, cap)². Output is IDENTICAL when
+    no bucket exceeds the cap (oracle row
+    dedup_minhash_lsh_pairs_capped); with hot buckets, pairs meeting
+    ONLY through a hot band are dropped and n_shared_bands counts cold
+    bands only — the documented trade for a bounded plan.
     """
     exploded = minhash_bands(df, id_col, sig_col, rows_per_band)
+    if max_bucket_size is not None:
+        exploded = cap_hot_buckets(exploded, ["band", "key"], max_bucket_size)
     # materialize once: both self-join sides read the persisted band table
     # instead of re-deriving the (possibly expensive) signature lineage;
     # registered for release_intermediates() after the consuming action
@@ -449,19 +484,38 @@ def shingle_hashes_exploded(
     )
 
 
+def drop_stop_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Document-frequency stop-shingle filter over an exploded
+    (id, _h) shingle table: shingles present in more than ``max_df``
+    documents are boilerplate (navigation chrome, licence text) and are
+    removed BEFORE the inverted-index self-join — each one would
+    otherwise contribute df² join rows while carrying no near-dup
+    signal. Broadcast anti-join like :func:`cap_hot_buckets` (the input
+    is one row per (doc, shingle), so the bucket count IS the df)."""
+    return cap_hot_buckets(sh, ["_h"], max_df)
+
+
 def jaccard_pairs_from_text(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float,
     k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs straight from text: codegen'd exploded
     shingle sets → set sizes (join; broadcast at small scale, SMJ at
     large — AQE decides) → inverted-index self-join → |A∩B| counts.
     Identical output to ``jaccard_pairs`` over ``word_shingle_hashes``
-    arrays, without materializing per-doc arrays or interpreted lambdas."""
+    arrays, without materializing per-doc arrays or interpreted lambdas.
+
+    ``max_df`` arms :func:`drop_stop_shingles`; set sizes are then
+    computed over the SURVIVING (informative) shingle space so identical
+    docs still score 1.0. Output is identical when no shingle exceeds
+    the cap (oracle row corpus_jaccard_pairs_capped)."""
     sh = shingle_hashes_exploded(df, id_col, text_col, k)
+    if max_df is not None:
+        sh = drop_stop_shingles(sh, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     inv = persist_intermediate(sh.join(sizes, id_col).select(
         F.col(id_col).alias("_id"), "_n", F.col("_h").alias("h")
@@ -493,6 +547,7 @@ def containment_pairs_from_text(
     text_col: str,
     threshold: float,
     k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs by shingle CONTAINMENT
     ``|A∩B| / min(|A|, |B|)`` — catches what symmetric Jaccard
@@ -508,10 +563,13 @@ def containment_pairs_from_text(
     Scale shape: identical to :func:`jaccard_pairs_from_text` — one
     exploded shingle pass, one size agg reusing its partitioning, and
     an inverted-index equi-join on the 8-byte shingle hash so only
-    pairs sharing ≥1 shingle ever materialize. Nothing quadratic; the
-    hot-shingle guard is the same stopword-hash cap documented there.
+    pairs sharing ≥1 shingle ever materialize. Nothing quadratic;
+    ``max_df`` arms the :func:`drop_stop_shingles` guard exactly as in
+    :func:`jaccard_pairs_from_text` (sizes over surviving shingles).
     """
     sh = shingle_hashes_exploded(df, id_col, text_col, k)
+    if max_df is not None:
+        sh = drop_stop_shingles(sh, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     inv = persist_intermediate(
         sh.join(sizes, id_col).select(

@@ -13565,3 +13565,59 @@ def supplier_concentration_hhi(spark, sf_dir):
         .otherwise("competitive")
         .alias("market_class"),
     ).orderBy(F.col("hhi").desc(), "p_type")
+
+
+@query(
+    "dedup_minhash_lsh_pairs_capped",
+    f"""
+    WITH aug AS ({AUG_NEAR_SQL}),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w0),
+    sig AS (SELECT doc_id, [{", ".join(MINHASH_SQL)}] AS sg FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len([j for j in range(8)
+                           if a.sg[2*j+1] = b.sg[2*j+1]
+                          AND a.sg[2*j+2] = b.sg[2*j+2]]) AS BIGINT)
+                     AS n_shared_bands
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT * FROM p WHERE n_shared_bands > 0
+    """,
+)
+def dedup_minhash_lsh_pairs_capped(spark, sf_dir):
+    """The hot-bucket guard's no-op proof (VERDICT r3 item 3): LSH
+    candidate pairs WITH ``max_bucket_size`` armed, against the SAME
+    O(n²)-definition oracle as dedup_minhash_lsh_pairs — on the clean
+    fixture no band bucket approaches the cap, so capped ≡ uncapped
+    must hold hash-exactly. The adversarial half (a planted boilerplate
+    shingle across 60% of docs stays bounded, true-pair recall intact)
+    is tests/test_scale_patterns.py::test_lsh_hot_bucket_cap*."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    return DD.lsh_candidate_pairs(
+        sigs, "doc_id", "sig", rows_per_band=2, max_bucket_size=256
+    )
+
+
+@query(
+    "dedup_jaccard_pairs_capped",
+    f"""
+    WITH aug AS ({AUG_NEAR_SQL}),
+    w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS hs FROM w0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                       / (len(a.hs) + len(b.hs)
+                          - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT * FROM p WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard_pairs_capped(spark, sf_dir):
+    """Stop-shingle guard no-op proof: exact n-gram Jaccard WITH the
+    document-frequency cap armed vs the same O(n²) oracle as
+    dedup_ngram_jaccard_pairs — no fixture shingle reaches df 256, so
+    the df filter must not change a single pair or score."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    return DD.jaccard_pairs_from_text(
+        aug, "doc_id", "text", threshold=JACCARD_THRESHOLD, k=3, max_df=256
+    )

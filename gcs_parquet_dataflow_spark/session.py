@@ -61,6 +61,10 @@ def get_spark(
         # space for the OS page cache that backs shuffle spill files.
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         "spark.ui.enabled": "false",
+        # keep stdout machine-parseable: stage-progress bars otherwise
+        # interleave with (and can truncate) the one-line JSON contracts
+        # that bench.py / tools emit (BENCH_r03 arrived unparseable)
+        "spark.ui.showConsoleProgress": "false",
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -463,3 +463,161 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- LSH / shingle hot-bucket guards (VERDICT r3 item 3) -------------------
+
+
+def _boilerplate_corpus():
+    """30 identical boilerplate docs (one hot LSH bucket per band), 20
+    random-vocab docs, and 3 planted true near-dup pairs."""
+    import random
+
+    rng = random.Random(42)
+    bp = "all rights reserved this page is auto generated do not edit"
+    rows = [(i, bp) for i in range(30)]
+    vocab = [f"w{j}" for j in range(500)]
+    for i in range(30, 50):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    true_pairs = set()
+    for j in range(3):
+        base = " ".join(rng.choice(vocab) for _ in range(30))
+        rows.append((100 + 2 * j, base))
+        rows.append((101 + 2 * j, base + " extra"))
+        true_pairs.add((100 + 2 * j, 101 + 2 * j))
+    return rows, true_pairs
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates_and_keeps_recall(spark):
+    """A boilerplate bucket of 30 identical docs generates 435 candidate
+    pairs uncapped; with max_bucket_size armed the bucket is excluded
+    (broadcast anti-join), the pair count collapses, and every planted
+    TRUE near-dup pair is still found through its own cold buckets."""
+    from gcs_parquet_dataflow_spark.operators import dedup as DD
+
+    rows, true_pairs = _boilerplate_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    perms = DD.minhash_perms(16)
+    sigs = DD.with_minhash(df, "doc_id", "text", perms, k=3, out="sig")
+    sigs = sigs.persist()
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.lsh_candidate_pairs(sigs, "doc_id", "sig").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.lsh_candidate_pairs(
+            sigs, "doc_id", "sig", max_bucket_size=10
+        ).collect()
+    }
+    sigs.unpersist()
+    assert len(uncapped) >= 435 + len(true_pairs)  # hot bucket dominates
+    assert true_pairs <= capped  # recall on true pairs preserved
+    assert len(capped) < 30  # bounded: the 435 boilerplate pairs are gone
+    assert true_pairs <= uncapped
+
+
+def test_lsh_cap_is_noop_without_hot_buckets(spark):
+    from gcs_parquet_dataflow_spark.operators import dedup as DD
+
+    rows, _ = _boilerplate_corpus()
+    df = spark.createDataFrame(
+        [r for r in rows if r[0] >= 30], "doc_id long, text string"
+    )
+    perms = DD.minhash_perms(16)
+    sigs = DD.with_minhash(df, "doc_id", "text", perms, k=3, out="sig")
+    sigs = sigs.persist()
+    plain = sorted(
+        map(tuple, DD.lsh_candidate_pairs(sigs, "doc_id", "sig").collect())
+    )
+    capped = sorted(
+        map(
+            tuple,
+            DD.lsh_candidate_pairs(
+                sigs, "doc_id", "sig", max_bucket_size=10
+            ).collect(),
+        )
+    )
+    sigs.unpersist()
+    assert plain == capped
+
+
+def _footer_corpus():
+    """Every doc carries the same 3-word footer (a df≈46 stop-shingle);
+    3 planted true near-dup pairs."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(500)]
+    rows, true_pairs = [], set()
+    for i in range(40):
+        body = " ".join(rng.choice(vocab) for _ in range(20))
+        rows.append((i, body + " copyright footer text"))
+    for j in range(3):
+        base = " ".join(rng.choice(vocab) for _ in range(20))
+        rows.append((100 + 2 * j, base + " copyright footer text"))
+        rows.append((101 + 2 * j, base + " extra copyright footer text"))
+        true_pairs.add((100 + 2 * j, 101 + 2 * j))
+    return rows, true_pairs
+
+
+def test_stop_shingle_filter_bounds_candidates_and_keeps_recall(spark):
+    """The shared footer shingle joins EVERY doc pair (≥1035 candidate
+    pairs) in the uncapped inverted index; with the df cap the candidate
+    set collapses to genuinely-overlapping pairs and every true pair
+    still clears the Jaccard threshold on its informative shingles."""
+    from gcs_parquet_dataflow_spark.operators import dedup as DD
+
+    rows, true_pairs = _footer_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = DD.shingle_hashes_exploded(df, "doc_id", "text", 3).persist()
+
+    def n_candidates(s):
+        a, b = s.alias("a"), s.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a._h") == F.col("b._h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    n_docs = len(rows)
+    uncapped = n_candidates(sh)
+    capped = n_candidates(DD.drop_stop_shingles(sh, max_df=10))
+    sh.unpersist()
+    assert uncapped >= n_docs * (n_docs - 1) // 2  # footer joins everyone
+    assert capped < 100  # bounded after the guard
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.jaccard_pairs_from_text(
+            df, "doc_id", "text", threshold=0.5, k=3, max_df=10
+        ).collect()
+    }
+    assert true_pairs <= got
+
+
+def test_containment_cap_keeps_truncated_copy(spark):
+    """The df guard must not break containment's raison d'être: a
+    truncated copy still scores ≈1 with the footer shingle filtered."""
+    from gcs_parquet_dataflow_spark.operators import dedup as DD
+
+    rows, _ = _footer_corpus()
+    base = " ".join(f"u{j}" for j in range(40))
+    rows = rows + [(900, base + " copyright footer text"),
+                   (901, " ".join(f"u{j}" for j in range(20))
+                    + " copyright footer text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["contained_id"])
+        for r in DD.containment_pairs_from_text(
+            df, "doc_id", "text", threshold=0.9, k=3, max_df=10
+        ).collect()
+    }
+    assert (900, 901) in got
+    c, contained = got[(900, 901)]
+    assert c >= 0.9 and contained == 901
