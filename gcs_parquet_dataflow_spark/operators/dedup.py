@@ -657,11 +657,17 @@ def simhash_pairs(
     simhash_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded candidate join + exact hamming
     filter. With 32 bits in ``n_bands`` bands, recall is EXACT for
     ``max_hamming < n_bands`` (pigeonhole: <4 differing bits can't touch
-    all 4 bands). → (id_a, id_b, hamming)."""
+    all 4 bands). → (id_a, id_b, hamming).
+
+    ``max_bucket_size`` arms :func:`cap_hot_buckets` — same exposure as
+    the MinHash bands (a boilerplate cluster collapses onto one band
+    key); note the pigeonhole-exactness claim then holds only for pairs
+    whose shared bands survive the cap."""
     width = 32 // n_bands
     pow2w = 2**width
     bands = F.transform(
@@ -680,6 +686,8 @@ def simhash_pairs(
         F.col(simhash_col).alias("_sh"),
         F.explode(bands).alias("bk"),
     ).select("_id", "_sh", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        exploded = cap_hot_buckets(exploded, ["band", "key"], max_bucket_size)
     exploded = persist_intermediate(exploded)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (

@@ -106,7 +106,11 @@ def _stage_dedup_minhash(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     sigs = DD.with_minhash(
         df, ctx["id_col"], ctx["text_col"], perms, k=int(p.get("k", 3))
     )
-    pairs = DD.lsh_candidate_pairs(sigs, ctx["id_col"], "sig")
+    cap = p.get("max_bucket_size")  # hot-bucket guard dial (SCALE.md)
+    pairs = DD.lsh_candidate_pairs(
+        sigs, ctx["id_col"], "sig",
+        max_bucket_size=int(cap) if cap is not None else None,
+    )
     losers = pairs.select(F.col("id_b").alias(ctx["id_col"])).distinct()
     return df.join(losers, ctx["id_col"], "left_anti")
 

