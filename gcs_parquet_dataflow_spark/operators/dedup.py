@@ -613,6 +613,7 @@ def contamination_pairs(
     text_col: str,
     k: int = 3,
     min_shared: int = 5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Benchmark-contamination detection: corpus documents sharing at
     least ``min_shared`` word-``k``-gram shingles with any benchmark
@@ -620,13 +621,32 @@ def contamination_pairs(
     equi-join shape as near-dup (only co-occurring pairs materialize),
     but CROSS-table — the shuffle carries |corpus|+|benchmark| shingle
     rows, and the benchmark side is typically small enough that AQE
-    broadcasts it."""
+    broadcasts it.
+
+    ``max_df`` arms the corpus-side stop-shingle guard: a shingle in
+    C corpus docs and B bench docs joins C×B rows, so one boilerplate
+    phrase present in both sides couples the whole corpus to the whole
+    benchmark. Shingles above the corpus document-frequency cap are
+    removed from BOTH sides (n_shared then counts informative shingles
+    only — a pair contaminated solely through boilerplate no longer
+    trips min_shared, the intended reading)."""
     c = shingle_hashes_exploded(corpus, id_col, text_col, k).select(
         F.col(id_col).alias("corpus_id"), "_h"
     )
+    if max_df is not None:
+        hot = (
+            c.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_h")
+        )
+        hot = persist_intermediate(hot)
+        c = c.join(F.broadcast(hot), "_h", "left_anti")
     b = shingle_hashes_exploded(benchmark, id_col, text_col, k).select(
         F.col(id_col).alias("bench_id"), "_h"
     )
+    if max_df is not None:
+        b = b.join(F.broadcast(hot), "_h", "left_anti")
     return (
         c.join(b, "_h")
         .groupBy("corpus_id", "bench_id")
@@ -642,11 +662,13 @@ def decontaminate(
     text_col: str,
     k: int = 3,
     min_shared: int = 5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Drop corpus documents contaminated by the benchmark set (eval-set
-    leakage removal): left-anti join against the contaminated-id set."""
+    leakage removal): left-anti join against the contaminated-id set.
+    ``max_df`` passes through to :func:`contamination_pairs`."""
     bad = contamination_pairs(
-        corpus, benchmark, id_col, text_col, k, min_shared
+        corpus, benchmark, id_col, text_col, k, min_shared, max_df=max_df
     ).select(F.col("corpus_id").alias(id_col)).distinct()
     return corpus.join(bad, id_col, "left_anti")
 

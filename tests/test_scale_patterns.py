@@ -733,3 +733,47 @@ def test_recipe_dedup_minhash_accepts_bucket_cap(spark):
     assert sorted(r["doc_id"] for r in plain.collect()) == sorted(
         r["doc_id"] for r in capped.collect()
     )
+
+
+def test_contamination_guard_bounds_boilerplate_coupling(spark):
+    """A footer shingle present in every corpus AND bench doc couples
+    |corpus|×|bench|; with the corpus-df cap armed, only genuinely
+    shared content trips min_shared — and a truly contaminated doc
+    (verbatim bench excerpt) is still flagged."""
+    from gcs_parquet_dataflow_spark.operators import dedup as DD
+
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{j}" for j in range(500)]
+    bench_texts = {
+        1000 + i: " ".join(rng.choice(vocab) for _ in range(15))
+        for i in range(5)
+    }
+    corpus_rows = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab) for _ in range(20))
+        corpus_rows.append((i, body + " copyright footer text all rights reserved by this site"))
+    # doc 900 verbatim-quotes bench doc 1000
+    corpus_rows.append(
+        (900, bench_texts[1000] + " copyright footer text all rights reserved by this site")
+    )
+    bench_rows = [
+        (i, txt + " copyright footer text all rights reserved by this site")
+        for i, txt in bench_texts.items()
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    uncapped = DD.contamination_pairs(
+        corpus, bench, "doc_id", "text", k=3, min_shared=5
+    ).collect()
+    capped = DD.contamination_pairs(
+        corpus, bench, "doc_id", "text", k=3, min_shared=5, max_df=10
+    ).collect()
+    # uncapped: the 9-word shared footer carries 7 internal k=3
+    # shingles — over min_shared for EVERY (corpus, bench) pair
+    assert len(uncapped) >= 30 * 5
+    got = {(r["corpus_id"], r["bench_id"]) for r in capped}
+    assert (900, 1000) in got  # real contamination still flagged
+    assert len(got) < 15  # boilerplate-only pairs no longer couple
