@@ -79,6 +79,11 @@ EXTENDED = [
     "training_data_pipeline_v4",
     "concurrency_peak_by_day",
     "forecast_holt_linear",
+    # round-5 additions (driver round 4): guard/dial equivalence rows
+    "dedup_minhash_lsh_pairs_capped",
+    "dedup_jaccard_pairs_capped",
+    "graph_triangle_participation_degord",
+    "graph_pagerank_coactivity_shuffle",
 ]
 
 

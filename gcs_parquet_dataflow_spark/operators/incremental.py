@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcs_parquet_dataflow_spark.operators.dedup import (
+    cap_hot_buckets,
     minhash_bands,
     with_minhash,
 )
@@ -63,6 +64,7 @@ def dedup_batch_against_index(
     perms: list[tuple[int, int]],
     k: int = 3,
     rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Dedup ``batch`` against the accepted corpus AND itself, then
     append the survivors' bands to the index. Returns the surviving
@@ -78,19 +80,33 @@ def dedup_batch_against_index(
     Documents with fewer than ``k`` tokens have no shingles, therefore
     no bands: they always survive and add nothing to the index
     (matching ``with_minhash``'s drop-out semantics).
+
+    ``max_bucket_size`` arms the hot-bucket guard on the MATCH side
+    only (``dedup.cap_hot_buckets`` over the batch's band table —
+    bounds the intra-batch Σ|bucket|² self-join against a boilerplate
+    batch); the index APPEND always writes the full band rows so the
+    index stays complete for uncapped consumers. A mass-duplicated
+    batch (every member in hot buckets) then passes the near-dup
+    stage — run ``exact_dedup`` upstream for verbatim copies, as the
+    pipeline recipes do.
     """
     sigs = with_minhash(batch, id_col, text_col, perms, k=k, out="sig")
     bands = persist_intermediate(minhash_bands(sigs, id_col, "sig", rows_per_band))
+    probe = bands
+    if max_bucket_size is not None:
+        probe = persist_intermediate(
+            cap_hot_buckets(bands, ["band", "key"], max_bucket_size)
+        )
 
     index = read_index(spark, index_path)
     vs_index = (
-        F.broadcast(bands)
+        F.broadcast(probe)
         .join(index.select("band", "key"), ["band", "key"], "left_semi")
         .select(F.col("_id").alias(id_col))
         .distinct()
     )
 
-    l, r = bands.alias("l"), bands.alias("r")
+    l, r = probe.alias("l"), probe.alias("r")
     vs_batch = (
         l.join(
             r,

@@ -119,3 +119,47 @@ def test_streaming_corpus_ingest_dedups_across_microbatches(spark, tmp_path):
     q.awaitTermination(120)
     accepted = spark.read.parquet(str(tmp_path / "accepted"))
     assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2, 12]
+
+
+def test_bucket_cap_bounds_boilerplate_batch_keeps_near_dup_drops(
+    spark, tmp_path
+):
+    """Guard semantics (VERDICT r3 item 3 applied to the incremental
+    path): a batch dominated by one boilerplate block stays bounded —
+    its hot buckets are excluded from matching (so the verbatim block
+    passes, exact_dedup's job) while ordinary near-dups of the accepted
+    corpus are still dropped, and the index append keeps FULL bands."""
+    idx = str(tmp_path / "sketch_index_cap")
+
+    batch1 = _docs(spark, [(i, _sentence(f"a{i}")) for i in range(4)])
+    s1 = dedup_batch_against_index(
+        spark, batch1, "doc_id", "text", idx, PERMS, max_bucket_size=5
+    )
+    assert s1.count() == 4
+    release_intermediates()
+    assert read_index(spark, idx).count() == 4 * 8  # full bands appended
+
+    bp = _sentence("boiler")
+    batch2 = _docs(
+        spark,
+        [(200 + i, bp) for i in range(20)]           # one hot block
+        + [(300, _sentence("a2") + " extra")],        # near-dup of accepted 2
+    )
+    s2 = dedup_batch_against_index(
+        spark, batch2, "doc_id", "text", idx, PERMS, max_bucket_size=5
+    )
+    got = sorted(r["doc_id"] for r in s2.collect())
+    release_intermediates()
+    # the hot block's buckets (20 > cap) are excluded from matching →
+    # all 20 survive this stage (exact_dedup upstream owns verbatim
+    # copies); the true near-dup is still caught via the index
+    assert got == list(range(200, 220))
+    # uncapped behavior on the same batch: min-id of the block survives
+    idx2 = str(tmp_path / "sketch_index_nocap")
+    dedup_batch_against_index(spark, batch1, "doc_id", "text", idx2, PERMS)
+    release_intermediates()
+    s2u = dedup_batch_against_index(
+        spark, batch2, "doc_id", "text", idx2, PERMS
+    )
+    assert sorted(r["doc_id"] for r in s2u.collect()) == [200]
+    release_intermediates()
