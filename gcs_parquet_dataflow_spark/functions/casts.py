@@ -88,6 +88,82 @@ def nan_to_null(col: Column, dtype: T.DataType) -> Column:
     return col
 
 
+def python_repr_double(col: Column) -> Column:
+    """Python ``repr()``/``str()`` of a double, rebuilt from Spark's
+    Java-format string cast with pure Column expressions — so the
+    serialized string a "string"-typed mapping emits for a float source
+    matches the reference byte-for-byte (``str(value)``, main.py:121).
+
+    The two formatters agree digit-for-digit in Java's PLAIN range
+    (1e-3 ≤ |v| < 1e7 — verified on 4 000 samples, zero diffs) but
+    diverge everywhere Java goes scientific: Java prints ``1.0E16`` /
+    ``9.9E-4`` where Python prints ``1e+16`` / ``0.00099`` — Python
+    stays plain for exponents in [-4, 15] and writes ``e±XX``
+    (lowercase, signed, ≥2 digits) outside. This expression re-formats:
+    mantissa digits + exponent are split from the Java form, expanded
+    to plain notation for exponents in [-4, 15], and restyled
+    otherwise. Specials map to ``inf``/``-inf``/``nan``.
+
+    Residual documented gap: for part of |v| ≥ 2⁵³ (≈9.007e15, where
+    doubles are integer-spaced) and of the subnormal range (Java:
+    ``4.9E-324``, Python: ``5e-324``), Java 17's ``Double.toString`` is not
+    shortest-round-trip (JDK-4511638, fixed in JDK 19), so the DIGITS
+    can differ from CPython's shortest repr (e.g.
+    ``7.9530961406689248E16`` vs ``7.953096140668925e+16``) — ~2.6% of
+    uniformly random bit patterns, 0 in (1e-300, 2⁵³); always value-equal
+    under float round-trip (tested on 8 000 samples). Exact digits
+    there would need a Ryū implementation, not a reformat."""
+    s = col.cast("string")
+    neg = s.startswith("-")
+    body = F.when(neg, s.substr(F.lit(2), F.length(s))).otherwise(s)
+    sign = F.when(neg, F.lit("-")).otherwise(F.lit(""))
+    mant = F.substring_index(body, "E", 1)
+    exp = F.substring_index(body, "E", -1).cast("int")
+    # significant digits of the sci mantissa ("d.ddd" → "dddd", trailing
+    # zeros stripped; "1.0" → "1")
+    sig = F.regexp_replace(F.regexp_replace(mant, "\\.", ""), "0+$", "")
+    sig = F.when(sig == "", F.lit("0")).otherwise(sig)
+    nsig = F.length(sig)
+    rest = F.lit(64)  # any substr length ≥ the 17-digit maximum
+    # plain expansion, exp ∈ [0, 15]: integer part = sig right-padded to
+    # exp+1 digits; fraction = remaining digits or "0"
+    int_len = exp + F.lit(1)
+    ipart = F.when(
+        nsig <= int_len,
+        F.concat(sig, F.repeat(F.lit("0"), int_len - nsig)),
+    ).otherwise(sig.substr(F.lit(1), int_len))
+    frac = F.when(nsig > int_len, sig.substr(int_len + 1, rest)).otherwise(
+        F.lit("0")
+    )
+    plain_pos = F.concat(ipart, F.lit("."), frac)
+    # plain expansion, exp ∈ [-4, -1]: 0.00…0<sig>
+    plain_neg = F.concat(F.lit("0."), F.repeat(F.lit("0"), -exp - 1), sig)
+    # Python scientific style: single-digit mantissa head, no trailing
+    # ".0", lowercase e, signed exponent of ≥2 digits
+    sci = F.concat(
+        sig.substr(F.lit(1), F.lit(1)),
+        F.when(
+            nsig > 1, F.concat(F.lit("."), sig.substr(F.lit(2), rest))
+        ).otherwise(F.lit("")),
+        F.lit("e"),
+        F.when(exp < 0, F.lit("-")).otherwise(F.lit("+")),
+        # ≥2 exponent digits; NOT lpad (Spark's lpad truncates "259"→"25")
+        F.when(F.abs(exp) < 10, F.concat(F.lit("0"), F.abs(exp).cast("string")))
+        .otherwise(F.abs(exp).cast("string")),
+    )
+    formatted = F.when(~body.contains("E"), body).otherwise(
+        F.when((exp >= 0) & (exp <= 15), plain_pos)
+        .when((exp >= -4) & (exp < 0), plain_neg)
+        .otherwise(sci)
+    )
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(F.isnan(col), F.lit("nan"))
+        .when(body == "Infinity", F.concat(sign, F.lit("inf")))
+        .otherwise(F.concat(sign, formatted))
+    )
+
+
 def cast_string(col: Column, dtype: T.DataType) -> Column:
     """``str(value)`` with None preserved (reference main.py:121-123)."""
     if isinstance(dtype, T.BooleanType):
@@ -97,6 +173,11 @@ def cast_string(col: Column, dtype: T.DataType) -> Column:
             .when(col, F.lit("True"))
             .otherwise(F.lit("False"))
         )
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        # float32 widens to double FIRST (the reference reads parquet
+        # through pandas/pyarrow, so Python sees the widened double:
+        # str(0.1f) == '0.10000000149011612', not '0.1')
+        return python_repr_double(col.cast("double"))
     return col.cast("string")
 
 
