@@ -217,8 +217,12 @@ def _compile_mapping(
     if m.type == "string_or_uuid":
         value = casts.cast_string(src, dtype)
         if m.mixpanel_field == "$insert_id" and opts.include_defaults:
-            # only honored for $insert_id (main.py:260-263)
-            value = F.coalesce(value, opts.uuid_col())
+            # only honored for $insert_id (main.py:260-263). Python `or`
+            # falls through on EVERY falsy str(value) — None AND "" —
+            # so a coalesce (NULL-only) is not enough.
+            value = F.when(
+                value.isNull() | (value == ""), opts.uuid_col()
+            ).otherwise(value)
         return value
     # passthrough (main.py:264-265)
     return src

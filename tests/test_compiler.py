@@ -384,3 +384,12 @@ def test_compiled_lineage_reports_every_output_column(spark):
     assert lin["value"]["source_field"] == "value"
     # every compiled output property is covered
     assert set(lin) == {"event"} | {n for n, _ in compiled.property_exprs}
+
+
+def test_insert_id_empty_string_also_defaults_to_uuid(spark):
+    """Reference main.py:260-263 uses Python `or`: _to_str('') is falsy,
+    so an EMPTY insert id gets a fresh uuid too — NULL-only coalesce
+    missed this (round-4 parity fix)."""
+    row = ROW_OK[:4] + ("",) + ROW_OK[5:]
+    [(doc, _)] = run_rows(spark, [row])
+    assert doc["properties"]["$insert_id"] == FIXED_UUID
