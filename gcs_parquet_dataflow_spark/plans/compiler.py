@@ -283,6 +283,9 @@ def compile_config(
 
     consumed: set[str] = set()
     produced: set[str] = set()
+    # property name → emits a double (float cast, or float passthrough/
+    # wildcard) — the candidates for the non-finite serialization check
+    float_targets: dict[str, bool] = {}
     for m in config.explicit_mappings:
         consumed.add(m.source_field)  # recorded even if cast fails (main.py:209)
         if m.source_field not in by_name:
@@ -316,6 +319,11 @@ def compile_config(
             # stripped either way — but defaulting casts must NOT fire.
             value = F.when(src_clean.isNull(), F.lit(None)).otherwise(value)
         property_exprs.append((m.mixpanel_field, value))
+        float_targets[m.mixpanel_field] = m.type == "float" or (
+            m.type not in _CAST_DISPATCH
+            and m.type not in ("unix_timestamp_auto", "string_or_uuid")
+            and isinstance(dtype, (T.DoubleType, T.FloatType))
+        )
         produced.add(m.mixpanel_field)
 
     # --- wildcard passthrough (main.py:198-201, 266-269): copies every
@@ -332,6 +340,9 @@ def compile_config(
                 property_exprs[existing[0]] = (f.name, value)
             else:
                 property_exprs.append((f.name, value))
+            float_targets[f.name] = isinstance(
+                f.dataType, (T.DoubleType, T.FloatType)
+            )
             produced.add(f.name)
 
     # --- defaults (main.py:270-273) ------------------------------------
@@ -357,6 +368,44 @@ def compile_config(
             property_exprs[time_idx] = (name, F.coalesce(expr, now))
         if "$insert_id" not in produced:
             property_exprs.append(("$insert_id", opts.uuid_col()))
+
+    # --- non-finite serialization guard (main.py:279-284) --------------
+    # The reference serializes with json.dumps(..., allow_nan=False):
+    # any ±inf in the final properties — float("inf") casts, inf
+    # passthrough/wildcard doubles, and the NaN a float-cast of the
+    # string "nan" produces (input NaNs were cleaned, cast RESULTS are
+    # not) — raises ValueError, caught by the outer except → DLQ
+    # "critical_transformation_error". dumps is the LAST step, so this
+    # check is appended after every other error (coalesce precedence).
+    inf = float("inf")
+    nonfinite_checks = [
+        F.isnan(expr) | (F.abs(expr) == inf)
+        for name, expr in property_exprs
+        if float_targets.get(name)
+    ]
+    ev_field = config.mixpanel_event_name_from_field
+    if ev_field and isinstance(
+        by_name.get(ev_field), (T.DoubleType, T.FloatType)
+    ):
+        # an inf event NAME is truthy (passes the falsy gate) but also
+        # un-serializable; its NaN case is cleaned → falsy → caught above
+        e = casts.nan_to_null(F.col(ev_field), by_name[ev_field])
+        nonfinite_checks.append(F.isnan(e) | (F.abs(e) == inf))
+    if nonfinite_checks:
+        any_nonfinite = nonfinite_checks[0]
+        for c in nonfinite_checks[1:]:
+            any_nonfinite = any_nonfinite | c
+        errors.append(
+            F.when(
+                F.coalesce(any_nonfinite, F.lit(False)),
+                _error_struct(
+                    "critical_transformation_error",
+                    F.lit(
+                        "Out of range float values are not JSON compliant"
+                    ),
+                ),
+            )
+        )
 
     # --- error precedence: first listed wins (reference raises/returns at
     # the first failing check in program order) -------------------------

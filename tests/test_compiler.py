@@ -393,3 +393,35 @@ def test_insert_id_empty_string_also_defaults_to_uuid(spark):
     row = ROW_OK[:4] + ("",) + ROW_OK[5:]
     [(doc, _)] = run_rows(spark, [row])
     assert doc["properties"]["$insert_id"] == FIXED_UUID
+
+
+def test_inf_float_property_goes_to_dlq(spark):
+    """Reference serializes with json.dumps(allow_nan=False): an inf in
+    the final properties raises → outer except → DLQ
+    critical_transformation_error (main.py:279-293). Covers the float
+    cast of the string 'inf'…"""
+    row = ROW_OK[:6] + ("inf",) + ROW_OK[7:]
+    [(_, err)] = run_rows(spark, [row])
+    assert err is not None and err["error_type"] == "critical_transformation_error"
+
+
+def test_nan_cast_result_goes_to_dlq(spark):
+    """…and the NaN that float('nan') PRODUCES (input NaNs are cleaned
+    to None at main.py:183; cast results are not re-cleaned)."""
+    row = ROW_OK[:6] + ("nan",) + ROW_OK[7:]
+    [(_, err)] = run_rows(spark, [row])
+    assert err is not None and err["error_type"] == "critical_transformation_error"
+
+
+def test_inf_wildcard_double_goes_to_dlq(spark):
+    row = ROW_OK[:8] + (float("inf"),)
+    [(_, err)] = run_rows(spark, [row])
+    assert err is not None and err["error_type"] == "critical_transformation_error"
+
+
+def test_nonfinite_check_is_last_in_error_precedence(spark):
+    """dumps happens after the required-field return in the reference,
+    so missing_required_field wins over the inf elsewhere."""
+    row = ROW_OK[:3] + (None,) + ROW_OK[4:8] + (float("inf"),)
+    [(_, err)] = run_rows(spark, [row])
+    assert err is not None and err["error_type"] == "missing_required_field"
