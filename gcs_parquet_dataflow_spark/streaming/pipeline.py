@@ -301,6 +301,7 @@ def run_corpus_ingest_stream(
     *,
     k: int = 3,
     rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
     trigger_seconds: int = DEFAULT_TRIGGER_S,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -342,6 +343,7 @@ def run_corpus_ingest_stream(
             perms,
             k=k,
             rows_per_band=rows_per_band,
+            max_bucket_size=max_bucket_size,
         )
         write_partitioned(survivors, out_path, [], batch_id=batch_id)
         release_intermediates()
