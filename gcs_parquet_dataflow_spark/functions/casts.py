@@ -104,15 +104,17 @@ def python_repr_double(col: Column) -> Column:
     to plain notation for exponents in [-4, 15], and restyled
     otherwise. Specials map to ``inf``/``-inf``/``nan``.
 
-    Residual documented gap: for part of |v| ≥ 2⁵³ (≈9.007e15, where
-    doubles are integer-spaced) and of the subnormal range (Java:
-    ``4.9E-324``, Python: ``5e-324``), Java 17's ``Double.toString`` is not
-    shortest-round-trip (JDK-4511638, fixed in JDK 19), so the DIGITS
-    can differ from CPython's shortest repr (e.g.
-    ``7.9530961406689248E16`` vs ``7.953096140668925e+16``) — ~2.6% of
-    uniformly random bit patterns, 0 in (1e-300, 2⁵³); always value-equal
-    under float round-trip (tested on 8 000 samples). Exact digits
-    there would need a Ryū implementation, not a reformat."""
+    Residual documented gap: Java 17's ``Double.toString`` occasionally
+    emits MORE digits than the shortest repr (JDK-4511638, fixed only
+    in JDK 19) — e.g. 2⁻²⁴ → ``5.9604644775390625E-8`` vs Python's
+    ``5.960464477539063e-08``, the min subnormal ``4.9E-324`` vs
+    ``5e-324``, many |v| ≥ 2⁵³ — and a reformat cannot shorten digits
+    without a Ryū implementation. The contract therefore is:
+    byte-identical to ``repr()`` whenever Java's digits are already
+    shortest (every value observed in the plain 1e-3…1e7 range over
+    4 000 samples, and the overwhelming majority elsewhere), otherwise
+    round-trip value-equal in exactly Python's format style
+    (tests/test_cast_properties.py pins the contract)."""
     s = col.cast("string")
     neg = s.startswith("-")
     body = F.when(neg, s.substr(F.lit(2), F.length(s))).otherwise(s)

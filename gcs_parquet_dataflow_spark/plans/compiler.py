@@ -260,6 +260,9 @@ def compile_config(
                 falsy = falsy | (clean == 0)
             elif isinstance(dtype, T.BooleanType):
                 falsy = falsy | (~clean)
+            elif isinstance(dtype, (T.ArrayType, T.MapType)):
+                # Python `if not event_name`: empty list/dict is falsy too
+                falsy = falsy | (F.size(clean) == 0)
             event_expr = F.when(falsy, F.lit(None)).otherwise(raw)
         else:
             falsy = F.lit(True)

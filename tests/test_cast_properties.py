@@ -138,24 +138,33 @@ def test_float_of_double(spark, xs):
     assert all(same_float(g, w) for g, w in zip(got, want))
 
 
+def _sig_digits(s):
+    return (
+        s.split("e")[0].replace("-", "").replace(".", "").lstrip("0").rstrip("0")
+    )
+
+
 @settings(max_examples=N_EXAMPLES, deadline=None)
 @given(st.lists(st.one_of(st.none(), finite_doubles), min_size=1, max_size=30))
 def test_string_of_double(spark, xs):
-    """cast_string reproduces Python repr() BYTE-EXACTLY below 2^53
-    (python_repr_double reformats Spark's Java-style cast); at |v| ≥
-    2^53 and in the subnormal range Java 17 sometimes emits
-    non-shortest digits (JDK-4511638, the documented residual gap:
-    '4.9e-324' vs Python '5e-324') — there, require round-trip value
-    equality."""
+    """cast_string reformats Spark's Java-style cast into Python repr()
+    STYLE exactly (plain vs e+XX decided by Python's exponent rules).
+    Java 17's Double.toString occasionally emits MORE digits than the
+    shortest repr (JDK-4511638 — e.g. 2^-24 → '...0625e-08', subnormals,
+    many |v| ≥ 2^53), which a reformat cannot undo; the contract is:
+    byte-identical to repr() whenever Java's digits are shortest (the
+    overwhelmingly common case), and ALWAYS round-trip value-equal in
+    Python's format style."""
     got = run_ladder(spark, xs, T.DoubleType(), casts.cast_string)
     want = [ref.ref_string(x) for x in xs]
     for x, g, w in zip(xs, got, want):
         if w is None:
             assert g is None
-        elif x is not None and 1e-300 < abs(x) < 2.0**53:
-            assert g == w, (x, g, w)
-        else:
-            assert g is not None and float(g) == float(w), (x, g, w)
+            continue
+        assert g is not None and float(g) == float(w), (x, g, w)
+        assert ("e" in g) == ("e" in w), (x, g, w)  # same style either way
+        if _sig_digits(g) == _sig_digits(w):
+            assert g == w, (x, g, w)  # shortest digits ⇒ byte-exact
 
 
 def test_string_of_double_regressions(spark):

@@ -425,3 +425,36 @@ def test_nonfinite_check_is_last_in_error_precedence(spark):
     row = ROW_OK[:3] + (None,) + ROW_OK[4:8] + (float("inf"),)
     [(_, err)] = run_rows(spark, [row])
     assert err is not None and err["error_type"] == "missing_required_field"
+
+
+def test_empty_array_event_name_is_falsy(spark):
+    """Python `if not event_name` counts an empty list/dict as falsy →
+    missing_dynamic_event_name DLQ; a non-empty one passes the gate."""
+    schema = T.StructType(
+        [
+            T.StructField("event_name", T.ArrayType(T.StringType())),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    cfg = load_configs(
+        [
+            {
+                "config_id": "arr",
+                "source_gcs_prefix": "gs://b/",
+                "mixpanel_event_name_from_field": "event_name",
+                "field_mappings": [
+                    {"source_field": "v", "mixpanel_field": "v",
+                     "type": "integer"},
+                ],
+            }
+        ]
+    )[0]
+    df = spark.createDataFrame([([], 1), (["x"], 2), (None, 3)], schema)
+    compiled = compile_config(cfg, schema, OPTS())
+    rows = compiled.apply(df).select(
+        F.col("properties.v").alias("v"), "_error"
+    ).collect()
+    errs = {r["v"]: r["_error"] for r in rows}
+    assert errs[1] is not None and errs[1]["error_type"] == "missing_dynamic_event_name"
+    assert errs[2] is None
+    assert errs[3] is not None and errs[3]["error_type"] == "missing_dynamic_event_name"
