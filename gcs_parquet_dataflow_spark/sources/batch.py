@@ -41,9 +41,11 @@ def read_with_lineage(
     """Typed file read with per-row file lineage (reference tags every
     batch with its filename, main.py:482-485 ``with_filename=True``).
     ``file_type`` extends the reference's parquet-only surface to the
-    other formats the config model can declare: JSON(L) and CSV (CSV
+    other formats the config model can declare: JSON(L), CSV (CSV
     wants an explicit ``schema`` — inference costs an extra pass and
-    types drift; JSON/parquet carry their own)."""
+    types drift; the columnar formats carry their own), and ORC
+    (Spark-native columnar like parquet: vectorized scan, predicate
+    pushdown, self-describing schema)."""
     if isinstance(paths, str):
         paths = [paths]
     ft = file_type.upper()
@@ -58,6 +60,8 @@ def read_with_lineage(
         if schema is None:
             reader = reader.option("inferSchema", True)
         df = reader.option("header", True).csv(*paths)
+    elif ft == "ORC":
+        df = reader.orc(*paths)
     else:
         raise ValueError(f"unsupported file_type {file_type!r}")
     return df.withColumn(URI_COL, F.input_file_name())

@@ -313,3 +313,25 @@ def test_resilient_read_skips_corrupt_files_and_quarantine_names_them(
     ok, bad = quarantine_corrupt_files(spark, str(d / "*.parquet"))
     assert len(ok) == 2 and len(bad) == 1
     assert bad[0].endswith("part-torn.parquet")
+
+
+def test_read_with_lineage_orc(spark, tmp_path):
+    """ORC joins the file_type dispatch as the second Spark-native
+    columnar format: self-describing schema, vectorized scan, per-row
+    lineage — a reference user's pipeline swaps formats by config."""
+    from gcs_parquet_dataflow_spark.sources.batch import read_with_lineage
+
+    p = str(tmp_path / "orc_data")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"
+    ).write.orc(p)
+    df = read_with_lineage(spark, p, file_type="ORC")
+    rows = sorted((r["id"], r["s"]) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b")]
+    assert all(r["_uri"] for r in df.collect())
+    # predicate pushes into the ORC scan like parquet
+    plan = (
+        df.filter(F.col("id") > 1)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters", 1)[1][:200]
