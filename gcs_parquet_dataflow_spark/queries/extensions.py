@@ -13681,3 +13681,56 @@ def graph_pagerank_coactivity_shuffle(spark, sf_dir):
     return pagerank_quantized(e, broadcast_ranks=False).select(
         F.col("node").alias("user_id"), "rank_q"
     )
+
+
+# exponents chosen so cents (≤8 digits) × 10^k stays inside
+# (1e-300, 2^53): below 2^53 Java 17's formatter is shortest for
+# ≤8-digit decimals (above it, overshoot like 7.666663e+19 →
+# '7.666663000000001E19' is common), so repr parity is exact
+_REPR_POWS = [float(f"1e{k - 12}") for k in range(20)]
+
+
+@query(
+    "scalar_float_repr",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+               * list_extract([{", ".join(repr(p) for p in _REPR_POWS)}],
+                              CAST(l_orderkey % 20 AS INT) + 1) AS v,
+           CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+               * list_extract([{", ".join(repr(p) for p in _REPR_POWS)}],
+                              CAST(l_orderkey % 20 AS INT) + 1)
+               AS VARCHAR) AS repr_str
+    FROM lineitem
+    """,
+)
+def scalar_float_repr(spark, sf_dir):
+    """Differential proof of the Python float-repr serializer
+    (functions/casts.py python_repr_double): price cents spread across
+    20 decades (1e-12…1e7 products — both plain and scientific
+    regimes, the
+    e±XX exponent styling, the −4/15 plain-notation thresholds) must
+    stringify byte-identically to DuckDB's VARCHAR cast, which follows
+    CPython repr() exactly (verified: shortest digits, same style
+    rules). Scale factors are EXACT double literals inlined into both
+    engines (pow() is not bit-guaranteed across libms); the products
+    are ≤8-significant-digit decimals kept below 2⁵³ (Java 17's
+    formatter overshoots digits above it even for short decimals), so
+    the reformat must be byte-exact."""
+    li = t(spark, sf_dir, "lineitem")
+    cents_d = F.round(F.col("l_extendedprice") * 100).cast("long").cast(
+        "double"
+    )
+    scale = F.element_at(
+        F.array(*[F.lit(p) for p in _REPR_POWS]),
+        (F.col("l_orderkey") % 20).cast("int") + 1,
+    )
+    v = cents_d * scale
+    from gcs_parquet_dataflow_spark.functions.casts import python_repr_double
+
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        v.alias("v"),
+        python_repr_double(v).alias("repr_str"),
+    )
