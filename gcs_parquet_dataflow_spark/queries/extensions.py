@@ -13734,3 +13734,68 @@ def scalar_float_repr(spark, sf_dir):
         v.alias("v"),
         python_repr_double(v).alias("repr_str"),
     )
+
+
+@query(
+    "transform_cast_grammar",
+    """
+    SELECT event_id,
+           CASE event_id % 10
+                WHEN 0 THEN 10          -- '1_0': underscore literal
+                WHEN 1 THEN NULL        -- '1__0': doubled underscore raises
+                WHEN 2 THEN NULL        -- '0'||chr(31): \\x1f not strippable
+                WHEN 3 THEN 3           -- Arabic-Indic digit THREE
+                WHEN 4 THEN 7           -- ' 7 ': real whitespace strips
+                WHEN 5 THEN NULL        -- '12.5' is not an int literal
+                WHEN 6 THEN 12          -- tab/newline strip
+                WHEN 7 THEN NULL        -- '+' alone
+                WHEN 8 THEN -42         -- plain signed
+                ELSE NULL               -- '1_' trailing underscore raises
+           END AS int_out,
+           CAST(CASE event_id % 10
+                WHEN 0 THEN 10.0
+                WHEN 1 THEN NULL
+                WHEN 2 THEN NULL
+                WHEN 3 THEN 3.0
+                WHEN 4 THEN 7.0
+                WHEN 5 THEN 12.5
+                WHEN 6 THEN 12.0
+                WHEN 7 THEN NULL
+                WHEN 8 THEN -42.0
+                ELSE NULL
+           END AS DOUBLE) AS float_out,
+           CAST(CASE event_id % 10
+                WHEN 5 THEN 1000.0      -- '1.e3' is a float literal
+                WHEN 8 THEN -0.5        -- '-.5'
+                ELSE NULL
+           END AS DOUBLE) AS float_form_out
+    FROM events
+    """,
+)
+def transform_cast_grammar(spark, sf_dir):
+    """Differential pin of the Python numeric-literal grammar gate
+    (functions/casts.py, VERDICT r3 item 1): adversarial input strings
+    are synthesized per row — digit underscores, the '0\\x1f'
+    counterexample, Unicode Nd digits, Python-only float forms — and
+    the oracle states the exact int()/float() results as literals.
+    Complements the hypothesis properties with an always-on gate row."""
+    from pyspark.sql import types as T
+
+    from gcs_parquet_dataflow_spark.functions import casts
+
+    e = t(spark, sf_dir, "events")
+    k = F.col("event_id") % 10
+    s = (
+        F.when(k == 0, "1_0").when(k == 1, "1__0").when(k == 2, "0\x1f")
+        .when(k == 3, "٣").when(k == 4, " 7 ").when(k == 5, "12.5")
+        .when(k == 6, "\t12\n").when(k == 7, "+").when(k == 8, "-42")
+        .otherwise("1_")
+    )
+    s2 = F.when(k == 5, "1.e3").when(k == 8, "-.5").otherwise("abc")
+    st = T.StringType()
+    return e.select(
+        "event_id",
+        casts.cast_integer(s, st).alias("int_out"),
+        casts.cast_float(s, st).alias("float_out"),
+        casts.cast_float(s2, st).alias("float_form_out"),
+    )
