@@ -168,6 +168,72 @@ def main() -> None:
 
         timed("user_window", sess)
 
+        # graph family (round-4 dials). NOTE: do NOT amplify events and
+        # rebuild co-activity edges — bucket sizes grow ×factor, so the
+        # Σ|bucket|² build grows ×factor² (at 10× it spilled >80 GB;
+        # that densification curve is the one scaling_probe already
+        # documents). The dials govern the ITERATION, so amplify the
+        # EDGE LIST itself: per-copy node-id offsets give a graph with
+        # ×factor nodes and edges and identical per-copy structure.
+        from gcs_parquet_dataflow_spark.operators.graph import (
+            pagerank_quantized,
+            triangle_participation,
+        )
+
+        base_ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        b = base_ev.select(
+            "user_id", "event_type", F.date_trunc("hour", "ts").alias("hb")
+        ).distinct()
+        x, y = b.alias("x"), b.alias("y")
+        base_edges = (
+            x.join(
+                y,
+                (F.col("x.event_type") == F.col("y.event_type"))
+                & (F.col("x.hb") == F.col("y.hb"))
+                & (F.col("x.user_id") < F.col("y.user_id")),
+            )
+            .groupBy(F.col("x.user_id").alias("u"), F.col("y.user_id").alias("v"))
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .filter(F.col("_w") >= 3)
+            .select("u", "v")
+        )
+        copies = spark.range(factor).select(F.col("id").alias("_c"))
+        edges_df = (
+            base_edges.crossJoin(copies)
+            .select(
+                (F.col("u") + F.col("_c") * 10_000_000).alias("u"),
+                (F.col("v") + F.col("_c") * 10_000_000).alias("v"),
+            )
+            .persist()
+        )
+
+        def edge_build():
+            rows["graph_edges"] = edges_df.count()
+
+        timed("graph_edge_amplify", edge_build)
+
+        def pr_bcast():
+            pagerank_quantized(edges_df, broadcast_ranks=True).groupBy().agg(
+                F.sum("rank_q")
+            ).collect()
+
+        timed("pagerank_iterate_bcast", pr_bcast)
+
+        def pr_shuffle():
+            pagerank_quantized(edges_df, broadcast_ranks=False).groupBy().agg(
+                F.sum("rank_q")
+            ).collect()
+
+        timed("pagerank_iterate_shuffle", pr_shuffle)
+
+        def tri_degord():
+            triangle_participation(
+                edges_df, "u", "v", degree_order=True
+            ).groupBy().agg(F.sum("n_triangles")).collect()
+
+        timed("triangle_degord", tri_degord)
+        edges_df.unpersist()
+
         # native data-dependent session aggregation (round-5 surface)
         def native_sessions():
             ev.groupBy(
