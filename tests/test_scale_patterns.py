@@ -777,3 +777,41 @@ def test_contamination_guard_bounds_boilerplate_coupling(spark):
     got = {(r["corpus_id"], r["bench_id"]) for r in capped}
     assert (900, 1000) in got  # real contamination still flagged
     assert len(got) < 15  # boilerplate-only pairs no longer couple
+
+
+def test_cap_only_removes_pairs_never_adds(spark):
+    """Guard containment invariant on random corpora: for LSH and
+    SimHash banding, every capped pair must exist uncapped (the cap can
+    only REMOVE candidate collisions), across several corpus shapes."""
+    import random
+
+    from gcs_parquet_dataflow_spark.operators import dedup as DD
+
+    perms = DD.minhash_perms(16)
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(80 + 40 * seed)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(12)))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = DD.with_minhash(df, "doc_id", "text", perms, k=3, out="sig")
+        sigs = sigs.persist()
+        unc = {tuple(r[:2]) for r in
+               DD.lsh_candidate_pairs(sigs, "doc_id", "sig").collect()}
+        cap = {tuple(r[:2]) for r in
+               DD.lsh_candidate_pairs(
+                   sigs, "doc_id", "sig", max_bucket_size=3
+               ).collect()}
+        sigs.unpersist()
+        assert cap <= unc, f"seed {seed}: capped added pairs"
+        sk = DD.with_simhash(df, "doc_id", "text", out="sh").persist()
+        unc2 = {tuple(r[:2]) for r in
+                DD.simhash_pairs(sk, "doc_id", "sh").collect()}
+        cap2 = {tuple(r[:2]) for r in
+                DD.simhash_pairs(
+                    sk, "doc_id", "sh", max_bucket_size=3
+                ).collect()}
+        sk.unpersist()
+        assert cap2 <= unc2, f"seed {seed}: simhash cap added pairs"
