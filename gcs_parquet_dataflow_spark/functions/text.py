@@ -310,3 +310,68 @@ def encoding_ok(col: Column) -> Column:
     return (~col.contains("�")) & (
         F.regexp_count(col, F.lit("[À-Å]")) == 0
     )
+
+
+# Rae et al. 2021 (Gopher), §A1.1 — the standard document-level quality
+# heuristics; thresholds as published. The stop-word list is the paper's.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(col: Column) -> Column:
+    """The Gopher quality-filter rule set as one struct Column —
+    (n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+    ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stop_words,
+    pass_gopher). Complements text_repetition_signals (the paper's
+    repetition half, already a query row).
+
+    All pure Column expressions; the three array filters (bullet /
+    ellipsis lines, alpha words) are higher-order filters over PER-ROW
+    arrays bounded by words-per-doc — not the corpus-wide hot path the
+    explode+groupBy rule governs. Mean word length uses
+    Σlen(w) = len(replace(text,' ','')) (tokens split on single
+    spaces), so no fold is needed. Every expression has an exact
+    DuckDB twin (quality_gopher_rules row)."""
+    t = tokens(col)
+    lines = F.split(col, "\n")
+    n = F.size(t).cast("long")
+    sum_len = F.length(F.regexp_replace(col, " ", ""))
+    mean_wl = sum_len.cast("double") / n
+    hashes = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+    ellipses = (
+        F.length(col)
+        - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / 3
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ")
+            | l.startswith("• ")
+            | l.startswith("* "),
+        )
+    )
+    ell_end = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    alpha = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.size(
+        F.array_intersect(t, F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]))
+    )
+    ok_wc = (n >= 50) & (n <= 100_000)
+    ok_mwl = (mean_wl >= 3) & (mean_wl <= 10)
+    ok_sym = (hashes + ellipses).cast("double") / n <= 0.1
+    ok_bul = bullet.cast("double") / n_lines <= 0.9
+    ok_ell = ell_end.cast("double") / n_lines <= 0.3
+    ok_alpha = alpha.cast("double") / n >= 0.8
+    ok_stop = stops >= 2
+    return F.struct(
+        n.alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_bul.alias("ok_bullet_lines"),
+        ok_ell.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stop_words"),
+        (
+            ok_wc & ok_mwl & ok_sym & ok_bul & ok_ell & ok_alpha & ok_stop
+        ).alias("pass_gopher"),
+    )

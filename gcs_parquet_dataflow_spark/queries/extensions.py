@@ -13799,3 +13799,99 @@ def transform_cast_grammar(spark, sf_dir):
         casts.cast_float(s, st).alias("float_out"),
         casts.cast_float(s2, st).alias("float_form_out"),
     )
+
+
+@query(
+    "quality_gopher_rules",
+    """
+    WITH s AS (SELECT doc_id,
+      CASE doc_id % 8
+        WHEN 0 THEN text
+        WHEN 1 THEN 'tiny doc words'
+        WHEN 2 THEN text || ' ' || repeat('# ', 20)
+        WHEN 3 THEN repeat('- item' || chr(10), 59) || '- item'
+        WHEN 4 THEN repeat('123 456 ', 30) || '789'
+        WHEN 5 THEN repeat('line ...' || chr(10), 9) || 'end line'
+        WHEN 6 THEN repeat('abcdefghijklmnop ', 59) || 'abcdefghijklmnop'
+        ELSE text || ' the of and that be to have with'
+      END AS tx FROM documents),
+    m AS (SELECT doc_id, tx, string_split(tx, ' ') AS w,
+                 string_split(tx, chr(10)) AS ln FROM s),
+    c AS (SELECT doc_id,
+      CAST(len(w) AS BIGINT) AS n_words,
+      CAST(length(replace(tx, ' ', '')) AS DOUBLE) / len(w) AS mwl,
+      (length(tx) - length(replace(tx, '#', ''))) AS nh,
+      (length(tx) - length(replace(tx, '...', ''))) / 3 AS ne,
+      len(ln) AS nl,
+      len(list_filter(ln, l -> starts_with(l, '- ')
+            OR starts_with(l, '• ') OR starts_with(l, '* '))) AS nb,
+      len(list_filter(ln, l -> ends_with(l, '...'))) AS nee,
+      len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS na,
+      len(list_intersect(w, ['the','be','to','of','and','that','have',
+                             'with'])) AS ns
+     FROM m)
+    SELECT doc_id, n_words,
+      n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+      mwl >= 3 AND mwl <= 10 AS ok_mean_word_len,
+      CAST(nh + ne AS DOUBLE) / n_words <= 0.1 AS ok_symbol_ratio,
+      CAST(nb AS DOUBLE) / nl <= 0.9 AS ok_bullet_lines,
+      CAST(nee AS DOUBLE) / nl <= 0.3 AS ok_ellipsis_lines,
+      CAST(na AS DOUBLE) / n_words >= 0.8 AS ok_alpha_words,
+      ns >= 2 AS ok_stop_words,
+      (n_words >= 50 AND n_words <= 100000)
+        AND (mwl >= 3 AND mwl <= 10)
+        AND (CAST(nh + ne AS DOUBLE) / n_words <= 0.1)
+        AND (CAST(nb AS DOUBLE) / nl <= 0.9)
+        AND (CAST(nee AS DOUBLE) / nl <= 0.3)
+        AND (CAST(na AS DOUBLE) / n_words >= 0.8)
+        AND (ns >= 2) AS pass_gopher
+    FROM c
+    """,
+)
+def quality_gopher_rules(spark, sf_dir):
+    """The Gopher document-quality rule set (Rae et al. 2021 §A1.1) as
+    a declared row — the heuristic-filter half that completes
+    text_repetition_signals: word-count window, mean word length,
+    #/ellipsis symbol ratio, bullet-start and ellipsis-end line
+    fractions, alpha-word fraction, and the 8-stop-word presence rule.
+    Each doc_id%8 branch plants one named violation (too short, hash
+    spam, all-bullet list, numeric-only, ellipsis lines, 16-char words,
+    stopword-free) so every rule's FAIL path is exercised; originals
+    keep realistic mixed outcomes. Pure scan-stage Column expressions
+    (functions/text.py gopher_quality_flags) — the zero-shuffle cost
+    class of the rest of the text family."""
+    from gcs_parquet_dataflow_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 8
+    tx = (
+        F.when(k == 1, F.lit("tiny doc words"))
+        .when(k == 2, F.concat(F.col("text"), F.lit(" "),
+                               F.repeat(F.lit("# "), 20)))
+        .when(k == 3, F.concat(F.repeat(F.lit("- item\n"), 59),
+                               F.lit("- item")))
+        .when(k == 4, F.concat(F.repeat(F.lit("123 456 "), 30),
+                               F.lit("789")))
+        .when(k == 5, F.concat(F.repeat(F.lit("line ...\n"), 9),
+                               F.lit("end line")))
+        .when(k == 6, F.concat(F.repeat(F.lit("abcdefghijklmnop "), 59),
+                               F.lit("abcdefghijklmnop")))
+        .when(k == 7, F.concat(F.col("text"),
+                               F.lit(" the of and that be to have with")))
+        .otherwise(F.col("text"))
+    )
+    g = gopher_quality_flags(tx)
+    return d.select(
+        "doc_id",
+        g.getField("n_words").alias("n_words"),
+        g.getField("ok_word_count").alias("ok_word_count"),
+        g.getField("ok_mean_word_len").alias("ok_mean_word_len"),
+        g.getField("ok_symbol_ratio").alias("ok_symbol_ratio"),
+        g.getField("ok_bullet_lines").alias("ok_bullet_lines"),
+        g.getField("ok_ellipsis_lines").alias("ok_ellipsis_lines"),
+        g.getField("ok_alpha_words").alias("ok_alpha_words"),
+        g.getField("ok_stop_words").alias("ok_stop_words"),
+        g.getField("pass_gopher").alias("pass_gopher"),
+    )
