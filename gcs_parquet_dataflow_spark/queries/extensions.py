@@ -13895,3 +13895,119 @@ def quality_gopher_rules(spark, sf_dir):
         g.getField("ok_stop_words").alias("ok_stop_words"),
         g.getField("pass_gopher").alias("pass_gopher"),
     )
+
+
+@query(
+    "quality_c4_rules",
+    """
+    WITH s AS (SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN 'This is a perfectly fine first sentence.' || chr(10)
+                    || 'Here is a second complete sentence too!' || chr(10)
+                    || 'And a third one finishes the page.'
+        WHEN 1 THEN 'Too short line.' || chr(10) || 'menu' || chr(10)
+                    || 'about us' || chr(10)
+                    || 'Only one real sentence lives on this page.'
+        WHEN 2 THEN 'A sentence with some lorem ipsum filler text inside.'
+                    || chr(10) || 'Another proper sentence follows it here.'
+                    || chr(10) || 'And one more to reach three sentences.'
+        WHEN 3 THEN 'function f() { return 1; }' || chr(10)
+                    || 'This sentence talks about javascript features.'
+                    || chr(10) || 'A closing remark ends the page here.'
+        ELSE text || ' ends with punctuation now.' || chr(10)
+             || 'A second supporting sentence appears here.' || chr(10)
+             || 'A third sentence completes the requirement.'
+      END AS tx FROM documents),
+    k AS (SELECT doc_id, tx,
+      list_filter(string_split(tx, chr(10)),
+        l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+              OR ends_with(l, '"'))
+             AND len(string_split(l, ' ')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS kept
+     FROM s),
+    c AS (SELECT doc_id, tx, kept,
+      array_to_string(kept, chr(10)) AS cleaned FROM k)
+    SELECT doc_id,
+      CAST(len(string_split(tx, chr(10))) AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      CAST((length(cleaned) - length(replace(cleaned, '.', '')))
+         + (length(cleaned) - length(replace(cleaned, '!', '')))
+         + (length(cleaned) - length(replace(cleaned, '?', '')))
+         AS BIGINT) AS n_sentences,
+      ((length(cleaned) - length(replace(cleaned, '.', '')))
+         + (length(cleaned) - length(replace(cleaned, '!', '')))
+         + (length(cleaned) - length(replace(cleaned, '?', ''))) >= 3)
+        AND NOT contains(tx, '{')
+        AND NOT contains(lower(tx), 'lorem ipsum') AS keep_doc,
+      cleaned AS cleaned_text
+    FROM c
+    """,
+)
+def quality_c4_rules(spark, sf_dir):
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) as a declared
+    REWRITE row — the other canonical pretraining filter set next to
+    quality_gopher_rules, and line-level like CCNet: keep only lines
+    ending in terminal punctuation with ≥5 words and no 'javascript';
+    drop pages with <3 sentences (terminal marks in the CLEANED text),
+    any '{', or 'lorem ipsum'. Outputs the cleaned text, not just
+    flags. Branches plant each drop reason (boilerplate short lines,
+    lorem-ipsum filler, code braces + a javascript line); originals
+    get three proper sentences appended so realistic keeps exist.
+    Scan-stage per-row array work, zero shuffle."""
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 5
+    nl = "\n"
+    tx = (
+        F.when(k == 0, F.lit(
+            "This is a perfectly fine first sentence." + nl
+            + "Here is a second complete sentence too!" + nl
+            + "And a third one finishes the page."))
+        .when(k == 1, F.lit(
+            "Too short line." + nl + "menu" + nl + "about us" + nl
+            + "Only one real sentence lives on this page."))
+        .when(k == 2, F.lit(
+            "A sentence with some lorem ipsum filler text inside." + nl
+            + "Another proper sentence follows it here." + nl
+            + "And one more to reach three sentences."))
+        .when(k == 3, F.lit(
+            "function f() { return 1; }" + nl
+            + "This sentence talks about javascript features." + nl
+            + "A closing remark ends the page here."))
+        .otherwise(F.concat(
+            F.col("text"),
+            F.lit(" ends with punctuation now." + nl
+                  + "A second supporting sentence appears here." + nl
+                  + "A third sentence completes the requirement.")))
+    )
+    lines = F.split(tx, nl)
+    kept = F.filter(
+        lines,
+        lambda l: (
+            l.endswith(".") | l.endswith("!") | l.endswith("?")
+            | l.endswith('"')
+        )
+        & (F.size(F.split(l, " ")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    cleaned = F.array_join(kept, nl)
+
+    def marks(c):
+        return sum(
+            F.length(c) - F.length(F.replace(c, F.lit(m), F.lit("")))
+            for m in (".", "!", "?")
+        )
+
+    n_sent = marks(cleaned).cast("long")
+    keep = (
+        (n_sent >= 3)
+        & ~tx.contains("{")
+        & ~F.lower(tx).contains("lorem ipsum")
+    )
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        keep.alias("keep_doc"),
+        cleaned.alias("cleaned_text"),
+    )
