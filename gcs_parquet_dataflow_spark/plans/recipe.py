@@ -95,6 +95,48 @@ def _stage_html_extract(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     return df.withColumn(ctx["text_col"], TX.strip_html(F.col(ctx["text_col"])))
 
 
+def _stage_gopher_gate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    """Keep documents passing the full Gopher rule set (Rae et al.
+    §A1.1; functions/text.py gopher_quality_flags) — or a chosen subset
+    via ``rules`` (list of ok_* flag names)."""
+    g = TX.gopher_quality_flags(F.col(ctx["text_col"]))
+    rules = p.get("rules")
+    if rules:
+        cond = None
+        for r in rules:
+            c = g.getField(r)
+            cond = c if cond is None else (cond & c)
+        return df.filter(cond)
+    return df.filter(g.getField("pass_gopher"))
+
+
+def _stage_c4_line_clean(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    """C4 line cleaning (Raffel et al. §2.2): rewrite text to the kept
+    lines (terminal punctuation, ≥5 words, no 'javascript'), then drop
+    pages with <3 cleaned sentences, braces, or 'lorem ipsum'."""
+    tx = F.col(ctx["text_col"])
+    kept = F.filter(
+        F.split(tx, "\n"),
+        lambda l: (
+            l.endswith(".") | l.endswith("!") | l.endswith("?")
+            | l.endswith('"')
+        )
+        & (F.size(F.split(l, " ")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    cleaned = F.array_join(kept, "\n")
+    n_sent = sum(
+        F.length(cleaned) - F.length(F.replace(cleaned, F.lit(m), F.lit("")))
+        for m in (".", "!", "?")
+    )
+    keep = (
+        (n_sent >= int(p.get("min_sentences", 3)))
+        & ~tx.contains("{")
+        & ~F.lower(tx).contains("lorem ipsum")
+    )
+    return df.filter(keep).withColumn(ctx["text_col"], cleaned)
+
+
 def _stage_dedup_exact(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     return DD.exact_dedup(df, [ctx["text_col"]], ctx["id_col"])
 
@@ -147,6 +189,8 @@ STAGES: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
     "lang_annotate": _stage_lang_annotate,
     "pii_scrub": _stage_pii_scrub,
     "html_extract": _stage_html_extract,
+    "gopher_gate": _stage_gopher_gate,
+    "c4_line_clean": _stage_c4_line_clean,
     "dedup_exact": _stage_dedup_exact,
     "dedup_minhash": _stage_dedup_minhash,
     "token_stats": _stage_token_stats,
@@ -199,6 +243,8 @@ STREAMABLE_STAGES = {
     "length_gate",
     "quality_gate",
     "encoding_gate",
+    "gopher_gate",
+    "c4_line_clean",
     "curriculum_annotate",
     "lang_annotate",
     "pii_scrub",

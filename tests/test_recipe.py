@@ -177,3 +177,54 @@ def test_encoding_gate_and_curriculum_stages(spark):
     assert {k: v["shuffle_key"] for k, v in rows.items()} == again
     assert "encoding_gate" in STREAMABLE_STAGES
     assert "curriculum_annotate" in STREAMABLE_STAGES
+
+
+def test_gopher_and_c4_stages_compose(spark):
+    """The canonical-filter stages compose in a recipe and match the
+    manual operator calls (the recipe compiler's core guarantee)."""
+    from gcs_parquet_dataflow_spark.functions.text import (
+        gopher_quality_flags,
+    )
+    from gcs_parquet_dataflow_spark.plans.recipe import compile_recipe
+    from pyspark.sql import functions as F
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and that is fine "
+        * 5
+    ).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good + " to be of use here today with more words added."),
+            (2, "tiny doc"),
+            (3, good + " ##################### lots of hash spam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = compile_recipe(docs, [{"op": "gopher_gate"}])
+    got = sorted(r["doc_id"] for r in out.collect())
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            gopher_quality_flags(F.col("text")).getField("pass_gopher")
+        ).collect()
+    )
+    assert got == want and got == [1]
+
+    c4docs = spark.createDataFrame(
+        [
+            (1, "A good first sentence lives here.\nmenu\n"
+                "A second proper sentence follows along.\n"
+                "A third one completes the page now."),
+            (2, "short\nlines\nonly"),
+        ],
+        "doc_id long, text string",
+    )
+    out2 = compile_recipe(c4docs, [{"op": "c4_line_clean"}]).collect()
+    assert [r["doc_id"] for r in out2] == [1]
+    assert "menu" not in out2[0]["text"]
+    # streamability declared (pure per-row stages)
+    from gcs_parquet_dataflow_spark.plans.recipe import validate_streamable
+
+    validate_streamable(
+        [{"op": "gopher_gate"}, {"op": "c4_line_clean"}]
+    )
