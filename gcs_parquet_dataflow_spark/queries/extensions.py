@@ -14011,3 +14011,79 @@ def quality_c4_rules(spark, sf_dir):
         keep.alias("keep_doc"),
         cleaned.alias("cleaned_text"),
     )
+
+
+@query(
+    "text_line_repetition",
+    """
+    WITH s AS (SELECT doc_id,
+      CASE doc_id % 3
+        WHEN 1 THEN 'unique alpha line' || chr(10) || 'repeated beta line'
+             || chr(10) || 'repeated beta line' || chr(10)
+             || 'another gamma line' || chr(10) || 'repeated beta line'
+             || chr(10) || 'final delta line'
+        WHEN 2 THEN 'same line' || chr(10) || 'same line' || chr(10)
+             || 'same line' || chr(10) || 'same line'
+        ELSE text
+      END AS tx FROM documents),
+    ln AS (SELECT doc_id, unnest(string_split(tx, chr(10))) AS l FROM s),
+    lc AS (SELECT doc_id, l, count(*) AS c, length(l) AS w
+           FROM ln GROUP BY doc_id, l),
+    a AS (SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_lines,
+                 CAST(sum(c) - count(*) AS BIGINT) AS n_dup_lines,
+                 sum((c - 1) * w) AS dup_chars,
+                 sum(c * w) AS tot_chars
+          FROM lc GROUP BY doc_id)
+    SELECT doc_id, n_lines, n_dup_lines,
+           round(CAST(n_dup_lines AS DOUBLE) / n_lines, 6)
+               AS dup_line_frac,
+           round(CAST(dup_chars AS DOUBLE) / tot_chars, 6)
+               AS dup_line_char_frac
+    FROM a
+    """,
+)
+def text_line_repetition(spark, sf_dir):
+    """The LINE-level half of Gopher's repetition rules (duplicate-line
+    fraction and fraction of characters inside duplicate lines —
+    occurrences beyond each line's first count as duplicated), joining
+    the word/bigram half (text_repetition_signals). Branch-planted
+    multi-line docs exercise partial and total duplication; the shape
+    is one line explode + doc-keyed hash agg — the same zero-self-join
+    cost class, exact integers and round-6 ratios for the oracle."""
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 3
+    nl = "\n"
+    tx = (
+        F.when(k == 1, F.lit(
+            "unique alpha line" + nl + "repeated beta line" + nl
+            + "repeated beta line" + nl + "another gamma line" + nl
+            + "repeated beta line" + nl + "final delta line"))
+        .when(k == 2, F.lit(
+            "same line" + nl + "same line" + nl + "same line" + nl
+            + "same line"))
+        .otherwise(F.col("text"))
+    )
+    ln = d.select("doc_id", tx.alias("tx")).select(
+        "doc_id", F.explode(F.split(F.col("tx"), nl)).alias("l")
+    )
+    lc = ln.groupBy("doc_id", "l").agg(
+        F.count(F.lit(1)).alias("c"), F.length("l").alias("w")
+    )
+    a = lc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_dup_lines"),
+        F.sum((F.col("c") - 1) * F.col("w")).alias("dup_chars"),
+        F.sum(F.col("c") * F.col("w")).alias("tot_chars"),
+    )
+    return a.select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        F.round(
+            F.col("n_dup_lines").cast("double") / F.col("n_lines"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.col("dup_chars").cast("double") / F.col("tot_chars"), 6
+        ).alias("dup_line_char_frac"),
+    )
