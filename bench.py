@@ -84,6 +84,10 @@ EXTENDED = [
     "dedup_jaccard_pairs_capped",
     "graph_triangle_participation_degord",
     "graph_pagerank_coactivity_shuffle",
+    "quality_gopher_rules",
+    "quality_c4_rules",
+    "text_line_repetition",
+    "scalar_float_repr",
 ]
 
 
