@@ -160,7 +160,13 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    line = json.dumps({
+    # Full detail goes to the bench_result.json sidecar; stdout gets a
+    # COMPACT line (headline value + per-headline-query seconds only).
+    # BENCH_r03/r04 came back "parsed": null because the driver's tail
+    # capture keeps only the last 2000 chars of stdout and the full line
+    # (2.6 kB) lost its front — so the stdout line must stay well under
+    # that window (~550 B here), with a hard assert to keep it honest.
+    sidecar = json.dumps({
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
@@ -172,14 +178,21 @@ def main() -> None:
         "table_rows": table_rows,
         "sf": sf_val,
     })
+    line = json.dumps({
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    })
+    assert len(line) < 1800, f"stdout bench line too long: {len(line)}B"
     # Stop the JVM BEFORE printing so nothing (progress bars are already
     # off via session.py, but also shutdown logs) can land on stdout after
-    # — or interleave with — the JSON line the driver tail-captures
-    # (BENCH_r03.json came back "parsed": null from exactly that).
+    # — or interleave with — the JSON line the driver tail-captures.
     spark.stop()
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_result.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(sidecar + "\n")
     sys.stdout.write(line + "\n")
     sys.stdout.flush()
 

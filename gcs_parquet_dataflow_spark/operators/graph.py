@@ -17,9 +17,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gcs_parquet_dataflow_spark.operators.dedup import cap_hot_buckets
 from gcs_parquet_dataflow_spark.operators.partitioning import (
     persist_intermediate,
 )
+
+
+def coactivity_edges(
+    df: DataFrame,
+    user_col: str = "user_id",
+    bucket_cols: tuple[str, ...] = ("event_type", "hb"),
+    min_cobuckets: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Behavioral co-activity edge list: users are linked when they
+    share ≥ ``min_cobuckets`` activity buckets (e.g. the same
+    (event_type, hour)) → (u, v) with u < v, each edge once.
+
+    The candidate join is the same Σ|bucket|² shape as every other
+    bucketed candidate generator in this engine — and it densifies
+    QUADRATICALLY with users per bucket (SCALE.md round-4 smoke: 10×
+    users → ×100 join volume, >80 GB spill before we stopped it).
+    ``max_bucket_size`` arms the same hot-bucket guard the dedup family
+    uses (:func:`~gcs_parquet_dataflow_spark.operators.dedup.cap_hot_buckets`,
+    VERDICT r4 item 2): buckets with more distinct users are removed
+    from candidate generation by a broadcast LEFT ANTI join before the
+    self-join, bounding it at Σ min(|bucket|, cap)². A bucket that hot
+    ("everyone was active that hour") carries no co-activity signal;
+    genuinely linked users still meet through their other shared
+    buckets. Output is IDENTICAL when no bucket exceeds the cap
+    (oracle row graph_coactivity_edges_capped); planted-community
+    preservation under a forced hot bucket is
+    tests/test_scale_patterns.py.
+    """
+    bcols = list(bucket_cols)
+    b = df.select(F.col(user_col).alias("_u"), *bcols).distinct()
+    if max_bucket_size is not None:
+        b = cap_hot_buckets(b, bcols, max_bucket_size)
+    # both self-join sides read the persisted bucket table instead of
+    # re-deriving the distinct (registered for release_intermediates)
+    b = persist_intermediate(b)
+    x, y = b.alias("x"), b.alias("y")
+    cond = F.col("x._u") < F.col("y._u")
+    for c in bcols:
+        cond = (F.col(f"x.{c}") == F.col(f"y.{c}")) & cond
+    return (
+        x.join(y, cond)
+        .groupBy(F.col("x._u").alias("u"), F.col("y._u").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= min_cobuckets)
+        .select("u", "v")
+    )
 
 
 def pagerank_quantized(

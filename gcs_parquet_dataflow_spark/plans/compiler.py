@@ -261,8 +261,17 @@ def compile_config(
             elif isinstance(dtype, T.BooleanType):
                 falsy = falsy | (~clean)
             elif isinstance(dtype, (T.ArrayType, T.MapType)):
-                # Python `if not event_name`: empty list/dict is falsy too
+                # Python `if not event_name`: empty list/dict is falsy too.
+                # A NON-empty one passes the gate and the reference hands
+                # the list/dict itself to json.dumps (main.py:277-281), so
+                # the event serializes as a JSON array/object — to_json
+                # reproduces that text ('["x"]'), not Spark's plain string
+                # cast ('[x]'). Residual deviation, documented: json.dumps
+                # uses ', ' separators and nests the value unquoted inside
+                # the envelope, while our string-typed event column is
+                # re-quoted by serialize(); value text itself matches.
                 falsy = falsy | (F.size(clean) == 0)
+                raw = F.to_json(clean)
             event_expr = F.when(falsy, F.lit(None)).otherwise(raw)
         else:
             falsy = F.lit(True)
@@ -316,6 +325,23 @@ def compile_config(
                 )
             )
         value = _compile_mapping(m, dtype, opts)
+        if m.type == "integer" and isinstance(dtype, (T.DoubleType, T.FloatType)):
+            # int(float('inf')) raises OverflowError, which the cast
+            # ladder's except (ValueError, TypeError) at main.py:232 does
+            # NOT catch — it propagates to the outer except and DLQs the
+            # whole row as critical_transformation_error mid-loop (before
+            # later mappings' checks). NaN was already cleaned to NULL
+            # row-wide (main.py:183), so only ±inf can reach int() here;
+            # reason matches CPython's str(OverflowError).
+            errors.append(
+                F.when(
+                    F.abs(src_clean) == float("inf"),
+                    _error_struct(
+                        "critical_transformation_error",
+                        F.lit("cannot convert float infinity to integer"),
+                    ),
+                )
+            )
         if not m.include_if_none and m.mixpanel_field not in _NONE_PROCESSED_FIELDS:
             # None source values are skipped (not processed) unless flagged
             # (main.py:218-223); NULL-out matches because final NULLs are

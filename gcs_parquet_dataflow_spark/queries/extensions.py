@@ -4493,11 +4493,15 @@ def skew_hot_key_report(spark, sf_dir):
     (operators/skew.py) vs plain hash partitioning. A top key owning
     >1% of rows at 1000 partitions means one straggler partition.
 
-    Scale shape: one map-side-combined count per key, then ranking over
-    the KEY-COUNT table (never the raw rows); the global top-20 window
-    sorts |keys| rows — at 100 TB swap in a per-partition top-k merge
-    if even the key table is huge (the pattern knn's two-phase top-k
-    already implements)."""
+    Scale shape: one map-side-combined count per key, then the global
+    top-20 of the KEY-COUNT table via TakeOrderedAndProject (per-
+    partition top-k merge — never a full sort); the rank/cumulative
+    window then runs over exactly those ≤20 rows, so the plan's
+    single-partition window is limit-bounded (the invariant the
+    catalog-wide guard asserts mechanically since r5). The top-20 set
+    under the (n_rows desc, user_id) TOTAL order is exactly ranks
+    1–20, and each row's cumulative sum depends only on rows above it,
+    so the output is identical to ranking the whole key table."""
     from pyspark.sql import Window as WS
 
     e = t(spark, sf_dir, "events")
@@ -4513,13 +4517,13 @@ def skew_hot_key_report(spark, sf_dir):
         F.sum("n_rows").cast("long").alias("t"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
     ).first()
+    top = c.orderBy(F.desc("n_rows"), F.asc("user_id")).limit(20)
     w = WS.orderBy(F.desc("n_rows"), F.asc("user_id"))
     return (
-        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn(
             "cum", F.sum("n_rows").over(w.rowsBetween(WS.unboundedPreceding, 0))
         )
-        .filter(F.col("rank") <= 20)
         .select(
             "rank",
             "user_id",
@@ -8564,22 +8568,33 @@ def feature_quantile_bins(spark, sf_dir):
     categorical one (and the edge table is what a serving system ships
     to bucketize online traffic identically).
 
-    Parity: ntile over the exact-cents sort key with the orderkey
-    tie-break is fully deterministic in both engines. Scale: the
-    global ntile is a single total sort — the one operation here that
-    needs care at 100 TB; the production path is
-    approx_percentile-derived edges (one pass, mergeable) with this
-    exact form as the small-data oracle of that approximation."""
-    from pyspark.sql import Window as WS
+    Parity: the bucket is computed from the EXACT global row number
+    under the (cents, orderkey) total order, with the SQL-standard
+    ntile split (first N mod k buckets take one extra row) in pure
+    int64 arithmetic — identical to DuckDB's ntile. Scale: the global
+    row number is the distributed two-pass rank
+    (operators/partitioning.py:global_row_number — range partition,
+    partition-local windows, broadcast offsets), NOT a single-partition
+    ntile sort; the plan guard (tests/test_extensions.py) mechanically
+    rejects the latter. The production path for approximate needs is
+    approx_percentile-derived edges; this exact form is its oracle."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        global_row_number,
+    )
 
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", cents(F.col("o_totalprice")).alias("pc")
     )
-    b = o.select(
+    n_total = o.count()  # driver scalar: parquet metadata count
+    q, r = divmod(n_total, 10)
+    cut = r * (q + 1)
+    d = global_row_number(o, ["pc", "o_orderkey"], out="rn")
+    b = d.select(
         "pc",
-        F.ntile(10)
-        .over(WS.orderBy("pc", "o_orderkey"))
-        .alias("bin"),
+        F.expr(
+            f"CASE WHEN rn <= {cut} THEN (rn + {q}) div {q + 1} "
+            f"ELSE {r} + (rn - {cut} + {q - 1}) div {q} END"
+        ).cast("int").alias("bin"),
     )
     return (
         b.groupBy("bin")
@@ -13592,31 +13607,30 @@ def dedup_jaccard_pairs_capped(spark, sf_dir):
     )
 
 
-def _coactivity_edges(spark, sf_dir):
+def _coactivity_edges(spark, sf_dir, max_bucket_size=None):
     """The behavioral co-activity edge list shared by the graph_* rows:
     users linked when they share an (event_type, hour) bucket ≥3 times,
-    node-ordered (u < v)."""
+    node-ordered (u < v). ``max_bucket_size`` arms the hot-bucket guard
+    on the quadratic bucket self-join (VERDICT r4 item 2) — see
+    operators/graph.py:coactivity_edges."""
+    from gcs_parquet_dataflow_spark.operators.graph import coactivity_edges
     from gcs_parquet_dataflow_spark.operators.partitioning import (
         persist_intermediate,
     )
 
-    b = t(spark, sf_dir, "events").select(
+    ev = t(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("hb"),
-    ).distinct()
-    x, y = b.alias("x"), b.alias("y")
+    )
     return persist_intermediate(
-        x.join(
-            y,
-            (F.col("x.event_type") == F.col("y.event_type"))
-            & (F.col("x.hb") == F.col("y.hb"))
-            & (F.col("x.user_id") < F.col("y.user_id")),
+        coactivity_edges(
+            ev,
+            "user_id",
+            ("event_type", "hb"),
+            min_cobuckets=3,
+            max_bucket_size=max_bucket_size,
         )
-        .groupBy(F.col("x.user_id").alias("u"), F.col("y.user_id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("_w"))
-        .filter(F.col("_w") >= 3)
-        .select("u", "v")
     )
 
 
@@ -14087,3 +14101,28 @@ def text_line_repetition(spark, sf_dir):
             F.col("dup_chars").cast("double") / F.col("tot_chars"), 6
         ).alias("dup_line_char_frac"),
     )
+
+
+@query(
+    "graph_coactivity_edges_capped",
+    """
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS hb
+               FROM events)
+    SELECT x.user_id AS u, y.user_id AS v
+    FROM b x JOIN b y
+      ON x.event_type = y.event_type AND x.hb = y.hb
+     AND x.user_id < y.user_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def graph_coactivity_edges_capped(spark, sf_dir):
+    """Hot-bucket-cap no-op proof for the co-activity EDGE BUILD
+    (VERDICT r4 item 2): the quadratic (event_type, hour) bucket
+    self-join runs WITH max_bucket_size=256 armed against the same
+    uncapped SQL oracle — no fixture bucket holds >51 distinct users
+    (sf0.1; 10 at sf0.01), so the broadcast anti-join guard must not
+    change a single edge. The adversarial half (amplified users force a
+    hot bucket; edges bounded, planted-community edges preserved) is
+    tests/test_scale_patterns.py::test_coactivity_hot_bucket_cap."""
+    return _coactivity_edges(spark, sf_dir, max_bucket_size=256)

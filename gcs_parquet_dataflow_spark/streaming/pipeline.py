@@ -476,10 +476,14 @@ def run_drift_monitor_stream(
     base_tot = base_cnt.groupBy("grp").agg(
         F.sum("n_base").cast("long").alias("t_base")
     )
-    base = base_cnt.join(base_tot, "grp").collect()
-    base_df = spark.createDataFrame(
-        base, "grp string, bin long, n_base long, t_base long"
-    )
+    # pin the baseline EXECUTOR-side (VERDICT r4 item 4): persist +
+    # materialize instead of collect-and-recreate, so a pathological
+    # group_col (say, user_id → |groups|×n_bins rows) can never
+    # bottleneck the driver; the broadcast below ships it per batch.
+    # The source `baseline` is static, so an eviction recompute yields
+    # the same counts.
+    base_df = base_cnt.join(base_tot, "grp").persist()
+    base_df.count()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         cur = (
@@ -776,10 +780,12 @@ def run_decontamination_stream(
     )
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
 
-    bench_rows = benchmark.select(id_col, text_col).collect()
-    bench_df = spark.createDataFrame(
-        bench_rows, benchmark.select(id_col, text_col).schema
-    )
+    # pin the benchmark EXECUTOR-side (VERDICT r4 item 4): persist +
+    # materialize, not collect-and-recreate — a large benchmark SUITE
+    # must not round-trip through the driver; benchmark_contamination
+    # builds its inverted index from the persisted table directly.
+    bench_df = benchmark.select(id_col, text_col).persist()
+    bench_df.count()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         flags = benchmark_contamination(

@@ -458,3 +458,85 @@ def test_empty_array_event_name_is_falsy(spark):
     assert errs[1] is not None and errs[1]["error_type"] == "missing_dynamic_event_name"
     assert errs[2] is None
     assert errs[3] is not None and errs[3]["error_type"] == "missing_dynamic_event_name"
+    # a NON-empty array event name serializes like the reference's
+    # json.dumps of the list itself, not Spark's '[x]' string cast
+    events = {
+        r["v"]: r["event"]
+        for r in compiled.apply(df).select(
+            F.col("properties.v").alias("v"), "event"
+        ).collect()
+    }
+    assert events[2] == '["x"]'
+
+
+def test_integer_mapping_over_inf_double_dlqs(spark):
+    """Reference int(float('inf')) raises OverflowError — NOT caught by
+    the cast ladder's (ValueError, TypeError) at main.py:232 — so the
+    whole row DLQs as critical_transformation_error. A NaN source was
+    already cleaned row-wide (main.py:183) → property omitted, no error."""
+    schema = T.StructType(
+        [
+            T.StructField("ev", T.StringType()),
+            T.StructField("n", T.DoubleType()),
+        ]
+    )
+    cfg = load_configs(
+        [
+            {
+                "config_id": "intinf",
+                "source_gcs_prefix": "gs://b/",
+                "mixpanel_event_name_from_field": "ev",
+                "field_mappings": [
+                    {"source_field": "n", "mixpanel_field": "n",
+                     "type": "integer"},
+                ],
+            }
+        ]
+    )[0]
+    df = spark.createDataFrame(
+        [("a", float("inf")), ("b", float("-inf")),
+         ("c", float("nan")), ("d", 2.0)],
+        schema,
+    )
+    compiled = compile_config(cfg, schema, OPTS())
+    rows = compiled.apply(df).select(
+        "event", F.col("properties.n").alias("n"), "_error"
+    ).collect()
+    by_ev = {r["event"]: r for r in rows}
+    for ev in ("a", "b"):
+        err = by_ev[ev]["_error"]
+        assert err is not None
+        assert err["error_type"] == "critical_transformation_error"
+        assert err["reason"] == "cannot convert float infinity to integer"
+    assert by_ev["c"]["_error"] is None and by_ev["c"]["n"] is None
+    assert by_ev["d"]["_error"] is None and by_ev["d"]["n"] == 2
+
+
+def test_integer_inf_fires_before_later_required_check(spark):
+    """The OverflowError propagates mid-loop, so it wins over a LATER
+    mapping's missing_required_field (and loses to an earlier one)."""
+    schema = T.StructType(
+        [
+            T.StructField("n", T.DoubleType()),
+            T.StructField("req", T.StringType()),
+        ]
+    )
+    cfg = load_configs(
+        [
+            {
+                "config_id": "prec",
+                "source_gcs_prefix": "gs://b/",
+                "mixpanel_event_name": "e",
+                "field_mappings": [
+                    {"source_field": "n", "mixpanel_field": "n",
+                     "type": "integer"},
+                    {"source_field": "req", "mixpanel_field": "req",
+                     "type": "string", "is_required_in_source": True},
+                ],
+            }
+        ]
+    )[0]
+    df = spark.createDataFrame([(float("inf"), None)], schema)
+    compiled = compile_config(cfg, schema, OPTS())
+    [row] = compiled.apply(df).collect()
+    assert row["_error"]["error_type"] == "critical_transformation_error"

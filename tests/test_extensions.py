@@ -1026,13 +1026,65 @@ def test_remove_duplicated_windows_cuts_shared_spans_exactly(spark):
     assert out[5]["n_removed"] == out[5]["n_tokens"]
 
 
+def _walk_physical(node, depth=0):
+    """Yield (simpleClassName, node) over a physical plan tree,
+    descending through the AQE wrapper and query-stage leaves."""
+    name = node.getClass().getSimpleName()
+    yield name, node
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_physical(node.executedPlan(), depth + 1)
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk_physical(node.plan(), depth + 1)
+        return
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_physical(it.next(), depth + 1)
+
+
+# physical nodes that bound the row count flowing INTO an unpartitioned
+# window: explicit limits, global top-k, and hash/sort aggregates
+# (grouped outputs — orders of magnitude below raw row counts; the
+# convention VERDICT r4 item 3 asks to mechanize)
+_BOUNDING_NODES = (
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+    "WindowGroupLimitExec",
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+)
+
+
+def _unbounded_single_partition_windows(df) -> list[str]:
+    """Every WindowExec with an EMPTY partition spec whose subtree has
+    no limit/top-k/aggregate node — i.e. a single-partition window over
+    potentially unbounded rows, the one shape that cannot scale."""
+    plan = df._jdf.queryExecution().executedPlan()
+    offenders = []
+    for name, node in _walk_physical(plan):
+        if name in ("WindowExec", "WindowInPandasExec") and node.partitionSpec().isEmpty():
+            subtree = []
+            it = node.children().iterator()
+            while it.hasNext():
+                subtree.extend(n for n, _ in _walk_physical(it.next()))
+            if not any(n in _BOUNDING_NODES for n in subtree):
+                offenders.append(name)
+    return offenders
+
+
 def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
     """Catalog-WIDE plan guard (every declared query, present and
     future — no per-round list to forget): no row-at-a-time Python, no
     scalar pandas UDFs, no cartesian products anywhere; nested-loop
     joins only in the enumerated legitimate shapes (scalar/one-row
     broadcast comparisons, deliberate theta joins, and the
-    broadcast-queries × corpus linear-scan baselines)."""
+    broadcast-queries × corpus linear-scan baselines). Also mechanizes
+    the bounded-window invariant (VERDICT r4 item 3): any
+    single-partition Window must sit above a limit/top-k/aggregate
+    node — 'bounded by convention' is now asserted per plan."""
     from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
 
     # every BNLJ here is a one-row/scalar broadcast or a documented
@@ -1087,6 +1139,10 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         ]
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             bad.append("BroadcastNestedLoopJoin")
+        bad += [
+            f"unbounded single-partition {w}"
+            for w in _unbounded_single_partition_windows(df)
+        ]
         if bad:
             offenders[name] = bad
     assert not offenders, offenders

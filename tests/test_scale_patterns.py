@@ -815,3 +815,46 @@ def test_cap_only_removes_pairs_never_adds(spark):
                 ).collect()}
         sk.unpersist()
         assert cap2 <= unc2, f"seed {seed}: simhash cap added pairs"
+
+
+def test_coactivity_hot_bucket_cap(spark):
+    """VERDICT r4 item 2: the co-activity EDGE BUILD's hot-bucket cap.
+    Three 'everyone was active that hour' buckets of 60 users would
+    uncapped mint all C(60,2)=1770 pairs as edges (they share 3 hot
+    buckets → pass min_cobuckets); with the cap armed those buckets are
+    anti-joined away and only the planted 5-user community — linked
+    through 4 COLD buckets — survives, every one of its edges intact."""
+    from gcs_parquet_dataflow_spark.operators.graph import coactivity_edges
+
+    rows = []
+    for h in range(3):
+        for u in range(60):
+            rows.append((u, "login", f"hot{h}"))
+    comm = list(range(1000, 1005))
+    for h in range(4):
+        for u in comm:
+            rows.append((u, "buy", f"cold{h}"))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, hb string"
+    )
+    uncapped = {
+        (r["u"], r["v"])
+        for r in coactivity_edges(df, "user_id", ("event_type", "hb")).collect()
+    }
+    capped = {
+        (r["u"], r["v"])
+        for r in coactivity_edges(
+            df, "user_id", ("event_type", "hb"), max_bucket_size=50
+        ).collect()
+    }
+    true_edges = {(a, b) for a in comm for b in comm if a < b}
+    assert len(uncapped) == 60 * 59 // 2 + len(true_edges)
+    assert capped == true_edges  # bounded AND community preserved
+    # a cap no bucket reaches is a no-op
+    noop = {
+        (r["u"], r["v"])
+        for r in coactivity_edges(
+            df, "user_id", ("event_type", "hb"), max_bucket_size=1000
+        ).collect()
+    }
+    assert noop == uncapped

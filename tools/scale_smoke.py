@@ -234,6 +234,31 @@ def main() -> None:
         timed("triangle_degord", tri_degord)
         edges_df.unpersist()
 
+        # the r4 negative result, closed (VERDICT r4 item 2): the
+        # AMPLIFIED-events edge build — bucket sizes ×factor, so the
+        # Σ|bucket|² self-join ×factor² (>80 GB spill uncapped at 10×) —
+        # now completes with the hot-bucket cap armed. Buckets denser
+        # than the cap carry no co-activity signal and are anti-joined
+        # away before the quadratic self-join; remaining cost is
+        # bounded by cap·Σ|bucket|.
+        from gcs_parquet_dataflow_spark.operators.graph import (
+            coactivity_edges,
+        )
+
+        def edge_build_capped():
+            rows["graph_edges_capped_amplified"] = coactivity_edges(
+                ev.select(
+                    "user_id",
+                    "event_type",
+                    F.date_trunc("hour", "ts").alias("hb"),
+                ),
+                "user_id",
+                ("event_type", "hb"),
+                max_bucket_size=256,
+            ).count()
+
+        timed("coactivity_edges_capped_amplified", edge_build_capped)
+
         # native data-dependent session aggregation (round-5 surface)
         def native_sessions():
             ev.groupBy(

@@ -8,6 +8,15 @@ rows, single process — the per-worker unit Dataflow scales out) against
 this engine's compiled whole-stage-codegen path on all local cores,
 plus the single-core engine rate for an apples-to-apples per-core view.
 
+Methodology (pinned, VERDICT r4 item 6 — the r4 ratio drift 11.5×→6×
+per core came from comparing a warm engine against a sometimes-cold
+Python loop on a contended host): BOTH paths now run three passes and
+report the min, after an untimed warm-up pass each — the Python loop's
+warm-up pays the OS page-cache fill for the parquet file, the engine's
+pays JVM/codegen/footer. The min-of-3 is the same steady-state
+discipline bench.py uses; cross-round ratios are comparable only
+between runs using this scheme (r5 onward).
+
 Usage: python tools/throughput_compare.py [sf_dir]
 Prints one JSON line with rows/sec for both paths.
 """
@@ -53,37 +62,42 @@ def python_reference_loop(sf_dir: str) -> tuple[int, float]:
             return None
         return v
 
-    n = 0
-    start = time.perf_counter()
-    pf = pq.ParquetFile(f"{sf_dir}/events.parquet")
-    for batch in pf.iter_batches(batch_size=20000):  # main_batch.py:89
-        for row in batch.to_pylist():  # the row-ification the reference does
-            row = {k: clean_nan(v) for k, v in row.items()}
-            event = row.get("event_type")
-            if not event:
-                continue
-            props = {}
-            for m in explicit:
-                v = row.get(m["source_field"])
-                if v is None:
+    def one_pass() -> tuple[int, float]:
+        n = 0
+        start = time.perf_counter()
+        pf = pq.ParquetFile(f"{sf_dir}/events.parquet")
+        for batch in pf.iter_batches(batch_size=20000):  # main_batch.py:89
+            for row in batch.to_pylist():  # the row-ification the reference does
+                row = {k: clean_nan(v) for k, v in row.items()}
+                event = row.get("event_type")
+                if not event:
                     continue
-                t = m.get("type", "passthrough")
-                try:
-                    if t == "string":
-                        v = str(v)
-                    elif t == "float":
-                        v = float(v)
-                    elif t == "unix_timestamp_auto":
-                        v = int(v.timestamp()) if hasattr(v, "timestamp") else int(v)
-                except (ValueError, TypeError):
-                    continue
-                props[m["mixpanel_field"]] = v
-            for k, v in row.items():
-                if k not in mapped_fields and v is not None:
-                    props[k] = v
-            json.dumps({"event": event, "properties": props}, default=str)
-            n += 1
-    return n, time.perf_counter() - start
+                props = {}
+                for m in explicit:
+                    v = row.get(m["source_field"])
+                    if v is None:
+                        continue
+                    t = m.get("type", "passthrough")
+                    try:
+                        if t == "string":
+                            v = str(v)
+                        elif t == "float":
+                            v = float(v)
+                        elif t == "unix_timestamp_auto":
+                            v = int(v.timestamp()) if hasattr(v, "timestamp") else int(v)
+                    except (ValueError, TypeError):
+                        continue
+                    props[m["mixpanel_field"]] = v
+                for k, v in row.items():
+                    if k not in mapped_fields and v is not None:
+                        props[k] = v
+                json.dumps({"event": event, "properties": props}, default=str)
+                n += 1
+        return n, time.perf_counter() - start
+
+    one_pass()  # warm-up: OS page cache for the parquet file
+    passes = [one_pass() for _ in range(3)]
+    return passes[0][0], min(s for _, s in passes)
 
 
 def spark_compiled(sf_dir: str, cores: str) -> tuple[int, float]:
@@ -99,11 +113,14 @@ def spark_compiled(sf_dir: str, cores: str) -> tuple[int, float]:
     compiled = compile_config(load_configs([CONFIG_DICT])[0], e.schema)
     out = compiled.serialize(e).filter(F.col("_error").isNull())
     out.count()  # warm: JVM, code gen, parquet footer
-    start = time.perf_counter()
-    n = out.count()
-    elapsed = time.perf_counter() - start
+    best = None
+    for _ in range(3):
+        start = time.perf_counter()
+        n = out.count()
+        elapsed = time.perf_counter() - start
+        best = elapsed if best is None else min(best, elapsed)
     spark.stop()
-    return n, elapsed
+    return n, best
 
 
 def main() -> None:
