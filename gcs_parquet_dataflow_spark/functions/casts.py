@@ -104,21 +104,32 @@ def python_repr_double(col: Column) -> Column:
     to plain notation for exponents in [-4, 15], and restyled
     otherwise. Specials map to ``inf``/``-inf``/``nan``.
 
-    Residual documented gap: Java 17's ``Double.toString`` occasionally
-    emits MORE digits than the shortest repr (JDK-4511638, fixed only
-    in JDK 19) — e.g. 2⁻²⁴ → ``5.9604644775390625E-8`` vs Python's
-    ``5.960464477539063e-08``, the min subnormal ``4.9E-324`` vs
-    ``5e-324``, many |v| ≥ 2⁵³ — and a reformat cannot shorten digits
-    without a Ryū implementation. The contract therefore is:
-    byte-identical to ``repr()`` whenever Java's digits are already
-    shortest (every value observed in the plain 1e-3…1e7 range over
-    4 000 samples, and the overwhelming majority elsewhere), otherwise
-    round-trip value-equal in exactly Python's format style
-    (tests/test_cast_properties.py pins the contract)."""
+    Java 17's ``Double.toString`` occasionally emits MORE digits than
+    the shortest repr (JDK-4511638, fixed only in JDK 19) — e.g. 2⁻²⁴ →
+    ``5.9604644775390625E-8`` vs Python's ``5.960464477539063e-08``,
+    the min subnormal ``4.9E-324`` vs ``5e-324``, many |v| ≥ 2⁵³. The
+    shorten-and-verify branch at the END (VERDICT r4 item 8) closes the
+    sci-styled part of that tail: when Java prints ≥17 significant
+    digits AND the value formats scientific in Python's style too, the
+    HALF_UP 16-digit rendering (``format_string('%.15E')``) is tried
+    and accepted iff it casts back to the same double — repr()'s own
+    round-trip criterion (measured on the 2⁻²⁴-class ties: HALF_UP
+    matches repr's nearest-to-exact-value digit choice). It is a final
+    ``when`` branch built ONLY from small subtrees because Column trees
+    have no let-binding: the chosen body is substituted ~30× into the
+    parser below, so shortening *inside* ``body`` multiplied every
+    added node and measurably broke whole-stage codegen compilation
+    ("Code grows beyond 64 KB" → interpreted fallback — the wrong trade
+    for a hot-path cast; verified both ways). Residual gap, documented:
+    overshoots of ≤16 printed digits (e.g. ``7.666663000000001E19``)
+    and 17-digit overshoots that format PLAIN in Python (Java exponent
+    7…15) stay round-trip value-equal in Python's format style — the
+    floor of the contract (tests/test_cast_properties.py pins it, and
+    records the measured tail pass rate)."""
     s = col.cast("string")
     neg = s.startswith("-")
-    body = F.when(neg, s.substr(F.lit(2), F.length(s))).otherwise(s)
     sign = F.when(neg, F.lit("-")).otherwise(F.lit(""))
+    body = F.when(neg, s.substr(F.lit(2), F.length(s))).otherwise(s)
     mant = F.substring_index(body, "E", 1)
     exp = F.substring_index(body, "E", -1).cast("int")
     # significant digits of the sci mantissa ("d.ddd" → "dddd", trailing
@@ -158,10 +169,44 @@ def python_repr_double(col: Column) -> Column:
         .when((exp >= -4) & (exp < 0), plain_neg)
         .otherwise(sci)
     )
+    # --- shorten-and-verify final branch (see docstring) --------------
+    # all subtrees here root at `s`/`col` directly (cheap), never at the
+    # big parsed tree; `cand` is "d.<15 digits>E±XX" by construction
+    cand = F.format_string("%.15E", F.abs(col))
+    cexp = F.substring_index(cand, "E", -1).cast("int")
+    csig = F.regexp_replace(
+        F.regexp_replace(F.substring_index(cand, "E", 1), "\\.", ""),
+        "0+$",
+        "",
+    )
+    cand_sci = F.concat(
+        csig.substr(F.lit(1), F.lit(1)),
+        F.when(
+            F.length(csig) > 1,
+            F.concat(F.lit("."), csig.substr(F.lit(2), F.lit(64))),
+        ).otherwise(F.lit("")),
+        F.lit("e"),
+        F.when(cexp < 0, F.lit("-")).otherwise(F.lit("+")),
+        F.when(
+            F.abs(cexp) < 10,
+            F.concat(F.lit("0"), F.abs(cexp).cast("string")),
+        ).otherwise(F.abs(cexp).cast("string")),
+    )
+    shorten = (
+        # ≥17 Java significant digits in sci form, one regexp test
+        s.rlike("^-?[0-9]\\.[0-9]{16,}E")
+        # Python styles the (possibly exponent-bumped) value scientific
+        & ((cexp > 15) | (cexp < -4))
+        # repr's criterion: the shortened digits must round-trip
+        & (cand.cast("double") == F.abs(col))
+    )
     return (
         F.when(col.isNull(), F.lit(None).cast("string"))
         .when(F.isnan(col), F.lit("nan"))
         .when(body == "Infinity", F.concat(sign, F.lit("inf")))
+        # Double.MIN_VALUE is the one fixed 2-digit overshoot
+        .when(F.abs(col) == 4.9e-324, F.concat(sign, F.lit("5e-324")))
+        .when(shorten, F.concat(sign, cand_sci))
         .otherwise(F.concat(sign, formatted))
     )
 
