@@ -114,8 +114,12 @@ def deterministic_shuffle(
     shard_rank) where shard = hash % n_shards and the rank is within
     the shard — every window is partitioned, fully parallel; shard
     files written in shard_rank order ARE the shuffled dataset.
-    Without: → + (shuffle_rank), one GLOBAL row_number — a single-
-    partition sort, only for small corpora / final total orders."""
+    Without: → + (shuffle_rank), an exact GLOBAL rank — since round 5
+    computed by the distributed two-pass rank
+    (:func:`~gcs_parquet_dataflow_spark.operators.partitioning.global_row_number`:
+    range partition, partition-local windows, broadcast offsets), not a
+    single-partition window sort; ranks are identical (the (hash, key)
+    order is total), so outputs are unchanged."""
     from pyspark.sql import Window as W
 
     h = hash32(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string")))
@@ -127,8 +131,13 @@ def deterministic_shuffle(
             .withColumn("shard_rank", F.row_number().over(w).cast("long"))
             .drop("_h")
         )
-    w = W.orderBy(h, F.col(key_col))
-    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        global_row_number,
+    )
+
+    return global_row_number(
+        df.withColumn("_h", h), ["_h", key_col], out="shuffle_rank"
+    ).drop("_h")
 
 
 def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -14126,3 +14126,33 @@ def graph_coactivity_edges_capped(spark, sf_dir):
     hot bucket; edges bounded, planted-community edges preserved) is
     tests/test_scale_patterns.py::test_coactivity_hot_bucket_cap."""
     return _coactivity_edges(spark, sf_dir, max_bucket_size=256)
+
+
+@query(
+    "corpus_shuffle_global_rank",
+    """
+    WITH h AS (SELECT doc_id,
+                      CAST('0x' || substr(md5('shuffle-v1:'
+                           || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                          AS hv
+               FROM documents)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT)
+               AS shuffle_rank
+    FROM h
+    """,
+)
+def corpus_shuffle_global_rank(spark, sf_dir):
+    """The GLOBAL total-order arm of the deterministic shuffle, now
+    backed by the distributed two-pass rank
+    (operators/partitioning.py:global_row_number — range partition +
+    partition-local windows + broadcast offsets; no single-partition
+    window, enforced mechanically by the catalog-wide plan guard)
+    checked hash-exactly against DuckDB's one-window row_number over
+    the same (hash, key) total order."""
+    from gcs_parquet_dataflow_spark.operators.corpus import (
+        deterministic_shuffle,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id")

@@ -858,3 +858,38 @@ def test_coactivity_hot_bucket_cap(spark):
         ).collect()
     }
     assert noop == uncapped
+
+
+def test_global_row_number_exact_and_partitioning_independent(spark):
+    """The distributed two-pass rank must equal the single-window
+    row_number under the same total order, for ANY input partitioning
+    and range-partition count."""
+    from pyspark.sql import Window as W
+
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        global_row_number,
+        release_intermediates,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("v")
+    )
+    ref = {
+        (r["k"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy("k"))
+        ).collect()
+    }
+    a = {
+        (r["k"], r["rn"])
+        for r in global_row_number(df.repartition(1), ["k"], out="rn").collect()
+    }
+    b = {
+        (r["k"], r["rn"])
+        for r in global_row_number(
+            df.repartition(17), ["k"], out="rn", num_partitions=5
+        ).collect()
+    }
+    release_intermediates()
+    assert a == ref
+    assert b == ref
