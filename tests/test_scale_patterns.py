@@ -893,3 +893,61 @@ def test_global_row_number_exact_and_partitioning_independent(spark):
     release_intermediates()
     assert a == ref
     assert b == ref
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The SCALE.md claim that AQE handles residual join skew,
+    demonstrated end-to-end: a planted hot key (half of all rows, an
+    incompressible payload so the byte-size signal survives shuffle
+    compression) makes AQE split that partition — the final plan says
+    so (SortMergeJoin(skew=true) / 'skewed' shuffle read). The flip
+    side is documented too: with a KEY-grouped aggregate downstream,
+    splitting would break the required hash distribution, AQE declines
+    (no extra-shuffle rule), and the hot partition survives — exactly
+    the case where operators/skew.py salting is the right tool."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pay = F.concat(
+            *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(i)))
+                for i in range(4)
+            ]
+        )
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise(F.col("id") % 50 + 1)
+            .alias("k"),
+            pay.alias("pay"),
+        )
+        right = spark.range(51).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        free = left.join(right.hint("merge"), "k").groupBy().agg(
+            F.sum(F.length("pay") + F.col("w")).alias("s")
+        )
+        [row] = free.collect()
+        assert row["s"] == 51_600_000
+        plan = free._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, final
+        # key-grouped downstream: split declined, distribution preserved
+        keyed = left.join(right.hint("merge"), "k").groupBy("k").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        assert keyed.collect()  # executes fine, just unsplit
+        kplan = keyed._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in kplan.split("== Initial Plan ==")[0]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
