@@ -14156,3 +14156,105 @@ def corpus_shuffle_global_rank(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle(d, "doc_id")
+
+
+@query(
+    "graph_bfs_reachability_rcte",
+    """
+    WITH RECURSIVE b AS (SELECT DISTINCT user_id, event_type,
+                                date_trunc('hour', ts) AS hb
+                         FROM events),
+    e AS (SELECT x.user_id AS u, y.user_id AS v
+          FROM b x JOIN b y
+            ON x.event_type = y.event_type AND x.hb = y.hb
+           AND x.user_id < y.user_id
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    r(node, dist) AS (
+        SELECT DISTINCT u AS node, 0 AS dist FROM und WHERE u % 100 = 0
+        UNION ALL
+        SELECT und.v, r.dist + 1 FROM r JOIN und ON und.u = r.node
+        WHERE r.dist < 3
+    )
+    SELECT node AS user_id, CAST(min(dist) AS BIGINT) AS hops
+    FROM r GROUP BY node
+    """,
+)
+def graph_bfs_reachability_rcte(spark, sf_dir):
+    """Bounded-depth BFS reachability via a RECURSIVE CTE (Spark 4's
+    WITH RECURSIVE / UnionLoop execution, new SQL surface this round):
+    hop distance ≤3 from the seed users over the co-activity graph,
+    checked hash-exactly against DuckDB's recursive CTE. Each recursion
+    level is one distributed equi-join of the frontier against the edge
+    list — the right use of recursion (SHALLOW closures; the engine's
+    deep/unbounded propagation stays on the Pregel-style loop in
+    operators/dedup.py connected_components, and a 2,400-level
+    date-series recursion measured >2 min vs milliseconds for
+    sequence()+explode in timeseries_gapfill_locf — recursion is not a
+    series generator at scale)."""
+    e = _coactivity_edges(spark, sf_dir)
+    e.createOrReplaceTempView("_rcte_edges")
+    return spark.sql("""
+      WITH RECURSIVE und AS (
+        SELECT u, v FROM _rcte_edges UNION ALL SELECT v, u FROM _rcte_edges
+      ),
+      r(node, dist) MAX RECURSION LEVEL 10 AS (
+        SELECT DISTINCT u AS node, 0 AS dist FROM und WHERE u % 100 = 0
+        UNION ALL
+        SELECT und.v, r.dist + 1 FROM r JOIN und ON und.u = r.node
+        WHERE r.dist < 3
+      )
+      SELECT node AS user_id, CAST(min(dist) AS BIGINT) AS hops
+      FROM r GROUP BY node""")
+
+
+@query(
+    "json_variant_extract",
+    """
+    WITH s AS (SELECT event_id,
+      CASE event_id % 4
+        WHEN 0 THEN '{"a": ' || CAST(event_id AS VARCHAR)
+             || ', "b": {"c": "x' || CAST(event_id AS VARCHAR) || '"}}'
+        WHEN 1 THEN '[1, 2, ' || CAST(event_id % 7 AS VARCHAR) || ']'
+        WHEN 2 THEN '"s' || CAST(event_id AS VARCHAR) || '"'
+        ELSE '{"a": null}'
+      END AS j FROM events)
+    SELECT event_id,
+           CAST(j ->> '$.a' AS BIGINT) AS a_int,
+           j ->> '$.b.c' AS c_str,
+           CAST(j ->> '$[2]' AS BIGINT) AS arr2,
+           CASE WHEN event_id % 4 = 2 THEN j ->> '$' END AS root_str
+    FROM s
+    """,
+)
+def json_variant_extract(spark, sf_dir):
+    """Semi-structured extraction through Spark 4's VARIANT type
+    (parse_json → variant_get with typed paths — the shredded,
+    binary-encoded representation that replaces per-query JSON
+    re-parsing at scale), on branch-planted heterogeneous documents
+    (object / array / scalar / null-field), checked against DuckDB's
+    JSON path operators. Mis-matched paths must be NULL, not errors,
+    in both engines."""
+    e = t(spark, sf_dir, "events")
+    k = F.col("event_id") % 4
+    sid = F.col("event_id").cast("string")
+    j = (
+        F.when(k == 0, F.concat(
+            F.lit('{"a": '), sid, F.lit(', "b": {"c": "x'), sid,
+            F.lit('"}}')))
+        .when(k == 1, F.concat(
+            F.lit("[1, 2, "), (F.col("event_id") % 7).cast("string"),
+            F.lit("]")))
+        .when(k == 2, F.concat(F.lit('"s'), sid, F.lit('"')))
+        .otherwise(F.lit('{"a": null}'))
+    )
+    v = F.parse_json(j)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.a", "bigint").alias("a_int"),
+        F.variant_get(v, "$.b.c", "string").alias("c_str"),
+        F.variant_get(v, "$[2]", "bigint").alias("arr2"),
+        F.when(
+            k == 2, F.variant_get(v, "$", "string")
+        ).alias("root_str"),
+    )
