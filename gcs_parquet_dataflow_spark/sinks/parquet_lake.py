@@ -618,47 +618,3 @@ def optimize_table(
         "manifest_path": manifest_path if mcols else None,
     }
 
-
-def write_bucketed(
-    df: DataFrame,
-    table_name: str,
-    bucket_cols: list[str],
-    n_buckets: int,
-    sort_cols: list[str] | None = None,
-    path: str | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Write ``df`` as a BUCKETED parquet table — the co-located-join
-    layout SCALE.md prescribes for the fact⋈fact floor (lineitem⋈orders
-    on orderkey): both tables hash-bucketed by the join key at WRITE
-    time, so the join (and any groupBy on the key) runs with **zero
-    shuffle** at read time — the scan itself reports the hash
-    partitioning and Catalyst drops both Exchanges
-    (tests/test_bucketed.py asserts the shuffle-free plan and result
-    parity against the plain join).
-
-    Bucketing metadata lives in the session catalog, so the write goes
-    through ``saveAsTable``; pass ``path`` to make it an external table
-    at a chosen location (tests use a tmpdir). ``sort_cols`` sorts
-    within each bucket file — giving SortMergeJoin its sort order for
-    free and making min/max row-group pruning effective on the sort
-    key.
-
-    At 100 TB: pick ``n_buckets`` so one bucket ≈ a few GB (e.g. 4096
-    for a 10 TB fact table); both sides of a recurring join must use
-    the SAME bucket count and key. The one-time bucketed rewrite costs
-    one full shuffle — it pays for itself on the second join."""
-    writer = df.write.format("parquet").mode(mode)
-    if path is not None:
-        writer = writer.option("path", path)
-    writer = writer.bucketBy(n_buckets, *bucket_cols)
-    if sort_cols:
-        writer = writer.sortBy(*sort_cols)
-    writer.saveAsTable(table_name)
-
-
-def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
-    """Read a bucketed table THROUGH the catalog — a plain
-    ``spark.read.parquet(path)`` on the same files loses the bucketing
-    metadata and reintroduces the shuffle."""
-    return spark.table(table_name)

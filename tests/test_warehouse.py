@@ -58,3 +58,22 @@ def test_bucketed_aggregation_has_no_exchange(spark, tmp_path, no_broadcast):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_agg")
+
+
+def test_path_read_loses_bucketing(spark, tmp_path, no_broadcast):
+    """Documented footgun: reading the bucketed files by PATH drops the
+    bucket metadata and the exchange comes back — always read through
+    the catalog (read_table)."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    )
+    write_bucketed(df, "t_path", ["k"], 8, path=str(tmp_path / "p"))
+    try:
+        agg = spark.read.parquet(str(tmp_path / "p")).groupBy("k").agg(
+            F.sum("v").alias("sv")
+        )
+        agg.count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_path")
