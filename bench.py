@@ -88,6 +88,14 @@ EXTENDED = [
     "quality_c4_rules",
     "text_line_repetition",
     "scalar_float_repr",
+    # round-5 additions: plans changed this round (distributed rank,
+    # top-k bound, edge cap) or new SQL surfaces — tracked for deltas
+    "feature_quantile_bins",
+    "skew_hot_key_report",
+    "corpus_shuffle_global_rank",
+    "graph_coactivity_edges_capped",
+    "graph_bfs_reachability_rcte",
+    "json_variant_extract",
 ]
 
 

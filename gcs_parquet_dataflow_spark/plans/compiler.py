@@ -325,12 +325,17 @@ def compile_config(
                 )
             )
         value = _compile_mapping(m, dtype, opts)
-        if m.type == "integer" and isinstance(dtype, (T.DoubleType, T.FloatType)):
+        if m.type in ("integer", "unix_timestamp_auto") and isinstance(
+            dtype, (T.DoubleType, T.FloatType)
+        ):
             # int(float('inf')) raises OverflowError, which the cast
             # ladder's except (ValueError, TypeError) at main.py:232 does
             # NOT catch — it propagates to the outer except and DLQs the
             # whole row as critical_transformation_error mid-loop (before
-            # later mappings' checks). NaN was already cleaned to NULL
+            # later mappings' checks). Same for unix_timestamp_auto: the
+            # numeric branch `return int(cleaned_val)` (main.py:139) sits
+            # OUTSIDE _parse_timestamp's try, whose except only guards
+            # the dateutil branch. NaN was already cleaned to NULL
             # row-wide (main.py:183), so only ±inf can reach int() here;
             # reason matches CPython's str(OverflowError).
             errors.append(

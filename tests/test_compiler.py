@@ -512,6 +512,44 @@ def test_integer_mapping_over_inf_double_dlqs(spark):
     assert by_ev["d"]["_error"] is None and by_ev["d"]["n"] == 2
 
 
+def test_timestamp_mapping_over_inf_double_dlqs(spark):
+    """unix_timestamp_auto has the same hole: the numeric branch
+    ``return int(cleaned_val)`` (main.py:139) sits OUTSIDE
+    _parse_timestamp's try (its except guards only the dateutil
+    branch), so int(inf) propagates → critical_transformation_error."""
+    schema = T.StructType(
+        [
+            T.StructField("ev", T.StringType()),
+            T.StructField("ts", T.DoubleType()),
+        ]
+    )
+    cfg = load_configs(
+        [
+            {
+                "config_id": "tsinf",
+                "source_gcs_prefix": "gs://b/",
+                "mixpanel_event_name_from_field": "ev",
+                "field_mappings": [
+                    {"source_field": "ts", "mixpanel_field": "time",
+                     "type": "unix_timestamp_auto"},
+                ],
+            }
+        ]
+    )[0]
+    df = spark.createDataFrame(
+        [("a", float("inf")), ("b", float("nan")), ("c", 1.7e9)], schema
+    )
+    compiled = compile_config(cfg, schema, OPTS())
+    rows = compiled.apply(df).select(
+        "event", F.col("properties.time").alias("time"), "_error"
+    ).collect()
+    by_ev = {r["event"]: r for r in rows}
+    assert by_ev["a"]["_error"]["error_type"] == "critical_transformation_error"
+    # NaN ts cleaned → None → `time` defaults to injected now()
+    assert by_ev["b"]["_error"] is None and by_ev["b"]["time"] == FIXED_NOW
+    assert by_ev["c"]["_error"] is None and by_ev["c"]["time"] == 1_700_000_000
+
+
 def test_integer_inf_fires_before_later_required_check(spark):
     """The OverflowError propagates mid-loop, so it wins over a LATER
     mapping's missing_required_field (and loses to an earlier one)."""
