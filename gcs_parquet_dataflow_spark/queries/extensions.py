@@ -14173,7 +14173,8 @@ def corpus_shuffle_global_rank(spark, sf_dir):
     r(node, dist) AS (
         SELECT DISTINCT u AS node, 0 AS dist FROM und WHERE u % 100 = 0
         UNION ALL
-        SELECT und.v, r.dist + 1 FROM r JOIN und ON und.u = r.node
+        SELECT DISTINCT und.v, r.dist + 1
+        FROM r JOIN und ON und.u = r.node
         WHERE r.dist < 3
     )
     SELECT node AS user_id, CAST(min(dist) AS BIGINT) AS hops
@@ -14186,7 +14187,9 @@ def graph_bfs_reachability_rcte(spark, sf_dir):
     hop distance ≤3 from the seed users over the co-activity graph,
     checked hash-exactly against DuckDB's recursive CTE. Each recursion
     level is one distributed equi-join of the frontier against the edge
-    list — the right use of recursion (SHALLOW closures; the engine's
+    list, DISTINCT-ed per level so the frontier is bounded by |V| —
+    raw path enumeration (no per-level dedup) exceeded Spark's 10^6
+    recursion-row limit on the sf0.1 graph — the right use of recursion (SHALLOW closures; the engine's
     deep/unbounded propagation stays on the Pregel-style loop in
     operators/dedup.py connected_components, and a 2,400-level
     date-series recursion measured >2 min vs milliseconds for
@@ -14201,7 +14204,8 @@ def graph_bfs_reachability_rcte(spark, sf_dir):
       r(node, dist) MAX RECURSION LEVEL 10 AS (
         SELECT DISTINCT u AS node, 0 AS dist FROM und WHERE u % 100 = 0
         UNION ALL
-        SELECT und.v, r.dist + 1 FROM r JOIN und ON und.u = r.node
+        SELECT DISTINCT und.v, r.dist + 1
+        FROM r JOIN und ON und.u = r.node
         WHERE r.dist < 3
       )
       SELECT node AS user_id, CAST(min(dist) AS BIGINT) AS hops
