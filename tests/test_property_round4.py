@@ -81,3 +81,34 @@ def test_salted_min_merge_associativity_property(spark, rows):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(
+    keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=40,
+                  unique=True),
+    n_input_parts=st.integers(1, 9),
+    n_range_parts=st.integers(1, 7),
+)
+def test_global_row_number_property(spark, keys, n_input_parts, n_range_parts):
+    """global_row_number must equal 1..N under the sort order for ANY
+    key set, input partitioning, and range-partition count (round-5
+    operator — the distributed replacement for single-partition
+    row_number/ntile sorts)."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        global_row_number,
+        release_intermediates,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(
+        n_input_parts
+    )
+    got = {
+        r["k"]: r["rn"]
+        for r in global_row_number(
+            df, ["k"], out="rn", num_partitions=n_range_parts
+        ).collect()
+    }
+    release_intermediates()
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
