@@ -617,4 +617,3 @@ def optimize_table(
         "n_rows": n_rows,
         "manifest_path": manifest_path if mcols else None,
     }
-
