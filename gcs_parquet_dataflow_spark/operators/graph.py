@@ -191,6 +191,7 @@ def triangle_participation(
     src: str = "u",
     dst: str = "v",
     degree_order: bool = False,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node degree and triangle participation over an undirected
     edge list given as node-ordered pairs (src < dst, each edge once)
@@ -212,6 +213,18 @@ def triangle_participation(
 
     Both count each triangle exactly once; ``n_triangles`` and
     ``degree`` are integers, so the outputs are hash-identical.
+
+    ``max_degree`` is the hub dial (same hot-key family as the dedup
+    and co-activity caps): wedge volume is Σ oriented-outdeg², so a few
+    hub nodes can dominate the whole closure (the sf0.1 co-activity
+    graph averages degree ~184 — SCALE.md round-5 smoke). With the cap
+    armed, nodes whose degree exceeds it are removed from the closure
+    by a broadcast LEFT ANTI join on BOTH endpoints before the wedge
+    join; their rows still report the TRUE degree but ``n_triangles``
+    is NULL — visible and joinable to a hub handler, never a silently
+    wrong 0. Other nodes' counts cover triangles among non-hub nodes
+    only. Output is IDENTICAL when no node exceeds the cap (oracle row
+    graph_triangle_capped).
     """
     e = persist_intermediate(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -222,6 +235,22 @@ def triangle_participation(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+    if max_degree is not None:
+        deg = persist_intermediate(deg)
+        hot = deg.filter(F.col("degree") > max_degree).select("node")
+        e = persist_intermediate(
+            e.join(
+                F.broadcast(hot.withColumnRenamed("node", "u")),
+                "u",
+                "left_anti",
+            )
+            .join(
+                F.broadcast(hot.withColumnRenamed("node", "v")),
+                "v",
+                "left_anti",
+            )
+            .select("u", "v")
+        )
     if degree_order:
         deg = persist_intermediate(deg)
         du = deg.select(F.col("node").alias("u"), F.col("degree").alias("_du"))
@@ -283,10 +312,14 @@ def triangle_participation(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+    out_tri = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    if max_degree is not None:
+        # hub rows: true degree, NULL count (excluded from the closure)
+        out_tri = F.when(
+            F.col("degree") > max_degree, F.lit(None).cast("long")
+        ).otherwise(out_tri)
     return deg.join(tc, "node", "left").select(
         "node",
         "degree",
-        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
-            "n_triangles"
-        ),
+        out_tri.alias("n_triangles"),
     )

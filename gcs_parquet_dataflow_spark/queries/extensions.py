@@ -14262,3 +14262,48 @@ def json_variant_extract(spark, sf_dir):
             k == 2, F.variant_get(v, "$", "string")
         ).alias("root_str"),
     )
+
+
+@query(
+    "graph_triangle_capped",
+    """
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS hb
+               FROM events),
+         e AS (SELECT x.user_id AS u, y.user_id AS v
+               FROM b x JOIN b y
+                 ON x.event_type = y.event_type AND x.hb = y.hb
+                AND x.user_id < y.user_id
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+         tri AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+                 FROM e e1
+                 JOIN e e2 ON e1.v = e2.u
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         tn AS (SELECT unnest([a, b2, c]) AS user_id FROM tri),
+         tc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM tn GROUP BY 1),
+         deg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS degree
+                 FROM (SELECT u AS user_id FROM e
+                       UNION ALL SELECT v FROM e)
+                 GROUP BY 1)
+    SELECT d.user_id, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN tc t USING (user_id)
+    """,
+)
+def graph_triangle_capped(spark, sf_dir):
+    """Hub-cap no-op proof for the triangle closure (the wedge-volume
+    dial SCALE.md's 20× smoke motivated): max_degree=100000 armed
+    against the SAME uncapped oracle — no fixture node's degree comes
+    near the cap, so the broadcast anti-join guard must not change a
+    single count and no row may go NULL. The adversarial half (planted
+    hub excluded with NULL count, community triangles preserved) is
+    tests/test_scale_patterns.py::test_triangle_degree_cap."""
+    from gcs_parquet_dataflow_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    e = _coactivity_edges(spark, sf_dir)
+    return triangle_participation(e, "u", "v", max_degree=100_000).select(
+        F.col("node").alias("user_id"), "degree", "n_triangles"
+    )

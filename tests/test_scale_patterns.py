@@ -951,3 +951,42 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_triangle_degree_cap(spark):
+    """max_degree excludes hub nodes from the wedge closure: a planted
+    degree-60 star hub (which forms NO triangles itself here) is
+    reported with its true degree and NULL n_triangles; the planted
+    4-clique's counts are exact; and a no-op cap equals uncapped."""
+    from gcs_parquet_dataflow_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    rows = [(1000, 2000 + i) for i in range(60)]  # star hub
+    clique = [1, 2, 3, 4]
+    rows += [(a, b) for a in clique for b in clique if a < b]
+    df = spark.createDataFrame(rows, "u long, v long")
+    capped = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_participation(df, "u", "v", max_degree=50).collect()
+    }
+    assert capped[1000] == (60, None)
+    for n in clique:
+        assert capped[n] == (3, 3)  # C(3,2)=3 triangles per clique node
+    uncapped = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_participation(df, "u", "v").collect()
+    }
+    noop = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_participation(df, "u", "v", max_degree=1000).collect()
+    }
+    assert noop == uncapped
+    # degree-ordered closure honors the cap identically
+    capped_do = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_participation(
+            df, "u", "v", degree_order=True, max_degree=50
+        ).collect()
+    }
+    assert capped_do == capped
