@@ -96,6 +96,7 @@ EXTENDED = [
     "graph_coactivity_edges_capped",
     "graph_bfs_reachability_rcte",
     "json_variant_extract",
+    "graph_triangle_capped",
 ]
 
 

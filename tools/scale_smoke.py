@@ -232,6 +232,19 @@ def main() -> None:
             ).groupBy().agg(F.sum("n_triangles")).collect()
 
         timed("triangle_degord", tri_degord)
+
+        # hub-degree cap (round 5): the co-activity graph is near-clique
+        # (avg degree ~184), so a degree cap collapses wedge volume —
+        # 40.5 s → 2.9 s at 20× with 90% of nodes still exactly counted
+        def tri_capped():
+            r = triangle_participation(
+                edges_df, "u", "v", degree_order=True, max_degree=250
+            )
+            rows["triangle_nodes_counted"] = r.filter(
+                F.col("n_triangles").isNotNull()
+            ).count()
+
+        timed("triangle_degord_capped", tri_capped)
         edges_df.unpersist()
 
         # the r4 negative result, closed (VERDICT r4 item 2): the
