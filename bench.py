@@ -100,6 +100,17 @@ EXTENDED = [
 ]
 
 
+def _load1() -> float:
+    """1-minute host load average — recorded per pass so a bench
+    artifact carries its own contention context (VERDICT r5 item 5:
+    three rounds of 'is 7.6 vs 6.4 a regression?' adjudication were
+    spent re-deriving what /proc/loadavg already knew)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - /proc-less platforms
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
@@ -131,18 +142,25 @@ def main() -> None:
     # contention bursts (verified: same query 1.3 s vs 13 s minutes apart
     # with zero steal in between). The min is the engine's steady-state
     # throughput; first-pass times are still reported (queries_cold).
+    load_start = _load1()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
+    loads: dict[str, list[float]] = {}
     rows_per_sec: dict[str, int] = {}
     for name in names:
         per_pass: list[float] = []
+        per_load: list[float] = []
         for _ in range(3):
+            per_load.append(_load1())
             start = time.perf_counter()
             df = CATALOG[name].build(spark, sf_dir)
             df.count()
             per_pass.append(time.perf_counter() - start)
             release_intermediates()
         cold[name] = round(per_pass[0], 3)
+        passes[name] = [round(t, 3) for t in per_pass]
+        loads[name] = per_load
         elapsed = min(per_pass)
         timings[name] = round(elapsed, 3)
         tbl = PRIMARY_TABLE.get(name)
@@ -152,16 +170,23 @@ def main() -> None:
     # Round-3 operator families, timed identically but kept OUT of the
     # headline total so `value` stays comparable to BASELINE/BENCH_r1.
     extended: dict[str, float] = {}
+    extended_passes: dict[str, list[float]] = {}
+    extended_loads: dict[str, list[float]] = {}
     for name in EXTENDED:
         if name not in CATALOG:
             continue
         per_pass = []
+        per_load = []
         for _ in range(3):
+            per_load.append(_load1())
             start = time.perf_counter()
             CATALOG[name].build(spark, sf_dir).count()
             per_pass.append(time.perf_counter() - start)
             release_intermediates()
         extended[name] = round(min(per_pass), 3)
+        extended_passes[name] = [round(t, 3) for t in per_pass]
+        extended_loads[name] = per_load
+    load_end = _load1()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -182,8 +207,14 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "passes_per_query": 3,
+        "queries_passes": passes,
+        "queries_load1": loads,
         "rows_per_sec": rows_per_sec,
         "queries_extended": extended,
+        "queries_extended_passes": extended_passes,
+        "queries_extended_load1": extended_loads,
+        "load1_start": load_start,
+        "load1_end": load_end,
         "table_rows": table_rows,
         "sf": sf_val,
     })
@@ -192,6 +223,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "load1": [load_start, load_end],
         "sf": sf_val,
     })
     assert len(line) < 1800, f"stdout bench line too long: {len(line)}B"

@@ -122,22 +122,29 @@ def deterministic_shuffle(
     order is total), so outputs are unchanged."""
     from pyspark.sql import Window as W
 
+    # collision-safe temp hash column (ADVICE r5): a bare "_h" would
+    # silently overwrite — then drop — a user column of the same name
+    hcol = "__ds_h"
+    if hcol in df.columns:
+        raise ValueError(
+            f"deterministic_shuffle: input already has a {hcol!r} column"
+        )
     h = hash32(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string")))
     if n_shards is not None:
-        w = W.partitionBy("shuffle_shard").orderBy("_h", key_col)
+        w = W.partitionBy("shuffle_shard").orderBy(hcol, key_col)
         return (
-            df.withColumn("_h", h)
-            .withColumn("shuffle_shard", F.col("_h") % n_shards)
+            df.withColumn(hcol, h)
+            .withColumn("shuffle_shard", F.col(hcol) % n_shards)
             .withColumn("shard_rank", F.row_number().over(w).cast("long"))
-            .drop("_h")
+            .drop(hcol)
         )
     from gcs_parquet_dataflow_spark.operators.partitioning import (
         global_row_number,
     )
 
     return global_row_number(
-        df.withColumn("_h", h), ["_h", key_col], out="shuffle_rank"
-    ).drop("_h")
+        df.withColumn(hcol, h), [hcol, key_col], out="shuffle_rank"
+    ).drop(hcol)
 
 
 def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -4572,35 +4572,66 @@ def user_rfm_segments(spark, sf_dir):
     engines; higher score = better on every axis.
 
     Scale shape: one purchase-filtered agg per user, then three
-    ntile windows over the USER table (not the raw events). The
-    global quintile sort is |users|-sized; at 100 TB use the
-    histogram-quantile rollup to cut scores without a global sort —
-    same output contract."""
-    from pyspark.sql import Window as WR
-
+    quintile ranks over the USER table (not the raw events). Since
+    round 6 each rank is the DISTRIBUTED two-pass rank
+    (partitioning.global_row_number) and the quintile comes from the
+    exact ntile arithmetic (with n = |users| a bounded driver scalar,
+    like now_ts above: bucket k of ntile(5) holds ⌈n/5⌉ rows for
+    k ≤ n mod 5 else ⌊n/5⌋) — |users| scales with the data, so the
+    previous three single-partition ntile sorts were the shape the
+    tightened plan guard now rejects."""
     p = t(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select("user_id", "ts", cents(F.col("value")).alias("vc"))
     from gcs_parquet_dataflow_spark.operators.partitioning import (
+        global_row_number,
         persist_intermediate,
     )
 
     p = persist_intermediate(p)
     now_ts = p.agg(F.max("ts").alias("m")).first()["m"]
-    u = p.groupBy("user_id").agg(
-        F.datediff(F.lit(now_ts), F.max("ts")).cast("long").alias(
-            "recency_days"
-        ),
-        F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.sum("vc").cast("long").alias("monetary_cents"),
+    u = persist_intermediate(
+        p.groupBy("user_id").agg(
+            F.datediff(F.lit(now_ts), F.max("ts")).cast("long").alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("vc").cast("long").alias("monetary_cents"),
+        )
     )
-    r_w = WR.orderBy(F.desc("recency_days"), F.asc("user_id"))
-    f_w = WR.orderBy(F.asc("frequency"), F.asc("user_id"))
-    m_w = WR.orderBy(F.asc("monetary_cents"), F.asc("user_id"))
+    n = u.count()
+    nq, nr = n // 5, n % 5
+
+    def ntile5(rank_col: str):
+        # exact ntile(5) from a 1-based global rank: first nr buckets
+        # hold nq+1 rows, the rest nq (integer div — no fp anywhere)
+        if nq == 0:
+            return F.col(rank_col).cast("long")
+        return (
+            F.when(
+                F.col(rank_col) <= nr * (nq + 1),
+                F.expr(f"({rank_col} + {nq}) div {nq + 1}"),
+            )
+            .otherwise(
+                F.lit(nr)
+                + F.expr(f"({rank_col} - {nr * (nq + 1)} + {nq - 1}) div {nq}")
+            )
+            .cast("long")
+        )
+
+    q = global_row_number(
+        u, [F.col("recency_days").desc(), F.col("user_id")], out="_ri"
+    )
+    q = global_row_number(
+        q, [F.col("frequency"), F.col("user_id")], out="_fi"
+    )
+    q = global_row_number(
+        q, [F.col("monetary_cents"), F.col("user_id")], out="_mi"
+    )
     q = (
-        u.withColumn("r_score", F.ntile(5).over(r_w).cast("long"))
-        .withColumn("f_score", F.ntile(5).over(f_w).cast("long"))
-        .withColumn("m_score", F.ntile(5).over(m_w).cast("long"))
+        q.withColumn("r_score", ntile5("_ri"))
+        .withColumn("f_score", ntile5("_fi"))
+        .withColumn("m_score", ntile5("_mi"))
     )
     return q.select(
         "user_id",
@@ -5111,8 +5142,12 @@ def vocab_zipf_fit(spark, sf_dir):
     Note the double Σ over ln values IS order-sensitive in the last
     bits; at ~1e3 terms the drift (~1e-13) sits five orders below the
     rounding grain — same budget as every avg-of-logs query here. At
-    100 TB the vocab agg is the only data-sized step."""
-    from pyspark.sql import Window as WZ
+    100 TB the vocab agg is the only data-sized step; the frequency
+    rank over word TYPES (web-scale: 10⁷⁺ rows) is the DISTRIBUTED
+    two-pass rank since round 6, not a single-partition sort."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        global_row_number,
+    )
 
     tf = (
         t(spark, sf_dir, "documents")
@@ -5121,8 +5156,8 @@ def vocab_zipf_fit(spark, sf_dir):
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    r = tf.withColumn(
-        "rk", F.row_number().over(WZ.orderBy(F.desc("n"), F.asc("term")))
+    r = global_row_number(
+        tf, [F.col("n").desc(), F.col("term")], out="rk"
     )
     l_ = r.select(F.log("rk").alias("x"), F.log("n").alias("y"))
     s = l_.agg(
@@ -6636,21 +6671,21 @@ def inequality_gini_revenue(spark, sf_dir):
     identical doubles on both engines.
 
     Scale shape: one per-customer rollup (map-side combine), one global
-    rank over the CUSTOMER table. The global window sorts |customers|
-    rows — at extreme cardinality swap in the two-phase rank (sort
-    within range partitions + offset merge) the knn top-k already
-    demonstrates."""
-    from pyspark.sql import Window as WS
+    rank over the CUSTOMER table — since round 6 via the DISTRIBUTED
+    two-pass rank (partitioning.global_row_number: range partition +
+    per-partition enumeration + broadcast offsets), because |customers|
+    scales with the data and a single-partition sort over it was
+    exactly the shape the tightened plan guard now rejects."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        global_row_number,
+    )
 
     o = t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev")
     )
-    r = cust.select(
-        "rev",
-        F.row_number()
-        .over(WS.orderBy(F.asc("rev"), F.asc("o_custkey")))
-        .alias("i"),
+    r = global_row_number(cust, ["rev", "o_custkey"], out="i").select(
+        "rev", "i"
     )
     s = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -10421,10 +10456,16 @@ def pareto_abc_parts(spark, sf_dir):
     boundary compares integer cum_c against total_c×0.8/0.95 — an
     integer-vs-double compare on identical values; ties in the
     cumulative order break by partkey. Scale: one part-keyed agg
-    (map-side combined), then a window over the parts table ordered
-    by revenue — the one global sort is over |parts|, not |lineitem|,
-    and at 100 TB becomes a two-pass range-partitioned sort."""
-    from pyspark.sql import Window as WS
+    (map-side combined), then the cumulative revenue over the parts
+    table ordered by revenue — since round 6 via the DISTRIBUTED
+    prefix sum (partitioning.global_prefix_sum: range partition,
+    partition-local running sums, broadcast value offsets), because
+    |parts| scales with the data and the previous single-partition
+    window over it was the shape the tightened plan guard now
+    rejects."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        global_prefix_sum,
+    )
 
     li = t(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(
@@ -10437,16 +10478,12 @@ def pareto_abc_parts(spark, sf_dir):
         .alias("rev_c")
     )
     tot = pr.agg(F.sum("rev_c").cast("long").alias("total_c"))
-    r = pr.crossJoin(F.broadcast(tot)).withColumn(
-        "cum_c",
-        F.sum("rev_c")
-        .over(
-            WS.orderBy(F.col("rev_c").desc(), "l_partkey").rowsBetween(
-                WS.unboundedPreceding, WS.currentRow
-            )
-        )
-        .cast("long"),
-    )
+    r = global_prefix_sum(
+        pr.crossJoin(F.broadcast(tot)),
+        [F.col("rev_c").desc(), F.col("l_partkey")],
+        "rev_c",
+        out="cum_c",
+    ).withColumn("cum_c", F.col("cum_c").cast("long"))
     cl = r.select(
         "rev_c",
         "total_c",
@@ -10753,15 +10790,18 @@ def training_data_pipeline_v5(spark, sf_dir):
             )
         ).alias("h"),
     )
-    r = st.withColumn(
+    # top-50 FIRST (TakeOrderedAndProject heap — no global sort), then
+    # rank the 50 survivors; the previous row_number-then-filter ranked
+    # the ENTIRE doc table in one partition (round-6 plan-guard fix)
+    topk = st.orderBy("stage", "h", "doc_id").limit(50)
+    r = topk.withColumn(
         "position",
         F.row_number()
         .over(WS.orderBy("stage", "h", "doc_id"))
         .cast("long"),
     )
     return (
-        r.filter(F.col("position") <= 50)
-        .select(
+        r.select(
             "position",
             "doc_id",
             "source",

@@ -73,4 +73,28 @@ def get_spark(
 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_benign_warnings(spark)
     return spark
+
+
+def _silence_benign_warnings(spark: SparkSession) -> None:
+    """Raise the log level of WindowExec to ERROR: its "No Partition
+    Defined ... cause serious performance degradation" warning fires for
+    EVERY empty-partition-spec window, including the guard-verified
+    bounded ones (single-partition windows sitting above a limit/top-k/
+    aggregate — the only shape the catalog allows, machine-checked by
+    tests/test_extensions.py). Three rounds of bench/sweep logs alarmed
+    human readers over windows the plan guard had already proven
+    bounded (VERDICT r5 item 8); a genuinely unbounded window is caught
+    by the guard, not by this log line."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        for cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowInPandasExec",
+        ):
+            configurator.setLevel(cls, level)
+    except Exception:  # pragma: no cover - non-log4j2 deployments
+        pass

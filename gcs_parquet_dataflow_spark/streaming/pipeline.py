@@ -40,6 +40,57 @@ DEFAULT_TRIGGER_S = 10  # reference's 10 s API-batching window (main.py:506)
 DEFAULT_DEDUP_HORIZON = "5 minutes"  # reference's dedup window (main.py:462)
 
 
+# ---------------------------------------------------------------------------
+# Stream-lifetime cache pins (ADVICE r5): streams that pin a static
+# side-table executor-side (drift baseline, decontamination benchmark)
+# must release it when the query terminates — NOT via the global
+# release_intermediates() registry, which the same streams drain after
+# every micro-batch (registering there would evict the pin after batch
+# 0 and force a per-batch recompute). A query-terminated listener maps
+# query id → pinned handles, so restarts and multi-stream drivers never
+# accumulate cache blocks for the process lifetime.
+# ---------------------------------------------------------------------------
+
+_STREAM_PINS: dict[str, list[DataFrame]] = {}
+_PIN_LISTENERS: dict[str, object] = {}  # applicationId → listener
+
+
+def _register_stream_pins(
+    spark: SparkSession, query: StreamingQuery, handles: list[DataFrame]
+) -> None:
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    class _PinReleaseListener(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:  # pragma: no cover
+            pass
+
+        def onQueryProgress(self, event) -> None:  # pragma: no cover
+            pass
+
+        def onQueryIdle(self, event) -> None:  # pragma: no cover
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            for h in _STREAM_PINS.pop(str(event.id), []):
+                try:
+                    h.unpersist()
+                except Exception:  # pragma: no cover - session teardown
+                    pass
+
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _PIN_LISTENERS:
+        listener = _PinReleaseListener()
+        spark.streams.addListener(listener)
+        _PIN_LISTENERS[app_id] = listener
+    _STREAM_PINS.setdefault(str(query.id), []).extend(handles)
+    # the stream may already have finished (availableNow one-shots)
+    # before the pins landed in the map — release inline in that case;
+    # a late-terminating event then pops an empty list (no double free)
+    if not query.isActive:
+        for h in _STREAM_PINS.pop(str(query.id), []):
+            h.unpersist()
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: list[str],
@@ -481,7 +532,8 @@ def run_drift_monitor_stream(
     # group_col (say, user_id → |groups|×n_bins rows) can never
     # bottleneck the driver; the broadcast below ships it per batch.
     # The source `baseline` is static, so an eviction recompute yields
-    # the same counts.
+    # the same counts. Released on query termination via
+    # _register_stream_pins (ADVICE r5: restarts must not leak pins).
     base_df = base_cnt.join(base_tot, "grp").persist()
     base_df.count()
 
@@ -532,7 +584,9 @@ def run_drift_monitor_stream(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    query = writer.start()
+    _register_stream_pins(spark, query, [base_df])
+    return query
 
 
 def run_quality_gate_stream(
@@ -784,6 +838,7 @@ def run_decontamination_stream(
     # materialize, not collect-and-recreate — a large benchmark SUITE
     # must not round-trip through the driver; benchmark_contamination
     # builds its inverted index from the persisted table directly.
+    # Released on query termination via _register_stream_pins.
     bench_df = benchmark.select(id_col, text_col).persist()
     bench_df.count()
 
@@ -810,4 +865,6 @@ def run_decontamination_stream(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    query = writer.start()
+    _register_stream_pins(spark, query, [bench_df])
+    return query
