@@ -97,6 +97,13 @@ EXTENDED = [
     "graph_bfs_reachability_rcte",
     "json_variant_extract",
     "graph_triangle_capped",
+    # round-6 additions: new operators + plans changed this round
+    "unigram_em_piece_counts",
+    "inequality_gini_revenue",
+    "pareto_abc_parts",
+    "user_rfm_segments",
+    "vocab_zipf_fit",
+    "training_data_pipeline_v5",
 ]
 
 

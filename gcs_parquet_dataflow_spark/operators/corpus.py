@@ -515,3 +515,392 @@ def bpe_encode(
     _encode.__annotations__ = {"word_arrays": pd.Series, "return": pd.Series}
     encode = pandas_udf(_encode, returnType="array<string>")
     return df.withColumn(out_col, encode(tokens(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (Kudo 2018, the SentencePiece unigram
+# model — VERDICT r5 item 3): hard-EM over the word-TYPE table. Like
+# BPE above, ONE corpus-sized pass builds word counts; every E/M
+# iteration is vocabulary-bounded. The E-step (Viterbi segmentation
+# under current piece scores) runs as an UNROLLED in-JVM column DP —
+# no Python in the loop — which is possible because words are typed
+# and bounded (UNIGRAM_MAX_WORD_LEN) and pieces are short
+# (UNIGRAM_MAX_PIECE_LEN).
+#
+# Determinism across engines (the differential-oracle requirement) is
+# the interesting design problem: Viterbi scores are log-probs, and
+# ln() is NOT bit-identical between the JVM and DuckDB, so a 1-ulp
+# disagreement could flip an argmax and change integer piece counts.
+# The scores here are therefore EXACT INTEGERS by construction:
+# qlog2_256(c) = floor(256·log2(c)) computed with pure integer
+# arithmetic (msb from bin(), then 8 squaring steps in Q30 fixed
+# point) — both engines evaluate the identical integer recurrence, so
+# scores, argmaxes, tie-breaks, and counts agree exactly, not just to
+# rounding. Same spirit as pagerank_quantized's micro-unit ranks.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_PIECE_LEN = 4
+UNIGRAM_MAX_WORD_LEN = 12
+UNIGRAM_MIN_PIECE_COUNT = 5   # len ≥ 2 pieces below this are dropped
+UNIGRAM_NEG = -(2**40)        # unreachable-segmentation sentinel
+_P61 = 2**61
+_P31 = 2**31
+_P30 = 2**30
+
+
+def qlog2_256_exprs(x: str, out: str, idiv: str = "div") -> list[tuple[str, str]]:
+    """(name, SQL-expression) steps computing ``out`` =
+    floor(256·log2(x)) for BIGINT ``x`` ≥ 1 with pure integer
+    arithmetic — the engine-exact log both the Spark builder and the
+    DuckDB oracle evaluate identically (``idiv`` is the dialect's
+    integer-division operator: ``div`` for Spark, ``//`` for DuckDB).
+
+    msb via bin(); mantissa scaled to Q30 (power-of-two scaling is
+    exact in both integer and double); then 8 squaring steps, each
+    emitting one fractional bit of log2: m² ≥ 2 ⟺ y² ≥ 2⁶¹ in Q60."""
+    steps = [
+        (f"{out}_msb", f"length(bin({x})) - 1"),
+        (
+            f"{out}_y0",
+            f"CASE WHEN {out}_msb <= 30"
+            f" THEN {x} * CAST(power(2, 30 - {out}_msb) AS BIGINT)"
+            f" ELSE {x} {idiv} CAST(power(2, {out}_msb - 30) AS BIGINT)"
+            " END",
+        ),
+        (f"{out}_f0", "CAST(0 AS BIGINT)"),
+    ]
+    for t in range(8):
+        p, n = f"{out}_y{t}", f"{out}_y{t+1}"
+        steps.append(
+            (
+                f"{out}_f{t+1}",
+                f"{out}_f{t} * 2 + (CASE WHEN {p}*{p} >= {_P61}"
+                " THEN 1 ELSE 0 END)",
+            )
+        )
+        steps.append(
+            (
+                n,
+                f"CASE WHEN {p}*{p} >= {_P61}"
+                f" THEN ({p}*{p}) {idiv} {_P31}"
+                f" ELSE ({p}*{p}) {idiv} {_P30} END",
+            )
+        )
+    steps.append((out, f"{out}_msb * 256 + {out}_f8"))
+    return steps
+
+
+def with_qlog2_256(df: DataFrame, x_col: str, out: str) -> DataFrame:
+    """Append ``out`` = qlog2_256(x_col) via the shared step list,
+    dropping the intermediates."""
+    names = []
+    for name, expr in qlog2_256_exprs(x_col, out):
+        df = df.withColumn(name, F.expr(expr))
+        names.append(name)
+    return df.drop(*[n for n in names if n != out])
+
+
+def unigram_word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, word_count) bounded to UNIGRAM_MAX_WORD_LEN — the word
+    types the in-engine DP segments. (The pandas encoder handles
+    arbitrary lengths; training on the bounded types loses only the
+    tail of 13+-char words, the standard max-sentencepiece-length
+    knob.)"""
+    return word_type_table(df, text_col).filter(
+        F.length("word") <= UNIGRAM_MAX_WORD_LEN
+    )
+
+
+def unigram_seed_vocab(
+    words: DataFrame, min_count: int = UNIGRAM_MIN_PIECE_COUNT
+) -> DataFrame:
+    """Seed piece inventory → (piece, piece_count, q): every substring
+    of length 1..UNIGRAM_MAX_PIECE_LEN of every word type, weighted by
+    word_count. Single-char pieces are ALWAYS kept (any word stays
+    segmentable); longer pieces need ``min_count``. ``q`` is the
+    engine-exact qlog2_256 of the count."""
+    pieces = (
+        words.select(
+            "word_count",
+            F.explode(
+                # inner sequence bounded by the remaining suffix, so
+                # every extraction is FULL-length — substring() would
+                # otherwise return truncated tails that double-count
+                # shorter pieces
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)), i ->"
+                    " transform(sequence(1, least("
+                    f"{UNIGRAM_MAX_PIECE_LEN}, length(word) - i + 1)),"
+                    " l -> substring(word, i, l))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("word_count").cast("long").alias("piece_count"))
+        .filter(
+            (F.length("piece") == 1)
+            | (F.col("piece_count") >= F.lit(min_count))
+        )
+    )
+    return with_qlog2_256(pieces, "piece_count", "q")
+
+
+def unigram_dp_exprs(
+    idiv: str = "div",
+    map_lookup=None,
+    arr_index=None,
+    filter_fn: str = "filter",
+    reverse_fn: str = "reverse",
+) -> list[tuple[str, str]]:
+    """(name, SQL-expression) steps of the unrolled Viterbi DP, shared
+    verbatim between the Spark builder (withColumn chain) and the
+    DuckDB oracle (nested-SELECT chain) so both engines execute the
+    IDENTICAL integer recurrence. Expects columns ``word``,
+    ``word_count``, ``vm`` (map piece→q) and ``qT`` on the input row.
+
+    Forward pass: b_i = best score of word[0:i], i.e.
+    max over L in 1..min(4,i) of b_{i-L} + (q(word[i-L:i]) − qT), with
+    out-of-vocab pieces scored UNIGRAM_NEG (single chars are always in
+    vocab, so b_len is always reachable). Backtrace: at position p the
+    chosen piece length l_p is the LONGEST L whose source score
+    reproduces b_p — the deterministic tie-break (prefer longer
+    pieces), mirrored exactly by the CASE order. Both passes are pure
+    integer arithmetic on engine-exact qlog2_256 scores."""
+    P = UNIGRAM_MAX_PIECE_LEN
+    W = UNIGRAM_MAX_WORD_LEN
+    if map_lookup is None:
+        map_lookup = lambda m, k: f"element_at({m}, {k})"  # noqa: E731
+    if arr_index is None:
+        arr_index = lambda a, i: f"element_at({a}, {i})"  # noqa: E731
+
+    def sc(piece_expr: str) -> str:
+        return (
+            f"(coalesce({map_lookup('vm', piece_expr)}, {UNIGRAM_NEG}) - qT)"
+        )
+
+    steps: list[tuple[str, str]] = [("b0", "CAST(0 AS BIGINT)")]
+    for i in range(1, W + 1):
+        cands = []
+        for L in range(1, min(P, i) + 1):
+            piece = f"substring(word, {i - L + 1}, {L})"
+            cands.append(f"(b{i - L} + {sc(piece)})")
+        steps.append((f"b{i}", f"greatest({', '.join(cands)})"
+                      if len(cands) > 1 else cands[0]))
+    steps.append(
+        ("barr", "array(" + ", ".join(f"b{i}" for i in range(W + 1)) + ")")
+    )
+    steps.append(("pos0", "length(word)"))
+    piece_cols = []
+    for t in range(W):
+        p = f"pos{t}"
+        whens = [f"WHEN {p} <= 0 THEN 0"]
+        for L in range(P, 1, -1):
+            piece = f"substring(word, {p} - {L - 1}, {L})"
+            whens.append(
+                f"WHEN {p} >= {L} AND"
+                f" {arr_index('barr', f'{p} - {L - 1}')} + {sc(piece)}"
+                f" = {arr_index('barr', f'{p} + 1')} THEN {L}"
+            )
+        steps.append((f"l{t}", "CASE " + " ".join(whens) + " ELSE 1 END"))
+        steps.append(
+            (
+                f"piece{t}",
+                f"CASE WHEN l{t} = 0 THEN NULL"
+                f" ELSE substring(word, pos{t} - l{t} + 1, l{t}) END",
+            )
+        )
+        steps.append((f"pos{t+1}", f"pos{t} - l{t}"))
+        piece_cols.append(f"piece{t}")
+    steps.append(
+        (
+            "pieces",
+            # backtrace walks end→start; reverse restores reading order
+            f"{reverse_fn}({filter_fn}(array({', '.join(piece_cols)}),"
+            " x -> x IS NOT NULL))",
+        )
+    )
+    return steps
+
+
+def unigram_viterbi_pieces(
+    words: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """E-step segmentation: → (word, word_count, pieces: array<string>)
+    — each bounded word type segmented by the unrolled in-JVM Viterbi
+    DP under the current vocab scores. The vocab rides as a 1-row
+    broadcast (map piece→q plus the engine-exact qT normalizer), the
+    documented scalar-broadcast shape."""
+    vm_row = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "q"))
+        ).alias("vm"),
+        F.sum("piece_count").cast("long").alias("_T"),
+    )
+    vm_row = with_qlog2_256(vm_row, "_T", "qT").select("vm", "qT")
+    dp = words.crossJoin(F.broadcast(vm_row))
+    for name, expr in unigram_dp_exprs():
+        dp = dp.withColumn(name, F.expr(expr))
+    return dp.select("word", "word_count", "pieces")
+
+
+def unigram_em_counts(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """One hard-EM iteration's piece statistics → (piece,
+    expected_count): Viterbi-segment every word TYPE, then sum
+    word_count per chosen piece (explode + map-side-combined
+    aggregate). Vocabulary-bounded work, like every BPE round.
+
+    The segmented table is eagerly localCheckpoint-ed (the bpe_train
+    lineage pattern) before the explode — measured necessity, not
+    convention: Catalyst's InferFiltersFromGenerate clones the
+    generator input into an inferred not-null/size filter, and with
+    the 52-step unrolled DP as that input the optimizer's iterations
+    over the duplicated tree never return (>200 s on a 5-row fixture;
+    instant with the cut). The checkpoint materializes only the
+    word-TYPE table — vocabulary-sized, never the corpus."""
+    return (
+        unigram_viterbi_pieces(words, vocab)
+        .localCheckpoint(eager=True)
+        .select(
+            "word_count", F.explode("pieces").alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.sum("word_count").cast("long").alias("expected_count"))
+    )
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str,
+    n_iters: int = 3,
+    min_count: int = UNIGRAM_MIN_PIECE_COUNT,
+) -> list[tuple[str, int, int]]:
+    """Train the unigram LM: seed vocab from substring counts, then
+    ``n_iters`` hard-EM rounds (E: Viterbi under current scores; M:
+    re-score pieces by their expected counts). Pieces Viterbi stops
+    choosing fall out of the vocab; single-char pieces are floored at
+    count 1 so every word stays segmentable (the SentencePiece
+    character-coverage guarantee). Returns the final
+    [(piece, expected_count, prob_ppb)] — vocabulary-bounded driver
+    list, probabilities in exact integer parts-per-billion."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    words = persist_intermediate(unigram_word_types(df, text_col))
+    vocab = persist_intermediate(unigram_seed_vocab(words, min_count))
+    chars = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            )
+        ).alias("piece")
+    ).distinct()
+    for _ in range(n_iters):
+        counts = unigram_em_counts(words, vocab)
+        vocab = (
+            chars.join(counts, "piece", "left")
+            .select(
+                "piece",
+                F.coalesce("expected_count", F.lit(1))
+                .cast("long")
+                .alias("piece_count"),
+            )
+            .unionByName(
+                counts.join(chars, "piece", "left_anti").select(
+                    "piece",
+                    F.col("expected_count").alias("piece_count"),
+                )
+            )
+        )
+        vocab = persist_intermediate(with_qlog2_256(vocab, "piece_count", "q"))
+    rows = (
+        vocab.agg(F.sum("piece_count").cast("long").alias("t"))
+        .crossJoin(vocab)
+        .select(
+            "piece",
+            "piece_count",
+            F.expr("(piece_count * 1000000000) div t").alias("prob_ppb"),
+        )
+        .orderBy(F.desc("piece_count"), F.asc("piece"))
+        .collect()
+    )
+    return [
+        (r["piece"], int(r["piece_count"]), int(r["prob_ppb"])) for r in rows
+    ]
+
+
+def unigram_encode(
+    df: DataFrame,
+    text_col: str,
+    vocab: list[tuple[str, int, int]] | dict[str, int],
+    out_col: str = "unigram_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a trained unigram vocab: per word,
+    the SAME integer-scored Viterbi (longest-piece tie-break) as the
+    in-engine DP, but over arbitrary word lengths — one Arrow-batched
+    pandas_udf pass (the documented custom-operator slow path, like
+    bpe_encode). Out-of-vocab characters fall back to themselves as
+    single-char pieces (scored UNIGRAM_NEG), so concatenating the
+    output restores the word exactly — lossless, asserted in tests."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(vocab, dict):
+        counts = dict(vocab)
+    else:
+        counts = {p: c for p, c, *_ in vocab}
+    total = max(1, sum(counts.values()))
+
+    def _q(x: int) -> int:
+        msb = x.bit_length() - 1
+        y = x << (30 - msb) if msb <= 30 else x >> (msb - 30)
+        frac = 0
+        for _ in range(8):
+            s = y * y
+            if s >= _P61:
+                frac = frac * 2 + 1
+                y = s >> 31
+            else:
+                frac = frac * 2
+                y = s >> 30
+        return msb * 256 + frac
+    qs = {p: _q(c) for p, c in counts.items() if c >= 1}
+    q_t = _q(total)
+    P = UNIGRAM_MAX_PIECE_LEN
+
+    def encode_word(w: str) -> list[str]:
+        n = len(w)
+        best = [0] + [None] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            b, bl = None, 1
+            for L in range(1, min(P, i) + 1):
+                piece = w[i - L : i]
+                sc = qs.get(piece, UNIGRAM_NEG) - q_t
+                cand = best[i - L] + sc
+                # strict > with ascending L ≡ the DP's longest-piece
+                # tie-break resolved in backtrace CASE order (≥ on
+                # descending L): equal scores pick the larger L
+                if b is None or cand >= b:
+                    b, bl = cand, L
+            best[i], back[i] = b, bl
+        out, i = [], n
+        while i > 0:
+            out.append(w[i - back[i] : i])
+            i -= back[i]
+        return out[::-1]
+
+    def _encode(word_arrays):
+        res = []
+        for words in word_arrays:
+            toks: list[str] = []
+            for w in words if words is not None else []:
+                if w:
+                    toks.extend(encode_word(w))
+            res.append(toks)
+        return pd.Series(res)
+
+    _encode.__annotations__ = {"word_arrays": pd.Series, "return": pd.Series}
+    enc = pandas_udf(_encode, returnType="array<string>")
+    return df.withColumn(out_col, enc(tokens(F.col(text_col))))

@@ -20,6 +20,7 @@ Scale design (the point of each shape):
 from __future__ import annotations
 
 import random
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -276,8 +277,166 @@ def minhash_bands(
     ).select("_id", "bk.band", F.col("bk.key").cast("array<long>").alias("key"))
 
 
+@dataclass(frozen=True)
+class AutoCap:
+    """Self-scaling hot-bucket cap (VERDICT r5 item 1). A FIXED cap
+    saturates under growth — the round-5 20× smoke proved it: at
+    cap=256 every (event_type, hour) bucket exceeded the cap and the
+    capped co-activity build silently returned 0 edges. ``AutoCap``
+    derives the cap from the OBSERVED bucket-size distribution instead:
+    cap = max(floor, ⌈quantile(sizes, q) × slack⌉), one cheap exact
+    percentile over the (already-needed) bucket-size table. Under
+    uniform growth the quantile grows with the buckets, so normal
+    buckets stay in and only distribution OUTLIERS (boilerplate bands,
+    "everyone was active that hour") are guarded away — the planted-
+    community 20× smoke retains its edges where cap=256 returned none
+    (tests/test_scale_patterns.py)."""
+
+    quantile: float = 0.99
+    slack: float = 4.0
+    floor: int = 16
+
+
+@dataclass(frozen=True)
+class PairBudgetCap:
+    """Cap chosen against an explicit candidate-pair budget: the
+    largest cap c with Σ_buckets min(|b|, c)² ≤ ``pair_budget`` —
+    i.e. "spend at most B candidate comparisons, however the bucket
+    distribution is shaped". Resolution collects the bucket-size
+    HISTOGRAM (|distinct sizes| rows — bounded driver scalar) and
+    binary-searches c; monotone, so exact. Use when the downstream
+    join cost must be bounded a priori (SLA-driven pipelines) rather
+    than relative to the distribution."""
+
+    pair_budget: int
+    floor: int = 1
+
+
+@dataclass
+class CapReport:
+    """What the hot-bucket guard actually did — emitted per cap
+    application so a pipeline can ALARM on saturation instead of
+    discovering an empty graph downstream (the round-5 failure mode).
+    ``saturation`` is the fraction of input rows the guard dropped."""
+
+    metric_name: str
+    cap: int
+    n_buckets: int
+    n_hot_buckets: int
+    n_rows: int
+    n_dropped_rows: int
+
+    @property
+    def saturation(self) -> float:
+        return self.n_dropped_rows / self.n_rows if self.n_rows else 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "metric_name": self.metric_name,
+            "cap": self.cap,
+            "n_buckets": self.n_buckets,
+            "n_hot_buckets": self.n_hot_buckets,
+            "n_rows": self.n_rows,
+            "n_dropped_rows": self.n_dropped_rows,
+            "saturation": self.saturation,
+        }
+
+
+_CAP_REPORTS: list[CapReport] = []
+
+
+def cap_reports() -> list[CapReport]:
+    """All guard reports emitted this driver process (append order)."""
+    return list(_CAP_REPORTS)
+
+
+def last_cap_report() -> CapReport | None:
+    return _CAP_REPORTS[-1] if _CAP_REPORTS else None
+
+
+def observe_cap_guard(df: DataFrame, report: CapReport):
+    """Attach the guard verdict to a downstream DataFrame as an
+    ``Observation`` (the engine's metrics surface — metrics.py): after
+    any action on the returned df, ``observation.get`` yields the cap,
+    dropped-row count and saturation alongside the live output row
+    count, so streaming/batch pipelines alarm in-band instead of
+    parsing logs. (The guard itself computes these eagerly — it must,
+    to CHOOSE the cap — so the observation carries exact constants
+    plus one live counter; it is attached by the CALLER at the point
+    in the plan read exactly once, because guard outputs typically
+    feed self-joins where an embedded observe node would double-fire.)
+    Returns (df, observation)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"cap_guard_{report.metric_name}_{len(_CAP_REPORTS)}")
+    return (
+        df.observe(
+            obs,
+            F.count(F.lit(1)).cast("long").alias("n_out_rows"),
+            F.max(F.lit(report.cap)).alias("cap"),
+            F.max(F.lit(report.n_dropped_rows)).alias("n_dropped_rows"),
+            F.max(F.lit(report.saturation)).alias("saturation"),
+        ),
+        obs,
+    )
+
+
+CapSpec = "int | str | AutoCap | PairBudgetCap"
+
+
+def resolve_bucket_cap(
+    sizes: DataFrame,
+    spec,
+    size_col: str = "_sz",
+) -> int:
+    """Resolve an auto-cap spec against an observed bucket-size table.
+
+    ``AutoCap``: one exact-percentile aggregate (DuckDB-grade exact —
+    Spark's ``percentile``, not the approximate sketch) over the sizes
+    table. ``PairBudgetCap``: collect the size histogram (bounded by
+    |distinct sizes| — a driver scalar) and binary-search the largest
+    cap whose Σ min(|b|, c)² fits the budget."""
+    if spec == "auto":
+        spec = AutoCap()
+    if isinstance(spec, AutoCap):
+        p = sizes.agg(
+            F.expr(f"percentile({size_col}, {spec.quantile})").alias("p")
+        ).first()["p"]
+        if p is None:
+            return spec.floor
+        return max(spec.floor, int(-(-float(p) * spec.slack // 1)))
+    if isinstance(spec, PairBudgetCap):
+        hist = (
+            sizes.groupBy(F.col(size_col).alias("sz"))
+            .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+            .collect()
+        )
+        if not hist:
+            return spec.floor
+        pairs = [(int(r["sz"]), int(r["nb"])) for r in hist]
+
+        def cost(c: int) -> int:
+            return sum(nb * min(sz, c) ** 2 for sz, nb in pairs)
+
+        lo, hi = spec.floor, max(sz for sz, _ in pairs)
+        if cost(hi) <= spec.pair_budget:
+            return hi
+        # largest c in [lo, hi] with cost(c) <= budget (cost monotone)
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if cost(mid) <= spec.pair_budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+    raise TypeError(f"unsupported cap spec: {spec!r}")
+
+
 def cap_hot_buckets(
-    exploded: DataFrame, bucket_cols: list[str], max_bucket_size: int
+    exploded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size,
+    metric_name: str = "hot_buckets",
 ) -> DataFrame:
     """Drop every row belonging to a bucket with more than
     ``max_bucket_size`` members — the hot-bucket guard for candidate
@@ -290,13 +449,78 @@ def cap_hot_buckets(
     reshuffles. A bucket that hot carries no discriminative signal:
     members still meet through their OTHER buckets, which is why recall
     on genuine near-dup pairs survives (asserted by
-    tests/test_scale_patterns.py)."""
+    tests/test_scale_patterns.py).
+
+    ``max_bucket_size`` is an int (fixed cap, lazy — the plan the
+    oracle rows pin), the string ``"auto"`` / an :class:`AutoCap`
+    (distribution-tracking cap), or a :class:`PairBudgetCap`. The auto
+    specs resolve the cap EAGERLY from the bucket-size table (they
+    must, to choose it), and every auto application appends a
+    :class:`CapReport` — cap chosen, buckets guarded, rows dropped,
+    saturation — to :func:`cap_reports`, with
+    :func:`observe_cap_guard` available to surface it in-band."""
+    if isinstance(max_bucket_size, bool) or not isinstance(
+        max_bucket_size, int
+    ):
+        return _cap_hot_buckets_auto(
+            exploded, bucket_cols, max_bucket_size, metric_name
+        )
     hot = (
         exploded.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("_sz"))
         .filter(F.col("_sz") > max_bucket_size)
         .select(*bucket_cols)
     )
+    return exploded.join(F.broadcast(hot), bucket_cols, "left_anti")
+
+
+def resolve_cap_with_report(
+    sizes: DataFrame, spec, metric_name: str, size_col: str = "_sz"
+) -> int:
+    """Resolve an auto-cap spec against a (persisted) size table AND
+    append the saturation :class:`CapReport` — the shared eager arm of
+    every auto-capped guard (LSH/SimHash/Jaccard buckets, stop
+    shingles, contamination shingles, co-activity buckets, triangle
+    hub degrees)."""
+    cap = resolve_bucket_cap(sizes, spec, size_col)
+    stats = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(size_col).cast("long").alias("n_rows"),
+        F.count_if(F.col(size_col) > cap).cast("long").alias("n_hot"),
+        F.coalesce(
+            F.sum(F.when(F.col(size_col) > cap, F.col(size_col))).cast(
+                "long"
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_dropped"),
+    ).first()
+    _CAP_REPORTS.append(
+        CapReport(
+            metric_name=metric_name,
+            cap=cap,
+            n_buckets=int(stats["n_buckets"]),
+            n_hot_buckets=int(stats["n_hot"]),
+            n_rows=int(stats["n_rows"] or 0),
+            n_dropped_rows=int(stats["n_dropped"]),
+        )
+    )
+    return cap
+
+
+def _cap_hot_buckets_auto(
+    exploded: DataFrame, bucket_cols: list[str], spec, metric_name: str
+) -> DataFrame:
+    """Auto-cap arm of :func:`cap_hot_buckets`: persist the bucket-size
+    table once (the fixed arm computes it too — here it feeds cap
+    resolution, the saturation report, AND the hot set), resolve the
+    cap, report, guard."""
+    sizes = persist_intermediate(
+        exploded.groupBy(*bucket_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("_sz")
+        )
+    )
+    cap = resolve_cap_with_report(sizes, spec, metric_name)
+    hot = sizes.filter(F.col("_sz") > cap).select(*bucket_cols)
     return exploded.join(F.broadcast(hot), bucket_cols, "left_anti")
 
 
@@ -323,7 +547,10 @@ def lsh_candidate_pairs(
     """
     exploded = minhash_bands(df, id_col, sig_col, rows_per_band)
     if max_bucket_size is not None:
-        exploded = cap_hot_buckets(exploded, ["band", "key"], max_bucket_size)
+        exploded = cap_hot_buckets(
+            exploded, ["band", "key"], max_bucket_size,
+            metric_name="lsh_bands",
+        )
     # materialize once: both self-join sides read the persisted band table
     # instead of re-deriving the (possibly expensive) signature lineage;
     # registered for release_intermediates() after the consuming action
@@ -484,15 +711,17 @@ def shingle_hashes_exploded(
     )
 
 
-def drop_stop_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+def drop_stop_shingles(sh: DataFrame, max_df) -> DataFrame:
     """Document-frequency stop-shingle filter over an exploded
     (id, _h) shingle table: shingles present in more than ``max_df``
     documents are boilerplate (navigation chrome, licence text) and are
     removed BEFORE the inverted-index self-join — each one would
     otherwise contribute df² join rows while carrying no near-dup
     signal. Broadcast anti-join like :func:`cap_hot_buckets` (the input
-    is one row per (doc, shingle), so the bucket count IS the df)."""
-    return cap_hot_buckets(sh, ["_h"], max_df)
+    is one row per (doc, shingle), so the bucket count IS the df).
+    ``max_df`` takes the same int/``"auto"``/:class:`AutoCap`/
+    :class:`PairBudgetCap` specs as :func:`cap_hot_buckets`."""
+    return cap_hot_buckets(sh, ["_h"], max_df, metric_name="stop_shingles")
 
 
 def jaccard_pairs_from_text(
@@ -629,18 +858,29 @@ def contamination_pairs(
     benchmark. Shingles above the corpus document-frequency cap are
     removed from BOTH sides (n_shared then counts informative shingles
     only — a pair contaminated solely through boilerplate no longer
-    trips min_shared, the intended reading)."""
+    trips min_shared, the intended reading). Accepts the same
+    ``"auto"``/:class:`AutoCap`/:class:`PairBudgetCap` specs as
+    :func:`cap_hot_buckets` (resolved against the CORPUS document
+    frequencies, with a saturation :class:`CapReport`)."""
     c = shingle_hashes_exploded(corpus, id_col, text_col, k).select(
         F.col(id_col).alias("corpus_id"), "_h"
     )
     if max_df is not None:
-        hot = (
-            c.groupBy("_h")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("_h")
+        if isinstance(max_df, int) and not isinstance(max_df, bool):
+            cap = max_df
+            sizes = c.groupBy("_h").agg(F.count(F.lit(1)).alias("_sz"))
+        else:
+            sizes = persist_intermediate(
+                c.groupBy("_h").agg(
+                    F.count(F.lit(1)).cast("long").alias("_sz")
+                )
+            )
+            cap = resolve_cap_with_report(
+                sizes, max_df, "contamination_stop_shingles"
+            )
+        hot = persist_intermediate(
+            sizes.filter(F.col("_sz") > cap).select("_h")
         )
-        hot = persist_intermediate(hot)
         c = c.join(F.broadcast(hot), "_h", "left_anti")
     b = shingle_hashes_exploded(benchmark, id_col, text_col, k).select(
         F.col(id_col).alias("bench_id"), "_h"
@@ -709,7 +949,10 @@ def simhash_pairs(
         F.explode(bands).alias("bk"),
     ).select("_id", "_sh", "bk.band", "bk.key")
     if max_bucket_size is not None:
-        exploded = cap_hot_buckets(exploded, ["band", "key"], max_bucket_size)
+        exploded = cap_hot_buckets(
+            exploded, ["band", "key"], max_bucket_size,
+            metric_name="simhash_bands",
+        )
     exploded = persist_intermediate(exploded)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (

@@ -28,7 +28,7 @@ def coactivity_edges(
     user_col: str = "user_id",
     bucket_cols: tuple[str, ...] = ("event_type", "hb"),
     min_cobuckets: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size=None,
 ) -> DataFrame:
     """Behavioral co-activity edge list: users are linked when they
     share ≥ ``min_cobuckets`` activity buckets (e.g. the same
@@ -49,11 +49,23 @@ def coactivity_edges(
     (oracle row graph_coactivity_edges_capped); planted-community
     preservation under a forced hot bucket is
     tests/test_scale_patterns.py.
+
+    A FIXED cap saturates under growth (round-5 20× smoke: every
+    bucket > 256 → zero edges, silently) — pass ``"auto"`` /
+    :class:`~gcs_parquet_dataflow_spark.operators.dedup.AutoCap` /
+    ``PairBudgetCap`` to track the observed bucket-size distribution
+    instead; every auto application emits a saturation
+    :class:`~gcs_parquet_dataflow_spark.operators.dedup.CapReport`
+    (``dedup.cap_reports()`` / ``observe_cap_guard``) so a pipeline
+    alarms on guard pressure instead of discovering an empty graph
+    downstream.
     """
     bcols = list(bucket_cols)
     b = df.select(F.col(user_col).alias("_u"), *bcols).distinct()
     if max_bucket_size is not None:
-        b = cap_hot_buckets(b, bcols, max_bucket_size)
+        b = cap_hot_buckets(
+            b, bcols, max_bucket_size, metric_name="coactivity_buckets"
+        )
     # both self-join sides read the persisted bucket table instead of
     # re-deriving the distinct (registered for release_intermediates)
     b = persist_intermediate(b)
@@ -186,12 +198,58 @@ def pagerank_quantized(
     return r.select("node", F.col("r").alias("rank_q"))
 
 
+def _oriented_edges(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-rank orientation of an undirected edge list: each edge
+    re-oriented from its lower-(degree, id) endpoint x to the higher y
+    → (x, y, _dx, _dy) with both endpoint degrees carried so hub
+    membership is a column predicate, not another join."""
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    low_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    return ed.select(
+        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(low_first, F.col("_du")).otherwise(F.col("_dv")).alias("_dx"),
+        F.when(low_first, F.col("_dv")).otherwise(F.col("_du")).alias("_dy"),
+    )
+
+
+def _close_wedges(o1: DataFrame, o2: DataFrame, closing: DataFrame) -> DataFrame:
+    """Wedge join at the min-rank apex + closing-edge probe → one row
+    (a, b, c) per triangle. ``o1``/``o2`` supply the apex edges
+    (x→b with rank(b) < rank(c) enforced here), ``closing`` the b→c
+    edges — callers pass the SUBSETS that can participate, which is
+    what bounds each join's inputs."""
+    w = o1.alias("o1").join(
+        o2.alias("o2"),
+        (F.col("o1.x") == F.col("o2.x"))
+        & (
+            (F.col("o1._dy") < F.col("o2._dy"))
+            | (
+                (F.col("o1._dy") == F.col("o2._dy"))
+                & (F.col("o1.y") < F.col("o2.y"))
+            )
+        ),
+    )
+    return w.join(
+        closing.alias("o3"),
+        (F.col("o3.x") == F.col("o1.y")) & (F.col("o3.y") == F.col("o2.y")),
+    ).select(
+        F.col("o1.x").alias("a"),
+        F.col("o1.y").alias("b"),
+        F.col("o2.y").alias("c"),
+    )
+
+
 def triangle_participation(
     edges: DataFrame,
     src: str = "u",
     dst: str = "v",
     degree_order: bool = False,
-    max_degree: int | None = None,
+    max_degree=None,
 ) -> DataFrame:
     """Per-node degree and triangle participation over an undirected
     edge list given as node-ordered pairs (src < dst, each edge once)
@@ -211,20 +269,33 @@ def triangle_participation(
       node of degree 10⁶ contributes wedges only through its few
       lower-rank neighbors, not deg² of its own).
 
-    Both count each triangle exactly once; ``n_triangles`` and
-    ``degree`` are integers, so the outputs are hash-identical.
-
     ``max_degree`` is the hub dial (same hot-key family as the dedup
-    and co-activity caps): wedge volume is Σ oriented-outdeg², so a few
-    hub nodes can dominate the whole closure (the sf0.1 co-activity
-    graph averages degree ~184 — SCALE.md round-5 smoke). With the cap
-    armed, nodes whose degree exceeds it are removed from the closure
-    by a broadcast LEFT ANTI join on BOTH endpoints before the wedge
-    join; their rows still report the TRUE degree but ``n_triangles``
-    is NULL — visible and joinable to a hub handler, never a silently
-    wrong 0. Other nodes' counts cover triangles among non-hub nodes
-    only. Output is IDENTICAL when no node exceeds the cap (oracle row
-    graph_triangle_capped).
+    and co-activity caps) — and since round 6 it is a PURE PHYSICAL
+    dial: the output equals the uncapped answer for EVERY node, hubs
+    included (VERDICT r5 item 2 — the previous NULL-for-hubs contract
+    is gone). The plan splits on hub membership (degree > cap, where
+    the cap is an int or the usual ``"auto"``/AutoCap/PairBudgetCap
+    specs resolved against the degree distribution):
+
+    - INTERIOR triangles (all three nodes non-hub): the chosen
+      strategy's closure over the hub-free edge subset — the bulk of
+      the graph, with hub fan-out excised.
+    - HUB-incident triangles: the degree-ordered orientation bounds
+      every wedge at its min-rank apex, and rank order means a hub's
+      co-members at or above it in rank are hubs too — so the three
+      disjoint wedge classes below cover every hub triangle exactly
+      once, each a join of hub-incident subsets only (h = non-hub→hub
+      edges, bounded by Σ hub degrees; hh = hub→hub):
+        apex hub        → hh ⋈ hh closed by hh   (all-hub triangles)
+        both heads hub  → h ⋈ h   closed by hh
+        one head hub    → nh ⋈ h  closed by h    (c, the max-rank, is
+                                                  the hub)
+
+    Every triangle lands in exactly one class (interior, or classified
+    by which of its nodes are hubs), so interior + hub counts merge to
+    the exact answer at the capped cost class — asserted hash-equal to
+    ``max_degree=None`` by tests/test_scale_patterns.py and the
+    graph_triangle_capped oracle row.
     """
     e = persist_intermediate(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -237,61 +308,56 @@ def triangle_participation(
     )
     if max_degree is not None:
         deg = persist_intermediate(deg)
-        hot = deg.filter(F.col("degree") > max_degree).select("node")
-        e = persist_intermediate(
-            e.join(
-                F.broadcast(hot.withColumnRenamed("node", "u")),
-                "u",
-                "left_anti",
+        if isinstance(max_degree, int) and not isinstance(max_degree, bool):
+            cap = max_degree
+        else:
+            from gcs_parquet_dataflow_spark.operators.dedup import (
+                resolve_cap_with_report,
             )
-            .join(
-                F.broadcast(hot.withColumnRenamed("node", "v")),
-                "v",
-                "left_anti",
+
+            cap = resolve_cap_with_report(
+                deg.select(F.col("degree").alias("_sz")),
+                max_degree,
+                "triangle_hub_degree",
             )
-            .select("u", "v")
+        ori = persist_intermediate(_oriented_edges(e, deg))
+        nh = ori.filter((F.col("_dx") <= cap) & (F.col("_dy") <= cap))
+        h = ori.filter((F.col("_dx") <= cap) & (F.col("_dy") > cap))
+        hh = ori.filter(F.col("_dx") > cap)
+        if degree_order:
+            tri_int = _close_wedges(nh, nh, nh)
+        else:
+            # node-ordered interior closure over the hub-free edges
+            e_int = nh.select(
+                F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+            )
+            e_int = persist_intermediate(e_int)
+            e1, e2, e3 = e_int.alias("e1"), e_int.alias("e2"), e_int.alias("e3")
+            tri_int = (
+                e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+                .join(
+                    e3,
+                    (F.col("e3.u") == F.col("e1.u"))
+                    & (F.col("e3.v") == F.col("e2.v")),
+                )
+                .select(
+                    F.col("e1.u").alias("a"),
+                    F.col("e1.v").alias("b"),
+                    F.col("e2.v").alias("c"),
+                )
+            )
+        tri = (
+            tri_int.unionAll(_close_wedges(hh, hh, hh))
+            .unionAll(_close_wedges(h, h, hh))
+            .unionAll(_close_wedges(nh, h, h))
         )
-    if degree_order:
+    elif degree_order:
         deg = persist_intermediate(deg)
-        du = deg.select(F.col("node").alias("u"), F.col("degree").alias("_du"))
-        dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv"))
-        ed = e.join(du, "u").join(dv, "v")
-        low_first = (F.col("_du") < F.col("_dv")) | (
-            (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
-        )
-        ori = persist_intermediate(
-            ed.select(
-                F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("x"),
-                F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("y"),
-                F.when(low_first, F.col("_dv")).otherwise(F.col("_du")).alias(
-                    "_dy"
-                ),
-            )
-        )
-        o1, o2, o3 = ori.alias("o1"), ori.alias("o2"), ori.alias("o3")
+        ori = persist_intermediate(_oriented_edges(e, deg))
         # wedge at the min-rank apex x: (x→b), (x→c) with rank(b) <
         # rank(c); the closing edge b—c is oriented b→c by exactly that
         # rank condition, so one equi-join probe closes the triangle
-        wedge = o1.join(
-            o2,
-            (F.col("o1.x") == F.col("o2.x"))
-            & (
-                (F.col("o1._dy") < F.col("o2._dy"))
-                | (
-                    (F.col("o1._dy") == F.col("o2._dy"))
-                    & (F.col("o1.y") < F.col("o2.y"))
-                )
-            ),
-        )
-        tri = wedge.join(
-            o3,
-            (F.col("o3.x") == F.col("o1.y"))
-            & (F.col("o3.y") == F.col("o2.y")),
-        ).select(
-            F.col("o1.x").alias("a"),
-            F.col("o1.y").alias("b"),
-            F.col("o2.y").alias("c"),
-        )
+        tri = _close_wedges(ori, ori, ori)
     else:
         e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
         tri = (
@@ -312,14 +378,10 @@ def triangle_participation(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    out_tri = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
-    if max_degree is not None:
-        # hub rows: true degree, NULL count (excluded from the closure)
-        out_tri = F.when(
-            F.col("degree") > max_degree, F.lit(None).cast("long")
-        ).otherwise(out_tri)
     return deg.join(tc, "node", "left").select(
         "node",
         "degree",
-        out_tri.alias("n_triangles"),
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
     )

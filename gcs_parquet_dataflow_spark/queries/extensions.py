@@ -14332,18 +14332,170 @@ def json_variant_extract(spark, sf_dir):
     """,
 )
 def graph_triangle_capped(spark, sf_dir):
-    """Hub-cap no-op proof for the triangle closure (the wedge-volume
-    dial SCALE.md's 20× smoke motivated): max_degree=100000 armed
-    against the SAME uncapped oracle — no fixture node's degree comes
-    near the cap, so the broadcast anti-join guard must not change a
-    single count and no row may go NULL. The adversarial half (planted
-    hub excluded with NULL count, community triangles preserved) is
+    """Exact-hub proof for the capped triangle closure (VERDICT r5
+    item 2): max_degree is a PURE PHYSICAL dial since round 6 — the
+    plan splits into an interior closure over hub-free edges plus
+    three bounded hub-incident wedge classes under the degree-rank
+    orientation, and merges to the exact uncapped answer for every
+    node (no NULL hubs). The cap here is ADVERSARIALLY low — it puts a
+    real fraction of fixture nodes on the hub side — yet the oracle is
+    the plain uncapped triangle SQL: any count or degree off by one,
+    for hub or interior, fails the hash. The planted-hub half (star
+    hub exactly counted, auto-cap) is
     tests/test_scale_patterns.py::test_triangle_degree_cap."""
     from gcs_parquet_dataflow_spark.operators.graph import (
         triangle_participation,
     )
 
     e = _coactivity_edges(spark, sf_dir)
-    return triangle_participation(e, "u", "v", max_degree=100_000).select(
+    return triangle_participation(e, "u", "v", max_degree=25).select(
         F.col("node").alias("user_id"), "degree", "n_triangles"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (round 6, VERDICT r5 item 3). The
+# DuckDB twin of the hard-EM E/M step is GENERATED from the same step
+# lists the Spark builder executes (operators/corpus.py
+# qlog2_256_exprs + unigram_dp_exprs), so the two engines run the
+# IDENTICAL integer recurrence — scores, Viterbi argmaxes, tie-breaks
+# and expected counts agree exactly (no ln() in sight; see the corpus
+# module docstring for why engine-exact integer log2 is the whole
+# design).
+# ---------------------------------------------------------------------------
+
+from gcs_parquet_dataflow_spark.operators.corpus import (  # noqa: E402
+    UNIGRAM_MAX_PIECE_LEN as _UG_P,
+    UNIGRAM_MAX_WORD_LEN as _UG_W,
+    UNIGRAM_MIN_PIECE_COUNT as _UG_MIN,
+    qlog2_256_exprs as _ug_qlog_steps,
+    unigram_dp_exprs as _ug_dp_steps,
+)
+
+
+def _ug_chain(base_sql: str, steps) -> str:
+    for name, expr in steps:
+        base_sql = f"SELECT *, {expr} AS {name} FROM ({base_sql})"
+    return base_sql
+
+
+def _unigram_oracle_sql() -> str:
+    duck_dp = _ug_dp_steps(
+        idiv="//",
+        map_lookup=lambda m, k: f"map_extract({m}, {k})[1]",
+        arr_index=lambda a, i: f"{a}[{i}]",
+        filter_fn="list_filter",
+        reverse_fn="list_reverse",
+    )
+    # Spark's array(...) constructor → DuckDB list_value(...)
+    duck_dp = [
+        (name, expr.replace("array(", "list_value("))
+        for name, expr in duck_dp
+    ]
+    wt = f"""
+      SELECT word, CAST(count(*) AS BIGINT) AS word_count
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE text IS NOT NULL)
+      WHERE word <> '' AND length(word) <= {_UG_W}
+      GROUP BY word
+    """
+    pieces = f"""
+      SELECT piece, CAST(sum(word_count) AS BIGINT) AS piece_count
+      FROM (SELECT word_count,
+                   unnest(flatten(list_transform(
+                       range(1, length(word) + 1),
+                       i -> list_transform(
+                           range(1, least({_UG_P}, length(word) - i + 1) + 1),
+                           l -> substring(word, CAST(i AS INT),
+                                          CAST(l AS INT))))))
+                       AS piece
+            FROM ({wt}))
+      GROUP BY piece
+      HAVING length(piece) = 1 OR sum(word_count) >= {_UG_MIN}
+    """
+    vocab = (
+        "SELECT piece, piece_count, q FROM ("
+        + _ug_chain(pieces, _ug_qlog_steps("piece_count", "q", idiv="//"))
+        + ")"
+    )
+    vmrow = (
+        "SELECT vm, qT FROM ("
+        + _ug_chain(
+            f"SELECT map(list(piece), list(q)) AS vm,"
+            f" CAST(sum(piece_count) AS BIGINT) AS _T FROM ({vocab})",
+            _ug_qlog_steps("_T", "qT", idiv="//"),
+        )
+        + ")"
+    )
+    dp = _ug_chain(
+        f"SELECT word, word_count, vm, qT FROM ({wt}) CROSS JOIN ({vmrow})",
+        duck_dp,
+    )
+    cnts = f"""
+      SELECT piece, CAST(sum(word_count) AS BIGINT) AS expected_count
+      FROM (SELECT word_count, unnest(pieces) AS piece FROM ({dp}))
+      GROUP BY piece
+    """
+    return f"""
+    SELECT CAST(rk AS BIGINT) AS rank, piece, expected_count, prob_ppb
+    FROM (SELECT piece, expected_count,
+                 CAST((expected_count * 1000000000) // t AS BIGINT)
+                     AS prob_ppb,
+                 row_number() OVER (ORDER BY expected_count DESC, piece)
+                     AS rk
+          FROM ({cnts})
+          CROSS JOIN (SELECT CAST(sum(expected_count) AS BIGINT) AS t
+                      FROM ({cnts})))
+    WHERE rk <= 50
+    """
+
+
+@query("unigram_em_piece_counts", _unigram_oracle_sql())
+def unigram_em_piece_counts(spark, sf_dir):
+    """One hard-EM iteration of unigram-LM (SentencePiece) tokenizer
+    training (operators/corpus.py unigram_*, VERDICT r5 item 3):
+    word-TYPE table (bounded length), substring seed vocab with
+    engine-exact integer qlog2_256 scores, unrolled in-JVM Viterbi
+    segmentation (E-step), and piece expected counts with exact
+    integer parts-per-billion probabilities (M-step). Top-50 by
+    (expected_count desc, piece). The DuckDB oracle is GENERATED from
+    the same expression step lists the builder runs — cross-engine
+    hash equality is by construction, not by floating-point luck. The
+    iterative trainer and the lossless rank-greedy encoder are
+    pytest-verified (tests/test_corpus.py), mirroring the BPE rows.
+
+    Scale shape: ONE corpus-sized pass builds word counts; everything
+    after is vocabulary-bounded (the BPE property). The vocab rides
+    the DP as a 1-row broadcast map; the segmented types are
+    lineage-cut before the explode (see unigram_em_counts)."""
+    from gcs_parquet_dataflow_spark.operators.corpus import (
+        unigram_em_counts,
+        unigram_seed_vocab,
+        unigram_word_types,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+    from pyspark.sql import Window as WS
+
+    d = t(spark, sf_dir, "documents")
+    words = persist_intermediate(unigram_word_types(d, "text"))
+    vocab = unigram_seed_vocab(words)
+    cnts = persist_intermediate(unigram_em_counts(words, vocab))
+    tot = cnts.agg(F.sum("expected_count").cast("long").alias("t"))
+    ranked = (
+        cnts.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            "expected_count",
+            F.expr("(expected_count * 1000000000) div t").alias("prob_ppb"),
+        )
+        .orderBy(F.desc("expected_count"), F.asc("piece"))
+        .limit(50)
+    )
+    return ranked.withColumn(
+        "rank",
+        F.row_number()
+        .over(WS.orderBy(F.desc("expected_count"), F.asc("piece")))
+        .cast("long"),
+    ).select("rank", "piece", "expected_count", "prob_ppb")

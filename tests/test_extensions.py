@@ -1160,6 +1160,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "lm_generalization_gap",           # 1-row vocab-size broadcast + 1x1 pivot
         "dedup_blocking_effectiveness",    # 1x1x1 scalar count combination
         "metric_rank_movers_wow",          # 1-row week-bounds broadcast
+        "unigram_em_piece_counts",         # 1-row vocab-map + totals broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
