@@ -99,6 +99,7 @@ EXTENDED = [
     "graph_triangle_capped",
     # round-6 additions: new operators + plans changed this round
     "unigram_em_piece_counts",
+    "quality_classifier_gradient",
     "inequality_gini_revenue",
     "pareto_abc_parts",
     "user_rfm_segments",

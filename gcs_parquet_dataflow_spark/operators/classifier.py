@@ -1,0 +1,263 @@
+"""Trained quality classifier (VERDICT r5 item 4): the fastText-shape
+discriminative filter production pretraining pipelines deploy next to
+the heuristic gates — logistic regression over HASHED word n-gram
+counts (unigrams + bigrams → hash32 % dim buckets), trained
+full-batch and distributed.
+
+The engine-design problem is the one every distributed trainer hits:
+a parallel Σ of float gradient contributions is order-dependent, so
+the learned weights would vary with partitioning and the differential
+oracle could never pin them. Everything here is therefore EXACT
+INTEGER arithmetic except one bounded per-row step:
+
+- features x_ij are counts (int);
+- weights live in micro-units (long);
+- the margin s_i = Σ_j w_j·x_ij is an exact int64 sum;
+- the per-doc residual r_i = round(1e6·(σ(s_i/1e6) − y_i)) is computed
+  from the doc's OWN exact margin (one float op per doc, identical on
+  every layout);
+- the gradient g_j = Σ_i r_i·x_ij is again an exact int64 sum, so the
+  weight update — and the whole training run — is bit-identical under
+  any partitioning (asserted by tests/test_round6.py).
+
+At w = 0 the sigmoid is exactly ½, so the first gradient is the pure
+integer Σ (1 − 2y_i)·x_ij — the quantity the differential oracle row
+quality_classifier_gradient checks hash-exact against DuckDB.
+
+Scale shape: the feature build is one explode + map-side-combined
+count (the shuffle carries one row per distinct (doc, bucket)); each
+training iteration is one broadcast join against the dim-sized weight
+table plus two hash aggregations. The corpus is scanned once to build
+features; iterations are feature-table-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.functions.text import hash32, tokens
+from gcs_parquet_dataflow_spark.operators.partitioning import (
+    ensure_parallelism,
+    persist_intermediate,
+)
+
+HASH_DIM = 1024          # feature buckets (the fastText hashing trick)
+MICRO = 1_000_000        # fixed-point unit for weights and residuals
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = HASH_DIM,
+) -> DataFrame:
+    """→ (id_col, bucket, x): counts of hashed word unigrams AND
+    bigrams per document. Empty tokens are dropped BEFORE bigram
+    formation (so bigrams span the cleaned adjacency — the DuckDB
+    twin list_filters first). One posexplode + window lead (the
+    with_minhash shingle pattern, fully codegen'd) feeding a
+    map-side-combined count."""
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(
+        df.filter(F.col(text_col).isNotNull()), id_col
+    )
+    tok = (
+        d.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+        )
+        .filter(F.col("_t") != "")
+    )
+    tok = persist_intermediate(tok)
+    uni = tok.select(F.col(id_col), F.col("_t").alias("gram"))
+    w = W.partitionBy(id_col).orderBy("_pos")
+    bi = (
+        tok.withColumn("_nxt", F.lead("_t").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", "_t", "_nxt").alias("gram"),
+        )
+    )
+    return (
+        uni.unionAll(bi)
+        .select(
+            F.col(id_col),
+            (hash32(F.col("gram")) % dim).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+
+
+def gradient_at_zero(
+    feats: DataFrame, labels: DataFrame, id_col: str
+) -> DataFrame:
+    """The first full-batch logistic gradient, doubled to stay
+    integer: at w = 0, ∂L/∂w_j = ½·Σ_i (1 − 2y_i)·x_ij — this returns
+    → (bucket, grad_x2) with grad_x2 = Σ (1 − 2y_i)·x_ij, an EXACT
+    int64 (the oracle-checked quantity; labels carry y ∈ {0, 1})."""
+    return (
+        feats.join(labels, id_col)
+        .groupBy("bucket")
+        .agg(
+            F.sum((1 - 2 * F.col("y")) * F.col("x"))
+            .cast("long")
+            .alias("grad_x2")
+        )
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    labels: DataFrame,
+    dim: int = HASH_DIM,
+    n_iters: int = 8,
+    lr_micro: int = 2 * MICRO,
+) -> dict[int, int]:
+    """Full-batch gradient descent → {bucket: weight_micro}.
+
+    Per iteration (all joins broadcast the dim-sized weight table —
+    the corpus-sized feature table never reshuffles):
+
+        s_i   = Σ_j w_j·x_ij                      (exact int64 µ-units)
+        r_i   = round(1e6·(σ(s_i/1e6) − y_i))     (one float op per doc)
+        g_j   = Σ_i r_i·x_ij                      (exact int64)
+        w_j  −= lr·g_j div (1e6·n_docs)           (integer update)
+
+    Deterministic under any partitioning — see module docstring."""
+    feats = persist_intermediate(
+        hashed_ngram_features(df, id_col, text_col, dim)
+    )
+    lab = persist_intermediate(
+        labels.select(F.col(id_col), F.col("y").cast("long").alias("y"))
+    )
+    n_docs = lab.count()
+    if n_docs == 0:
+        return {}
+    spark = df.sparkSession
+    weights = {b: 0 for b in range(dim)}
+    for _ in range(n_iters):
+        wdf = spark.createDataFrame(
+            [(b, w) for b, w in weights.items() if w != 0] or [(0, 0)],
+            "bucket long, w long",
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                F.sum(F.coalesce("w", F.lit(0)) * F.col("x"))
+                .cast("long")
+                .alias("s")
+            )
+        )
+        # residual from the doc's own exact margin: one float sigmoid
+        # per doc, rounded to µ-units before the distributed Σ
+        resid = (
+            lab.join(margins, id_col, "left")
+            .select(
+                id_col,
+                F.round(
+                    MICRO
+                    * (
+                        F.lit(1.0)
+                        / (
+                            1.0
+                            + F.exp(
+                                -F.coalesce("s", F.lit(0)).cast("double")
+                                / MICRO
+                            )
+                        )
+                        - F.col("y")
+                    ),
+                    0,
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+        grad = (
+            feats.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("r") * F.col("x")).cast("long").alias("g"))
+            .collect()
+        )
+        for row in grad:
+            b, g = int(row["bucket"]), int(row["g"])
+            weights[b] = weights[b] - (lr_micro * g) // (MICRO * n_docs)
+    return {b: w for b, w in weights.items() if w != 0}
+
+
+def classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[int, int],
+    dim: int = HASH_DIM,
+    out: str = "clf_prob",
+) -> DataFrame:
+    """Apply trained weights → df + (out): σ(Σ w_j·x_ij / 1e6) rounded
+    to 6 — the deployable filter score, one broadcast join against the
+    dim-sized weight table."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(b), int(w)) for b, w in weights.items()] or [(0, 0)],
+        "bucket long, w long",
+    )
+    feats = hashed_ngram_features(df, id_col, text_col, dim)
+    s = (
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce("w", F.lit(0)) * F.col("x"))
+            .cast("long")
+            .alias("_s")
+        )
+    )
+    return (
+        df.join(s, id_col, "left")
+        .withColumn(
+            out,
+            F.round(
+                1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -F.coalesce("_s", F.lit(0)).cast("double") / MICRO
+                    )
+                ),
+                6,
+            ),
+        )
+        .drop("_s")
+    )
+
+
+def auc_of_scores(scored: DataFrame, prob_col: str, label_col: str) -> float:
+    """Exact ROC-AUC via the rank-sum (Mann–Whitney) identity with
+    midrank tie handling — one window-free computation: group by
+    score, cumulative counts via aggregate-then-join (bounded by
+    |distinct scores|). Driver scalar for tests."""
+    by_s = (
+        scored.groupBy(prob_col)
+        .agg(
+            F.count_if(F.col(label_col) == 1).cast("long").alias("np"),
+            F.count_if(F.col(label_col) == 0).cast("long").alias("nn"),
+        )
+        .orderBy(prob_col)
+        .collect()
+    )
+    n_pos = sum(r["np"] for r in by_s)
+    n_neg = sum(r["nn"] for r in by_s)
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    below = 0  # negatives with strictly lower score
+    u = 0.0
+    for r in by_s:
+        u += r["np"] * (below + r["nn"] / 2.0)
+        below += r["nn"]
+    return u / (n_pos * n_neg)

@@ -157,6 +157,33 @@ def _stage_dedup_minhash(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     return df.join(losers, ctx["id_col"], "left_anti")
 
 
+def _stage_classifier_score(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    """Apply a TRAINED quality classifier (operators/classifier.py —
+    hashed-n-gram logistic regression, round 6) as a recipe stage:
+    annotate σ(w·x) into ``out`` and, with ``min_prob``, gate on it —
+    the discriminative upgrade of the heuristic quality_gate. The
+    recipe carries the weights inline (JSON object bucket→µ-weight),
+    so a recipe file is a complete, reproducible artifact."""
+    from gcs_parquet_dataflow_spark.operators.classifier import (
+        HASH_DIM,
+        classifier_scores,
+    )
+
+    weights = {int(b): int(w) for b, w in dict(p["weights"]).items()}
+    out = p.get("out", "clf_prob")
+    scored = classifier_scores(
+        df,
+        ctx["id_col"],
+        ctx["text_col"],
+        weights,
+        dim=int(p.get("dim", HASH_DIM)),
+        out=out,
+    )
+    if "min_prob" in p:
+        return scored.filter(F.col(out) >= float(p["min_prob"]))
+    return scored
+
+
 def _stage_token_stats(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     return df.withColumn(
         p.get("out", "n_tokens"), TX.token_count(F.col(ctx["text_col"]))
@@ -193,6 +220,7 @@ STAGES: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
     "c4_line_clean": _stage_c4_line_clean,
     "dedup_exact": _stage_dedup_exact,
     "dedup_minhash": _stage_dedup_minhash,
+    "classifier_score": _stage_classifier_score,
     "token_stats": _stage_token_stats,
     "sample": _stage_sample,
     "split": _stage_split,

@@ -14499,3 +14499,87 @@ def unigram_em_piece_counts(spark, sf_dir):
         .over(WS.orderBy(F.desc("expected_count"), F.asc("piece")))
         .cast("long"),
     ).select("rank", "piece", "expected_count", "prob_ppb")
+
+
+@query(
+    "quality_classifier_gradient",
+    f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+                      list_filter(string_split(text, ' '), tk -> tk <> '')
+                          AS wf
+               FROM documents WHERE text IS NOT NULL),
+    lab AS (SELECT doc_id,
+                   CASE WHEN
+                     round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0,
+                                       1.0)
+                         + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                       / len(w), 6)
+                         + 0.2 * least({{_stop}} * 10.0, 1.0), 6) >= 0.5
+                   THEN 1 ELSE 0 END AS y
+            FROM d),
+    grams AS (SELECT doc_id, unnest(wf) AS gram FROM d
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(wf)),
+                            i -> wf[CAST(i AS INT)] || ' '
+                                 || wf[CAST(i + 1 AS INT)])) AS gram
+              FROM d),
+    feats AS (SELECT doc_id,
+                     CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                         % {{dim}} AS bucket,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM grams GROUP BY 1, 2),
+    g AS (SELECT bucket,
+                 CAST(sum((1 - 2 * y) * x) AS BIGINT) AS grad_x2
+          FROM feats JOIN lab USING (doc_id) GROUP BY bucket)
+    SELECT CAST(rk AS BIGINT) AS rank, bucket, grad_x2
+    FROM (SELECT bucket, grad_x2,
+                 row_number() OVER (ORDER BY abs(grad_x2) DESC, bucket)
+                     AS rk
+          FROM g)
+    WHERE rk <= 64
+    """.replace("{_stop}", _stop_sql("en")).replace(
+        "{dim}", "1024"
+    ),
+)
+def quality_classifier_gradient(spark, sf_dir):
+    """One full-batch gradient step of the trained quality classifier
+    (operators/classifier.py, VERDICT r5 item 4): hashed word
+    uni+bigram count features (hash32 % 1024 — the fastText hashing
+    trick), labels from the engine's own quality heuristic
+    (quality_score ≥ 0.5), gradient evaluated at w = 0 where the
+    sigmoid is exactly ½ — so grad_x2 = Σ (1 − 2y)·x is a pure
+    integer both engines sum exactly. Top-64 buckets by
+    (|grad|, bucket). The ITERATIVE trainer (integer µ-unit weights,
+    partitioning-independent by construction) and the
+    AUC-separates-planted-classes invariant are tests/test_round6.py;
+    the deployable score is the classifier_score recipe stage.
+
+    Scale shape: one explode + map-side-combined count builds the
+    feature table; the gradient is one equi-join + hash aggregate.
+    Nothing float crosses the distributed Σ."""
+    from gcs_parquet_dataflow_spark.operators.classifier import (
+        gradient_at_zero,
+        hashed_ngram_features,
+    )
+    from pyspark.sql import Window as WS
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    labels = d.select(
+        "doc_id",
+        F.when(TX.quality_score(F.col("text")) >= 0.5, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    feats = hashed_ngram_features(d, "doc_id", "text", dim=1024)
+    g = gradient_at_zero(feats, labels, "doc_id")
+    ranked = g.orderBy(
+        F.abs(F.col("grad_x2")).desc(), F.asc("bucket")
+    ).limit(64)
+    return ranked.withColumn(
+        "rank",
+        F.row_number()
+        .over(WS.orderBy(F.abs(F.col("grad_x2")).desc(), F.asc("bucket")))
+        .cast("long"),
+    ).select("rank", "bucket", "grad_x2")
