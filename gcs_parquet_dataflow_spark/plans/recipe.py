@@ -61,6 +61,125 @@ def _stage_encoding_gate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     return df.filter(TX.encoding_ok(F.col(ctx["text_col"])))
 
 
+def _stage_quality_annotate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    """Annotate the shared quality heuristic into ``out`` (and gate on
+    ``min_score`` if given) — the annotating sibling of quality_gate,
+    needed when downstream stages (curriculum, epoch allocation)
+    consume the score as a column."""
+    out = p.get("out", "quality")
+    d = df.withColumn(out, TX.quality_score(F.col(ctx["text_col"])))
+    if "min_score" in p:
+        d = d.filter(F.col(out) >= float(p["min_score"]))
+    return d
+
+
+def _stage_decontaminate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    """Benchmark decontamination (the training_data_pipeline_v4 step):
+    drop every document sharing a ``k``-token window with the held-out
+    benchmark — given as a parquet path (``benchmark_path``) or as a
+    boolean SQL expression selecting benchmark members out of the
+    corpus itself (``benchmark_filter``, the eval-split-inside-corpus
+    case; members themselves are then dropped too, by construction).
+    Cost: the operator's inverted-index membership join, never
+    corpus × benchmark."""
+    k = int(p.get("k", 8))
+    if "benchmark_path" in p:
+        bench = df.sparkSession.read.parquet(str(p["benchmark_path"])).select(
+            ctx["id_col"], ctx["text_col"]
+        )
+    elif "benchmark_filter" in p:
+        bench = df.filter(F.expr(str(p["benchmark_filter"])))
+    else:
+        raise RecipeError(
+            "decontaminate: need benchmark_path or benchmark_filter"
+        )
+    contam = DD.benchmark_contamination(
+        df, bench, ctx["id_col"], ctx["text_col"], k=k
+    )
+    dropped = contam.filter(F.col("is_contaminated")).select(ctx["id_col"])
+    return df.join(dropped, ctx["id_col"], "left_anti")
+
+
+def _stage_epoch_allocation(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    """Per-source data-constrained epoch allocation (the
+    training_data_pipeline_v5 scheduling step): sources are ranked by
+    mean quality; walking that order, each source gets up to
+    ``max_extra`` repeat epochs while the cumulative repeat cost fits
+    the 1×-corpus token budget — epochs = 1 + clamp((corpus_tokens −
+    Σ_prev max_extra·tokens) div tokens, 0, max_extra). Runs on the
+    tiny source table (window allowlisted: |sources| groups); the
+    result joins back as a broadcast."""
+    from pyspark.sql import Window as WS
+
+    src = p.get("source_col", "source")
+    tokens_col = p.get("tokens_col", "n_tokens")
+    quality_col = p.get("quality_col", "quality")
+    max_extra = int(p.get("max_extra", 3))
+    out = p.get("out", "epochs")
+    q = df.groupBy(src).agg(
+        F.sum(tokens_col).cast("long").alias("_tokens"),
+        F.round(F.avg(quality_col), 6).alias("_mq"),
+    )
+    tot = q.agg(F.sum("_tokens").cast("long").alias("_corpus_tokens"))
+    w = WS.orderBy(F.col("_mq").desc(), src)
+    alloc = (
+        q.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum(max_extra * F.col("_tokens"))
+                .over(w.rowsBetween(WS.unboundedPreceding, -1))
+                .cast("long"),
+                F.lit(0),
+            ),
+        )
+        .select(
+            src,
+            (
+                1
+                + F.greatest(
+                    F.least(
+                        F.floor(
+                            (F.col("_corpus_tokens") - F.col("_cum_before"))
+                            / F.col("_tokens")
+                        ).cast("long"),
+                        F.lit(max_extra).cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                )
+            ).alias(out),
+        )
+    )
+    return df.join(F.broadcast(alloc), src)
+
+
+def _stage_manifest(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    """Assign training-manifest positions under the curriculum order
+    (stage, shuffle_key, id): with ``top_k`` a TakeOrderedAndProject
+    heap + rank over the k survivors (the v5 preview contract); without
+    it, the exact DISTRIBUTED global position via global_row_number —
+    never a single-partition sort over the corpus."""
+    order = [
+        p.get("stage_col", "stage"),
+        p.get("shuffle_col", "shuffle_key"),
+        ctx["id_col"],
+    ]
+    out = p.get("out", "position")
+    if "top_k" in p:
+        from pyspark.sql import Window as WS
+
+        k = int(p["top_k"])
+        topk = df.orderBy(*order).limit(k)
+        return topk.withColumn(
+            out, F.row_number().over(WS.orderBy(*order)).cast("long")
+        )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        global_row_number,
+    )
+
+    return global_row_number(df, order, out=out)
+
+
 def _stage_curriculum_annotate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     """stage 1..3 by quality cutoffs + the deterministic within-stage
     shuffle key (the curriculum_order_manifest discipline); positions
@@ -211,7 +330,11 @@ STAGES: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
     "filter_in": _stage_filter_in,
     "length_gate": _stage_length_gate,
     "quality_gate": _stage_quality_gate,
+    "quality_annotate": _stage_quality_annotate,
     "encoding_gate": _stage_encoding_gate,
+    "decontaminate": _stage_decontaminate,
+    "epoch_allocation": _stage_epoch_allocation,
+    "manifest": _stage_manifest,
     "curriculum_annotate": _stage_curriculum_annotate,
     "lang_annotate": _stage_lang_annotate,
     "pii_scrub": _stage_pii_scrub,

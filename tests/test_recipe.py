@@ -228,3 +228,94 @@ def test_gopher_and_c4_stages_compose(spark):
     validate_streamable(
         [{"op": "gopher_gate"}, {"op": "c4_line_clean"}]
     )
+
+
+def test_capstone_recipe_equals_training_data_pipeline_v5(spark):
+    """VERDICT r5 item 6: the declarative layer covers the engine's
+    own flagship — the v5 scheduling chain (encoding gate → token
+    stats → quality → curriculum → epoch allocation → top-50
+    manifest), expressed as ONE recipe JSON, must produce EXACTLY the
+    training_data_pipeline_v5 catalog row's output on the same
+    planted input."""
+    import json as _json
+
+    from gcs_parquet_dataflow_spark.plans.recipe import (
+        compile_recipe,
+        load_recipe,
+    )
+    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    expected = sorted(
+        tuple(r) for r in CATALOG["training_data_pipeline_v5"]
+        .build(spark, sf).collect()
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    # the same planted mojibake injection the catalog row applies
+    injected = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.col("text"), F.lit(" cafÃ© na�ve")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    recipe = load_recipe(_json.dumps([
+        {"op": "encoding_gate"},
+        {"op": "token_stats", "out": "n_tokens"},
+        {"op": "quality_annotate", "out": "quality"},
+        {"op": "curriculum_annotate", "hi": 0.75, "lo": 0.5,
+         "out": "stage", "shuffle_out": "shuffle_key"},
+        {"op": "epoch_allocation", "max_extra": 3, "out": "epochs"},
+        {"op": "manifest", "top_k": 50, "out": "position"},
+    ]))
+    got = sorted(
+        tuple(r)
+        for r in compile_recipe(injected, recipe)
+        .select(
+            "position",
+            "doc_id",
+            "source",
+            F.col("stage").cast("long").alias("stage"),
+            "quality",
+            "n_tokens",
+            F.col("epochs").cast("long").alias("epochs"),
+        )
+        .collect()
+    )
+    assert got == expected
+
+
+def test_capstone_recipe_file_compiles_and_runs(spark):
+    """The shipped recipes/full_curation_v1.json (the full v4+v5
+    chain: extract → decontaminate → gates → curriculum → allocation →
+    DISTRIBUTED manifest) compiles and runs end-to-end; positions are
+    a dense 1..N and benchmark members are gone."""
+    import os
+
+    from gcs_parquet_dataflow_spark.plans.recipe import (
+        compile_recipe,
+        load_recipe,
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "recipes",
+        "full_curation_v1.json",
+    )
+    with open(path) as f:
+        recipe = load_recipe(f.read())
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("text").isNotNull())
+    out = compile_recipe(docs, recipe)
+    rows = out.select("doc_id", "position", "stage", "epochs").collect()
+    assert rows
+    positions = sorted(r["position"] for r in rows)
+    assert positions == list(range(1, len(rows) + 1))
+    assert all(r["doc_id"] % 17 != 0 for r in rows)  # decontaminated
+    assert {r["stage"] for r in rows} <= {1, 2, 3}
+    assert all(1 <= r["epochs"] <= 4 for r in rows)
