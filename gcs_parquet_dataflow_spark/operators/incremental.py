@@ -95,7 +95,10 @@ def dedup_batch_against_index(
     probe = bands
     if max_bucket_size is not None:
         probe = persist_intermediate(
-            cap_hot_buckets(bands, ["band", "key"], max_bucket_size)
+            cap_hot_buckets(
+                bands, ["band", "key"], max_bucket_size,
+                metric_name="incremental_bands",
+            )
         )
 
     index = read_index(spark, index_path)
