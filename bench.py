@@ -100,6 +100,7 @@ EXTENDED = [
     # round-6 additions: new operators + plans changed this round
     "unigram_em_piece_counts",
     "quality_classifier_gradient",
+    "graph_coactivity_edges_autocap",
     "inequality_gini_revenue",
     "pareto_abc_parts",
     "user_rfm_segments",

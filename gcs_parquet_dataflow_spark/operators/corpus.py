@@ -773,15 +773,22 @@ def unigram_train(
     text_col: str,
     n_iters: int = 3,
     min_count: int = UNIGRAM_MIN_PIECE_COUNT,
+    vocab_size: int | None = None,
 ) -> list[tuple[str, int, int]]:
     """Train the unigram LM: seed vocab from substring counts, then
     ``n_iters`` hard-EM rounds (E: Viterbi under current scores; M:
     re-score pieces by their expected counts). Pieces Viterbi stops
     choosing fall out of the vocab; single-char pieces are floored at
     count 1 so every word stays segmentable (the SentencePiece
-    character-coverage guarantee). Returns the final
-    [(piece, expected_count, prob_ppb)] — vocabulary-bounded driver
-    list, probabilities in exact integer parts-per-billion."""
+    character-coverage guarantee). With ``vocab_size``, each M-step
+    also PRUNES to the target: keep every single-char piece plus the
+    top multi-char pieces by (expected_count desc, piece) until the
+    size fits — the hard-EM reading of Kudo's
+    least-likelihood-loss pruning (a Viterbi-unused piece has zero
+    count and is exactly the piece whose removal costs nothing).
+    Returns the final [(piece, expected_count, prob_ppb)] —
+    vocabulary-bounded driver list, probabilities in exact integer
+    parts-per-billion."""
     from gcs_parquet_dataflow_spark.operators.partitioning import (
         persist_intermediate,
     )
@@ -796,6 +803,8 @@ def unigram_train(
             )
         ).alias("piece")
     ).distinct()
+    chars = persist_intermediate(chars)
+    n_chars = chars.count() if vocab_size is not None else 0
     for _ in range(n_iters):
         counts = unigram_em_counts(words, vocab)
         vocab = (
@@ -813,6 +822,13 @@ def unigram_train(
                 )
             )
         )
+        if vocab_size is not None and vocab_size > n_chars:
+            multi = (
+                vocab.join(chars, "piece", "left_anti")
+                .orderBy(F.desc("piece_count"), F.asc("piece"))
+                .limit(vocab_size - n_chars)
+            )
+            vocab = chars.join(vocab, "piece").unionByName(multi)
         vocab = persist_intermediate(with_qlog2_256(vocab, "piece_count", "q"))
     rows = (
         vocab.agg(F.sum("piece_count").cast("long").alias("t"))

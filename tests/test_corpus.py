@@ -366,6 +366,19 @@ def test_unigram_train_encode_lossless_and_planted(spark):
     # so the word splits q+qq under the longest-LAST-piece tie-break
     assert toks[2][-2:] == ["q", "qq"]
 
+    # vocab_size pruning: singles always survive; multi-char slots go
+    # to the highest-expected-count pieces; encoding stays lossless
+    pruned = unigram_train(
+        docs, "text", n_iters=2, min_count=2, vocab_size=7
+    )
+    singles = {p for p, _, _ in pruned if len(p) == 1}
+    multis = [p for p, _, _ in pruned if len(p) > 1]
+    assert len(pruned) <= 7 and len(multis) <= 7 - len(singles)
+    assert "abab" in multis or "cd" in multis  # the dominant pieces win
+    enc2 = unigram_encode(docs, "text", pruned)
+    for r in enc2.select("text", "unigram_tokens").collect():
+        assert "".join(r["unigram_tokens"]) == r["text"].replace(" ", "")
+
 
 def test_unigram_em_counts_match_manual_viterbi(spark):
     """The in-engine unrolled DP equals a hand-computed Viterbi on a
