@@ -110,6 +110,50 @@ def gradient_at_zero(
     )
 
 
+def step1_weights(
+    feats: DataFrame, labels: DataFrame, id_col: str
+) -> DataFrame:
+    """Closed-form FIRST gradient-descent step from w = 0 as a
+    DataFrame → (bucket, wv) in µ-units — the oracle-expressible
+    slice of the iterative trainer. At w = 0 the residual is exactly
+    r_i = 500000·(1 − 2y_i), so with the default lr = 2.0 the update
+    collapses to the pure integer
+
+        wv_j = −((10⁶ · grad_x2_j) div n_docs)
+
+    with BOTH engines' truncate-toward-zero integer division (Spark
+    ``div`` ≡ DuckDB ``//``; the iterative trainer's Python ``//``
+    floors instead — at most 1 µ-unit apart on negative quotients,
+    which is why this closed form, not the trainer loop, is the
+    differential surface). 10⁶·|grad_x2| must fit int64: fine through
+    ~10¹² feature-count mass; beyond that normalize grad by n first
+    (the iterative trainer's regime).
+
+    Scale shape: one equi-join + hash aggregate over the feature
+    table, then a 1-row-aggregate scalar attach (bounded crossJoin)."""
+    g = gradient_at_zero(feats, labels, id_col)
+    n = labels.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return g.crossJoin(F.broadcast(n)).select(
+        "bucket",
+        F.expr(f"-(({MICRO} * grad_x2) div _n)").cast("long").alias("wv"),
+    )
+
+
+def margin_scores(
+    feats: DataFrame, weights_df: DataFrame, id_col: str
+) -> DataFrame:
+    """→ (id_col, s): the exact int64 margin s_i = Σ_j wv_j·x_ij from
+    a (bucket, wv) weight DataFrame — the quantity every downstream
+    gate should threshold on (s ≥ 0 ⇔ σ ≥ ½ exactly; thresholding the
+    rounded float probability instead invites boundary flips). One
+    broadcast join against the dim-bounded weight table."""
+    return (
+        feats.join(F.broadcast(weights_df), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("wv") * F.col("x")).cast("long").alias("s"))
+    )
+
+
 def train_quality_classifier(
     df: DataFrame,
     id_col: str,

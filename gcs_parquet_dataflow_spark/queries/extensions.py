@@ -14611,3 +14611,111 @@ def graph_coactivity_edges_autocap(spark, sf_dir):
     tests/test_scale_patterns.py::test_auto_cap_survives_saturation
     and the 20× smoke in SCALE.md."""
     return _coactivity_edges(spark, sf_dir, max_bucket_size="auto")
+
+
+@query(
+    "classifier_distill_step1",
+    """
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+                      list_filter(string_split(text, ' '), tk -> tk <> '')
+                          AS wf
+               FROM documents WHERE text IS NOT NULL),
+    lab AS (SELECT doc_id,
+                   CASE WHEN
+                     round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0,
+                                       1.0)
+                         + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                       / len(w), 6)
+                         + 0.2 * least({_stop} * 10.0, 1.0), 6) >= 0.5
+                   THEN 1 ELSE 0 END AS y
+            FROM d),
+    grams AS (SELECT doc_id, unnest(wf) AS gram FROM d
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(wf)),
+                            i -> wf[CAST(i AS INT)] || ' '
+                                 || wf[CAST(i + 1 AS INT)])) AS gram
+              FROM d),
+    feats AS (SELECT doc_id,
+                     CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                         % {dim} AS bucket,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM grams GROUP BY 1, 2),
+    g AS (SELECT bucket,
+                 CAST(sum((1 - 2 * y) * x) AS BIGINT) AS grad_x2
+          FROM feats JOIN lab USING (doc_id) GROUP BY bucket),
+    wts AS (SELECT bucket,
+                   CAST(-((1000000 * grad_x2) // n) AS BIGINT) AS wv
+            FROM g CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n
+                               FROM lab)),
+    s AS (SELECT doc_id, CAST(sum(wv * x) AS BIGINT) AS s
+          FROM feats JOIN wts USING (bucket) GROUP BY doc_id)
+    SELECT lab.doc_id,
+           CAST(lab.y AS BIGINT) AS teacher_pass,
+           round(1.0 / (1.0 + exp(-CAST(coalesce(s.s, 0) AS DOUBLE)
+                                  / 1000000.0)), 6) AS student_prob,
+           CAST(CASE WHEN coalesce(s.s, 0) >= 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS student_pass,
+           CAST(CASE WHEN lab.y = CASE WHEN coalesce(s.s, 0) >= 0
+                                       THEN 1 ELSE 0 END
+                THEN 1 ELSE 0 END AS BIGINT) AS agree
+    FROM lab LEFT JOIN s USING (doc_id)
+    """.replace("{_stop}", _stop_sql("en")).replace("{dim}", "1024"),
+)
+def classifier_distill_step1(spark, sf_dir):
+    """End-to-end TRAIN→DEPLOY differential surface for the quality
+    classifier (operators/classifier.py): take one closed-form
+    gradient step from w = 0 (step1_weights — exact integer µ-unit
+    weights, truncate-toward-zero division pinned on both engines),
+    score EVERY document with the exact int64 margin (margin_scores),
+    and report the per-document teacher/student decisions — the
+    heuristic quality gate the classifier distills (teacher_pass),
+    the step-1 probability rounded to 6 (student_prob), the
+    EXACT-margin gate s ≥ 0 (student_pass — never thresholded on the
+    rounded float), and their agreement bit. The multi-iteration
+    trainer, AUC separation, and partitioning-independence are
+    tests/test_round6.py; the streaming deployment is
+    run_classifier_filter_stream (replay-idempotent, same margin
+    gate).
+
+    Scale shape: ONE corpus scan builds the feature table (persisted
+    — it feeds both the gradient and the scoring pass); the weight
+    table is dim-bounded and broadcast everywhere; token-less
+    documents score σ(0) = 0.5 via the left join, never dropped."""
+    from gcs_parquet_dataflow_spark.operators.classifier import (
+        MICRO,
+        hashed_ngram_features,
+        margin_scores,
+        step1_weights,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    labels = d.select(
+        "doc_id",
+        F.when(TX.quality_score(F.col("text")) >= 0.5, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    feats = persist_intermediate(
+        hashed_ngram_features(d, "doc_id", "text", dim=1024)
+    )
+    wts = step1_weights(feats, labels, "doc_id")
+    s = margin_scores(feats, wts, "doc_id")
+    s_eff = F.coalesce("s", F.lit(0))
+    student_pass = F.when(s_eff >= 0, 1).otherwise(0)
+    return labels.join(s, "doc_id", "left").select(
+        "doc_id",
+        F.col("y").alias("teacher_pass"),
+        F.round(
+            1.0 / (1.0 + F.exp(-s_eff.cast("double") / MICRO)), 6
+        ).alias("student_prob"),
+        student_pass.cast("long").alias("student_pass"),
+        F.when(F.col("y") == student_pass, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("agree"),
+    )

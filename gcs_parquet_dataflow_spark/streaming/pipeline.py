@@ -868,3 +868,103 @@ def run_decontamination_stream(
     query = writer.start()
     _register_stream_pins(spark, query, [bench_df])
     return query
+
+
+def run_classifier_filter_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    weights: "dict[int, int]",
+    keep_path: str,
+    drop_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int | None = None,
+    min_prob: float = 0.5,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming deployment of the TRAINED quality classifier
+    (operators/classifier.py): each micro-batch is featurized with
+    the same hashed uni+bigram expression the trainer used, scored
+    against the frozen weight table (broadcast — dim-bounded), and
+    split on the EXACT integer margin (s ≥ logit(min_prob)·10⁶, so
+    the gate can never flip on float rounding) into a keep lake and a
+    drop lake, with a per-batch scoring report (n_in / n_kept /
+    kept_frac / mean_prob). All three writes are batch-keyed dynamic
+    partition overwrites — a replayed micro-batch converges to the
+    same lake state (the run_quality_gate_stream contract, with a
+    learned gate instead of declarative rules).
+
+    This is the serve-side half of the fastText-shape filter every
+    production pretraining pipeline deploys: train offline
+    (train_quality_classifier — or any importer producing µ-unit
+    weights), freeze, score forever. Re-training is a scheduled batch
+    job that swaps the weight dict; the stream never re-derives
+    model state, so state stays bounded and replay stays idempotent."""
+    import math
+
+    from gcs_parquet_dataflow_spark.operators.classifier import (
+        HASH_DIM,
+        MICRO,
+        hashed_ngram_features,
+        margin_scores,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    dim_ = dim if dim is not None else HASH_DIM
+    if not 0.0 < min_prob < 1.0:
+        raise ValueError(f"min_prob must be in (0, 1), got {min_prob}")
+    margin_min = int(round(math.log(min_prob / (1.0 - min_prob)) * MICRO))
+    wrows = [(int(b), int(w)) for b, w in weights.items()] or [(0, 0)]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = persist_intermediate(batch_df)
+        wdf = spark.createDataFrame(wrows, "bucket long, wv long")
+        feats = hashed_ngram_features(batch_df, id_col, text_col, dim_)
+        s = margin_scores(feats, wdf, id_col)
+        scored = persist_intermediate(
+            batch_df.join(s, id_col, "left")
+            .withColumn("_s", F.coalesce("s", F.lit(0)).cast("long"))
+            .drop("s")
+            .withColumn(
+                "clf_prob",
+                F.round(
+                    1.0 / (1.0 + F.exp(-F.col("_s").cast("double") / MICRO)),
+                    6,
+                ),
+            )
+        )
+        keep = scored.filter(F.col("_s") >= margin_min).drop("_s")
+        drop = scored.filter(F.col("_s") < margin_min).drop("_s")
+        report = scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_in"),
+            F.count_if(F.col("_s") >= margin_min)
+            .cast("long")
+            .alias("n_kept"),
+            F.round(F.avg("clf_prob"), 6).alias("mean_prob"),
+        ).withColumn(
+            "kept_frac",
+            F.round(F.col("n_kept") / F.greatest("n_in", F.lit(1)), 6),
+        )
+        write_partitioned(keep, keep_path, [], batch_id=batch_id)
+        write_partitioned(drop, drop_path, [], batch_id=batch_id)
+        write_partitioned(
+            report, report_path, [], batch_id=batch_id, coalesce_files=1
+        )
+        release_intermediates()
+
+    writer = docs_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1161,6 +1161,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "dedup_blocking_effectiveness",    # 1x1x1 scalar count combination
         "metric_rank_movers_wow",          # 1-row week-bounds broadcast
         "unigram_em_piece_counts",         # 1-row vocab-map + totals broadcast
+        "classifier_distill_step1",        # 1-row n-docs broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

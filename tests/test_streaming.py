@@ -863,3 +863,97 @@ def test_decontamination_stream_quarantines_benchmark_quoters(spark, tmp_path):
     assert {r["doc_id"] for r in contam.collect()} == {1}
     assert contam.first()["contam_fraction"] > 0
     assert {r["doc_id"] for r in clean.collect()} == {2, 3, 4}
+
+
+def test_classifier_filter_stream_scores_and_is_replay_idempotent(
+    spark, tmp_path
+):
+    """Streaming deployment of the trained quality classifier: train
+    offline on planted good/spam classes, stream two micro-batches of
+    UNSEEN docs drawn from the same vocabularies, and check the
+    margin gate routes them by class, the per-batch report is sane,
+    and a full replay (fresh checkpoint, same input and lake paths)
+    converges to the identical lake state — batch-keyed overwrites,
+    no duplication."""
+    from gcs_parquet_dataflow_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_classifier_filter_stream,
+    )
+
+    good = ["the", "quick", "brown", "fox", "jumps", "analysis",
+            "report", "summary", "data", "result"]
+    spam = ["buy", "cheap", "now", "click", "winner", "free",
+            "offer", "deal", "prize", "cash"]
+    train_rows = [
+        (i, " ".join(good[(i + j) % 10] for j in range(12)), 1)
+        for i in range(20)
+    ] + [
+        (i, " ".join(spam[(i + j) % 10] for j in range(12)), 0)
+        for i in range(20, 40)
+    ]
+    train = spark.createDataFrame(
+        train_rows, "doc_id long, text string, y long"
+    )
+    weights = train_quality_classifier(
+        train, "doc_id", "text", train.select("doc_id", "y")
+    )
+    assert weights  # trained something
+
+    # unseen docs: different phrase rotations than any training doc
+    b0 = spark.createDataFrame(
+        [(100, " ".join(good[(3 * j) % 10] for j in range(9))),
+         (101, " ".join(spam[(3 * j) % 10] for j in range(9)))],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(102, " ".join(good[(7 * j + 1) % 10] for j in range(9))),
+         (103, " ".join(spam[(7 * j + 1) % 10] for j in range(9)))],
+        "doc_id long, text string",
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    b0.coalesce(1).write.parquet(str(indir / "b0"))
+    b1.coalesce(1).write.parquet(str(indir / "b1"))
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir / "*"))
+        )
+        q = run_classifier_filter_stream(
+            spark, stream, weights,
+            str(tmp_path / "keep"), str(tmp_path / "drop"),
+            str(tmp_path / "rep"), str(tmp_path / ck),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    keep1 = sorted(
+        (r["doc_id"], r["clf_prob"])
+        for r in spark.read.parquet(str(tmp_path / "keep")).collect()
+    )
+    drop1 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "drop")).collect()
+    )
+    assert [d for d, _ in keep1] == [100, 102]
+    assert drop1 == [101, 103]
+    assert all(p >= 0.5 for _, p in keep1)
+    rep = spark.read.parquet(str(tmp_path / "rep"))
+    assert rep.count() == 2  # one report row per micro-batch
+    assert {r["n_in"] for r in rep.collect()} == {2}
+    assert {r["n_kept"] for r in rep.collect()} == {1}
+    assert {r["kept_frac"] for r in rep.collect()} == {0.5}
+
+    # full replay with a fresh checkpoint: identical lake state
+    run("ck2")
+    keep2 = sorted(
+        (r["doc_id"], r["clf_prob"])
+        for r in spark.read.parquet(str(tmp_path / "keep")).collect()
+    )
+    assert keep2 == keep1
+    assert spark.read.parquet(str(tmp_path / "rep")).count() == 2
