@@ -14719,3 +14719,220 @@ def classifier_distill_step1(spark, sf_dir):
         .cast("long")
         .alias("agree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution / record linkage (operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+# Shared scenario, single-sourced for both engines: the customer table
+# plus PLANTED variant records (every 7th customer re-spelled: upper-
+# cased name with '#' -> ' ', +5 cents balance, same nation/segment —
+# the cross-crawl re-spelling ER must undo). Four blocking passes: name
+# digits (near-perfect), $10 balance band, mktsegment (deliberately HOT
+# — 5 values, always over the cap, so the guard provably excludes a
+# non-discriminative key), nation|segment composite. Fixed cap 32.
+_ER_CAP = 32
+_ER_THRESHOLD = 70
+_ER_CTES = f"""
+    recs AS (
+      SELECT c_custkey AS rec_id, c_name AS name,
+             CAST(c_nationkey AS BIGINT) AS nation,
+             c_mktsegment AS segment,
+             CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, replace(upper(c_name), '#', ' '),
+             CAST(c_nationkey AS BIGINT), c_mktsegment,
+             CAST(round(c_acctbal*100) AS BIGINT) + 5
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    keys AS (
+      SELECT rec_id, 'nm:' || regexp_replace(name, '[^0-9]', '', 'g')
+             AS bkey FROM recs
+      UNION ALL
+      SELECT rec_id,
+             'bal:' || CAST(CAST(floor(bal_cents/1000.0) AS BIGINT)
+                            AS VARCHAR)
+      FROM recs
+      UNION ALL
+      SELECT rec_id, 'seg:' || segment FROM recs
+      UNION ALL
+      SELECT rec_id, 'nsg:' || CAST(nation AS VARCHAR) || '|' || segment
+      FROM recs
+    ),
+    kept AS (
+      SELECT rec_id, bkey FROM keys
+      WHERE bkey IN (SELECT bkey FROM keys
+                     GROUP BY bkey HAVING count(*) <= {_ER_CAP})
+    ),
+    cand AS (
+      SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_passes
+      FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.rec_id < b.rec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b, c.n_passes,
+             CAST((CASE WHEN lower(regexp_replace(a.name,
+                            '[^A-Za-z0-9]', '', 'g'))
+                      = lower(regexp_replace(b.name,
+                            '[^A-Za-z0-9]', '', 'g'))
+                   THEN 50 ELSE 0 END)
+                + (CASE WHEN a.nation = b.nation THEN 10 ELSE 0 END)
+                + (CASE WHEN a.segment = b.segment THEN 10 ELSE 0 END)
+                + (CASE WHEN abs(a.bal_cents - b.bal_cents) <= 10
+                   THEN 30 ELSE 0 END)
+               AS BIGINT) AS score
+      FROM cand c
+      JOIN recs a ON c.id_a = a.rec_id
+      JOIN recs b ON c.id_b = b.rec_id
+    )
+"""
+
+
+def _er_records(spark, sf_dir):
+    """Spark twin of the recs CTE."""
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("long").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        cents(F.col("c_acctbal")).alias("bal_cents"),
+    )
+    variants = c.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).cast("long").alias("rec_id"),
+        F.replace(F.upper("c_name"), F.lit("#"), F.lit(" ")).alias("name"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        (cents(F.col("c_acctbal")) + 5).alias("bal_cents"),
+    )
+    return base.unionByName(variants)
+
+
+def _er_passes():
+    return [
+        ("nm", F.regexp_replace(F.col("name"), "[^0-9]", "")),
+        ("bal", F.floor(F.col("bal_cents") / 1000).cast("long")),
+        ("seg", F.col("segment")),
+        ("nsg", F.concat_ws(
+            "|", F.col("nation").cast("string"), F.col("segment"))),
+    ]
+
+
+def _er_candidates(spark, sf_dir):
+    from gcs_parquet_dataflow_spark.operators import linkage
+
+    return linkage.blocked_candidate_pairs(
+        _er_records(spark, sf_dir), "rec_id", _er_passes(),
+        max_block_size=_ER_CAP,
+    )
+
+
+def _er_agreements():
+    def norm(c):
+        return F.lower(F.regexp_replace(F.col(c), "[^A-Za-z0-9]", ""))
+
+    return [
+        (norm("name_a") == norm("name_b"), 50),
+        (F.col("nation_a") == F.col("nation_b"), 10),
+        (F.col("segment_a") == F.col("segment_b"), 10),
+        (F.abs(F.col("bal_cents_a") - F.col("bal_cents_b")) <= 10, 30),
+    ]
+
+
+def _er_matches(spark, sf_dir):
+    from gcs_parquet_dataflow_spark.operators import linkage
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    recs = persist_intermediate(_er_records(spark, sf_dir))
+    pairs = linkage.blocked_candidate_pairs(
+        recs, "rec_id", _er_passes(), max_block_size=_ER_CAP,
+    )
+    attrs = linkage.pair_attributes(
+        pairs, recs, "rec_id",
+        ["name", "nation", "segment", "bal_cents"],
+    )
+    scored = linkage.fellegi_sunter_score(attrs, _er_agreements())
+    return recs, scored.filter(F.col("score") >= _ER_THRESHOLD)
+
+
+@query(
+    "er_blocked_candidates",
+    f"WITH {_ER_CTES} SELECT id_a, id_b, n_passes FROM cand",
+)
+def er_blocked_candidates(spark, sf_dir):
+    """Multi-pass blocked candidate generation for entity resolution
+    (operators/linkage.py blocked_candidate_pairs): four blocking
+    passes over the planted-variant customer records, hot blocks
+    excluded by the shared cap guard (the 5-value mktsegment pass is
+    ALWAYS over cap=32 — a non-discriminative key contributes nothing
+    instead of detonating the self-join), pairs deduplicated across
+    passes with an n_passes match-prior. Cost Σ_pass Σ_block |block|²,
+    never |records|²."""
+    return _er_candidates(spark, sf_dir)
+
+
+@query(
+    "er_match_pairs_scored",
+    f"""
+    WITH {_ER_CTES}
+    SELECT id_a, id_b, n_passes, score FROM scored
+    WHERE score >= {_ER_THRESHOLD}
+    """,
+)
+def er_match_pairs_scored(spark, sf_dir):
+    """Fellegi–Sunter match decision (operators/linkage.py
+    fellegi_sunter_score): integer field-agreement weights (normalized
+    name 50, nation 10, segment 10, balance-within-10¢ 30) summed as
+    one codegen'd Column over the blocked pair stream; threshold 70
+    requires name agreement — exactly the planted re-spelled variants
+    match, background block-mates score ≤ 50."""
+    _, matches = _er_matches(spark, sf_dir)
+    return matches.select("id_a", "id_b", "n_passes", "score")
+
+
+@query(
+    "er_golden_records",
+    f"""
+    WITH RECURSIVE {_ER_CTES},
+    m0 AS (SELECT id_a, id_b FROM scored WHERE score >= {_ER_THRESHOLD}),
+    e AS (SELECT id_a AS s, id_b AS d FROM m0
+          UNION SELECT id_b, id_a FROM m0),
+    r AS (SELECT s, d FROM e
+          UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+    mn AS (SELECT s AS rec_id, min(d) AS mn FROM r GROUP BY s),
+    lab AS (SELECT recs.rec_id, recs.name, recs.bal_cents,
+                   CAST(coalesce(least(recs.rec_id, mn.mn), recs.rec_id)
+                        AS BIGINT) AS cluster
+            FROM recs LEFT JOIN mn USING (rec_id))
+    SELECT cluster AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_records,
+           min_by(name, rec_id) AS canonical_name,
+           CAST(max(bal_cents) AS BIGINT) AS max_bal_cents
+    FROM lab GROUP BY cluster
+    """,
+)
+def er_golden_records(spark, sf_dir):
+    """End-to-end entity resolution: blocking → scoring → transitive
+    closure (Pregel min-label connected_components) → survivorship
+    (operators/linkage.py entity_clusters + golden_records). One golden
+    record per entity: min-id canonical name pick (min_by), max balance
+    across members. Planted variants collapse into 2-record entities
+    keyed by the original custkey; everything else stays a singleton."""
+    from gcs_parquet_dataflow_spark.operators import linkage
+
+    recs, matches = _er_matches(spark, sf_dir)
+    clusters = linkage.entity_clusters(
+        recs, matches.select("id_a", "id_b"), "rec_id"
+    )
+    labeled = recs.join(clusters, "rec_id")
+    return linkage.golden_records(
+        labeled, "rec_id", canonical=("name",),
+        extra_aggs=(
+            F.max("bal_cents").cast("long").alias("max_bal_cents"),
+        ),
+    )

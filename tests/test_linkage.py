@@ -1,0 +1,157 @@
+"""Entity-resolution suite (operators/linkage.py): blocking semantics,
+hot-block guard, integer Fellegi–Sunter scoring, transitive closure,
+survivorship determinism — the semantic contracts the differential
+oracle rows (er_*) rely on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.operators import linkage
+
+
+def _records(spark):
+    # 1/2 are a near-pair (share name digits + city); 3 is a hot-city
+    # singleton; 4/5/6 share ONLY the hot city "metropolis".
+    return spark.createDataFrame(
+        [
+            (1, "Acme Corp 01", "springfield"),
+            (2, "ACME CORP 01", "springfield"),
+            (3, "Zenith Ltd 77", "metropolis"),
+            (4, "Foo 10", "metropolis"),
+            (5, "Bar 11", "metropolis"),
+            (6, "Baz 12", "metropolis"),
+        ],
+        "rid long, name string, city string",
+    )
+
+
+def _passes():
+    return [
+        ("nm", F.regexp_replace(F.col("name"), "[^0-9]", "")),
+        ("city", F.col("city")),
+    ]
+
+
+def test_blocked_candidate_pairs_counts_passes(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_passes"]
+        for r in linkage.blocked_candidate_pairs(
+            _records(spark), "rid", _passes()
+        ).collect()
+    }
+    # 1/2 meet via BOTH passes (same digits, same city)
+    assert pairs[(1, 2)] == 2
+    # metropolis block contributes its C(4,2) pairs once each
+    assert pairs[(3, 4)] == 1 and pairs[(4, 5)] == 1 and pairs[(5, 6)] == 1
+    assert len(pairs) == 1 + 6
+
+
+def test_blocked_candidate_pairs_cap_excludes_hot_block(spark):
+    # cap=3 guards the 4-member metropolis city block; the nm pass and
+    # small blocks are untouched, so ONLY the 1/2 pair survives.
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_passes"]
+        for r in linkage.blocked_candidate_pairs(
+            _records(spark), "rid", _passes(), max_block_size=3
+        ).collect()
+    }
+    assert pairs == {(1, 2): 2}
+
+
+def test_blocked_candidate_pairs_null_key_skips_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, None, "x"), (3, None, None)],
+        "rid long, name string, city string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_passes"]
+        for r in linkage.blocked_candidate_pairs(
+            df, "rid", [("nm", F.col("name")), ("city", F.col("city"))]
+        ).collect()
+    }
+    # record 2 has no nm key but still meets 1 through the city pass;
+    # record 3 has no key at all and pairs with nobody.
+    assert pairs == {(1, 2): 1}
+
+
+def test_fellegi_sunter_score_null_is_zero_evidence(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, "a", "a", 10, 12), (3, 4, "b", None, 10, 100)],
+        "id_a long, id_b long, name_a string, name_b string,"
+        " bal_a long, bal_b long",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in linkage.fellegi_sunter_score(
+            pairs,
+            [
+                (F.col("name_a") == F.col("name_b"), 50),
+                (F.abs(F.col("bal_a") - F.col("bal_b")) <= 10, 30),
+            ],
+        ).collect()
+    }
+    assert out[(1, 2)] == 80
+    # NULL name comparison contributes 0, not NULL — the whole score
+    # stays defined and the balance disagreement adds nothing.
+    assert out[(3, 4)] == 0
+
+
+def test_entity_clusters_transitive_closure(spark):
+    recs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "rid long"
+    )
+    matches = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {
+        r["rid"]: r["cluster"]
+        for r in linkage.entity_clusters(recs, matches, "rid").collect()
+    }
+    # 1-2-3 chain closes transitively to min id 1; 4-5 to 4; 6 singleton
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_golden_records_survivorship(spark):
+    labeled = spark.createDataFrame(
+        [
+            (2, 1, "Acme CORP", 500),
+            (1, 1, "Acme Corp", 300),
+            (3, 3, "Zenith", 100),
+        ],
+        "rid long, cluster long, name string, bal long",
+    )
+    out = {
+        r["entity_id"]: (
+            r["n_records"], r["canonical_name"], r["max_bal"]
+        )
+        for r in linkage.golden_records(
+            labeled, "rid", canonical=("name",),
+            extra_aggs=(F.max("bal").alias("max_bal"),),
+        ).collect()
+    }
+    # canonical picks the MIN-rid member's value; max rides along
+    assert out == {1: (2, "Acme Corp", 500), 3: (1, "Zenith", 100)}
+
+
+def test_er_pipeline_recovers_planted_variants(spark):
+    """End-to-end planted-recall on real data: every re-spelled variant
+    (the er_* oracle scenario at sf0.001) must match BACK to its source
+    record and ONLY to it — precision and recall both exact."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.queries.extensions import _er_matches
+
+    recs, matches = _er_matches(spark, "/root/testdata/sf0.001")
+    got = {
+        (r["id_a"], r["id_b"]) for r in matches.collect()
+    }
+    planted = {
+        (r["rec_id"], r["rec_id"] + 1000000)
+        for r in recs.filter(
+            (F.col("rec_id") % 7 == 0) & (F.col("rec_id") < 1000000)
+        ).collect()
+    }
+    release_intermediates()
+    assert got == planted and len(planted) > 0
