@@ -182,6 +182,94 @@ def fellegi_sunter_score(
     return pairs.withColumn(score_col, total.cast("long"))
 
 
+def em_weight_step(
+    pairs: DataFrame,
+    agreements: list[tuple[str, Column]],
+    p_tenths: int = 1,
+    m_tenths: int = 9,
+    u_tenths: int = 1,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """One EM iteration of Fellegi–Sunter m/u weight estimation over
+    the candidate-pair stream — the step that turns the hand-dialed
+    integer weights of :func:`fellegi_sunter_score` into ESTIMATED
+    log-likelihood ratios (Winkler's unsupervised EM).
+
+    E-step per pair: with priors p = p_tenths/10, m = m_tenths/10,
+    u = u_tenths/10 (a one-decimal grid so every per-pair posterior is
+    an exact integer ratio), the match posterior is
+
+        w = A / (A + B),  A = p₁₀·Π(γ_k ? m₁₀ : 10−m₁₀),
+                          B = (10−p₁₀)·Π(γ_k ? u₁₀ : 10−u₁₀)
+
+    quantized to µ-units with truncate-toward-zero integer division
+    (Spark ``div`` ≡ DuckDB ``//`` — the same pinned idiom as the
+    classifier's gradient step). M-step per field: exact int64 sums
+
+        m_k' = Σ wq·γ_k / Σ wq,   u_k' = Σ (micro−wq)·γ_k / Σ (micro−wq)
+
+    → (field, support_match, support_unmatch, m_new, u_new) with the
+    supports exact longs and the estimates doubles rounded to 6. A
+    NULL agreement predicate counts as disagreement (γ = 0), matching
+    :func:`fellegi_sunter_score`. ONE aggregate over the bounded pair
+    stream; the per-field stack is K rows on the driver side of a
+    1-row aggregate — nothing here scales with the corpus.
+    """
+    if not agreements:
+        raise ValueError("at least one agreement predicate is required")
+    names = [n for n, _ in agreements]
+    g = {
+        n: F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        for n, cond in agreements
+    }
+    a_num = F.lit(int(p_tenths)).cast("long")
+    b_num = F.lit(10 - int(p_tenths)).cast("long")
+    for n in names:
+        a_num = a_num * F.when(
+            g[n] == 1, F.lit(int(m_tenths))
+        ).otherwise(F.lit(10 - int(m_tenths)))
+        b_num = b_num * F.when(
+            g[n] == 1, F.lit(int(u_tenths))
+        ).otherwise(F.lit(10 - int(u_tenths)))
+    per_pair = pairs.select(
+        *[g[n].alias(f"_g_{n}") for n in names],
+        a_num.alias("_a"),
+        b_num.alias("_b"),
+    ).select(
+        *[F.col(f"_g_{n}") for n in names],
+        F.expr(f"({micro} * _a) div (_a + _b)").cast("long").alias("_wq"),
+    )
+    aggs = [F.sum("_wq").alias("_sw"),
+            F.sum(F.lit(micro) - F.col("_wq")).alias("_snw")]
+    for n in names:
+        aggs.append(
+            F.sum(F.col("_wq") * F.col(f"_g_{n}")).alias(f"_swg_{n}")
+        )
+        aggs.append(
+            F.sum((F.lit(micro) - F.col("_wq")) * F.col(f"_g_{n}"))
+            .alias(f"_snwg_{n}")
+        )
+    totals = per_pair.agg(*aggs)
+    stack = ", ".join(
+        f"'{n}', _swg_{n}, _snwg_{n}" for n in names
+    )
+    return totals.selectExpr(
+        f"stack({len(names)}, {stack})"
+        " as (field, support_match, support_unmatch)",
+        "_sw", "_snw",
+    ).select(
+        "field",
+        F.col("support_match").cast("long").alias("support_match"),
+        F.col("support_unmatch").cast("long").alias("support_unmatch"),
+        F.round(
+            F.col("support_match").cast("double") / F.col("_sw"), 6
+        ).alias("m_new"),
+        F.round(
+            F.col("support_unmatch").cast("double") / F.col("_snw"), 6
+        ).alias("u_new"),
+    )
+
+
 def golden_records(
     labeled: DataFrame,
     id_col: str,
@@ -206,6 +294,8 @@ def golden_records(
     return labeled.groupBy(
         F.col(cluster_col).alias("entity_id")
     ).agg(*aggs)
+
+
 def first_token_block(col: Column) -> Column:
     """Cheapest useful blocking key: the first whitespace token."""
     return F.split_part(col, F.lit(" "), F.lit(1))

@@ -14830,16 +14830,23 @@ def _er_candidates(spark, sf_dir):
     )
 
 
-def _er_agreements():
+def _er_named_agreements():
     def norm(c):
         return F.lower(F.regexp_replace(F.col(c), "[^A-Za-z0-9]", ""))
 
     return [
-        (norm("name_a") == norm("name_b"), 50),
-        (F.col("nation_a") == F.col("nation_b"), 10),
-        (F.col("segment_a") == F.col("segment_b"), 10),
-        (F.abs(F.col("bal_cents_a") - F.col("bal_cents_b")) <= 10, 30),
+        ("name", norm("name_a") == norm("name_b")),
+        ("nation", F.col("nation_a") == F.col("nation_b")),
+        ("segment", F.col("segment_a") == F.col("segment_b")),
+        ("bal", F.abs(F.col("bal_cents_a") - F.col("bal_cents_b")) <= 10),
     ]
+
+
+_ER_WEIGHTS = {"name": 50, "nation": 10, "segment": 10, "bal": 30}
+
+
+def _er_agreements():
+    return [(cond, _ER_WEIGHTS[n]) for n, cond in _er_named_agreements()]
 
 
 def _er_matches(spark, sf_dir):
@@ -14936,3 +14943,102 @@ def er_golden_records(spark, sf_dir):
             F.max("bal_cents").cast("long").alias("max_bal_cents"),
         ),
     )
+
+
+_ER_GAMMA_SQL = """
+    agr AS (
+      SELECT
+        CASE WHEN lower(regexp_replace(a.name, '[^A-Za-z0-9]', '', 'g'))
+               = lower(regexp_replace(b.name, '[^A-Za-z0-9]', '', 'g'))
+             THEN 1 ELSE 0 END AS g_name,
+        CASE WHEN a.nation = b.nation THEN 1 ELSE 0 END AS g_nation,
+        CASE WHEN a.segment = b.segment THEN 1 ELSE 0 END AS g_segment,
+        CASE WHEN abs(a.bal_cents - b.bal_cents) <= 10
+             THEN 1 ELSE 0 END AS g_bal
+      FROM cand c
+      JOIN recs a ON c.id_a = a.rec_id
+      JOIN recs b ON c.id_b = b.rec_id
+    ),
+    wq AS (
+      SELECT g_name, g_nation, g_segment, g_bal,
+             (CAST(1000000 AS BIGINT) * (1
+                * (CASE WHEN g_name = 1 THEN 9 ELSE 1 END)
+                * (CASE WHEN g_nation = 1 THEN 9 ELSE 1 END)
+                * (CASE WHEN g_segment = 1 THEN 9 ELSE 1 END)
+                * (CASE WHEN g_bal = 1 THEN 9 ELSE 1 END)))
+             // ((1
+                * (CASE WHEN g_name = 1 THEN 9 ELSE 1 END)
+                * (CASE WHEN g_nation = 1 THEN 9 ELSE 1 END)
+                * (CASE WHEN g_segment = 1 THEN 9 ELSE 1 END)
+                * (CASE WHEN g_bal = 1 THEN 9 ELSE 1 END))
+               + (9
+                * (CASE WHEN g_name = 1 THEN 1 ELSE 9 END)
+                * (CASE WHEN g_nation = 1 THEN 1 ELSE 9 END)
+                * (CASE WHEN g_segment = 1 THEN 1 ELSE 9 END)
+                * (CASE WHEN g_bal = 1 THEN 1 ELSE 9 END)))
+             AS wq
+      FROM agr
+    ),
+    tot AS (
+      SELECT CAST(sum(wq) AS BIGINT) AS sw,
+             CAST(sum(1000000 - wq) AS BIGINT) AS snw,
+             CAST(sum(wq * g_name) AS BIGINT) AS swg_name,
+             CAST(sum((1000000 - wq) * g_name) AS BIGINT) AS snwg_name,
+             CAST(sum(wq * g_nation) AS BIGINT) AS swg_nation,
+             CAST(sum((1000000 - wq) * g_nation) AS BIGINT) AS snwg_nation,
+             CAST(sum(wq * g_segment) AS BIGINT) AS swg_segment,
+             CAST(sum((1000000 - wq) * g_segment) AS BIGINT)
+                 AS snwg_segment,
+             CAST(sum(wq * g_bal) AS BIGINT) AS swg_bal,
+             CAST(sum((1000000 - wq) * g_bal) AS BIGINT) AS snwg_bal
+      FROM wq
+    )
+"""
+
+
+@query(
+    "er_em_weight_step",
+    f"""
+    WITH {_ER_CTES},
+    {_ER_GAMMA_SQL}
+    SELECT 'name' AS field, swg_name AS support_match,
+           snwg_name AS support_unmatch,
+           round(swg_name / CAST(sw AS DOUBLE), 6) AS m_new,
+           round(snwg_name / CAST(snw AS DOUBLE), 6) AS u_new FROM tot
+    UNION ALL
+    SELECT 'nation', swg_nation, snwg_nation,
+           round(swg_nation / CAST(sw AS DOUBLE), 6),
+           round(snwg_nation / CAST(snw AS DOUBLE), 6) FROM tot
+    UNION ALL
+    SELECT 'segment', swg_segment, snwg_segment,
+           round(swg_segment / CAST(sw AS DOUBLE), 6),
+           round(snwg_segment / CAST(snw AS DOUBLE), 6) FROM tot
+    UNION ALL
+    SELECT 'bal', swg_bal, snwg_bal,
+           round(swg_bal / CAST(sw AS DOUBLE), 6),
+           round(snwg_bal / CAST(snw AS DOUBLE), 6) FROM tot
+    """,
+)
+def er_em_weight_step(spark, sf_dir):
+    """One EM iteration of Fellegi–Sunter m/u estimation
+    (operators/linkage.py em_weight_step) over the blocked candidate
+    pairs: per-pair match posterior from the one-decimal prior grid
+    (p=0.1, m=0.9, u=0.1) quantized to µ-units with truncate-toward-
+    zero division, exact int64 support sums, per-field m_new/u_new.
+    The name field separates hardest (planted variants agree, block-
+    mates never do) — its m_new is the strongest re-estimated weight,
+    matching the hand dial in er_match_pairs_scored."""
+    from gcs_parquet_dataflow_spark.operators import linkage
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    recs = persist_intermediate(_er_records(spark, sf_dir))
+    pairs = linkage.blocked_candidate_pairs(
+        recs, "rec_id", _er_passes(), max_block_size=_ER_CAP,
+    )
+    attrs = linkage.pair_attributes(
+        pairs, recs, "rec_id",
+        ["name", "nation", "segment", "bal_cents"],
+    )
+    return linkage.em_weight_step(attrs, _er_named_agreements())

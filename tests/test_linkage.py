@@ -155,3 +155,51 @@ def test_er_pipeline_recovers_planted_variants(spark):
     }
     release_intermediates()
     assert got == planted and len(planted) > 0
+
+
+def test_em_weight_step_exact_hand_computation(spark):
+    """3 pairs, 2 fields, the default one-decimal prior grid: every
+    per-pair posterior is an exact integer ratio (all-agree w=0.9,
+    one-agree w=0.1, none-agree w=1/730), so the supports and the
+    re-estimated m/u are hand-checkable to the digit."""
+    pairs = spark.createDataFrame(
+        [(1, 1), (0, 0), (1, 0), ],
+        "f1 long, f2 long",
+    )
+    out = {
+        r["field"]: (
+            r["support_match"], r["support_unmatch"],
+            r["m_new"], r["u_new"],
+        )
+        for r in linkage.em_weight_step(
+            pairs,
+            [("f1", F.col("f1") == 1), ("f2", F.col("f2") == 1)],
+        ).collect()
+    }
+    # wq: all-agree 900000; none-agree 1000000//730 = 1369; f1-only 100000
+    sw, snw = 900000 + 1369 + 100000, 3_000_000 - (900000 + 1369 + 100000)
+    assert out["f1"] == (
+        1_000_000, 1_000_000,
+        round(1_000_000 / sw, 6), round(1_000_000 / snw, 6),
+    )
+    assert out["f2"] == (
+        900_000, 100_000,
+        round(900_000 / sw, 6), round(100_000 / snw, 6),
+    )
+
+
+def test_em_weight_step_null_predicate_is_disagreement(spark):
+    pairs = spark.createDataFrame(
+        [(None,), ("x",)], "v string",
+    )
+    out = {
+        r["field"]: r["support_match"]
+        for r in linkage.em_weight_step(
+            pairs, [("f", F.col("v") == "x")]
+        ).collect()
+    }
+    # the NULL row contributes gamma=0: only the "x" row supports f.
+    # One field, agree: A = 1*9 = 9, B = 9*1 = 9 -> w = 0.5 exactly
+    # (the p=0.1 prior and the m=0.9 likelihood cancel); the NULL row
+    # (disagree, w = 1/82) contributes nothing to support_match.
+    assert out["f"] == 500_000
