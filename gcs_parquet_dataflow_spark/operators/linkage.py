@@ -106,6 +106,75 @@ def blocked_candidate_pairs(
     )
 
 
+def blocked_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    passes: list[tuple[str, Column]],
+    max_block_size=None,
+    metric_name: str = "er_blocks_lr",
+) -> DataFrame:
+    """Two-table blocked candidate pairs: (id_a from ``left``, id_b
+    from ``right``, n_passes), every pair meeting through at least one
+    shared blocking key. The cross-table sibling of
+    :func:`blocked_candidate_pairs` — probe records against an
+    existing entity table without an all-pairs comparison. Both inputs
+    must expose the attribute columns the pass Columns reference.
+
+    Cost is Σ_passes Σ_keys |left_block|·|right_block|; the hot-bucket
+    guard (``max_block_size``) is applied PER SIDE, so a key that is
+    hot on either side is excluded from candidate generation on that
+    side (and therefore entirely, since pairs need both sides).
+    """
+    def keyed(df: DataFrame, idc: str) -> DataFrame:
+        out = None
+        for name, key in passes:
+            part = df.select(
+                F.col(idc).alias("_rid"),
+                F.concat(
+                    F.lit(name + ":"), key.cast("string")
+                ).alias("_bkey"),
+            ).filter(F.col("_bkey").isNotNull())
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            raise ValueError("at least one blocking pass is required")
+        if max_block_size is not None:
+            out = cap_hot_buckets(
+                out, ["_bkey"], max_block_size, metric_name=metric_name
+            )
+        return persist_intermediate(out)
+
+    kl = keyed(left, id_left).alias("l")
+    kr = keyed(right, id_right).alias("r")
+    return (
+        kl.join(kr, F.col("l._bkey") == F.col("r._bkey"))
+        .groupBy(
+            F.col("l._rid").alias("id_a"), F.col("r._rid").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_passes"))
+    )
+
+
+def golden_view(
+    members: DataFrame,
+    id_col: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Current golden COMPARISON view from an entity-membership table
+    (``id_col``, ``entity_id``, attrs…): one row per entity carrying
+    the min-id member's attributes under their ORIGINAL names (so the
+    same blocking passes / agreement predicates apply unchanged when
+    probing new records against it) plus ``n_records``. One hash
+    aggregate on entity_id.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_records")]
+    aggs += [
+        F.min_by(F.col(c), F.col(id_col)).alias(c) for c in attrs
+    ]
+    return members.groupBy("entity_id").agg(*aggs)
+
+
 def pair_attributes(
     pairs: DataFrame,
     records: DataFrame,

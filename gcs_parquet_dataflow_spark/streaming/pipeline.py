@@ -968,3 +968,166 @@ def run_classifier_filter_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def run_incremental_er_stream(
+    spark: SparkSession,
+    records_stream: DataFrame,
+    members_path: str,
+    golden_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str,
+    attrs: list[str],
+    passes: list,
+    agreements: list,
+    threshold: int,
+    max_block_size=None,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Incremental entity resolution: arriving record batches are
+    matched against the ACCUMULATED entity table instead of
+    re-resolving the whole corpus (operators/linkage.py, streaming
+    deployment). Per micro-batch:
+
+    1. the current golden comparison view (min-id member's attributes
+       per entity — linkage.golden_view) is derived from the members
+       lake, reading only shards with ``_batch_id < batch_id`` so a
+       REPLAYED batch never observes its own prior output;
+    2. batch records probe it through the same blocking passes
+       (linkage.blocked_pairs_between — Σ|block_l|·|block_r|, never
+       |batch|×|entities|) and the same integer agreement weights;
+       each record joins its best-scoring entity (ties: min
+       entity_id — deterministic);
+    3. records matching NO existing entity are resolved against each
+       other (blocked self-join → threshold → connected components),
+       so intra-batch duplicates still collapse; each new cluster's
+       entity_id is its min record id (record ids must be globally
+       unique across batches);
+    4. the batch's (record, entity, attrs) rows land batch-keyed in
+       the members lake and the refreshed golden snapshot
+       (entity_id, n_records, canonical attrs) lands batch-keyed at
+       ``golden_path`` — replays overwrite their own partitions, so
+       both tables are replay-idempotent.
+
+    Semantics note (standard incremental-ER approximation): two
+    batch records that match two DIFFERENT existing entities do not
+    merge those entities; a periodic full batch re-resolution
+    (er_golden_records' pipeline over the members lake) is the
+    compaction that heals such splits.
+
+    Scale shape: the members lake is the corpus-sized table but each
+    batch touches it once (one aggregate for the view — at very large
+    entity counts, maintain the view incrementally via
+    merge_partial_aggs instead); all candidate joins are block-bounded
+    and cap-guarded.
+    """
+    from gcs_parquet_dataflow_spark.operators import linkage
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = persist_intermediate(batch_df.select(id_col, *attrs))
+
+        fs_path = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+            members_path
+        )
+        fs = fs_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        best = None
+        if fs.exists(fs_path):
+            prior = spark.read.parquet(members_path).filter(
+                F.col("_batch_id") < batch_id
+            )
+            gview = persist_intermediate(
+                linkage.golden_view(prior, id_col, attrs)
+            )
+            pairs = linkage.blocked_pairs_between(
+                batch, gview, id_col, "entity_id", passes,
+                max_block_size=max_block_size,
+            )
+            side_a = batch.select(
+                F.col(id_col).alias("id_a"),
+                *[F.col(c).alias(f"{c}_a") for c in attrs],
+            )
+            side_b = gview.select(
+                F.col("entity_id").alias("id_b"),
+                *[F.col(c).alias(f"{c}_b") for c in attrs],
+            )
+            scored = linkage.fellegi_sunter_score(
+                pairs.join(side_a, "id_a").join(side_b, "id_b"),
+                agreements,
+            )
+            best = (
+                scored.filter(F.col("score") >= threshold)
+                .groupBy("id_a")
+                .agg(
+                    F.min_by(
+                        "id_b",
+                        F.struct(
+                            (-F.col("score")).alias("_ns"),
+                            F.col("id_b").alias("_e"),
+                        ),
+                    ).alias("_ent")
+                )
+            )
+        if best is not None:
+            assigned = batch.join(
+                best, batch[id_col] == best["id_a"], "left"
+            ).drop("id_a")
+        else:
+            assigned = batch.withColumn("_ent", F.lit(None).cast("long"))
+        assigned = persist_intermediate(assigned)
+
+        matched = assigned.filter(F.col("_ent").isNotNull()).select(
+            id_col, F.col("_ent").alias("entity_id"), *attrs
+        )
+        unmatched = assigned.filter(F.col("_ent").isNull()).drop("_ent")
+        u_pairs = linkage.blocked_candidate_pairs(
+            unmatched, id_col, passes, max_block_size=max_block_size,
+        )
+        u_scored = linkage.fellegi_sunter_score(
+            linkage.pair_attributes(u_pairs, unmatched, id_col, attrs),
+            agreements,
+        )
+        clusters = linkage.entity_clusters(
+            unmatched,
+            u_scored.filter(F.col("score") >= threshold)
+            .select("id_a", "id_b"),
+            id_col,
+        )
+        new_members = unmatched.join(clusters, id_col).select(
+            id_col, F.col("cluster").alias("entity_id"), *attrs
+        )
+        members_batch = matched.unionByName(new_members)
+        write_partitioned(
+            members_batch, members_path, [], batch_id=batch_id,
+            coalesce_files=1,
+        )
+        snapshot = linkage.golden_view(
+            spark.read.parquet(members_path).filter(
+                F.col("_batch_id") <= batch_id
+            ),
+            id_col, attrs,
+        )
+        write_partitioned(
+            snapshot, golden_path, [], batch_id=batch_id, coalesce_files=1,
+        )
+        release_intermediates()
+
+    writer = (
+        records_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -203,3 +203,47 @@ def test_em_weight_step_null_predicate_is_disagreement(spark):
     # (the p=0.1 prior and the m=0.9 likelihood cancel); the NULL row
     # (disagree, w = 1/82) contributes nothing to support_match.
     assert out["f"] == 500_000
+
+
+def test_blocked_pairs_between_probe_and_per_side_cap(spark):
+    left = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "h"), (4, "d", "h")],
+        "rid long, k string, city string",
+    )
+    right = spark.createDataFrame(
+        [(100, "a", "z"), (101, "e", "h"), (102, "f", "h"),
+         (103, "g", "h")],
+        "eid long, k string, city string",
+    )
+    passes = [("k", F.col("k")), ("city", F.col("city"))]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_passes"]
+        for r in linkage.blocked_pairs_between(
+            left, right, "rid", "eid", passes, max_block_size=2
+        ).collect()
+    }
+    # k-pass: 1<->100 meet on "a"; city-pass: "h" has 2 on the left
+    # (kept, cap=2) but 3 on the right (capped out) -> no city pairs
+    assert pairs == {(1, 100): 1}
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in linkage.blocked_pairs_between(
+            left, right, "rid", "eid", passes
+        ).collect()
+    }
+    assert (3, 101) in uncapped and len(uncapped) == 1 + 6
+
+
+def test_golden_view_min_id_attrs(spark):
+    members = spark.createDataFrame(
+        [(5, 1, "B", 10), (1, 1, "A", 20), (7, 7, "C", 5)],
+        "rid long, entity_id long, name string, bal long",
+    )
+    out = {
+        r["entity_id"]: (r["n_records"], r["name"], r["bal"])
+        for r in linkage.golden_view(
+            members, "rid", ["name", "bal"]
+        ).collect()
+    }
+    # view carries the MIN-rid member's attrs under original names
+    assert out == {1: (2, "A", 20), 7: (1, "C", 5)}

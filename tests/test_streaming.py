@@ -957,3 +957,101 @@ def test_classifier_filter_stream_scores_and_is_replay_idempotent(
     )
     assert keep2 == keep1
     assert spark.read.parquet(str(tmp_path / "rep")).count() == 2
+
+
+def test_incremental_er_stream_matches_and_is_replay_idempotent(
+    spark, tmp_path
+):
+    """Incremental entity resolution: batch 0 plants an intra-batch
+    duplicate pair plus a singleton; batch 1 brings a NEW spelling of
+    the batch-0 entity (must join it, not start a new one), an
+    unrelated singleton, and a fresh intra-batch pair. The members
+    lake must carry exactly four entities, and a full replay (fresh
+    checkpoint, same lake paths) must converge to the identical
+    state — batch-keyed overwrites, no double-counted members."""
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_incremental_er_stream,
+    )
+
+    b0 = spark.createDataFrame(
+        [
+            (1, "Acme Corp 01", "springfield", 1000),
+            (2, "ACME CORP 01", "springfield", 1005),
+            (3, "Zenith Ltd 77", "metropolis", 5000),
+        ],
+        "rid long, name string, city string, bal long",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, "acme corp 01", "springfield", 1002),
+            (11, "Nadir Inc 99", "gotham", 7000),
+            (12, "Widget Co 55", "gotham", 2000),
+            (13, "WIDGET CO 55", "gotham", 2003),
+        ],
+        "rid long, name string, city string, bal long",
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    b0.coalesce(1).write.parquet(str(indir / "b0"))
+    b1.coalesce(1).write.parquet(str(indir / "b1"))
+
+    def norm(c):
+        return F.lower(F.regexp_replace(F.col(c), "[^A-Za-z0-9]", ""))
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream
+            .schema("rid long, name string, city string, bal long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir / "*"))
+        )
+        q = run_incremental_er_stream(
+            spark, stream,
+            str(tmp_path / "members"), str(tmp_path / "golden"),
+            str(tmp_path / ck),
+            id_col="rid",
+            attrs=["name", "city", "bal"],
+            passes=[
+                ("nm", F.regexp_replace(F.col("name"), "[^0-9]", "")),
+                ("city", F.col("city")),
+            ],
+            agreements=[
+                (norm("name_a") == norm("name_b"), 50),
+                (F.col("city_a") == F.col("city_b"), 10),
+                (F.abs(F.col("bal_a") - F.col("bal_b")) <= 10, 30),
+            ],
+            threshold=60,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    members1 = sorted(
+        (r["rid"], r["entity_id"])
+        for r in spark.read.parquet(str(tmp_path / "members")).collect()
+    )
+    # 1/2 intra-batch pair -> entity 1; 10 joins it ACROSS batches;
+    # 3 and 11 singletons; 12/13 intra-batch pair -> entity 12
+    assert members1 == [
+        (1, 1), (2, 1), (3, 3), (10, 1), (11, 11), (12, 12), (13, 13 - 1),
+    ]
+    golden = spark.read.parquet(str(tmp_path / "golden"))
+    latest_id = golden.agg(F.max("_batch_id")).collect()[0][0]
+    latest = {
+        r["entity_id"]: (r["n_records"], r["name"])
+        for r in golden.filter(F.col("_batch_id") == latest_id).collect()
+    }
+    assert latest == {
+        1: (3, "Acme Corp 01"),
+        3: (1, "Zenith Ltd 77"),
+        11: (1, "Nadir Inc 99"),
+        12: (2, "Widget Co 55"),
+    }
+
+    # full replay with a fresh checkpoint: identical members lake
+    run("ck2")
+    members2 = sorted(
+        (r["rid"], r["entity_id"])
+        for r in spark.read.parquet(str(tmp_path / "members")).collect()
+    )
+    assert members2 == members1
