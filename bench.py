@@ -106,6 +106,10 @@ EXTENDED = [
     "user_rfm_segments",
     "vocab_zipf_fit",
     "training_data_pipeline_v5",
+    # round-6 additions: entity-resolution suite
+    "er_blocked_candidates",
+    "er_golden_records",
+    "er_em_weight_step",
 ]
 
 

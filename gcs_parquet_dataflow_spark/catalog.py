@@ -44,8 +44,18 @@ def _nano_timestamp_columns(path: str) -> list[str]:
     convert to microsecond timestamps (truncation — the same precision DuckDB
     uses, so oracle comparisons agree).
     """
+    import glob
+
     import pyarrow as pa
 
+    if os.path.isdir(path):
+        # Spark-written tables are DIRECTORIES of part files (one footer
+        # is representative — all parts share the writer's schema);
+        # an empty directory (no committed parts) has no nanos columns.
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return []
+        path = parts[0]
     cols = []
     schema = pq.read_schema(path)
     for field in schema:

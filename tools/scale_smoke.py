@@ -312,6 +312,74 @@ def main() -> None:
 
         timed("coactivity_edges_pair_budget_amplified", edge_build_budget)
 
+        # entity-resolution blocking at amplification: copies keep the
+        # SAME customer name (the "one entity per crawl snapshot"
+        # workload — nm blocks grow ×factor), balances and segments
+        # amplify too, so every blocking pass's bucket distribution
+        # shifts. The question is the same one the graph caps answered:
+        # does the guard track the distribution, and does it SAY what
+        # it dropped? Three dials recorded: the oracle row's fixed 32,
+        # "auto", and an explicit pair budget.
+        if not os.path.exists(f"{out_dir}/customer.parquet"):
+            cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+            (
+                cust.crossJoin(copies)
+                .select(
+                    (F.col("c_custkey") + F.col("_c") * 10_000_000)
+                    .alias("c_custkey"),
+                    "c_name",
+                    "c_nationkey",
+                    "c_acctbal",
+                    "c_mktsegment",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/customer.parquet")
+            )
+
+        from gcs_parquet_dataflow_spark.operators import linkage
+        from gcs_parquet_dataflow_spark.queries.extensions import (
+            _er_agreements,
+            _er_passes,
+            _er_records,
+        )
+
+        def er_pairs(dial, tag, count_matches=False):
+            recs = _er_records(spark, out_dir)
+            pairs = linkage.blocked_candidate_pairs(
+                recs, "rec_id", _er_passes(), max_block_size=dial,
+            )
+            rows[f"er_pairs_{tag}"] = pairs.count()
+            # fixed int caps are LAZY (no CapReport) — don't record a
+            # stale report from an earlier auto/budget application
+            rep = last_cap_report() if not isinstance(dial, int) else None
+            rows[f"er_cap_report_{tag}"] = rep.as_dict() if rep else None
+            if count_matches:
+                scored = linkage.fellegi_sunter_score(
+                    linkage.pair_attributes(
+                        pairs, recs, "rec_id",
+                        ["name", "nation", "segment", "bal_cents"],
+                    ),
+                    _er_agreements(),
+                )
+                rows[f"er_matches_{tag}"] = scored.filter(
+                    F.col("score") >= 70
+                ).count()
+
+        timed("er_blocking_fixed32", lambda: er_pairs(32, "fixed32"))
+        timed(
+            "er_blocking_auto",
+            lambda: er_pairs("auto", "auto", count_matches=True),
+        )
+
+        def er_budget():
+            from gcs_parquet_dataflow_spark.operators.dedup import (
+                PairBudgetCap,
+            )
+
+            er_pairs(PairBudgetCap(10**8), "pair_budget")
+
+        timed("er_blocking_pair_budget", er_budget)
+
         # native data-dependent session aggregation (round-5 surface)
         def native_sessions():
             ev.groupBy(
