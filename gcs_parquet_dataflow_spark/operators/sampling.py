@@ -191,3 +191,36 @@ def gumbel_topk_sample(
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def quota_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    order_by: list[Column],
+) -> DataFrame:
+    """Keep at most ``n`` rows per key — the per-domain / per-entity
+    page cap every large-crawl pipeline applies so one hot site (or
+    one over-represented resolved entity) cannot dominate the corpus.
+
+    ``order_by`` must be a DETERMINISTIC total order within a key
+    (convention: content ``hash32`` first — an unbiased "random" pick
+    reproducible under any partitioning — with a unique id as the tie
+    break); the kept set is then a pure function of the data, like
+    every other sampler in this module.
+
+    Scale shape: one exchange on the key + a rank-limited window —
+    Spark's WindowGroupLimit pushes the ``row_number() <= n`` filter
+    into a per-partition top-n heap, so no key's full row list is ever
+    sorted or materialized (the same bound as window_topk_per_group).
+    High-cardinality keys are exactly the safe case for a partitioned
+    window; there is no single-partition fallback.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn("_quota_rn", F.row_number().over(w))
+        .filter(F.col("_quota_rn") <= int(n))
+        .drop("_quota_rn")
+    )

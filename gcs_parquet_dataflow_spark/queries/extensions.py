@@ -15042,3 +15042,30 @@ def er_em_weight_step(spark, sf_dir):
         ["name", "nation", "segment", "bal_cents"],
     )
     return linkage.em_weight_step(attrs, _er_named_agreements())
+
+
+@query(
+    "sample_quota_per_source",
+    f"""
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY {h32("text")}, doc_id) AS rn
+          FROM documents WHERE text IS NOT NULL)
+    WHERE rn <= 50
+    """,
+)
+def sample_quota_per_source(spark, sf_dir):
+    """Per-key quota sampling (operators/sampling.py quota_per_key):
+    keep at most 50 documents per source, picked by content-hash order
+    (reproducible under any partitioning) with doc_id as the tie
+    break — the per-domain page cap that stops one hot site from
+    dominating a crawl-derived corpus. Plan: WindowGroupLimit top-n
+    heap per key, no full per-key sort."""
+    from gcs_parquet_dataflow_spark.operators.sampling import quota_per_key
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return quota_per_key(
+        d.select("doc_id", "source", "text"), ["source"], 50,
+        [TX.hash32(F.col("text")), F.col("doc_id")],
+    ).select("doc_id", "source")

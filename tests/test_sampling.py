@@ -138,3 +138,33 @@ def test_profile_columns_single_pass_and_values(spark):
     assert prof["v"]["max_num"] == 2.5 and prof["v"]["max_str"] is None
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_quota_per_key_exact_and_partitioning_independent(spark):
+    """quota_per_key keeps at most n per key, keyed by a deterministic
+    content order — the SAME rows under any input partitioning."""
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+    from gcs_parquet_dataflow_spark.operators.sampling import quota_per_key
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}", f"txt{i * 7 % 23}") for i in range(60)],
+        "rid long, k string, txt string",
+    )
+    order = [hash32(F.col("txt")), F.col("rid")]
+    a = sorted(
+        (r["rid"], r["k"])
+        for r in quota_per_key(df, ["k"], 5, order).collect()
+    )
+    assert len(a) == 15  # 3 keys x 5
+    assert all(
+        sum(1 for _, k in a if k == key) == 5 for key in ("k0", "k1", "k2")
+    )
+    b = sorted(
+        (r["rid"], r["k"])
+        for r in quota_per_key(
+            df.repartition(7, "rid"), ["k"], 5, order
+        ).collect()
+    )
+    assert a == b
+    # n larger than any key's population keeps everything
+    assert quota_per_key(df, ["k"], 100, order).count() == 60
