@@ -14849,7 +14849,7 @@ def _er_agreements():
     return [(cond, _ER_WEIGHTS[n]) for n, cond in _er_named_agreements()]
 
 
-def _er_matches(spark, sf_dir):
+def _er_scored(spark, sf_dir):
     from gcs_parquet_dataflow_spark.operators import linkage
     from gcs_parquet_dataflow_spark.operators.partitioning import (
         persist_intermediate,
@@ -14863,7 +14863,11 @@ def _er_matches(spark, sf_dir):
         pairs, recs, "rec_id",
         ["name", "nation", "segment", "bal_cents"],
     )
-    scored = linkage.fellegi_sunter_score(attrs, _er_agreements())
+    return recs, linkage.fellegi_sunter_score(attrs, _er_agreements())
+
+
+def _er_matches(spark, sf_dir):
+    recs, scored = _er_scored(spark, sf_dir)
     return recs, scored.filter(F.col("score") >= _ER_THRESHOLD)
 
 
@@ -15069,3 +15073,74 @@ def sample_quota_per_source(spark, sf_dir):
         d.select("doc_id", "source", "text"), ["source"], 50,
         [TX.hash32(F.col("text")), F.col("doc_id")],
     ).select("doc_id", "source")
+
+
+@query(
+    "er_threshold_tradeoff",
+    f"""
+    WITH {_ER_CTES},
+    lad AS (SELECT unnest([0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100])
+            AS threshold),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_planted
+            FROM customer WHERE c_custkey % 7 = 0),
+    ag AS (
+      SELECT l.threshold,
+             CAST(sum(CASE WHEN s.score >= l.threshold
+                            AND s.id_b = s.id_a + 1000000
+                            AND s.id_a % 7 = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s.score >= l.threshold
+                            AND NOT (s.id_b = s.id_a + 1000000
+                                     AND s.id_a % 7 = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp
+      FROM scored s CROSS JOIN lad l
+      GROUP BY l.threshold
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp,
+           n_planted - tp AS fn,
+           round(tp / CAST(tp + fp AS DOUBLE), 6) AS prec,
+           round(tp / CAST(n_planted AS DOUBLE), 6) AS recall
+    FROM ag CROSS JOIN tot
+    """,
+)
+def er_threshold_tradeoff(spark, sf_dir):
+    """Match-threshold operating curve for the ER scorer: tp/fp/fn and
+    precision/recall against the PLANTED truth (id_b = id_a + 10⁶ with
+    id_a ≡ 0 mod 7) at every reachable score level — the table a
+    pipeline reads to dial the Fellegi–Sunter threshold (and to sanity-
+    check re-estimated em_weight_step weights against ground truth).
+    One scan of the bounded scored-pair stream, exploded over the
+    11-step ladder (|pairs|×11 rows), one aggregate; the planted total
+    attaches as a broadcast 1-row scalar."""
+    recs, scored = _er_scored(spark, sf_dir)
+    lad = F.array([F.lit(v) for v in range(0, 101, 10)])
+    planted = (F.col("id_b") == F.col("id_a") + 1000000) & (
+        F.col("id_a") % 7 == 0
+    )
+    e = (
+        scored.select("id_a", "id_b", "score")
+        .withColumn("threshold", F.explode(lad))
+    )
+    hit = F.col("score") >= F.col("threshold")
+    ag = e.groupBy("threshold").agg(
+        F.sum(F.when(hit & planted, 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when(hit & ~planted, 1).otherwise(0))
+        .cast("long").alias("fp"),
+    )
+    tot = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+    )
+    return ag.crossJoin(F.broadcast(tot)).select(
+        F.col("threshold").cast("long").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("n_planted") - F.col("tp")).alias("fn"),
+        F.round(
+            F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6
+        ).alias("prec"),
+        F.round(F.col("tp") / F.col("n_planted").cast("double"), 6)
+        .alias("recall"),
+    )

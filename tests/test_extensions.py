@@ -1131,6 +1131,8 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "knn_brute_force_cosine",          # broadcast queries × corpus scan
         "knn_lsh_recall",                  # exact baseline side of recall
         "sample_mixture_resample",         # scalar totals broadcast
+        "er_threshold_tradeoff",           # 1-row planted-total broadcast
+        #   attached to the 11-row threshold ladder aggregate
         "sample_alpha_mixture_weights",    # scalar z/t broadcast
         "retrieval_bm25_scores",           # scalar corpus stats broadcast
         "retrieval_rrf_fusion",            # same, through bm25
