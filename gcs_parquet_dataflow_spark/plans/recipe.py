@@ -326,6 +326,21 @@ def _stage_split(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     )
 
 
+def _stage_quota_per_key(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    # per-domain / per-entity page cap: keep ≤ n rows per p["key"] in
+    # content-hash order (partitioning-independent; id tie break).
+    # Batch-only: the quota is a per-key GLOBAL rank over the corpus,
+    # so it is deliberately absent from STREAMABLE_STAGES.
+    from gcs_parquet_dataflow_spark.operators.sampling import quota_per_key
+
+    return quota_per_key(
+        df,
+        [p.get("key", "source")],
+        int(p["n"]),
+        [TX.hash32(F.col(ctx["text_col"])), F.col(ctx["id_col"])],
+    )
+
+
 STAGES: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
     "filter_in": _stage_filter_in,
     "length_gate": _stage_length_gate,
@@ -347,6 +362,7 @@ STAGES: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
     "token_stats": _stage_token_stats,
     "sample": _stage_sample,
     "split": _stage_split,
+    "quota_per_key": _stage_quota_per_key,
 }
 
 

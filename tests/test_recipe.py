@@ -319,3 +319,25 @@ def test_capstone_recipe_file_compiles_and_runs(spark):
     assert all(r["doc_id"] % 17 != 0 for r in rows)  # decontaminated
     assert {r["stage"] for r in rows} <= {1, 2, 3}
     assert all(1 <= r["epochs"] <= 4 for r in rows)
+
+
+def test_quota_per_key_stage_equals_operator(spark):
+    """The quota_per_key stage ≡ the operator composed by hand, and
+    the cap actually binds (≤ n rows per key, deterministic pick)."""
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+    from gcs_parquet_dataflow_spark.operators.sampling import quota_per_key
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("text").isNotNull()
+    )
+    got = compile_recipe(
+        d, [{"op": "quota_per_key", "key": "source", "n": 7}]
+    )
+    want = quota_per_key(
+        d, ["source"], 7, [hash32(F.col("text")), F.col("doc_id")]
+    )
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(r["doc_id"] for r in want.collect())
+    assert a == b and len(a) > 0
+    per_key = got.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in per_key)
