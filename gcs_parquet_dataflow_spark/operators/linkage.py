@@ -165,14 +165,51 @@ def golden_view(
     (``id_col``, ``entity_id``, attrs…): one row per entity carrying
     the min-id member's attributes under their ORIGINAL names (so the
     same blocking passes / agreement predicates apply unchanged when
-    probing new records against it) plus ``n_records``. One hash
-    aggregate on entity_id.
+    probing new records against it), plus ``n_records`` and
+    ``canonical_id`` (the min member id — the merge key that makes
+    views MERGEABLE: min distributes over any split of the members).
+    One hash aggregate on entity_id.
     """
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_records")]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.min(F.col(id_col)).cast("long").alias("canonical_id"),
+    ]
     aggs += [
         F.min_by(F.col(c), F.col(id_col)).alias(c) for c in attrs
     ]
     return members.groupBy("entity_id").agg(*aggs)
+
+
+def merge_golden_views(
+    views: list[DataFrame],
+    attrs: list[str],
+) -> DataFrame:
+    """Merge partial golden views (outputs of :func:`golden_view` over
+    DISJOINT member sets) into the view of their union WITHOUT
+    re-scanning members — the incremental-maintenance step the
+    streaming ER composition relies on: per batch, merge(prev snapshot,
+    view(batch members)) ≡ golden_view(all members so far).
+
+    Correct because every column is a mergeable aggregate: n_records
+    sums, canonical_id is a min, and the canonical attributes travel
+    with whichever partial view holds the smaller canonical_id
+    (min_by over canonical_id — member ids are unique, so the pick is
+    deterministic). One |entities|-sized hash aggregate; the raw
+    membership table is never re-read.
+    """
+    if not views:
+        raise ValueError("at least one view is required")
+    u = views[0]
+    for v in views[1:]:
+        u = u.unionByName(v)
+    aggs = [
+        F.sum("n_records").cast("long").alias("n_records"),
+        F.min("canonical_id").cast("long").alias("canonical_id"),
+    ]
+    aggs += [
+        F.min_by(F.col(c), F.col("canonical_id")).alias(c) for c in attrs
+    ]
+    return u.groupBy("entity_id").agg(*aggs)
 
 
 def pair_attributes(

@@ -992,9 +992,13 @@ def run_incremental_er_stream(
     deployment). Per micro-batch:
 
     1. the current golden comparison view (min-id member's attributes
-       per entity — linkage.golden_view) is derived from the members
-       lake, reading only shards with ``_batch_id < batch_id`` so a
-       REPLAYED batch never observes its own prior output;
+       per entity) is the LATEST golden snapshot with
+       ``_batch_id < batch_id`` — a REPLAYED batch never observes its
+       own prior output, and the members lake is never re-scanned in
+       the hot path (snapshots are maintained INCREMENTALLY:
+       merge_golden_views(prev snapshot, view(batch members)) ≡
+       golden_view(all members), because every snapshot column is a
+       mergeable aggregate);
     2. batch records probe it through the same blocking passes
        (linkage.blocked_pairs_between — Σ|block_l|·|block_r|, never
        |batch|×|entities|) and the same integer agreement weights;
@@ -1017,11 +1021,13 @@ def run_incremental_er_stream(
     (er_golden_records' pipeline over the members lake) is the
     compaction that heals such splits.
 
-    Scale shape: the members lake is the corpus-sized table but each
-    batch touches it once (one aggregate for the view — at very large
-    entity counts, maintain the view incrementally via
-    merge_partial_aggs instead); all candidate joins are block-bounded
-    and cap-guarded.
+    Scale shape: per batch, cost is |batch| (probe + intra-batch
+    resolution) + |entities| (the snapshot merge aggregate + rewrite);
+    the corpus-sized members lake is append-only and read only by
+    offline compaction / RTBF. All candidate joins are block-bounded
+    and cap-guarded. At very large entity counts the whole-snapshot
+    rewrite is the next dial to replace with a key-partitioned MERGE
+    (sinks/parquet_lake.upsert) touching only affected entities.
     """
     from gcs_parquet_dataflow_spark.operators import linkage
     from gcs_parquet_dataflow_spark.operators.partitioning import (
@@ -1036,19 +1042,24 @@ def run_incremental_er_stream(
         batch = persist_intermediate(batch_df.select(id_col, *attrs))
 
         fs_path = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
-            members_path
+            golden_path
         )
         fs = fs_path.getFileSystem(
             spark._jsc.hadoopConfiguration()  # noqa: SLF001
         )
         best = None
+        gview = None
         if fs.exists(fs_path):
-            prior = spark.read.parquet(members_path).filter(
+            snaps = spark.read.parquet(golden_path).filter(
                 F.col("_batch_id") < batch_id
             )
-            gview = persist_intermediate(
-                linkage.golden_view(prior, id_col, attrs)
-            )
+            latest = snaps.agg(F.max("_batch_id")).collect()[0][0]
+            if latest is not None:
+                gview = persist_intermediate(
+                    snaps.filter(F.col("_batch_id") == latest)
+                    .drop("_batch_id")
+                )
+        if gview is not None:
             pairs = linkage.blocked_pairs_between(
                 batch, gview, id_col, "entity_id", passes,
                 max_block_size=max_block_size,
@@ -1106,16 +1117,18 @@ def run_incremental_er_stream(
         new_members = unmatched.join(clusters, id_col).select(
             id_col, F.col("cluster").alias("entity_id"), *attrs
         )
-        members_batch = matched.unionByName(new_members)
+        members_batch = persist_intermediate(
+            matched.unionByName(new_members)
+        )
         write_partitioned(
             members_batch, members_path, [], batch_id=batch_id,
             coalesce_files=1,
         )
-        snapshot = linkage.golden_view(
-            spark.read.parquet(members_path).filter(
-                F.col("_batch_id") <= batch_id
-            ),
-            id_col, attrs,
+        batch_view = linkage.golden_view(members_batch, id_col, attrs)
+        snapshot = (
+            linkage.merge_golden_views([gview, batch_view], attrs)
+            if gview is not None
+            else batch_view
         )
         write_partitioned(
             snapshot, golden_path, [], batch_id=batch_id, coalesce_files=1,

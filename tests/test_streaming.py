@@ -1055,3 +1055,71 @@ def test_incremental_er_stream_matches_and_is_replay_idempotent(
         for r in spark.read.parquet(str(tmp_path / "members")).collect()
     )
     assert members2 == members1
+
+
+def test_incremental_er_snapshot_equals_full_members_view(spark, tmp_path):
+    """Incremental snapshot maintenance correctness: after the stream
+    in the previous test's shape runs, the latest golden snapshot must
+    EQUAL golden_view(entire members lake) — merge(prev, batch) is a
+    true substitute for the full re-aggregate."""
+    from gcs_parquet_dataflow_spark.operators import linkage
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_incremental_er_stream,
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, "Acme Corp 01", "springfield", 1000),
+         (2, "ACME CORP 01", "springfield", 1005),
+         (3, "Zenith Ltd 77", "metropolis", 5000)],
+        "rid long, name string, city string, bal long",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "acme corp 01", "springfield", 1002),
+         (11, "Nadir Inc 99", "gotham", 7000)],
+        "rid long, name string, city string, bal long",
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    b0.coalesce(1).write.parquet(str(indir / "b0"))
+    b1.coalesce(1).write.parquet(str(indir / "b1"))
+
+    def norm(c):
+        return F.lower(F.regexp_replace(F.col(c), "[^A-Za-z0-9]", ""))
+
+    stream = (
+        spark.readStream
+        .schema("rid long, name string, city string, bal long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "*"))
+    )
+    q = run_incremental_er_stream(
+        spark, stream,
+        str(tmp_path / "members"), str(tmp_path / "golden"),
+        str(tmp_path / "ck"),
+        id_col="rid", attrs=["name", "city", "bal"],
+        passes=[("nm", F.regexp_replace(F.col("name"), "[^0-9]", "")),
+                ("city", F.col("city"))],
+        agreements=[(norm("name_a") == norm("name_b"), 50),
+                    (F.col("city_a") == F.col("city_b"), 10),
+                    (F.abs(F.col("bal_a") - F.col("bal_b")) <= 10, 30)],
+        threshold=60,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    golden = spark.read.parquet(str(tmp_path / "golden"))
+    latest_id = golden.agg(F.max("_batch_id")).collect()[0][0]
+    latest = sorted(
+        map(tuple, golden.filter(F.col("_batch_id") == latest_id)
+            .drop("_batch_id")
+            .select("entity_id", "n_records", "canonical_id",
+                    "name", "city", "bal").collect())
+    )
+    members = spark.read.parquet(str(tmp_path / "members")).drop("_batch_id")
+    full = sorted(
+        map(tuple, linkage.golden_view(members, "rid",
+                                       ["name", "city", "bal"])
+            .select("entity_id", "n_records", "canonical_id",
+                    "name", "city", "bal").collect())
+    )
+    assert latest == full and len(full) == 3  # entities 1 (3 recs), 3, 11
