@@ -494,3 +494,48 @@ def refine_pairs_difflib(
             yield out[out["ratio"] >= min_ratio]
 
     return pairs.mapInPandas(score, schema=schema)
+
+
+def recluster_members(
+    members: DataFrame,
+    id_col: str,
+    attrs: list[str],
+    passes: list[tuple[str, Column]],
+    agreements: list[tuple[Column, int]],
+    threshold: int,
+    max_block_size=None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Full batch re-resolution over an entity-membership table — the
+    COMPACTION that heals the incremental stream's documented
+    approximation (two records matched to two different existing
+    entities never merge those entities online). Re-runs the complete
+    pipeline over the member RECORDS: blocking → scoring → transitive
+    closure; returns the members with a fresh ``entity_id`` (min
+    reachable record id — the same canonical rule, so entities that
+    were already correct keep their ids and downstream keys are
+    stable).
+
+    Run it offline on the append-only members lake at whatever cadence
+    split-rate monitoring suggests; the cost class is exactly the
+    batch pipeline's (cap-guarded Σ|block|² + O(diameter) shuffles),
+    independent of how many increments built the lake.
+    """
+    recs = persist_intermediate(members.select(id_col, *attrs))
+    pairs = blocked_candidate_pairs(
+        recs, id_col, passes, max_block_size=max_block_size,
+        metric_name="er_recluster_blocks",
+    )
+    scored = fellegi_sunter_score(
+        pair_attributes(pairs, recs, id_col, attrs), agreements
+    )
+    clusters = entity_clusters(
+        recs,
+        scored.filter(F.col("score") >= int(threshold))
+        .select("id_a", "id_b"),
+        id_col,
+        max_iter=max_iter,
+    )
+    return recs.join(clusters, id_col).select(
+        id_col, F.col("cluster").alias("entity_id"), *attrs
+    )

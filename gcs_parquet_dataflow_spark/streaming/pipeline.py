@@ -1018,8 +1018,8 @@ def run_incremental_er_stream(
     Semantics note (standard incremental-ER approximation): two
     batch records that match two DIFFERENT existing entities do not
     merge those entities; a periodic full batch re-resolution
-    (er_golden_records' pipeline over the members lake) is the
-    compaction that heals such splits.
+    (linkage.recluster_members over the members lake — tested to heal
+    exactly this split shape) is the compaction step.
 
     Scale shape: per batch, cost is |batch| (probe + intra-batch
     resolution) + |entities| (the snapshot merge aggregate + rewrite);

@@ -247,3 +247,36 @@ def test_golden_view_min_id_attrs(spark):
     }
     # view carries the MIN-rid member's attrs under original names
     assert out == {1: (2, "A", 20), 7: (1, "C", 5)}
+
+
+def test_recluster_members_heals_incremental_split(spark):
+    """The documented incremental-ER approximation: record 3 matches
+    BOTH entity 1 and entity 2 (balance within 10 of each; 1 and 2 are
+    20 apart so they never matched each other), but the online stream
+    joined it to one best entity, leaving a split. Offline compaction
+    (recluster_members) re-runs the full pipeline over the member
+    records and merges the transitive component."""
+    members = spark.createDataFrame(
+        [
+            (1, 1, "Acme Corp 01", "x", 1000),
+            (2, 2, "Beta LLC 02", "x", 1020),
+            (3, 1, "Gamma Inc 03", "x", 1010),  # online best-pick: 1
+        ],
+        "rid long, entity_id long, name string, city string, bal long",
+    )
+    healed = {
+        r["rid"]: r["entity_id"]
+        for r in linkage.recluster_members(
+            members, "rid", ["name", "city", "bal"],
+            passes=[("city", F.col("city"))],
+            agreements=[
+                (F.col("name_a") == F.col("name_b"), 50),
+                (F.col("city_a") == F.col("city_b"), 10),
+                (F.abs(F.col("bal_a") - F.col("bal_b")) <= 10, 30),
+            ],
+            threshold=40,
+        ).collect()
+    }
+    # matches: (1,3) and (2,3) at 40 each; (1,2) only 10 — transitive
+    # closure merges all three under min id 1
+    assert healed == {1: 1, 2: 1, 3: 1}
