@@ -14734,7 +14734,7 @@ def classifier_distill_step1(spark, sf_dir):
 # non-discriminative key), nation|segment composite. Fixed cap 32.
 _ER_CAP = 32
 _ER_THRESHOLD = 70
-_ER_CTES = f"""
+_ER_BASE_CTES = f"""
     recs AS (
       SELECT c_custkey AS rec_id, c_name AS name,
              CAST(c_nationkey AS BIGINT) AS nation,
@@ -14760,7 +14760,10 @@ _ER_CTES = f"""
       UNION ALL
       SELECT rec_id, 'nsg:' || CAST(nation AS VARCHAR) || '|' || segment
       FROM recs
-    ),
+    )
+"""
+
+_ER_CTES = f"""{_ER_BASE_CTES},
     kept AS (
       SELECT rec_id, bkey FROM keys
       WHERE bkey IN (SELECT bkey FROM keys
@@ -15143,4 +15146,34 @@ def er_threshold_tradeoff(spark, sf_dir):
         ).alias("prec"),
         F.round(F.col("tp") / F.col("n_planted").cast("double"), 6)
         .alias("recall"),
+    )
+
+
+@query(
+    "er_blocked_candidates_budget",
+    f"""
+    WITH {_ER_BASE_CTES}
+    SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_passes
+    FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.rec_id < b.rec_id
+    GROUP BY 1, 2
+    """,
+)
+def er_blocked_candidates_budget(spark, sf_dir):
+    """PAIR-BUDGET cap proof for ER blocking (the production dial per
+    SCALE.md's 20×/30× smokes): the guard runs with
+    ``PairBudgetCap(10⁷)`` — at this scale the uncapped candidate
+    volume (Σ|block|² ≈ 6·10⁵) fits the budget, so the histogram
+    binary-search must resolve the cap to the max block size and drop
+    NOTHING — against the UNCAPPED SQL oracle. A resolver that lands
+    low drops pairs and fails the hash, so the budget solve itself
+    sits in the differential gate (the saturating side — budget
+    binding, recall surviving through the selective pass — is the 20×
+    and 30× smoke evidence)."""
+    from gcs_parquet_dataflow_spark.operators import linkage
+    from gcs_parquet_dataflow_spark.operators.dedup import PairBudgetCap
+
+    return linkage.blocked_candidate_pairs(
+        _er_records(spark, sf_dir), "rec_id", _er_passes(),
+        max_block_size=PairBudgetCap(10**7),
     )
