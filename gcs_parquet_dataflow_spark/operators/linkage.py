@@ -407,6 +407,24 @@ def first_token_block(col: Column) -> Column:
     return F.split_part(col, F.lit(" "), F.lit(1))
 
 
+def soundex_block(col: Column) -> Column:
+    """Phonetic blocking key (JVM-builtin soundex of the first token):
+    survives the misspellings edit-distance matching is meant to catch
+    ("Smith"/"Smyth" share a block; a first-token equality key would
+    separate them)."""
+    return F.soundex(F.split_part(col, F.lit(" "), F.lit(1)))
+
+
+def sorted_token_prefix_block(col: Column, k: int = 2) -> Column:
+    """Token-order-insensitive blocking key: the first ``k`` tokens of
+    the SORTED token set ("Corp Acme" and "Acme Corp" share a block).
+    The classic sorted-neighborhood key, as one codegen'd expression —
+    split, sort, slice, join."""
+    return F.array_join(
+        F.slice(F.array_sort(F.split(col, "\\s+")), 1, int(k)), " "
+    )
+
+
 def fuzzy_pairs_blocked(
     df: DataFrame,
     key_col: str,

@@ -280,3 +280,24 @@ def test_recluster_members_heals_incremental_split(spark):
     # matches: (1,3) and (2,3) at 40 each; (1,2) only 10 — transitive
     # closure merges all three under min id 1
     assert healed == {1: 1, 2: 1, 3: 1}
+
+
+def test_phonetic_and_sorted_token_blocks(spark):
+    df = spark.createDataFrame(
+        [(1, "Smith Hardware"), (2, "Smyth Hardware"),
+         (3, "Corp Acme"), (4, "Acme Corp"), (5, "Zeta Co")],
+        "rid long, name string",
+    )
+    out = {
+        r["rid"]: (r["sx"], r["st"])
+        for r in df.select(
+            "rid",
+            linkage.soundex_block(F.col("name")).alias("sx"),
+            linkage.sorted_token_prefix_block(F.col("name")).alias("st"),
+        ).collect()
+    }
+    # misspelled surnames share the phonetic block
+    assert out[1][0] == out[2][0]
+    # token order doesn't matter for the sorted-prefix block
+    assert out[3][1] == out[4][1] == "Acme Corp"
+    assert out[5][1] != out[4][1]
