@@ -106,10 +106,12 @@ EXTENDED = [
     "user_rfm_segments",
     "vocab_zipf_fit",
     "training_data_pipeline_v5",
-    # round-6 additions: entity-resolution suite
+    # round-6 additions: entity-resolution suite + quota sampling
     "er_blocked_candidates",
     "er_golden_records",
     "er_em_weight_step",
+    "er_threshold_tradeoff",
+    "sample_quota_per_source",
 ]
 
 
