@@ -391,16 +391,23 @@ def resolve_bucket_cap(
 ) -> int:
     """Resolve an auto-cap spec against an observed bucket-size table.
 
-    ``AutoCap``: one exact-percentile aggregate (DuckDB-grade exact —
-    Spark's ``percentile``, not the approximate sketch) over the sizes
-    table. ``PairBudgetCap``: collect the size histogram (bounded by
+    ``AutoCap``: one ``approx_percentile`` aggregate (accuracy 10⁴ —
+    rank error ≤ 1e-4·|buckets|, exact whenever |buckets| ≤ 10⁴) over
+    the sizes table.  Exact ``percentile`` buffers every value in one
+    reducer, and |buckets| can approach |records| at the 100 TB design
+    point — a single-node memory hotspot inside a guard whose whole job
+    is protecting scale (ADVICE r6).  The cap is a guard dial, not an
+    oracle-pinned output, so sketch-grade rank accuracy is the right
+    trade.  ``PairBudgetCap``: collect the size histogram (bounded by
     |distinct sizes| — a driver scalar) and binary-search the largest
     cap whose Σ min(|b|, c)² fits the budget."""
     if spec == "auto":
         spec = AutoCap()
     if isinstance(spec, AutoCap):
         p = sizes.agg(
-            F.expr(f"percentile({size_col}, {spec.quantile})").alias("p")
+            F.expr(
+                f"approx_percentile({size_col}, {spec.quantile}, 10000)"
+            ).alias("p")
         ).first()["p"]
         if p is None:
             return spec.floor

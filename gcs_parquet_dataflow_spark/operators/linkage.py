@@ -323,6 +323,22 @@ def em_weight_step(
     """
     if not agreements:
         raise ValueError("at least one agreement predicate is required")
+    # int64 overflow bound (ADVICE r6): the posterior numerator is
+    # micro · p₁₀ · Π factor with every factor ≤ 9, so K fields cost at
+    # most micro·10·9^K — that must stay below 2^63.  micro=1e6 admits
+    # K ≤ 12; silently exceeding it corrupts wq and every m/u estimate,
+    # so fail loudly (same contract as step1_weights' documented 10^12
+    # limit).
+    k_max = 0
+    lim = (2**63 - 1) // (int(micro) * 10)
+    while 9 ** (k_max + 1) <= lim:
+        k_max += 1
+    if len(agreements) > k_max:
+        raise ValueError(
+            f"em_weight_step: {len(agreements)} agreement fields exceeds "
+            f"the int64-exact bound of {k_max} for micro={micro} "
+            "(micro*10*9^K must stay < 2^63); reduce fields or micro"
+        )
     names = [n for n, _ in agreements]
     g = {
         n: F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")

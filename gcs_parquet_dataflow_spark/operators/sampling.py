@@ -218,6 +218,13 @@ def quota_per_key(
     """
     from pyspark.sql import Window
 
+    if "_quota_rn" in df.columns:
+        # Same guard as deterministic_shuffle's __ds_h: silently
+        # overwriting a caller column then dropping it corrupts data.
+        raise ValueError(
+            "quota_per_key: input already has a '_quota_rn' column; "
+            "rename it before calling"
+        )
     w = Window.partitionBy(*key_cols).orderBy(*order_by)
     return (
         df.withColumn("_quota_rn", F.row_number().over(w))

@@ -139,9 +139,17 @@ def _stage_epoch_allocation(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
                 1
                 + F.greatest(
                     F.least(
-                        F.floor(
-                            (F.col("_corpus_tokens") - F.col("_cum_before"))
-                            / F.col("_tokens")
+                        # integer `div`, not float floor(a/b): the float
+                        # path loses exactness past 2^53 token mass, and
+                        # the documented semantics are integer truncation.
+                        # Negative numerators (budget exhausted) differ
+                        # between floor and div but both clamp to 0 below.
+                        # A zero-token source gets NO extra epochs
+                        # explicitly (div by 0 would yield silent NULLs).
+                        F.when(F.col("_tokens") <= 0, F.lit(0)).otherwise(
+                            F.expr(
+                                "(_corpus_tokens - _cum_before) div _tokens"
+                            )
                         ).cast("long"),
                         F.lit(max_extra).cast("long"),
                     ),

@@ -10394,12 +10394,14 @@ def mixture_epoch_allocation(spark, sf_dir):
             ),
         )
     )
+    # Integer `div` to mirror the oracle's exact `//` — float floor(a/b)
+    # loses exactness past 2^53 token mass.  floor-vs-truncate divergence
+    # only arises for negative numerators, which the greatest(...,0)
+    # clamp maps to 0 on both engines.  tokens >= 1 per source (every doc
+    # contributes size(split(text,' ')) >= 1), so div-by-zero can't occur.
     extra = F.greatest(
         F.least(
-            F.floor(
-                (F.col("extra_budget") - F.col("cum_before"))
-                / F.col("tokens")
-            ).cast("long"),
+            F.expr("(extra_budget - cum_before) div tokens").cast("long"),
             F.lit(3).cast("long"),
         ),
         F.lit(0).cast("long"),

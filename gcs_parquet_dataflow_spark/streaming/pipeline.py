@@ -1055,9 +1055,18 @@ def run_incremental_er_stream(
             )
             latest = snaps.agg(F.max("_batch_id")).collect()[0][0]
             if latest is not None:
-                gview = persist_intermediate(
+                # Eager localCheckpoint, NOT just a cache pin: the merged
+                # snapshot derived from gview is written back OVER
+                # golden_path below, and Spark's overwrite-while-reading
+                # check only passes if the write plan carries no scan of
+                # that path.  A cache substitution hides the scan most of
+                # the time, but eviction or a missed cache match would
+                # fail the batch at write time (ADVICE r6) — truncating
+                # the lineage here makes the plan provably scan-free.
+                gview = (
                     snaps.filter(F.col("_batch_id") == latest)
                     .drop("_batch_id")
+                    .localCheckpoint(eager=True)
                 )
         if gview is not None:
             pairs = linkage.blocked_pairs_between(
