@@ -1,0 +1,202 @@
+"""Deterministic differential-privacy release mechanism (round 7).
+
+The governance suite already carries the release AUDITS — k-anonymity,
+l-diversity, per-user contribution bounds, keyed pseudonymization
+(queries/extensions.py privacy_*) — but no release MECHANISM.  This
+module adds the mechanism: contribution-clamped rollups with
+hash-derived Laplace noise and per-release ε accounting.
+
+Determinism contract (the same discipline as minhash seed 7 /
+hyperplanes seed 13): the "random" draw is the shared md5-based
+``hash32`` of (seed, group key), mapped to a uniform in (−½, ½), run
+through the exact Laplace inverse CDF.  Every constant is inlined into
+the DuckDB oracle SQL at import time, so the noise arithmetic sits in
+the differential gate verbatim on both sides — a release is a pure
+function of (data, seed, ε, Δ) and reproduces bit-identically across
+partitionings, cluster sizes, and engines.
+
+Deterministic seeded noise is also what production DP systems do for
+replayable releases (a PRF of a release key — see e.g. the PRG
+discussion in Google's DP building-block libraries); true physical
+randomness would break both the differential oracle and replay
+idempotence.
+
+Privacy semantics (standard central-model accounting):
+
+- Per-privacy-unit contribution to each released statistic is clamped
+  FIRST (counts: min(c, Δ); sums: clamp to ±Δ), so one unit changes
+  any released aggregate by at most Δ — the L∞ sensitivity the audit
+  row ``privacy_contribution_bounds`` measures.
+- Laplace noise with scale b = Δ/ε then gives ε-DP per release; the
+  released rollup carries (epsilon, sensitivity, noise_scale) columns
+  so a ledger can sum ε over releases (sequential composition).
+- One caveat a real deployment must add on top: the seed must be kept
+  secret with the raw data (a public seed lets anyone re-derive the
+  noise), and a NEW seed must be drawn per release epoch.
+
+Scale shape: a (group, unit) partial aggregate with map-side combine,
+then a |groups|-sized rollup; the noise term is a pure Column over the
+group key — no extra shuffle, no Python, nothing data-sized on the
+driver.  Reference has no privacy surface (this is part of the 100 TB
+training-data extension brief, like operators/sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.functions.text import hash32
+
+# Inlined into oracle SQL at import time; changing it changes BOTH
+# engines through this module only (the sketch-constants discipline).
+DP_RELEASE_SEED = "dp-release-r7"
+
+# 2^32 — hash32's range; the uniform is (h + 0.5) / 2^32 − 0.5, an
+# exact dyadic rational strictly inside (−½, ½) so ln(1 − 2|u|) is
+# always finite and sign(u) never 0.
+_HASH_DENOM = 4294967296.0
+
+
+def uniform_from_key(key: Column, seed: str = DP_RELEASE_SEED) -> Column:
+    """Deterministic uniform in (−½, ½) from the shared md5 hash of
+    (seed, key).  Exact dyadic arithmetic up to the final value — both
+    engines produce the identical double."""
+    h = hash32(F.concat_ws("|", F.lit(seed), key.cast("string")))
+    return (h + F.lit(0.5)) / F.lit(_HASH_DENOM) - F.lit(0.5)
+
+
+def laplace_noise(
+    key: Column, scale: Column, seed: str = DP_RELEASE_SEED
+) -> Column:
+    """Laplace(0, scale) sample via the exact inverse CDF on the
+    deterministic uniform: X = −b·sign(u)·ln(1 − 2|u|).
+
+    ln() is the one non-dyadic step; the established ln parity between
+    Spark (Math.log) and DuckDB (libm log) — already load-bearing in
+    source_unigram_kl / the entropy rows — plus the 6-decimal output
+    rounding keeps releases hash-identical in the differential gate.
+    """
+    u = uniform_from_key(key, seed)
+    return -scale * F.signum(u) * F.log(F.lit(1.0) - 2.0 * F.abs(u))
+
+
+def laplace_noise_sql(
+    key_expr: str, scale_expr: str, seed: str = DP_RELEASE_SEED
+) -> str:
+    """DuckDB twin of :func:`laplace_noise`, with the seed and hash
+    constants inlined — paste into oracle SQL so the noise arithmetic
+    is differentially checked verbatim."""
+    u = (
+        f"((CAST('0x' || substr(md5(concat_ws('|', '{seed}', "
+        f"CAST({key_expr} AS VARCHAR))), 1, 8) AS BIGINT) + 0.5)"
+        f" / {_HASH_DENOM:.1f} - 0.5)"
+    )
+    return f"(-({scale_expr}) * sign({u}) * ln(1.0 - 2.0 * abs({u})))"
+
+
+def _check_budget(epsilon: float, contribution_cap: int) -> float:
+    if not epsilon > 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    if contribution_cap < 1:
+        raise ValueError(
+            f"contribution_cap must be >= 1, got {contribution_cap}"
+        )
+    return contribution_cap / epsilon
+
+
+def dp_release_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    unit_col: str,
+    epsilon: float,
+    contribution_cap: int,
+    seed: str = DP_RELEASE_SEED,
+    include_internals: bool = False,
+) -> DataFrame:
+    """ε-DP released count per group with per-unit contribution
+    clamping: released = Σ_units min(c_unit, Δ) + Laplace(Δ/ε).
+
+    Output: group_cols + (released, epsilon, sensitivity, noise_scale);
+    ``include_internals`` adds (clamped_count, noise) for tests and
+    utility audits — NEVER publish those columns.
+
+    The noise key is the group key alone (plus the release seed): two
+    releases of the same group under the same seed reuse the same draw
+    (idempotent replay), and a changed seed redraws everything.
+    """
+    b = _check_budget(epsilon, contribution_cap)
+    per_unit = df.groupBy(*group_cols, unit_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    clamped = per_unit.groupBy(*group_cols).agg(
+        F.sum(F.least(F.col("_c"), F.lit(int(contribution_cap))))
+        .cast("long")
+        .alias("_clamped")
+    )
+    key = F.concat_ws(
+        "", *[F.col(c).cast("string") for c in group_cols]
+    )
+    noise = laplace_noise(key, F.lit(float(b)), seed)
+    out = clamped.select(
+        *group_cols,
+        F.round(F.col("_clamped") + noise, 6).alias("released"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(int(contribution_cap)).cast("long").alias("sensitivity"),
+        F.round(F.lit(float(b)), 6).alias("noise_scale"),
+        F.col("_clamped").alias("clamped_count"),
+        F.round(noise, 6).alias("noise"),
+    )
+    if include_internals:
+        return out
+    return out.drop("clamped_count", "noise")
+
+
+def dp_release_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    unit_col: str,
+    value_col: str,
+    epsilon: float,
+    value_cap: int,
+    seed: str = DP_RELEASE_SEED,
+    include_internals: bool = False,
+) -> DataFrame:
+    """ε-DP released sum per group: each unit's per-group value sum is
+    clamped to [−Δ, Δ] (Δ = ``value_cap``, integer so the clamped sum
+    stays exact), then Laplace(Δ/ε) noise keyed on the group.
+
+    ``value_col`` must be integer-valued (the engine's money-in-cents /
+    token-count convention); for doubles, quantize first — exactness of
+    the pre-noise sum is what makes the release differential-checkable.
+    """
+    b = _check_budget(epsilon, value_cap)
+    per_unit = df.groupBy(*group_cols, unit_col).agg(
+        F.sum(F.col(value_col).cast("long")).alias("_v")
+    )
+    clamped = per_unit.groupBy(*group_cols).agg(
+        F.sum(
+            F.greatest(
+                F.least(F.col("_v"), F.lit(int(value_cap))),
+                F.lit(-int(value_cap)),
+            )
+        )
+        .cast("long")
+        .alias("_clamped")
+    )
+    key = F.concat_ws(
+        "", *[F.col(c).cast("string") for c in group_cols]
+    )
+    noise = laplace_noise(key, F.lit(float(b)), seed)
+    out = clamped.select(
+        *group_cols,
+        F.round(F.col("_clamped") + noise, 6).alias("released"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(int(value_cap)).cast("long").alias("sensitivity"),
+        F.round(F.lit(float(b)), 6).alias("noise_scale"),
+        F.col("_clamped").alias("clamped_sum"),
+        F.round(noise, 6).alias("noise"),
+    )
+    if include_internals:
+        return out
+    return out.drop("clamped_sum", "noise")

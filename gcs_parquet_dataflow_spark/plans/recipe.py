@@ -349,6 +349,28 @@ def _stage_quota_per_key(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     )
 
 
+def _stage_dp_release(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    """TERMINAL release stage: ε-DP per-``key`` counts of privacy units
+    (default unit = the id column, cap 1 — each document counted once),
+    via operators/privacy.dp_release_counts.  Aggregates the flow into
+    the released rollup — put it last; the released statistics artifact
+    is the stage's output (e.g. publishable per-source corpus counts).
+    Batch-only: the clamp is a per-unit global aggregate."""
+    from gcs_parquet_dataflow_spark.operators.privacy import (
+        DP_RELEASE_SEED,
+        dp_release_counts,
+    )
+
+    return dp_release_counts(
+        df,
+        [p.get("key", "source")],
+        p.get("unit", ctx["id_col"]),
+        epsilon=float(p["epsilon"]),
+        contribution_cap=int(p.get("cap", 1)),
+        seed=p.get("seed", DP_RELEASE_SEED),
+    )
+
+
 STAGES: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
     "filter_in": _stage_filter_in,
     "length_gate": _stage_length_gate,
@@ -371,6 +393,7 @@ STAGES: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
     "sample": _stage_sample,
     "split": _stage_split,
     "quota_per_key": _stage_quota_per_key,
+    "dp_release": _stage_dp_release,
 }
 
 

@@ -67,6 +67,152 @@ def test_em_weight_step_field_count_bound(spark):
     assert out2.count() == 13
 
 
+def test_dp_release_noise_scale_matches_epsilon_over_delta(spark):
+    """The deterministic Laplace draws must actually BE Laplace(Δ/ε):
+    over many group keys, mean |noise| ≈ b = Δ/ε (Laplace E|X| = b) and
+    the |noise| median ≈ b·ln 2, within statistical tolerance.  A wrong
+    inverse CDF or a mis-scaled b fails these immediately."""
+    import math
+
+    from gcs_parquet_dataflow_spark.operators.privacy import (
+        dp_release_counts,
+    )
+
+    # 4000 groups, one unit each → clamped_count = 1 per group
+    df = spark.range(4000).select(
+        F.col("id").cast("string").alias("g"), F.lit("u").alias("unit")
+    )
+    rel = dp_release_counts(
+        df, ["g"], "unit", epsilon=0.5, contribution_cap=8,
+        include_internals=True,
+    )
+    b = 8 / 0.5
+    stats = rel.agg(
+        F.avg(F.abs(F.col("noise"))).alias("mean_abs"),
+        F.expr("percentile(abs(noise), 0.5)").alias("med_abs"),
+        F.max(F.col("clamped_count")).alias("maxc"),
+    ).first()
+    # Laplace: E|X| = b, median|X| = b·ln2; stderr of mean ≈ b/√n ≈ 0.25
+    assert abs(stats["mean_abs"] - b) < 4 * b / math.sqrt(4000)
+    assert abs(stats["med_abs"] - b * math.log(2)) < 1.0
+    assert stats["maxc"] == 1
+    # epsilon accounting columns ride every row
+    row = rel.first()
+    assert row["epsilon"] == 0.5
+    assert row["sensitivity"] == 8
+    assert row["noise_scale"] == b
+
+
+def test_dp_release_clamp_conservation_and_neighbor_bound(spark):
+    """Contribution clamping is the sensitivity proof: (a) the clamped
+    count equals Σ min(c_u, Δ) exactly; (b) removing ONE unit changes
+    the clamped count by at most Δ — the neighboring-dataset bound the
+    ε guarantee rests on."""
+    from gcs_parquet_dataflow_spark.operators.privacy import (
+        dp_release_counts,
+    )
+
+    rows = [("g1", "heavy")] * 50 + [("g1", "light")] * 2 + [
+        ("g2", "only")
+    ] * 3
+    df = spark.createDataFrame(rows, "g string, unit string")
+    rel = {
+        r["g"]: r
+        for r in dp_release_counts(
+            df, ["g"], "unit", epsilon=1.0, contribution_cap=5,
+            include_internals=True,
+        ).collect()
+    }
+    assert rel["g1"]["clamped_count"] == 5 + 2  # heavy clamped 50→5
+    assert rel["g2"]["clamped_count"] == 3
+    # neighbor: drop the heavy unit entirely → change ≤ Δ
+    rel2 = {
+        r["g"]: r
+        for r in dp_release_counts(
+            df.filter(F.col("unit") != "heavy"),
+            ["g"], "unit", epsilon=1.0, contribution_cap=5,
+            include_internals=True,
+        ).collect()
+    }
+    delta = rel["g1"]["clamped_count"] - rel2["g1"]["clamped_count"]
+    assert 0 <= delta <= 5
+    # same group key + seed → identical noise draw on both datasets
+    assert rel["g1"]["noise"] == rel2["g1"]["noise"]
+
+
+def test_dp_release_deterministic_and_seed_sensitive(spark):
+    """Releases are pure functions of (data, seed, ε, Δ): identical
+    under repartitioning, different under a different seed."""
+    from gcs_parquet_dataflow_spark.operators.privacy import (
+        dp_release_counts,
+        dp_release_sums,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") % 31).cast("string").alias("unit"),
+        (F.col("id") % 100).cast("long").alias("v"),
+    )
+    a = sorted(
+        dp_release_counts(df, ["g"], "unit", 0.5, 3).collect()
+    )
+    b = sorted(
+        dp_release_counts(
+            df.repartition(13), ["g"], "unit", 0.5, 3
+        ).collect()
+    )
+    assert a == b
+    c = sorted(
+        dp_release_counts(
+            df, ["g"], "unit", 0.5, 3, seed="other-seed"
+        ).collect()
+    )
+    assert [r["released"] for r in a] != [r["released"] for r in c]
+
+    # sums: per-unit value clamped to ±cap before the group sum
+    s = {
+        r["g"]: r
+        for r in dp_release_sums(
+            df, ["g"], "unit", "v", 0.25, 50, include_internals=True
+        ).collect()
+    }
+    raw = {
+        r["g"]: r["cs"]
+        for r in df.groupBy("g", "unit")
+        .agg(F.sum("v").alias("uv"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.greatest(F.least(F.col("uv"), F.lit(50)), F.lit(-50))
+            ).alias("cs")
+        )
+        .collect()
+    }
+    for g, r in s.items():
+        assert r["clamped_sum"] == raw[g]
+
+
+def test_dp_release_recipe_stage_equals_operator(spark):
+    from gcs_parquet_dataflow_spark.operators.privacy import (
+        dp_release_counts,
+    )
+    from gcs_parquet_dataflow_spark.plans.recipe import compile_recipe
+
+    df = spark.createDataFrame(
+        [("d1", "s1"), ("d2", "s1"), ("d3", "s2")],
+        "doc_id string, source string",
+    )
+    got = sorted(
+        compile_recipe(
+            df, [{"op": "dp_release", "epsilon": 0.5}]
+        ).collect()
+    )
+    want = sorted(
+        dp_release_counts(df, ["source"], "doc_id", 0.5, 1).collect()
+    )
+    assert got == want
+
+
 def test_epoch_allocation_zero_token_source_gets_base_epoch(spark):
     """ADVICE r6: a source whose token sum is 0 must get exactly the
     base epoch (no NULLs from div-by-zero), and the div path must agree
