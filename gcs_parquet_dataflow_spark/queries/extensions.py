@@ -15272,3 +15272,183 @@ def privacy_dp_release_sums(spark, sf_dir):
         epsilon=_DP_SUM_EPS,
         value_cap=_DP_SUM_CAP,
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ER differential rows (round 7 — VERDICT r6 item 6): the
+# batch-probe join and the compaction path get the same hash-exact
+# pinning as the rest of the ER suite.
+# ---------------------------------------------------------------------------
+
+_ER_PROBE_CTES = f"""
+    base AS (
+      SELECT c_custkey AS rec_id, c_name AS name,
+             CAST(c_nationkey AS BIGINT) AS nation,
+             c_mktsegment AS segment,
+             CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+      FROM customer),
+    batch AS (
+      SELECT c_custkey + 1000000 AS rec_id,
+             replace(upper(c_name), '#', ' ') AS name,
+             CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+             CAST(round(c_acctbal*100) AS BIGINT) + 5 AS bal_cents
+      FROM customer WHERE c_custkey % 7 = 0),
+    gv AS (SELECT rec_id AS eid, name, nation, segment, bal_cents
+           FROM base),
+    lk AS (
+      SELECT rec_id AS rid,
+             'nm:' || regexp_replace(name, '[^0-9]', '', 'g') AS bkey
+      FROM batch
+      UNION ALL
+      SELECT rec_id, 'bal:' || CAST(CAST(floor(bal_cents/1000.0) AS BIGINT)
+                                    AS VARCHAR) FROM batch
+      UNION ALL SELECT rec_id, 'seg:' || segment FROM batch
+      UNION ALL
+      SELECT rec_id, 'nsg:' || CAST(nation AS VARCHAR) || '|' || segment
+      FROM batch),
+    rk AS (
+      SELECT eid AS rid,
+             'nm:' || regexp_replace(name, '[^0-9]', '', 'g') AS bkey
+      FROM gv
+      UNION ALL
+      SELECT eid, 'bal:' || CAST(CAST(floor(bal_cents/1000.0) AS BIGINT)
+                                 AS VARCHAR) FROM gv
+      UNION ALL SELECT eid, 'seg:' || segment FROM gv
+      UNION ALL
+      SELECT eid, 'nsg:' || CAST(nation AS VARCHAR) || '|' || segment
+      FROM gv),
+    lkept AS (SELECT * FROM lk WHERE bkey IN
+        (SELECT bkey FROM lk GROUP BY bkey HAVING count(*) <= {_ER_CAP})),
+    rkept AS (SELECT * FROM rk WHERE bkey IN
+        (SELECT bkey FROM rk GROUP BY bkey HAVING count(*) <= {_ER_CAP})),
+    cand AS (SELECT l.rid AS id_a, r.rid AS id_b,
+                    CAST(count(*) AS BIGINT) AS n_passes
+             FROM lkept l JOIN rkept r ON l.bkey = r.bkey GROUP BY 1, 2),
+    sc AS (SELECT c.id_a, c.id_b, c.n_passes,
+           CAST((CASE WHEN lower(regexp_replace(a.name,
+                          '[^A-Za-z0-9]', '', 'g'))
+                    = lower(regexp_replace(b.name,
+                          '[^A-Za-z0-9]', '', 'g')) THEN 50 ELSE 0 END)
+              + (CASE WHEN a.nation = b.nation THEN 10 ELSE 0 END)
+              + (CASE WHEN a.segment = b.segment THEN 10 ELSE 0 END)
+              + (CASE WHEN abs(a.bal_cents - b.bal_cents) <= 10
+                 THEN 30 ELSE 0 END) AS BIGINT) AS score
+           FROM cand c JOIN batch a ON c.id_a = a.rec_id
+                       JOIN gv b ON c.id_b = b.eid),
+    m AS (SELECT * FROM sc WHERE score >= {_ER_THRESHOLD}),
+    best AS (SELECT id_a, CAST(max(score) AS BIGINT) AS best_score,
+                    CAST(count(*) AS BIGINT) AS n_matches
+             FROM m GROUP BY id_a)
+"""
+
+
+@query(
+    "er_incremental_probe",
+    f"""
+    WITH {_ER_PROBE_CTES}
+    SELECT m.id_a AS rec_id, CAST(min(m.id_b) AS BIGINT) AS entity_id,
+           b.best_score, b.n_matches
+    FROM m JOIN best b ON m.id_a = b.id_a AND m.score = b.best_score
+    GROUP BY m.id_a, b.best_score, b.n_matches
+    """,
+)
+def er_incremental_probe(spark, sf_dir):
+    """The incremental-ER stream's BATCH-PROBE join, differentially
+    pinned (operators/linkage.py blocked_pairs_between + golden_view):
+    the base customers form singleton entities; golden_view rebuilds
+    the comparison view (min-id member attrs under ORIGINAL names, so
+    the same four blocking passes apply unchanged); the planted-variant
+    batch probes it through the per-side cap guard; Fellegi–Sunter
+    scoring + threshold + best-entity pick (max score, min entity id on
+    ties — the stream's deterministic assignment rule). Each variant
+    must land on exactly its source entity. Cost Σ|block_l|·|block_r|,
+    never |batch|×|entities|."""
+    from gcs_parquet_dataflow_spark.operators import linkage
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    attrs = ["name", "nation", "segment", "bal_cents"]
+    full = _er_records(spark, sf_dir)
+    base = full.filter(F.col("rec_id") < 1000000)
+    batch = persist_intermediate(full.filter(F.col("rec_id") >= 1000000))
+    gv = persist_intermediate(
+        linkage.golden_view(
+            base.withColumn("entity_id", F.col("rec_id")), "rec_id", attrs
+        )
+    )
+    pairs = linkage.blocked_pairs_between(
+        batch, gv, "rec_id", "entity_id", _er_passes(),
+        max_block_size=_ER_CAP,
+    )
+    side_a = batch.select(
+        F.col("rec_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in attrs],
+    )
+    side_b = gv.select(
+        F.col("entity_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in attrs],
+    )
+    scored = linkage.fellegi_sunter_score(
+        pairs.join(side_a, "id_a").join(side_b, "id_b"), _er_agreements()
+    )
+    m = scored.filter(F.col("score") >= _ER_THRESHOLD).select(
+        "id_a", "id_b", "score"
+    )
+    best = m.groupBy("id_a").agg(
+        F.max("score").cast("long").alias("best_score"),
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+    )
+    return (
+        m.join(best, "id_a")
+        .filter(F.col("score") == F.col("best_score"))
+        .groupBy("id_a", "best_score", "n_matches")
+        .agg(F.min("id_b").cast("long").alias("entity_id"))
+        .select(
+            F.col("id_a").alias("rec_id"),
+            "entity_id",
+            "best_score",
+            "n_matches",
+        )
+    )
+
+
+@query(
+    "er_recluster_members",
+    f"""
+    WITH RECURSIVE {_ER_CTES},
+    m0 AS (SELECT id_a, id_b FROM scored WHERE score >= {_ER_THRESHOLD}),
+    e AS (SELECT id_a AS s, id_b AS d FROM m0
+          UNION SELECT id_b, id_a FROM m0),
+    r AS (SELECT s, d FROM e
+          UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+    mn AS (SELECT s AS rec_id, min(d) AS mn FROM r GROUP BY s)
+    SELECT recs.rec_id,
+           CAST(coalesce(least(recs.rec_id, mn.mn), recs.rec_id)
+                AS BIGINT) AS entity_id,
+           recs.name, recs.nation, recs.segment, recs.bal_cents
+    FROM recs LEFT JOIN mn USING (rec_id)
+    """,
+)
+def er_recluster_members(spark, sf_dir):
+    """COMPACTION ≡ full recompute, differentially pinned
+    (operators/linkage.py recluster_members): start from the worst
+    split state — every record its own entity, the exact shape the
+    online stream's documented approximation can leave behind — and
+    re-resolve the membership table from scratch. The fresh entity ids
+    must equal the full batch pipeline's transitive closure (min
+    reachable record id), which is what the recursive-CTE oracle
+    computes; entities that were already correct keep their ids, so
+    downstream keys stay stable. Cost class: the batch pipeline's
+    (cap-guarded Σ|block|² + O(diameter) closure rounds), independent
+    of how many increments built the lake."""
+    from gcs_parquet_dataflow_spark.operators import linkage
+
+    attrs = ["name", "nation", "segment", "bal_cents"]
+    members = _er_records(spark, sf_dir).withColumn(
+        "entity_id", F.col("rec_id")
+    )
+    return linkage.recluster_members(
+        members, "rec_id", attrs, _er_passes(), _er_agreements(),
+        _ER_THRESHOLD, max_block_size=_ER_CAP,
+    )
