@@ -92,6 +92,47 @@ def hashed_ngram_features(
     )
 
 
+def hashed_char_ngram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    dim: int = HASH_DIM,
+) -> DataFrame:
+    """→ (id_col, bucket, x): counts of hashed character ``n``-grams —
+    the classic textcat/langid.py feature set (character trigrams carry
+    the orthographic signal word features miss for language-ID).
+
+    Same plan shape as :func:`hashed_ngram_features`: explode an index
+    sequence (guarded — Spark's ``sequence(1, 0)`` would DESCEND, so
+    short texts map to an empty array), substring per index, hash %
+    dim, map-side-combined count.  No Python, no HOF lambdas in the
+    per-row hot path beyond the index explode."""
+    d = ensure_parallelism(
+        df.filter(F.col(text_col).isNotNull()), id_col
+    )
+    idx = F.when(
+        F.length(F.col(text_col)) >= n,
+        F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        F.explode(idx).alias("_i"),
+    ).select(
+        F.col(id_col),
+        F.expr(f"substring(_txt, _i, {int(n)})").alias("gram"),
+    )
+    return (
+        grams.select(
+            F.col(id_col),
+            (hash32(F.col("gram")) % dim).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+
+
 def gradient_at_zero(
     feats: DataFrame, labels: DataFrame, id_col: str
 ) -> DataFrame:
@@ -180,10 +221,27 @@ def train_quality_classifier(
     lab = persist_intermediate(
         labels.select(F.col(id_col), F.col("y").cast("long").alias("y"))
     )
+    return _train_on_feats(
+        feats, lab, id_col, dim, n_iters, lr_micro, df.sparkSession
+    )
+
+
+def _train_on_feats(
+    feats: DataFrame,
+    lab: DataFrame,
+    id_col: str,
+    dim: int,
+    n_iters: int,
+    lr_micro: int,
+    spark,
+) -> dict[int, int]:
+    """The shared full-batch GD loop over a prebuilt feature table —
+    factored out so one-vs-rest multiclass training (lang-ID) reuses
+    the SAME persisted features for every class instead of rebuilding
+    the corpus-sized table per language."""
     n_docs = lab.count()
     if n_docs == 0:
         return {}
-    spark = df.sparkSession
     weights = {b: 0 for b in range(dim)}
     for _ in range(n_iters):
         wdf = spark.createDataFrame(
@@ -279,6 +337,100 @@ def classifier_scores(
         )
         .drop("_s")
     )
+
+
+def train_langid_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    langs: list[str] | None = None,
+    n: int = 3,
+    dim: int = HASH_DIM,
+    n_iters: int = 8,
+    lr_micro: int = 2 * MICRO,
+) -> dict[str, dict[int, int]]:
+    """TRAINED language-ID (VERDICT r6 item 4): one-vs-rest logistic
+    regression over hashed character ``n``-gram counts — the
+    langid.py / fastText-textcat shape — on the engine's exact-integer
+    training machinery, so the learned weights are bit-identical under
+    any partitioning (the same determinism contract as
+    :func:`train_quality_classifier`).
+
+    Returns ``{lang: {bucket: weight_micro}}``.  The char-n-gram
+    feature table is built and persisted ONCE and shared by every
+    class's training loop (K classes cost K dim-sized iterations, one
+    corpus scan).  This is the trained upgrade path behind the
+    stopword heuristic ``functions/text.py lang_id``: score with
+    :func:`langid_predict`, which falls back to nothing — texts with
+    no features keep NULL/'und'."""
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    if langs is None:
+        langs = sorted(
+            r[0]
+            for r in base.select(label_col).distinct().collect()
+        )
+    feats = persist_intermediate(
+        hashed_char_ngram_features(base, id_col, text_col, n=n, dim=dim)
+    )
+    out: dict[str, dict[int, int]] = {}
+    for lang in langs:
+        lab = persist_intermediate(
+            base.select(
+                F.col(id_col),
+                (F.col(label_col) == lang).cast("long").alias("y"),
+            )
+        )
+        out[lang] = _train_on_feats(
+            feats, lab, id_col, dim, n_iters, lr_micro, df.sparkSession
+        )
+    return out
+
+
+def langid_predict(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights_by_lang: dict[str, dict[int, int]],
+    n: int = 3,
+    dim: int = HASH_DIM,
+    out: str = "pred_lang",
+    fallback: str = "und",
+) -> DataFrame:
+    """Apply a trained one-vs-rest lang-ID model: per-language exact
+    int64 margins via ONE broadcast join against the (lang, bucket, w)
+    table, argmax with (margin desc, lang asc) tie-break — fully
+    deterministic, like the heuristic it upgrades.  Texts producing no
+    features (NULL / shorter than ``n``) get ``fallback``.
+
+    Scale shape: feature explode + one broadcast join + two hash
+    aggregations keyed on the doc id; the weight table is
+    |langs|·dim bounded.  No Python in the scoring path."""
+    spark = df.sparkSession
+    rows = [
+        (lang, int(b), int(w))
+        for lang, ws in weights_by_lang.items()
+        for b, w in ws.items()
+    ]
+    if not rows:
+        return df.withColumn(out, F.lit(fallback))
+    wdf = spark.createDataFrame(rows, "lang string, bucket long, w long")
+    feats = hashed_char_ngram_features(df, id_col, text_col, n=n, dim=dim)
+    margins = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.col("w") * F.col("x")).cast("long").alias("s"))
+    )
+    best = margins.groupBy(id_col).agg(
+        F.min_by(
+            "lang", F.struct((-F.col("s")).alias("_ns"), F.col("lang"))
+        ).alias("_pred")
+    )
+    return df.join(best, id_col, "left").withColumn(
+        out, F.coalesce(F.col("_pred"), F.lit(fallback))
+    ).drop("_pred")
 
 
 def auc_of_scores(scored: DataFrame, prob_col: str, label_col: str) -> float:

@@ -211,6 +211,33 @@ def _stage_curriculum_annotate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
 
 
 def _stage_lang_annotate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
+    """Stopword-heuristic language-ID by default; with ``weights``
+    (``{lang: {bucket: µ-weight}}`` inline, the classifier_score
+    convention — a recipe file is a complete reproducible artifact)
+    the TRAINED char-n-gram one-vs-rest model scores instead
+    (operators/classifier.train_langid_classifier's deploy path).
+    Note the trained path joins a per-doc argmax back onto the flow
+    (no longer a pure scan-stage map), so a recipe using it is
+    batch-only — validate_streamable rejects it."""
+    if "weights" in p:
+        from gcs_parquet_dataflow_spark.operators.classifier import (
+            HASH_DIM,
+            langid_predict,
+        )
+
+        weights = {
+            lang: {int(b): int(w) for b, w in dict(ws).items()}
+            for lang, ws in dict(p["weights"]).items()
+        }
+        return langid_predict(
+            df,
+            ctx["id_col"],
+            ctx["text_col"],
+            weights,
+            n=int(p.get("n", 3)),
+            dim=int(p.get("dim", HASH_DIM)),
+            out=p.get("out", "lang_id"),
+        )
     return df.withColumn(p.get("out", "lang_id"), TX.lang_id(F.col(ctx["text_col"])))
 
 
@@ -458,6 +485,14 @@ def validate_streamable(recipe: list[dict[str, Any]]) -> None:
     stages join against the whole corpus — in streaming that's the
     sketch-index path, run_corpus_ingest_stream, not a per-batch map)."""
     bad = [e.get("op") for e in recipe if e.get("op") not in STREAMABLE_STAGES]
+    # lang_annotate is only a pure scan-stage map in its heuristic
+    # form; the trained-weights variant joins a per-doc argmax back
+    # (aggregation state) and must stay batch-only.
+    bad += [
+        "lang_annotate(weights)"
+        for e in recipe
+        if e.get("op") == "lang_annotate" and "weights" in e
+    ]
     if bad:
         raise RecipeError(
             f"stages not streamable per-batch: {bad}; "

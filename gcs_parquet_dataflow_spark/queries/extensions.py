@@ -14603,8 +14603,9 @@ def quality_classifier_gradient(spark, sf_dir):
 def graph_coactivity_edges_autocap(spark, sf_dir):
     """SELF-SCALING cap proof for the co-activity edge build (VERDICT
     r5 item 1): the guard runs with ``max_bucket_size="auto"`` — cap
-    resolved from the OBSERVED bucket-size distribution (exact p99 ×
-    slack: 28 at sf0.01 where the max bucket is 10; 160 at sf0.1 where
+    resolved from the OBSERVED bucket-size distribution (p99 × slack
+    via approx_percentile, rank-exact below 10⁴ buckets — ADVICE r6:
+    28 at sf0.01 where the max bucket is 10; 160 at sf0.1 where
     it is 51) — against the same uncapped SQL oracle, so the resolver,
     the eager saturation report, and the guard anti-join all sit in
     the differential gate; a cap that mis-resolved low would drop
@@ -15452,3 +15453,87 @@ def er_recluster_members(spark, sf_dir):
         members, "rec_id", attrs, _er_passes(), _er_agreements(),
         _ER_THRESHOLD, max_block_size=_ER_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained language-ID (round 7 — VERDICT r6 item 4): the classifier
+# machinery generalized to one-vs-rest multiclass over hashed CHAR
+# n-gram features; the deterministic training step sits in the
+# differential gate for every language at once.
+# ---------------------------------------------------------------------------
+
+_LANGID_DIM = 256
+
+
+@query(
+    "langid_train_step1",
+    f"""
+    WITH d AS (SELECT doc_id, lang, text FROM documents
+               WHERE text IS NOT NULL AND lang IS NOT NULL),
+    langs AS (SELECT DISTINCT lang FROM d),
+    grams AS (SELECT doc_id,
+                     unnest([substr(text, i, 3)
+                             for i in range(1, greatest(length(text) - 2,
+                                                        0) + 1)]) AS gram
+              FROM d),
+    feats AS (SELECT doc_id,
+                     CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                         % {_LANGID_DIM} AS bucket,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM grams GROUP BY 1, 2),
+    lab AS (SELECT l.lang AS cls, d.doc_id,
+                   CASE WHEN d.lang = l.lang THEN 1 ELSE 0 END AS y
+            FROM d CROSS JOIN langs l),
+    g AS (SELECT lab.cls, f.bucket,
+                 CAST(sum((1 - 2 * lab.y) * f.x) AS BIGINT) AS grad_x2
+          FROM feats f JOIN lab ON lab.doc_id = f.doc_id GROUP BY 1, 2),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d)
+    SELECT g.cls AS lang, g.bucket,
+           CAST(-((1000000 * g.grad_x2) // n.n_docs) AS BIGINT) AS wv
+    FROM g CROSS JOIN n
+    """,
+)
+def langid_train_step1(spark, sf_dir):
+    """Deterministic training step of the TRAINED language-ID
+    (operators/classifier.py train_langid_classifier): one-vs-rest
+    closed-form step-1 weights — for EVERY language in one output —
+    over hashed char-TRIGRAM counts (the langid.py / fastText-textcat
+    feature set; dim 256 here so the full weight table is the oracle
+    surface).  Exact integer µ-unit weights via the pinned
+    truncate-toward-zero division; the shared persisted feature table
+    feeds all classes (the multiclass cost structure: K dim-sized
+    loops over ONE corpus scan).  The iterative multiclass trainer,
+    argmax deploy path, and the accuracy-beats-heuristic demonstration
+    are tests/test_round7.py; the deployable path is langid_predict /
+    the lang_annotate(weights=...) recipe stage."""
+    from gcs_parquet_dataflow_spark.operators.classifier import (
+        hashed_char_ngram_features,
+        step1_weights,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    langs = sorted(
+        r[0] for r in d.select("lang").distinct().collect()
+    )
+    feats = persist_intermediate(
+        hashed_char_ngram_features(d, "doc_id", "text", n=3,
+                                   dim=_LANGID_DIM)
+    )
+    parts = []
+    for lang in langs:
+        labels = d.select(
+            "doc_id", (F.col("lang") == lang).cast("long").alias("y")
+        )
+        parts.append(
+            step1_weights(feats, labels, "doc_id")
+            .withColumn("lang", F.lit(lang))
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.select("lang", "bucket", "wv")
