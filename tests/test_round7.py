@@ -347,6 +347,126 @@ def test_lang_annotate_weights_stage_and_streamable_guard(spark):
     validate_streamable([{"op": "lang_annotate"}])
 
 
+_V5_RECIPE = [
+    {"op": "encoding_gate"},
+    {"op": "token_stats", "out": "n_tokens"},
+    {"op": "quality_annotate", "out": "quality"},
+    {"op": "curriculum_annotate", "hi": 0.75, "lo": 0.5,
+     "out": "stage", "shuffle_out": "shuffle_key"},
+    {"op": "epoch_allocation", "max_extra": 3, "out": "epochs"},
+    {"op": "manifest", "out": "position", "top_k": 50},
+]
+
+
+def test_incremental_recipe_equals_full_recompute(spark, tmp_path):
+    """VERDICT r6 item 5's 'done' bar: training_data_pipeline_v5's
+    recipe shape, run incrementally over ledger batches with merged
+    state, must produce EXACTLY the full one-shot manifest — and the
+    merged stats snapshot must equal a direct aggregate of the curated
+    lake (the mergeable-carrier invariant). Also batch-split
+    invariance: 2 batches and 5 batches give the same finalize."""
+    from gcs_parquet_dataflow_spark.catalog import load_table
+    from gcs_parquet_dataflow_spark.plans.incremental_recipe import (
+        batch_source_stats,
+        finalize_manifest,
+        ledger_batches,
+        run_incremental_batch,
+    )
+    from gcs_parquet_dataflow_spark.plans.recipe import compile_recipe
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = sorted(compile_recipe(docs, _V5_RECIPE).collect())
+
+    results = {}
+    for n_batches in (2, 5):
+        state = str(tmp_path / f"state{n_batches}")
+        for bid, batch in ledger_batches(docs, n_batches):
+            run_incremental_batch(
+                spark, batch, _V5_RECIPE, state, bid
+            )
+        results[n_batches] = sorted(
+            finalize_manifest(spark, _V5_RECIPE, state).collect()
+        )
+        # merged stats snapshot == direct aggregate of the lake (exact
+        # int64 carriers — order/batching cannot perturb them)
+        lake = spark.read.parquet(f"{state}/curated").drop("_batch_id")
+        direct = {
+            r["source"]: (r["n"], r["tokens"], r["q_micro"])
+            for r in batch_source_stats(lake).collect()
+        }
+        snap = spark.read.parquet(f"{state}/stats")
+        last = snap.agg(F.max("_batch_id")).first()[0]
+        merged = {
+            r["source"]: (r["n"], r["tokens"], r["q_micro"])
+            for r in snap.filter(F.col("_batch_id") == last).collect()
+        }
+        assert merged == direct
+
+    assert results[2] == full
+    assert results[5] == full
+
+
+def test_incremental_recipe_batch_replay_idempotent(spark, tmp_path):
+    """Replaying a batch id (the streaming failure mode) must leave
+    both the curated lake and the stats snapshot unchanged — the
+    batch-keyed dynamic-overwrite + predecessor-merge contract."""
+    from gcs_parquet_dataflow_spark.catalog import load_table
+    from gcs_parquet_dataflow_spark.plans.incremental_recipe import (
+        finalize_manifest,
+        ledger_batches,
+        run_incremental_batch,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "state")
+    batches = ledger_batches(docs, 3)
+    for bid, batch in batches:
+        run_incremental_batch(spark, batch, _V5_RECIPE, state, bid)
+    before = sorted(finalize_manifest(spark, _V5_RECIPE, state).collect())
+    # replay the LAST batch (its stats merge must re-derive from the
+    # predecessor snapshot, not double-count)
+    bid, batch = batches[-1]
+    run_incremental_batch(spark, batch, _V5_RECIPE, state, bid)
+    after = sorted(finalize_manifest(spark, _V5_RECIPE, state).collect())
+    assert after == before
+    snap = spark.read.parquet(f"{state}/stats")
+    last = snap.agg(F.max("_batch_id")).first()[0]
+    n_docs = docs.count()
+    total_n = (
+        snap.filter(F.col("_batch_id") == last)
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    # every non-gated doc counted exactly once
+    assert total_n <= n_docs
+    lake_n = (
+        spark.read.parquet(f"{state}/curated").count()
+    )
+    assert total_n == lake_n
+
+
+def test_incremental_recipe_rejects_corpus_level_prefix(spark):
+    """A recipe whose corpus-level stage is NOT deferrable (dedup /
+    decontaminate) must fail at split time with a pointer to the
+    streaming index path."""
+    import pytest as _pytest
+
+    from gcs_parquet_dataflow_spark.plans.incremental_recipe import (
+        split_recipe,
+    )
+    from gcs_parquet_dataflow_spark.plans.recipe import RecipeError
+
+    ok_prefix, ok_suffix = split_recipe(_V5_RECIPE)
+    assert [e["op"] for e in ok_suffix] == [
+        "epoch_allocation", "manifest",
+    ]
+    with _pytest.raises(RecipeError, match="streaming index"):
+        split_recipe(
+            [{"op": "token_stats"}, {"op": "dedup_exact"},
+             {"op": "manifest"}]
+        )
+
+
 def test_epoch_allocation_zero_token_source_gets_base_epoch(spark):
     """ADVICE r6: a source whose token sum is 0 must get exactly the
     base epoch (no NULLs from div-by-zero), and the div path must agree
