@@ -1382,13 +1382,15 @@ def join_full_outer(spark, sf_dir):
                  FROM bg GROUP BY w1, w2),
          ugc AS (SELECT w1, CAST(count(*) AS BIGINT) AS uc
                  FROM bg GROUP BY w1)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(sum((bc * 1000000) // uc) AS BIGINT) AS fluency_micro_sum,
-           round(CAST(sum((bc * 1000000) // uc) AS BIGINT)
-                 / (1000000.0 * count(*)), 6) AS fluency
-    FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1)
-    GROUP BY doc_id
+    SELECT doc_id, n_bigrams, fluency_micro_sum,
+           CAST(fluency_micro_sum // n_bigrams AS BIGINT) / 1000000.0
+               AS fluency
+    FROM (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum((bc * 1000000) // uc) AS BIGINT)
+                     AS fluency_micro_sum
+          FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1)
+          GROUP BY doc_id)
     """,
 )
 def text_bigram_fluency(spark, sf_dir):
@@ -1401,7 +1403,14 @@ def text_bigram_fluency(spark, sf_dir):
     Per-term probabilities are scaled to integer micro-units BEFORE
     summing, so the aggregate is exact integer arithmetic — bit-stable
     across engines and partitionings (a double log-prob sum would be
-    order-dependent)."""
+    order-dependent).
+
+    The reported mean is the TRUNCATED micro-unit integer mean divided
+    by 1e6 — never round(float, 6): the round form hit an exact
+    decimal-half boundary at sf0.1 (0.0326705 — Spark's shortest-repr
+    HALF_UP vs DuckDB's binary-value round disagreed in the 6th digit;
+    found by the round-7 full sf0.1 sweep). Integer-divide-then-scale
+    makes both engines produce the identical double by construction."""
     from pyspark.sql import Window as W2
 
     d = t(spark, sf_dir, "documents")
@@ -1431,8 +1440,9 @@ def text_bigram_fluency(spark, sf_dir):
             "doc_id",
             "n_bigrams",
             "fluency_micro_sum",
-            F.round(
-                F.col("fluency_micro_sum") / (1000000.0 * F.col("n_bigrams")), 6
+            (
+                F.expr("fluency_micro_sum div n_bigrams").cast("long")
+                / 1000000.0
             ).alias("fluency"),
         )
     )
