@@ -10772,12 +10772,11 @@ def training_data_pipeline_v5(spark, sf_dir):
                 1
                 + F.greatest(
                     F.least(
-                        F.floor(
-                            (
-                                F.col("corpus_tokens")
-                                - F.col("cum_before")
-                            )
-                            / F.col("tokens")
+                        # integer div ≡ the oracle's // (exact past
+                        # 2^53; floor-vs-trunc differs only on negative
+                        # numerators, clamped to 0 below) — ADVICE r6
+                        F.expr(
+                            "(corpus_tokens - cum_before) div tokens"
                         ).cast("long"),
                         F.lit(3).cast("long"),
                     ),
@@ -15162,33 +15161,56 @@ def er_threshold_tradeoff(spark, sf_dir):
     )
 
 
+_ER_PAIR_BUDGET = 10**7
+
+
 @query(
     "er_blocked_candidates_budget",
     f"""
-    WITH {_ER_BASE_CTES}
+    WITH {_ER_BASE_CTES},
+    bsz AS (SELECT bkey, CAST(count(*) AS BIGINT) AS sz
+            FROM keys GROUP BY bkey),
+    hist AS (SELECT sz, CAST(count(*) AS BIGINT) AS nb
+             FROM bsz GROUP BY sz),
+    cands AS (SELECT unnest(range(1, (SELECT max(sz) FROM hist) + 1))
+                  AS c),
+    costs AS (SELECT c,
+                     CAST(sum(least(sz, c) * least(sz, c) * nb)
+                          AS BIGINT) AS cost
+              FROM cands CROSS JOIN hist GROUP BY c),
+    cap AS (SELECT CAST(coalesce(max(c), 1) AS BIGINT) AS cap
+            FROM costs WHERE cost <= {_ER_PAIR_BUDGET}),
+    kept AS (SELECT k.rec_id, k.bkey
+             FROM keys k JOIN bsz USING (bkey) CROSS JOIN cap
+             WHERE bsz.sz <= cap.cap)
     SELECT a.rec_id AS id_a, b.rec_id AS id_b,
            CAST(count(*) AS BIGINT) AS n_passes
-    FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.rec_id < b.rec_id
+    FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.rec_id < b.rec_id
     GROUP BY 1, 2
     """,
 )
 def er_blocked_candidates_budget(spark, sf_dir):
-    """PAIR-BUDGET cap proof for ER blocking (the production dial per
-    SCALE.md's 20×/30× smokes): the guard runs with
-    ``PairBudgetCap(10⁷)`` — at this scale the uncapped candidate
-    volume (Σ|block|² ≈ 6·10⁵) fits the budget, so the histogram
-    binary-search must resolve the cap to the max block size and drop
-    NOTHING — against the UNCAPPED SQL oracle. A resolver that lands
-    low drops pairs and fails the hash, so the budget solve itself
-    sits in the differential gate (the saturating side — budget
-    binding, recall surviving through the selective pass — is the 20×
-    and 30× smoke evidence)."""
+    """PAIR-BUDGET cap proof for ER blocking, with the BUDGET SOLVE
+    ITSELF in the differential gate: the oracle reproduces the
+    resolver's contract in SQL — the largest cap c with
+    Σ min(|block|, c)² ≤ 10⁷ over the observed block-size histogram
+    (monotone cost, so brute-force max-c ≡ the engine's binary search;
+    floor 1 when nothing fits) — then applies the identical
+    keep-blocks-≤-cap guard before pairing.  At sf0.01 the budget does
+    NOT bind (Σ|block|² ≈ 6·10⁵): both engines must resolve cap = max
+    block and emit the uncapped pair set.  At sf0.1 the budget BINDS
+    (uncapped volume ≈ 2.9·10⁷ — found by the round-7 full sf0.1
+    sweep, which caught the old uncapped oracle diverging): both
+    engines must agree on the resolved cap AND the exact capped pair
+    set.  One row, both regimes of the production dial, hash-exact.
+    The recall-survives-the-cap evidence stays with the 20×/30× smokes
+    (SCALE.md)."""
     from gcs_parquet_dataflow_spark.operators import linkage
     from gcs_parquet_dataflow_spark.operators.dedup import PairBudgetCap
 
     return linkage.blocked_candidate_pairs(
         _er_records(spark, sf_dir), "rec_id", _er_passes(),
-        max_block_size=PairBudgetCap(10**7),
+        max_block_size=PairBudgetCap(_ER_PAIR_BUDGET),
     )
 
 
