@@ -49,18 +49,233 @@ DECODED_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """Real image decode — requires PIL/opencv, absent in this container."""
+    """Compressed-codec image decode (JPEG/PNG/WebP) — requires
+    PIL/opencv, absent in this container (re-probed 2026-08-15).
+    UNCOMPRESSED formats need no codec and are REALLY decoded here:
+    see :func:`decode_bmp` / :func:`decode_wav` / :func:`resize_bmp`
+    (pure struct+numpy, differentially checked round-trip)."""
     raise NotImplementedError(
         "image codecs not available in this environment; "
-        "swap this body for PIL.Image.open on a real cluster"
+        "swap this body for PIL.Image.open on a real cluster "
+        "(BMP payloads: use decode_bmp — real, no codec needed)"
     )
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real image resize — requires PIL/opencv, absent in this container."""
+    """Compressed-codec resize — requires PIL/opencv, absent in this
+    container.  BMP payloads: :func:`resize_bmp` is a REAL
+    nearest-neighbor resize (numpy), no codec needed."""
     raise NotImplementedError(
         "image codecs not available in this environment; "
-        "swap this body for PIL Image.resize on a real cluster"
+        "swap this body for PIL Image.resize on a real cluster "
+        "(BMP payloads: use resize_bmp — real, no codec needed)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for uncompressed containers (round 7): BMP (24-bit
+# BITMAPINFOHEADER) and PCM16 WAV carry raw samples — parsing them needs
+# struct + numpy only, both present.  This moves the codec ceiling to
+# where it genuinely sits (entropy-coded formats: JPEG/PNG/MP3/H.264);
+# the container formats a 100 TB media pipeline normalizes INTO are
+# handled for real, and the encode→decode round trip is differentially
+# checked (media_bmp_decode / media_wav_decode oracle rows).
+# ---------------------------------------------------------------------------
+
+
+def bmp_bytes(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed
+    BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += arr[y, :, ::-1].tobytes()  # RGB → BGR
+        body += b"\x00" * pad
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    head = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40
+    )
+    return bytes(head + info + body)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL decode of a 24-bit uncompressed BMP → width, height, bpp
+    and EXACT per-channel pixel sums (int — sums, not means, so the
+    differential oracle never meets a float boundary).  Raises
+    ValueError on non-BMP / compressed / non-24bpp input — the guard
+    that keeps codec formats routed to the env-gated stub."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0 or h <= 0 or w <= 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    data = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
+    arr = data.reshape(h, stride)[:, :row].reshape(h, w, 3)[::-1, :, ::-1]
+    sums = arr.astype(np.int64).sum(axis=(0, 1))
+    return {
+        "width": int(w),
+        "height": int(h),
+        "bpp": int(bpp),
+        "sum_r": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[2]),
+    }
+
+
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for BMP payloads (decode → integer
+    index map → re-encode; pure numpy).  Index rule: source index
+    ``i_src = i_dst * src_dim // dst_dim`` (exact integer arithmetic —
+    partitioning- and platform-independent)."""
+    import struct
+
+    import numpy as np
+
+    meta = decode_bmp(payload)  # validates
+    w, h = meta["width"], meta["height"]
+    off = struct.unpack_from("<I", payload, 10)[0]
+    row = w * 3
+    stride = row + ((-row) % 4)
+    data = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
+    arr = data.reshape(h, stride)[:, :row].reshape(h, w, 3)[::-1, :, ::-1]
+    ys = (np.arange(int(height)) * h) // int(height)
+    xs = (np.arange(int(width)) * w) // int(width)
+    return bmp_bytes(arr[np.ix_(ys, xs)])
+
+
+def wav_bytes(samples, sample_rate: int = 8000) -> bytes:
+    """Encode an int16 sample array as a mono PCM16 RIFF/WAVE blob."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decode of a PCM16 RIFF/WAVE payload → channel/rate/sample
+    counts and EXACT integer signal stats (Σ|s|, max|s|) — sums, not
+    float RMS, for the no-float-boundary oracle discipline.  Raises
+    ValueError on non-WAV / non-PCM16 input."""
+    import struct
+
+    import numpy as np
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_channels, rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, n_channels, rate = struct.unpack_from(
+                "<HHI", payload, pos + 8
+            )
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (format={fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    if n_channels is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    s = np.frombuffer(data, "<i2").astype(np.int64)
+    return {
+        "n_channels": int(n_channels),
+        "sample_rate": int(rate),
+        "n_samples": int(len(s) // n_channels),
+        "sum_abs": int(np.abs(s).sum()),
+        "peak": int(np.abs(s).max()) if len(s) else 0,
+    }
+
+
+UNCOMPRESSED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # bmp|wav|opaque
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bpp", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def decode_uncompressed_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode over the payload column, dispatched on
+    magic bytes: BMP and PCM-WAV payloads are fully parsed (numpy);
+    anything else — including the codec formats this container cannot
+    decode — rows out as kind='opaque' with NULL features rather than
+    failing the batch (the DLQ-not-crash discipline).  Same mapInPandas
+    plumbing as decode_features; a PIL/ffmpeg decoder extends the
+    dispatch table without touching the Spark side."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in UNCOMPRESSED_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                rec = dict.fromkeys(cols)
+                rec["media_id"] = media_id
+                try:
+                    if data[:2] == b"BM":
+                        rec.update(decode_bmp(data))
+                        rec["kind"] = "bmp"
+                    elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                        rec.update(decode_wav(data))
+                        rec["kind"] = "wav"
+                    else:
+                        rec["kind"] = "opaque"
+                except ValueError:
+                    rec["kind"] = "opaque"
+                rows.append(rec)
+            out = pd.DataFrame(rows, columns=cols)
+            for c in cols:
+                if c not in ("kind",):
+                    out[c] = out[c].astype("Int64")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=UNCOMPRESSED_SCHEMA
     )
 
 

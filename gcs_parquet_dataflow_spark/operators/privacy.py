@@ -152,6 +152,52 @@ def dp_release_counts(
     return out.drop("clamped_count", "noise")
 
 
+def epsilon_ledger(releases: list) -> DataFrame:
+    """Sequential-composition ε accounting over a set of releases:
+    ``releases`` is ``[(name, released_df), ...]`` where each df came
+    from :func:`dp_release_counts` / :func:`dp_release_sums` (and so
+    carries the constant epsilon/sensitivity/noise_scale columns).
+
+    → one row per release (release, epsilon, sensitivity, noise_scale,
+    n_groups) plus a running ``epsilon_spent`` in release-name order —
+    the sequential-composition upper bound Σε a privacy officer signs
+    off on.  Each per-release aggregate is one |groups|-sized rollup;
+    the ledger itself is |releases| rows (window allowlisted: tiny,
+    aggregate-bounded)."""
+    from pyspark.sql import Window as W
+
+    if not releases:
+        raise ValueError("at least one release is required")
+    parts = []
+    for name, df in releases:
+        parts.append(
+            df.agg(
+                F.max("epsilon").alias("epsilon"),
+                F.max("sensitivity").cast("long").alias("sensitivity"),
+                F.max("noise_scale").alias("noise_scale"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+            ).withColumn("release", F.lit(name))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "release",
+        "epsilon",
+        "sensitivity",
+        "noise_scale",
+        "n_groups",
+        F.round(
+            F.sum("epsilon").over(
+                W.orderBy("release").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+            6,
+        ).alias("epsilon_spent"),
+    )
+
+
 def dp_release_sums(
     df: DataFrame,
     group_cols: list[str],

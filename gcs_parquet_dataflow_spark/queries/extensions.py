@@ -15569,3 +15569,221 @@ def langid_train_step1(spark, sf_dir):
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out.select("lang", "bucket", "wv")
+
+
+@query(
+    "privacy_epsilon_ledger",
+    f"""
+    WITH u AS (SELECT event_type, user_id,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY event_type, user_id),
+    g1 AS (SELECT event_type FROM u GROUP BY event_type),
+    u2 AS (SELECT source, doc_id FROM documents GROUP BY source, doc_id),
+    g2 AS (SELECT source FROM u2 GROUP BY source),
+    r1 AS (SELECT 'events_by_type' AS release,
+                  CAST({_DP_COUNT_EPS!r} AS DOUBLE) AS epsilon,
+                  CAST({_DP_COUNT_CAP} AS BIGINT) AS sensitivity,
+                  CAST({_DP_COUNT_CAP / _DP_COUNT_EPS!r} AS DOUBLE)
+                      AS noise_scale,
+                  CAST(count(*) AS BIGINT) AS n_groups
+           FROM g1),
+    r2 AS (SELECT 'doc_len_by_source' AS release,
+                  CAST({_DP_SUM_EPS!r} AS DOUBLE) AS epsilon,
+                  CAST({_DP_SUM_CAP} AS BIGINT) AS sensitivity,
+                  CAST({_DP_SUM_CAP / _DP_SUM_EPS!r} AS DOUBLE)
+                      AS noise_scale,
+                  CAST(count(*) AS BIGINT) AS n_groups
+           FROM g2),
+    l AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    SELECT release, epsilon, sensitivity, noise_scale, n_groups,
+           round(sum(epsilon) OVER (ORDER BY release
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS epsilon_spent
+    FROM l
+    """,
+)
+def privacy_epsilon_ledger(spark, sf_dir):
+    """Sequential-composition ε accounting (operators/privacy.py
+    epsilon_ledger) over the round's two releases: one row per release
+    with its ε/Δ/noise-scale constants and group count, plus the
+    running Σε in release order — the ledger a privacy officer signs
+    off on before the next release spends budget.
+
+    Parity: the accounting columns are exact constants and integer
+    counts; the running sum is over ≤ |releases| exact doubles.
+    Scale: each release contributes one |groups|-sized rollup; the
+    ledger window runs over |releases| rows (aggregate-bounded)."""
+    from gcs_parquet_dataflow_spark.operators import privacy as _DP
+
+    ev = _DP.dp_release_counts(
+        t(spark, sf_dir, "events"), ["event_type"], "user_id",
+        epsilon=_DP_COUNT_EPS, contribution_cap=_DP_COUNT_CAP,
+    )
+    dl = _DP.dp_release_sums(
+        t(spark, sf_dir, "documents").withColumn(
+            "_len", F.length("text").cast("long")
+        ),
+        ["source"], "doc_id", "_len",
+        epsilon=_DP_SUM_EPS, value_cap=_DP_SUM_CAP,
+    )
+    return _DP.epsilon_ledger(
+        [("events_by_type", ev), ("doc_len_by_source", dl)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL uncompressed-media decode, differentially checked (round 7): the
+# Spark side SYNTHESIZES valid BMP / PCM-WAV payloads per document
+# (struct+numpy writers), runs them through the REAL byte-parsing
+# decoders (operators/multimodal.py decode_bmp / decode_wav via the
+# mapInPandas dispatch — the brief's sanctioned Pandas-UDF decode
+# path), and the oracle states the generator's CLOSED FORM — so the
+# encode→decode round trip is pinned hash-exact.  The codec ceiling
+# (JPEG/PNG/H.264) remains env-gated; container formats are real.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_bmp_decode",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 5 + 2 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+    v AS (SELECT doc_id, w, h, i % w AS x, i // w AS y FROM px),
+    s AS (SELECT doc_id, w, h,
+                 CAST(sum((doc_id + 3 * x + 7 * y) % 256) AS BIGINT)
+                     AS sum_r,
+                 CAST(sum((2 * doc_id + 5 * x + y) % 256) AS BIGINT)
+                     AS sum_g,
+                 CAST(sum((5 * doc_id + x + 11 * y) % 256) AS BIGINT)
+                     AS sum_b
+          FROM v GROUP BY doc_id, w, h)
+    SELECT doc_id AS media_id, 'bmp' AS kind,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(24 AS BIGINT) AS bpp, sum_r, sum_g, sum_b
+    FROM s
+    """,
+)
+def media_bmp_decode(spark, sf_dir):
+    """REAL image decode in the differential gate — no codec library:
+    per document, a genuine 24-bit BMP is ENCODED (bottom-up rows,
+    BGR, 4-byte padding — multimodal.bmp_bytes) from a deterministic
+    pixel formula, then DECODED by parsing the actual bytes back
+    (multimodal.decode_bmp: header struct-unpack + numpy pixel-array
+    reshape) inside the Arrow-batched mapInPandas dispatch.  The
+    oracle computes the formula's closed form — a decoder that
+    mis-parses stride/padding/channel-order/row-direction fails the
+    hash.  Pixel statistics are EXACT integer channel sums (never
+    float means — the no-float-boundary discipline).
+
+    Scale shape: generation+decode run scan-stage per batch (Arrow
+    transfer, the canonical heavy-per-row-Python pattern); payloads
+    never shuffle; output rows are feature-sized."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from gcs_parquet_dataflow_spark.operators import multimodal as MM2
+    from pyspark.sql import types as T2
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = did % 8 + 2, did % 5 + 2
+                y, x = _np.mgrid[0:h, 0:w]
+                arr = _np.stack(
+                    [
+                        (did + 3 * x + 7 * y) % 256,
+                        (2 * did + 5 * x + y) % 256,
+                        (5 * did + x + 11 * y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(_np.uint8)
+                ids.append(did)
+                payloads.append(MM2.bmp_bytes(arr))
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(
+        gen,
+        schema=T2.StructType(
+            [
+                T2.StructField("media_id", T2.LongType()),
+                T2.StructField("payload", T2.BinaryType()),
+            ]
+        ),
+    )
+    return MM2.decode_uncompressed_features(media).select(
+        "media_id", "kind", "width", "height", "bpp",
+        "sum_r", "sum_g", "sum_b",
+    )
+
+
+@query(
+    "media_wav_decode",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+    sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    v AS (SELECT doc_id, n,
+                 (doc_id * 7 + i * 13) % 2048 - 1024 AS s
+          FROM sm),
+    a AS (SELECT doc_id, n,
+                 CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+                 CAST(max(abs(s)) AS BIGINT) AS peak
+          FROM v GROUP BY doc_id, n)
+    SELECT doc_id AS media_id, 'wav' AS kind,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples, sum_abs, peak
+    FROM a
+    """,
+)
+def media_wav_decode(spark, sf_dir):
+    """REAL audio decode in the differential gate: a genuine mono
+    PCM16 RIFF/WAVE blob per document (multimodal.wav_bytes), decoded
+    by walking the actual chunk structure and reinterpreting the data
+    chunk as int16 samples (multimodal.decode_wav).  Oracle = the
+    sample formula's closed form; signal stats are exact integer
+    Σ|s| and max|s|.  Same scan-stage Arrow shape as
+    media_bmp_decode."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from gcs_parquet_dataflow_spark.operators import multimodal as MM2
+    from pyspark.sql import types as T2
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = did % 50 + 10
+                i = _np.arange(n, dtype=_np.int64)
+                s = (did * 7 + i * 13) % 2048 - 1024
+                ids.append(did)
+                payloads.append(
+                    MM2.wav_bytes(s.astype("<i2"), sample_rate=8000)
+                )
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(
+        gen,
+        schema=T2.StructType(
+            [
+                T2.StructField("media_id", T2.LongType()),
+                T2.StructField("payload", T2.BinaryType()),
+            ]
+        ),
+    )
+    return MM2.decode_uncompressed_features(media).select(
+        "media_id", "kind", "n_channels", "sample_rate", "n_samples",
+        "sum_abs", "peak",
+    )

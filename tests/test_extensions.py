@@ -1078,6 +1078,10 @@ _AGG_BOUNDED_OK = {
     "seasonal_decompose_dow": "groups = calendar days / 7 weekdays",
     "growth_cumulative_users_by_day": "groups = calendar days",
     "survival_kaplan_meier": "groups = duration days (calendar-bounded)",
+    "privacy_epsilon_ledger": (
+        "window input = union of GLOBAL (1-row) per-release aggregates"
+        " — ledger is |releases| rows by construction"
+    ),
 }
 
 
@@ -1164,6 +1168,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "metric_rank_movers_wow",          # 1-row week-bounds broadcast
         "unigram_em_piece_counts",         # 1-row vocab-map + totals broadcast
         "classifier_distill_step1",        # 1-row n-docs broadcast
+        "langid_train_step1",              # 1-row n-docs broadcast (per class)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -467,6 +467,84 @@ def test_incremental_recipe_rejects_corpus_level_prefix(spark):
         )
 
 
+def test_bmp_roundtrip_and_real_resize():
+    """The REAL uncompressed-image path (no codec): encode → decode
+    recovers exact dims and channel sums including the padded-stride
+    case (w=3 → row 9 bytes, 3 pad); nearest-neighbor resize_bmp
+    produces a valid BMP whose pixels match the integer index map."""
+    import numpy as np
+
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        bmp_bytes,
+        decode_bmp,
+        resize_bmp,
+    )
+
+    rng = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(5, 3, 3)
+    payload = bmp_bytes(rng)
+    meta = decode_bmp(payload)
+    assert (meta["width"], meta["height"], meta["bpp"]) == (3, 5, 24)
+    assert meta["sum_r"] == int(rng[:, :, 0].sum())
+    assert meta["sum_g"] == int(rng[:, :, 1].sum())
+    assert meta["sum_b"] == int(rng[:, :, 2].sum())
+
+    up = resize_bmp(payload, 6, 10)
+    meta2 = decode_bmp(up)
+    assert (meta2["width"], meta2["height"]) == (6, 10)
+    # nearest-neighbor with i_src = i_dst*src//dst duplicates each
+    # pixel exactly 2x2 → sums quadruple
+    assert meta2["sum_r"] == 4 * meta["sum_r"]
+    assert meta2["sum_b"] == 4 * meta["sum_b"]
+    down = decode_bmp(resize_bmp(payload, 1, 1))
+    assert (down["width"], down["height"]) == (1, 1)
+    assert down["sum_r"] == int(rng[0, 0, 0])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"\x89PNG----------------------------------------------------")
+
+
+def test_wav_roundtrip_and_dispatch(spark):
+    """PCM16 WAV encode → decode recovers channel/rate/count and exact
+    integer signal stats; the mapInPandas dispatch routes BMP/WAV to
+    the real decoders and unknown bytes to kind='opaque' with NULLs
+    instead of failing the batch."""
+    import numpy as np
+
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        bmp_bytes,
+        decode_uncompressed_features,
+        decode_wav,
+        wav_bytes,
+    )
+
+    s = np.array([0, 100, -200, 32767, -32768], dtype="<i2")
+    meta = decode_wav(wav_bytes(s, sample_rate=44100))
+    assert meta["n_channels"] == 1
+    assert meta["sample_rate"] == 44100
+    assert meta["n_samples"] == 5
+    assert meta["sum_abs"] == 0 + 100 + 200 + 32767 + 32768
+    assert meta["peak"] == 32768
+
+    bmp = bmp_bytes(np.full((2, 2, 3), 7, dtype=np.uint8))
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(bmp)),
+            (2, bytearray(wav_bytes(s))),
+            (3, bytearray(b"\xff\xd8\xffJPEG-like")),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: r
+        for r in decode_uncompressed_features(rows).collect()
+    }
+    assert got[1]["kind"] == "bmp" and got[1]["sum_r"] == 4 * 7
+    assert got[2]["kind"] == "wav" and got[2]["peak"] == 32768
+    assert got[3]["kind"] == "opaque" and got[3]["width"] is None
+
+
 def test_epoch_allocation_zero_token_source_gets_base_epoch(spark):
     """ADVICE r6: a source whose token sum is 0 must get exactly the
     base epoch (no NULLs from div-by-zero), and the div path must agree
