@@ -15787,3 +15787,144 @@ def media_wav_decode(spark, sf_dir):
         "media_id", "kind", "n_channels", "sample_rate", "n_samples",
         "sum_abs", "peak",
     )
+
+
+_TFIDF_PAIR_BUDGET = 10**7
+
+
+@query(
+    "text_tfidf_cosine_pairs_budget",
+    f"""
+    WITH tok AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                  FROM documents)
+            WHERE tk <> '' GROUP BY doc_id, tk),
+    df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok
+           GROUP BY tk),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    wt AS (SELECT t.doc_id, t.tk, d.df,
+                  t.tf * ln(nn.n / CAST(d.df AS DOUBLE)) AS w
+           FROM tok t JOIN df d ON d.tk = t.tk CROSS JOIN nn),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt
+            GROUP BY doc_id),
+    hist AS (SELECT df AS sz, CAST(count(*) AS BIGINT) AS nb
+             FROM df WHERE df >= 2 GROUP BY df),
+    cands AS (SELECT unnest(range(1, (SELECT max(sz) FROM hist) + 1))
+                  AS c),
+    costs AS (SELECT c,
+                     CAST(sum(least(sz, c) * least(sz, c) * nb)
+                          AS BIGINT) AS cost
+              FROM cands CROSS JOIN hist GROUP BY c),
+    cap AS (SELECT CAST(coalesce(max(c), 1) AS BIGINT) AS cap
+            FROM costs WHERE cost <= {_TFIDF_PAIR_BUDGET}),
+    wj AS (SELECT doc_id, tk, w FROM wt CROSS JOIN cap
+           WHERE df >= 2 AND df <= cap.cap),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 sum(a.w * b.w) AS dot
+          FROM wj a JOIN wj b ON b.tk = a.tk AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+    c AS (SELECT p.id_a, p.id_b,
+                 round(p.dot / (na.nrm * nb.nrm), 6) AS cosine
+          FROM p JOIN nrm na ON na.doc_id = p.id_a
+                 JOIN nrm nb ON nb.doc_id = p.id_b)
+    SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def text_tfidf_cosine_pairs_budget(spark, sf_dir):
+    """The production dial for the ONE super-linear plan the round-7
+    full sf0.1 sweep flagged (text_tfidf_cosine_pairs: 46.8× wall at
+    10× data — Σ df² over the stopword head grows quadratically): the
+    term-posting join runs through the shared PairBudgetCap guard, and
+    the oracle reproduces the budget SOLVE in SQL (largest df ceiling
+    with Σ min(df, c)² ≤ 10⁷ over the df histogram — the
+    er_blocked_candidates_budget pattern), so BOTH regimes are pinned:
+    at sf0.01 the budget does not bind (cap = max df, identical to the
+    uncapped row); at sf0.1 it binds and both engines must agree on
+    the resolved ceiling and the exact surviving pair set.  Norms stay
+    over ALL terms (the false-pair-inflation discipline of the
+    uncapped row); only the dot-product join loses the head, and since
+    every tf·idf weight is ≥ 0 the capped dot is a LOWER bound — the
+    capped pair set is provably a subset of the uncapped one (asserted
+    in tests/test_round7.py), never a hallucination.  The honest
+    trade, measured: this fixture's near-dups are TEMPLATE pairs whose
+    similarity mass lives exactly in the high-df head, so the binding
+    cap keeps 107 of 2508 sf0.1 pairs while cutting wall time 98 s →
+    9.4 s; boilerplate-carried similarity belongs to the banded
+    minhash/jaccard family (already cap-disciplined), and the tiered
+    composition — capped TF-IDF for tail similarity + LSH for
+    boilerplate — is the production shape."""
+    from gcs_parquet_dataflow_spark.operators.dedup import (
+        PairBudgetCap,
+        cap_hot_buckets,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    aug = t(spark, sf_dir, "documents")
+    tok = (
+        aug.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tk")
+        )
+        .filter(F.col("tk") != "")
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tok.groupBy("tk").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    nn = aug.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wt = persist_intermediate(
+        tok.join(df_, "tk")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "tk",
+            "df",
+            (
+                F.col("tf")
+                * F.log(F.col("n") / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    wj = cap_hot_buckets(
+        wt.filter(F.col("df") >= 2).select("doc_id", "tk", "w"),
+        ["tk"],
+        PairBudgetCap(_TFIDF_PAIR_BUDGET),
+        metric_name="tfidf_postings",
+    )
+    a = wj.select(
+        F.col("doc_id").alias("id_a"), "tk", F.col("w").alias("wa")
+    )
+    b = wj.select(
+        F.col("doc_id").alias("id_b"), "tk", F.col("w").alias("wb")
+    )
+    p = (
+        a.join(b, "tk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(
+        F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")
+    )
+    nb = nrm.select(
+        F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        p.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )

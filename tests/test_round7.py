@@ -545,6 +545,30 @@ def test_wav_roundtrip_and_dispatch(spark):
     assert got[3]["kind"] == "opaque" and got[3]["width"] is None
 
 
+def test_tfidf_budget_cap_is_monotone_subset(spark):
+    """The PairBudgetCap'd TF-IDF pair join may only LOSE pairs, never
+    invent them: every tf·idf weight is ≥ 0, so the capped dot is a
+    lower bound and the ≥0.9 pair set shrinks monotonically; and at
+    non-binding scale the capped row must equal the uncapped row
+    exactly."""
+    from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in CATALOG["text_tfidf_cosine_pairs"].build(spark, sf).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in CATALOG["text_tfidf_cosine_pairs_budget"]
+        .build(spark, sf)
+        .collect()
+    }
+    assert capped <= uncapped
+    # budget 1e7 does not bind at sf0.001 → identical pair sets
+    assert capped == uncapped
+
+
 def test_epoch_allocation_zero_token_source_gets_base_epoch(spark):
     """ADVICE r6: a source whose token sum is 0 must get exactly the
     base epoch (no NULLs from div-by-zero), and the div path must agree

@@ -44,6 +44,11 @@ REPRESENTATIVE = [
     ("unigram_em_piece_counts", "unrolled in-JVM Viterbi DP over the word-TYPE table; vocab rides as a 1-row broadcast map; corpus scanned once"),
     ("quality_classifier_gradient", "hashed n-gram features: one explode + map-side-combined count; integer gradient is one equi-join + hash agg"),
     ("er_blocked_candidates", "multi-pass ER blocking: persisted key table read by both self-join sides, hot blocks removed by broadcast anti-join, pair join keyed on the block — Σ|block|², never |records|²"),
+    # round-7 additions
+    ("er_incremental_probe", "two-table blocked probe: batch and golden-view keys capped per side, pair join on the shared block key — Σ|block_l|·|block_r|, never |batch|×|entities|"),
+    ("privacy_dp_release", "(type,user) partial agg with map-side combine → |groups| rollup; Laplace noise is a pure codegen'd Column on the group key — no extra shuffle"),
+    ("langid_train_step1", "char-trigram features: guarded index explode + map-side-combined count; per-class gradient = equi-join + hash agg over ONE persisted feature table"),
+    ("media_bmp_decode", "Arrow-batched mapInPandas generate+decode in the scan stage; payload bytes never shuffle; only feature-sized rows flow on"),
 ]
 
 
