@@ -1159,6 +1159,7 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "embedding_dimension_variance",    # 1-row total-variance broadcast
         "release_gate_scoreboard",         # 1×1×1×1 scalar audit combination
         "text_tfidf_cosine_pairs",         # 1-row corpus-size broadcast
+        "text_tfidf_cosine_pairs_budget",  # 1-row corpus-size broadcast
         "quality_threshold_tradeoff",      # 1-row corpus-totals broadcast
         "knn_ivf_nprobe_curve",            # truth set = broadcast 5-query exact baseline
         "user_feature_matrix",             # 1-row corpus-horizon broadcast
