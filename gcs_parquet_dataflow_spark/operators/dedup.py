@@ -211,7 +211,16 @@ def with_simhash(
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).select(id_col, hash32(F.col("_t")).alias("_h"))
-    h = F.col("_h")
+    return _simhash_fold(tok, id_col, out)
+
+
+def _simhash_fold(
+    hashed: DataFrame, id_col: str, out: str, hash_col: str = "_h"
+) -> DataFrame:
+    """The bit-packed simhash vote aggregate over an exploded
+    (id, hash) stream — shared by the text path (:func:`with_simhash`)
+    and the byte-gram media phash (:func:`with_byte_phash`)."""
+    h = F.col(hash_col)
     lane_sums = []
     for g in range(8):
         packed = None
@@ -221,7 +230,9 @@ def with_simhash(
             )
             packed = term if packed is None else packed + term
         lane_sums.append(F.sum(packed).alias(f"_s{g}"))
-    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *lane_sums)
+    agg = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"), *lane_sums
+    )
     n = F.col("_n")
     sim = None
     for j in range(32):

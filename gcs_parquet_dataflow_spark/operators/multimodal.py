@@ -425,6 +425,47 @@ def phash_stub(payload: Column) -> Column:
     return simhash32_from_hashes(F.transform(grams, hash32))
 
 
+def with_byte_phash(
+    media: DataFrame,
+    id_col: str,
+    payload_col: str,
+    out: str = "ph",
+) -> DataFrame:
+    """→ (id_col, out): the SAME values as :func:`phash_stub` via the
+    explode + bit-packed-sum scale path (operators/dedup._simhash_fold)
+    instead of per-row higher-order-function folds.  HOF lambdas run
+    interpreted outside whole-stage codegen; at sf0.1 this rewrite cut
+    the media_phash_near_dup sketch stage from the slowest row of the
+    full sweep (166 s) to single-digit seconds (CLAUDE.md's measured
+    20–70× HOF-vs-explode gap, again).
+
+    One difference from the Column form: payloads with ≥ 2¹⁶ grams
+    (≥ 256 KiB) exceed the packed-lane capacity and emit NULL instead
+    of a wrong sketch — the with_simhash long-doc contract; split or
+    chunk such blobs upstream (sample_frames)."""
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+    from gcs_parquet_dataflow_spark.operators.dedup import _simhash_fold
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    d = ensure_parallelism(media, id_col)
+    h = F.lower(F.hex(F.col(payload_col)))
+    n_grams = F.greatest(
+        F.ceil(F.length(h) / F.lit(8.0)).cast("int"), F.lit(1)
+    )
+    grams = d.select(
+        F.col(id_col), h.alias("_hx"), F.explode(
+            F.sequence(F.lit(1), n_grams)
+        ).alias("_i"),
+    ).select(
+        F.col(id_col),
+        F.expr("substring(_hx, (_i - 1) * 8 + 1, 8)").alias("_g"),
+    )
+    hashed = grams.select(F.col(id_col), hash32(F.col("_g")).alias("_h"))
+    return _simhash_fold(hashed, id_col, out)
+
+
 def ingest_media_dir(
     spark: SparkSession,
     path: str,

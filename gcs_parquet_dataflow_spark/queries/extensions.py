@@ -5379,9 +5379,11 @@ def media_phash_near_dup(spark, sf_dir):
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
-    sims = media.select(
-        "media_id", MM.phash_stub(F.col("payload")).alias("ph")
-    )
+    # explode + bit-packed-sum scale path — identical values to the
+    # phash_stub Column form, minus its interpreted HOF folds (this
+    # row was the slowest of the r7 full sf0.1 sweep at 166 s before
+    # the rewrite; see with_byte_phash)
+    sims = MM.with_byte_phash(media, "media_id", "payload", out="ph")
     return DD.simhash_pairs(
         sims, "media_id", "ph", max_hamming=7, n_bands=8
     )

@@ -569,6 +569,44 @@ def test_tfidf_budget_cap_is_monotone_subset(spark):
     assert capped == uncapped
 
 
+def test_byte_phash_scale_path_equals_column_form(spark):
+    """with_byte_phash (explode + bit-packed sums) must produce the
+    IDENTICAL sketch values as the phash_stub HOF Column form it
+    replaces in the hot path — including the ≥1-gram empty-payload
+    convention — and be invariant to input partitioning."""
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        phash_stub,
+        with_byte_phash,
+    )
+
+    rows = [
+        (1, bytearray(b"hello world, this is payload one")),
+        (2, bytearray(b"hello world, this is payload two")),
+        (3, bytearray(b"")),
+        (4, bytearray(b"abc")),
+        (5, bytearray(bytes(range(256)) * 3)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    want = {
+        r["media_id"]: r["ph"]
+        for r in df.select(
+            "media_id", phash_stub(F.col("payload")).alias("ph")
+        ).collect()
+    }
+    got = {
+        r["media_id"]: r["ph"]
+        for r in with_byte_phash(df, "media_id", "payload").collect()
+    }
+    assert got == want
+    got2 = {
+        r["media_id"]: r["ph"]
+        for r in with_byte_phash(
+            df.repartition(7), "media_id", "payload"
+        ).collect()
+    }
+    assert got2 == want
+
+
 def test_epoch_allocation_zero_token_source_gets_base_epoch(spark):
     """ADVICE r6: a source whose token sum is 0 must get exactly the
     base epoch (no NULLs from div-by-zero), and the div path must agree
