@@ -315,3 +315,132 @@ def cm_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("s")
     )
     return per_depth.agg(F.min("s").cast("long").alias("est_join_size"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: deterministic bit-packed membership sketch — the classic
+# 100 TB semi-join prune (ship a megabyte of bits instead of shuffling the
+# big side against a dimension). Deterministic salted-md5 positions →
+# value-exact oracle twin, like the salted-min / count-min families above.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 8192
+BLOOM_K = 3
+# Bits per packed word. 63, not 64: bit 63 is never used, so every mask
+# and every OR-ed word stays positive — DuckDB raises OutOfRange on
+# (1::BIGINT << 63) and Spark would flip the sign, so the 63-bit layout
+# is what keeps the two engines (and any signed-long consumer) aligned.
+WORD_BITS = 63
+
+
+def _bloom_positions(value: "F.Column", m_bits: int, k: int) -> "F.Column":
+    """Array of the key's k bit positions in [0, m_bits): salted hash32,
+    same salt scheme ('#b<i>') inlined into the oracle twins."""
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+
+    v = value.cast("string")
+    return F.array(
+        *[hash32(F.concat(v, F.lit(f"#b{i}"))) % m_bits for i in range(k)]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build the packed filter → (word_idx: long, word: long), at most
+    ⌈m_bits/63⌉ rows (absent words mean all-zero).
+
+    One explode(k) + hash aggregation with map-side ``bit_or`` partials;
+    the shuffle carries at most m_bits/63 word rows per partition no
+    matter how many input keys. Duplicate inputs are free (OR is
+    idempotent) — no distinct pass needed. Filters built over different
+    shards merge by ``bloom_merge`` (OR is associative/commutative), so
+    a per-day filter lake rolls up without re-reading raw keys.
+    """
+    pos = _bloom_positions(F.col(value_col), m_bits, k)
+    return (
+        df.select(F.explode(pos).alias("_bp"))
+        .select(
+            (F.col("_bp") / WORD_BITS).cast("long").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(_bp % {WORD_BITS} AS INT))"
+            ).alias("_bmask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bmask").alias("word"))
+    )
+
+
+def bloom_merge(parts: list[DataFrame]) -> DataFrame:
+    """Union shard filters into one (``bit_or`` per word_idx). Built-once
+    filters over disjoint OR overlapping key sets merge identically to a
+    single-shot build over the unioned keys (proven hash-exact by the
+    bloom_merge_equivalence oracle row)."""
+    if not parts:
+        raise ValueError("no bloom filters to merge")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_probe(
+    keys_df: DataFrame,
+    sketch: DataFrame,
+    value_col: str,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership test → ``keys_df``'s columns + ``bloom_pass: boolean``.
+
+    A key passes iff ALL k of its bits are set — no false negatives ever
+    (set bits are never cleared), false positives at the standard
+    (1 − e^(−kn/m))^k rate. The filter side is ≤ m_bits/63 rows →
+    broadcast (a 2^30-bit filter is ~17M words ≈ 136 MB: still
+    broadcastable on executor-sized memory; beyond that, drop the
+    F.broadcast hint and let AQE shuffle on word_idx). Probe cost is one
+    explode(k) + the broadcast join + a groupBy over the key rows —
+    map-side-combinable, never a shuffle of the filter against raw data.
+    """
+    reserved = {"word_idx", "word", "_bp", "_bmask"}
+    clash = reserved & set(keys_df.columns)
+    if clash:
+        raise ValueError(f"keys_df carries reserved bloom columns: {clash}")
+    pos = _bloom_positions(F.col(value_col), m_bits, k)
+    probes = keys_df.select("*", F.explode(pos).alias("_bp")).select(
+        *keys_df.columns,
+        (F.col("_bp") / WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(_bp % {WORD_BITS} AS INT))"
+        ).alias("_bmask"),
+    )
+    j = probes.join(F.broadcast(sketch), "word_idx", "left")
+    hit = F.when(
+        F.col("word").isNotNull()
+        & (F.col("word").bitwiseAND(F.col("_bmask")) == F.col("_bmask")),
+        1,
+    ).otherwise(0)
+    return j.groupBy(*keys_df.columns).agg(
+        (F.sum(hit) == k).alias("bloom_pass")
+    )
+
+
+def bloom_pos_sql(value_sql: str, m_bits: int = BLOOM_BITS) -> str:
+    """DuckDB twin of one salted probe position; expects an ``i`` column
+    (salt index from ``range(k)``) in scope."""
+    return (
+        "CAST('0x' || substr(md5(CAST(" + value_sql + " AS VARCHAR) || '#b' "
+        f"|| CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % {m_bits}"
+    )
+
+
+def bloom_word_sql(pos_col: str = "p") -> tuple[str, str]:
+    """DuckDB twins of the packed-word projection: (word_idx expr,
+    mask expr) over a position column."""
+    return (
+        f"{pos_col} // {WORD_BITS}",
+        f"(CAST(1 AS BIGINT) << CAST({pos_col} % {WORD_BITS} AS INT))",
+    )

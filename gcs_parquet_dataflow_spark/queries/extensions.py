@@ -15930,3 +15930,135 @@ def text_tfidf_cosine_pairs_budget(spark, sf_dir):
         .filter(F.col("cosine") >= 0.9)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch (operators/sketches.py bloom_*): the
+# deterministic packed-bits filter, its semi-join prune, and the
+# shard-merge equivalence — all value-exact against DuckDB twins built
+# from the same salted-md5 positions.
+# ---------------------------------------------------------------------------
+
+_BLOOM_POS = SK.bloom_pos_sql("c_custkey")
+_BLOOM_WIDX, _BLOOM_MASK = SK.bloom_word_sql("p")
+
+
+@query(
+    "bloom_filter_build",
+    f"""
+    WITH keys AS (SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = 'AUTOMOBILE'),
+    pos AS (SELECT {_BLOOM_POS} AS p
+            FROM keys CROSS JOIN range({SK.BLOOM_K}) r(i))
+    SELECT {_BLOOM_WIDX} AS word_idx, bit_or({_BLOOM_MASK}) AS word
+    FROM pos GROUP BY 1 ORDER BY 1
+    """,
+)
+def bloom_filter_build(spark, sf_dir):
+    """Packed Bloom filter (m=8192 bits, k=3, 63-bit words) over one
+    customer segment's keys — the build side of the 100 TB semi-join
+    prune. Scale: explode(k) + one bit_or hash agg with map-side
+    partials; output is ≤ ⌈m/63⌉ = 131 rows regardless of input size,
+    so the filter is broadcast-sized by construction."""
+    keys = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    return SK.bloom_build(keys, "c_custkey").orderBy("word_idx")
+
+
+@query(
+    "bloom_probe_fpr",
+    f"""
+    WITH members AS (SELECT c_custkey AS k FROM customer
+                     WHERE c_mktsegment = 'AUTOMOBILE'),
+    mpos AS (SELECT {SK.bloom_pos_sql('k')} AS p
+             FROM members CROSS JOIN range({SK.BLOOM_K}) r(i)),
+    bloom AS (SELECT {_BLOOM_WIDX} AS word_idx, bit_or({_BLOOM_MASK}) AS word
+              FROM mpos GROUP BY 1),
+    probes AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    pp AS (SELECT k, {SK.bloom_pos_sql('k')} AS p
+           FROM probes CROSS JOIN range({SK.BLOOM_K}) r(i)),
+    hit AS (SELECT pp.k,
+                   CASE WHEN b.word IS NOT NULL
+                             AND (b.word & {_BLOOM_MASK.replace('p ', 'pp.p ')})
+                                 = {_BLOOM_MASK.replace('p ', 'pp.p ')}
+                        THEN 1 ELSE 0 END AS h
+            FROM pp LEFT JOIN bloom b ON pp.p // {SK.WORD_BITS} = b.word_idx),
+    agg AS (SELECT k, (sum(h) = {SK.BLOOM_K}) AS pass FROM hit GROUP BY k),
+    lab AS (SELECT a.k, a.pass, (m.k IS NOT NULL) AS is_member
+            FROM agg a LEFT JOIN members m ON a.k = m.k)
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+           CAST(sum(CASE WHEN pass AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           round(CAST(sum(CASE WHEN pass AND NOT is_member THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 6) AS fpr
+    FROM lab
+    """,
+)
+def bloom_probe_fpr(spark, sf_dir):
+    """Probe every distinct ordering customer against the segment's
+    Bloom filter and measure the prune quality: all true members pass
+    (no false negatives, pinned by the hash-exact counts) and the
+    false-positive rate lands at the (1−e^(−kn/m))^k design point.
+    Scale: the filter is 131 broadcast rows; the probe is explode(k) +
+    broadcast join + one map-side-combinable groupBy — the exact shape
+    that replaces shuffling a 100 TB fact table against a dimension."""
+    cust = t(spark, sf_dir, "customer")
+    members = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("k")
+    )
+    sketch = SK.bloom_build(members, "k")
+    probes = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    passed = SK.bloom_probe(probes, sketch, "k")
+    lab = passed.join(
+        F.broadcast(members.withColumn("is_member", F.lit(True))), "k", "left"
+    ).select(
+        "bloom_pass", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    fp = F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0)
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_passed"),
+        F.sum(fp).cast("long").alias("n_false_pos"),
+        F.round(
+            F.sum(fp).cast("double")
+            / F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+            6,
+        ).alias("fpr"),
+    )
+
+
+@query(
+    "bloom_merge_equivalence",
+    f"""
+    WITH keys AS (SELECT c_custkey FROM customer),
+    pos AS (SELECT {_BLOOM_POS} AS p
+            FROM keys CROSS JOIN range({SK.BLOOM_K}) r(i))
+    SELECT {_BLOOM_WIDX} AS word_idx, bit_or({_BLOOM_MASK}) AS word
+    FROM pos GROUP BY 1 ORDER BY 1
+    """,
+)
+def bloom_merge_equivalence(spark, sf_dir):
+    """Mergeability, hash-pinned: Spark builds THREE shard filters
+    (customers split by c_custkey % 3) and bit_or-merges them; the
+    oracle builds ONE filter over all customers directly. Equal words
+    prove shard → lake rollup ≡ single-shot build, the property that
+    lets a 100 TB pipeline maintain per-day filter tables and union
+    them at read time instead of re-scanning history."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    shards = [
+        SK.bloom_build(cust.where(F.col("c_custkey") % 3 == r), "c_custkey")
+        for r in range(3)
+    ]
+    return SK.bloom_merge(shards).orderBy("word_idx")

@@ -637,3 +637,47 @@ def test_epoch_allocation_zero_token_source_gets_base_epoch(spark):
     assert all(v is not None for v in got.values())
     # corpus=160; c (best quality, 10 tokens) div → min(3,16)=3 extra
     assert got["c"] == 4
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (operators/sketches.py bloom_*)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_merge_equivalence(spark):
+    """Every inserted key must pass the probe (set bits are never
+    cleared), shard-merge must equal the single-shot build word-for-
+    word, and false positives on a generously-sized filter must be
+    rare (theory: (1−e^(−kn/m))^k ≈ 5e-5 at n=100, m=8192, k=3)."""
+    from gcs_parquet_dataflow_spark.operators import sketches as SK
+
+    members = spark.range(100).select(F.col("id").alias("k"))
+    others = spark.range(100, 300).select(F.col("id").alias("k"))
+    sketch = SK.bloom_build(members, "k")
+
+    probed = SK.bloom_probe(members.unionByName(others), sketch, "k")
+    rows = {r["k"]: r["bloom_pass"] for r in probed.collect()}
+    assert all(rows[k] for k in range(100)), "false negative!"
+    fps = sum(1 for k in range(100, 300) if rows[k])
+    assert fps <= 2, f"implausibly many false positives: {fps}"
+
+    direct = SK.bloom_build(members.unionByName(others), "k")
+    shards = [SK.bloom_build(members, "k"), SK.bloom_build(others, "k")]
+    merged = SK.bloom_merge(shards)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # every packed word stays positive (63-bit layout, bit 63 unused)
+    assert all(w >= 0 for _, w in merged.collect())
+
+
+def test_bloom_probe_rejects_reserved_columns(spark):
+    from gcs_parquet_dataflow_spark.operators import sketches as SK
+
+    members = spark.range(10).select(F.col("id").alias("k"))
+    sketch = SK.bloom_build(members, "k")
+    bad = members.withColumn("word", F.lit(1))
+    with pytest.raises(ValueError, match="reserved bloom columns"):
+        SK.bloom_probe(bad, sketch, "k")
+    with pytest.raises(ValueError, match="no bloom filters"):
+        SK.bloom_merge([])
