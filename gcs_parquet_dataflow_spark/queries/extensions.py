@@ -281,14 +281,22 @@ def dedup_exact_keep_first(spark, sf_dir):
 def dedup_minhash_signature(spark, sf_dir):
     """16-permutation MinHash signature per document over word-3-gram
     shingle hashes — checked value-exactly against DuckDB (shared md5
-    hash + inlined permutation constants)."""
+    hash + inlined permutation constants).
+
+    Runs on the explode+min-aggregate scale path (with_minhash — the
+    same values as the array-lambda form, proven by the lsh_pairs
+    oracle), not the interpreted HOF fold: the round-7 sf0.1 sweep
+    timed the HOF form at 64 s vs ~2 s for this plan. The left join
+    back to documents keeps sub-k-token docs as NULL-signature rows,
+    matching the oracle's list_min(empty)=NULL semantics."""
     d = t(spark, sf_dir, "documents")
-    sig = DD.minhash_signature(
-        DD.word_shingle_hashes(F.col("text"), k=3), PERMS
-    )
-    return d.select(
+    sigs = DD.with_minhash(d, "doc_id", "text", PERMS, k=3, out="_sig")
+    return d.select("doc_id").join(sigs, "doc_id", "left").select(
         "doc_id",
-        *[F.element_at(sig, i + 1).alias(f"mh_{i:02d}") for i in range(len(PERMS))],
+        *[
+            F.element_at(F.col("_sig"), i + 1).alias(f"mh_{i:02d}")
+            for i in range(len(PERMS))
+        ],
     )
 
 
@@ -323,10 +331,16 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     "WITH " + SIMHASH_CTES.format(src="documents") + " SELECT doc_id, simhash FROM sim",
 )
 def dedup_simhash(spark, sf_dir):
-    """Per-document 32-bit SimHash (tf-weighted bit votes) — one pass of
-    array folds, value-checked against the SQL reformulation."""
+    """Per-document 32-bit SimHash (tf-weighted bit votes), value-checked
+    against the SQL reformulation.
+
+    Runs on the explode + bit-packed-lane-sum scale path (with_simhash —
+    same values as the simhash32 array fold, proven by the simhash_pairs
+    oracle): the round-7 sf0.1 sweep timed the interpreted HOF fold at
+    74 s vs ~2 s for this plan. Spark's split('', ' ') = [''] matches
+    DuckDB's, so every document keeps a row on both sides."""
     d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", DD.simhash32(F.col("text")).alias("simhash"))
+    return DD.with_simhash(d, "doc_id", "text", out="simhash")
 
 
 @query(
@@ -9327,6 +9341,15 @@ def dedup_minhash_estimate_error(spark, sf_dir):
     pairwise blowup. The 16-element HOF zips are short-array lane
     compares, not per-token paths."""
     aug = _planted_docs(spark, sf_dir, near=True)
+    # Only the planted pairs reach the key-shifted join (id_b = id_a +
+    # 100000 exists only for doc_id % 10 = 0), so restrict BEFORE the
+    # per-token shingle/signature work — Catalyst cannot infer this
+    # membership constraint through the +100000 equi-join. Same rows,
+    # 10× less sketch compute (round-7 sweep: 17.7 s → ~3 s at sf0.1).
+    aug = aug.filter(
+        ((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000))
+        | (F.col("doc_id") >= 100000)
+    )
     sh = aug.select(
         "doc_id", DD.word_shingle_hashes(F.col("text")).alias("hs")
     )
