@@ -16166,3 +16166,177 @@ def media_png_decode(spark, sf_dir):
         "media_id", "kind", "width", "height", "bpp",
         "sum_r", "sum_g", "sum_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing: deterministic Bernoulli sample + variance-
+# based error bars, and sketch set-algebra (intersection via inclusion-
+# exclusion over mergeable salted-min sketches).
+# ---------------------------------------------------------------------------
+
+_AQP_PCT = 5  # Bernoulli inclusion percent (p = 0.05)
+
+
+@query(
+    "aqp_sample_sum_ci",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+      WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+                 CAST(l_linenumber AS VARCHAR) || '#aqp'), 1, 8) AS BIGINT)
+            % 100 < {_AQP_PCT}
+    ),
+    g AS (SELECT l_returnflag,
+                 CAST(count(*) AS BIGINT) AS n_sample,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(y * y) AS BIGINT) AS sy2
+          FROM s GROUP BY l_returnflag),
+    ex AS (SELECT l_returnflag,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS exact_sum_cents
+           FROM lineitem GROUP BY l_returnflag)
+    SELECT g.l_returnflag, g.n_sample,
+           CAST(g.n_sample * 20 AS BIGINT) AS est_rows,
+           CAST(g.sy * 20 AS BIGINT) AS est_sum_cents,
+           round(1.96 * sqrt(CAST(g.sy2 AS DOUBLE) * 380.0), 2)
+               AS ci95_cents,
+           ex.exact_sum_cents,
+           round(CAST(g.sy * 20 - ex.exact_sum_cents AS DOUBLE)
+                 / CAST(ex.exact_sum_cents AS DOUBLE), 6) AS rel_err
+    FROM g JOIN ex USING (l_returnflag)
+    ORDER BY g.l_returnflag
+    """,
+)
+def aqp_sample_sum_ci(spark, sf_dir):
+    """Approximate query processing: revenue per returnflag from a
+    deterministic 5% Bernoulli sample (salted hash32 of the row key —
+    the same sample set on every engine and every run) with honest
+    error bars: Horvitz–Thompson scale-up (×1/p, exact integers) and
+    the Poisson-sampling variance estimator
+    Var̂(T̂) = Σ_sample y²·(1−p)/p² → a 1.96·σ 95% CI, compared to the
+    exact answer in the same row (rel_err ≈ 0.2–2%).
+
+    Scale: this is THE 100 TB interactive pattern — the sample filter
+    is scan-stage map work (at 100 TB, materialize the sample once as
+    its own table: 20× less I/O for every later query); the aggregate
+    shuffles |groups| rows. The exact side exists only to score the
+    estimator on the fixture. All arithmetic order-fixed: integer
+    sums, one double conversion, IEEE sqrt — both engines emit the
+    identical CI bytes."""
+    li = t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("#"),
+        F.col("l_linenumber").cast("string"),
+        F.lit("#aqp"),
+    )
+    y = cents(F.col("l_extendedprice"))
+    samp = li.filter(TX.hash32(key) % 100 < _AQP_PCT).select(
+        "l_returnflag", y.alias("y")
+    )
+    g = samp.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.sum(y).cast("long").alias("exact_sum_cents")
+    )
+    return (
+        g.join(ex, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_sample",
+            (F.col("n_sample") * 20).cast("long").alias("est_rows"),
+            (F.col("sy") * 20).cast("long").alias("est_sum_cents"),
+            F.round(
+                F.lit(1.96)
+                * F.sqrt(F.col("sy2").cast("double") * F.lit(380.0)),
+                2,
+            ).alias("ci95_cents"),
+            "exact_sum_cents",
+            F.round(
+                (F.col("sy") * 20 - F.col("exact_sum_cents")).cast("double")
+                / F.col("exact_sum_cents").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SIX_MINS_SQL = ", ".join(
+    f"{m} AS m{i}" for i, m in enumerate(SK.salted_min_sql("CAST(user_id AS VARCHAR)", 8))
+)
+_SIX_MERGE_SQL = ", ".join(f"min(m{i}) AS m{i}" for i in range(8))
+
+
+@query(
+    "sketch_set_intersection_users",
+    f"""
+    WITH two AS (SELECT event_type, user_id FROM events
+                 WHERE event_type IN ('click', 'view')),
+    sk AS (SELECT event_type, {_SIX_MINS_SQL}
+           FROM two GROUP BY event_type),
+    per AS (SELECT event_type, {SK.distinct_estimate_sql(8)} AS est
+            FROM sk),
+    mu AS (SELECT {_SIX_MERGE_SQL} FROM sk),
+    eu AS (SELECT {SK.distinct_estimate_sql(8)} AS est_u FROM mu),
+    ei AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_intersection
+           FROM (SELECT user_id FROM two GROUP BY user_id
+                 HAVING count(DISTINCT event_type) = 2))
+    SELECT (SELECT est FROM per WHERE event_type = 'click') AS est_click,
+           (SELECT est FROM per WHERE event_type = 'view') AS est_view,
+           (SELECT est_u FROM eu) AS est_union,
+           round((SELECT est FROM per WHERE event_type = 'click')
+                 + (SELECT est FROM per WHERE event_type = 'view')
+                 - (SELECT est_u FROM eu), 2) AS est_intersection,
+           (SELECT n_exact_intersection FROM ei) AS n_exact_intersection
+    """,
+)
+def sketch_set_intersection_users(spark, sf_dir):
+    """Sketch SET ALGEBRA: |click ∩ view| distinct users estimated by
+    inclusion–exclusion over mergeable salted-min sketches —
+    est(A) + est(B) − est(A∪B), where the union estimate comes from
+    per-salt min-merge of the two per-type sketches (never re-reading
+    raw events). The exact intersection sits in the same row to score
+    the estimator. At 100 TB this answers audience-overlap questions
+    from a kilobyte-sized sketch table; the only raw-data pass is the
+    one that built the per-segment sketches. Same order-fixed estimate
+    arithmetic as sketch_fm_distinct_users → identical IEEE doubles."""
+    e = t(spark, sf_dir, "events")
+    two = e.filter(F.col("event_type").isin("click", "view"))
+    sk = SK.salted_min_sketch(two, ["event_type"], "user_id", n_salts=8)
+    per = SK.distinct_estimate_from_mins(sk, ["event_type"], n_salts=8)
+    a = per.filter(F.col("event_type") == "click").select(
+        F.col("approx_distinct").alias("est_click")
+    )
+    b = per.filter(F.col("event_type") == "view").select(
+        F.col("approx_distinct").alias("est_view")
+    )
+    u = SK.distinct_estimate_from_mins(sk, [], n_salts=8).select(
+        F.col("approx_distinct").alias("est_union")
+    )
+    ei = (
+        two.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("_nt"))
+        .filter(F.col("_nt") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_intersection"))
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .crossJoin(ei)
+        .select(
+            "est_click",
+            "est_view",
+            "est_union",
+            F.round(
+                F.col("est_click") + F.col("est_view") - F.col("est_union"),
+                2,
+            ).alias("est_intersection"),
+            "n_exact_intersection",
+        )
+    )

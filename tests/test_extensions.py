@@ -1158,6 +1158,8 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "training_data_pipeline_v5",       # 1-row corpus-budget broadcast
         "embedding_dimension_variance",    # 1-row total-variance broadcast
         "release_gate_scoreboard",         # 1×1×1×1 scalar audit combination
+        "sketch_set_intersection_users",   # 1×1×1×1 scalar sketch-estimate
+        #   combination (each side a global or 2-row-filtered aggregate)
         "text_tfidf_cosine_pairs",         # 1-row corpus-size broadcast
         "text_tfidf_cosine_pairs_budget",  # 1-row corpus-size broadcast
         "quality_threshold_tradeoff",      # 1-row corpus-totals broadcast
