@@ -55,6 +55,34 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame([], INDEX_SCHEMA)
 
 
+def _band_key_str(df: DataFrame) -> "F.Column":
+    """Canonical string form of a (band, key-array) index entry, the
+    bloom-filter insertion/probe key: ``band:k0,k1``. transform() over
+    a rows_per_band-length array is a short-array lambda, not a
+    per-token path."""
+    return F.concat_ws(
+        ":",
+        F.col("band").cast("string"),
+        F.concat_ws(
+            ",", F.transform(F.col("key"), lambda x: x.cast("string"))
+        ),
+    )
+
+
+def read_bloom(spark: SparkSession, path: str) -> DataFrame:
+    """The index's bloom side-table, OR-merged on read: the lake holds
+    append-only (word_idx, word) rows — one append per accepted batch —
+    and this groupBy/bit_or collapses them to ≤ ⌈m/63⌉ current words
+    (bloom_merge semantics: OR is associative, so append-then-merge ≡
+    rebuild). Empty-but-typed before the first batch."""
+    from gcs_parquet_dataflow_spark.operators.sketches import bloom_merge
+
+    try:
+        return bloom_merge([spark.read.parquet(path)])
+    except Exception:
+        return spark.createDataFrame([], "word_idx BIGINT, word BIGINT")
+
+
 def dedup_batch_against_index(
     spark: SparkSession,
     batch: DataFrame,
@@ -65,6 +93,8 @@ def dedup_batch_against_index(
     k: int = 3,
     rows_per_band: int = 2,
     max_bucket_size: int | None = None,
+    bloom_path: str | None = None,
+    bloom_m_bits: int = 2**20,
 ) -> DataFrame:
     """Dedup ``batch`` against the accepted corpus AND itself, then
     append the survivors' bands to the index. Returns the surviving
@@ -89,7 +119,25 @@ def dedup_batch_against_index(
     batch (every member in hot buckets) then passes the near-dup
     stage — run ``exact_dedup`` upstream for verbatim copies, as the
     pipeline recipes do.
+
+    ``bloom_path`` arms the Bloom prefilter (EQUIVALENT results, less
+    index I/O): a (word_idx, word) side-lake holds a bloom of every
+    accepted index entry's band:key string (appended per batch,
+    OR-merged on read). Arriving probes that fail the bloom provably
+    cannot collide with the index (no false negatives), so only
+    bloom-passing probes join the index scan — and a batch with ZERO
+    passing probes (the common all-novel case) skips reading the index
+    entirely. At 100 TB: the bloom is ⌈m/63⌉ words (a 2^30-bit filter
+    ≈ 136 MB) against an index of billions of band rows; sizing rule
+    ~12 bits per accepted index entry for ~1% false-probe rate.
+    Equivalence with the unfiltered path is pinned by
+    tests/test_round7.py::test_bloom_prefilter_equivalent_dedup.
     """
+    from gcs_parquet_dataflow_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
     sigs = with_minhash(batch, id_col, text_col, perms, k=k, out="sig")
     bands = persist_intermediate(minhash_bands(sigs, id_col, "sig", rows_per_band))
     probe = bands
@@ -101,13 +149,32 @@ def dedup_batch_against_index(
             )
         )
 
+    index_probe = probe
+    skip_index = False
+    if bloom_path is not None:
+        bloom = read_bloom(spark, bloom_path)
+        keyed = probe.withColumn("_bk", _band_key_str(probe))
+        passed = bloom_probe(
+            keyed.select("band", "key", "_id", "_bk"),
+            bloom,
+            "_bk",
+            m_bits=bloom_m_bits,
+        )
+        index_probe = persist_intermediate(
+            passed.filter(F.col("bloom_pass")).drop("bloom_pass", "_bk")
+        )
+        # all-novel fast path: nothing can collide -> don't read the index
+        skip_index = index_probe.limit(1).count() == 0
+
     index = read_index(spark, index_path)
     vs_index = (
-        F.broadcast(probe)
+        F.broadcast(index_probe)
         .join(index.select("band", "key"), ["band", "key"], "left_semi")
         .select(F.col("_id").alias(id_col))
         .distinct()
     )
+    if skip_index:
+        vs_index = spark.createDataFrame([], f"{id_col} BIGINT")
 
     l, r = probe.alias("l"), probe.alias("r")
     vs_batch = (
@@ -129,6 +196,14 @@ def dedup_batch_against_index(
         dropped.withColumnRenamed(id_col, "_id"), "_id", "left_anti"
     ).select("band", "key", "_id")
     new_rows.write.mode("append").partitionBy("band").parquet(index_path)
+    if bloom_path is not None:
+        # append-only bloom maintenance: the new entries' words; readers
+        # OR-merge (read_bloom), so append ≡ rebuild over the whole index
+        bloom_build(
+            new_rows.withColumn("_bk", _band_key_str(new_rows)),
+            "_bk",
+            m_bits=bloom_m_bits,
+        ).write.mode("append").parquet(bloom_path)
     return survivors
 
 

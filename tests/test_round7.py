@@ -762,3 +762,47 @@ def test_png_encoder_filtered_bytes_match_spec():
             pred = [0, a, b, (a + b) // 2, paeth(a, b, c)][ft]
             expect.append((cur - pred) % 256)
     assert raw == bytes(expect)
+
+
+def test_bloom_prefilter_equivalent_dedup(spark, tmp_path):
+    """dedup_batch_against_index with bloom_path must return EXACTLY the
+    same survivors as without it (the bloom has no false negatives, so
+    pre-filtering probes loses no true index collision), across batches
+    with intra-batch dups, cross-batch dups, and an all-novel batch
+    (the skip-the-index fast path)."""
+    from gcs_parquet_dataflow_spark.operators.dedup import minhash_perms
+    from gcs_parquet_dataflow_spark.operators.incremental import (
+        dedup_batch_against_index,
+    )
+
+    perms = minhash_perms(num_perm=16, seed=7)
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    batches = [
+        [(1, base), (2, base + " extra"), (3, "completely different words "
+          "about spark adaptive execution and shuffle partitions tuning")],
+        [(10, base), (11, "another fully novel document regarding parquet "
+          "row group pruning and column statistics for data skipping")],
+        [(20, "a third batch that is entirely novel text on broadcast "
+          "joins and skew salting strategies for wide aggregations")],
+    ]
+    results = {}
+    for variant, kwargs in [
+        ("plain", {}),
+        ("bloom", {"bloom_path": None}),  # path set per-variant below
+    ]:
+        idx = str(tmp_path / f"idx_{variant}")
+        if variant == "bloom":
+            kwargs = {"bloom_path": str(tmp_path / "bloomlake")}
+        out = []
+        for rows in batches:
+            b = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+            s = dedup_batch_against_index(
+                spark, b, "doc_id", "text", idx, perms, **kwargs
+            )
+            out.append(sorted(r["doc_id"] for r in s.collect()))
+        results[variant] = out
+    assert results["plain"] == results["bloom"], results
+    # cross-batch dup (10 ~ 1) was dropped on both paths
+    assert 10 not in results["bloom"][1]
+    # the all-novel batch survived intact through the bloom fast path
+    assert results["bloom"][2] == [20]
