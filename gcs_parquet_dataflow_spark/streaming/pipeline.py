@@ -353,6 +353,8 @@ def run_corpus_ingest_stream(
     k: int = 3,
     rows_per_band: int = 2,
     max_bucket_size: int | None = None,
+    bloom_path: str | None = None,
+    bloom_m_bits: int = 2**20,
     trigger_seconds: int = DEFAULT_TRIGGER_S,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -369,7 +371,11 @@ def run_corpus_ingest_stream(
     - index appends are NOT keyed, but duplicate band rows are
       semantically idempotent — the index is only ever consumed through
       a semi-join, which a duplicate row cannot change; compaction
-      (sinks/parquet_lake.compact) garbage-collects the bytes.
+      (sinks/parquet_lake.compact) garbage-collects the bytes;
+    - ``bloom_path`` arms the index Bloom prefilter (all-novel batches
+      skip the index read — operators/incremental.py); its appends are
+      likewise replay-idempotent because readers OR-merge the word lake
+      and OR is idempotent.
 
     The dedup decision itself is deterministic given (accepted corpus,
     batch), so replays reproduce the same survivor set.
@@ -395,6 +401,8 @@ def run_corpus_ingest_stream(
             k=k,
             rows_per_band=rows_per_band,
             max_bucket_size=max_bucket_size,
+            bloom_path=bloom_path,
+            bloom_m_bits=bloom_m_bits,
         )
         write_partitioned(survivors, out_path, [], batch_id=batch_id)
         release_intermediates()

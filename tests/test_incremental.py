@@ -3,6 +3,8 @@ previously accepted without rescanning accepted text."""
 
 from __future__ import annotations
 
+import pytest
+
 from gcs_parquet_dataflow_spark.operators.dedup import minhash_perms
 from gcs_parquet_dataflow_spark.operators.incremental import (
     dedup_batch_against_index,
@@ -77,7 +79,10 @@ def test_intra_batch_duplicates_keep_min_id(spark, tmp_path):
     release_intermediates()
 
 
-def test_streaming_corpus_ingest_dedups_across_microbatches(spark, tmp_path):
+@pytest.mark.parametrize("with_bloom", [False, True])
+def test_streaming_corpus_ingest_dedups_across_microbatches(
+    spark, tmp_path, with_bloom
+):
     import json
 
     from gcs_parquet_dataflow_spark.streaming.pipeline import (
@@ -114,6 +119,7 @@ def test_streaming_corpus_ingest_dedups_across_microbatches(spark, tmp_path):
         str(tmp_path / "accepted"),
         str(tmp_path / "ckpt"),
         PERMS,
+        bloom_path=str(tmp_path / "bloom") if with_bloom else None,
         available_now=True,
     )
     q.awaitTermination(120)
