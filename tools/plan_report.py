@@ -49,6 +49,9 @@ REPRESENTATIVE = [
     ("privacy_dp_release", "(type,user) partial agg with map-side combine → |groups| rollup; Laplace noise is a pure codegen'd Column on the group key — no extra shuffle"),
     ("langid_train_step1", "char-trigram features: guarded index explode + map-side-combined count; per-class gradient = equi-join + hash agg over ONE persisted feature table"),
     ("media_bmp_decode", "Arrow-batched mapInPandas generate+decode in the scan stage; payload bytes never shuffle; only feature-sized rows flow on"),
+    ("bloom_probe_fpr", "131-word filter built by explode(k)+bit_or map-side partials, broadcast to the probe side; the semi-join prune shape that replaces shuffling a fact table against a dimension"),
+    ("aqp_sample_sum_ci", "deterministic Bernoulli sample filter in the scan stage; estimate + variance from one |groups|-row map-side-combined aggregation"),
+    ("dedup_minhash_signature", "per-doc sketches on the explode+min-aggregate path (one doc-key exchange), not interpreted array folds — 64 s → 8 s at sf0.1"),
 ]
 
 
