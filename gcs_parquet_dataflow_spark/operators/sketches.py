@@ -394,38 +394,56 @@ def bloom_probe(
     m_bits: int = BLOOM_BITS,
     k: int = BLOOM_K,
 ) -> DataFrame:
-    """Membership test → ``keys_df``'s columns + ``bloom_pass: boolean``.
+    """Membership test → ``keys_df``'s columns + ``bloom_pass: boolean``,
+    ROW-PRESERVING (duplicate input rows stay duplicate output rows).
 
     A key passes iff ALL k of its bits are set — no false negatives ever
     (set bits are never cleared), false positives at the standard
     (1 − e^(−kn/m))^k rate. The filter side is ≤ m_bits/63 rows →
     broadcast (a 2^30-bit filter is ~17M words ≈ 136 MB: still
-    broadcastable on executor-sized memory; beyond that, drop the
-    F.broadcast hint and let AQE shuffle on word_idx). Probe cost is one
-    explode(k) + the broadcast join + a groupBy over the key rows —
-    map-side-combinable, never a shuffle of the filter against raw data.
-    """
-    reserved = {"word_idx", "word", "_bp", "_bmask"}
+    broadcastable on executor-sized memory; beyond that, shuffle both
+    sides on word_idx via the explode form). Plan shape: k sequential
+    BroadcastHashJoins on the word index — map-only, ZERO shuffle of
+    the key rows (the first form here exploded k probe rows per key and
+    re-grouped, shuffling k×|keys| full-width rows; this one never
+    touches the keys' partitioning)."""
+    reserved = {
+        c for i in range(k) for c in (f"_bp{i}", f"_wi{i}", f"_wd{i}")
+    }
     clash = reserved & set(keys_df.columns)
     if clash:
         raise ValueError(f"keys_df carries reserved bloom columns: {clash}")
-    pos = _bloom_positions(F.col(value_col), m_bits, k)
-    probes = keys_df.select("*", F.explode(pos).alias("_bp")).select(
-        *keys_df.columns,
-        (F.col("_bp") / WORD_BITS).cast("long").alias("word_idx"),
-        F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(_bp % {WORD_BITS} AS INT))"
-        ).alias("_bmask"),
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+
+    v = F.col(value_col).cast("string")
+    probes = keys_df.select(
+        "*",
+        *[
+            (hash32(F.concat(v, F.lit(f"#b{i}"))) % m_bits).alias(f"_bp{i}")
+            for i in range(k)
+        ],
     )
-    j = probes.join(F.broadcast(sketch), "word_idx", "left")
-    hit = F.when(
-        F.col("word").isNotNull()
-        & (F.col("word").bitwiseAND(F.col("_bmask")) == F.col("_bmask")),
-        1,
-    ).otherwise(0)
-    return j.groupBy(*keys_df.columns).agg(
-        (F.sum(hit) == k).alias("bloom_pass")
-    )
+    hits = []
+    for i in range(k):
+        sk = sketch.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_wd{i}")
+        )
+        probes = probes.join(
+            F.broadcast(sk),
+            (F.col(f"_bp{i}") / WORD_BITS).cast("long") == F.col(f"_wi{i}"),
+            "left",
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(_bp{i} % {WORD_BITS} AS INT))"
+        )
+        hits.append(
+            F.col(f"_wd{i}").isNotNull()
+            & (F.col(f"_wd{i}").bitwiseAND(mask) == mask)
+        )
+    bloom_pass = hits[0]
+    for h in hits[1:]:
+        bloom_pass = bloom_pass & h
+    return probes.select(*keys_df.columns, bloom_pass.alias("bloom_pass"))
 
 
 def bloom_pos_sql(value_sql: str, m_bits: int = BLOOM_BITS) -> str:

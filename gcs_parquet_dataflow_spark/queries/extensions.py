@@ -16027,9 +16027,10 @@ def bloom_probe_fpr(spark, sf_dir):
     Bloom filter and measure the prune quality: all true members pass
     (no false negatives, pinned by the hash-exact counts) and the
     false-positive rate lands at the (1−e^(−kn/m))^k design point.
-    Scale: the filter is 131 broadcast rows; the probe is explode(k) +
-    broadcast join + one map-side-combinable groupBy — the exact shape
-    that replaces shuffling a 100 TB fact table against a dimension."""
+    Scale: the filter is 131 broadcast rows; the probe is k sequential
+    BroadcastHashJoins on the word index — map-only, zero shuffle of
+    the probed rows — the exact shape that replaces shuffling a
+    100 TB fact table against a dimension."""
     cust = t(spark, sf_dir, "customer")
     members = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
         F.col("c_custkey").alias("k")

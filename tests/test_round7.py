@@ -676,9 +676,13 @@ def test_bloom_probe_rejects_reserved_columns(spark):
 
     members = spark.range(10).select(F.col("id").alias("k"))
     sketch = SK.bloom_build(members, "k")
-    bad = members.withColumn("word", F.lit(1))
+    bad = members.withColumn("_bp0", F.lit(1))
     with pytest.raises(ValueError, match="reserved bloom columns"):
         SK.bloom_probe(bad, sketch, "k")
+    # a keys_df carrying "word"/"word_idx" is fine in the row-preserving
+    # probe (the sketch side is renamed per join)
+    ok = members.withColumn("word", F.lit(1))
+    assert SK.bloom_probe(ok, sketch, "k").filter("bloom_pass").count() == 10
     with pytest.raises(ValueError, match="no bloom filters"):
         SK.bloom_merge([])
 
