@@ -14650,9 +14650,7 @@ def graph_coactivity_edges_autocap(spark, sf_dir):
     return _coactivity_edges(spark, sf_dir, max_bucket_size="auto")
 
 
-@query(
-    "classifier_distill_step1",
-    """
+_CLS_SCORE_CTES = ("""
     WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w,
                       list_filter(string_split(text, ' '), tk -> tk <> '')
                           AS wf
@@ -14686,7 +14684,12 @@ def graph_coactivity_edges_autocap(spark, sf_dir):
             FROM g CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n
                                FROM lab)),
     s AS (SELECT doc_id, CAST(sum(wv * x) AS BIGINT) AS s
-          FROM feats JOIN wts USING (bucket) GROUP BY doc_id)
+          FROM feats JOIN wts USING (bucket) GROUP BY doc_id)""".replace("{_stop}", _stop_sql("en")).replace("{dim}", "1024"))
+
+
+@query(
+    "classifier_distill_step1",
+    _CLS_SCORE_CTES + """
     SELECT lab.doc_id,
            CAST(lab.y AS BIGINT) AS teacher_pass,
            round(1.0 / (1.0 + exp(-CAST(coalesce(s.s, 0) AS DOUBLE)
@@ -14697,7 +14700,7 @@ def graph_coactivity_edges_autocap(spark, sf_dir):
                                        THEN 1 ELSE 0 END
                 THEN 1 ELSE 0 END AS BIGINT) AS agree
     FROM lab LEFT JOIN s USING (doc_id)
-    """.replace("{_stop}", _stop_sql("en")).replace("{dim}", "1024"),
+    """,
 )
 def classifier_distill_step1(spark, sf_dir):
     """End-to-end TRAIN→DEPLOY differential surface for the quality
@@ -16341,3 +16344,75 @@ def sketch_set_intersection_users(spark, sf_dir):
             "n_exact_intersection",
         )
     )
+
+
+@query(
+    "classifier_calibration_bins",
+    _CLS_SCORE_CTES + """,
+    sc AS (SELECT lab.doc_id, lab.y,
+                  CAST(coalesce(s.s, 0) AS BIGINT) AS m
+           FROM lab LEFT JOIN s USING (doc_id)),
+    bb AS (SELECT greatest(-8, least(8,
+                      CAST(floor(CAST(m AS DOUBLE) / 25000000.0) AS BIGINT)))
+                      AS bin,
+                  1.0 / (1.0 + exp(-CAST(m AS DOUBLE) / 1000000.0)) AS p,
+                  y
+           FROM sc),
+    gcal AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 sum(p) AS sp, CAST(sum(y) AS BIGINT) AS pos
+          FROM bb GROUP BY bin)
+    SELECT bin, n,
+           round(sp / n, 6) AS mean_pred,
+           CAST((1000000 * pos) // n AS BIGINT) / 1000000.0 AS pos_rate,
+           round(abs(round(sp / n, 6)
+                     - CAST((1000000 * pos) // n AS BIGINT) / 1000000.0), 6)
+               AS gap
+    FROM gcal ORDER BY bin
+    """,
+)
+def classifier_calibration_bins(spark, sf_dir):
+    """Reliability table for the step-1 quality classifier — the
+    calibration companion to classifier_distill_step1's accuracy
+    surface (a score can rank well by AUC yet be mis-calibrated;
+    training-data pipelines that THRESHOLD on predicted probability
+    need this table, not AUC). Bins are integer floors of the exact
+    µ-unit margin (25 µM wide, clamped ±8 — sized to the step-1
+    margin range), NEVER the rounded probability — no
+    float sits on a bin boundary; per bin: mean predicted σ(s/1e6) vs
+    the truncated-micro-integer empirical positive rate, and |gap|
+    (whose n-weighted sum is ECE). operators/classifier.py
+    calibration_bins.
+
+    Parity: same score CTEs as the distill row (shared
+    _CLS_SCORE_CTES, byte-identical); bin keys and pos_rate are exact
+    integer arithmetic; mean_pred is one double sum under round-6
+    (grain ~1e-13, argued like every irrational mean in this suite).
+    Scale: one corpus scan for features (persisted), one |rows| map
+    pass, then a ≤9-row hash aggregate."""
+    from gcs_parquet_dataflow_spark.operators.classifier import (
+        calibration_bins,
+        hashed_ngram_features,
+        margin_scores,
+        step1_weights,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    labels = d.select(
+        "doc_id",
+        F.when(TX.quality_score(F.col("text")) >= 0.5, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    feats = persist_intermediate(
+        hashed_ngram_features(d, "doc_id", "text", dim=1024)
+    )
+    wts = step1_weights(feats, labels, "doc_id")
+    s = margin_scores(feats, wts, "doc_id")
+    scored = labels.join(s, "doc_id", "left").select(
+        "y", F.coalesce("s", F.lit(0)).cast("long").alias("m")
+    )
+    return calibration_bins(scored, "m", "y", bin_micro=25_000_000, clamp=8)

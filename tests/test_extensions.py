@@ -1172,6 +1172,8 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "unigram_em_piece_counts",         # 1-row vocab-map + totals broadcast
         "classifier_distill_step1",        # 1-row n-docs broadcast
         "langid_train_step1",              # 1-row n-docs broadcast (per class)
+        "classifier_calibration_bins",     # same 1-row n-docs broadcast
+        #   through the shared step1_weights scorer as distill_step1
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -810,3 +810,28 @@ def test_bloom_prefilter_equivalent_dedup(spark, tmp_path):
     assert 10 not in results["bloom"][1]
     # the all-novel batch survived intact through the bloom fast path
     assert results["bloom"][2] == [20]
+
+
+def test_calibration_bins_clamps_and_scores_perfect_separation(spark):
+    """A perfectly-separated margin set: extreme margins clamp into the
+    edge bins, σ saturates, and gap is ~0 when empirical rates match
+    the saturated predictions (and large when labels are flipped)."""
+    from gcs_parquet_dataflow_spark.operators.classifier import (
+        calibration_bins,
+    )
+
+    rows = [(50_000_000, 1)] * 20 + [(-50_000_000, 0)] * 20
+    df = spark.createDataFrame(rows, "m LONG, y LONG")
+    out = {r["bin"]: r for r in calibration_bins(
+        df, "m", "y", bin_micro=1_000_000, clamp=4
+    ).collect()}
+    assert set(out) == {-4, 4}          # clamped to the edge bins
+    assert out[4]["n"] == 20 and out[4]["pos_rate"] == 1.0
+    assert out[-4]["pos_rate"] == 0.0
+    assert out[4]["gap"] < 1e-6 and out[-4]["gap"] < 1e-6
+
+    flipped = spark.createDataFrame(
+        [(50_000_000, 0)] * 20, "m LONG, y LONG"
+    )
+    bad = calibration_bins(flipped, "m", "y", 1_000_000, 4).collect()[0]
+    assert bad["gap"] > 0.99            # confidently wrong → max gap
