@@ -46,13 +46,24 @@ from gcs_parquet_dataflow_spark.operators.partitioning import (
 INDEX_SCHEMA = "band INT, key ARRAY<BIGINT>, _id BIGINT"
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check — so a MISSING table is distinguishable
+    from a transient read error. A bare try/except around the read
+    would turn an I/O blip into an empty index/bloom and silently
+    disable dedup for the batch (code-review finding, round 7)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def read_index(spark: SparkSession, path: str) -> DataFrame:
     """The current band index; empty-but-typed when nothing is accepted
-    yet (first batch bootstraps the table)."""
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    yet (first batch bootstraps the table). Real read errors propagate
+    — only a provably-absent path maps to the empty index."""
+    if not _path_exists(spark, path):
         return spark.createDataFrame([], INDEX_SCHEMA)
+    return spark.read.parquet(path)
 
 
 def _band_key_str(df: DataFrame) -> "F.Column":
@@ -74,13 +85,36 @@ def read_bloom(spark: SparkSession, path: str) -> DataFrame:
     append-only (word_idx, word) rows — one append per accepted batch —
     and this groupBy/bit_or collapses them to ≤ ⌈m/63⌉ current words
     (bloom_merge semantics: OR is associative, so append-then-merge ≡
-    rebuild). Empty-but-typed before the first batch."""
+    rebuild). Empty-but-typed when the lake is provably absent; real
+    read errors propagate (a transient failure must never masquerade
+    as an empty filter — that would silently disable index dedup)."""
     from gcs_parquet_dataflow_spark.operators.sketches import bloom_merge
 
-    try:
-        return bloom_merge([spark.read.parquet(path)])
-    except Exception:
+    if not _path_exists(spark, path):
         return spark.createDataFrame([], "word_idx BIGINT, word BIGINT")
+    return bloom_merge([spark.read.parquet(path)])
+
+
+def rebuild_bloom_from_index(
+    spark: SparkSession,
+    index_path: str,
+    bloom_path: str,
+    m_bits: int = 2**20,
+) -> None:
+    """Bootstrap (or repair) the bloom side-lake from the FULL index —
+    the completeness invariant the prefilter's no-false-negative
+    argument rests on: every index entry must be in the bloom. Called
+    automatically by dedup_batch_against_index when the bloom lake is
+    absent but the index is not (a pipeline arming bloom_path after
+    history already accumulated); also the manual repair if a bloom
+    append is ever lost. One full index scan — the cost the prefilter
+    then saves on every subsequent all-novel batch."""
+    from gcs_parquet_dataflow_spark.operators.sketches import bloom_build
+
+    idx = read_index(spark, index_path)
+    bloom_build(
+        idx.withColumn("_bk", _band_key_str(idx)), "_bk", m_bits=m_bits
+    ).write.mode("overwrite").parquet(bloom_path)
 
 
 def dedup_batch_against_index(
@@ -126,11 +160,20 @@ def dedup_batch_against_index(
     OR-merged on read). Arriving probes that fail the bloom provably
     cannot collide with the index (no false negatives), so only
     bloom-passing probes join the index scan — and a batch with ZERO
-    passing probes (the common all-novel case) skips reading the index
-    entirely. At 100 TB: the bloom is ⌈m/63⌉ words (a 2^30-bit filter
-    ≈ 136 MB) against an index of billions of band rows; sizing rule
-    ~12 bits per accepted index entry for ~1% false-probe rate.
-    Equivalence with the unfiltered path is pinned by
+    passing probes (the common all-novel case) skips even OPENING the
+    index (no file listing, no scan). At 100 TB: the bloom is ⌈m/63⌉
+    words (a 2^30-bit filter ≈ 136 MB) against an index of billions of
+    band rows; sizing rule ~12 bits per accepted index entry for ~1%
+    false-probe rate.
+
+    Completeness invariant (the no-false-negative argument needs EVERY
+    index entry in the bloom): if the bloom lake is absent while the
+    index is not — a pipeline arming bloom_path after history already
+    accumulated — the bloom is bootstrapped from the full index first
+    (rebuild_bloom_from_index); and the per-batch bloom append is
+    written BEFORE the index append, so a crash between the two leaves
+    the bloom a superset of the index (false positives only — safe),
+    never a subset. Equivalence with the unfiltered path is pinned by
     tests/test_round7.py::test_bloom_prefilter_equivalent_dedup.
     """
     from gcs_parquet_dataflow_spark.operators.sketches import (
@@ -152,6 +195,12 @@ def dedup_batch_against_index(
     index_probe = probe
     skip_index = False
     if bloom_path is not None:
+        if not _path_exists(spark, bloom_path) and _path_exists(
+            spark, index_path
+        ):
+            rebuild_bloom_from_index(
+                spark, index_path, bloom_path, m_bits=bloom_m_bits
+            )
         bloom = read_bloom(spark, bloom_path)
         keyed = probe.withColumn("_bk", _band_key_str(probe))
         passed = bloom_probe(
@@ -166,15 +215,18 @@ def dedup_batch_against_index(
         # all-novel fast path: nothing can collide -> don't read the index
         skip_index = index_probe.limit(1).count() == 0
 
-    index = read_index(spark, index_path)
-    vs_index = (
-        F.broadcast(index_probe)
-        .join(index.select("band", "key"), ["band", "key"], "left_semi")
-        .select(F.col("_id").alias(id_col))
-        .distinct()
-    )
     if skip_index:
-        vs_index = spark.createDataFrame([], f"{id_col} BIGINT")
+        # type-exact empty relation derived from the probe plan itself —
+        # Catalyst prunes it, and the index is never listed or scanned
+        vs_index = probe.select(F.col("_id").alias(id_col)).limit(0)
+    else:
+        index = read_index(spark, index_path)
+        vs_index = (
+            F.broadcast(index_probe)
+            .join(index.select("band", "key"), ["band", "key"], "left_semi")
+            .select(F.col("_id").alias(id_col))
+            .distinct()
+        )
 
     l, r = probe.alias("l"), probe.alias("r")
     vs_batch = (
@@ -189,21 +241,37 @@ def dedup_batch_against_index(
         .distinct()
     )
 
-    dropped = vs_index.unionByName(vs_batch).distinct()
+    # Freeze the drop DECISION before any write — and persist() is NOT
+    # a freeze here: everything below appends to index_path/bloom_path,
+    # and Spark's recacheByPath actively RE-materializes any cached plan
+    # that references a written path with a fresh file listing, so a
+    # persisted dropped set silently absorbs THIS batch's own appended
+    # bands and self-collides every survivor (observed both as the
+    # partially-materialized probe finishing after the appends and as a
+    # persisted+counted set being recached). localCheckpoint cuts the
+    # lineage to the paths entirely; the set is ≤|batch| ids.
+    dropped = (
+        vs_index.unionByName(vs_batch).distinct().localCheckpoint(eager=True)
+    )
     survivors = batch.join(dropped, id_col, "left_anti")
 
     new_rows = bands.join(
         dropped.withColumnRenamed(id_col, "_id"), "_id", "left_anti"
     ).select("band", "key", "_id")
-    new_rows.write.mode("append").partitionBy("band").parquet(index_path)
     if bloom_path is not None:
-        # append-only bloom maintenance: the new entries' words; readers
-        # OR-merge (read_bloom), so append ≡ rebuild over the whole index
+        # two actions consume new_rows (bloom write + index write) —
+        # persist so the second never re-runs the dedup joins
+        new_rows = persist_intermediate(new_rows)
+        # bloom BEFORE index: a crash between the writes leaves the
+        # bloom a superset (extra false positives, still correct);
+        # index-first would leave un-bloomed index entries = permanent
+        # false negatives. Readers OR-merge, so append ≡ rebuild.
         bloom_build(
             new_rows.withColumn("_bk", _band_key_str(new_rows)),
             "_bk",
             m_bits=bloom_m_bits,
         ).write.mode("append").parquet(bloom_path)
+    new_rows.write.mode("append").partitionBy("band").parquet(index_path)
     return survivors
 
 

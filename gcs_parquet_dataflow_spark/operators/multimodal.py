@@ -408,6 +408,14 @@ def decode_uncompressed_features(media: DataFrame) -> DataFrame:
     without touching the Spark side."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        # everything a malformed-but-magic-matching payload can raise in
+        # the decoders: truncated headers (struct.error), corrupt DEFLATE
+        # streams (zlib.error), and the decoders' own ValueError guards —
+        # all must route to kind='opaque', never fail the batch
+        _DECODE_ERRORS = (ValueError, struct.error, zlib.error)
         cols = [f.name for f in UNCOMPRESSED_SCHEMA.fields]
         for pdf in it:
             rows = []
@@ -427,7 +435,9 @@ def decode_uncompressed_features(media: DataFrame) -> DataFrame:
                         rec["kind"] = "wav"
                     else:
                         rec["kind"] = "opaque"
-                except ValueError:
+                except _DECODE_ERRORS:
+                    rec = dict.fromkeys(cols)
+                    rec["media_id"] = media_id
                     rec["kind"] = "opaque"
                 rows.append(rec)
             out = pd.DataFrame(rows, columns=cols)

@@ -423,6 +423,13 @@ def bloom_probe(
             for i in range(k)
         ],
     )
+    # OR-merge the sketch side defensively: an append-only bloom LAKE
+    # (bloom words written per batch, never compacted) has multiple rows
+    # per word_idx, and joining those raw would both fan out key rows
+    # and produce FALSE NEGATIVES (a bit set only in the OR of two
+    # partial words fails on each individually). The merge is ≤ m/63
+    # groups — noise next to the joins it protects.
+    sketch = sketch.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
     hits = []
     for i in range(k):
         sk = sketch.select(

@@ -16195,7 +16195,7 @@ _AQP_PCT = 5  # Bernoulli inclusion percent (p = 0.05)
     g AS (SELECT l_returnflag,
                  CAST(count(*) AS BIGINT) AS n_sample,
                  CAST(sum(y) AS BIGINT) AS sy,
-                 CAST(sum(y * y) AS BIGINT) AS sy2
+                 sum(CAST(y * y AS DECIMAL(38, 0))) AS sy2
           FROM s GROUP BY l_returnflag),
     ex AS (SELECT l_returnflag,
                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
@@ -16228,7 +16228,11 @@ def aqp_sample_sum_ci(spark, sf_dir):
     shuffles |groups| rows. The exact side exists only to score the
     estimator on the fixture. All arithmetic order-fixed: integer
     sums, one double conversion, IEEE sqrt — both engines emit the
-    identical CI bytes."""
+    identical CI bytes. The y² accumulator sums in DECIMAL(38,0):
+    cents² is ~1e14 per row, so an int64 sum wraps silently around
+    sf≈4 (Spark, ANSI off) while DuckDB raises — the scale-dependent
+    divergence class the sf0.1 rule exists for; decimal is exact to
+    10^38 (≈ sf 10^9)."""
     li = t(spark, sf_dir, "lineitem")
     key = F.concat(
         F.col("l_orderkey").cast("string"),
@@ -16243,7 +16247,7 @@ def aqp_sample_sum_ci(spark, sf_dir):
     g = samp.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_sample"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("sy2"),
     )
     ex = li.groupBy("l_returnflag").agg(
         F.sum(y).cast("long").alias("exact_sum_cents")

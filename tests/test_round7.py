@@ -835,3 +835,68 @@ def test_calibration_bins_clamps_and_scores_perfect_separation(spark):
     )
     bad = calibration_bins(flipped, "m", "y", 1_000_000, 4).collect()[0]
     assert bad["gap"] > 0.99            # confidently wrong → max gap
+
+
+def test_bloom_armed_late_bootstraps_from_existing_index(spark, tmp_path):
+    """The completeness invariant: arming bloom_path on a pipeline whose
+    index ALREADY has history must not create false negatives — the
+    bloom is bootstrapped from the full index, so duplicates of
+    pre-bloom documents are still dropped (this exact scenario silently
+    re-admitted the whole prior corpus before the round-7 review fix)."""
+    from gcs_parquet_dataflow_spark.operators.dedup import minhash_perms
+    from gcs_parquet_dataflow_spark.operators.incremental import (
+        dedup_batch_against_index,
+    )
+
+    perms = minhash_perms(num_perm=16, seed=7)
+    idx = str(tmp_path / "idx")
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    b1 = spark.createDataFrame([(1, base)], "doc_id LONG, text STRING")
+    s1 = dedup_batch_against_index(
+        spark, b1, "doc_id", "text", idx, perms  # NO bloom yet
+    )
+    assert [r["doc_id"] for r in s1.collect()] == [1]
+
+    # now arm the bloom: a duplicate of pre-bloom doc 1 must still drop
+    bloom = str(tmp_path / "bloomlake")
+    b2 = spark.createDataFrame(
+        [(10, base), (11, "entirely new words about catalyst pushdown "
+                          "and adaptive shuffle partition coalescing")],
+        "doc_id LONG, text STRING",
+    )
+    s2 = dedup_batch_against_index(
+        spark, b2, "doc_id", "text", idx, perms, bloom_path=bloom
+    )
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]
+
+
+def test_decode_dispatch_routes_malformed_magic_payloads_to_opaque(spark):
+    """Malformed payloads that MATCH a magic prefix must row out as
+    kind='opaque', not fail the batch: PNG magic + garbage chunks
+    (struct.error), PNG with a CRC-valid header but corrupt DEFLATE
+    body (zlib.error), truncated BMP/WAV (struct/ValueError)."""
+    import struct as _st
+    import zlib as _zl
+
+    from gcs_parquet_dataflow_spark.operators import multimodal as MM
+
+    def chunk(ctype, body):
+        return (_st.pack(">I", len(body)) + ctype + body
+                + _st.pack(">I", _zl.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = _st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad_deflate = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", b"\x00not-deflate\xff")
+                   + chunk(b"IEND", b""))
+    payloads = [
+        (1, b"\x89PNG\r\n\x1a\n" + b"\x00\x00"),        # truncated chunks
+        (2, bad_deflate),                                  # zlib.error
+        (3, b"BM" + b"\x00" * 10),                        # truncated BMP
+        (4, b"RIFF\x00\x00\x00\x00WAVE" + b"\x01"),      # chunkless WAV
+        (5, MM.png_bytes([[[1, 2, 3]]])),                  # one GOOD png
+    ]
+    df = spark.createDataFrame(payloads, "media_id LONG, payload BINARY")
+    out = {r["media_id"]: r for r in
+           MM.decode_uncompressed_features(df).collect()}
+    assert [out[i]["kind"] for i in (1, 2, 3, 4)] == ["opaque"] * 4
+    assert out[5]["kind"] == "png" and out[5]["width"] == 1
