@@ -900,3 +900,19 @@ def test_decode_dispatch_routes_malformed_magic_payloads_to_opaque(spark):
            MM.decode_uncompressed_features(df).collect()}
     assert [out[i]["kind"] for i in (1, 2, 3, 4)] == ["opaque"] * 4
     assert out[5]["kind"] == "png" and out[5]["width"] == 1
+
+
+def test_aqp_variance_accumulator_exact_past_int64(spark):
+    """The y² accumulator must survive sums past 2^63 (the round-7
+    review found the int64 form wraps silently around sf≈4 on Spark
+    while DuckDB raises). Pin the fixed decimal path against exact
+    Python integers in the overflow regime, and document that the old
+    int64 form really does wrap there."""
+    y = 2_500_000_000  # y² = 6.25e18, two of them > int64 max
+    df = spark.createDataFrame([(y,), (y,), (y,)], "y LONG")
+    dec = df.agg(
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
+    assert int(dec) == 3 * y * y  # exact: 1.875e19 > 9.22e18
+    wrapped = df.agg(F.sum(F.col("y") * F.col("y")).alias("s")).first()["s"]
+    assert wrapped != 3 * y * y  # the old accumulator silently wraps
