@@ -80,6 +80,54 @@ def _band_key_str(df: DataFrame) -> "F.Column":
     )
 
 
+_BLOOM_META_FILE = "_bloom_meta.json"
+
+
+def _bloom_meta_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(path + "/" + _BLOOM_META_FILE)
+
+
+def write_bloom_meta(
+    spark: SparkSession, path: str, m_bits: int, k: int
+) -> None:
+    """Persist the bloom lake's (m_bits, k) alongside the word rows
+    (``_``-prefixed, so parquet readers skip it).  The hash space is a
+    FUNCTION of these parameters: probing a lake with different ones
+    silently yields false negatives — duplicates accepted forever while
+    same-parameter tests stay green (ADVICE r7).  The meta file makes
+    the parameters part of the lake, validated on every probe."""
+    import json as _json
+
+    p = _bloom_meta_path(spark, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(
+            _json.dumps({"m_bits": int(m_bits), "k": int(k)}).encode()
+        ))
+    finally:
+        out.close()
+
+
+def read_bloom_meta(spark: SparkSession, path: str) -> dict | None:
+    """(m_bits, k) the lake was built with, or None for a legacy lake
+    written before the meta file existed (or a not-yet-created lake)."""
+    import json as _json
+
+    p = _bloom_meta_path(spark, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    meta = _json.loads(raw.decode())
+    return {"m_bits": int(meta["m_bits"]), "k": int(meta["k"])}
+
+
 def read_bloom(spark: SparkSession, path: str) -> DataFrame:
     """The index's bloom side-table, OR-merged on read: the lake holds
     append-only (word_idx, word) rows — one append per accepted batch —
@@ -100,21 +148,31 @@ def rebuild_bloom_from_index(
     index_path: str,
     bloom_path: str,
     m_bits: int = 2**20,
+    k: int | None = None,
 ) -> None:
     """Bootstrap (or repair) the bloom side-lake from the FULL index —
     the completeness invariant the prefilter's no-false-negative
     argument rests on: every index entry must be in the bloom. Called
     automatically by dedup_batch_against_index when the bloom lake is
     absent but the index is not (a pipeline arming bloom_path after
-    history already accumulated); also the manual repair if a bloom
-    append is ever lost. One full index scan — the cost the prefilter
-    then saves on every subsequent all-novel batch."""
-    from gcs_parquet_dataflow_spark.operators.sketches import bloom_build
+    history already accumulated), and when the lake's persisted
+    (m_bits, k) don't match the caller's — probing across parameters
+    hashes into a different bit space and fabricates false negatives.
+    Also the manual repair if a bloom append is ever lost. One full
+    index scan — the cost the prefilter then saves on every subsequent
+    all-novel batch. Writes the (m_bits, k) meta file with the lake."""
+    from gcs_parquet_dataflow_spark.operators.sketches import (
+        BLOOM_K,
+        bloom_build,
+    )
 
+    k = BLOOM_K if k is None else k
     idx = read_index(spark, index_path)
     bloom_build(
-        idx.withColumn("_bk", _band_key_str(idx)), "_bk", m_bits=m_bits
+        idx.withColumn("_bk", _band_key_str(idx)), "_bk",
+        m_bits=m_bits, k=k,
     ).write.mode("overwrite").parquet(bloom_path)
+    write_bloom_meta(spark, bloom_path, m_bits, k)
 
 
 def dedup_batch_against_index(
@@ -195,12 +253,29 @@ def dedup_batch_against_index(
     index_probe = probe
     skip_index = False
     if bloom_path is not None:
-        if not _path_exists(spark, bloom_path) and _path_exists(
-            spark, index_path
-        ):
-            rebuild_bloom_from_index(
-                spark, index_path, bloom_path, m_bits=bloom_m_bits
-            )
+        from gcs_parquet_dataflow_spark.operators.sketches import BLOOM_K
+
+        if not _path_exists(spark, bloom_path):
+            if _path_exists(spark, index_path):
+                rebuild_bloom_from_index(
+                    spark, index_path, bloom_path,
+                    m_bits=bloom_m_bits, k=BLOOM_K,
+                )
+        else:
+            # parameter fence (ADVICE r7): probing a lake built with
+            # different (m_bits, k) hashes into a different bit space →
+            # silent false negatives, duplicates accepted forever.
+            # Legacy lake (no meta) or mismatch → rebuild from the
+            # index with the CALLER's parameters, restoring the
+            # completeness invariant, then record them.
+            meta = read_bloom_meta(spark, bloom_path)
+            if meta is None or meta != {
+                "m_bits": int(bloom_m_bits), "k": int(BLOOM_K)
+            }:
+                rebuild_bloom_from_index(
+                    spark, index_path, bloom_path,
+                    m_bits=bloom_m_bits, k=BLOOM_K,
+                )
         bloom = read_bloom(spark, bloom_path)
         keyed = probe.withColumn("_bk", _band_key_str(probe))
         passed = bloom_probe(
@@ -266,6 +341,13 @@ def dedup_batch_against_index(
         # bloom a superset (extra false positives, still correct);
         # index-first would leave un-bloomed index entries = permanent
         # false negatives. Readers OR-merge, so append ≡ rebuild.
+        # Meta first (idempotent): a first-batch crash after the word
+        # append but before a trailing meta write would leave a
+        # parameterless lake; meta-first means the lake is born fenced.
+        from gcs_parquet_dataflow_spark.operators.sketches import BLOOM_K
+
+        if read_bloom_meta(spark, bloom_path) is None:
+            write_bloom_meta(spark, bloom_path, bloom_m_bits, BLOOM_K)
         bloom_build(
             new_rows.withColumn("_bk", _band_key_str(new_rows)),
             "_bk",

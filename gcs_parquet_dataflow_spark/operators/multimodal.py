@@ -413,17 +413,18 @@ def decode_uncompressed_features(media: DataFrame) -> DataFrame:
 
         # everything a malformed-but-magic-matching payload can raise in
         # the decoders: truncated headers (struct.error), corrupt DEFLATE
-        # streams (zlib.error), and the decoders' own ValueError guards —
-        # all must route to kind='opaque', never fail the batch
-        _DECODE_ERRORS = (ValueError, struct.error, zlib.error)
+        # streams (zlib.error), the decoders' own ValueError guards, and
+        # a NULL payload (BinaryType null → None → TypeError in bytes())
+        # — all must route to kind='opaque', never fail the batch
+        _DECODE_ERRORS = (ValueError, TypeError, struct.error, zlib.error)
         cols = [f.name for f in UNCOMPRESSED_SCHEMA.fields]
         for pdf in it:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(payload)
                 rec = dict.fromkeys(cols)
                 rec["media_id"] = media_id
                 try:
+                    data = bytes(payload)
                     if data[:2] == b"BM":
                         rec.update(decode_bmp(data))
                         rec["kind"] = "bmp"
@@ -516,7 +517,9 @@ def sample_frames(
         for pdf in it:
             out_id, out_idx, out_md5, out_n = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(payload)
+                # NULL payload (BinaryType null → None) → zero frames,
+                # never a batch-failing TypeError
+                data = b"" if payload is None else bytes(payload)
                 n_frames = (len(data) + frame_bytes - 1) // frame_bytes
                 for idx in range(0, n_frames, every_n):
                     frame = data[idx * frame_bytes : (idx + 1) * frame_bytes]
@@ -548,14 +551,18 @@ def decode_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
-            decoded = [fake_decode(bytes(p)) for p in payloads]
+            # NULL payloads decode as empty (0 bytes, md5 of b"") —
+            # the DLQ-not-crash contract of the uncompressed decoder
+            payloads = [
+                b"" if p is None else bytes(p) for p in pdf["payload"]
+            ]
+            decoded = [fake_decode(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "n_bytes": [len(p) for p in payloads],
                     "content_md5": [
-                        hashlib.md5(bytes(p)).hexdigest() for p in payloads
+                        hashlib.md5(p).hexdigest() for p in payloads
                     ],
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],

@@ -25,11 +25,23 @@ Privacy semantics (standard central-model accounting):
 
 - Per-privacy-unit contribution to each released statistic is clamped
   FIRST (counts: min(c, Δ); sums: clamp to ±Δ), so one unit changes
-  any released aggregate by at most Δ — the L∞ sensitivity the audit
-  row ``privacy_contribution_bounds`` measures.
-- Laplace noise with scale b = Δ/ε then gives ε-DP per release; the
-  released rollup carries (epsilon, sensitivity, noise_scale) columns
-  so a ledger can sum ε over releases (sequential composition).
+  any released aggregate by at most Δ — the L∞ (per-coordinate)
+  sensitivity the audit row ``privacy_contribution_bounds`` measures.
+- A unit may appear in MANY groups (one user under several event
+  types), so the L1 sensitivity of the whole release vector is
+  G·Δ where G is the number of groups the unit touches.  Pass
+  ``group_cap`` to bound G: each unit is deterministically restricted
+  to at most ``group_cap`` groups BEFORE aggregation (seeded-hash
+  rank within unit — the max-groups-contributed bound of DP SQL
+  engines), and the Laplace scale becomes b = group_cap·Δ/ε, giving a
+  true unit-level ε-DP release.  Without ``group_cap`` the noise
+  b = Δ/ε protects each COORDINATE at ε but the unit-level guarantee
+  degrades to G·ε — the ledger then over-trusts the budget; releases
+  meant for sign-off must set ``group_cap``.
+- The released rollup carries (epsilon, sensitivity, noise_scale,
+  group_cap, l1_sensitivity) columns so a ledger can sum ε over
+  releases (sequential composition) and see which rows are
+  unit-level-bounded (group_cap non-NULL).
 - One caveat a real deployment must add on top: the seed must be kept
   secret with the raw data (a public seed lets anyone re-derive the
   noise), and a NEW seed must be drawn per release epoch.
@@ -95,14 +107,73 @@ def laplace_noise_sql(
     return f"(-({scale_expr}) * sign({u}) * ln(1.0 - 2.0 * abs({u})))"
 
 
-def _check_budget(epsilon: float, contribution_cap: int) -> float:
+def _check_budget(
+    epsilon: float, contribution_cap: int, group_cap: int | None
+) -> float:
+    """Laplace scale for the release: b = L1/ε where L1 = group_cap·Δ
+    when the per-unit group participation is bounded, else the
+    per-coordinate Δ (L∞-only accounting — see module docstring)."""
     if not epsilon > 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     if contribution_cap < 1:
         raise ValueError(
             f"contribution_cap must be >= 1, got {contribution_cap}"
         )
-    return contribution_cap / epsilon
+    if group_cap is not None and group_cap < 1:
+        raise ValueError(f"group_cap must be >= 1, got {group_cap}")
+    l1 = contribution_cap * (group_cap if group_cap is not None else 1)
+    return l1 / epsilon
+
+
+def group_rank_hash_sql(
+    unit_expr: str, group_expr: str, seed: str = DP_RELEASE_SEED
+) -> str:
+    """DuckDB twin of the per-unit group-selection rank hash used by
+    ``group_cap`` (the 'gcap' salt element) — paste into oracle SQL as
+    the ORDER BY key of a row_number() PARTITION BY unit window."""
+    return (
+        f"CAST('0x' || substr(md5(concat_ws('|', '{seed}', 'gcap', "
+        f"CAST({unit_expr} AS VARCHAR), CAST({group_expr} AS VARCHAR)"
+        f")), 1, 8) AS BIGINT)"
+    )
+
+
+def _cap_unit_groups(
+    per_unit: DataFrame,
+    group_cols: list[str],
+    unit_col: str,
+    group_cap: int,
+    seed: str,
+) -> DataFrame:
+    """Deterministically keep at most ``group_cap`` (unit, group) rows
+    per unit: rank groups within each unit by the seeded hash of
+    (seed, 'gcap', unit, group) with the group key as tie-break, keep
+    the first ``group_cap``.  The kept set is a pure function of the
+    unit's own rows (+ seed), so neighboring datasets differ in at
+    most ``group_cap`` released coordinates — the L1 bound the noise
+    scale relies on.  Plan: one window partitioned by unit over the
+    already-aggregated (group, unit) rows; row_number ≤ cap compiles
+    to WindowGroupLimit per-partition heaps — no global sort."""
+    from pyspark.sql import Window as W
+
+    gkey = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in group_cols]
+    )
+    h = hash32(
+        F.concat_ws(
+            "|",
+            F.lit(seed),
+            F.lit("gcap"),
+            F.col(unit_col).cast("string"),
+            gkey,
+        )
+    )
+    w = W.partitionBy(unit_col).orderBy(h.asc(), gkey.asc())
+    return (
+        per_unit.withColumn("_gr", F.row_number().over(w))
+        .filter(F.col("_gr") <= group_cap)
+        .drop("_gr")
+    )
 
 
 def dp_release_counts(
@@ -113,22 +184,34 @@ def dp_release_counts(
     contribution_cap: int,
     seed: str = DP_RELEASE_SEED,
     include_internals: bool = False,
+    group_cap: int | None = None,
 ) -> DataFrame:
     """ε-DP released count per group with per-unit contribution
-    clamping: released = Σ_units min(c_unit, Δ) + Laplace(Δ/ε).
+    clamping: released = Σ_units min(c_unit, Δ) + Laplace(b) where
+    b = group_cap·Δ/ε when ``group_cap`` bounds the number of groups a
+    unit may touch (deterministic seeded-rank selection,
+    :func:`_cap_unit_groups`) — the true unit-level ε guarantee — and
+    b = Δ/ε otherwise (per-COORDINATE ε only; a unit present in G
+    groups is protected at G·ε — module docstring caveat).
 
-    Output: group_cols + (released, epsilon, sensitivity, noise_scale);
-    ``include_internals`` adds (clamped_count, noise) for tests and
-    utility audits — NEVER publish those columns.
+    Output: group_cols + (released, epsilon, sensitivity, noise_scale,
+    group_cap, l1_sensitivity) — group_cap/l1_sensitivity are NULL for
+    the unbounded form so a ledger can see which rows carry the
+    unit-level guarantee; ``include_internals`` adds (clamped_count,
+    noise) for tests and utility audits — NEVER publish those columns.
 
     The noise key is the group key alone (plus the release seed): two
     releases of the same group under the same seed reuse the same draw
     (idempotent replay), and a changed seed redraws everything.
     """
-    b = _check_budget(epsilon, contribution_cap)
+    b = _check_budget(epsilon, contribution_cap, group_cap)
     per_unit = df.groupBy(*group_cols, unit_col).agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )
+    if group_cap is not None:
+        per_unit = _cap_unit_groups(
+            per_unit, group_cols, unit_col, group_cap, seed
+        )
     clamped = per_unit.groupBy(*group_cols).agg(
         F.sum(F.least(F.col("_c"), F.lit(int(contribution_cap))))
         .cast("long")
@@ -144,6 +227,10 @@ def dp_release_counts(
         F.lit(float(epsilon)).alias("epsilon"),
         F.lit(int(contribution_cap)).cast("long").alias("sensitivity"),
         F.round(F.lit(float(b)), 6).alias("noise_scale"),
+        F.lit(group_cap).cast("long").alias("group_cap"),
+        F.lit(
+            None if group_cap is None else group_cap * contribution_cap
+        ).cast("long").alias("l1_sensitivity"),
         F.col("_clamped").alias("clamped_count"),
         F.round(noise, 6).alias("noise"),
     )
@@ -159,11 +246,15 @@ def epsilon_ledger(releases: list) -> DataFrame:
     carries the constant epsilon/sensitivity/noise_scale columns).
 
     → one row per release (release, epsilon, sensitivity, noise_scale,
-    n_groups) plus a running ``epsilon_spent`` in release-name order —
-    the sequential-composition upper bound Σε a privacy officer signs
-    off on.  Each per-release aggregate is one |groups|-sized rollup;
-    the ledger itself is |releases| rows (window allowlisted: tiny,
-    aggregate-bounded)."""
+    group_cap, n_groups) plus a running ``epsilon_spent`` in
+    release-name order — the sequential-composition upper bound Σε a
+    privacy officer signs off on.  ``epsilon_spent`` is a UNIT-LEVEL
+    bound only for rows with a non-NULL ``group_cap``: an unbounded
+    release protects each coordinate at ε but a unit touching G groups
+    at G·ε, so its ledger ε under-counts — sign-off releases must be
+    built with ``group_cap`` set.  Each per-release aggregate is one
+    |groups|-sized rollup; the ledger itself is |releases| rows
+    (window allowlisted: tiny, aggregate-bounded)."""
     from pyspark.sql import Window as W
 
     if not releases:
@@ -175,6 +266,7 @@ def epsilon_ledger(releases: list) -> DataFrame:
                 F.max("epsilon").alias("epsilon"),
                 F.max("sensitivity").cast("long").alias("sensitivity"),
                 F.max("noise_scale").alias("noise_scale"),
+                F.max("group_cap").cast("long").alias("group_cap"),
                 F.count(F.lit(1)).cast("long").alias("n_groups"),
             ).withColumn("release", F.lit(name))
         )
@@ -186,6 +278,7 @@ def epsilon_ledger(releases: list) -> DataFrame:
         "epsilon",
         "sensitivity",
         "noise_scale",
+        "group_cap",
         "n_groups",
         F.round(
             F.sum("epsilon").over(
@@ -207,19 +300,27 @@ def dp_release_sums(
     value_cap: int,
     seed: str = DP_RELEASE_SEED,
     include_internals: bool = False,
+    group_cap: int | None = None,
 ) -> DataFrame:
     """ε-DP released sum per group: each unit's per-group value sum is
     clamped to [−Δ, Δ] (Δ = ``value_cap``, integer so the clamped sum
-    stays exact), then Laplace(Δ/ε) noise keyed on the group.
+    stays exact), then Laplace noise keyed on the group — scale
+    group_cap·Δ/ε when ``group_cap`` bounds per-unit group
+    participation (unit-level ε), else Δ/ε (per-coordinate ε only;
+    see :func:`dp_release_counts`).
 
     ``value_col`` must be integer-valued (the engine's money-in-cents /
     token-count convention); for doubles, quantize first — exactness of
     the pre-noise sum is what makes the release differential-checkable.
     """
-    b = _check_budget(epsilon, value_cap)
+    b = _check_budget(epsilon, value_cap, group_cap)
     per_unit = df.groupBy(*group_cols, unit_col).agg(
         F.sum(F.col(value_col).cast("long")).alias("_v")
     )
+    if group_cap is not None:
+        per_unit = _cap_unit_groups(
+            per_unit, group_cols, unit_col, group_cap, seed
+        )
     clamped = per_unit.groupBy(*group_cols).agg(
         F.sum(
             F.greatest(
@@ -240,6 +341,10 @@ def dp_release_sums(
         F.lit(float(epsilon)).alias("epsilon"),
         F.lit(int(value_cap)).cast("long").alias("sensitivity"),
         F.round(F.lit(float(b)), 6).alias("noise_scale"),
+        F.lit(group_cap).cast("long").alias("group_cap"),
+        F.lit(
+            None if group_cap is None else group_cap * value_cap
+        ).cast("long").alias("l1_sensitivity"),
         F.col("_clamped").alias("clamped_sum"),
         F.round(noise, 6).alias("noise"),
     )

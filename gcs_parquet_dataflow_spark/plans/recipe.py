@@ -388,6 +388,7 @@ def _stage_dp_release(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
         dp_release_counts,
     )
 
+    gcap = p.get("group_cap")
     return dp_release_counts(
         df,
         [p.get("key", "source")],
@@ -395,6 +396,7 @@ def _stage_dp_release(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
         epsilon=float(p["epsilon"]),
         contribution_cap=int(p.get("cap", 1)),
         seed=p.get("seed", DP_RELEASE_SEED),
+        group_cap=None if gcap is None else int(gcap),
     )
 
 

@@ -15252,76 +15252,114 @@ def er_blocked_candidates_budget(spark, sf_dir):
 
 from gcs_parquet_dataflow_spark.operators import privacy as DP  # noqa: E402
 
-_DP_COUNT_EPS, _DP_COUNT_CAP = 0.5, 8        # b = 16.0 (exact dyadics)
+_DP_COUNT_EPS, _DP_COUNT_CAP = 0.5, 8        # Δ=8 per coordinate
+_DP_COUNT_GCAP = 3                           # ≤3 event types per user
+_DP_COUNT_B = _DP_COUNT_GCAP * _DP_COUNT_CAP / _DP_COUNT_EPS  # b = 48.0
 _DP_SUM_EPS, _DP_SUM_CAP = 0.25, 1000        # b = 4000.0
+_DP_SUM_GCAP = 1                             # one source per doc
+_DP_SUM_B = _DP_SUM_GCAP * _DP_SUM_CAP / _DP_SUM_EPS
+
+# per-unit group-participation rank filters (the group_cap selection),
+# mirrored verbatim on both engines — see operators/privacy.py
+# _cap_unit_groups / group_rank_hash_sql
+_DP_COUNT_KEPT = f"""
+    u AS (SELECT event_type, user_id,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, user_id),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY {DP.group_rank_hash_sql("user_id", "event_type")},
+                       CAST(event_type AS VARCHAR)) AS rnk
+           FROM u),
+    kept AS (SELECT * FROM rk WHERE rnk <= {_DP_COUNT_GCAP})"""
+_DP_SUM_KEPT = f"""
+    u AS (SELECT source, doc_id,
+                 CAST(sum(length(text)) AS BIGINT) AS v
+          FROM documents GROUP BY source, doc_id),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY {DP.group_rank_hash_sql("doc_id", "source")},
+                       CAST(source AS VARCHAR)) AS rnk
+           FROM u),
+    kept AS (SELECT * FROM rk WHERE rnk <= {_DP_SUM_GCAP})"""
 
 
 @query(
     "privacy_dp_release",
     f"""
-    WITH u AS (SELECT event_type, user_id,
-                      CAST(count(*) AS BIGINT) AS c
-               FROM events GROUP BY event_type, user_id),
+    WITH {_DP_COUNT_KEPT},
     g AS (SELECT event_type,
                  CAST(sum(least(c, {_DP_COUNT_CAP})) AS BIGINT) AS clamped
-          FROM u GROUP BY event_type)
+          FROM kept GROUP BY event_type)
     SELECT event_type,
            round(clamped + {DP.laplace_noise_sql(
                "coalesce(CAST(event_type AS VARCHAR), '')",
-               f"{_DP_COUNT_CAP / _DP_COUNT_EPS!r}")}, 6) AS released,
+               f"{_DP_COUNT_B!r}")}, 6) AS released,
            CAST({_DP_COUNT_EPS!r} AS DOUBLE) AS epsilon,
            CAST({_DP_COUNT_CAP} AS BIGINT) AS sensitivity,
-           CAST({_DP_COUNT_CAP / _DP_COUNT_EPS!r} AS DOUBLE) AS noise_scale
+           CAST({_DP_COUNT_B!r} AS DOUBLE) AS noise_scale,
+           CAST({_DP_COUNT_GCAP} AS BIGINT) AS group_cap,
+           CAST({_DP_COUNT_GCAP * _DP_COUNT_CAP} AS BIGINT)
+               AS l1_sensitivity
     FROM g ORDER BY event_type
     """,
 )
 def privacy_dp_release(spark, sf_dir):
     """ε-DP released per-type event counts — the release MECHANISM the
-    privacy_* audit rows were missing: per-user contributions clamped at
-    Δ=8 (the sensitivity privacy_contribution_bounds measures), then
-    deterministic seeded Laplace(Δ/ε) noise, ε=0.5 per release.
+    privacy_* audit rows were missing: per-user contributions clamped
+    at Δ=8 per coordinate (the sensitivity privacy_contribution_bounds
+    measures), each user deterministically restricted to group_cap=3
+    event types (a user touches up to 5 — the cap BINDS, and both
+    engines replicate the seeded-rank selection), then seeded
+    Laplace(group_cap·Δ/ε) noise, ε=0.5 per release at the UNIT level
+    (ADVICE r7: without the group cap one user shifts G coordinates
+    and the guarantee silently degrades to G·ε).
 
-    Parity: the clamped count is exact integer; the noise is the exact
-    inverse-CDF over a dyadic uniform from the shared md5 hash — ln is
-    the only non-dyadic step (parity established by source_unigram_kl)
-    and the output rounds to 6.  Scale: (type,user) partial agg with
-    map-side combine → |groups| rollup; noise is a pure Column on the
-    group key — no extra shuffle, nothing driver-sized."""
+    Parity: the clamped count is exact integer; the rank selection is
+    a shared-hash window mirrored verbatim in the oracle; the noise is
+    the exact inverse-CDF over a dyadic uniform — ln is the only
+    non-dyadic step and the output rounds to 6.  Scale: (type,user)
+    partial agg with map-side combine → per-unit WindowGroupLimit
+    top-G heaps → |groups| rollup; noise is a pure Column on the group
+    key — nothing driver-sized."""
     return DP.dp_release_counts(
         t(spark, sf_dir, "events"),
         ["event_type"],
         "user_id",
         epsilon=_DP_COUNT_EPS,
         contribution_cap=_DP_COUNT_CAP,
+        group_cap=_DP_COUNT_GCAP,
     ).orderBy("event_type")
 
 
 @query(
     "privacy_dp_release_sums",
     f"""
-    WITH u AS (SELECT source, doc_id,
-                      CAST(sum(length(text)) AS BIGINT) AS v
-               FROM documents GROUP BY source, doc_id),
+    WITH {_DP_SUM_KEPT},
     g AS (SELECT source,
                  CAST(sum(greatest(least(v, {_DP_SUM_CAP}),
                                    -{_DP_SUM_CAP})) AS BIGINT) AS clamped
-          FROM u GROUP BY source)
+          FROM kept GROUP BY source)
     SELECT source,
            round(clamped + {DP.laplace_noise_sql(
                "coalesce(CAST(source AS VARCHAR), '')",
-               f"{_DP_SUM_CAP / _DP_SUM_EPS!r}")}, 6) AS released,
+               f"{_DP_SUM_B!r}")}, 6) AS released,
            CAST({_DP_SUM_EPS!r} AS DOUBLE) AS epsilon,
            CAST({_DP_SUM_CAP} AS BIGINT) AS sensitivity,
-           CAST({_DP_SUM_CAP / _DP_SUM_EPS!r} AS DOUBLE) AS noise_scale
+           CAST({_DP_SUM_B!r} AS DOUBLE) AS noise_scale,
+           CAST({_DP_SUM_GCAP} AS BIGINT) AS group_cap,
+           CAST({_DP_SUM_GCAP * _DP_SUM_CAP} AS BIGINT) AS l1_sensitivity
     FROM g ORDER BY source
     """,
 )
 def privacy_dp_release_sums(spark, sf_dir):
     """ε-DP released per-source total text length (the SUM mechanism):
     each document's value is clamped to ±Δ=1000 chars before the
-    per-source sum, Laplace(Δ/ε) with ε=0.25.  Same parity and scale
-    shape as privacy_dp_release; the clamp keeps the pre-noise sum an
-    exact integer so only ln + the final 6-rounding are floating."""
+    per-source sum, Laplace(group_cap·Δ/ε) with ε=0.25 and group_cap=1
+    (a document belongs to exactly one source, so the unit-level L1
+    bound equals the per-coordinate Δ — the cap documents that rather
+    than changing the kept set, and both engines still run the
+    identical rank selection).  Same parity and scale shape as
+    privacy_dp_release; the clamp keeps the pre-noise sum an exact
+    integer so only ln + the final 6-rounding are floating."""
     d = t(spark, sf_dir, "documents").withColumn(
         "_len", F.length("text").cast("long")
     )
@@ -15332,6 +15370,7 @@ def privacy_dp_release_sums(spark, sf_dir):
         "_len",
         epsilon=_DP_SUM_EPS,
         value_cap=_DP_SUM_CAP,
+        group_cap=_DP_SUM_GCAP,
     ).orderBy("source")
 
 
@@ -15602,28 +15641,34 @@ def langid_train_step1(spark, sf_dir):
 @query(
     "privacy_epsilon_ledger",
     f"""
-    WITH u AS (SELECT event_type, user_id,
-                      CAST(count(*) AS BIGINT) AS c
-               FROM events GROUP BY event_type, user_id),
-    g1 AS (SELECT event_type FROM u GROUP BY event_type),
-    u2 AS (SELECT source, doc_id FROM documents GROUP BY source, doc_id),
-    g2 AS (SELECT source FROM u2 GROUP BY source),
+    WITH {_DP_COUNT_KEPT},
+    g1 AS (SELECT event_type FROM kept GROUP BY event_type),
+    u2 AS (SELECT source, doc_id,
+                  CAST(sum(length(text)) AS BIGINT) AS v
+           FROM documents GROUP BY source, doc_id),
+    rk2 AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY {DP.group_rank_hash_sql("doc_id", "source")},
+                        CAST(source AS VARCHAR)) AS rnk
+            FROM u2),
+    g2 AS (SELECT source FROM rk2 WHERE rnk <= {_DP_SUM_GCAP}
+           GROUP BY source),
     r1 AS (SELECT 'events_by_type' AS release,
                   CAST({_DP_COUNT_EPS!r} AS DOUBLE) AS epsilon,
                   CAST({_DP_COUNT_CAP} AS BIGINT) AS sensitivity,
-                  CAST({_DP_COUNT_CAP / _DP_COUNT_EPS!r} AS DOUBLE)
-                      AS noise_scale,
+                  CAST({_DP_COUNT_B!r} AS DOUBLE) AS noise_scale,
+                  CAST({_DP_COUNT_GCAP} AS BIGINT) AS group_cap,
                   CAST(count(*) AS BIGINT) AS n_groups
            FROM g1),
     r2 AS (SELECT 'doc_len_by_source' AS release,
                   CAST({_DP_SUM_EPS!r} AS DOUBLE) AS epsilon,
                   CAST({_DP_SUM_CAP} AS BIGINT) AS sensitivity,
-                  CAST({_DP_SUM_CAP / _DP_SUM_EPS!r} AS DOUBLE)
-                      AS noise_scale,
+                  CAST({_DP_SUM_B!r} AS DOUBLE) AS noise_scale,
+                  CAST({_DP_SUM_GCAP} AS BIGINT) AS group_cap,
                   CAST(count(*) AS BIGINT) AS n_groups
            FROM g2),
     l AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
-    SELECT release, epsilon, sensitivity, noise_scale, n_groups,
+    SELECT release, epsilon, sensitivity, noise_scale, group_cap,
+           n_groups,
            round(sum(epsilon) OVER (ORDER BY release
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                AS epsilon_spent
@@ -15633,12 +15678,15 @@ def langid_train_step1(spark, sf_dir):
 def privacy_epsilon_ledger(spark, sf_dir):
     """Sequential-composition ε accounting (operators/privacy.py
     epsilon_ledger) over the round's two releases: one row per release
-    with its ε/Δ/noise-scale constants and group count, plus the
-    running Σε in release order — the ledger a privacy officer signs
-    off on before the next release spends budget.
+    with its ε/Δ/noise-scale/group-cap constants and group count, plus
+    the running Σε in release order — the ledger a privacy officer
+    signs off on before the next release spends budget.  Both releases
+    carry a non-NULL group_cap, so Σε here IS a unit-level bound
+    (ADVICE r7: uncapped releases only bound each coordinate at ε).
 
     Parity: the accounting columns are exact constants and integer
-    counts; the running sum is over ≤ |releases| exact doubles.
+    counts over the capped group sets (the rank selection mirrored
+    verbatim); the running sum is over ≤ |releases| exact doubles.
     Scale: each release contributes one |groups|-sized rollup; the
     ledger window runs over |releases| rows (aggregate-bounded)."""
     from gcs_parquet_dataflow_spark.operators import privacy as _DP
@@ -15646,6 +15694,7 @@ def privacy_epsilon_ledger(spark, sf_dir):
     ev = _DP.dp_release_counts(
         t(spark, sf_dir, "events"), ["event_type"], "user_id",
         epsilon=_DP_COUNT_EPS, contribution_cap=_DP_COUNT_CAP,
+        group_cap=_DP_COUNT_GCAP,
     )
     dl = _DP.dp_release_sums(
         t(spark, sf_dir, "documents").withColumn(
@@ -15653,6 +15702,7 @@ def privacy_epsilon_ledger(spark, sf_dir):
         ),
         ["source"], "doc_id", "_len",
         epsilon=_DP_SUM_EPS, value_cap=_DP_SUM_CAP,
+        group_cap=_DP_SUM_GCAP,
     )
     return _DP.epsilon_ledger(
         [("events_by_type", ev), ("doc_len_by_source", dl)]

@@ -1,0 +1,220 @@
+"""Round-8 guard tests: the ADVICE r7 closures — the DP group-cap
+(unit-level ε, not per-coordinate), the bloom lake's persisted
+(m_bits, k) parameter fence, NULL-payload DLQ in the media decoders,
+and oracle_check's --json argv bounds check."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 item 1: dp_release group_cap — a unit touching G groups was
+# only protected at G·ε; group_cap bounds G and scales the noise.
+# ---------------------------------------------------------------------------
+
+
+def test_dp_release_group_cap_bounds_groups_and_scales_noise(spark):
+    """With group_cap=G: (a) every unit contributes to at most G
+    groups; (b) noise_scale = G·Δ/ε (the L1 bound, not the
+    per-coordinate Δ/ε); (c) the released columns carry
+    group_cap/l1_sensitivity; (d) the kept selection is deterministic
+    under repartitioning."""
+    from gcs_parquet_dataflow_spark.operators.privacy import (
+        dp_release_counts,
+    )
+
+    # 8 units × 10 groups each — without the cap, one unit shifts 10
+    # released coordinates
+    df = spark.range(800).select(
+        (F.col("id") % 10).cast("string").alias("g"),
+        (F.col("id") % 8).cast("string").alias("unit"),
+    )
+    rel = dp_release_counts(
+        df, ["g"], "unit", epsilon=0.5, contribution_cap=4,
+        group_cap=3, include_internals=True,
+    )
+    rows = rel.collect()
+    b = 3 * 4 / 0.5
+    for r in rows:
+        assert r["noise_scale"] == b
+        assert r["group_cap"] == 3
+        assert r["l1_sensitivity"] == 12
+        assert r["sensitivity"] == 4
+    # each unit appears in ≤ 3 groups after capping: total clamped mass
+    # is Σ_units Σ_kept min(c, Δ) ≤ 8 units × 3 groups × Δ
+    total = sum(r["clamped_count"] for r in rows)
+    assert total <= 8 * 3 * 4
+    # each (g,unit) cell has 10 rows → clamped at Δ=4 → exactly 8×3×4
+    assert total == 8 * 3 * 4
+
+    again = dp_release_counts(
+        df.repartition(13), ["g"], "unit", epsilon=0.5,
+        contribution_cap=4, group_cap=3, include_internals=True,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_dp_release_group_cap_neighbor_bound(spark):
+    """The L1 neighbor bound the ε guarantee rests on: removing one
+    unit entirely changes at most group_cap coordinates, each by at
+    most Δ — Σ|change| ≤ group_cap·Δ = l1_sensitivity."""
+    from gcs_parquet_dataflow_spark.operators.privacy import (
+        dp_release_counts,
+    )
+
+    rows = [(f"g{i}", "spread") for i in range(9) for _ in range(6)] + [
+        (f"g{i}", f"u{i}") for i in range(9) for _ in range(2)
+    ]
+    df = spark.createDataFrame(rows, "g string, unit string")
+
+    def clamped(d):
+        return {
+            r["g"]: r["clamped_count"]
+            for r in dp_release_counts(
+                d, ["g"], "unit", epsilon=1.0, contribution_cap=4,
+                group_cap=2, include_internals=True,
+            ).collect()
+        }
+
+    full = clamped(df)
+    wo = clamped(df.filter(F.col("unit") != "spread"))
+    changes = [full[g] - wo.get(g, 0) for g in full]
+    assert sum(abs(c) for c in changes) <= 2 * 4
+    assert sum(1 for c in changes if c != 0) <= 2
+
+
+def test_dp_release_unbounded_marks_null_group_cap(spark):
+    """Without group_cap the release must SAY so: group_cap and
+    l1_sensitivity are NULL (the ledger can't claim a unit-level ε),
+    and the noise scale stays the per-coordinate Δ/ε."""
+    from gcs_parquet_dataflow_spark.operators.privacy import (
+        dp_release_counts,
+        epsilon_ledger,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "u1"), ("a", "u2"), ("b", "u1")], "g string, unit string"
+    )
+    rel = dp_release_counts(df, ["g"], "unit", 0.5, 8)
+    r = rel.first()
+    assert r["group_cap"] is None
+    assert r["l1_sensitivity"] is None
+    assert r["noise_scale"] == 16.0
+    led = epsilon_ledger([("r1", rel)]).first()
+    assert led["group_cap"] is None
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 item 2: the bloom lake's (m_bits, k) parameter fence.
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_lake_parameter_fence(spark, tmp_path):
+    """A bloom lake probed with different m_bits than it was built
+    with hashes into a different bit space → silent false negatives
+    (duplicates accepted forever). The persisted meta must (a) be
+    written on first use, (b) trigger a rebuild with the caller's
+    parameters on mismatch, and (c) keep the no-false-negative
+    invariant across the parameter change: the cross-batch duplicate
+    is still dropped."""
+    from gcs_parquet_dataflow_spark.operators.dedup import minhash_perms
+    from gcs_parquet_dataflow_spark.operators.incremental import (
+        dedup_batch_against_index,
+        read_bloom_meta,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.operators.sketches import BLOOM_K
+
+    perms = minhash_perms(num_perm=16, seed=7)
+    idx = str(tmp_path / "idx")
+    bloom = str(tmp_path / "bloom")
+
+    def sentence(tag):
+        return " ".join(f"{tag}w{j}" for j in range(12))
+
+    b1 = spark.createDataFrame(
+        [(i, sentence(f"u{i}")) for i in range(4)],
+        "doc_id long, text string",
+    )
+    s1 = dedup_batch_against_index(
+        spark, b1, "doc_id", "text", idx, perms,
+        bloom_path=bloom, bloom_m_bits=2**20,
+    )
+    assert s1.count() == 4
+    release_intermediates()
+    assert read_bloom_meta(spark, bloom) == {"m_bits": 2**20, "k": BLOOM_K}
+
+    # batch 2 probes with DIFFERENT m_bits: pre-fix this silently
+    # hashed into the wrong bit space and accepted the duplicate
+    b2 = spark.createDataFrame(
+        [(100, sentence("u2")), (101, sentence("fresh"))],
+        "doc_id long, text string",
+    )
+    s2 = dedup_batch_against_index(
+        spark, b2, "doc_id", "text", idx, perms,
+        bloom_path=bloom, bloom_m_bits=2**18,
+    )
+    assert sorted(r["doc_id"] for r in s2.collect()) == [101]
+    release_intermediates()
+    # the lake was rebuilt with the caller's parameters and re-fenced
+    assert read_bloom_meta(spark, bloom) == {"m_bits": 2**18, "k": BLOOM_K}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 item 3: NULL payloads must DLQ as opaque, never fail the
+# Arrow batch.
+# ---------------------------------------------------------------------------
+
+
+def test_null_payload_rows_dlq_not_crash(spark):
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        decode_features,
+        decode_uncompressed_features,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"BMxxxx")), (2, None), (3, bytearray(b"hello"))],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: r for r in decode_uncompressed_features(df).collect()
+    }
+    assert got[2]["kind"] == "opaque"
+    assert got[2]["width"] is None
+    # truncated BMP header DLQs too; plain bytes are opaque
+    assert got[1]["kind"] == "opaque"
+    assert got[3]["kind"] == "opaque"
+
+    # frame sampler: NULL payload → zero frames, batch survives
+    frames = sample_frames(df).groupBy("media_id").count().collect()
+    assert {r["media_id"] for r in frames} == {1, 3}
+
+    # stub decoder: NULL decodes as empty payload
+    feats = {r["media_id"]: r for r in decode_features(df).collect()}
+    assert feats[2]["n_bytes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 item 4: --json as the last argv token must be a usage
+# error, not an IndexError traceback.
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_check_json_without_path_is_usage_error():
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/oracle_check.py", "--json"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 2
+    assert "usage:" in proc.stderr
+    assert "IndexError" not in proc.stderr

@@ -57,6 +57,13 @@ def main():
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print(
+                "usage: oracle_check.py [--json OUT] [sf_dir] [query ...]"
+                "\n--json requires an output path",
+                file=sys.stderr,
+            )
+            return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
