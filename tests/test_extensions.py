@@ -1148,6 +1148,8 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "survival_kaplan_meier",           # scalar censoring-horizon broadcast
         "contrastive_hard_negatives",      # broadcast anchors × corpus scan
         "knn_label_eval",                  # LOO corpus × corpus exact eval baseline
+        "knn_label_eval_ann",              # 1-row class-total broadcast on the
+        #   accuracy rollup (candidates themselves are a _list equi-join)
         "source_unigram_kl",               # 1-row corpus-totals broadcast
         "json_schema_drift_audit",         # 1-row event-total broadcast
         "retrieval_mrr_eval",              # broadcast query-shingles × corpus scan

@@ -218,3 +218,75 @@ def test_oracle_check_json_without_path_is_usage_error():
     assert proc.returncode == 2
     assert "usage:" in proc.stderr
     assert "IndexError" not in proc.stderr
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 item 2: knn_label_eval_ann — the scale-safe eval must run
+# the IDENTICAL contract as the exact all-pairs ground-truth row.
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(spark, path, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(path + "/embeddings.parquet")
+
+
+def test_knn_label_eval_ann_matches_exact_contract(spark, tmp_path):
+    """Planted separable clusters: when the embeddings actually carry
+    the label signal, the ANN eval and the exact eval must AGREE —
+    every cluster-mate shares the anchor's argmax centroid list, so
+    the IVF candidates contain the true neighbors and both rows report
+    accuracy 1.0 with identical schema/class-weight columns."""
+    from gcs_parquet_dataflow_spark.queries import CATALOG
+
+    # 4 tight clusters of 10 in 64-dim: center = 10·e_{16k}, jitter on
+    # a per-cluster off-axis so vectors are distinct but near-parallel
+    rows = []
+    vid = 0
+    for k in range(4):
+        for j in range(10):
+            v = [0.0] * 64
+            v[k * 16] = 10.0
+            v[k * 16 + 1] = 0.001 * (j + 1)
+            rows.append((vid, v, k))
+            vid += 1
+    sf = str(tmp_path / "planted")
+    _write_embeddings(spark, sf, rows)
+
+    exact = {
+        r["label"]: r for r in CATALOG["knn_label_eval"].build(spark, sf).collect()
+    }
+    ann = {
+        r["label"]: r
+        for r in CATALOG["knn_label_eval_ann"].build(spark, sf).collect()
+    }
+    assert sorted(exact) == sorted(ann) == [0, 1, 2, 3]
+    for k in exact:
+        assert exact[k]["knn_accuracy"] == 1.0
+        assert ann[k]["knn_accuracy"] == 1.0
+        assert ann[k]["n_vectors"] == exact[k]["n_vectors"] == 10
+        assert ann[k]["class_weight"] == exact[k]["class_weight"] == 1.0
+
+
+def test_knn_label_eval_ann_close_to_exact_on_fixture(spark):
+    """On the real (weak-signal) fixture labels the ANN eval must stay
+    CLOSE to the exact eval — same label set, identical class weights,
+    per-class accuracy within the observed ANN-vs-exact band (max
+    |diff| 0.089 at sf0.001; threshold 2× that). Fixed data + seeded
+    centroids → fully deterministic, not a statistical assertion."""
+    from gcs_parquet_dataflow_spark.queries import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["label"]: r for r in CATALOG["knn_label_eval"].build(spark, sf).collect()
+    }
+    ann = {
+        r["label"]: r
+        for r in CATALOG["knn_label_eval_ann"].build(spark, sf).collect()
+    }
+    assert sorted(exact) == sorted(ann)
+    for k in exact:
+        assert ann[k]["n_vectors"] == exact[k]["n_vectors"]
+        assert ann[k]["class_weight"] == exact[k]["class_weight"]
+        assert abs(ann[k]["knn_accuracy"] - exact[k]["knn_accuracy"]) <= 0.18
