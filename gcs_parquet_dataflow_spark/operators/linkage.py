@@ -52,6 +52,29 @@ from gcs_parquet_dataflow_spark.operators.partitioning import (
 )
 
 
+def blocking_keys(
+    df: DataFrame, id_col: str, passes: list[tuple[str, Column]]
+) -> DataFrame:
+    """(_rid, _bkey) rows — one per record per non-NULL pass key; the
+    shared key derivation under every blocking consumer (self-join
+    pairs, cross-table probes, and the ER stream's Bloom prefilter,
+    which must hash the EXACT same key strings on both the entity
+    build side and the batch probe side).
+
+    The concat is NULL if the pass key is NULL → filtered: the record
+    skips that pass instead of forming a giant NULL block."""
+    out = None
+    for name, key in passes:
+        part = df.select(
+            F.col(id_col).alias("_rid"),
+            F.concat(F.lit(name + ":"), key.cast("string")).alias("_bkey"),
+        ).filter(F.col("_bkey").isNotNull())
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("at least one blocking pass is required")
+    return out
+
+
 def blocked_candidate_pairs(
     records: DataFrame,
     id_col: str,
@@ -76,17 +99,7 @@ def blocked_candidate_pairs(
     is persisted once so both self-join sides read it instead of
     re-deriving the (possibly expensive) blocking-key lineage.
     """
-    keyed = None
-    for name, key in passes:
-        part = records.select(
-            F.col(id_col).alias("_rid"),
-            # concat is NULL if the key is NULL → filtered: the record
-            # skips this pass instead of forming a giant NULL block
-            F.concat(F.lit(name + ":"), key.cast("string")).alias("_bkey"),
-        ).filter(F.col("_bkey").isNotNull())
-        keyed = part if keyed is None else keyed.unionByName(part)
-    if keyed is None:
-        raise ValueError("at least one blocking pass is required")
+    keyed = blocking_keys(records, id_col, passes)
     if max_block_size is not None:
         keyed = cap_hot_buckets(
             keyed, ["_bkey"], max_block_size, metric_name=metric_name
@@ -128,17 +141,7 @@ def blocked_pairs_between(
     side (and therefore entirely, since pairs need both sides).
     """
     def keyed(df: DataFrame, idc: str) -> DataFrame:
-        out = None
-        for name, key in passes:
-            part = df.select(
-                F.col(idc).alias("_rid"),
-                F.concat(
-                    F.lit(name + ":"), key.cast("string")
-                ).alias("_bkey"),
-            ).filter(F.col("_bkey").isNotNull())
-            out = part if out is None else out.unionByName(part)
-        if out is None:
-            raise ValueError("at least one blocking pass is required")
+        out = blocking_keys(df, idc, passes)
         if max_block_size is not None:
             out = cap_hot_buckets(
                 out, ["_bkey"], max_block_size, metric_name=metric_name

@@ -991,6 +991,8 @@ def run_incremental_er_stream(
     agreements: list,
     threshold: int,
     max_block_size=None,
+    bloom_path: str | None = None,
+    bloom_m_bits: int = 2**20,
     trigger_seconds: int = DEFAULT_TRIGGER_S,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -1029,6 +1031,27 @@ def run_incremental_er_stream(
     (linkage.recluster_members over the members lake — tested to heal
     exactly this split shape) is the compaction step.
 
+    ``bloom_path`` arms the entity-probe Bloom prefilter (round 8 —
+    the same probe-against-history shape as the corpus ingest
+    stream's): each batch writes a bloom of the REFRESHED snapshot's
+    blocking keys (batch-keyed beside the snapshot, rebuilt per batch
+    because entity canonical attrs — and therefore their keys — can
+    change when entities absorb records; the rebuild is the same
+    |entities| cost class as the snapshot rewrite it rides with).
+    The next batch probes its records' blocking keys against the
+    bloom matching the snapshot version it reads: records with NO
+    passing key provably share no block with any entity (bloom has no
+    false negatives) and skip the probe join; a batch with ZERO
+    passing records skips candidate generation and scoring entirely —
+    the all-novel fast path. Safety fences: the bloom partition is
+    selected by the SAME _batch_id as the snapshot (a crash between
+    the two writes just disables the prefilter for one batch, never
+    desyncs it), and every word row is stamped with (m_bits, k) — a
+    parameter mismatch falls back to the unfiltered probe instead of
+    hashing into the wrong bit space (the ADVICE r7 false-negative
+    trap). Equivalence with the unfiltered stream is pinned by
+    tests/test_round8.py::test_er_stream_bloom_prefilter_equivalent.
+
     Scale shape: per batch, cost is |batch| (probe + intra-batch
     resolution) + |entities| (the snapshot merge aggregate + rewrite);
     the corpus-sized members lake is append-only and read only by
@@ -1057,6 +1080,7 @@ def run_incremental_er_stream(
         )
         best = None
         gview = None
+        latest = None
         if fs.exists(fs_path):
             snaps = spark.read.parquet(golden_path).filter(
                 F.col("_batch_id") < batch_id
@@ -1076,9 +1100,63 @@ def run_incremental_er_stream(
                     .drop("_batch_id")
                     .localCheckpoint(eager=True)
                 )
-        if gview is not None:
+        probe_batch = batch
+        if gview is not None and bloom_path is not None and latest is not None:
+            from gcs_parquet_dataflow_spark.operators.sketches import (
+                BLOOM_K,
+                bloom_probe,
+            )
+
+            bp = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+                bloom_path
+            )
+            bfs = bp.getFileSystem(
+                spark._jsc.hadoopConfiguration()  # noqa: SLF001
+            )
+            bloom = None
+            if bfs.exists(bp):
+                words = (
+                    spark.read.parquet(bloom_path)
+                    .filter(F.col("_batch_id") == latest)
+                )
+                head = words.select("m_bits", "k").limit(1).collect()
+                # absent partition (crash between snapshot and bloom
+                # writes) or parameter mismatch → unfiltered probe;
+                # never probe across a different (m_bits, k) space
+                if head and (
+                    head[0]["m_bits"] == int(bloom_m_bits)
+                    and head[0]["k"] == int(BLOOM_K)
+                ):
+                    bloom = words.select("word_idx", "word")
+            if bloom is not None:
+                bk = linkage.blocking_keys(batch, id_col, passes)
+                passing = (
+                    bloom_probe(bk, bloom, "_bkey", m_bits=bloom_m_bits)
+                    .filter(F.col("bloom_pass"))
+                    .select("_rid")
+                    .distinct()
+                )
+                probe_batch = persist_intermediate(
+                    batch.join(
+                        passing,
+                        batch[id_col] == passing["_rid"],
+                        "left_semi",
+                    )
+                )
+                if probe_batch.limit(1).count() == 0:
+                    # all-novel fast path: no record shares a block
+                    # with any entity — skip candidate generation and
+                    # scoring entirely
+                    gview_probe = None
+                else:
+                    gview_probe = gview
+            else:
+                gview_probe = gview
+        else:
+            gview_probe = gview
+        if gview_probe is not None:
             pairs = linkage.blocked_pairs_between(
-                batch, gview, id_col, "entity_id", passes,
+                probe_batch, gview_probe, id_col, "entity_id", passes,
                 max_block_size=max_block_size,
             )
             side_a = batch.select(
@@ -1147,9 +1225,33 @@ def run_incremental_er_stream(
             if gview is not None
             else batch_view
         )
+        if bloom_path is not None:
+            # two consumers (golden write + bloom build) — persist so
+            # the merge aggregate runs once; safe to cache because the
+            # snapshot's lineage never scans golden_path (gview is
+            # localCheckpointed), so its own write can't recache it
+            snapshot = persist_intermediate(snapshot)
         write_partitioned(
             snapshot, golden_path, [], batch_id=batch_id, coalesce_files=1,
         )
+        if bloom_path is not None:
+            from gcs_parquet_dataflow_spark.operators.sketches import (
+                BLOOM_K,
+                bloom_build,
+            )
+
+            ekeys = linkage.blocking_keys(snapshot, "entity_id", passes)
+            words = bloom_build(
+                ekeys, "_bkey", m_bits=bloom_m_bits
+            ).select(
+                "word_idx",
+                "word",
+                F.lit(int(bloom_m_bits)).alias("m_bits"),
+                F.lit(int(BLOOM_K)).alias("k"),
+            )
+            write_partitioned(
+                words, bloom_path, [], batch_id=batch_id, coalesce_files=1,
+            )
         release_intermediates()
 
     writer = (
