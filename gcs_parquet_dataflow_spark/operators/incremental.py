@@ -110,6 +110,21 @@ def write_bloom_meta(
         out.close()
 
 
+def bloom_lake_has_words(spark: SparkSession, path: str) -> bool:
+    """True iff the bloom lake directory holds at least one parquet
+    word file.  A dir that exists but carries only ``_bloom_meta.json``
+    (a crash between a legacy meta-first write and the word append, or
+    an interrupted manual copy) would pass ``_path_exists`` and the
+    parameter fence yet fail ``read_bloom`` with "unable to infer
+    schema" on EVERY later batch — not self-healing.  The fence calls
+    this and routes that state to rebuild_bloom_from_index instead."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path + "/part-*")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(p)
+    return matches is not None and len(matches) > 0
+
+
 def read_bloom_meta(spark: SparkSession, path: str) -> dict | None:
     """(m_bits, k) the lake was built with, or None for a legacy lake
     written before the meta file existed (or a not-yet-created lake)."""
@@ -267,11 +282,14 @@ def dedup_batch_against_index(
             # silent false negatives, duplicates accepted forever.
             # Legacy lake (no meta) or mismatch → rebuild from the
             # index with the CALLER's parameters, restoring the
-            # completeness invariant, then record them.
+            # completeness invariant, then record them.  A dir with
+            # meta but NO word parquet (legacy meta-first crash state,
+            # ADVICE r8) also rebuilds — read_bloom would otherwise
+            # fail unrecoverably on it.
             meta = read_bloom_meta(spark, bloom_path)
             if meta is None or meta != {
                 "m_bits": int(bloom_m_bits), "k": int(BLOOM_K)
-            }:
+            } or not bloom_lake_has_words(spark, bloom_path):
                 rebuild_bloom_from_index(
                     spark, index_path, bloom_path,
                     m_bits=bloom_m_bits, k=BLOOM_K,
@@ -341,18 +359,24 @@ def dedup_batch_against_index(
         # bloom a superset (extra false positives, still correct);
         # index-first would leave un-bloomed index entries = permanent
         # false negatives. Readers OR-merge, so append ≡ rebuild.
-        # Meta first (idempotent): a first-batch crash after the word
-        # append but before a trailing meta write would leave a
-        # parameterless lake; meta-first means the lake is born fenced.
         from gcs_parquet_dataflow_spark.operators.sketches import BLOOM_K
 
-        if read_bloom_meta(spark, bloom_path) is None:
-            write_bloom_meta(spark, bloom_path, bloom_m_bits, BLOOM_K)
         bloom_build(
             new_rows.withColumn("_bk", _band_key_str(new_rows)),
             "_bk",
             m_bits=bloom_m_bits,
         ).write.mode("append").parquet(bloom_path)
+        # meta AFTER the word append (ADVICE r8): a meta-FIRST write on
+        # the lake's first batch opened a non-self-healing crash window
+        # — a directory holding only _bloom_meta.json passes the
+        # exists + parameter-fence checks, then read_bloom's parquet
+        # read fails ("unable to infer schema") on every later batch
+        # until manual repair.  Words-then-meta leaves the crash window
+        # at meta=None, which the fence already repairs via
+        # rebuild_bloom_from_index (same parquet-then-meta order that
+        # function uses).  Idempotent: only the first batch writes it.
+        if read_bloom_meta(spark, bloom_path) is None:
+            write_bloom_meta(spark, bloom_path, bloom_m_bits, BLOOM_K)
     new_rows.write.mode("append").partitionBy("band").parquet(index_path)
     return survivors
 

@@ -2,12 +2,19 @@
 video payloads as opaque ``binary`` columns with typed metadata, plus
 decode / feature-extract stages as Arrow-batched ``mapInPandas`` UDFs.
 
-The container has no image/audio libraries, so the actual codec work is
-STUBBED (``decode_image`` raises NotImplementedError; the deterministic
-fake below computes real byte-level features instead). Everything
-Spark-side is real and tested: the media schema, the mapInPandas batch
-shape, partition-parallel execution, and metadata extraction — swap the
-stub body for PIL/ffmpeg on a real cluster and nothing else changes.
+Four decoders are REAL (stdlib + numpy, differentially checked): BMP
+(:func:`decode_bmp`), PCM16 WAV (:func:`decode_wav`), zlib-entropy-coded
+PNG (:func:`decode_png`, round 7), and baseline-JFIF JPEG
+(:func:`decode_jpeg_pixels` — canonical Huffman, dequant, IDCT, 4:2:0
+upsample, round 8; :func:`encode_baseline_jpeg` is the matching
+encoder).  Only the codecs that genuinely need external libraries are
+env-gated stubs: ``decode_image`` / ``resize_image`` raise
+NotImplementedError for progressive/arithmetic JPEG, WebP, and video —
+PIL/cv2/av are absent in this container (re-probed 2026-08-15).
+Everything Spark-side is real and tested either way: the media schema,
+the mapInPandas batch shape, partition-parallel execution, and metadata
+extraction — swap the stub bodies for PIL/ffmpeg on a real cluster and
+nothing else changes.
 
 Scale notes: payload bytes never shuffle (metadata projections prune the
 binary column before any join/agg); decode runs in the scan stage with
@@ -743,10 +750,18 @@ def decode_jpeg_pixels(payload: bytes):
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("JPEG has no scan")
         size = struct.unpack_from(">H", data, pos + 2)[0]
+        if size < 2 or pos + 2 + size > len(data):
+            # a truncated stream otherwise yields SHORT body slices
+            # downstream — caught round 9 as an IndexError escaping
+            # _canonical_codes on a mid-DHT cut, which would have
+            # failed the whole Arrow batch instead of DLQ-ing the row
+            raise ValueError("JPEG segment truncated")
         body = data[pos + 4 : pos + 2 + size]
         if marker == 0xDB:  # DQT (8-bit tables only)
             bpos = 0
             while bpos < len(body):
+                if bpos + 65 > len(body):
+                    raise ValueError("JPEG DQT truncated")
                 pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported")
@@ -757,9 +772,13 @@ def decode_jpeg_pixels(payload: bytes):
         elif marker == 0xC4:  # DHT
             bpos = 0
             while bpos < len(body):
+                if bpos + 17 > len(body):
+                    raise ValueError("JPEG DHT truncated")
                 tc, th = body[bpos] >> 4, body[bpos] & 0x0F
                 counts = list(body[bpos + 1 : bpos + 17])
                 n = sum(counts)
+                if bpos + 17 + n > len(body):
+                    raise ValueError("JPEG DHT truncated")
                 syms = list(body[bpos + 17 : bpos + 17 + n])
                 codes = _canonical_codes(counts, syms)
                 htables[(tc, th)] = {
@@ -768,9 +787,13 @@ def decode_jpeg_pixels(payload: bytes):
                 }
                 bpos += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("JPEG SOF truncated")
             prec, ih, iw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF truncated")
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -780,10 +803,14 @@ def decode_jpeg_pixels(payload: bytes):
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/extended)")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("JPEG DRI truncated")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("SOS before SOF")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("JPEG SOS truncated")
             ns = body[0]
             scan = []
             for i in range(ns):
@@ -986,10 +1013,13 @@ def decode_uncompressed_features(media: DataFrame) -> DataFrame:
 
         # everything a malformed-but-magic-matching payload can raise in
         # the decoders: truncated headers (struct.error), corrupt DEFLATE
-        # streams (zlib.error), the decoders' own ValueError guards, and
-        # a NULL payload (BinaryType null → None → TypeError in bytes())
-        # — all must route to kind='opaque', never fail the batch
-        _DECODE_ERRORS = (ValueError, TypeError, struct.error, zlib.error)
+        # streams (zlib.error), and the decoders' own ValueError guards
+        # — all route to kind='opaque', never fail the batch.  TypeError
+        # is deliberately NOT caught (ADVICE r8): a NULL payload is
+        # normalized to b"" BEFORE dispatch, so any TypeError left is a
+        # genuine bug inside a decoder and must surface, not silently
+        # row out as opaque.
+        _DECODE_ERRORS = (ValueError, struct.error, zlib.error)
         cols = [f.name for f in UNCOMPRESSED_SCHEMA.fields]
         for pdf in it:
             rows = []
@@ -997,7 +1027,9 @@ def decode_uncompressed_features(media: DataFrame) -> DataFrame:
                 rec = dict.fromkeys(cols)
                 rec["media_id"] = media_id
                 try:
-                    data = bytes(payload)
+                    # BinaryType null arrives as None → opaque via the
+                    # else-branch (no magic match), same as sample_frames
+                    data = b"" if payload is None else bytes(payload)
                     if data[:2] == b"BM":
                         rec.update(decode_bmp(data))
                         rec["kind"] = "bmp"

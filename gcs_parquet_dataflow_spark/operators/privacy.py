@@ -38,6 +38,17 @@ Privacy semantics (standard central-model accounting):
   b = Δ/ε protects each COORDINATE at ε but the unit-level guarantee
   degrades to G·ε — the ledger then over-trusts the budget; releases
   meant for sign-off must set ``group_cap``.
+- ``group_cap`` can SUPPRESS whole groups from the released output
+  (ADVICE r8): a group vanishes when every unit touching it hashes it
+  out of its own top-``group_cap`` set, so the released KEY SET is a
+  function of the seed, and a group appearing/disappearing across seed
+  epochs is itself an unnoised signal.  This is the standard behavior
+  of contribution-bounded DP engines (a unit's group list is private
+  input, so the key set cannot be data-independent anyway); the
+  production mitigation is key-set stability / thresholding — release
+  only groups whose NOISY count clears a threshold τ chosen for
+  (ε, δ)-style key-set protection, which this deterministic
+  differential harness deliberately omits.
 - The released rollup carries (epsilon, sensitivity, noise_scale,
   group_cap, l1_sensitivity) columns so a ledger can sum ε over
   releases (sequential composition) and see which rows are
@@ -151,7 +162,10 @@ def _cap_unit_groups(
     the first ``group_cap``.  The kept set is a pure function of the
     unit's own rows (+ seed), so neighboring datasets differ in at
     most ``group_cap`` released coordinates — the L1 bound the noise
-    scale relies on.  Plan: one window partitioned by unit over the
+    scale relies on.  Side effect (documented, ADVICE r8): a group
+    every unit hashes out of its kept set is dropped from the release
+    entirely — the released key set is seed-dependent; see the module
+    docstring's thresholding note.  Plan: one window partitioned by unit over the
     already-aggregated (group, unit) rows; row_number ≤ cap compiles
     to WindowGroupLimit per-partition heaps — no global sort."""
     from pyspark.sql import Window as W
@@ -193,6 +207,12 @@ def dp_release_counts(
     :func:`_cap_unit_groups`) — the true unit-level ε guarantee — and
     b = Δ/ε otherwise (per-COORDINATE ε only; a unit present in G
     groups is protected at G·ε — module docstring caveat).
+
+    Released-key-set caveat (module docstring, ADVICE r8): with
+    ``group_cap`` a group can be suppressed ENTIRELY when every unit
+    touching it drops it from its top-``group_cap`` hash-ranked set —
+    the set of released group keys varies with the seed; production
+    releases add noisy-count thresholding on top.
 
     Output: group_cols + (released, epsilon, sensitivity, noise_scale,
     group_cap, l1_sensitivity) — group_cap/l1_sensitivity are NULL for
@@ -307,7 +327,8 @@ def dp_release_sums(
     stays exact), then Laplace noise keyed on the group — scale
     group_cap·Δ/ε when ``group_cap`` bounds per-unit group
     participation (unit-level ε), else Δ/ε (per-coordinate ε only;
-    see :func:`dp_release_counts`).
+    see :func:`dp_release_counts` — including its released-key-set
+    caveat: ``group_cap`` can suppress whole groups, seed-dependently).
 
     ``value_col`` must be integer-valued (the engine's money-in-cents /
     token-count convention); for doubles, quantize first — exactness of

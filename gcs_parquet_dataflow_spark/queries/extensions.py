@@ -16750,7 +16750,9 @@ def media_jpeg_decode(spark, sf_dir):
     interleave, 2×2 upsample, or the fixed-point color convert fails
     the hash.  Encoder spec-conformance (on-wire Huffman bits vs
     hand-computed spec arithmetic) and the AC/general-content path are
-    pinned independently in tests/test_round8.py, so a matched
+    pinned independently in tests/test_round9.py (on-wire entropy
+    bytes vs spec arithmetic, ZRL/EOB edges, non-constant and color
+    round-trips, restart intervals, malformed-stream DLQ), so a matched
     encoder/decoder bug pair cannot cancel.  Tile values keep RGB in
     gamut, so no clamp edge enters the closed form.  Scale shape:
     scan-stage Arrow batches; payloads never shuffle; output rows are

@@ -1051,6 +1051,11 @@ def run_incremental_er_stream(
     hashing into the wrong bit space (the ADVICE r7 false-negative
     trap). Equivalence with the unfiltered stream is pinned by
     tests/test_round8.py::test_er_stream_bloom_prefilter_equivalent.
+    Superseded bloom partitions are pruned after each batch's pair
+    lands (ADVICE r8 — only the newest snapshot's bloom is ever probed
+    again; keeping them all would abandon ⌈m_bits/63⌉ words ≈ 136 MB
+    per batch at 2^30-bit production sizing): the lake holds at most
+    {this batch, the snapshot it consumed} at any time.
 
     Scale shape: per batch, cost is |batch| (probe + intra-batch
     resolution) + |entities| (the snapshot merge aggregate + rewrite);
@@ -1252,6 +1257,36 @@ def run_incremental_er_stream(
             write_partitioned(
                 words, bloom_path, [], batch_id=batch_id, coalesce_files=1,
             )
+            # prune superseded bloom partitions (ADVICE r8): only the
+            # partition matching the snapshot a batch selects is ever
+            # probed, so everything older than the pair just consumed
+            # is dead weight — at the documented 2^30-bit production
+            # sizing, ~136 MB of abandoned filter PER BATCH.  Keep this
+            # batch's partition and `latest` (a replay of THIS batch
+            # re-selects the `latest` snapshot and must find its bloom
+            # — pruning it would only degrade the replay to the
+            # unfiltered probe, but keeping it costs one partition);
+            # delete the rest.  Replays never reach further back:
+            # foreachBatch re-runs at most the newest uncommitted
+            # batch id.
+            keep = {int(batch_id)}
+            if latest is not None:
+                keep.add(int(latest))
+            bpp = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+                bloom_path
+            )
+            bpfs = bpp.getFileSystem(
+                spark._jsc.hadoopConfiguration()  # noqa: SLF001
+            )
+            for st in bpfs.listStatus(bpp):
+                name = st.getPath().getName()
+                if name.startswith("_batch_id="):
+                    try:
+                        bid = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if bid not in keep:
+                        bpfs.delete(st.getPath(), True)
         release_intermediates()
 
     writer = (

@@ -388,8 +388,14 @@ def test_er_stream_bloom_prefilter_equivalent(spark, tmp_path):
     words = spark.read.parquet(str(tmp_path / "bloom"))
     assert {r["m_bits"] for r in words.select("m_bits").distinct().collect()} == {2**20}
     assert {r["k"] for r in words.select("k").distinct().collect()}
-    n_batches = words.select("_batch_id").distinct().count()
-    assert n_batches == 3  # one bloom partition per snapshot version
+    # superseded partitions are pruned after each batch (ADVICE r8):
+    # only {this batch, the snapshot it consumed} survive — partition 0
+    # was deleted when batch 2 landed
+    batch_ids = {
+        r["_batch_id"]
+        for r in words.select("_batch_id").distinct().collect()
+    }
+    assert batch_ids == {1, 2}
 
     # replay with a fresh checkpoint and MISMATCHED m_bits: the fence
     # must fall back (old partitions are 2^20-stamped), converge to the

@@ -1,0 +1,439 @@
+"""Round-9 guard tests.
+
+1. ADVICE r8 (medium): the bloom lake's meta file is written AFTER the
+   word append, and a legacy meta-only directory (the old meta-first
+   crash window) self-heals via rebuild instead of failing every batch.
+2. VERDICT r8 item 2: the baseline-JPEG test debt — encoder on-wire
+   spec conformance against hand-computed Huffman arithmetic, the
+   AC/general-content and ZRL/EOB paths, restart-interval streams, and
+   malformed-payload DLQ.  These are the tests media_jpeg_decode's
+   docstring promises, so a matched encoder/decoder bug pair cannot
+   cancel invisibly.
+3. ADVICE r8 (low): superseded ER-stream bloom partitions are pruned
+   (asserted inside test_round8's equivalence test, which pins the
+   surviving-partition set).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 (medium): bloom meta ordering + legacy crash-state self-heal.
+# ---------------------------------------------------------------------------
+
+
+def _sentence(tag):
+    return " ".join(f"{tag}w{j}" for j in range(12))
+
+
+def test_bloom_lake_words_and_meta_both_land_on_first_batch(spark, tmp_path):
+    """A clean first armed batch leaves the lake complete: word parquet
+    AND the (m_bits, k) meta file both present (words are written
+    first, so every crash state is self-healing — see next test)."""
+    from gcs_parquet_dataflow_spark.operators.dedup import minhash_perms
+    from gcs_parquet_dataflow_spark.operators.incremental import (
+        bloom_lake_has_words,
+        dedup_batch_against_index,
+        read_bloom_meta,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.operators.sketches import BLOOM_K
+
+    perms = minhash_perms(num_perm=16, seed=7)
+    idx, bloom = str(tmp_path / "idx"), str(tmp_path / "bloom")
+    b1 = spark.createDataFrame(
+        [(i, _sentence(f"u{i}")) for i in range(3)],
+        "doc_id long, text string",
+    )
+    s1 = dedup_batch_against_index(
+        spark, b1, "doc_id", "text", idx, perms,
+        bloom_path=bloom, bloom_m_bits=2**20,
+    )
+    assert s1.count() == 3
+    release_intermediates()
+    assert bloom_lake_has_words(spark, bloom)
+    assert read_bloom_meta(spark, bloom) == {"m_bits": 2**20, "k": BLOOM_K}
+
+
+def test_bloom_meta_only_dir_self_heals(spark, tmp_path):
+    """The legacy meta-FIRST crash window (ADVICE r8): a bloom dir
+    holding only _bloom_meta.json passes the exists check and the
+    parameter fence, and read_bloom's parquet read then failed on
+    every subsequent batch — not self-healing.  The fence must now
+    detect the word-less lake, rebuild from the index, and still drop
+    the cross-batch duplicate."""
+    from gcs_parquet_dataflow_spark.operators.dedup import minhash_perms
+    from gcs_parquet_dataflow_spark.operators.incremental import (
+        bloom_lake_has_words,
+        dedup_batch_against_index,
+        write_bloom_meta,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.operators.sketches import BLOOM_K
+
+    perms = minhash_perms(num_perm=16, seed=7)
+    idx, bloom = str(tmp_path / "idx"), str(tmp_path / "bloom")
+
+    # history accumulates WITHOUT the prefilter armed
+    b1 = spark.createDataFrame(
+        [(i, _sentence(f"u{i}")) for i in range(4)],
+        "doc_id long, text string",
+    )
+    s1 = dedup_batch_against_index(spark, b1, "doc_id", "text", idx, perms)
+    assert s1.count() == 4
+    release_intermediates()
+
+    # simulate the legacy crash: meta lands, word parquet never did —
+    # parameters MATCH the caller's, so the old fence saw nothing wrong
+    write_bloom_meta(spark, bloom, 2**20, BLOOM_K)
+    assert not bloom_lake_has_words(spark, bloom)
+
+    # duplicate of doc 2 + one fresh doc: the armed batch must not
+    # crash, must rebuild the bloom from the index, and must drop the
+    # duplicate (completeness restored, no false negative)
+    b2 = spark.createDataFrame(
+        [(100, _sentence("u2")), (101, _sentence("fresh"))],
+        "doc_id long, text string",
+    )
+    s2 = dedup_batch_against_index(
+        spark, b2, "doc_id", "text", idx, perms,
+        bloom_path=bloom, bloom_m_bits=2**20,
+    )
+    assert sorted(r["doc_id"] for r in s2.collect()) == [101]
+    release_intermediates()
+    assert bloom_lake_has_words(spark, bloom)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r8 item 2(a): encoder spec-conformance — the on-wire entropy
+# bytes of known blocks vs Huffman/magnitude arithmetic computed HERE,
+# independently of _jpeg_encode_block/_BitWriter.
+# ---------------------------------------------------------------------------
+
+
+class _SpecBits:
+    """Test-local bit accumulator: JPEG spec arithmetic only (MSB-first,
+    0xFF byte stuffing, 1-padding at flush) — deliberately independent
+    of the package's _BitWriter."""
+
+    def __init__(self):
+        self.bits = ""
+
+    def put(self, length, value):
+        self.bits += format(value, "b").zfill(length)[-length:]
+
+    def tobytes(self):
+        s = self.bits + "1" * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(s), 8):
+            b = int(s[i : i + 8], 2)
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _spec_dc_code(category):
+    # encoder DC table: symbols 0..11, ALL at code length 5, canonical
+    # order ⇒ code value == symbol value
+    return 5, category
+
+
+def _spec_ac_code(run, size):
+    # encoder AC table: [EOB, ZRL, (r,s) for r in 0..15, s in 1..10],
+    # ALL at code length 8, canonical ⇒ code value == list index
+    if (run, size) == (0, 0):
+        return 8, 0
+    if (run, size) == (15, 0):
+        return 8, 1
+    return 8, 2 + run * 10 + (size - 1)
+
+
+def _spec_magnitude(v):
+    size = 0
+    a = abs(v)
+    while a:
+        size += 1
+        a >>= 1
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _entropy_section(payload: bytes) -> bytes:
+    """Entropy bytes between the SOS header and EOI."""
+    i = payload.index(b"\xff\xda")
+    size = struct.unpack_from(">H", payload, i + 2)[0]
+    assert payload[-2:] == b"\xff\xd9"
+    return payload[i + 2 + size : -2]
+
+
+def test_jpeg_encoder_onwire_spec_conformance():
+    """Two-block grayscale (16×8, v=130 then v=126): the encoder's
+    on-wire entropy bytes must equal the hand-computed spec stream —
+    DC category 2 with magnitude bits '10', then a NEGATIVE diff in
+    one's-complement form (category 3, bits 011), each followed by EOB,
+    padded with 1s.  Pins canonical code assignment, the magnitude-bit
+    convention for negatives, DC prediction across blocks, and flush
+    padding — independently of the decoder."""
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        encode_baseline_jpeg,
+    )
+
+    y = np.empty((8, 16), dtype=np.int64)
+    y[:, :8] = 130
+    y[:, 8:] = 126
+    payload = encode_baseline_jpeg(y)  # q_dc=8 → quant DC = v − 128
+
+    spec = _SpecBits()
+    # block 1: DC quant 2, pred 0 → diff +2 → category 2, bits '10'
+    size, bits = _spec_magnitude(2)
+    assert (size, bits) == (2, 2)
+    spec.put(*_spec_dc_code(size))
+    spec.put(size, bits)
+    spec.put(*_spec_ac_code(0, 0))  # constant block → EOB immediately
+    # block 2: DC quant −2, pred 2 → diff −4 → category 3, bits
+    # −4 + (1<<3) − 1 = 3 = '011' (spec one's-complement form)
+    size, bits = _spec_magnitude(-4)
+    assert (size, bits) == (3, 3)
+    spec.put(*_spec_dc_code(size))
+    spec.put(size, bits)
+    spec.put(*_spec_ac_code(0, 0))
+
+    assert _entropy_section(payload) == spec.tobytes()
+
+
+def test_jpeg_encode_block_zrl_and_ac_runs():
+    """The AC path's edge shapes, against independent spec arithmetic:
+    a 19-zero run must emit ZRL(16) + (run=3, size) — never a bare
+    run > 15 — and a trailing zero tail must emit EOB; a block whose
+    LAST coefficient is nonzero must emit no EOB."""
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        _BitWriter,
+        _jpeg_encode_block,
+    )
+
+    # coeffs: DC 5, then 19 zeros, AC +3 at index 20, zero tail
+    coeffs = [5] + [0] * 19 + [3] + [0] * 43
+    bw = _BitWriter()
+    pred = _jpeg_encode_block(bw, coeffs, 0)
+    assert pred == 5
+
+    spec = _SpecBits()
+    size, bits = _spec_magnitude(5)  # DC diff +5 → category 3, '101'
+    spec.put(*_spec_dc_code(size))
+    spec.put(size, bits)
+    spec.put(*_spec_ac_code(15, 0))  # ZRL eats 16 zeros
+    size, bits = _spec_magnitude(3)  # remaining run 3, value 3 → size 2
+    spec.put(*_spec_ac_code(3, size))
+    spec.put(size, bits)
+    spec.put(*_spec_ac_code(0, 0))  # EOB for the tail
+    assert bw.flush() == spec.tobytes()
+
+    # last coefficient nonzero → no EOB on the wire
+    coeffs2 = [0] * 63 + [-1]
+    bw2 = _BitWriter()
+    _jpeg_encode_block(bw2, coeffs2, 0)
+    spec2 = _SpecBits()
+    spec2.put(*_spec_dc_code(0))  # DC diff 0 → category 0, no bits
+    spec2.put(*_spec_ac_code(15, 0))  # 62 zeros = 3×ZRL + run 14
+    spec2.put(*_spec_ac_code(15, 0))
+    spec2.put(*_spec_ac_code(15, 0))
+    size, bits = _spec_magnitude(-1)  # → category 1, bits 0
+    spec2.put(*_spec_ac_code(14, size))
+    spec2.put(size, bits)
+    assert bw2.flush() == spec2.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r8 item 2(b): encode→decode round-trips OUTSIDE the lossless
+# DC corner — non-constant content with a quantization-error bound, the
+# color paths, and a restart-interval stream.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_nonconstant_grayscale_error_bound():
+    """General-content round-trip: deterministic non-constant 16×16
+    grayscale exercises real AC coefficients through FDCT → quant →
+    Huffman → decode → IDCT.  Reconstruction error is bounded by
+    quantization: each coefficient is off by ≤ q/2 (q_ac=16, q_dc=8)
+    and the IDCT is orthonormal, so per-pixel error stays small; the
+    bound here (≤ q_ac) is ~2× the observed max for this fixture —
+    deterministic, not statistical."""
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_baseline_jpeg,
+    )
+
+    i, j = np.mgrid[0:16, 0:16]
+    y = ((3 * i + 5 * j) * 7 + 11) % 200 + 20  # in-gamut, non-constant
+    px = decode_jpeg_pixels(encode_baseline_jpeg(y))
+    assert px.shape == (16, 16)
+    err = np.abs(px.astype(np.int64) - y)
+    assert err.max() <= 16
+    assert err.mean() <= 6
+
+
+def test_jpeg_roundtrip_color_444_and_420():
+    """4:4:4 non-constant color round-trips within the quantization
+    bound in YCbCr space; 4:2:0 with 16×16-constant tiles reconstructs
+    the oracle row's closed form EXACTLY (the lossless corner, now
+    pinned at unit level too)."""
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_baseline_jpeg,
+    )
+
+    i, j = np.mgrid[0:16, 0:16]
+    yp = 40 + 3 * i + 5 * j  # smooth in-gamut ramp (max 160)
+    cb = np.full((16, 16), 120, dtype=np.int64)
+    cr = np.full((16, 16), 132, dtype=np.int64)
+    rgb = decode_jpeg_pixels(encode_baseline_jpeg(yp, cb, cr))
+    assert rgb.shape == (16, 16, 3)
+    # invert the decoder's fixed-point color transform back to Y and
+    # compare against the encoder input (chroma constant → exact)
+    wide = rgb.astype(np.int64)  # uint8 would wrap under the weights
+    y_back = (
+        299 * wide[:, :, 0] + 587 * wide[:, :, 1] + 114 * wide[:, :, 2]
+    ) / 1000.0
+    assert np.abs(y_back - yp).max() <= 18
+
+    # 4:2:0 lossless corner: constant 16×16 tile
+    yv, cbv, crv = 100, 110, 140
+    y2 = np.full((16, 16), yv, dtype=np.int64)
+    cb2 = np.full((16, 16), cbv, dtype=np.int64)
+    cr2 = np.full((16, 16), crv, dtype=np.int64)
+    rgb2 = decode_jpeg_pixels(
+        encode_baseline_jpeg(y2, cb2, cr2, subsample=True)
+    )
+    exp_r = (1000 * yv + 1402 * (crv - 128) + 500) // 1000
+    exp_g = (1000 * yv - 344 * (cbv - 128) - 714 * (crv - 128) + 500) // 1000
+    exp_b = (1000 * yv + 1772 * (cbv - 128) + 500) // 1000
+    assert (rgb2[:, :, 0] == exp_r).all()
+    assert (rgb2[:, :, 1] == exp_g).all()
+    assert (rgb2[:, :, 2] == exp_b).all()
+
+
+def test_jpeg_restart_interval_stream():
+    """DRI/RSTn handling: a hand-assembled two-MCU grayscale stream
+    with restart interval 1 — entropy segments split at RST0, DC
+    predictor reset per segment — must decode both blocks exactly
+    (each is constant, the lossless corner)."""
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        _BitWriter,
+        _JPEG_AC_COUNTS,
+        _JPEG_AC_SYMS,
+        _JPEG_DC_COUNTS,
+        _JPEG_DC_SYMS,
+        _dht_segment,
+        _jpeg_encode_block,
+        _jpeg_quant_table,
+        decode_jpeg_pixels,
+    )
+
+    def seg(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    q = _jpeg_quant_table(8, 16)
+    dqt = seg(b"\xff\xdb", bytes([0]) + bytes(int(x) for x in q))
+    sof = seg(
+        b"\xff\xc0", struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    )
+    dht = _dht_segment(0, 0, _JPEG_DC_COUNTS, _JPEG_DC_SYMS) + _dht_segment(
+        1, 0, _JPEG_AC_COUNTS, _JPEG_AC_SYMS
+    )
+    dri = seg(b"\xff\xdd", struct.pack(">H", 1))
+    sos = seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
+    # constant block value v ⇒ quantized DC = v − 128 at q_dc = 8;
+    # pred is 0 at the start of EVERY restart segment
+    bw1 = _BitWriter()
+    _jpeg_encode_block(bw1, [12] + [0] * 63, 0)  # v = 140
+    bw2 = _BitWriter()
+    _jpeg_encode_block(bw2, [-28] + [0] * 63, 0)  # v = 100
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos
+        + bw1.flush() + b"\xff\xd0" + bw2.flush() + b"\xff\xd9"
+    )
+    px = decode_jpeg_pixels(payload)
+    assert px.shape == (8, 16)
+    assert (px[:, :8] == 140).all()
+    assert (px[:, 8:] == 100).all()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r8 item 2(c): malformed payloads DLQ as kind='opaque' — the
+# batch survives; the decoder itself raises ValueError, never crashes
+# the interpreter or allocates a forged-SOF's worth of memory.
+# ---------------------------------------------------------------------------
+
+
+def _valid_jpeg():
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        encode_baseline_jpeg,
+    )
+
+    return encode_baseline_jpeg(np.full((16, 16), 130, dtype=np.int64))
+
+
+def test_jpeg_malformed_payloads_raise_valueerror():
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    valid = _valid_jpeg()
+    sof_at = valid.index(b"\xff\xc0")
+
+    truncated = valid[: len(valid) * 3 // 5]
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(truncated)
+
+    # forged SOF claiming 65535×65535: must fence, not allocate ~12 GB
+    forged = bytearray(valid)
+    struct.pack_into(">HH", forged, sof_at + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="exceed decoder limit"):
+        decode_jpeg_pixels(bytes(forged))
+
+    progressive = valid[:sof_at] + b"\xff\xc2" + valid[sof_at + 2 :]
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_pixels(progressive)
+
+
+def test_jpeg_malformed_payloads_dlq_in_dispatch(spark):
+    """Through the Arrow-batched dispatch: corrupt JPEG streams row out
+    as kind='opaque' with NULL features while the valid payload in the
+    SAME batch decodes — the DLQ-not-crash discipline at the mapInPandas
+    level (r8's test covered only a NULL payload)."""
+    from gcs_parquet_dataflow_spark.operators.multimodal import (
+        decode_uncompressed_features,
+    )
+
+    valid = _valid_jpeg()
+    sof_at = valid.index(b"\xff\xc0")
+    forged = bytearray(valid)
+    struct.pack_into(">HH", forged, sof_at + 5, 65535, 65535)
+    progressive = valid[:sof_at] + b"\xff\xc2" + valid[sof_at + 2 :]
+    rows = [
+        (1, bytearray(valid)),
+        (2, bytearray(valid[: len(valid) * 3 // 5])),
+        (3, forged),
+        (4, bytearray(progressive)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r for r in decode_uncompressed_features(df).collect()
+    }
+    assert got[1]["kind"] == "jpeg"
+    assert got[1]["width"] == 16 and got[1]["height"] == 16
+    for mid in (2, 3, 4):
+        assert got[mid]["kind"] == "opaque"
+        assert got[mid]["width"] is None
+        assert got[mid]["sum_r"] is None
