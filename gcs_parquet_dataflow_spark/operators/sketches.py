@@ -311,10 +311,16 @@ def cm_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         sketch_b.alias("b"),
         (F.col("a.d") == F.col("b.d")) & (F.col("a.b") == F.col("b.b")),
     )
+    # round-9 overflow audit: the inner product Σ n_a·n_b bounds the
+    # JOIN SIZE — at 100 TB a single hot bucket holds ~1e12/width rows
+    # per side, so the per-bucket product alone exceeds int64.
+    # Operand-cast into DECIMAL(38,0) (exact to 1e38) and KEEP the
+    # estimate decimal: a long cast at the end would silently wrap the
+    # very skew bomb this estimator exists to warn about.
     per_depth = j.groupBy(F.col("a.d")).agg(
-        F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("s")
+        F.sum(F.col("a.n").cast("decimal(38,0)") * F.col("b.n")).alias("s")
     )
-    return per_depth.agg(F.min("s").cast("long").alias("est_join_size"))
+    return per_depth.agg(F.min("s").alias("est_join_size"))
 
 
 # ---------------------------------------------------------------------------

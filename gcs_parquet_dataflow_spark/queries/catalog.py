@@ -73,12 +73,12 @@ def cents(col: Column) -> Column:
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0
                AS sum_base_price,
-           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
-                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+           sum(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT)))
                /10000.0 AS sum_disc_price,
-           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
-                    * (100 - CAST(round(l_discount*100) AS BIGINT))
-                    * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)
+           sum(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))
+               * (100 + CAST(round(l_tax*100) AS BIGINT)))
                /1000000.0 AS sum_charge,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -87,7 +87,15 @@ def cents(col: Column) -> Column:
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: the classic scan→partial-agg→final-agg plan;
-    map-side combine means the shuffle carries ≤ |groups| rows/partition."""
+    map-side combine means the shuffle carries ≤ |groups| rows/partition.
+
+    Accumulator bounds (round-9 overflow audit, SCALE.md): the per-row
+    cent PRODUCTS fit int64 at any price (≤ ~1.1e11 real-world), but
+    the per-GROUP sums do not at 100 TB — sum_charge ≈ 1e11/row ×
+    1.5e11 rows/group ≈ 1e22 ≫ 2^63, so the disc_price/charge sums
+    accumulate in DECIMAL(38,0) (exact to 1e38; DuckDB's sum() is
+    already exact via int128).  Single-factor Σcents stays int64
+    (≈ 5.7e17 at 100 TB, 16× headroom)."""
     li = t(spark, sf_dir, "lineitem")
     ep, dc, tx = cents(F.col("l_extendedprice")), cents(F.col("l_discount")), cents(
         F.col("l_tax")
@@ -95,8 +103,13 @@ def q1_pricing_summary(spark, sf_dir):
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         (F.sum(ep) / 100.0).alias("sum_base_price"),
-        (F.sum(ep * (100 - dc)) / 10000.0).alias("sum_disc_price"),
-        (F.sum(ep * (100 - dc) * (100 + tx)) / 1000000.0).alias("sum_charge"),
+        (F.sum((ep * (100 - dc)).cast("decimal(38,0)")) / 10000.0).alias(
+            "sum_disc_price"
+        ),
+        (
+            F.sum((ep * (100 - dc) * (100 + tx)).cast("decimal(38,0)"))
+            / 1000000.0
+        ).alias("sum_charge"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -310,8 +323,8 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
-                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+           sum(CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT)))
                /10000.0 AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -340,7 +353,13 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue"))
+        # DECIMAL(38,0) accumulator (round-9 audit): 25 nation groups
+        # over the full join ≈ 2.4e10 rows × 3.6e8/row ≈ 8.6e18 at
+        # 100 TB — at the int64 wrap point
+        .agg(
+            (F.sum((ep * (100 - dc)).cast("decimal(38,0)")) / 10000.0)
+            .alias("revenue")
+        )
     )
 
 

@@ -2775,16 +2775,17 @@ def dedup_keep_best_quality(spark, sf_dir):
          s AS (SELECT event_type,
                       CAST(count(*) AS BIGINT) AS n,
                       CAST(sum(x) AS BIGINT) AS sx,
-                      CAST(sum(y) AS BIGINT) AS sy,
-                      CAST(sum(x * y) AS BIGINT) AS sxy,
-                      CAST(sum(x * x) AS BIGINT) AS sxx
+                      sum(y) AS sy,
+                      sum(x * y) AS sxy,
+                      sum(x * x) AS sxx
                FROM pts GROUP BY 1)
     SELECT event_type, n,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_hr,
+           round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+               AS slope_cents_per_hr,
            round((CAST(sy AS DOUBLE)
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                  - CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                    / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
                AS intercept_cents
     FROM s
@@ -2817,15 +2818,27 @@ def regression_trend_by_type(spark, sf_dir):
         ).alias("x"),
         cents(F.col("value")).alias("y"),
     )
+    # round-9 overflow audit: per-row x·y fits int64 (hours × cents ≤
+    # ~5e11), but at 100 TB the SUMS do not — Σxy ≈ 5e23, Σy ≈ 1e19,
+    # Σx² ≈ 2.5e21 — and the closed-form cross terms n·Σxy / Σx·Σy
+    # reach ~5e35.  Everything from the product sums up accumulates in
+    # DECIMAL(38,0) (exact to 1e38; the oracle's DuckDB sums are int128
+    # natively).  Σx alone stays int64 (≤ 5e16, 180× headroom).
     s = pts.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    num = (
+        F.col("n") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double")
+    den = (
+        F.col("n") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    ).cast("double")
     slope = num / den
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
@@ -3023,7 +3036,7 @@ def impute_missing_by_group(spark, sf_dir):
                FROM s WHERE nt_us IS NOT NULL)
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_intervals,
-           round(CAST(sum(yc * dur) AS DOUBLE)
+           round(CAST(sum(CAST(yc AS HUGEINT) * dur) AS DOUBLE)
                  / CAST(sum(dur) AS DOUBLE) / 100.0, 6) AS twa_value
     FROM d GROUP BY 1
     """,
@@ -3060,10 +3073,17 @@ def time_weighted_avg(spark, sf_dir):
         us(F.lead("ts").over(w)).alias("nt_us"),
     ).filter(F.col("nt_us").isNotNull())
     d = s.withColumn("dur", F.col("nt_us") - F.col("t_us"))
+    # round-9 overflow audit: Σ(yc·dur_µs) per type is bounded by
+    # max_yc × total span ≈ 1e7 × 1e14 µs ≈ 1e21 at 100 TB (the sum
+    # tracks the SPAN, not the row count — gaps shrink as data grows,
+    # but the cent factor still pushes it past 2^63); operand-cast so
+    # amplified per-row products can't wrap either (oracle: HUGEINT).
+    # Σdur itself is the span ≈ 1e14 µs — int64-safe.
     return d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
         F.round(
-            F.sum(F.col("yc") * F.col("dur")).cast("double")
+            F.sum(F.col("yc").cast("decimal(38,0)") * F.col("dur"))
+            .cast("double")
             / F.sum("dur").cast("double")
             / 100.0,
             6,
@@ -4019,11 +4039,12 @@ def text_readability(spark, sf_dir):
     base AS (SELECT event_type, hr,
                     CAST(count(*) AS BIGINT) AS n_base,
                     CAST(sum(vc) AS BIGINT) AS s,
-                    CAST(sum(vc * vc) AS BIGINT) AS ss
+                    sum(CAST(vc AS HUGEINT) * vc) AS ss
              FROM e WHERE is_base GROUP BY 1, 2),
     stats AS (SELECT event_type, hr, n_base,
                      s / CAST(n_base AS DOUBLE) AS mc,
-                     sqrt(greatest(ss * n_base - s * s, 0)
+                     sqrt(greatest(ss * n_base
+                                   - CAST(s AS HUGEINT) * s, 0)
                           / (CAST(n_base AS DOUBLE) * n_base)) AS sdc
               FROM base),
     cur AS (SELECT event_type, hr, vc FROM e WHERE NOT is_base)
@@ -4068,7 +4089,13 @@ def anomaly_seasonal_zscore(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_base"),
             F.sum("vc").cast("long").alias("s"),
-            F.sum(F.col("vc") * F.col("vc")).cast("long").alias("ss"),
+            # round-9 overflow audit: vc² ≈ 1e14/row, ~8e9 rows per
+            # (type, hour-of-day) slot at 100 TB → Σvc² ≈ 8e23 ≫ 2^63;
+            # operand-cast so even an amplified per-row square can't
+            # wrap (DuckDB twin: HUGEINT).  Σvc stays int64 (~8e14).
+            F.sum(F.col("vc").cast("decimal(38,0)") * F.col("vc")).alias(
+                "ss"
+            ),
         )
     )
     stats = base.select(
@@ -4078,9 +4105,10 @@ def anomaly_seasonal_zscore(spark, sf_dir):
         (F.col("s") / F.col("n_base").cast("double")).alias("mc"),
         F.sqrt(
             F.greatest(
-                F.col("ss") * F.col("n_base") - F.col("s") * F.col("s"),
+                F.col("ss") * F.col("n_base")
+                - F.col("s").cast("decimal(38,0)") * F.col("s"),
                 F.lit(0),
-            )
+            ).cast("double")
             / (F.col("n_base").cast("double") * F.col("n_base"))
         ).alias("sdc"),
     )
@@ -6532,9 +6560,11 @@ def bpe_pair_frequencies(spark, sf_dir):
     ),
     sk AS (SELECT d, b, CAST(count(*) AS BIGINT) AS n
            FROM pairs GROUP BY d, b),
-    per_d AS (SELECT d, CAST(sum(n*n) AS BIGINT) AS s FROM sk GROUP BY d),
-    est AS (SELECT CAST(min(s) AS BIGINT) AS est_join_size FROM per_d),
-    ex AS (SELECT CAST(sum(c*c) AS BIGINT) AS exact_join_size
+    per_d AS (SELECT d, sum(CAST(n AS HUGEINT)*n) AS s FROM sk GROUP BY d),
+    est AS (SELECT CAST(min(s) AS DECIMAL(38,0)) AS est_join_size
+            FROM per_d),
+    ex AS (SELECT CAST(sum(CAST(c AS HUGEINT)*c) AS DECIMAL(38,0))
+               AS exact_join_size
            FROM (SELECT CAST(count(*) AS BIGINT) AS c
                  FROM events GROUP BY user_id))
     SELECT ex.exact_join_size, est.est_join_size,
@@ -6559,12 +6589,20 @@ def sketch_join_size_estimate(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     sk = SK.count_min_build(e, "user_id")
     est = SK.cm_join_size(sk, sk)
+    # round-9 overflow audit: Σc² is the SKEW BOMB this row exists to
+    # estimate — one hot key with c ≈ 1e9 events contributes 1e18
+    # alone, and the total at 100 TB (Σc² ≤ Σc · max c ≈ 1e21) is past
+    # 2^63; both the exact side and the count-min inner product
+    # accumulate in DECIMAL(38,0) (operand-cast — the per-bucket
+    # product n_a·n_b can itself exceed int64; DuckDB twin: HUGEINT)
     ex = (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias(
-            "exact_join_size"
-        ))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias(
+                "exact_join_size"
+            )
+        )
     )
     # both sides are single-row aggregates: the 1×1 nested-loop join is
     # the right plan here (guard-exempted in test_round4_query_plans…)
@@ -7259,9 +7297,12 @@ def time_in_state_by_type(spark, sf_dir):
                  CAST(count(*) OVER win AS DOUBLE) AS n,
                  CAST(sum(rev) OVER win AS DOUBLE) AS sx,
                  CAST(sum(vol) OVER win AS DOUBLE) AS sy,
-                 CAST(sum(rev*vol) OVER win AS DOUBLE) AS sxy,
-                 CAST(sum(rev*rev) OVER win AS DOUBLE) AS sxx,
-                 CAST(sum(vol*vol) OVER win AS DOUBLE) AS syy,
+                 CAST(sum(CAST(rev AS HUGEINT)*vol) OVER win AS DOUBLE)
+                     AS sxy,
+                 CAST(sum(CAST(rev AS HUGEINT)*rev) OVER win AS DOUBLE)
+                     AS sxx,
+                 CAST(sum(CAST(vol AS HUGEINT)*vol) OVER win AS DOUBLE)
+                     AS syy,
                  CAST(count(*) OVER win AS BIGINT) AS n_days
           FROM d
           WINDOW win AS (PARTITION BY event_type ORDER BY day
@@ -7303,15 +7344,24 @@ def rolling_corr_revenue_volume(spark, sf_dir):
         F.count(F.lit(1)).over(win).cast("double").alias("n"),
         F.sum("rev").over(win).cast("double").alias("sx"),
         F.sum("vol").over(win).cast("double").alias("sy"),
-        F.sum(F.col("rev") * F.col("vol")).over(win).cast("double").alias(
-            "sxy"
-        ),
-        F.sum(F.col("rev") * F.col("rev")).over(win).cast("double").alias(
-            "sxx"
-        ),
-        F.sum(F.col("vol") * F.col("vol")).over(win).cast("double").alias(
-            "syy"
-        ),
+        # round-9 overflow audit: rev is a per-(type, day) cent SUM —
+        # ~2e13 at 100 TB — so rev·rev ≈ 4e26 wraps int64 at the
+        # PER-ROW product, before any summing; operand-cast every
+        # product into DECIMAL(38,0) (oracle twin: HUGEINT), then the
+        # 7-row window sums stay exact and only the final cast is
+        # floating point.
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("vol"))
+        .over(win)
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev"))
+        .over(win)
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("vol").cast("decimal(38,0)") * F.col("vol"))
+        .over(win)
+        .cast("double")
+        .alias("syy"),
         F.count(F.lit(1)).over(win).cast("long").alias("n_days"),
     ).filter(F.col("n_days") == 7)
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -9709,13 +9759,15 @@ def funnel_conversion_by_variant(spark, sf_dir):
     b AS (SELECT event_type, day, vc,
                  count(*) OVER w AS n_w,
                  sum(vc) OVER w AS s_w,
-                 sum(vc*vc) OVER w AS ss_w
+                 sum(CAST(vc AS HUGEINT)*vc) OVER w AS ss_w
           FROM d
           WINDOW w AS (PARTITION BY event_type ORDER BY day
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
     f AS (SELECT event_type, day, vc,
                  s_w / CAST(n_w AS DOUBLE) AS mu,
-                 sqrt(greatest(ss_w * n_w - s_w * s_w, 0))
+                 sqrt(CAST(greatest(ss_w * n_w
+                                    - CAST(s_w AS HUGEINT) * s_w, 0)
+                           AS DOUBLE))
                      / CAST(n_w AS DOUBLE) AS sigma
           FROM b WHERE n_w = 7)
     SELECT event_type, day,
@@ -9759,14 +9811,21 @@ def window_bollinger_flags(spark, sf_dir):
         "vc",
         F.count(F.lit(1)).over(w).alias("n_w"),
         F.sum("vc").over(w).alias("s_w"),
-        F.sum(F.col("vc") * F.col("vc")).over(w).alias("ss_w"),
+        # round-9 overflow audit: vc is a daily cent sum (~2e13 at
+        # 100 TB) so vc² ≈ 4e26 wraps int64 per-row — operand-cast
+        # into DECIMAL(38,0) (oracle: HUGEINT); the variance cross
+        # terms ss_w·n_w and s_w² (~2e28) stay decimal until the sqrt
+        F.sum(F.col("vc").cast("decimal(38,0)") * F.col("vc"))
+        .over(w)
+        .alias("ss_w"),
     ).filter(F.col("n_w") == 7)
     mu = F.col("s_w") / F.col("n_w").cast("double")
     sigma = F.sqrt(
         F.greatest(
-            F.col("ss_w") * F.col("n_w") - F.col("s_w") * F.col("s_w"),
+            F.col("ss_w") * F.col("n_w")
+            - F.col("s_w").cast("decimal(38,0)") * F.col("s_w"),
             F.lit(0),
-        )
+        ).cast("double")
     ) / F.col("n_w").cast("double")
     f = b.select(
         "event_type",
@@ -16251,7 +16310,7 @@ _AQP_PCT = 5  # Bernoulli inclusion percent (p = 0.05)
     g AS (SELECT l_returnflag,
                  CAST(count(*) AS BIGINT) AS n_sample,
                  CAST(sum(y) AS BIGINT) AS sy,
-                 sum(CAST(y * y AS DECIMAL(38, 0))) AS sy2
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38, 0)) AS sy2
           FROM s GROUP BY l_returnflag),
     ex AS (SELECT l_returnflag,
                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
@@ -16303,7 +16362,10 @@ def aqp_sample_sum_ci(spark, sf_dir):
     g = samp.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_sample"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("sy2"),
+        # operand-cast (round-9 audit): the per-row y² itself wraps
+        # int64 once cents pass ~3e9, so the cast must happen BEFORE
+        # the multiply (oracle twin: HUGEINT product)
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("sy2"),
     )
     ex = li.groupBy("l_returnflag").agg(
         F.sum(y).cast("long").alias("exact_sum_cents")

@@ -437,3 +437,100 @@ def test_jpeg_malformed_payloads_dlq_in_dispatch(spark):
         assert got[mid]["kind"] == "opaque"
         assert got[mid]["width"] is None
         assert got[mid]["sum_r"] is None
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r8 item 1 (carried from r7): the accumulator-overflow audit.
+# Expression-level pins for every converted accumulator family, in the
+# style of test_aqp_variance_accumulator_exact_past_int64 — each proves
+# the DECIMAL(38,0) form exact against Python integers PAST 2^63 and
+# documents that the old int64 form really wraps there.  The
+# query-level differential twin is tools/scale_smoke.py --magnitude.
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_product_sum_exact_past_int64(spark):
+    """The q1/q5 family: Σ ep·(100−dc)·(100+tx) — per-row products fit
+    int64 but the group sum does not at 100 TB.  Three rows of forged
+    billion-dollar cents push the sum past 2^63; the decimal
+    accumulator must equal exact Python arithmetic, the long one must
+    wrap."""
+    ep, dc, tx = 400_000_000_000_000, 5, 7  # ep·95·107 ≈ 4.07e18/row
+    df = spark.createDataFrame([(ep, dc, tx)] * 3, "ep long, dc long, tx long")
+    prod = F.col("ep") * (100 - F.col("dc")) * (100 + F.col("tx"))
+    exact = 3 * ep * (100 - dc) * (100 + tx)
+    assert exact > 2**63
+    dec = df.agg(F.sum(prod.cast("decimal(38,0)")).alias("s")).first()["s"]
+    assert int(dec) == exact
+    wrapped = df.agg(F.sum(prod).alias("s")).first()["s"]
+    assert wrapped != exact
+
+
+def test_operand_cast_square_sum_exact_past_int64(spark):
+    """The vc²/rev²/y² family (anomaly, bollinger, rolling_corr, AQP):
+    once the value itself passes ~3e9, the PER-ROW square wraps int64 —
+    the cast must happen before the multiply.  v=4e9 → v² = 1.6e19 >
+    2^63 in a single row."""
+    v = 4_000_000_000
+    df = spark.createDataFrame([(v,), (v,)], "v long")
+    dec = df.agg(
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s")
+    ).first()["s"]
+    assert int(dec) == 2 * v * v  # 3.2e19, exact
+    # product-then-cast is NOT equivalent here: the long product has
+    # already wrapped before the cast sees it
+    late = df.agg(
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
+    assert int(late) != 2 * v * v
+
+
+def test_regression_cross_terms_exact_past_int64(spark):
+    """The closed-form slope's cross terms n·Σxy − Σx·Σy (regression_
+    trend_by_type): with decimal product sums the full numerator stays
+    exact even when Σx·Σy alone exceeds 2^63."""
+    rows = [(10**5, 10**13)] * 4  # x·y = 1e18/row (fits int64)
+    df = spark.createDataFrame(rows, "x long, y long")
+    s = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    got = s.select(
+        (
+            F.col("n") * F.col("sxy")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+        ).alias("num")
+    ).first()["num"]
+    n, sx, sy, sxy = 4, 4 * 10**5, 4 * 10**13, 4 * 10**18
+    assert sx * sy > 2**63  # the term the old long form wrapped on
+    assert int(got) == n * sxy - sx * sy  # exactly 0 here, exactly
+
+
+def test_cm_join_size_exact_past_int64(spark):
+    """cm_join_size (operators/sketches.py): a single hot bucket with
+    n ≈ 4e9 on both sides makes the per-bucket product 1.6e19 > 2^63 —
+    the estimate must come back as the exact DECIMAL, never a wrapped
+    long (the skew bomb the estimator exists to warn about)."""
+    from gcs_parquet_dataflow_spark.operators.sketches import cm_join_size
+
+    n = 4_000_000_000
+    rows = [(0, 0, n), (0, 1, 3), (1, 0, n), (1, 1, 5)]
+    sk = spark.createDataFrame(rows, "d long, b long, n long")
+    est = cm_join_size(sk, sk).first()["est_join_size"]
+    expected = min(n * n + 9, n * n + 25)
+    assert expected > 2**63
+    assert int(est) == expected
+
+
+def test_exact_join_size_sum_of_squares_past_int64(spark):
+    """The Σc² exact side of sketch_join_size_estimate: one hot key
+    with c = 4e9 events — Σc² must survive in DECIMAL(38,0)."""
+    c = 4_000_000_000
+    df = spark.createDataFrame([(c,), (7,), (11,)], "c long")
+    got = df.agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s")
+    ).first()["s"]
+    assert int(got) == c * c + 49 + 121
+    assert int(got) > 2**63

@@ -13,6 +13,22 @@ would).
 Usage: python tools/scale_smoke.py [factor]     (default 10)
 Writes amplified parquet under /tmp/sgpd_scale_smoke_<factor>x/ once
 (reused if present) and prints one JSON line of wall times.
+
+MAGNITUDE probe (round-9 accumulator-overflow audit):
+    python tools/scale_smoke.py --magnitude
+amplifies VALUES instead of rows (two tiers: events ×1e5 for the
+rows with value-scaled rounded outputs, events ×1e10 + lineitem ×1e5
+for the rest) so the audited sum-of-products
+accumulators (Σ cents·(100−dc)·(100+tx), Σ vc², Σ x·y, Σ yc·dur, the
+windowed rev², the AQP y²) land PAST 2^63, verifies via DuckDB int128
+that they really are past it (a green run in the non-overflow regime
+would prove nothing), then runs the full differential gate
+(tools/oracle_check.py) on every converted row: DuckDB sums exactly in
+HUGEINT, Spark in DECIMAL(38,0) — the pre-audit int64 accumulators
+wrap here and fail the hash.  This is the amplified twin of the two
+scale-divergence bugs found to date (recursive-CTE row limit, AQP y²
+wrap at sf≈4): overflow states invisible at oracle scales, made
+visible locally.
 """
 
 from __future__ import annotations
@@ -86,7 +102,155 @@ def amplify(spark, factor: int, out_dir: str) -> None:
     )
 
 
+MAGNITUDE_BASE = "/root/testdata/sf0.01"
+# Two tiers (round-9 lesson): the INT accumulators must cross 2^63,
+# but the ROUNDED double outputs must stay below ~1e9 — round(x, 6)
+# on doubles past ~2^53/1e6 differs between engines at ULP level
+# (Spark rounds via BigDecimal, DuckDB via x·1e6 round-trip), which
+# would report display-rounding noise as accumulator failures.  Tier A
+# (events ×1e5) drives the rows whose outputs are value-scaled
+# (anomaly mean/sd, bollinger bands); tier B (events ×1e10, lineitem
+# ×1e5) drives the rows whose outputs are ratios/raw-hash-stable.
+MAGNITUDE_DIR_A = "/tmp/sgpd_magnitude_probe_a"
+MAGNITUDE_DIR_B = "/tmp/sgpd_magnitude_probe_b"
+MAGNITUDE_QUERIES_A = [
+    "anomaly_seasonal_zscore",
+    "window_bollinger_flags",
+]
+MAGNITUDE_QUERIES_B = [
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "regression_trend_by_type",
+    "time_weighted_avg",
+    "rolling_corr_revenue_volume",
+    "aqp_sample_sum_ci",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _write_magnitude_dir(out_dir, events_amp, lineitem_amp):
+    """Single-FILE parquet (oracle_check reads '{sf}/{t}.parquet'
+    verbatim); IEEE double products are engine-independent, so both
+    engines then read the SAME stored amplified doubles."""
+    import duckdb
+
+    if os.path.exists(f"{out_dir}/events.parquet"):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    amp = duckdb.connect()
+    amp.execute(f"""
+        COPY (SELECT * REPLACE (value * {events_amp} AS value)
+              FROM read_parquet('{MAGNITUDE_BASE}/events.parquet'))
+        TO '{out_dir}/events.parquet' (FORMAT PARQUET)""")
+    amp.execute(f"""
+        COPY (SELECT * REPLACE (l_extendedprice * {lineitem_amp}
+                                AS l_extendedprice)
+              FROM read_parquet('{MAGNITUDE_BASE}/lineitem.parquet'))
+        TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)""")
+    for t in TABLES:
+        if t in ("events", "lineitem"):
+            continue
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{MAGNITUDE_BASE}/{t}.parquet", dst)
+
+
+def magnitude_probe() -> int:
+    """Write the value-amplified dirs, prove the audited accumulators
+    are past 2^63 with exact int128 arithmetic, then run the
+    differential gate on the converted rows.  Returns an exit code."""
+    import subprocess
+
+    import duckdb
+
+    _write_magnitude_dir(MAGNITUDE_DIR_A, "1e5", "1e0")
+    _write_magnitude_dir(MAGNITUDE_DIR_B, "1e10", "1e5")
+
+    # Regime proof: the probe is meaningless unless the audited sums
+    # really exceed 2^63 here — compute them exactly in int128.
+    con = duckdb.connect()
+    checks = {
+        "q1_max_group_charge": f"""
+            SELECT max(s) FROM (
+              SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT))
+                         * (100 + CAST(round(l_tax*100) AS BIGINT))) AS s
+              FROM read_parquet('{MAGNITUDE_DIR_B}/lineitem.parquet')
+              GROUP BY l_returnflag, l_linestatus)""",
+        "anomaly_max_slot_ss": f"""
+            SELECT max(s) FROM (
+              SELECT sum(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT)
+                         * CAST(round(value*100) AS BIGINT)) AS s
+              FROM read_parquet('{MAGNITUDE_DIR_A}/events.parquet')
+              WHERE day(ts) <= 15 GROUP BY event_type, hour(ts))""",
+        "bollinger_max_daily_sq": f"""
+            SELECT max(CAST(vc AS HUGEINT) * vc) FROM (
+              SELECT CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                  AS vc
+              FROM read_parquet('{MAGNITUDE_DIR_A}/events.parquet')
+              GROUP BY event_type, date_trunc('day', ts))""",
+        "regression_max_sxy": f"""
+            SELECT max(s) FROM (
+              SELECT sum((CAST(floor(epoch(ts)/3600) AS BIGINT)
+                          - (SELECT CAST(floor(min(epoch(ts))/3600) AS BIGINT)
+                             FROM read_parquet(
+                                 '{MAGNITUDE_DIR_B}/events.parquet')))
+                         * CAST(round(value*100) AS BIGINT)) AS s
+              FROM read_parquet('{MAGNITUDE_DIR_B}/events.parquet')
+              GROUP BY event_type)""",
+        "twa_total_ycdur": f"""
+            SELECT sum(CAST(yc AS HUGEINT) * dur) FROM (
+              SELECT CAST(round(value*100) AS BIGINT) AS yc,
+                     epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id))
+                     - epoch_us(ts) AS dur
+              FROM read_parquet('{MAGNITUDE_DIR_B}/events.parquet'))
+            WHERE dur IS NOT NULL""",
+    }
+    int64_max = 2**63 - 1
+    regime = {}
+    for name, sql in checks.items():
+        v = int(con.execute(sql).fetchone()[0])
+        regime[name] = v
+        if v <= int64_max:
+            print(json.dumps({
+                "magnitude_probe": "REGIME CHECK FAILED",
+                "accumulator": name,
+                "value": v,
+                "int64_max": int64_max,
+            }))
+            return 1
+
+    oracle = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "oracle_check.py"
+    )
+    rc = 0
+    for d, qs in ((MAGNITUDE_DIR_A, MAGNITUDE_QUERIES_A),
+                  (MAGNITUDE_DIR_B, MAGNITUDE_QUERIES_B)):
+        proc = subprocess.run([sys.executable, oracle, d, *qs])
+        rc = rc or proc.returncode
+    print(json.dumps({
+        "magnitude_probe": "pass" if rc == 0 else "FAIL",
+        "base": MAGNITUDE_BASE,
+        "amplification": {
+            "tier_a": {"events.value": 1e5},
+            "tier_b": {"events.value": 1e10,
+                       "lineitem.l_extendedprice": 1e5},
+        },
+        "past_int64": {k: f"{float(v):.3e}" for k, v in regime.items()},
+        "queries": {"tier_a": MAGNITUDE_QUERIES_A,
+                    "tier_b": MAGNITUDE_QUERIES_B},
+    }))
+    return rc
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--magnitude":
+        raise SystemExit(magnitude_probe())
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = f"/tmp/sgpd_scale_smoke_{factor}x"
 
