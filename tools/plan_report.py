@@ -52,6 +52,11 @@ REPRESENTATIVE = [
     ("bloom_probe_fpr", "131-word filter built by explode(k)+bit_or map-side partials, broadcast to the probe side; the semi-join prune shape that replaces shuffling a fact table against a dimension"),
     ("aqp_sample_sum_ci", "deterministic Bernoulli sample filter in the scan stage; estimate + variance from one |groups|-row map-side-combined aggregation"),
     ("dedup_minhash_signature", "per-doc sketches on the explode+min-aggregate path (one doc-key exchange), not interpreted array folds — 64 s → 8 s at sf0.1"),
+    # round-8/9 additions (VERDICT r8 item 3)
+    ("media_png_decode", "PNG synth+decode inside one scan-stage Arrow batch; zlib entropy coding in Python but payloads never shuffle"),
+    ("media_jpeg_decode", "baseline-JPEG encode→decode in the scan stage (mapInPandas); 10% doc sample bounds codec time; feature-sized output only"),
+    ("knn_label_eval_ann", "IVF-candidate LOO eval: equi-join on list id with BOTH sides corpus-sized (correctly not broadcast), norms computed once pre-join"),
+    ("classifier_calibration_bins", "margin scoring via broadcast weight join + doc-key agg; bins are a |bins|-row rollup"),
 ]
 
 
