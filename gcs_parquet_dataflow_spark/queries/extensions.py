@@ -16869,3 +16869,122 @@ def media_jpeg_decode(spark, sf_dir):
         "media_id", "kind", "width", "height", "bpp",
         "sum_r", "sum_g", "sum_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (VERDICT r8 item 7): the remaining JPEG decode matrix —
+# grayscale (1-component) and 4:4:4 (3-component, NO subsampling)
+# streams through the same lossless corner, closing the coverage gap
+# where media_jpeg_decode exercised only 3-component 4:2:0.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_jpeg_decode_variants",
+    """
+    WITH d AS (SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
+                      8 * (1 + doc_id % 3) AS h,
+                      doc_id % 2 = 0 AS gray
+               FROM documents WHERE doc_id % 10 = 5),
+    tiles AS (SELECT doc_id, w, h, gray,
+                     unnest(range(0, (w // 8) * (h // 8))) AS ti
+              FROM d),
+    tv AS (SELECT doc_id, w, h, gray,
+                  ti % (w // 8) AS tx, ti // (w // 8) AS ty
+           FROM tiles),
+    cv AS (SELECT doc_id, w, h, gray,
+                  60 + (29 * doc_id + 5 * tx + 11 * ty) % 136 AS yv,
+                  108 + (13 * doc_id + 7 * tx + 3 * ty) % 41 AS cbv,
+                  108 + (19 * doc_id + 2 * tx + 17 * ty) % 41 AS crv
+           FROM tv),
+    rgb AS (SELECT doc_id, w, h, gray,
+                   CASE WHEN gray THEN yv
+                        ELSE (1000 * yv + 1402 * (crv - 128) + 500) // 1000
+                   END AS r,
+                   CASE WHEN gray THEN yv
+                        ELSE (1000 * yv - 344 * (cbv - 128)
+                              - 714 * (crv - 128) + 500) // 1000
+                   END AS g,
+                   CASE WHEN gray THEN yv
+                        ELSE (1000 * yv + 1772 * (cbv - 128) + 500) // 1000
+                   END AS b
+            FROM cv),
+    s AS (SELECT doc_id, w, h, gray,
+                 CAST(sum(64 * r) AS BIGINT) AS sum_r,
+                 CAST(sum(64 * g) AS BIGINT) AS sum_g,
+                 CAST(sum(64 * b) AS BIGINT) AS sum_b
+          FROM rgb GROUP BY doc_id, w, h, gray)
+    SELECT doc_id AS media_id, 'jpeg' AS kind,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN gray THEN 8 ELSE 24 END AS BIGINT) AS bpp,
+           sum_r, sum_g, sum_b
+    FROM s
+    """,
+)
+def media_jpeg_decode_variants(spark, sf_dir):
+    """The OTHER two baseline-JPEG stream shapes through the real
+    codec: even-numbered sampled docs encode GRAYSCALE (single
+    component, one DHT pair, no color transform — decode returns the
+    Y plane, reported in all three sums with bpp 8), odd docs encode
+    4:4:4 (three components at full resolution — no 2×2 averaging, no
+    replication upsample).  Together with media_jpeg_decode's 4:2:0
+    row this closes the decode matrix (operators/multimodal.py
+    decode_jpeg_pixels handles 1-component and non-subsampled streams
+    at :893-906 — previously reachable only from unit tests).  Same
+    lossless-corner oracle: per-8×8-constant tiles, DC quant step 8,
+    closed-form per-channel pixel sums; unit-level codec coverage
+    (on-wire conformance, AC paths, restart intervals, malformed DLQ)
+    lives in tests/test_round9.py.  Scale shape identical to the
+    4:2:0 row: scan-stage Arrow batches, payloads never shuffle, 10%
+    doc sample, ensure_parallelism before the Python codec stage."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from gcs_parquet_dataflow_spark.operators import multimodal as MM2
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+    from pyspark.sql import types as T2
+
+    d = ensure_parallelism(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 5)
+        .select("doc_id")
+    )
+
+    def gen(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 * (1 + did % 4), 8 * (1 + did % 3)
+                ty_, tx_ = _np.mgrid[0 : h // 8, 0 : w // 8]
+                yt = 60 + (29 * did + 5 * tx_ + 11 * ty_) % 136
+                up = lambda p: _np.repeat(_np.repeat(p, 8, 0), 8, 1)
+                if did % 2 == 0:
+                    payload = MM2.encode_baseline_jpeg(up(yt))
+                else:
+                    cbt = 108 + (13 * did + 7 * tx_ + 3 * ty_) % 41
+                    crt = 108 + (19 * did + 2 * tx_ + 17 * ty_) % 41
+                    payload = MM2.encode_baseline_jpeg(
+                        up(yt), up(cbt), up(crt), subsample=False
+                    )
+                ids.append(did)
+                payloads.append(payload)
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(
+        gen,
+        schema=T2.StructType(
+            [
+                T2.StructField("media_id", T2.LongType()),
+                T2.StructField("payload", T2.BinaryType()),
+            ]
+        ),
+    )
+    return MM2.decode_uncompressed_features(media).select(
+        "media_id", "kind", "width", "height", "bpp",
+        "sum_r", "sum_g", "sum_b",
+    )

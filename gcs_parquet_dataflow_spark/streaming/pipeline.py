@@ -757,6 +757,107 @@ def run_heavy_hitter_stream(
     return writer.start()
 
 
+def run_aqp_stream(
+    spark: SparkSession,
+    rows_stream: DataFrame,
+    group_col: str,
+    sample_key: "F.Column",
+    value: "F.Column",
+    shards_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    *,
+    pct: int = 5,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming AQP: maintain the deterministic-Bernoulli sampled-sum
+    estimate incrementally — the streaming twin of the
+    ``aqp_sample_sum_ci`` query (VERDICT r7 item 7 / r8 item 5).  Per
+    micro-batch:
+
+    1. the batch's sample rows (``hash32(sample_key) % 100 < pct`` —
+       the same salted-hash membership rule as the batch query, so the
+       cumulative sample IS the batch query's sample, independent of
+       how rows are split into batches) are partially aggregated into
+       a SHARD of mergeable per-group sums — (n_sample, Σy, Σy² in
+       DECIMAL(38,0), the round-9 overflow-audit form) — appended
+       batch-keyed, so a replayed batch overwrites its own partition
+       (the ``rollup_incremental_merge`` idempotency shape);
+    2. the CUMULATIVE estimate (sums are linear, so merging shards ≡
+       aggregating the union — the partial_agg/merge_partial_aggs
+       contract) is written batch-keyed to the report lake:
+       Horvitz–Thompson scale-up (×100/pct, exact integers) and the
+       Poisson-variance 95% CI, the exact column contract of the batch
+       row minus the exact-answer audit columns.
+
+    At 100 TB: each shard is |groups| rows; merging reads
+    batches × |groups| rows, never the corpus — ``aqp_sample_sum_ci``
+    becomes an O(|groups|) refresh per batch instead of a full rescan.
+    Equivalence with the batch row is pinned by
+    tests/test_round9.py::test_aqp_stream_matches_batch_row.
+    """
+    from gcs_parquet_dataflow_spark.functions.text import hash32
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    if not 0 < pct < 100 or 100 % pct:
+        raise ValueError(
+            f"pct must divide 100 (exact integer scale-up), got {pct}"
+        )
+    inv = 100 // pct  # Horvitz–Thompson 1/p
+    # Poisson-sampling variance factor (1−p)/p², exact in integers
+    varf = float((100 - pct) * 100) / float(pct * pct)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        samp = batch_df.filter(hash32(sample_key) % 100 < pct).select(
+            group_col, value.alias("y")
+        )
+        shard = samp.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias(
+                "sy2"
+            ),
+        )
+        write_partitioned(shard, shards_path, [], batch_id=batch_id,
+                          coalesce_files=1)
+        merged = (
+            spark.read.parquet(shards_path)
+            .groupBy(group_col)
+            .agg(
+                F.sum("n_sample").cast("long").alias("n_sample"),
+                F.sum("sy").cast("long").alias("sy"),
+                F.sum("sy2").cast("decimal(38,0)").alias("sy2"),
+            )
+        )
+        report = merged.select(
+            group_col,
+            "n_sample",
+            (F.col("n_sample") * inv).cast("long").alias("est_rows"),
+            (F.col("sy") * inv).cast("long").alias("est_sum_cents"),
+            F.round(
+                F.lit(1.96) * F.sqrt(F.col("sy2").cast("double") * F.lit(varf)),
+                2,
+            ).alias("ci95_cents"),
+        )
+        write_partitioned(report, report_path, [], batch_id=batch_id,
+                          coalesce_files=1)
+        release_intermediates()
+
+    writer = (
+        rows_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def run_ann_ingest_stream(
     spark: SparkSession,
     vec_stream: DataFrame,

@@ -101,6 +101,17 @@ def amplify(spark, factor: int, out_dir: str) -> None:
         .parquet(f"{out_dir}/events.parquet")
     )
 
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("_c") * 10_000_000).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
 
 MAGNITUDE_BASE = "/root/testdata/sf0.01"
 # Two tiers (round-9 lesson): the INT accumulators must cross 2^63,
@@ -267,6 +278,21 @@ def main() -> None:
     try:
         if not os.path.exists(f"{out_dir}/events.parquet"):
             amplify(spark, factor, out_dir)
+        if not os.path.exists(f"{out_dir}/embeddings.parquet"):
+            # embeddings amplification added round 9 — an out_dir from
+            # an earlier round may predate it
+            copies0 = spark.range(factor).select(F.col("id").alias("_c"))
+            emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            (
+                emb0.crossJoin(copies0)
+                .select(
+                    (F.col("vec_id") + F.col("_c") * 10_000_000)
+                    .alias("vec_id"),
+                    *[c for c in emb0.columns if c != "vec_id"],
+                )
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/embeddings.parquet")
+            )
 
         li = spark.read.parquet(f"{out_dir}/lineitem.parquet")
         docs = spark.read.parquet(f"{out_dir}/documents.parquet")
@@ -551,6 +577,27 @@ def main() -> None:
             ).count().groupBy().agg(F.count(F.lit(1))).collect()
 
         timed("session_window_native", native_sessions)
+
+        # the round-8 rows (VERDICT r8 item 6): the ANN-candidate path
+        # over ×factor embeddings (candidates per anchor stay bounded —
+        # the per-list join is the scale mechanism under test) and the
+        # JPEG codec path over ×factor documents (scan-stage Python;
+        # should track the data ratio, nothing quadratic)
+        from gcs_parquet_dataflow_spark.queries import CATALOG
+
+        def knn_ann_amp():
+            rows["knn_label_eval_ann_rows"] = len(
+                CATALOG["knn_label_eval_ann"].build(spark, out_dir).collect()
+            )
+
+        timed("knn_label_eval_ann_amplified", knn_ann_amp)
+
+        def jpeg_amp():
+            rows["media_jpeg_decode_rows"] = len(
+                CATALOG["media_jpeg_decode"].build(spark, out_dir).collect()
+            )
+
+        timed("media_jpeg_decode_amplified", jpeg_amp)
 
         print(
             json.dumps(
