@@ -199,6 +199,7 @@ def dp_release_counts(
     seed: str = DP_RELEASE_SEED,
     include_internals: bool = False,
     group_cap: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """ε-DP released count per group with per-unit contribution
     clamping: released = Σ_units min(c_unit, Δ) + Laplace(b) where
@@ -212,7 +213,17 @@ def dp_release_counts(
     ``group_cap`` a group can be suppressed ENTIRELY when every unit
     touching it drops it from its top-``group_cap`` hash-ranked set —
     the set of released group keys varies with the seed; production
-    releases add noisy-count thresholding on top.
+    releases add noisy-count thresholding on top.  ``threshold``
+    (round 9) IS that mitigation: when set, only groups whose NOISY
+    released count exceeds τ are emitted (a ``threshold`` column
+    records τ), so membership in the released key set is decided by
+    the same noise that protects the values — the standard
+    (ε, δ)-style stability release, with δ bounded by
+    P[Lap(b) > τ − L1] for a group a single unit created.  In this
+    deterministic harness the draw is seeded, so the released set is
+    a pure function of (data, seed, ε, Δ, τ) and both engines emit
+    the identical key set — filter on the ROUNDED released value, as
+    the oracle twin does.
 
     Output: group_cols + (released, epsilon, sensitivity, noise_scale,
     group_cap, l1_sensitivity) — group_cap/l1_sensitivity are NULL for
@@ -254,6 +265,10 @@ def dp_release_counts(
         F.col("_clamped").alias("clamped_count"),
         F.round(noise, 6).alias("noise"),
     )
+    if threshold is not None:
+        out = out.filter(
+            F.col("released") > F.lit(float(threshold))
+        ).withColumn("threshold", F.lit(float(threshold)))
     if include_internals:
         return out
     return out.drop("clamped_count", "noise")

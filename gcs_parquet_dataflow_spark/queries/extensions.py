@@ -16988,3 +16988,62 @@ def media_jpeg_decode_variants(spark, sf_dir):
         "media_id", "kind", "width", "height", "bpp",
         "sum_r", "sum_g", "sum_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (ADVICE r8 closure): noisy-threshold DP release — the key-set
+# stability mitigation the group-cap caveat prescribes, as a mechanism.
+# ---------------------------------------------------------------------------
+
+_DP_THRESH = 700.0  # binds at sf0.01 (drops click 649 / error 571 of 5
+# types), passes everything at sf0.1 — both regimes differentially
+# exercised across the two sweep scales
+
+
+@query(
+    "privacy_dp_thresholded_release",
+    f"""
+    WITH {_DP_COUNT_KEPT},
+    g AS (SELECT event_type,
+                 CAST(sum(least(c, {_DP_COUNT_CAP})) AS BIGINT) AS clamped
+          FROM kept GROUP BY event_type),
+    rel AS (SELECT event_type,
+                   round(clamped + {DP.laplace_noise_sql(
+                       "coalesce(CAST(event_type AS VARCHAR), '')",
+                       f"{_DP_COUNT_B!r}")}, 6) AS released,
+                   CAST({_DP_COUNT_EPS!r} AS DOUBLE) AS epsilon,
+                   CAST({_DP_COUNT_CAP} AS BIGINT) AS sensitivity,
+                   CAST({_DP_COUNT_B!r} AS DOUBLE) AS noise_scale,
+                   CAST({_DP_COUNT_GCAP} AS BIGINT) AS group_cap,
+                   CAST({_DP_COUNT_GCAP * _DP_COUNT_CAP} AS BIGINT)
+                       AS l1_sensitivity
+            FROM g)
+    SELECT *, CAST({_DP_THRESH!r} AS DOUBLE) AS threshold
+    FROM rel WHERE released > {_DP_THRESH!r}
+    ORDER BY event_type
+    """,
+)
+def privacy_dp_thresholded_release(spark, sf_dir):
+    """The group-cap release with NOISY-COUNT THRESHOLDING (the
+    key-set stability mitigation the ADVICE r8 caveat prescribes,
+    shipped as a mechanism rather than a docstring): identical
+    clamp → cap → Laplace pipeline as privacy_dp_release, then only
+    groups whose noisy released count clears τ=700 are emitted, so
+    membership in the released key set is decided by the SAME noise
+    that protects the values — a group's appearance no longer leaks
+    the unnoised seed-dependent suppression signal.  τ binds at
+    sf0.01 (drops 2 of 5 event types) and passes everything at sf0.1,
+    so the sweep pair exercises both the suppressing and the
+    pass-through regime of the filter.  Both engines filter on the
+    ROUNDED released value (never a boundary case at τ=700: noise is
+    irrational-offset).  Scale shape identical to privacy_dp_release
+    plus one filter on the |groups|-row rollup."""
+    return DP.dp_release_counts(
+        t(spark, sf_dir, "events"),
+        ["event_type"],
+        "user_id",
+        epsilon=_DP_COUNT_EPS,
+        contribution_cap=_DP_COUNT_CAP,
+        group_cap=_DP_COUNT_GCAP,
+        threshold=_DP_THRESH,
+    ).orderBy("event_type")

@@ -1079,6 +1079,28 @@ def run_classifier_filter_stream(
     return writer.start()
 
 
+def _prune_batch_partitions(
+    spark: SparkSession, path: str, keep_ids: set[int]
+) -> None:
+    """Delete ``_batch_id=N`` partition dirs under ``path`` for every
+    N not in ``keep_ids`` — the superseded-state reaper shared by the
+    ER stream's bloom and snapshot lakes (only the newest version is
+    ever selected again; replays reach at most one batch back)."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(p):
+        return
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("_batch_id="):
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid not in keep_ids:
+                fs.delete(st.getPath(), True)
+
+
 def run_incremental_er_stream(
     spark: SparkSession,
     records_stream: DataFrame,
@@ -1094,6 +1116,7 @@ def run_incremental_er_stream(
     max_block_size=None,
     bloom_path: str | None = None,
     bloom_m_bits: int = 2**20,
+    keep_golden_history: bool = False,
     trigger_seconds: int = DEFAULT_TRIGGER_S,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -1156,7 +1179,13 @@ def run_incremental_er_stream(
     lands (ADVICE r8 — only the newest snapshot's bloom is ever probed
     again; keeping them all would abandon ⌈m_bits/63⌉ words ≈ 136 MB
     per batch at 2^30-bit production sizing): the lake holds at most
-    {this batch, the snapshot it consumed} at any time.
+    {this batch, the snapshot it consumed} at any time.  The GOLDEN
+    SNAPSHOT lake gets the same treatment by default (round 9): each
+    superseded snapshot is |entities|-sized — the dominant state
+    growth at 100 TB — and gview selection only ever reads the latest
+    one; the members lake remains the full durable record.  Pass
+    ``keep_golden_history=True`` to preserve every snapshot version
+    for time-travel consumers.
 
     Scale shape: per batch, cost is |batch| (probe + intra-batch
     resolution) + |entities| (the snapshot merge aggregate + rewrite);
@@ -1340,6 +1369,11 @@ def run_incremental_er_stream(
         write_partitioned(
             snapshot, golden_path, [], batch_id=batch_id, coalesce_files=1,
         )
+        # partitions any future read (or a replay of THIS batch) can
+        # still select: this batch's and `latest` — see prune comments
+        keep_ids = {int(batch_id)}
+        if latest is not None:
+            keep_ids.add(int(latest))
         if bloom_path is not None:
             from gcs_parquet_dataflow_spark.operators.sketches import (
                 BLOOM_K,
@@ -1370,24 +1404,17 @@ def run_incremental_er_stream(
             # delete the rest.  Replays never reach further back:
             # foreachBatch re-runs at most the newest uncommitted
             # batch id.
-            keep = {int(batch_id)}
-            if latest is not None:
-                keep.add(int(latest))
-            bpp = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
-                bloom_path
-            )
-            bpfs = bpp.getFileSystem(
-                spark._jsc.hadoopConfiguration()  # noqa: SLF001
-            )
-            for st in bpfs.listStatus(bpp):
-                name = st.getPath().getName()
-                if name.startswith("_batch_id="):
-                    try:
-                        bid = int(name.split("=", 1)[1])
-                    except ValueError:
-                        continue
-                    if bid not in keep:
-                        bpfs.delete(st.getPath(), True)
+            _prune_batch_partitions(spark, bloom_path, keep_ids)
+        if not keep_golden_history:
+            # same dead-weight argument for the SNAPSHOT lake (round 9,
+            # extending the ADVICE r8 bloom prune): gview selection is
+            # max(_batch_id < current), so only the latest snapshot is
+            # ever read again — and each superseded partition is
+            # |entities|-sized, the DOMINANT state growth at scale.
+            # The members lake remains the durable append-only record;
+            # keep_golden_history=True preserves every version for
+            # time-travel consumers.
+            _prune_batch_partitions(spark, golden_path, keep_ids)
         release_intermediates()
 
     writer = (

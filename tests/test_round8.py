@@ -327,7 +327,7 @@ def _er_batches(spark, indir):
     b2.coalesce(1).write.parquet(str(indir / "b2"))
 
 
-def _run_er(spark, tmp_path, indir, tag, ck, bloom=None, m_bits=2**20):
+def _run_er(spark, tmp_path, indir, tag, ck, bloom=None, m_bits=2**20, **kw):
     from gcs_parquet_dataflow_spark.streaming.pipeline import (
         run_incremental_er_stream,
     )
@@ -354,6 +354,7 @@ def _run_er(spark, tmp_path, indir, tag, ck, bloom=None, m_bits=2**20):
         bloom_path=None if bloom is None else str(tmp_path / bloom),
         bloom_m_bits=m_bits,
         available_now=True,
+        **kw,
     )
     q.awaitTermination(180)
     return sorted(

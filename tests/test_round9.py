@@ -622,3 +622,78 @@ def test_aqp_stream_rejects_non_divisor_pct():
         run_aqp_stream(
             None, None, "g", None, None, "s", "r", "c", pct=3,
         )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 closure: noisy-threshold DP release — key-set stability.
+# ---------------------------------------------------------------------------
+
+
+def test_dp_threshold_release_key_set_from_noisy_counts(spark):
+    """With threshold τ: (a) exactly the groups whose NOISY released
+    count clears τ are emitted (same filter both engines run); (b) the
+    τ column rides on every row; (c) τ=None keeps the full key set and
+    schema unchanged; (d) the released values of surviving groups are
+    identical with and without the threshold (thresholding never
+    perturbs values, only membership)."""
+    from gcs_parquet_dataflow_spark.operators.privacy import (
+        dp_release_counts,
+    )
+
+    rows = [(f"g{i}", f"u{j}") for i in range(6) for j in range(2 + 3 * i)]
+    df = spark.createDataFrame(rows, "g string, unit string")
+    full = dp_release_counts(df, ["g"], "unit", 1.0, 4, group_cap=2)
+    base = {r["g"]: r["released"] for r in full.collect()}
+    tau = sorted(base.values())[2]  # drops exactly the bottom three
+    th = dp_release_counts(
+        df, ["g"], "unit", 1.0, 4, group_cap=2, threshold=tau
+    )
+    got = {r["g"]: r for r in th.collect()}
+    assert sorted(got) == sorted(g for g, v in base.items() if v > tau)
+    assert len(got) == 3
+    for g, r in got.items():
+        assert r["threshold"] == tau
+        assert r["released"] == base[g]
+    assert "threshold" not in full.columns
+
+
+# ---------------------------------------------------------------------------
+# Round 9: golden-snapshot pruning in the ER stream (the |entities|-sized
+# twin of the ADVICE r8 bloom prune).
+# ---------------------------------------------------------------------------
+
+
+def test_er_stream_golden_snapshots_pruned(spark, tmp_path):
+    """Default run: the snapshot lake holds only {newest, consumed} —
+    superseded |entities|-sized versions are reaped; members (the
+    durable record) keep every batch.  keep_golden_history=True
+    preserves all snapshot versions, with identical resolution."""
+    from test_round8 import _er_batches, _run_er
+
+    indir = tmp_path / "in"
+    _er_batches(spark, indir)
+
+    members = _run_er(spark, tmp_path, indir, "pruned", "ck_p")
+    golden = spark.read.parquet(str(tmp_path / "golden_pruned"))
+    ids = {
+        r["_batch_id"]
+        for r in golden.select("_batch_id").distinct().collect()
+    }
+    assert ids == {1, 2}
+    mem_ids = {
+        r["_batch_id"]
+        for r in spark.read.parquet(str(tmp_path / "members_pruned"))
+        .select("_batch_id").distinct().collect()
+    }
+    assert mem_ids == {0, 1, 2}
+
+    kept = _run_er(
+        spark, tmp_path, indir, "hist", "ck_h", keep_golden_history=True
+    )
+    assert kept == members  # pruning never changes resolution
+    golden_h = spark.read.parquet(str(tmp_path / "golden_hist"))
+    ids_h = {
+        r["_batch_id"]
+        for r in golden_h.select("_batch_id").distinct().collect()
+    }
+    assert ids_h == {0, 1, 2}
