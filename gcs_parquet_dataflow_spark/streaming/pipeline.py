@@ -1101,6 +1101,39 @@ def _prune_batch_partitions(
                 fs.delete(st.getPath(), True)
 
 
+def compact_golden_log(spark: SparkSession, golden_path: str) -> None:
+    """Offline compaction for ``run_incremental_er_stream``'s
+    ``golden_mode="log"`` lake: fold the per-entity latest rows into a
+    single partition under the max ``_batch_id`` seen, then delete the
+    superseded partitions.  The fold is exact (each log row is the
+    entity's complete merged state at its batch), so a stream restart
+    reads the compacted lake identically — and the read-side window
+    shrinks back to |entities| rows.  Run BETWEEN stream runs, like
+    ``linkage.recluster_members`` for the members lake."""
+    df = spark.read.parquet(golden_path)
+    latest = df.agg(F.max("_batch_id")).collect()[0][0]
+    if latest is None:
+        return
+    from pyspark.sql import Window as WL
+
+    wl = WL.partitionBy("entity_id").orderBy(F.col("_batch_id").desc())
+    # localCheckpoint: the folded plan scans golden_path, which the
+    # write below overwrites — cut the lineage first (the ADVICE r6
+    # overwrite-while-reading discipline)
+    folded = (
+        df.withColumn("_rn", F.row_number().over(wl))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+        .localCheckpoint(eager=True)
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    write_partitioned(
+        folded, golden_path, [], batch_id=int(latest), coalesce_files=1,
+    )
+    _prune_batch_partitions(spark, golden_path, {int(latest)})
+
+
 def run_incremental_er_stream(
     spark: SparkSession,
     records_stream: DataFrame,
@@ -1117,6 +1150,7 @@ def run_incremental_er_stream(
     bloom_path: str | None = None,
     bloom_m_bits: int = 2**20,
     keep_golden_history: bool = False,
+    golden_mode: str = "snapshot",
     trigger_seconds: int = DEFAULT_TRIGGER_S,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -1191,9 +1225,21 @@ def run_incremental_er_stream(
     resolution) + |entities| (the snapshot merge aggregate + rewrite);
     the corpus-sized members lake is append-only and read only by
     offline compaction / RTBF. All candidate joins are block-bounded
-    and cap-guarded. At very large entity counts the whole-snapshot
-    rewrite is the next dial to replace with a key-partitioned MERGE
-    (sinks/parquet_lake.upsert) touching only affected entities.
+    and cap-guarded.
+
+    ``golden_mode="log"`` (round 9 — the documented "next dial",
+    shipped): the WRITE drops from |entities| to |touched entities|
+    per batch.  Each batch appends only the post-merge rows of the
+    entities it touched (batch-keyed — replay overwrites its own
+    partition, idempotent as before); the current view is
+    latest-version-wins per entity across the log (exact, because
+    every appended row is that entity's COMPLETE merged state, not a
+    delta).  The read-side fold costs one |log| window until
+    :func:`compact_golden_log` folds the log back to a single
+    partition — the standard LSM trade: O(|batch|) writes, read
+    amplification bounded by compaction cadence.  Equivalence with
+    snapshot mode is pinned by
+    tests/test_round9.py::test_er_stream_golden_log_mode_equivalent.
     """
     from gcs_parquet_dataflow_spark.operators import linkage
     from gcs_parquet_dataflow_spark.operators.partitioning import (
@@ -1201,6 +1247,11 @@ def run_incremental_er_stream(
         release_intermediates,
     )
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    if golden_mode not in ("snapshot", "log"):
+        raise ValueError(
+            f"golden_mode must be 'snapshot' or 'log', got {golden_mode!r}"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1230,11 +1281,30 @@ def run_incremental_er_stream(
                 # the time, but eviction or a missed cache match would
                 # fail the batch at write time (ADVICE r6) — truncating
                 # the lineage here makes the plan provably scan-free.
-                gview = (
-                    snaps.filter(F.col("_batch_id") == latest)
-                    .drop("_batch_id")
-                    .localCheckpoint(eager=True)
-                )
+                if golden_mode == "log":
+                    # log mode: every partition holds the COMPLETE
+                    # post-merge state of just the entities that batch
+                    # touched, so the current view is latest-version-
+                    # wins per entity across the whole log
+                    from pyspark.sql import Window as WL
+
+                    wl = WL.partitionBy("entity_id").orderBy(
+                        F.col("_batch_id").desc()
+                    )
+                    gview = (
+                        snaps.withColumn(
+                            "_rn", F.row_number().over(wl)
+                        )
+                        .filter(F.col("_rn") == 1)
+                        .drop("_rn", "_batch_id")
+                        .localCheckpoint(eager=True)
+                    )
+                else:
+                    gview = (
+                        snaps.filter(F.col("_batch_id") == latest)
+                        .drop("_batch_id")
+                        .localCheckpoint(eager=True)
+                    )
         probe_batch = batch
         if gview is not None and bloom_path is not None and latest is not None:
             from gcs_parquet_dataflow_spark.operators.sketches import (
@@ -1355,19 +1425,45 @@ def run_incremental_er_stream(
             coalesce_files=1,
         )
         batch_view = linkage.golden_view(members_batch, id_col, attrs)
-        snapshot = (
-            linkage.merge_golden_views([gview, batch_view], attrs)
-            if gview is not None
-            else batch_view
-        )
-        if bloom_path is not None:
+        if gview is None:
+            write_view = bloom_view = batch_view
+            if bloom_path is not None and golden_mode == "log":
+                # two consumers on the first log batch (golden write +
+                # bloom build) — snapshot mode persists below
+                write_view = bloom_view = persist_intermediate(batch_view)
+        elif golden_mode == "log":
+            # write ONLY the touched entities' post-merge rows — the
+            # |batch|-proportional write that replaces the full
+            # |entities| snapshot rewrite at scale; untouched entities'
+            # latest rows stay where they are in the log
+            touched_prev = gview.join(
+                batch_view.select("entity_id"), "entity_id", "left_semi"
+            )
+            write_view = linkage.merge_golden_views(
+                [touched_prev, batch_view], attrs
+            )
+            bloom_view = None
+            if bloom_path is not None:
+                # bloom needs the FULL key set (untouched entities can
+                # still match the NEXT batch) — compose it from the
+                # checkpointed gview, never by re-reading the log
+                write_view = persist_intermediate(write_view)
+                bloom_view = gview.join(
+                    batch_view.select("entity_id"), "entity_id", "left_anti"
+                ).unionByName(write_view)
+        else:
+            write_view = bloom_view = linkage.merge_golden_views(
+                [gview, batch_view], attrs
+            )
+        if bloom_path is not None and golden_mode != "log":
             # two consumers (golden write + bloom build) — persist so
             # the merge aggregate runs once; safe to cache because the
             # snapshot's lineage never scans golden_path (gview is
             # localCheckpointed), so its own write can't recache it
-            snapshot = persist_intermediate(snapshot)
+            write_view = bloom_view = persist_intermediate(write_view)
         write_partitioned(
-            snapshot, golden_path, [], batch_id=batch_id, coalesce_files=1,
+            write_view, golden_path, [], batch_id=batch_id,
+            coalesce_files=1,
         )
         # partitions any future read (or a replay of THIS batch) can
         # still select: this batch's and `latest` — see prune comments
@@ -1380,7 +1476,7 @@ def run_incremental_er_stream(
                 bloom_build,
             )
 
-            ekeys = linkage.blocking_keys(snapshot, "entity_id", passes)
+            ekeys = linkage.blocking_keys(bloom_view, "entity_id", passes)
             words = bloom_build(
                 ekeys, "_bkey", m_bits=bloom_m_bits
             ).select(
@@ -1405,7 +1501,7 @@ def run_incremental_er_stream(
             # foreachBatch re-runs at most the newest uncommitted
             # batch id.
             _prune_batch_partitions(spark, bloom_path, keep_ids)
-        if not keep_golden_history:
+        if not keep_golden_history and golden_mode != "log":
             # same dead-weight argument for the SNAPSHOT lake (round 9,
             # extending the ADVICE r8 bloom prune): gview selection is
             # max(_batch_id < current), so only the latest snapshot is
@@ -1413,7 +1509,8 @@ def run_incremental_er_stream(
             # |entities|-sized, the DOMINANT state growth at scale.
             # The members lake remains the durable append-only record;
             # keep_golden_history=True preserves every version for
-            # time-travel consumers.
+            # time-travel consumers.  Log mode never prunes here: every
+            # partition IS live state until compact_golden_log folds it.
             _prune_batch_partitions(spark, golden_path, keep_ids)
         release_intermediates()
 

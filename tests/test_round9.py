@@ -697,3 +697,78 @@ def test_er_stream_golden_snapshots_pruned(spark, tmp_path):
         for r in golden_h.select("_batch_id").distinct().collect()
     }
     assert ids_h == {0, 1, 2}
+
+
+def test_er_stream_golden_log_mode_equivalent(spark, tmp_path):
+    """golden_mode='log' ≡ snapshot mode on the same batch sequence
+    (members identical, folded golden view identical), each log
+    partition holds ONLY the entities its batch touched (the
+    |batch|-proportional write), the bloom-armed log stream matches
+    too, and compact_golden_log folds the log to one partition with
+    the identical view."""
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        compact_golden_log,
+    )
+    from test_round8 import _er_batches, _run_er
+
+    indir = tmp_path / "in"
+    _er_batches(spark, indir)
+
+    plain = _run_er(spark, tmp_path, indir, "snapm", "ck_sm")
+    logm = _run_er(
+        spark, tmp_path, indir, "logm", "ck_lm", golden_mode="log"
+    )
+    assert logm == plain
+
+    glog = spark.read.parquet(str(tmp_path / "golden_logm"))
+    per_batch = {
+        b: sorted(
+            r["entity_id"]
+            for r in glog.filter(F.col("_batch_id") == b).collect()
+        )
+        for b in (0, 1, 2)
+    }
+    # b0 creates {1, 3}; b1 touches 1 (absorbs rec 10) + creates 11 —
+    # entity 3 is NOT rewritten; b2 is all-novel → only {20}
+    assert per_batch[0] == [1, 3]
+    assert per_batch[1] == [1, 11]
+    assert per_batch[2] == [20]
+
+    def fold(df):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("entity_id").orderBy(F.col("_batch_id").desc())
+        cols = [c for c in df.columns if c != "_batch_id"]
+        return sorted(
+            tuple(r[c] for c in sorted(cols))
+            for r in df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*cols)
+            .collect()
+        )
+
+    gsnap = spark.read.parquet(str(tmp_path / "golden_snapm"))
+    latest = gsnap.agg(F.max("_batch_id")).collect()[0][0]
+    snap_view = sorted(
+        tuple(r[c] for c in sorted(c2 for c2 in gsnap.columns
+                                   if c2 != "_batch_id"))
+        for r in gsnap.filter(F.col("_batch_id") == latest)
+        .drop("_batch_id").collect()
+    )
+    assert fold(glog) == snap_view
+
+    # bloom-armed log stream: same members
+    armed = _run_er(
+        spark, tmp_path, indir, "logb", "ck_lb", bloom="bloomlog",
+        golden_mode="log",
+    )
+    assert armed == plain
+
+    # offline compaction: one partition left, identical folded view
+    compact_golden_log(spark, str(tmp_path / "golden_logm"))
+    after = spark.read.parquet(str(tmp_path / "golden_logm"))
+    assert {
+        r["_batch_id"]
+        for r in after.select("_batch_id").distinct().collect()
+    } == {2}
+    assert fold(after) == snap_view
