@@ -160,7 +160,16 @@ def run_incremental_batch(
     a batch id overwrites its own partitions (idempotent) and, because
     the stats snapshot is keyed by the batch id that produced it,
     re-merges from the predecessor snapshot rather than double
-    counting."""
+    counting.
+
+    Superseded-snapshot adjudication (round-9 pattern sweep, after the
+    ER stream's bloom/golden pruning): stats snapshots are NOT pruned
+    here, deliberately — each is |sources|-sized (a handful of rows,
+    never data-scale growth), and unlike foreachBatch streams this
+    loop is CLI-driven (tools/run_recipe.py --incremental), where the
+    documented contract lets a user re-run ANY batch id — which
+    re-merges from that id's predecessor snapshot, so history must
+    survive.  Negligible weight + a contract that needs it = keep."""
     from gcs_parquet_dataflow_spark.operators.incremental import (
         merge_partial_aggs,
     )

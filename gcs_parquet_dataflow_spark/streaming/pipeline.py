@@ -699,6 +699,9 @@ def run_heavy_hitter_stream(
     argument: a key holding an α fraction globally holds ≥ α in some
     batch, so it enters the candidate feed; the sketch then scores it
     over ALL batches (including ones where it wasn't a local top-k).
+    :func:`compact_batch_shards` folds old sketch shards (counter
+    linearity) and candidate partitions (distinct) between runs, so
+    the per-batch merge width stays bounded over months of batches.
     """
     from gcs_parquet_dataflow_spark.operators.partitioning import (
         release_intermediates,
@@ -794,8 +797,12 @@ def run_aqp_stream(
     At 100 TB: each shard is |groups| rows; merging reads
     batches × |groups| rows, never the corpus — ``aqp_sample_sum_ci``
     becomes an O(|groups|) refresh per batch instead of a full rescan.
-    Equivalence with the batch row is pinned by
-    tests/test_round9.py::test_aqp_stream_matches_batch_row.
+    Run :func:`compact_batch_shards` between stream runs to fold the
+    shard history (sums are linear, so folding is invisible to the
+    estimate) and bound the merge's read width.  Equivalence with the
+    batch row is pinned by
+    tests/test_round9.py::test_aqp_stream_matches_batch_row; fold
+    transparency by test_compact_batch_shards_aqp_end_to_end.
     """
     from gcs_parquet_dataflow_spark.functions.text import hash32
     from gcs_parquet_dataflow_spark.operators.partitioning import (
@@ -1099,6 +1106,62 @@ def _prune_batch_partitions(
                 continue
             if bid not in keep_ids:
                 fs.delete(st.getPath(), True)
+
+
+def compact_batch_shards(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    *,
+    keep_last: int = 2,
+) -> None:
+    """Offline compaction for ADDITIVE batch-keyed shard lakes — the
+    ``run_aqp_stream`` sampled-sum shards and
+    ``run_heavy_hitter_stream``'s count-min sketch shards (and its
+    key-only candidate feed): fold every partition OLDER than the
+    newest ``keep_last`` into a single partition under the oldest
+    folded id, summing every non-key column dtype-preservingly
+    (DECIMAL(38,0) accumulators stay decimal — ``merge_partial_aggs``'
+    long cast would wrap them, which is why this helper exists).
+    Exact because the per-batch readers only ever SUM (or, for
+    key-only feeds, DISTINCT) across partitions — counter/sum
+    linearity.  Without it these lakes grow one |groups|-sized
+    partition per batch forever: ~1e5 batches/year at a 5-minute
+    trigger.
+
+    ``keep_last`` keeps the newest ids untouched so a replay of the
+    last (possibly uncommitted) batch still overwrites its OWN
+    partition without its contribution also hiding inside a folded
+    one — fold only what checkpoint replay can no longer reach.  Run
+    between stream runs, like :func:`compact_golden_log`."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    df = spark.read.parquet(path)
+    ids = sorted(
+        r["_batch_id"]
+        for r in df.select("_batch_id").distinct().collect()
+    )
+    fold_ids = ids[: len(ids) - keep_last] if keep_last > 0 else ids
+    if len(fold_ids) < 2:
+        return
+    old = df.filter(F.col("_batch_id").isin([int(i) for i in fold_ids]))
+    sum_cols = [
+        c for c in df.columns if c not in key_cols and c != "_batch_id"
+    ]
+    dtypes = dict(df.dtypes)
+    if sum_cols:
+        folded = old.groupBy(*key_cols).agg(
+            *[F.sum(c).cast(dtypes[c]).alias(c) for c in sum_cols]
+        )
+    else:
+        # key-only feed (heavy-hitter candidates): readers distinct it
+        folded = old.select(*key_cols).distinct()
+    folded = folded.localCheckpoint(eager=True)  # no scan of path
+    write_partitioned(
+        folded, path, [], batch_id=int(fold_ids[0]), coalesce_files=1,
+    )
+    keep = {int(i) for i in ids[len(fold_ids):]} | {int(fold_ids[0])}
+    _prune_batch_partitions(spark, path, keep)
 
 
 def compact_golden_log(spark: SparkSession, golden_path: str) -> None:

@@ -772,3 +772,138 @@ def test_er_stream_golden_log_mode_equivalent(spark, tmp_path):
         for r in after.select("_batch_id").distinct().collect()
     } == {2}
     assert fold(after) == snap_view
+
+
+# ---------------------------------------------------------------------------
+# Round 9: additive shard-lake compaction (AQP sampled sums, count-min
+# shards) — fold is exact under sum linearity, replays stay safe.
+# ---------------------------------------------------------------------------
+
+
+def test_compact_batch_shards_aqp_end_to_end(spark, tmp_path):
+    """Stream 3 batches → compact shards (keep newest) → stream a 4th:
+    the final merged report must equal the batch aqp_sample_sum_ci row
+    over ALL the data — compaction is invisible to the estimate, the
+    lake shrinks to {folded, kept, new}."""
+    from gcs_parquet_dataflow_spark.queries import CATALOG
+    from gcs_parquet_dataflow_spark.queries.catalog import cents
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        compact_batch_shards,
+        run_aqp_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for part in range(3):
+        li.filter(F.col("l_orderkey") % 4 == part).coalesce(1).write.parquet(
+            str(indir / f"b{part}")
+        )
+
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("#"),
+        F.col("l_linenumber").cast("string"),
+        F.lit("#aqp"),
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema(li.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir / "*"))
+        )
+        q = run_aqp_stream(
+            spark, stream, "l_returnflag", key,
+            cents(F.col("l_extendedprice")),
+            str(tmp_path / "shards"), str(tmp_path / "report"),
+            str(tmp_path / "ck"), pct=5, available_now=True,
+        )
+        q.awaitTermination(180)
+
+    start()
+    shards_path = str(tmp_path / "shards")
+    compact_batch_shards(spark, shards_path, ["l_returnflag"], keep_last=1)
+    ids = {
+        r["_batch_id"]
+        for r in spark.read.parquet(shards_path)
+        .select("_batch_id").distinct().collect()
+    }
+    assert ids == {0, 2}  # 0+1 folded under 0, newest kept
+
+    # 4th batch arrives AFTER compaction; same checkpoint continues
+    li.filter(F.col("l_orderkey") % 4 == 3).coalesce(1).write.parquet(
+        str(indir / "b3")
+    )
+    start()
+
+    reports = spark.read.parquet(str(tmp_path / "report"))
+    last = reports.agg(F.max("_batch_id")).collect()[0][0]
+    final = {
+        r["l_returnflag"]: r
+        for r in reports.filter(F.col("_batch_id") == last).collect()
+    }
+    batch = {
+        r["l_returnflag"]: r
+        for r in CATALOG["aqp_sample_sum_ci"].build(spark, sf).collect()
+    }
+    assert sorted(final) == sorted(batch)
+    for k, b in batch.items():
+        s = final[k]
+        assert s["n_sample"] == b["n_sample"]
+        assert s["est_sum_cents"] == b["est_sum_cents"]
+        assert s["ci95_cents"] == b["ci95_cents"]
+
+
+def test_compact_batch_shards_dtype_and_key_only(spark, tmp_path):
+    """(a) DECIMAL(38,0) shard columns survive folding (the long cast
+    that merge_partial_aggs applies would wrap them — pin with a sum
+    past 2^63); (b) key-only feeds fold by DISTINCT; (c) fewer than 2
+    foldable partitions is a no-op."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        write_partitioned,
+    )
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        compact_batch_shards,
+    )
+
+    big = 5_000_000_000_000_000_000  # 5e18; 2 shards sum past 2^63
+    lake = str(tmp_path / "shards")
+    for b in range(4):
+        df = spark.createDataFrame(
+            [("g", 10)], "k string, n long"
+        ).select(
+            "k",
+            F.col("n").cast("long").alias("n"),
+            F.lit(big).cast("decimal(38,0)").alias("d"),
+        )
+        write_partitioned(df, lake, [], batch_id=b, coalesce_files=1)
+    compact_batch_shards(spark, lake, ["k"], keep_last=2)
+    out = spark.read.parquet(lake)
+    ids = {r["_batch_id"] for r in out.select("_batch_id").distinct().collect()}
+    assert ids == {0, 2, 3}
+    folded = out.filter(F.col("_batch_id") == 0).first()
+    assert folded["n"] == 20
+    assert int(folded["d"]) == 2 * big  # 1e19 > 2^63, exact
+    assert dict(out.dtypes)["d"] == "decimal(38,0)"
+    total = out.agg(F.sum("n").alias("s")).first()["s"]
+    assert total == 40  # cumulative sums unchanged by compaction
+
+    keys = str(tmp_path / "cands")
+    for b in range(3):
+        df = spark.createDataFrame([(f"k{b}",), ("shared",)], "key string")
+        write_partitioned(df, keys, [], batch_id=b, coalesce_files=1)
+    compact_batch_shards(spark, keys, ["key"], keep_last=1)
+    out2 = spark.read.parquet(keys)
+    assert {
+        r["_batch_id"] for r in out2.select("_batch_id").distinct().collect()
+    } == {0, 2}
+    folded_keys = sorted(
+        r["key"] for r in out2.filter(F.col("_batch_id") == 0).collect()
+    )
+    assert folded_keys == ["k0", "k1", "shared"]  # distinct, not summed
+
+    # no-op guard: nothing old enough to fold
+    compact_batch_shards(spark, keys, ["key"], keep_last=5)
+    assert out2.count() == spark.read.parquet(keys).count()
