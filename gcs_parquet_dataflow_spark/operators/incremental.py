@@ -158,6 +158,38 @@ def read_bloom(spark: SparkSession, path: str) -> DataFrame:
     return bloom_merge([spark.read.parquet(path)])
 
 
+def compact_bloom_lake(spark: SparkSession, path: str) -> None:
+    """Offline fold for the incremental-dedup bloom lake: the lake
+    accumulates one (word_idx, word) append per accepted batch and
+    ``read_bloom`` OR-merges them all on EVERY probe — after ~1e5
+    batches that is 1e5 × ⌈m_bits/63⌉ rows re-merged per probe.  OR is
+    associative, so folding the appends into the ≤ ⌈m_bits/63⌉ current
+    words is exact (the bloom_merge_equivalence oracle row's
+    guarantee).
+
+    Crash safety: the fold is staged-and-renamed — a crash before the
+    swap leaves the lake untouched; a crash BETWEEN delete and rename
+    leaves it absent, which the parameter fence already self-heals
+    (absent lake + non-empty index → rebuild_bloom_from_index).  Never
+    an intermediate state that silently drops words (a partial bloom
+    means false negatives — duplicates accepted forever).  Run between
+    stream/batch runs, like ``compact_batch_shards``."""
+    if not _path_exists(spark, path):
+        return
+    meta = read_bloom_meta(spark, path)
+    folded = read_bloom(spark, path).localCheckpoint(eager=True)
+    staging = path.rstrip("/") + "__bloom_compact_staging"
+    folded.write.mode("overwrite").parquet(staging)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+    fs.rename(spath, hpath)
+    if meta is not None:
+        write_bloom_meta(spark, path, meta["m_bits"], meta["k"])
+
+
 def rebuild_bloom_from_index(
     spark: SparkSession,
     index_path: str,

@@ -907,3 +907,60 @@ def test_compact_batch_shards_dtype_and_key_only(spark, tmp_path):
     # no-op guard: nothing old enough to fold
     compact_batch_shards(spark, keys, ["key"], keep_last=5)
     assert out2.count() == spark.read.parquet(keys).count()
+
+
+def test_compact_bloom_lake_fold_is_invisible(spark, tmp_path):
+    """Fold the per-batch bloom appends into the current words: the
+    (m_bits, k) meta survives, the file count collapses, and the next
+    armed batch behaves identically — cross-batch duplicate still
+    dropped, fresh doc still accepted."""
+    from gcs_parquet_dataflow_spark.operators.dedup import minhash_perms
+    from gcs_parquet_dataflow_spark.operators.incremental import (
+        bloom_lake_has_words,
+        compact_bloom_lake,
+        dedup_batch_against_index,
+        read_bloom,
+        read_bloom_meta,
+    )
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.operators.sketches import BLOOM_K
+
+    perms = minhash_perms(num_perm=16, seed=7)
+    idx, bloom = str(tmp_path / "idx"), str(tmp_path / "bloom")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, _sentence(f"b{b}d{i}")) for i in range(3)],
+            "doc_id long, text string",
+        )
+        s = dedup_batch_against_index(
+            spark, df, "doc_id", "text", idx, perms,
+            bloom_path=bloom, bloom_m_bits=2**20,
+        )
+        assert s.count() == 3
+        release_intermediates()
+
+    before = sorted(
+        (r["word_idx"], r["word"])
+        for r in read_bloom(spark, bloom).collect()
+    )
+    compact_bloom_lake(spark, bloom)
+    assert bloom_lake_has_words(spark, bloom)
+    assert read_bloom_meta(spark, bloom) == {"m_bits": 2**20, "k": BLOOM_K}
+    after = sorted(
+        (r["word_idx"], r["word"])
+        for r in read_bloom(spark, bloom).collect()
+    )
+    assert after == before  # OR-fold is exact
+
+    dup = spark.createDataFrame(
+        [(100, _sentence("b1d2")), (101, _sentence("fresh"))],
+        "doc_id long, text string",
+    )
+    s = dedup_batch_against_index(
+        spark, dup, "doc_id", "text", idx, perms,
+        bloom_path=bloom, bloom_m_bits=2**20,
+    )
+    assert sorted(r["doc_id"] for r in s.collect()) == [101]
+    release_intermediates()
