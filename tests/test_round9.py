@@ -964,3 +964,77 @@ def test_compact_bloom_lake_fold_is_invisible(spark, tmp_path):
     )
     assert sorted(r["doc_id"] for r in s.collect()) == [101]
     release_intermediates()
+
+
+def test_compact_batch_shards_heavy_hitter_end_to_end(spark, tmp_path):
+    """Count-min shards + candidate feed: three batches with a planted
+    heavy key, fold the two oldest shard partitions, stream a fourth
+    batch on the same checkpoint — the cumulative estimate for the
+    heavy key is unchanged by the fold (counter linearity) and the
+    candidate feed still carries every fold-era key."""
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        compact_batch_shards,
+        run_heavy_hitter_stream,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    batches = [
+        [("hot",)] * 40 + [(f"k{i}",) for i in range(10)],
+        [("hot",)] * 25 + [("warm",)] * 20,
+        [("hot",)] * 10 + [(f"j{i}",) for i in range(15)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "key string").coalesce(1).write.parquet(
+            str(indir / f"b{i}")
+        )
+    paths = dict(
+        sketch_path=str(tmp_path / "sk"),
+        candidates_path=str(tmp_path / "cand"),
+        report_path=str(tmp_path / "rep"),
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema("key string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir / "*"))
+        )
+        q = run_heavy_hitter_stream(
+            spark, stream, "key", checkpoint_dir=str(tmp_path / "ck"),
+            available_now=True, **paths
+        )
+        q.awaitTermination(180)
+
+    start()
+    merged_before = sorted(
+        map(tuple, spark.read.parquet(paths["sketch_path"])
+            .groupBy("d", "b").agg(F.sum("n").alias("n")).collect())
+    )
+    compact_batch_shards(spark, paths["sketch_path"], ["d", "b"],
+                         keep_last=1)
+    compact_batch_shards(spark, paths["candidates_path"], ["key"],
+                         keep_last=1)
+    merged_after = sorted(
+        map(tuple, spark.read.parquet(paths["sketch_path"])
+            .groupBy("d", "b").agg(F.sum("n").alias("n")).collect())
+    )
+    assert merged_after == merged_before  # fold invisible to the sum
+    cands = {
+        r["key"]
+        for r in spark.read.parquet(paths["candidates_path"]).collect()
+    }
+    assert {"hot", "warm"} <= cands
+
+    # fourth batch on the same checkpoint, post-compaction
+    spark.createDataFrame(
+        [("hot",)] * 5 + [("late",)] * 30, "key string"
+    ).coalesce(1).write.parquet(str(indir / "b3"))
+    start()
+    rep = spark.read.parquet(paths["report_path"])
+    last = rep.filter(
+        F.col("_batch_id") == rep.agg(F.max("_batch_id")).first()[0]
+    )
+    by_key = {r["key"]: r["n_cm"] for r in last.collect()}
+    assert by_key["hot"] >= 80  # 40+25+10+5 — fold-era counts intact
+    assert by_key["late"] >= 30
