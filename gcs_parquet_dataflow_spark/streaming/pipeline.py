@@ -1108,6 +1108,96 @@ def _prune_batch_partitions(
                 fs.delete(st.getPath(), True)
 
 
+def run_rtbf_stream(
+    spark: SparkSession,
+    requests_stream: DataFrame,
+    lakes: list[tuple[str, str]],
+    audit_path: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str = "subject_key",
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming right-to-be-forgotten: arriving deletion requests
+    propagate to EVERY registered versioned lake per micro-batch — the
+    governance loop that turns the batch ``delete_keys`` primitive
+    into a standing pipeline.  ``lakes`` is ``[(root, lake_key_col),
+    …]``: the request's ``key_col`` (one subject-key space) is renamed
+    into each lake's own key column, and each lake gets a NEW
+    snapshot equal to its latest minus the requested rows
+    (non-destructive — sinks/parquet_lake.delete_keys; complete the
+    erasure with ``vacuum_versions`` after the retention window, the
+    Delta VACUUM contract).
+
+    A batch-keyed AUDIT table records (lake_root, n_keys,
+    new_version) per lake — the compliance trail an erasure SLA is
+    measured against.  The audit partition doubles as the replay
+    fence: a batch whose audit partition already exists is a replay
+    of fully-applied work and SKIPS the lake commits (exactly-once in
+    the common case).  A crash BETWEEN the lake commits and the audit
+    write re-applies on replay — content-idempotent (deleting absent
+    keys is a no-op), it just commits an extra identical version; the
+    txn-id-in-commit-metadata upgrade that removes even that is what
+    Delta's txn appIds add, documented not implemented.
+
+    Scale shape: deletion lists are tiny (broadcast anti-join inside
+    delete_keys — the big side never shuffles); cost per batch is one
+    snapshot rewrite per lake, amortized by the trigger interval.  At
+    100 TB, partition the lakes and version per partition (the
+    write_version docstring's documented dial) so each request batch
+    rewrites only the partitions holding its subjects."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        delete_keys,
+        write_partitioned,
+    )
+
+    if not lakes:
+        raise ValueError("at least one (root, key_col) lake is required")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = spark._jvm  # noqa: SLF001
+        fence = jvm.org.apache.hadoop.fs.Path(
+            audit_path + f"/_batch_id={int(batch_id)}"
+        )
+        fs = fence.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        if fs.exists(fence):
+            return  # replay of a fully-applied batch
+        keys = batch_df.select(key_col).distinct().localCheckpoint(
+            eager=True
+        )
+        n_keys = keys.count()
+        if n_keys == 0:
+            return
+        audit_rows = []
+        for root, lake_col in lakes:
+            new_version = delete_keys(
+                spark, root, keys.select(F.col(key_col).alias(lake_col)),
+                lake_col,
+            )
+            audit_rows.append((root, lake_col, n_keys, new_version))
+        audit = spark.createDataFrame(
+            audit_rows,
+            "lake_root string, lake_key string, n_keys long, "
+            "new_version long",
+        )
+        write_partitioned(
+            audit, audit_path, [], batch_id=batch_id, coalesce_files=1,
+        )
+
+    writer = (
+        requests_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def compact_batch_shards(
     spark: SparkSession,
     path: str,

@@ -1038,3 +1038,91 @@ def test_compact_batch_shards_heavy_hitter_end_to_end(spark, tmp_path):
     by_key = {r["key"]: r["n_cm"] for r in last.collect()}
     assert by_key["hot"] >= 80  # 40+25+10+5 — fold-era counts intact
     assert by_key["late"] >= 30
+
+
+# ---------------------------------------------------------------------------
+# Round 9: streaming right-to-be-forgotten propagation.
+# ---------------------------------------------------------------------------
+
+
+def test_rtbf_stream_propagates_deletes_with_audit(spark, tmp_path):
+    """Two request batches against two versioned lakes with different
+    key columns: deleted subjects vanish from every lake's LATEST
+    snapshot (prior versions keep them — the vacuum contract), the
+    audit trail records (lake, n_keys, new_version) per batch, and a
+    restart on the same checkpoint commits nothing new (the audit
+    partition is the replay fence)."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        latest_version,
+        read_version,
+        write_version,
+    )
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_rtbf_stream,
+    )
+
+    users = str(tmp_path / "users_lake")
+    events = str(tmp_path / "events_lake")
+    write_version(
+        spark,
+        users,
+        spark.createDataFrame(
+            [(i, f"name{i}") for i in range(10)], "user_id long, name string"
+        ),
+    )
+    write_version(
+        spark,
+        events,
+        spark.createDataFrame(
+            [(100 + i, i % 10) for i in range(30)], "event_id long, uid long"
+        ),
+    )
+
+    indir = tmp_path / "req"
+    indir.mkdir()
+    spark.createDataFrame([(3,), (7,)], "subject_key long").coalesce(
+        1
+    ).write.parquet(str(indir / "b0"))
+    spark.createDataFrame([(5,)], "subject_key long").coalesce(
+        1
+    ).write.parquet(str(indir / "b1"))
+
+    def start():
+        stream = (
+            spark.readStream.schema("subject_key long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir / "*"))
+        )
+        q = run_rtbf_stream(
+            spark, stream,
+            [(users, "user_id"), (events, "uid")],
+            str(tmp_path / "audit"), str(tmp_path / "ck"),
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    start()
+    u = {r["user_id"] for r in read_version(spark, users).collect()}
+    assert u == set(range(10)) - {3, 7, 5}
+    ev_uids = {r["uid"] for r in read_version(spark, events).collect()}
+    assert ev_uids == set(range(10)) - {3, 7, 5}
+    # history intact until vacuum: v0 still has everyone
+    assert {
+        r["user_id"] for r in read_version(spark, users, 0).collect()
+    } == set(range(10))
+
+    audit = spark.read.parquet(str(tmp_path / "audit"))
+    got = {
+        (r["_batch_id"], r["lake_root"], r["n_keys"], r["new_version"])
+        for r in audit.collect()
+    }
+    assert (0, users, 2, 1) in got and (0, events, 2, 1) in got
+    assert (1, users, 1, 2) in got and (1, events, 1, 2) in got
+
+    # restart, same checkpoint: fence skips everything — no new versions
+    v_users, v_events = latest_version(spark, users), latest_version(
+        spark, events
+    )
+    start()
+    assert latest_version(spark, users) == v_users
+    assert latest_version(spark, events) == v_events
