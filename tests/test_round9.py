@@ -12,6 +12,23 @@
 3. ADVICE r8 (low): superseded ER-stream bloom partitions are pruned
    (asserted inside test_round8's equivalence test, which pins the
    surviving-partition set).
+4. VERDICT r8 item 1 (the accumulator-overflow audit): expression-level
+   pins proving every DECIMAL(38,0)-converted sum-of-products exact
+   past 2^63 (*_past_int64), incl. the operand-cast-vs-product-cast
+   distinction and cm_join_size's decimal estimate.
+5. VERDICT r8 item 5: run_aqp_stream ≡ the batch aqp_sample_sum_ci row
+   across arbitrary batch splits; checkpoint restarts reprocess
+   nothing.
+6. ADVICE r8 closure: the DP noisy-threshold release (key-set
+   membership decided by the protecting noise; values of survivors
+   untouched).
+7. Round-9 state-lake lifecycle: ER golden-snapshot pruning,
+   golden_mode='log' equivalence + compact_golden_log,
+   compact_batch_shards (AQP end-to-end, decimal dtype survival,
+   key-only distinct fold, heavy-hitter end-to-end),
+   compact_bloom_lake fold invisibility.
+8. run_rtbf_stream: streaming erasure propagation across versioned
+   lakes with the audit-partition replay fence.
 """
 
 from __future__ import annotations

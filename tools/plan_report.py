@@ -57,6 +57,9 @@ REPRESENTATIVE = [
     ("media_jpeg_decode", "baseline-JPEG encode→decode in the scan stage (mapInPandas); 10% doc sample bounds codec time; feature-sized output only"),
     ("knn_label_eval_ann", "IVF-candidate LOO eval: equi-join on list id with BOTH sides corpus-sized (correctly not broadcast), norms computed once pre-join"),
     ("classifier_calibration_bins", "margin scoring via broadcast weight join + doc-key agg; bins are a |bins|-row rollup"),
+    # round-9 additions
+    ("media_jpeg_decode_variants", "grayscale + 4:4:4 codec paths, same scan-stage Arrow batch shape as the 4:2:0 row"),
+    ("privacy_dp_thresholded_release", "group-cap DP release + noisy-threshold filter on the |groups| rollup — key-set stability with zero extra shuffle"),
 ]
 
 
