@@ -1149,6 +1149,7 @@ def run_rtbf_stream(
     rewrites only the partitions holding its subjects."""
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
         delete_keys,
+        latest_version,
         write_partitioned,
     )
 
@@ -1173,6 +1174,12 @@ def run_rtbf_stream(
             return
         audit_rows = []
         for root, lake_col in lakes:
+            if latest_version(spark, root) is None:
+                # registered lake with no committed snapshot yet: the
+                # erasure is vacuously satisfied — record it (NULL
+                # version) instead of failing the whole request batch
+                audit_rows.append((root, lake_col, n_keys, None))
+                continue
             new_version = delete_keys(
                 spark, root, keys.select(F.col(key_col).alias(lake_col)),
                 lake_col,
@@ -1219,19 +1226,25 @@ def compact_batch_shards(
     partition per batch forever: ~1e5 batches/year at a 5-minute
     trigger.
 
-    ``keep_last`` keeps the newest ids untouched so a replay of the
-    last (possibly uncommitted) batch still overwrites its OWN
-    partition without its contribution also hiding inside a folded
-    one — fold only what checkpoint replay can no longer reach.  Run
-    between stream runs, like :func:`compact_golden_log`."""
+    ``keep_last`` (≥ 1, enforced) keeps the newest ids untouched so a
+    replay of the last (possibly uncommitted) batch still overwrites
+    its OWN partition without its contribution also hiding inside a
+    folded one — fold only what checkpoint replay can no longer
+    reach.  Run between stream runs, like :func:`compact_golden_log`."""
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+
+    if keep_last < 1:
+        # folding the newest partition would double-count against a
+        # replay of the last uncommitted batch (its own overwrite PLUS
+        # its contribution inside the fold) — never allowed
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
 
     df = spark.read.parquet(path)
     ids = sorted(
         r["_batch_id"]
         for r in df.select("_batch_id").distinct().collect()
     )
-    fold_ids = ids[: len(ids) - keep_last] if keep_last > 0 else ids
+    fold_ids = ids[: len(ids) - keep_last]
     if len(fold_ids) < 2:
         return
     old = df.filter(F.col("_batch_id").isin([int(i) for i in fold_ids]))

@@ -1143,3 +1143,56 @@ def test_rtbf_stream_propagates_deletes_with_audit(spark, tmp_path):
     start()
     assert latest_version(spark, users) == v_users
     assert latest_version(spark, events) == v_events
+
+
+def test_rtbf_stream_uninitialized_lake_and_keep_last_guard(spark, tmp_path):
+    """(a) A registered lake with no committed snapshot yet must not
+    fail the request batch: the erasure is vacuously satisfied and
+    audited with a NULL version; (b) compact_batch_shards rejects a
+    replay-unsafe keep_last."""
+    import pytest as _pt
+
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        read_version,
+        write_version,
+    )
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        compact_batch_shards,
+        run_rtbf_stream,
+    )
+
+    live = str(tmp_path / "live_lake")
+    empty = str(tmp_path / "empty_lake")  # registered, never written
+    write_version(
+        spark,
+        live,
+        spark.createDataFrame([(1,), (2,), (3,)], "user_id long"),
+    )
+    indir = tmp_path / "req"
+    indir.mkdir()
+    spark.createDataFrame([(2,)], "subject_key long").coalesce(
+        1
+    ).write.parquet(str(indir / "b0"))
+    stream = (
+        spark.readStream.schema("subject_key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "*"))
+    )
+    q = run_rtbf_stream(
+        spark, stream, [(live, "user_id"), (empty, "user_id")],
+        str(tmp_path / "audit"), str(tmp_path / "ck"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert {
+        r["user_id"] for r in read_version(spark, live).collect()
+    } == {1, 3}
+    audit = {
+        r["lake_root"]: r["new_version"]
+        for r in spark.read.parquet(str(tmp_path / "audit")).collect()
+    }
+    assert audit[live] == 1
+    assert audit[empty] is None
+
+    with _pt.raises(ValueError, match="keep_last"):
+        compact_batch_shards(spark, str(tmp_path / "x"), ["k"], keep_last=0)
