@@ -596,7 +596,13 @@ def q12_shipmode_priority(spark, sf_dir):
 )
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: promo revenue share — conditional ratio over a
-    broadcast dimension join, exact integer-cents arithmetic."""
+    broadcast dimension join, exact integer-cents arithmetic.
+
+    Accumulator bounds (round-9 audit, second pass — this site hid
+    behind the `disc`/`promo` locals): the denominator is a GLOBAL,
+    UNFILTERED two-factor cent sum ≈ 3.6e8/row × 6e11 rows ≈ 2.2e20 at
+    100 TB — past 2^63, so both sums accumulate in DECIMAL(38,0) (the
+    oracle's DuckDB sums are int128 natively; ratio identical)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     ep, dc = cents(F.col("l_extendedprice")), cents(F.col("l_discount"))
@@ -605,9 +611,11 @@ def q14_promo_revenue(spark, sf_dir):
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(disc), 6).alias(
-                "promo_revenue_pct"
-            )
+            F.round(
+                100.0 * F.sum(promo.cast("decimal(38,0)"))
+                / F.sum(disc.cast("decimal(38,0)")),
+                6,
+            ).alias("promo_revenue_pct")
         )
     )
 
