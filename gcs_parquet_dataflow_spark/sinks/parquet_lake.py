@@ -179,6 +179,29 @@ def compact(
     return files_before, files_after
 
 
+def recover_upsert_staging(spark: SparkSession, path: str) -> bool:
+    """Complete an upsert commit interrupted between its delete and
+    rename: if the destination is absent but the staging dir holds a
+    COMPLETE merged table (marked by the parquet committer's
+    ``_SUCCESS`` — a torn staging write never qualifies), rename it
+    into place and return True.  Idempotent no-op otherwise.  Callers
+    that treat an absent path as "uninitialized" MUST run this first,
+    or a crashed commit looks like a fresh lake (data loss)."""
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    spath = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "__upsert_staging"
+    )
+    if (
+        not fs.exists(hpath)
+        and fs.exists(spath)
+        and fs.exists(jvm.org.apache.hadoop.fs.Path(spath, "_SUCCESS"))
+    ):
+        if not fs.rename(spath, hpath):
+            raise IOError(f"upsert recovery failed: {spath} -> {hpath}")
+        return True
+    return False
+
+
 def upsert(
     spark: SparkSession,
     path: str,
@@ -203,11 +226,21 @@ def upsert(
     (write_partitioned + a key→partition pre-filter); transactional
     visibility is what Delta/Iceberg layer on top, same as compact().
 
+    Crash recovery (round 9): the commit is stage → delete dest →
+    rename, so a crash between the delete and the rename leaves the
+    table ABSENT with the complete merged result still in staging.
+    :func:`recover_upsert_staging` (called here on entry, and by
+    ``run_upsert_stream`` before its first-batch check) completes the
+    interrupted rename — without it, a streaming caller would mistake
+    the absent dest for an uninitialized lake and silently
+    re-initialize it from one batch, losing the table.
+
     No reference analog (the reference only appends); extension
     surface for the curation lake.
     """
     from pyspark.sql import Window as WU
 
+    recover_upsert_staging(spark, path)
     current = spark.read.parquet(path)
     rows_before = current.count()
     tagged = current.withColumn("_src", F.lit(0)).unionByName(

@@ -463,6 +463,16 @@ def run_upsert_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        # round 9: an upsert crashed between its delete and rename
+        # leaves the dest ABSENT with the merged table in staging —
+        # without recovery, the else-branch below would mistake that
+        # for an uninitialized lake and re-initialize it from ONE
+        # batch, silently losing the table
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+            recover_upsert_staging,
+        )
+
+        recover_upsert_staging(spark, lake_path)
         fs_path = spark._jvm.org.apache.hadoop.fs.Path(lake_path)  # noqa: SLF001
         fs = fs_path.getFileSystem(
             spark._jsc.hadoopConfiguration()  # noqa: SLF001

@@ -1196,3 +1196,78 @@ def test_rtbf_stream_uninitialized_lake_and_keep_last_guard(spark, tmp_path):
 
     with _pt.raises(ValueError, match="keep_last"):
         compact_batch_shards(spark, str(tmp_path / "x"), ["k"], keep_last=0)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: upsert's delete→rename crash window must self-heal — an
+# absent dest with a complete staging is a crashed COMMIT, not a fresh
+# lake.
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_crash_window_recovery(spark, tmp_path):
+    """Simulate a crash between upsert's delete and rename (dest
+    absent, complete merged table in staging): (a) the next direct
+    upsert completes the interrupted commit BEFORE applying its own
+    update; (b) run_upsert_stream does the same instead of
+    re-initializing the lake from one batch (the silent-data-loss
+    path); (c) a staging dir without _SUCCESS never qualifies."""
+    import shutil
+
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        recover_upsert_staging,
+        upsert,
+    )
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_upsert_stream,
+    )
+
+    lake = str(tmp_path / "lake")
+    staging = lake + "__upsert_staging"
+
+    def crash_state():
+        # the state upsert leaves when it dies after fs.delete(dest):
+        # staging holds the COMPLETE merged table, dest is gone
+        spark.createDataFrame(
+            [(1, 2, "a2"), (2, 1, "b")], "k long, v long, s string"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        shutil.rmtree(lake, ignore_errors=True)
+
+    # (a) direct upsert self-heals, then applies its update
+    crash_state()
+    upsert(
+        spark, lake,
+        spark.createDataFrame([(3, 1, "c")], "k long, v long, s string"),
+        ["k"], "v",
+    )
+    got = {r["k"]: (r["v"], r["s"]) for r in spark.read.parquet(lake).collect()}
+    assert got == {1: (2, "a2"), 2: (1, "b"), 3: (1, "c")}
+
+    # (b) the streaming CDC apply: pre-fix this branch saw "no lake"
+    # and initialized from the batch alone, losing rows 1 and 2
+    crash_state()
+    indir = tmp_path / "updates"
+    indir.mkdir()
+    spark.createDataFrame(
+        [(2, 5, "b5")], "k long, v long, s string"
+    ).coalesce(1).write.parquet(str(indir / "u0"))
+    stream = (
+        spark.readStream.schema("k long, v long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "*"))
+    )
+    q = run_upsert_stream(
+        spark, stream, lake, ["k"], "v", str(tmp_path / "ck"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: (r["v"], r["s"]) for r in spark.read.parquet(lake).collect()}
+    assert got == {1: (2, "a2"), 2: (5, "b5")}
+
+    # (c) torn staging (no _SUCCESS) never masquerades as a commit
+    shutil.rmtree(lake)
+    spark.createDataFrame(
+        [(9, 9, "x")], "k long, v long, s string"
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    (__import__("pathlib").Path(staging) / "_SUCCESS").unlink()
+    assert recover_upsert_staging(spark, lake) is False
