@@ -162,6 +162,7 @@ def compact(
     """
     import math
 
+    recover_staged_swap(spark, path)
     files_before, total = data_file_stats(spark, path)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
@@ -179,27 +180,38 @@ def compact(
     return files_before, files_after
 
 
-def recover_upsert_staging(spark: SparkSession, path: str) -> bool:
-    """Complete an upsert commit interrupted between its delete and
-    rename: if the destination is absent but the staging dir holds a
-    COMPLETE merged table (marked by the parquet committer's
+_SWAP_SUFFIXES = (
+    "__upsert_staging", "__compact_staging", "__optimize_staging",
+)
+
+
+def recover_staged_swap(spark: SparkSession, path: str) -> bool:
+    """Complete a stage→delete→rename table swap interrupted between
+    its delete and rename (upsert / compact / optimize_table all
+    commit this way): if the destination is absent but a staging dir
+    holds a COMPLETE table (marked by the parquet committer's
     ``_SUCCESS`` — a torn staging write never qualifies), rename it
     into place and return True.  Idempotent no-op otherwise.  Callers
     that treat an absent path as "uninitialized" MUST run this first,
-    or a crashed commit looks like a fresh lake (data loss)."""
+    or a crashed commit looks like a fresh lake (data loss).
+    Absent-dest + torn-staging is unreachable under the writers'
+    ordering (the delete only runs after a successful staging write),
+    so at most one recoverable staging can exist."""
     fs, hpath, jvm = _fs_and_path(spark, path)
-    spath = jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + "__upsert_staging"
-    )
-    if (
-        not fs.exists(hpath)
-        and fs.exists(spath)
-        and fs.exists(jvm.org.apache.hadoop.fs.Path(spath, "_SUCCESS"))
-    ):
-        if not fs.rename(spath, hpath):
-            raise IOError(f"upsert recovery failed: {spath} -> {hpath}")
-        return True
+    if fs.exists(hpath):
+        return False
+    for suffix in _SWAP_SUFFIXES:
+        spath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + suffix)
+        if fs.exists(spath) and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(spath, "_SUCCESS")
+        ):
+            if not fs.rename(spath, hpath):
+                raise IOError(
+                    f"staged-swap recovery failed: {spath} -> {hpath}"
+                )
+            return True
     return False
+
 
 
 def upsert(
@@ -229,7 +241,7 @@ def upsert(
     Crash recovery (round 9): the commit is stage → delete dest →
     rename, so a crash between the delete and the rename leaves the
     table ABSENT with the complete merged result still in staging.
-    :func:`recover_upsert_staging` (called here on entry, and by
+    :func:`recover_staged_swap` (called here on entry, and by
     ``run_upsert_stream`` before its first-batch check) completes the
     interrupted rename — without it, a streaming caller would mistake
     the absent dest for an uninitialized lake and silently
@@ -240,7 +252,7 @@ def upsert(
     """
     from pyspark.sql import Window as WU
 
-    recover_upsert_staging(spark, path)
+    recover_staged_swap(spark, path)
     current = spark.read.parquet(path)
     rows_before = current.count()
     tagged = current.withColumn("_src", F.lit(0)).unionByName(
@@ -612,8 +624,11 @@ def optimize_table(
 
     Returns {files_before, files_after, n_rows, manifest_path}. The
     rewrite is stage-and-swap (same pattern as compact) so readers
-    never see a half-written table; re-running is idempotent.
+    never see a half-written table; re-running is idempotent — and a
+    crash between the swap's delete and rename self-heals on the next
+    call (recover_staged_swap).
     """
+    recover_staged_swap(spark, path)
     df = spark.read.parquet(path)
     n_rows = df.count()
     files_before, total_bytes = data_file_stats(spark, path)

@@ -469,10 +469,10 @@ def run_upsert_stream(
         # for an uninitialized lake and re-initialize it from ONE
         # batch, silently losing the table
         from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
-            recover_upsert_staging,
+            recover_staged_swap,
         )
 
-        recover_upsert_staging(spark, lake_path)
+        recover_staged_swap(spark, lake_path)
         fs_path = spark._jvm.org.apache.hadoop.fs.Path(lake_path)  # noqa: SLF001
         fs = fs_path.getFileSystem(
             spark._jsc.hadoopConfiguration()  # noqa: SLF001

@@ -1215,7 +1215,7 @@ def test_upsert_crash_window_recovery(spark, tmp_path):
     import shutil
 
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
-        recover_upsert_staging,
+        recover_staged_swap,
         upsert,
     )
     from gcs_parquet_dataflow_spark.streaming.pipeline import (
@@ -1270,4 +1270,4 @@ def test_upsert_crash_window_recovery(spark, tmp_path):
         [(9, 9, "x")], "k long, v long, s string"
     ).coalesce(1).write.mode("overwrite").parquet(staging)
     (__import__("pathlib").Path(staging) / "_SUCCESS").unlink()
-    assert recover_upsert_staging(spark, lake) is False
+    assert recover_staged_swap(spark, lake) is False
