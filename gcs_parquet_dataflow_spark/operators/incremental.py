@@ -167,27 +167,41 @@ def compact_bloom_lake(spark: SparkSession, path: str) -> None:
     words is exact (the bloom_merge_equivalence oracle row's
     guarantee).
 
-    Crash safety: the fold is staged-and-renamed — a crash before the
-    swap leaves the lake untouched; a crash BETWEEN delete and rename
-    leaves it absent, which the parameter fence already self-heals
-    (absent lake + non-empty index → rebuild_bloom_from_index).  Never
-    an intermediate state that silently drops words (a partial bloom
+    Crash safety (tightened per ADVICE r9): the fold is staged-and-
+    renamed with the ``__bloom_compact_staging`` suffix REGISTERED in
+    ``parquet_lake._SWAP_SUFFIXES``, so the delete→rename window heals
+    by completing the rename (``recover_staged_swap``, called here and
+    by the ``dedup_batch_against_index`` fence) instead of a full
+    O(index) ``rebuild_bloom_from_index`` — and the orphaned staging
+    dir is consumed rather than leaked.  The (m_bits, k) meta file is
+    written INTO the staging before the swap, so no intermediate state
+    exists where the lake has words but no meta.  A failed rename
+    raises instead of silently leaving the lake absent.  Never an
+    intermediate state that silently drops words (a partial bloom
     means false negatives — duplicates accepted forever).  Run between
     stream/batch runs, like ``compact_batch_shards``."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        recover_staged_swap,
+    )
+
+    recover_staged_swap(spark, path)
     if not _path_exists(spark, path):
         return
     meta = read_bloom_meta(spark, path)
     folded = read_bloom(spark, path).localCheckpoint(eager=True)
     staging = path.rstrip("/") + "__bloom_compact_staging"
     folded.write.mode("overwrite").parquet(staging)
+    if meta is not None:
+        # meta travels inside the staging dir: the swap commits words
+        # and parameters together, atomically w.r.t. the rename
+        write_bloom_meta(spark, staging, meta["m_bits"], meta["k"])
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     spath = jvm.org.apache.hadoop.fs.Path(staging)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(hpath, True)
-    fs.rename(spath, hpath)
-    if meta is not None:
-        write_bloom_meta(spark, path, meta["m_bits"], meta["k"])
+    if not fs.rename(spath, hpath):
+        raise IOError(f"bloom compaction commit failed: {staging} -> {path}")
 
 
 def rebuild_bloom_from_index(
@@ -301,7 +315,15 @@ def dedup_batch_against_index(
     skip_index = False
     if bloom_path is not None:
         from gcs_parquet_dataflow_spark.operators.sketches import BLOOM_K
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+            recover_staged_swap,
+        )
 
+        # a crashed compact_bloom_lake swap leaves the lake absent with
+        # the fold (words + meta) in staging — completing the rename
+        # here costs one exists-check and avoids the O(index) rebuild
+        # the absent-lake branch would otherwise run
+        recover_staged_swap(spark, bloom_path)
         if not _path_exists(spark, bloom_path):
             if _path_exists(spark, index_path):
                 rebuild_bloom_from_index(

@@ -175,13 +175,24 @@ def compact(
     fs, hpath, jvm = _fs_and_path(spark, path)
     spath = jvm.org.apache.hadoop.fs.Path(staging)
     fs.delete(hpath, True)
-    fs.rename(spath, hpath)
+    if not fs.rename(spath, hpath):
+        # a silently-ignored False here leaves the table ABSENT with
+        # the result stranded in staging until the next recover call —
+        # fail loudly instead (ADVICE r9 on compact_bloom_lake; the
+        # same rule applied to every swap site)
+        raise IOError(f"compact commit failed: {staging} -> {path}")
     files_after, _ = data_file_stats(spark, path)
     return files_before, files_after
 
 
 _SWAP_SUFFIXES = (
     "__upsert_staging", "__compact_staging", "__optimize_staging",
+    # additive batch-shard lakes (streaming/pipeline.compact_batch_shards)
+    "__shards_compact_staging",
+    # ER golden log fold (streaming/pipeline.compact_golden_log)
+    "__golden_compact_staging",
+    # incremental-dedup bloom fold (operators/incremental.compact_bloom_lake)
+    "__bloom_compact_staging",
 )
 
 
@@ -271,7 +282,8 @@ def upsert(
     fs, hpath, jvm = _fs_and_path(spark, path)
     spath = jvm.org.apache.hadoop.fs.Path(staging)
     fs.delete(hpath, True)
-    fs.rename(spath, hpath)
+    if not fs.rename(spath, hpath):
+        raise IOError(f"upsert commit failed: {staging} -> {path}")
     rows_after = spark.read.parquet(path).count()
     return rows_before, rows_after
 
@@ -650,7 +662,8 @@ def optimize_table(
     fs, hpath, jvm = _fs_and_path(spark, path)
     hstaging = jvm.org.apache.hadoop.fs.Path(staging)
     fs.delete(hpath, True)
-    fs.rename(hstaging, hpath)
+    if not fs.rename(hstaging, hpath):
+        raise IOError(f"optimize commit failed: {staging} -> {path}")
 
     manifest_path = path.rstrip("/") + "__manifest"
     mcols = stats_cols if stats_cols is not None else (sort_cols or [])

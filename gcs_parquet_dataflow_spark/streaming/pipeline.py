@@ -727,6 +727,15 @@ def run_heavy_hitter_stream(
     d_, w_ = depth or CM_DEPTH, width or CM_WIDTH
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # a crashed compact_batch_shards swap leaves these lakes absent
+        # with the folded history in staging — complete it before the
+        # batch-keyed append re-initializes the lake from one batch
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+            recover_staged_swap,
+        )
+
+        recover_staged_swap(spark, sketch_path)
+        recover_staged_swap(spark, candidates_path)
         sk = count_min_build(batch_df, key_col, depth=d_, width=w_)
         write_partitioned(sk, sketch_path, [], batch_id=batch_id,
                           coalesce_files=1)
@@ -829,6 +838,13 @@ def run_aqp_stream(
     varf = float((100 - pct) * 100) / float(pct * pct)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # complete a crashed compact_batch_shards swap before the
+        # append (same lesson as run_upsert_stream's first-batch fence)
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+            recover_staged_swap,
+        )
+
+        recover_staged_swap(spark, shards_path)
         samp = batch_df.filter(hash32(sample_key) % 100 < pct).select(
             group_col, value.alias("y")
         )
@@ -1142,12 +1158,17 @@ def run_rtbf_stream(
 
     A batch-keyed AUDIT table records (lake_root, n_keys,
     new_version) per lake — the compliance trail an erasure SLA is
-    measured against.  The audit partition doubles as the replay
-    fence: a batch whose audit partition already exists is a replay
-    of fully-applied work and SKIPS the lake commits (exactly-once in
-    the common case).  A crash BETWEEN the lake commits and the audit
-    write re-applies on replay — content-idempotent (deleting absent
-    keys is a no-op), it just commits an extra identical version; the
+    measured against.  The replay fence is an explicit ``_COMMITTED``
+    marker written inside the audit partition AFTER its write commits
+    (ADVICE r9: fencing on the bare partition directory let a torn
+    audit write — dir created, job crashed mid-commit — fence out the
+    replay forever, leaving the compliance trail permanently
+    incomplete for that batch).  A batch whose marker exists is a
+    replay of fully-applied work and SKIPS the lake commits
+    (exactly-once in the common case); a partition WITHOUT the marker
+    re-applies in full — content-idempotent (deleting absent keys is
+    a no-op; the batch-keyed dynamic overwrite rewrites the audit
+    partition), it just commits an extra identical version; the
     txn-id-in-commit-metadata upgrade that removes even that is what
     Delta's txn appIds add, documented not implemented.
 
@@ -1174,7 +1195,8 @@ def run_rtbf_stream(
         fs = fence.getFileSystem(
             spark._jsc.hadoopConfiguration()  # noqa: SLF001
         )
-        if fs.exists(fence):
+        marker = jvm.org.apache.hadoop.fs.Path(fence, "_COMMITTED")
+        if fs.exists(marker):
             return  # replay of a fully-applied batch
         keys = batch_df.select(key_col).distinct().localCheckpoint(
             eager=True
@@ -1203,6 +1225,10 @@ def run_rtbf_stream(
         write_partitioned(
             audit, audit_path, [], batch_id=batch_id, coalesce_files=1,
         )
+        # marker LAST: only a fully-committed audit partition fences
+        # out the replay (a crash anywhere above re-applies, which is
+        # safe; a crash here just rewrites an identical audit)
+        fs.create(marker, True).close()
 
     writer = (
         requests_stream.writeStream.foreachBatch(handle)
@@ -1240,8 +1266,23 @@ def compact_batch_shards(
     replay of the last (possibly uncommitted) batch still overwrites
     its OWN partition without its contribution also hiding inside a
     folded one — fold only what checkpoint replay can no longer
-    reach.  Run between stream runs, like :func:`compact_golden_log`."""
-    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
+    reach.  Run between stream runs, like :func:`compact_golden_log`.
+
+    Commit protocol (ADVICE r9): the fold is a single stage → delete →
+    rename swap of the WHOLE lake (folded partition + the untouched
+    ``keep_last`` partitions), never an in-place overwrite followed by
+    a prune — the in-place form had a non-self-healing window where a
+    crash between the fold write and the prune left BOTH the fold and
+    the folded partitions present, and SUM-across-partitions readers
+    double-counted them (re-running the compactor folded the
+    duplicates in permanently).  A crash between the swap's delete and
+    rename leaves the lake absent with the complete result in staging,
+    which ``recover_staged_swap`` (called here, and by the shard-lake
+    streaming writers before their first-batch read) completes."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        _fs_and_path,
+        recover_staged_swap,
+    )
 
     if keep_last < 1:
         # folding the newest partition would double-count against a
@@ -1249,6 +1290,7 @@ def compact_batch_shards(
         # its contribution inside the fold) — never allowed
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
 
+    recover_staged_swap(spark, path)
     df = spark.read.parquet(path)
     ids = sorted(
         r["_batch_id"]
@@ -1269,12 +1311,25 @@ def compact_batch_shards(
     else:
         # key-only feed (heavy-hitter candidates): readers distinct it
         folded = old.select(*key_cols).distinct()
-    folded = folded.localCheckpoint(eager=True)  # no scan of path
-    write_partitioned(
-        folded, path, [], batch_id=int(fold_ids[0]), coalesce_files=1,
+    folded = folded.withColumn(
+        "_batch_id", F.lit(int(fold_ids[0])).cast(dtypes["_batch_id"])
     )
-    keep = {int(i) for i in ids[len(fold_ids):]} | {int(fold_ids[0])}
-    _prune_batch_partitions(spark, path, keep)
+    kept = df.filter(
+        F.col("_batch_id").isin([int(i) for i in ids[len(fold_ids):]])
+    )
+    staging = path.rstrip("/") + "__shards_compact_staging"
+    (
+        kept.unionByName(folded.select(*kept.columns))
+        .repartition("_batch_id")  # one writer task per partition dir
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .parquet(staging)
+    )
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(hpath, True)
+    if not fs.rename(spath, hpath):
+        raise IOError(f"shard compaction commit failed: {staging} -> {path}")
 
 
 def compact_golden_log(spark: SparkSession, golden_path: str) -> None:
@@ -1285,7 +1340,22 @@ def compact_golden_log(spark: SparkSession, golden_path: str) -> None:
     entity's complete merged state at its batch), so a stream restart
     reads the compacted lake identically — and the read-side window
     shrinks back to |entities| rows.  Run BETWEEN stream runs, like
-    ``linkage.recluster_members`` for the members lake."""
+    ``linkage.recluster_members`` for the members lake.
+
+    Commit protocol (round 10): stage → delete → rename of the whole
+    lake, like :func:`compact_batch_shards` — the earlier in-place
+    dynamic overwrite of the LIVE newest partition meant a torn fold
+    write could lose that partition's original entity states with no
+    recovery path (the folded copy and the original lived in the same
+    directory).  The delete→rename window self-heals via
+    ``recover_staged_swap`` (called here and by the ER stream's
+    golden-lake fence)."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        _fs_and_path,
+        recover_staged_swap,
+    )
+
+    recover_staged_swap(spark, golden_path)
     df = spark.read.parquet(golden_path)
     latest = df.agg(F.max("_batch_id")).collect()[0][0]
     if latest is None:
@@ -1293,21 +1363,27 @@ def compact_golden_log(spark: SparkSession, golden_path: str) -> None:
     from pyspark.sql import Window as WL
 
     wl = WL.partitionBy("entity_id").orderBy(F.col("_batch_id").desc())
-    # localCheckpoint: the folded plan scans golden_path, which the
-    # write below overwrites — cut the lineage first (the ADVICE r6
-    # overwrite-while-reading discipline)
+    dtypes = dict(df.dtypes)
     folded = (
         df.withColumn("_rn", F.row_number().over(wl))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_batch_id")
-        .localCheckpoint(eager=True)
+        .drop("_rn")
+        .withColumn("_batch_id", F.lit(int(latest)).cast(dtypes["_batch_id"]))
     )
-    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
-
-    write_partitioned(
-        folded, golden_path, [], batch_id=int(latest), coalesce_files=1,
+    staging = golden_path.rstrip("/") + "__golden_compact_staging"
+    (
+        folded.coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .parquet(staging)
     )
-    _prune_batch_partitions(spark, golden_path, {int(latest)})
+    fs, hpath, jvm = _fs_and_path(spark, golden_path)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(hpath, True)
+    if not fs.rename(spath, hpath):
+        raise IOError(
+            f"golden-log compaction commit failed: {staging} -> {golden_path}"
+        )
 
 
 def run_incremental_er_stream(
@@ -1434,6 +1510,15 @@ def run_incremental_er_stream(
             return
         batch = persist_intermediate(batch_df.select(id_col, *attrs))
 
+        # a crashed compact_golden_log swap leaves the golden lake
+        # absent with the fold in staging — complete it, or this fence
+        # mistakes the crash for a first batch and re-resolves against
+        # an empty entity table (the upsert-stream data-loss class)
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+            recover_staged_swap,
+        )
+
+        recover_staged_swap(spark, golden_path)
         fs_path = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
             golden_path
         )
