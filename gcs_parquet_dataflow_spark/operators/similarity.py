@@ -346,21 +346,62 @@ def cosine_dup_pairs(
     planes: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size=None,
+    plane_tables: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucketed candidate join +
     exact cosine filter. → (id_a, id_b, cos) with cos ≥ threshold,
-    id_a < id_b. Same-bucket-only recall, |bucket|²-bounded cost."""
-    planes = planes if planes is not None else hyperplanes()
-    keyed = persist_intermediate(ensure_parallelism(df.select(
+    id_a < id_b. Same-bucket-only recall, Σ min(|bucket|, cap)²-bounded
+    cost.
+
+    ``max_bucket_size`` arms the hot-bucket guard
+    (:func:`operators.dedup.cap_hot_buckets` — int fixed cap, ``"auto"``
+    / :class:`AutoCap`, or :class:`PairBudgetCap` with a saturation
+    :class:`CapReport`): with a FIXED plane count the per-bucket
+    population grows linearly with corpus size, so the uncapped
+    self-join is Θ(n²/2^planes) — and a degenerate embedding cluster
+    (all-zero vectors, boilerplate-template embeddings) concentrates in
+    ONE bucket exactly like the boilerplate-shingle LSH case. A bucket
+    that hot carries no discriminative signal; capped members still
+    meet through other tables when ``plane_tables`` is armed.
+
+    ``plane_tables`` is the recall dial for higher plane counts: L
+    independent plane sets (e.g. ``[hyperplanes(seed=13),
+    hyperplanes(seed=14)]``). More planes per table → smaller buckets →
+    cheaper join but lower recall; repeating tables buys the recall
+    back at ≤L× candidate cost (classic multi-table LSH). Candidates
+    are the union over tables; a pair found in several tables is
+    emitted once (distinct over the deterministic (id_a, id_b, cos)
+    triple). Single-table output is exactly the original semantics —
+    ``cosine_dup_pairs(df, t, planes=P)`` ≡ ``plane_tables=[P]``.
+    """
+    from gcs_parquet_dataflow_spark.operators.dedup import cap_hot_buckets
+
+    if plane_tables is None:
+        plane_tables = [planes if planes is not None else hyperplanes()]
+    elif planes is not None:
+        raise ValueError("pass planes or plane_tables, not both")
+    keyed = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
-    )))
+        F.posexplode(
+            F.array(*[
+                hyperplane_bucket(F.col(vec_col), ps) for ps in plane_tables
+            ])
+        ).alias("_t", "_bucket"),
+    )
+    if max_bucket_size is not None:
+        keyed = cap_hot_buckets(
+            keyed, ["_t", "_bucket"], max_bucket_size,
+            metric_name="cosine_buckets",
+        )
+    keyed = persist_intermediate(ensure_parallelism(keyed))
     a, b = keyed.alias("a"), keyed.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
-            (F.col("a._bucket") == F.col("b._bucket"))
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
         .select(
@@ -370,6 +411,11 @@ def cosine_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+    if len(plane_tables) > 1:
+        # same pair via several tables: dedupe once, deterministically
+        # (cos is a pure function of the pair, so the triple is unique)
+        pairs = pairs.distinct()
+    return pairs
 
 
 def build_ivf_index(

@@ -36,7 +36,15 @@ from gcs_parquet_dataflow_spark.queries.catalog import cents, query, t
 P = DD.MERSENNE_PRIME
 PERMS = DD.minhash_perms(num_perm=16, seed=7)
 PLANES = SIM.hyperplanes(n_planes=8, dim=64, seed=13)
+# second LSH table for the multi-table recall dial (seed is the only
+# difference — same generator, so both tables inline into oracle SQL)
+PLANES2 = SIM.hyperplanes(n_planes=8, dim=64, seed=14)
 COS_DUP_THRESHOLD = 0.98
+# hot-bucket cap for every cosine_dup_pairs call site: the sf0.1
+# fixture's largest hyperplane bucket is 24 members (10× headroom), so
+# capped ≡ uncapped on clean data — the no-op proof the *_capped oracle
+# rows pin; a degenerate cluster (tests/test_round10) trips it.
+COS_BUCKET_CAP = 256
 JACCARD_THRESHOLD = 0.5
 
 
@@ -85,10 +93,16 @@ def _vec_lit_sql(v: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in v) + "]"
 
 
-BUCKET_SQL = "CAST(" + " + ".join(
-    f"CASE WHEN list_dot_product(v, {_vec_lit_sql(p)}) > 0 THEN {2**i} ELSE 0 END"
-    for i, p in enumerate(PLANES)
-) + " AS BIGINT)"
+def _bucket_sql(planes: list[list[float]]) -> str:
+    return "CAST(" + " + ".join(
+        f"CASE WHEN list_dot_product(v, {_vec_lit_sql(p)}) > 0"
+        f" THEN {2**i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    ) + " AS BIGINT)"
+
+
+BUCKET_SQL = _bucket_sql(PLANES)
+BUCKET2_SQL = _bucket_sql(PLANES2)
 
 COS_SQL = (
     "round(list_dot_product({a}.v, {b}.v) / "
@@ -409,7 +423,8 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     the background maxes at ~0.51 — a wide, deterministic margin."""
     aug = _planted_embeddings(spark, sf_dir)
     return SIM.cosine_dup_pairs(
-        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v"
+        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v",
+        max_bucket_size=COS_BUCKET_CAP,
     )
 
 
@@ -1694,7 +1709,8 @@ def dedup_embedding_clusters(spark, sf_dir):
     2-node component with its source; cluster id = min vec_id)."""
     aug = _planted_embeddings(spark, sf_dir)
     pairs = SIM.cosine_dup_pairs(
-        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v"
+        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v",
+        max_bucket_size=COS_BUCKET_CAP,
     )
     return DD.connected_components(
         aug.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
@@ -3201,7 +3217,8 @@ def embedding_cluster_centroids(spark, sf_dir):
     size."""
     aug = _planted_embeddings(spark, sf_dir)
     pairs = SIM.cosine_dup_pairs(
-        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v"
+        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v",
+        max_bucket_size=COS_BUCKET_CAP,
     )
     comp = DD.connected_components(
         aug.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
@@ -5750,7 +5767,8 @@ def dedup_semantic_keep_centroid_closest(spark, sf_dir):
     0 to their own centroid)."""
     aug = _planted_embeddings(spark, sf_dir)
     pairs = SIM.cosine_dup_pairs(
-        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v"
+        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v",
+        max_bucket_size=COS_BUCKET_CAP,
     )
     comp = DD.connected_components(
         aug.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
@@ -17047,3 +17065,83 @@ def privacy_dp_thresholded_release(spark, sf_dir):
         group_cap=_DP_COUNT_GCAP,
         threshold=_DP_THRESH,
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round 10 (VERDICT r9 item 1): the cosine candidate generator joins the
+# hot-bucket guard family — capped + multi-table recall-dial oracle rows.
+# ---------------------------------------------------------------------------
+
+_EMB_AUG_CTES = """
+    e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aug AS (SELECT vec_id, v FROM e0
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(v, x -> x + 0.01)
+            FROM e0 WHERE vec_id % 25 = 0)
+"""
+
+
+@query(
+    "dedup_embedding_cosine_pairs_capped",
+    f"""
+    WITH {_EMB_AUG_CTES},
+    b AS (SELECT vec_id, v, {BUCKET_SQL} AS bucket FROM aug),
+    p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 {COS_SQL.format(a="a", b="b2")} AS cos
+          FROM b a JOIN b b2
+            ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT * FROM p WHERE cos >= {COS_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine_pairs_capped(spark, sf_dir):
+    """Hot-bucket guard no-op proof for the COSINE candidate generator
+    (VERDICT r9: the last uncapped quadratic-in-bucket path): same
+    bucketed-join-plus-exact-filter oracle as
+    dedup_embedding_cosine_pairs, but with the distribution-tracking
+    AutoCap armed — it resolves to max(16, ⌈p99×4⌉) ≈ 24 (sf0.01) /
+    ≈ 84 (sf0.1), both clear of the largest fixture bucket, so
+    capped ≡ uncapped must hold hash-exactly and a saturation
+    CapReport is appended.  The adversarial half (a planted degenerate
+    all-near-zero embedding cluster stays bounded, true-pair recall
+    intact through the second table) is tests/test_round10.py."""
+    aug = _planted_embeddings(spark, sf_dir)
+    return SIM.cosine_dup_pairs(
+        aug, COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id",
+        vec_col="v", max_bucket_size=DD.AutoCap(),
+    )
+
+
+@query(
+    "dedup_embedding_cosine_pairs_multitable",
+    f"""
+    WITH {_EMB_AUG_CTES},
+    b AS (SELECT vec_id, v, {BUCKET_SQL} AS bucket1,
+                 {BUCKET2_SQL} AS bucket2 FROM aug),
+    p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 {COS_SQL.format(a="a", b="b2")} AS cos
+          FROM b a JOIN b b2
+            ON a.bucket1 = b2.bucket1 AND a.vec_id < b2.vec_id
+          UNION
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 {COS_SQL.format(a="a", b="b2")} AS cos
+          FROM b a JOIN b b2
+            ON a.bucket2 = b2.bucket2 AND a.vec_id < b2.vec_id)
+    SELECT * FROM p WHERE cos >= {COS_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine_pairs_multitable(spark, sf_dir):
+    """The multi-table recall dial, oracle-pinned: candidates are the
+    UNION over two independent hyperplane tables (seeds 13 and 14 —
+    the only free parameter of the generator), each capped per
+    (table, bucket), pairs deduped once on the deterministic
+    (id_a, id_b, cos) triple (SQL UNION ≡ Spark distinct).  More
+    planes per table shrink buckets (cost ↓, recall ↓); repeated
+    tables buy recall back at ≤L× candidate cost — the standard
+    multi-table LSH trade, here differentially checkable.  Output is
+    a SUPERSET of the single-table row's pairs by construction
+    (asserted in tests/test_round10.py)."""
+    aug = _planted_embeddings(spark, sf_dir)
+    return SIM.cosine_dup_pairs(
+        aug, COS_DUP_THRESHOLD, id_col="vec_id", vec_col="v",
+        max_bucket_size=COS_BUCKET_CAP, plane_tables=[PLANES, PLANES2],
+    )

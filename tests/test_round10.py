@@ -1,0 +1,180 @@
+"""Round-10 tests: the cosine candidate generator joins the hot-bucket
+guard family (VERDICT r9 item 1) — planted degenerate-embedding-cluster
+bomb, cap no-op identity, AutoCap saturation report, and the
+multi-table recall dial's semantic identities."""
+
+from __future__ import annotations
+
+import random
+
+from gcs_parquet_dataflow_spark.operators import similarity as SIM
+from gcs_parquet_dataflow_spark.operators.dedup import (
+    AutoCap,
+    cap_reports,
+)
+
+DIM = 16
+P1 = SIM.hyperplanes(n_planes=6, dim=DIM, seed=13)
+P2 = SIM.hyperplanes(n_planes=6, dim=DIM, seed=14)
+THRESHOLD = 0.98
+
+
+def _mixed_corpus():
+    """40-member degenerate cluster (IDENTICAL vectors — the all-zero /
+    boilerplate-template case embedding_norm_audit exists to catch,
+    landing in ONE bucket by construction) + 5 planted true near-dup
+    twin pairs (v, v+0.01 → cos ≈ 0.999) on random distinct directions
+    + 30 random background vectors (pairwise cos far below 0.98 in
+    16-dim)."""
+    rng = random.Random(41)
+    rows = []
+    base = [round(rng.uniform(-1, 1), 6) for _ in range(DIM)]
+    for i in range(40):
+        rows.append((i, list(base)))
+    true_pairs = set()
+    for j in range(5):
+        v = [round(rng.uniform(-1, 1), 6) for _ in range(DIM)]
+        rows.append((100 + 2 * j, v))
+        rows.append((101 + 2 * j, [x + 0.01 for x in v]))
+        true_pairs.add((100 + 2 * j, 101 + 2 * j))
+    for i in range(30):
+        rows.append((200 + i, [round(rng.uniform(-1, 1), 6) for _ in range(DIM)]))
+    return rows, true_pairs
+
+
+def _pairs(df, **kw):
+    return {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_dup_pairs(
+            df, THRESHOLD, id_col="vec_id", vec_col="v", **kw
+        ).collect()
+    }
+
+
+def test_cosine_hot_bucket_cap_bounds_candidates_and_keeps_recall(spark):
+    """The degenerate cluster alone contributes C(40,2)=780 pairs
+    uncapped; with the cap armed its bucket is excluded and every
+    planted true pair is still found through its own cold bucket."""
+    rows, true_pairs = _mixed_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>").persist()
+    uncapped = _pairs(df, planes=P1)
+    capped = _pairs(df, planes=P1, max_bucket_size=10)
+    df.unpersist()
+    assert true_pairs <= uncapped
+    assert len(uncapped) >= 780 + len(true_pairs)
+    assert true_pairs <= capped
+    assert len(capped) < 40  # the 780 cluster pairs are gone
+
+
+def test_cosine_autocap_excludes_cluster_and_reports(spark):
+    """AutoCap resolves from the observed distribution so the planted
+    cluster is guarded without a hand-picked cap, and the saturation
+    CapReport lands.  quantile=0.9 here because the test corpus has
+    only ~24 occupied buckets — at that size the single hot bucket IS
+    the p99, so the default q=0.99 would track it (at fixture scale
+    with hundreds of buckets the default excludes lone outliers,
+    which is what the oracle rows use)."""
+    rows, true_pairs = _mixed_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>").persist()
+    n_before = len(cap_reports())
+    capped = _pairs(df, planes=P1, max_bucket_size=AutoCap(quantile=0.9))
+    df.unpersist()
+    reports = cap_reports()
+    assert len(reports) == n_before + 1
+    rep = reports[-1]
+    assert rep.metric_name == "cosine_buckets"
+    assert rep.n_hot_buckets >= 1
+    assert rep.n_dropped_rows >= 40
+    assert true_pairs <= capped
+    assert len(capped) < 40
+
+
+def test_cosine_cap_is_noop_without_hot_buckets(spark):
+    """Fixed cap above every bucket size must not change a single pair
+    or score — the invariant the *_capped oracle rows pin at fixture
+    scale."""
+    rows, _ = _mixed_corpus()
+    df = spark.createDataFrame(
+        [r for r in rows if r[0] >= 100], "vec_id long, v array<double>"
+    ).persist()
+    plain = sorted(
+        map(tuple, SIM.cosine_dup_pairs(
+            df, THRESHOLD, planes=P1, id_col="vec_id", vec_col="v"
+        ).collect())
+    )
+    capped = sorted(
+        map(tuple, SIM.cosine_dup_pairs(
+            df, THRESHOLD, planes=P1, id_col="vec_id", vec_col="v",
+            max_bucket_size=10,
+        ).collect())
+    )
+    df.unpersist()
+    assert plain == capped
+    assert plain  # non-vacuous: the 5 twin pairs are present
+
+
+def test_cosine_multitable_is_union_of_single_tables(spark):
+    """plane_tables=[P1, P2] ≡ distinct(pairs(P1) ∪ pairs(P2)) — the
+    dial's exact semantics, so single-table output is always a subset
+    (recall is monotone in the number of tables)."""
+    rows, _ = _mixed_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>").persist()
+    t1 = _pairs(df, planes=P1)
+    t2 = _pairs(df, planes=P2)
+    both = _pairs(df, plane_tables=[P1, P2])
+    df.unpersist()
+    assert both == t1 | t2
+    assert t1 <= both and t2 <= both
+
+
+def test_cosine_multitable_recovers_pair_capped_away_in_one_table(spark):
+    """The recall argument for cap+multi-table composition: a true pair
+    planted INSIDE the table-1 hot bucket is lost when table 1's bucket
+    is capped, and recovered through table 2 whenever the pair's
+    table-2 bucket is cold (near-identical vectors share buckets in
+    every table, so the pair itself always co-locates — only crowd
+    size differs per table).  The planted crowd is built to be hot in
+    table 1 only: crowd members are spread across table-2 buckets by
+    construction check, else the test corpus is regenerated."""
+    rng = random.Random(43)
+    # twin pair: v and v+0.01 (cos ≈ 0.999)
+    v = [round(rng.uniform(-1, 1), 6) for _ in range(DIM)]
+    twin = [x + 0.01 for x in v]
+
+    def bucket(vec, planes):
+        return sum(
+            2 ** i
+            for i, p in enumerate(planes)
+            if sum(a * b for a, b in zip(vec, p)) > 0
+        )
+
+    # crowd: vectors sharing the pair's table-1 bucket but spread over
+    # table-2 buckets — rejection-sample directions until 30 found
+    b1 = bucket(v, P1)
+    crowd = []
+    while len(crowd) < 30:
+        c = [round(rng.uniform(-1, 1), 6) for _ in range(DIM)]
+        if bucket(c, P1) == b1:
+            crowd.append(c)
+    # the pair's table-2 bucket must be cold (< cap) for recovery
+    b2 = bucket(v, P2)
+    n_same_b2 = sum(1 for c in crowd if bucket(c, P2) == b2)
+    assert n_same_b2 < 8, "corpus degenerate in table 2 too; reseed"
+    rows = [(0, v), (1, twin)] + [(10 + i, c) for i, c in enumerate(crowd)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>").persist()
+    single = _pairs(df, planes=P1, max_bucket_size=10)
+    multi = _pairs(df, plane_tables=[P1, P2], max_bucket_size=10)
+    df.unpersist()
+    assert (0, 1) not in single  # capped away with only table 1
+    assert (0, 1) in multi  # recovered through table 2
+
+
+def test_cosine_planes_and_plane_tables_are_exclusive(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, [0.1] * DIM)], "vec_id long, v array<double>")
+    with pytest.raises(ValueError):
+        SIM.cosine_dup_pairs(
+            df, THRESHOLD, planes=P1, plane_tables=[P1, P2],
+            id_col="vec_id", vec_col="v",
+        )

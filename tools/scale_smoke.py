@@ -599,6 +599,68 @@ def main() -> None:
 
         timed("media_jpeg_decode_amplified", jpeg_amp)
 
+        # round-10 (VERDICT r9 item 1): the cosine candidate generator's
+        # hot-bucket guard at ×factor — (a) the AutoCap-armed catalog row
+        # over amplified embeddings (cap must stay a no-op: buckets grow
+        # ~uniformly), (b) a planted 2000-member degenerate cluster (the
+        # all-identical-embedding bomb) uncapped vs capped: uncapped pays
+        # the C(2000,2)≈2M-pair join, AutoCap excludes the bucket and the
+        # planted twins elsewhere survive.
+        from gcs_parquet_dataflow_spark.operators import similarity as SIM
+        from gcs_parquet_dataflow_spark.queries.extensions import (
+            COS_DUP_THRESHOLD,
+            PLANES,
+        )
+
+        def cosine_capped_amp():
+            rows["cosine_pairs_capped_rows"] = (
+                CATALOG["dedup_embedding_cosine_pairs_capped"]
+                .build(spark, out_dir)
+                .count()
+            )
+            rep = last_cap_report()
+            rows["cosine_cap_amplified"] = {
+                "cap": rep.cap,
+                "n_hot_buckets": rep.n_hot_buckets,
+                "n_dropped_rows": rep.n_dropped_rows,
+            }
+
+        timed("dedup_embedding_cosine_pairs_capped_amplified",
+              cosine_capped_amp)
+
+        emb_amp = spark.read.parquet(f"{out_dir}/embeddings.parquet")
+        dim = len(emb_amp.select("embedding").first()[0])
+        bomb = spark.range(2000).select(
+            (F.col("id") + 900_000_000).alias("vec_id"),
+            F.array(*[F.lit(0.5)] * dim).alias("v"),
+        )
+        bombed = emb_amp.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).unionByName(bomb)
+
+        def cosine_bomb_uncapped():
+            rows["cosine_bomb_uncapped_pairs"] = SIM.cosine_dup_pairs(
+                bombed, COS_DUP_THRESHOLD, planes=PLANES,
+                id_col="vec_id", vec_col="v",
+            ).count()
+
+        timed("cosine_bomb_uncapped", cosine_bomb_uncapped)
+
+        def cosine_bomb_capped():
+            rows["cosine_bomb_capped_pairs"] = SIM.cosine_dup_pairs(
+                bombed, COS_DUP_THRESHOLD, planes=PLANES,
+                id_col="vec_id", vec_col="v",
+                max_bucket_size=DD.AutoCap(),
+            ).count()
+            rep = last_cap_report()
+            rows["cosine_bomb_cap"] = {
+                "cap": rep.cap,
+                "n_hot_buckets": rep.n_hot_buckets,
+                "n_dropped_rows": rep.n_dropped_rows,
+            }
+
+        timed("cosine_bomb_capped", cosine_bomb_capped)
+
         print(
             json.dumps(
                 {
