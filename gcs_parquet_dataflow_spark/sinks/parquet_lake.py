@@ -519,6 +519,17 @@ def read_skipping(
 
     Only FILE NAMES are collected to the driver (the same contract as
     plan_batch's file listing) — data never leaves the executors.
+
+    Stale-manifest degradation (round-10 crash-window adjudication):
+    ``optimize_table`` commits the data swap BEFORE rewriting the
+    manifest, so a crash between the two leaves a manifest whose file
+    paths were deleted by the rewrite. Planning validates the pruned
+    hit list (one ``fs.exists`` per HIT — manifest-sized, never
+    data-sized) and falls back to the exact unpruned predicate scan
+    when any hit is gone: the read stays CORRECT (just unpruned) until
+    the next ``optimize_table`` heals the manifest, instead of failing
+    on deleted paths — and never silently wrong, because parquet part
+    file names are uuid-unique so a stale path can't alias a live file.
     """
     hits = (
         stats.filter(
@@ -530,13 +541,14 @@ def read_skipping(
     )
     files = [r["file"] for r in hits]
     base = spark.read.parquet(path)
+    predicate = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if not files:
         return base.filter(F.lit(False))
-    return (
-        spark.read.schema(base.schema)
-        .parquet(*files)
-        .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
-    )
+    fs, _, jvm = _fs_and_path(spark, path)
+    for f in files:
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f)):
+            return base.filter(predicate)  # stale manifest: exact scan
+    return spark.read.schema(base.schema).parquet(*files).filter(predicate)
 
 
 def delete_keys(
