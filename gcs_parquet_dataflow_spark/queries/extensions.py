@@ -17145,3 +17145,43 @@ def dedup_embedding_cosine_pairs_multitable(spark, sf_dir):
         aug, COS_DUP_THRESHOLD, id_col="vec_id", vec_col="v",
         max_bucket_size=COS_BUCKET_CAP, plane_tables=[PLANES, PLANES2],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 (VERDICT r9 item 4): N-dimensional Z-order layout key.
+# ---------------------------------------------------------------------------
+
+from gcs_parquet_dataflow_spark.sinks.parquet_lake import (  # noqa: E402
+    zorder_key_n_sql as _znsql,
+)
+
+
+@query(
+    "layout_zorder_key_3d",
+    f"""
+    WITH s AS (SELECT o_orderkey,
+                      CAST(o_custkey AS BIGINT) AS x,
+                      CAST(datediff('day', DATE '1992-01-01',
+                                    CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+                      CAST(round(o_totalprice*100) AS BIGINT) AS w
+               FROM orders)
+    SELECT o_orderkey, {_znsql(['x', 'y', 'w'], 16)} AS zkey FROM s
+    """,
+)
+def layout_zorder_key_3d(spark, sf_dir):
+    """N-dimensional Morton key (VERDICT r9 item 4: production layout
+    keys routinely need 3-4 dimensions — source × lang × date): the
+    3-column form over (customer, order-day, price-cents), bit i of
+    column j at position i·3+j, 48 bits total.  Behind
+    sinks/parquet_lake.write_zordered(cols=[...]) and
+    optimize_table(zorder_by=[...]); per-file bounding-box pruning on
+    ALL THREE dimensions is pinned by tests/test_round10.py.  The
+    2-column row (layout_zorder_key) is unchanged — zorder_key is now
+    a wrapper over the N-ary form with identical bit placement."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import zorder_key_n
+
+    o = t(spark, sf_dir, "orders")
+    x = F.col("o_custkey").cast("long")
+    y = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).cast("long")
+    w = cents(F.col("o_totalprice"))
+    return o.select("o_orderkey", zorder_key_n([x, y, w], 16).alias("zkey"))

@@ -288,55 +288,100 @@ def upsert(
     return rows_before, rows_after
 
 
-def zorder_key(x, y, bits: int = 16):
-    """Z-order (Morton) key of two non-negative integer columns: the low
-    ``bits`` bits of each, interleaved (x → even positions, y → odd).
-    Rows sorted by the key cluster in BOTH dimensions, so parquet
-    min/max zones prune scans filtered on either column — the
-    multi-dimensional analog of write_sorted's single-key layout.
+def zorder_key_n(cols, bits: int = 16):
+    """N-dimensional Z-order (Morton) key: the low ``bits`` bits of
+    each of N non-negative integer columns, round-robin interleaved
+    (bit ``i`` of column ``j`` lands at position ``i·N + j``).  Rows
+    sorted by the key cluster in ALL N dimensions, so parquet min/max
+    zones prune scans filtered on ANY of the columns — production
+    layout keys routinely need 3-4 dimensions (source × lang × date),
+    which the 2-column form couldn't express (VERDICT r9 item 4).
 
     Pure bit arithmetic (codegen'd; identical in any engine — the
-    DuckDB twin is the same shift/mask sum), columns are truncated
-    mod 2**bits first.
+    DuckDB twin :func:`zorder_key_n_sql` is the same shift/mask sum);
+    columns are truncated mod 2**bits first.  ``N·bits`` must fit a
+    signed 64-bit key (≤ 63); at fixed key width, more dimensions
+    means coarser per-dimension resolution — the standard Morton
+    trade (Delta's OPTIMIZE ZORDER makes the same one via range ids,
+    which is what :func:`write_zordered_ranked` layers on top).
     """
     from pyspark.sql import Column
 
-    assert isinstance(x, Column) and isinstance(y, Column)
+    n = len(cols)
+    assert n >= 1 and all(isinstance(c, Column) for c in cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns × {bits} bits = {n * bits} exceeds the 63-bit "
+            f"key budget; lower bits to ≤ {63 // n}"
+        )
     m = F.lit(2**bits)
-    xm, ym = (x.cast("long") % m), (y.cast("long") % m)
+    mods = [c.cast("long") % m for c in cols]
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z + F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
-        z = z + F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        for j, cm in enumerate(mods):
+            z = z + F.shiftleft(
+                F.shiftright(cm, i).bitwiseAND(F.lit(1)), i * n + j
+            )
     return z
 
 
-def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
-    """The DuckDB-SQL twin of :func:`zorder_key` (single source kept
+def zorder_key_n_sql(cols: list[str], bits: int = 16) -> str:
+    """The DuckDB-SQL twin of :func:`zorder_key_n` (single source kept
     adjacent so the two stay in lockstep)."""
+    n = len(cols)
     m = 2**bits
     terms = []
     # every term fully parenthesized: DuckDB's << binds LOOSER than +,
     # so an unparenthesized "a << 2 + b << 3" chain shifts by the sum
     for i in range(bits):
-        terms.append(f"(((({x}) % {m}) >> {i}) & 1) << {2 * i}")
-        terms.append(f"(((({y}) % {m}) >> {i}) & 1) << {2 * i + 1}")
+        for j, c in enumerate(cols):
+            terms.append(f"(((({c}) % {m}) >> {i}) & 1) << {i * n + j}")
     return "CAST(" + " + ".join(f"({t})" for t in terms) + " AS BIGINT)"
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Two-column Z-order key — the original form, now a thin wrapper
+    over :func:`zorder_key_n` (bit placement is identical: x → even
+    positions, y → odd)."""
+    return zorder_key_n([x, y], bits)
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """The DuckDB-SQL twin of :func:`zorder_key`."""
+    return zorder_key_n_sql([x, y], bits)
+
+
+def _as_col_list(x_col, y_col) -> list[str]:
+    """Column-list normalization shared by the z-order writers: the
+    first positional arg may be a list (N-dimensional form) or the
+    legacy (x_col, y_col) string pair."""
+    if isinstance(x_col, (list, tuple)):
+        if y_col is not None:
+            raise ValueError("pass a column list OR (x_col, y_col), not both")
+        return list(x_col)
+    if y_col is None:
+        raise ValueError("y_col required when x_col is a single column")
+    return [x_col, y_col]
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    x_col: str,
-    y_col: str,
+    x_col,
+    y_col: str | None = None,
     bits: int = 16,
     n_files: int | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Two-dimensional clustering: range-partition + sort by the Morton
-    key of (x_col, y_col), then drop the key — readers filtering on
-    either column skip most files via footer zones."""
-    keyed = df.withColumn("_zkey", zorder_key(F.col(x_col), F.col(y_col), bits))
+    """Multi-dimensional clustering: range-partition + sort by the
+    Morton key of the given columns, then drop the key — readers
+    filtering on ANY of the columns skip most files via footer zones.
+    ``x_col`` may be a list of N column names (``["src", "lang",
+    "day"]``) or the legacy ``(x_col, y_col)`` pair."""
+    cols = _as_col_list(x_col, y_col)
+    keyed = df.withColumn(
+        "_zkey", zorder_key_n([F.col(c) for c in cols], bits)
+    )
     parted = (
         keyed.repartitionByRange(n_files, "_zkey")
         if n_files
@@ -576,11 +621,31 @@ def delete_keys(
     return write_version(spark, root, remaining)
 
 
+def _rank_zorder_keyed(df: DataFrame, cols: list[str], bits: int):
+    """(df + ``_zkey``) over RANK buckets: each dimension equi-depth
+    bucketed into 2^bits bins via ntile over its own order, bucket ids
+    Morton-interleaved.  Shared by :func:`write_zordered_ranked` and
+    ``optimize_table(zorder_by=...)``."""
+    from pyspark.sql import Window as W
+
+    nb = 2**bits
+    bcols = []
+    for i, c in enumerate(cols):
+        bname = f"_zb{i}"
+        df = df.withColumn(
+            bname, (F.ntile(nb).over(W.orderBy(F.col(c))) - 1).cast("long")
+        )
+        bcols.append(bname)
+    return df.withColumn(
+        "_zkey", zorder_key_n([F.col(b) for b in bcols], bits)
+    ).drop(*bcols)
+
+
 def write_zordered_ranked(
     df: DataFrame,
     path: str,
-    x_col: str,
-    y_col: str,
+    x_col,
+    y_col: str | None = None,
     bits: int = 8,
     n_files: int | None = None,
     mode: str = "overwrite",
@@ -588,34 +653,26 @@ def write_zordered_ranked(
     """Z-order layout over RANK buckets instead of raw values: each
     dimension is first equi-depth-bucketed into 2^bits bins via ntile
     over its own order, then the bucket ids are Morton-interleaved.
+    ``x_col`` may be a list of N column names or the legacy
+    ``(x_col, y_col)`` pair (N·bits ≤ 63 — at fixed key width more
+    dimensions means coarser per-dimension bins, the Morton trade).
 
     Why this exists: raw-value Morton keys only cluster when both
     columns fill the bit range — a narrow-domain int (say custkey ≤
     1500 under 16 bits) leaves its high bits zero, the other dimension
     dominates the key, and per-file zones stop pruning (measured on the
-    fixtures; see SCALE.md). Rank bucketing makes both dimensions
+    fixtures; see SCALE.md). Rank bucketing makes every dimension
     uniform on [0, 2^bits) by construction — value skew and domain
     width stop mattering, which is exactly what Delta's OPTIMIZE ZORDER
     does with range ids.
 
-    Cost: two global sorts for the ntiles at write time (layout jobs
-    are offline; Spark's distributed sort handles them at any scale) +
-    the range-partitioned write. Read-side contract is unchanged:
-    min/max zones on the DATA columns prune on either dimension.
+    Cost: one global sort per dimension for the ntiles at write time
+    (layout jobs are offline; Spark's distributed sort handles them at
+    any scale) + the range-partitioned write. Read-side contract is
+    unchanged: min/max zones on the DATA columns prune on any
+    dimension.
     """
-    from pyspark.sql import Window as W
-
-    nb = 2**bits
-    keyed = (
-        df.withColumn(
-            "_bx", (F.ntile(nb).over(W.orderBy(F.col(x_col))) - 1).cast("long")
-        )
-        .withColumn(
-            "_by", (F.ntile(nb).over(W.orderBy(F.col(y_col))) - 1).cast("long")
-        )
-        .withColumn("_zkey", zorder_key(F.col("_bx"), F.col("_by"), bits))
-        .drop("_bx", "_by")
-    )
+    keyed = _rank_zorder_keyed(df, _as_col_list(x_col, y_col), bits)
     parted = (
         keyed.repartitionByRange(n_files, "_zkey")
         if n_files
@@ -633,6 +690,7 @@ def optimize_table(
     bloom_cols: list[str] | None = None,
     stats_cols: list[str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """One-call table maintenance — the Delta ``OPTIMIZE`` analog for a
     raw-parquet lake, composing the layout tools this module already
@@ -641,10 +699,14 @@ def optimize_table(
     1. rewrite range-clustered on ``sort_cols`` (disjoint per-file
        zones) sized to ``target_file_bytes``, with split-block bloom
        filters on ``bloom_cols`` (point-lookup pruning on unsorted
-       high-cardinality ids);
+       high-cardinality ids) — OR, with ``zorder_by=[c1, c2, …]``,
+       rank-Z-order clustered across N dimensions (Delta's
+       ``OPTIMIZE ZORDER BY`` analog: equi-depth range ids per
+       dimension, Morton-interleaved — files prune on ANY of the
+       columns instead of only the leading sort column);
     2. collect the zone-map manifest for ``stats_cols`` (default: the
-       sort columns) and persist it at ``<path>__manifest`` for
-       ``read_skipping`` planners.
+       sort/z-order columns) and persist it at ``<path>__manifest``
+       for ``read_skipping`` planners.
 
     Returns {files_before, files_after, n_rows, manifest_path}. The
     rewrite is stage-and-swap (same pattern as compact) so readers
@@ -652,6 +714,8 @@ def optimize_table(
     crash between the swap's delete and rename self-heals on the next
     call (recover_staged_swap).
     """
+    if zorder_by and sort_cols:
+        raise ValueError("pass sort_cols OR zorder_by, not both")
     recover_staged_swap(spark, path)
     df = spark.read.parquet(path)
     n_rows = df.count()
@@ -659,13 +723,19 @@ def optimize_table(
     n_files = max(1, int(total_bytes // target_file_bytes) or 1)
 
     staging = path.rstrip("/") + "__optimize_staging"
-    writer_df = (
-        df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
-            *sort_cols
+    if zorder_by:
+        writer_df = (
+            _rank_zorder_keyed(df, zorder_by, bits=8)
+            .repartitionByRange(n_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
         )
-        if sort_cols
-        else df.coalesce(n_files)
-    )
+    elif sort_cols:
+        writer_df = df.repartitionByRange(
+            n_files, *sort_cols
+        ).sortWithinPartitions(*sort_cols)
+    else:
+        writer_df = df.coalesce(n_files)
     writer = writer_df.write.mode("overwrite")
     for c in bloom_cols or []:
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
@@ -678,7 +748,11 @@ def optimize_table(
         raise IOError(f"optimize commit failed: {staging} -> {path}")
 
     manifest_path = path.rstrip("/") + "__manifest"
-    mcols = stats_cols if stats_cols is not None else (sort_cols or [])
+    mcols = (
+        stats_cols
+        if stats_cols is not None
+        else (sort_cols or zorder_by or [])
+    )
     if mcols:
         collect_file_stats(spark, path, mcols).write.mode(
             "overwrite"

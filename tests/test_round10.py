@@ -178,3 +178,130 @@ def test_cosine_planes_and_plane_tables_are_exclusive(spark):
             df, THRESHOLD, planes=P1, plane_tables=[P1, P2],
             id_col="vec_id", vec_col="v",
         )
+
+
+# ---------------------------------------------------------------------------
+# N-dimensional Z-order (VERDICT r9 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_key_n_is_a_bijection_on_the_3d_bit_domain(spark):
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import zorder_key_n
+
+    # 4-bit × 3 dims: all 4096 (x, y, w) points → 4096 distinct z
+    # values covering exactly [0, 4096)
+    grid = spark.range(4096).select(
+        (F.col("id") % 16).alias("x"),
+        ((F.col("id") / 16) % 16).cast("long").alias("y"),
+        (F.col("id") / 256).cast("long").alias("w"),
+    )
+    z = grid.select(
+        zorder_key_n([F.col("x"), F.col("y"), F.col("w")], 4).alias("z")
+    )
+    stats = z.agg(
+        F.count_distinct("z").alias("d"),
+        F.min("z").alias("lo"),
+        F.max("z").alias("hi"),
+    ).first()
+    assert (stats["d"], stats["lo"], stats["hi"]) == (4096, 0, 4095)
+
+
+def test_zorder_key_two_column_wrapper_is_unchanged(spark):
+    """zorder_key(x, y) must produce the exact historical bit layout
+    (x → even positions, y → odd) now that it wraps zorder_key_n —
+    the 2-D oracle row pins this against DuckDB too."""
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import zorder_key
+
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    got = df.select(zorder_key(F.col("x"), F.col("y"), 6).alias("z")).first()["z"]
+    expect = sum(
+        (((3 >> i) & 1) << (2 * i)) + (((5 >> i) & 1) << (2 * i + 1))
+        for i in range(6)
+    )
+    assert got == expect
+
+
+def test_zorder_key_n_rejects_bit_budget_overflow(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import zorder_key_n
+
+    with pytest.raises(ValueError):
+        zorder_key_n([F.lit(1)] * 4, 16)  # 64 > 63
+
+
+def test_zordered_write_clusters_all_three_dimensions(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_zordered
+
+    path = str(tmp_path / "z3")
+    n = 1 << 12  # full 16×16×16 grid
+    df = spark.range(n).select(
+        (F.col("id") % 16).alias("x"),
+        ((F.col("id") / 16) % 16).cast("long").alias("y"),
+        (F.col("id") / 256).cast("long").alias("w"),
+    )
+    write_zordered(df, path, ["x", "y", "w"], bits=4, n_files=8)
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 8
+    # every file's (x, y, w) bounding BOX must cover far less than the
+    # full 4096-cell cube — and no single dimension may span its whole
+    # domain in every file (that is what a 1-D sort layout does)
+    vols, spans = [], {"x": [], "y": [], "w": []}
+    for f in files:
+        t_ = pq.read_table(f)
+        dims = {}
+        for c in ("x", "y", "w"):
+            vals = t_.column(c).to_pylist()
+            dims[c] = max(vals) - min(vals) + 1
+            spans[c].append(dims[c])
+        vols.append(dims["x"] * dims["y"] * dims["w"])
+    assert sum(vols) / len(vols) < 2048  # ≪ 4096; octants would be 512
+    for c in ("x", "y", "w"):
+        assert min(spans[c]) < 16  # each dimension prunes somewhere
+
+
+def test_optimize_table_zorder_by_prunes_every_dimension(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.sinks import parquet_lake as PL
+
+    path = str(tmp_path / "t")
+    n = 1 << 12
+    spark.range(n).select(
+        (F.col("id") % 16).alias("x"),
+        ((F.col("id") / 16) % 16).cast("long").alias("y"),
+        (F.col("id") / 256).cast("long").alias("w"),
+    ).repartition(4).write.parquet(path)
+    res = PL.optimize_table(
+        spark, path, zorder_by=["x", "y", "w"], target_file_bytes=1024
+    )
+    assert res["files_after"] > 4  # enough files for pruning to mean much
+    stats = spark.read.parquet(res["manifest_path"])
+    n_files = stats.count()
+    for c in ("x", "y", "w"):
+        hits = stats.filter(
+            (F.col(f"max_{c}") >= 3) & (F.col(f"min_{c}") <= 5)
+        ).count()
+        assert hits < n_files  # the manifest prunes on EVERY dimension
+        # and the pruned read is exact
+        got = PL.read_skipping(spark, path, stats, c, 3, 5)
+        assert got.count() == 3 * 256  # 3 slabs of the 16³ cube
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        PL.optimize_table(spark, path, sort_cols=["x"], zorder_by=["y"])
