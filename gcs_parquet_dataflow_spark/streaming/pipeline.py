@@ -427,6 +427,7 @@ def run_upsert_stream(
     version_col: str,
     checkpoint_dir: str,
     *,
+    versioned: bool = False,
     trigger_seconds: int = DEFAULT_TRIGGER_S,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -444,6 +445,18 @@ def run_upsert_stream(
     max-version-wins merge, which is idempotent, so checkpoint recovery
     cannot double-apply or regress a row. The first batch initializes
     the lake.
+
+    ``versioned=True`` applies each batch through the VERSIONED store
+    instead (``lake_path`` is a snapshot root: upsert_versioned /
+    write_version) — every micro-batch commits an immutable time-travel
+    snapshot, which is what lets the downstream governance loop
+    (``run_rtbf_stream``'s delete_keys, vacuum_versions) operate on the
+    SAME lake path; the full composition is pinned by
+    tests/test_round10.py's maintenance-lifecycle test.  Snapshot
+    commits are rename-only (crash-safe by construction — no staged
+    swap to recover); a REPLAYED batch re-commits one extra
+    content-identical version, the same documented raw-parquet trade as
+    run_rtbf_stream's re-apply.
 
     Scale shape: each micro-batch costs one key shuffle + a
     copy-on-write rewrite (upsert's documented profile); with a
@@ -463,6 +476,20 @@ def run_upsert_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if versioned:
+            from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+                latest_version,
+                upsert_versioned,
+                write_version,
+            )
+
+            if latest_version(spark, lake_path) is None:
+                write_version(spark, lake_path, latest)
+            else:
+                upsert_versioned(
+                    spark, lake_path, latest, key_cols, version_col
+                )
+            return
         # round 9: an upsert crashed between its delete and rename
         # leaves the dest ABSENT with the merged table in staging —
         # without recovery, the else-branch below would mistake that

@@ -305,3 +305,157 @@ def test_optimize_table_zorder_by_prunes_every_dimension(spark, tmp_path):
 
     with pytest.raises(ValueError):
         PL.optimize_table(spark, path, sort_cols=["x"], zorder_by=["y"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance lifecycle (VERDICT r9 item 5): one lake, the
+# full ops composition — versioned CDC stream → between-epoch compact +
+# optimize → bloom side-lake fold → streaming RTBF erasure → vacuum →
+# stale duplicate batch → fenced replays.
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_maintenance_lifecycle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.operators import incremental as INC
+    from gcs_parquet_dataflow_spark.operators.sketches import bloom_build
+    from gcs_parquet_dataflow_spark.sinks import parquet_lake as PL
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_rtbf_stream,
+        run_upsert_stream,
+    )
+
+    root = str(tmp_path / "lake")
+    cdc = tmp_path / "cdc"
+    cdc.mkdir()
+    bloom = str(tmp_path / "bloom")
+
+    def cdc_file(name, rows):
+        spark.createDataFrame(
+            rows, "k long, v string, ver long"
+        ).coalesce(1).write.parquet(str(cdc / name))
+
+    def run_cdc(ck="ck_cdc"):
+        stream = (
+            spark.readStream.schema("k long, v string, ver long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(cdc / "*"))
+        )
+        q = run_upsert_stream(
+            spark, stream, root, ["k"], "ver", str(tmp_path / ck),
+            versioned=True, available_now=True,
+        )
+        q.awaitTermination(180)
+
+    def current():
+        return {
+            r["k"]: (r["v"], r["ver"])
+            for r in PL.read_version(spark, root).collect()
+        }
+
+    # --- CDC epoch 1: init batch + update batch → v0, v1 -------------
+    cdc_file("b0", [(k, f"v1_{k}", 1) for k in range(10)])
+    cdc_file("b1", [(2, "v2_2", 2), (3, "v2_3", 2), (10, "v1_10", 1)])
+    run_cdc()
+    assert PL.latest_version(spark, root) == 1
+    expect = {k: (f"v1_{k}", 1) for k in range(10)}
+    expect.update({2: ("v2_2", 2), 3: ("v2_3", 2), 10: ("v1_10", 1)})
+    assert current() == expect
+
+    # --- between-epoch layout maintenance on the CURRENT snapshot ----
+    vdir = root + "/v%08d" % PL.latest_version(spark, root)
+    PL.compact(spark, vdir, target_file_bytes=1 << 30)
+    res = PL.optimize_table(spark, vdir, sort_cols=["k"])
+    assert res["n_rows"] == 11
+    assert PL.latest_version(spark, root) == 1  # maintenance is invisible
+    assert current() == expect
+
+    # --- bloom side-lake: per-epoch seen-key appends ------------------
+    keys1 = PL.read_version(spark, root).select(
+        F.col("k").cast("string").alias("_w")
+    )
+    bloom_build(keys1, "_w", m_bits=2**10, k=3).write.mode(
+        "append"
+    ).parquet(bloom)
+    INC.write_bloom_meta(spark, bloom, 2**10, 3)
+
+    # --- CDC epoch 2 on the SAME checkpoint → v2 ----------------------
+    cdc_file("b2", [(0, "v3_0", 3)])
+    run_cdc()
+    assert PL.latest_version(spark, root) == 2
+    expect[0] = ("v3_0", 3)
+    assert current() == expect
+
+    # second bloom append, then fold — the OR-merge must be exact
+    bloom_build(
+        spark.createDataFrame([("0",)], "_w string"), "_w",
+        m_bits=2**10, k=3,
+    ).write.mode("append").parquet(bloom)
+    pre_fold = sorted(
+        tuple(r) for r in INC.read_bloom(spark, bloom).collect()
+    )
+    INC.compact_bloom_lake(spark, bloom)
+    assert sorted(
+        tuple(r) for r in INC.read_bloom(spark, bloom).collect()
+    ) == pre_fold
+    assert INC.read_bloom_meta(spark, bloom) == {"m_bits": 2**10, "k": 3}
+
+    # --- streaming RTBF: erase subject 3 → v3 + audited ---------------
+    req = tmp_path / "req"
+    req.mkdir()
+    spark.createDataFrame([(3,)], "subject_key long").coalesce(
+        1
+    ).write.parquet(str(req / "r0"))
+    rstream = (
+        spark.readStream.schema("subject_key long")
+        .parquet(str(req / "*"))
+    )
+    q = run_rtbf_stream(
+        spark, rstream, [(root, "k")],
+        str(tmp_path / "audit"), str(tmp_path / "ck_rtbf"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert PL.latest_version(spark, root) == 3
+    del expect[3]
+    assert current() == expect
+    assert (tmp_path / "audit" / "_batch_id=0" / "_COMMITTED").exists()
+    audit = spark.read.parquet(str(tmp_path / "audit"))
+    assert [
+        tuple(r) for r in audit.select(
+            "lake_root", "lake_key", "n_keys", "new_version"
+        ).collect()
+    ] == [(root, "k", 1, 3)]
+
+    # --- vacuum: retention window drops v0, survivors stay readable ---
+    assert PL.vacuum_versions(spark, root, keep_last=3) == [0]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        PL.read_version(spark, root, 0)
+    assert {
+        r["k"] for r in PL.read_version(spark, root, 2).collect()
+    } == set(range(11))  # history: v2 still holds the erased subject
+    assert current() == expect
+
+    # --- stale duplicate batch: late re-delivery of b2's content ------
+    cdc_file("b3", [(0, "v3_0", 3)])
+    run_cdc()
+    # content-idempotent: one extra identical snapshot, erasure intact
+    assert PL.latest_version(spark, root) == 4
+    assert current() == expect
+    assert 3 not in current()
+
+    # --- fenced replays: same checkpoints re-commit NOTHING -----------
+    run_cdc()  # no new files
+    q = run_rtbf_stream(
+        spark,
+        spark.readStream.schema("subject_key long").parquet(str(req / "*")),
+        [(root, "k")],
+        str(tmp_path / "audit"), str(tmp_path / "ck_rtbf"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert PL.latest_version(spark, root) == 4
+    assert current() == expect
