@@ -459,3 +459,120 @@ def test_streaming_maintenance_lifecycle(spark, tmp_path):
     q.awaitTermination(180)
     assert PL.latest_version(spark, root) == 4
     assert current() == expect
+
+
+# ---------------------------------------------------------------------------
+# Accumulator-overflow guard (VERDICT r9 item 7): mechanize the audit's
+# conversion rule so new long-cast sum-of-product code can't land
+# without the overflow-regime proof.
+# ---------------------------------------------------------------------------
+
+# Every site below is in the round-9 audit (SCALE.md "accumulator-
+# overflow audit" bounds table): proven exact under 2^63 at the 100 TB
+# design point, or integer-by-construction (classifier training).  A
+# NEW (file, function) here means a NEW long-cast sum-of-products
+# accumulator: either prove its bound and add it (with a SCALE.md
+# bounds row + a run of `python tools/scale_smoke.py --magnitude`), or
+# convert it to DECIMAL(38,0) like q1/q14 — never just extend the list.
+_AUDITED_LONG_PRODUCT_SUMS = {
+    ("gcs_parquet_dataflow_spark/operators/classifier.py",
+     "_train_on_feats"): 2,
+    ("gcs_parquet_dataflow_spark/operators/classifier.py",
+     "classifier_scores"): 1,
+    ("gcs_parquet_dataflow_spark/operators/classifier.py",
+     "gradient_at_zero"): 1,
+    ("gcs_parquet_dataflow_spark/operators/classifier.py",
+     "langid_predict"): 1,
+    ("gcs_parquet_dataflow_spark/operators/classifier.py",
+     "margin_scores"): 1,
+    ("gcs_parquet_dataflow_spark/plans/incremental_recipe.py",
+     "batch_source_stats"): 1,
+    ("gcs_parquet_dataflow_spark/queries/extensions.py",
+     "dedup_semantic_keep_centroid_closest"): 1,
+    ("gcs_parquet_dataflow_spark/queries/extensions.py",
+     "pareto_abc_parts"): 1,
+    ("gcs_parquet_dataflow_spark/queries/extensions.py",
+     "supplier_concentration_hhi"): 1,
+}
+
+
+def _scan_long_product_sums():
+    """AST scan of the package for ``F.sum(<expr with *>).cast("long")``
+    — the exact accumulator shape that silently wraps past 2^63 at
+    100 TB magnitudes (the class the r9 audit was built to catch)."""
+    import ast
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    pkg = os.path.join(root, "gcs_parquet_dataflow_spark")
+
+    def has_mult(node):
+        return any(
+            isinstance(n, ast.BinOp) and isinstance(n.op, ast.Mult)
+            for n in ast.walk(node)
+        )
+
+    found = {}
+    for dirpath, _, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path, encoding="utf-8") as fh:
+                tree = ast.parse(fh.read())
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+
+            def enclosing(lineno):
+                best = None
+                for lo, hi, name in funcs:
+                    if lo <= lineno <= hi and (best is None or lo > best[0]):
+                        best = (lo, name)
+                return best[1] if best else "<module>"
+
+            for n in ast.walk(tree):
+                if not (
+                    isinstance(n, ast.Call)
+                    and isinstance(n.func, ast.Attribute)
+                    and n.func.attr == "cast"
+                    and n.args
+                    and isinstance(n.args[0], ast.Constant)
+                    and str(n.args[0].value).lower() in ("long", "bigint")
+                ):
+                    continue
+                v = n.func.value
+                if (
+                    isinstance(v, ast.Call)
+                    and isinstance(v.func, ast.Attribute)
+                    and v.func.attr == "sum"
+                    and v.args
+                    and has_mult(v.args[0])
+                ):
+                    key = (
+                        os.path.relpath(path, root),
+                        enclosing(n.lineno),
+                    )
+                    found[key] = found.get(key, 0) + 1
+    return found
+
+
+def test_no_unaudited_long_product_sum_accumulators():
+    found = _scan_long_product_sums()
+    new = {
+        k: v for k, v in found.items()
+        if v > _AUDITED_LONG_PRODUCT_SUMS.get(k, 0)
+    }
+    assert not new, (
+        f"unaudited long-cast sum-of-product accumulator(s): {new} — "
+        "prove the 2^63 bound (SCALE.md bounds table + "
+        "tools/scale_smoke.py --magnitude) or convert to DECIMAL(38,0)"
+    )
+    # and the list never rots: every audited entry still exists
+    gone = {
+        k for k in _AUDITED_LONG_PRODUCT_SUMS
+        if k not in found
+    }
+    assert not gone, f"audited sites no longer present — prune: {gone}"

@@ -902,6 +902,7 @@ def test_decode_dispatch_routes_malformed_magic_payloads_to_opaque(spark):
     assert out[5]["kind"] == "png" and out[5]["width"] == 1
 
 
+@pytest.mark.overflow
 def test_aqp_variance_accumulator_exact_past_int64(spark):
     """The y² accumulator must survive sums past 2^63 (the round-7
     review found the int64 form wraps silently around sf≈4 on Spark

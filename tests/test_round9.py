@@ -466,6 +466,7 @@ def test_jpeg_malformed_payloads_dlq_in_dispatch(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.overflow
 def test_revenue_product_sum_exact_past_int64(spark):
     """The q1/q5 family: Σ ep·(100−dc)·(100+tx) — per-row products fit
     int64 but the group sum does not at 100 TB.  Three rows of forged
@@ -483,6 +484,7 @@ def test_revenue_product_sum_exact_past_int64(spark):
     assert wrapped != exact
 
 
+@pytest.mark.overflow
 def test_operand_cast_square_sum_exact_past_int64(spark):
     """The vc²/rev²/y² family (anomaly, bollinger, rolling_corr, AQP):
     once the value itself passes ~3e9, the PER-ROW square wraps int64 —
@@ -502,6 +504,7 @@ def test_operand_cast_square_sum_exact_past_int64(spark):
     assert int(late) != 2 * v * v
 
 
+@pytest.mark.overflow
 def test_regression_cross_terms_exact_past_int64(spark):
     """The closed-form slope's cross terms n·Σxy − Σx·Σy (regression_
     trend_by_type): with decimal product sums the full numerator stays
@@ -525,6 +528,7 @@ def test_regression_cross_terms_exact_past_int64(spark):
     assert int(got) == n * sxy - sx * sy  # exactly 0 here, exactly
 
 
+@pytest.mark.overflow
 def test_cm_join_size_exact_past_int64(spark):
     """cm_join_size (operators/sketches.py): a single hot bucket with
     n ≈ 4e9 on both sides makes the per-bucket product 1.6e19 > 2^63 —
@@ -541,6 +545,7 @@ def test_cm_join_size_exact_past_int64(spark):
     assert int(est) == expected
 
 
+@pytest.mark.overflow
 def test_exact_join_size_sum_of_squares_past_int64(spark):
     """The Σc² exact side of sketch_join_size_estimate: one hot key
     with c = 4e9 events — Σc² must survive in DECIMAL(38,0)."""
