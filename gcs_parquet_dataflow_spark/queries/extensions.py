@@ -17185,3 +17185,56 @@ def layout_zorder_key_3d(spark, sf_dir):
     y = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).cast("long")
     w = cents(F.col("o_totalprice"))
     return o.select("o_orderkey", zorder_key_n([x, y, w], 16).alias("zkey"))
+
+
+# ---------------------------------------------------------------------------
+# Round 10: Hilbert layout key (the Morton locality upgrade).
+# ---------------------------------------------------------------------------
+
+from gcs_parquet_dataflow_spark.sinks.hilbert import (  # noqa: E402
+    hilbert_sql_ctes as _hilbert_ctes,
+)
+
+_HILBERT_WITH, _HILBERT_FINAL = _hilbert_ctes(
+    "s", ["o_orderkey"], ["x", "y", "w"], bits=8
+)
+
+
+@query(
+    "layout_hilbert_key_3d",
+    f"""
+    WITH s AS (SELECT o_orderkey,
+                      CAST(o_custkey AS BIGINT) AS x,
+                      CAST(datediff('day', DATE '1992-01-01',
+                                    CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+                      CAST(round(o_totalprice*100) AS BIGINT) AS w
+               FROM orders),
+    {_HILBERT_WITH}
+    SELECT o_orderkey, hkey FROM {_HILBERT_FINAL}
+    """,
+)
+def layout_hilbert_key_3d(spark, sf_dir):
+    """3-D HILBERT layout key over the same (customer, order-day,
+    price-cents) dimensions as layout_zorder_key_3d — the locality
+    upgrade: consecutive key values move exactly one step in one
+    dimension (adjacency exhaustively test-pinned), so per-file
+    bounding boxes along the sort order are contiguous regions rather
+    than Morton's quadrant-hopping runs (tighter zones, measured in
+    tests/test_round10.py).  Skilling's transpose algorithm as an SSA
+    chain of conditional XOR steps — Spark: chained codegen'd
+    projections, no UDF; DuckDB: materialized-CTE chain (plain CTEs /
+    lateral aliases inline by substitution and blow up exponentially;
+    see sinks/hilbert.py)."""
+    from gcs_parquet_dataflow_spark.sinks.hilbert import with_hilbert_key
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("y"),
+        cents(F.col("o_totalprice")).alias("w"),
+    )
+    return with_hilbert_key(o, ["x", "y", "w"], bits=8, out="hkey").select(
+        "o_orderkey", "hkey"
+    )

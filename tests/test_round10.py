@@ -576,3 +576,103 @@ def test_no_unaudited_long_product_sum_accumulators():
         if k not in found
     }
     assert not gone, f"audited sites no longer present — prune: {gone}"
+
+
+# ---------------------------------------------------------------------------
+# Hilbert layout key (the Morton locality upgrade; sinks/hilbert.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_python_reference_bijection_and_adjacency():
+    """The defining Hilbert property, exhaustively: over the FULL
+    2-D 6-bit (4096-cell) and 3-D 4-bit domains the index is a
+    bijection onto [0, 2^(n·bits)) AND every consecutive index step
+    moves exactly one coordinate by exactly 1 — Morton fails this at
+    every power-of-two boundary."""
+    import itertools
+
+    from gcs_parquet_dataflow_spark.sinks.hilbert import hilbert_index_py
+
+    for n, bits in [(2, 6), (3, 4)]:
+        size = 1 << bits
+        inv = {}
+        for coords in itertools.product(range(size), repeat=n):
+            inv[hilbert_index_py(list(coords), bits)] = coords
+        assert len(inv) == size**n
+        assert min(inv) == 0 and max(inv) == size**n - 1
+        assert all(
+            sum(abs(a - b) for a, b in zip(inv[h], inv[h + 1])) == 1
+            for h in range(size**n - 1)
+        )
+
+
+def test_hilbert_spark_matches_python_on_full_3d_domain(spark):
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.sinks.hilbert import (
+        hilbert_index_py,
+        with_hilbert_key,
+    )
+
+    g = spark.range(4096).select(
+        (F.col("id") % 16).alias("x"),
+        ((F.col("id") / 16) % 16).cast("long").alias("y"),
+        (F.col("id") / 256).cast("long").alias("w"),
+    )
+    rows = with_hilbert_key(g, ["x", "y", "w"], bits=4, out="h").collect()
+    assert all(
+        hilbert_index_py([r["x"], r["y"], r["w"]], 4) == r["h"] for r in rows
+    )
+
+
+def test_hilbert_beats_morton_on_file_bounding_boxes(spark, tmp_path):
+    """The point of the upgrade, measured: same grid, same file count —
+    the summed per-file bounding-box area of the Hilbert layout must
+    beat Morton's (contiguous runs vs quadrant hops)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.sinks.hilbert import (
+        write_hilbert_clustered,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_zordered
+
+    df = spark.range(1 << 12).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+
+    def total_area(path):
+        area = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            t_ = pq.read_table(os.path.join(path, f))
+            xs = t_.column("x").to_pylist()
+            ys = t_.column("y").to_pylist()
+            area += (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+        return area
+
+    hp, zp = str(tmp_path / "hil"), str(tmp_path / "mor")
+    write_hilbert_clustered(df, hp, ["x", "y"], bits=6, n_files=8)
+    write_zordered(df, zp, "x", "y", bits=6, n_files=8)
+    a_h, a_z = total_area(hp), total_area(zp)
+    assert spark.read.parquet(hp).count() == 1 << 12
+    assert a_h <= a_z  # never worse
+    assert a_h < (1 << 12) * 2  # and genuinely clustered
+
+
+def test_hilbert_bit_budget_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.sinks.hilbert import with_hilbert_key
+
+    df = spark.range(1).select(
+        F.col("id").alias("a"), F.col("id").alias("b"),
+        F.col("id").alias("c"), F.col("id").alias("d"),
+    )
+    with pytest.raises(ValueError):
+        with_hilbert_key(df, ["a", "b", "c", "d"], bits=16)
