@@ -621,11 +621,15 @@ def delete_keys(
     return write_version(spark, root, remaining)
 
 
-def _rank_zorder_keyed(df: DataFrame, cols: list[str], bits: int):
+def _rank_zorder_keyed(
+    df: DataFrame, cols: list[str], bits: int, curve: str = "morton"
+):
     """(df + ``_zkey``) over RANK buckets: each dimension equi-depth
     bucketed into 2^bits bins via ntile over its own order, bucket ids
-    Morton-interleaved.  Shared by :func:`write_zordered_ranked` and
-    ``optimize_table(zorder_by=...)``."""
+    interleaved along the chosen space-filling ``curve`` ("morton" —
+    the plan the oracle rows pin — or "hilbert", the tighter-locality
+    upgrade from sinks/hilbert.py).  Shared by
+    :func:`write_zordered_ranked` and ``optimize_table(zorder_by=...)``."""
     from pyspark.sql import Window as W
 
     nb = 2**bits
@@ -636,6 +640,12 @@ def _rank_zorder_keyed(df: DataFrame, cols: list[str], bits: int):
             bname, (F.ntile(nb).over(W.orderBy(F.col(c))) - 1).cast("long")
         )
         bcols.append(bname)
+    if curve == "hilbert":
+        from gcs_parquet_dataflow_spark.sinks.hilbert import with_hilbert_key
+
+        return with_hilbert_key(df, bcols, bits, out="_zkey").drop(*bcols)
+    if curve != "morton":
+        raise ValueError(f"unknown curve {curve!r}: use 'morton' or 'hilbert'")
     return df.withColumn(
         "_zkey", zorder_key_n([F.col(b) for b in bcols], bits)
     ).drop(*bcols)
@@ -649,6 +659,7 @@ def write_zordered_ranked(
     bits: int = 8,
     n_files: int | None = None,
     mode: str = "overwrite",
+    curve: str = "morton",
 ) -> None:
     """Z-order layout over RANK buckets instead of raw values: each
     dimension is first equi-depth-bucketed into 2^bits bins via ntile
@@ -672,7 +683,7 @@ def write_zordered_ranked(
     unchanged: min/max zones on the DATA columns prune on any
     dimension.
     """
-    keyed = _rank_zorder_keyed(df, _as_col_list(x_col, y_col), bits)
+    keyed = _rank_zorder_keyed(df, _as_col_list(x_col, y_col), bits, curve)
     parted = (
         keyed.repartitionByRange(n_files, "_zkey")
         if n_files
@@ -691,6 +702,7 @@ def optimize_table(
     stats_cols: list[str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     zorder_by: list[str] | None = None,
+    curve: str = "morton",
 ) -> dict:
     """One-call table maintenance — the Delta ``OPTIMIZE`` analog for a
     raw-parquet lake, composing the layout tools this module already
@@ -725,7 +737,7 @@ def optimize_table(
     staging = path.rstrip("/") + "__optimize_staging"
     if zorder_by:
         writer_df = (
-            _rank_zorder_keyed(df, zorder_by, bits=8)
+            _rank_zorder_keyed(df, zorder_by, bits=8, curve=curve)
             .repartitionByRange(n_files, "_zkey")
             .sortWithinPartitions("_zkey")
             .drop("_zkey")
