@@ -377,19 +377,8 @@ def cosine_dup_pairs(
     """
     from gcs_parquet_dataflow_spark.operators.dedup import cap_hot_buckets
 
-    if plane_tables is None:
-        plane_tables = [planes if planes is not None else hyperplanes()]
-    elif planes is not None:
-        raise ValueError("pass planes or plane_tables, not both")
-    keyed = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.posexplode(
-            F.array(*[
-                hyperplane_bucket(F.col(vec_col), ps) for ps in plane_tables
-            ])
-        ).alias("_t", "_bucket"),
-    )
+    plane_tables = _resolve_tables(planes, plane_tables)
+    keyed = _bucket_keyed(df, plane_tables, id_col, vec_col)
     if max_bucket_size is not None:
         keyed = cap_hot_buckets(
             keyed, ["_t", "_bucket"], max_bucket_size,
@@ -414,6 +403,165 @@ def cosine_dup_pairs(
     if len(plane_tables) > 1:
         # same pair via several tables: dedupe once, deterministically
         # (cos is a pure function of the pair, so the triple is unique)
+        pairs = pairs.distinct()
+    return pairs
+
+
+def _bucket_keyed(
+    df: DataFrame,
+    plane_tables: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    id_out: str = "_id",
+):
+    """(id, vec, _t, _bucket) — one row per (vector, LSH table), the
+    shared keying step of the cosine candidate family."""
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(
+            F.array(*[
+                hyperplane_bucket(F.col(vec_col), ps) for ps in plane_tables
+            ])
+        ).alias("_t", "_bucket"),
+    )
+
+
+def _resolve_tables(planes, plane_tables):
+    if plane_tables is None:
+        return [planes if planes is not None else hyperplanes()]
+    if planes is not None:
+        raise ValueError("pass planes or plane_tables, not both")
+    return plane_tables
+
+
+def cosine_batch_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size=None,
+    plane_tables: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """INCREMENTAL embedding near-dup pairs: an arriving batch against
+    an existing corpus → (batch_id, corpus_id, cos) with cos ≥
+    threshold.  The |batch|-bounded form of :func:`cosine_dup_pairs` —
+    cost is Σ_buckets |batch_b|·|corpus_b|, never |batch|·|corpus|,
+    and ``max_bucket_size`` caps the CORPUS side of each bucket (the
+    side that grows with the lake; the batch side is bounded by the
+    trigger interval).  Same plane/table dials as cosine_dup_pairs;
+    multi-table candidates dedupe on the deterministic triple."""
+    from gcs_parquet_dataflow_spark.operators.dedup import cap_hot_buckets
+
+    tables = _resolve_tables(planes, plane_tables)
+    b = _bucket_keyed(batch, tables, id_col, vec_col, id_out="_bid")
+    c = _bucket_keyed(corpus, tables, id_col, vec_col, id_out="_cid")
+    if max_bucket_size is not None:
+        c = cap_hot_buckets(
+            c, ["_t", "_bucket"], max_bucket_size,
+            metric_name="cosine_index_buckets",
+        )
+    c = persist_intermediate(ensure_parallelism(c))
+    pairs = (
+        b.alias("b").join(
+            c.alias("c"),
+            (F.col("b._t") == F.col("c._t"))
+            & (F.col("b._bucket") == F.col("c._bucket")),
+        )
+        .select(
+            F.col("b._bid").alias("batch_id"),
+            F.col("c._cid").alias("corpus_id"),
+            cosine(F.col("b._v"), F.col("c._v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    if len(tables) > 1:
+        pairs = pairs.distinct()
+    return pairs
+
+
+def build_cosine_bucket_index(
+    corpus: DataFrame,
+    path: str,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_tables: list[list[list[float]]] | None = None,
+    batch_id: int | None = None,
+) -> int:
+    """Materialize the cosine bucket table as a PERSISTED parquet index
+    partitioned by (_t, _bucket) — the build-once/probe-many form the
+    incremental dedup stream needs (re-keying the whole corpus per
+    batch, as cosine_batch_pairs does inline, re-scans the lake every
+    trigger).  Returns the number of indexed vectors.
+
+    Layout: ``path/_batch_id=K/_t=i/_bucket=N/`` holds (corpus_id, _v)
+    for that bucket; a probe reads ONLY its batch's bucket partitions —
+    Hive partition pruning does the candidate selection at the scan.
+    ``batch_id`` keys each append under a leading ``_batch_id``
+    partition with dynamic overwrite, so a REPLAYED ingest batch
+    overwrites its own contribution instead of duplicating it (the
+    same idempotency contract as write_partitioned)."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        write_partitioned,
+    )
+
+    tables = _resolve_tables(planes, plane_tables)
+    keyed = _bucket_keyed(corpus, tables, id_col, vec_col, id_out="corpus_id")
+    write_partitioned(
+        keyed, path, ["_t", "_bucket"],
+        mode="overwrite" if batch_id is None else "append",
+        batch_id=batch_id,
+    )
+    return keyed.count()
+
+
+def cosine_batch_against_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    threshold: float,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_tables: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Probe a persisted cosine bucket index
+    (:func:`build_cosine_bucket_index`): the batch's distinct bucket
+    keys (≤ |batch|·L values — a bounded driver scalar, same contract
+    as read_skipping's file list) prune the index scan to matching
+    partitions; the equi-join + exact rescore inside them is identical
+    to ``cosine_batch_pairs`` over the indexed corpus (test-pinned
+    equivalence).  → (batch_id, corpus_id, cos ≥ threshold)."""
+    tables = _resolve_tables(planes, plane_tables)
+    b = persist_intermediate(
+        _bucket_keyed(batch, tables, id_col, vec_col, id_out="_bid")
+    )
+    keys = b.select("_t", "_bucket").distinct().collect()
+    ts = sorted({int(r["_t"]) for r in keys})
+    buckets = sorted({int(r["_bucket"]) for r in keys})
+    index = spark.read.parquet(index_path)
+    # rectangle superset on the PARTITION columns prunes the scan; the
+    # join below enforces the exact (t, bucket) pairs
+    c = index.filter(
+        F.col("_t").isin(ts) & F.col("_bucket").isin(buckets)
+    )
+    pairs = (
+        b.alias("b").join(
+            c.alias("c"),
+            (F.col("b._t") == F.col("c._t"))
+            & (F.col("b._bucket") == F.col("c._bucket")),
+        )
+        .select(
+            F.col("b._bid").alias("batch_id"),
+            F.col("c.corpus_id").alias("corpus_id"),
+            cosine(F.col("b._v"), F.col("c._v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    if len(tables) > 1:
         pairs = pairs.distinct()
     return pairs
 

@@ -17238,3 +17238,40 @@ def layout_hilbert_key_3d(spark, sf_dir):
     return with_hilbert_key(o, ["x", "y", "w"], bits=8, out="hkey").select(
         "o_orderkey", "hkey"
     )
+
+
+@query(
+    "dedup_embedding_batch_pairs",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {BUCKET_SQL} AS bucket FROM e0),
+    braw AS (SELECT vec_id + 100000 AS vec_id,
+                    list_transform(v, x -> x + 0.01) AS v
+             FROM e0 WHERE vec_id % 25 = 0),
+    b AS (SELECT vec_id, v, {BUCKET_SQL} AS bucket FROM braw),
+    p AS (SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+                 {COS_SQL.format(a="b", b="c")} AS cos
+          FROM b JOIN c ON b.bucket = c.bucket)
+    SELECT * FROM p WHERE cos >= {COS_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_batch_pairs(spark, sf_dir):
+    """INCREMENTAL embedding dedup (round 10): an arriving batch (the
+    +0.01-shifted copies) probed against the existing corpus —
+    (batch_id, corpus_id, cos ≥ 0.98) via the bucket equi-join, the
+    |batch|-bounded form of dedup_embedding_cosine_pairs with the
+    corpus-side hot-bucket cap armed.  The persisted-index twin
+    (build_cosine_bucket_index + cosine_batch_against_index:
+    partition-pruned probe ≡ this inline form) is pinned by
+    tests/test_round10.py, mirroring the IVF index's test strategy."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    batch = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x + 0.01).alias("v"),
+    )
+    return SIM.cosine_batch_pairs(
+        batch, e, COS_DUP_THRESHOLD, planes=PLANES,
+        id_col="vec_id", vec_col="v", max_bucket_size=COS_BUCKET_CAP,
+    )

@@ -714,3 +714,104 @@ def test_optimize_table_hilbert_curve_dial(spark, tmp_path):
 
     with pytest.raises(ValueError):
         PL.optimize_table(spark, path, zorder_by=["x"], curve="peano")
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding dedup: batch-vs-corpus + the persisted index
+# ---------------------------------------------------------------------------
+
+
+def _batch_and_corpus(spark):
+    rows, true_pairs = _mixed_corpus()
+    corpus = spark.createDataFrame(
+        [r for r in rows if r[0] >= 100], "vec_id long, v array<double>"
+    )
+    # batch: shifted copies of three corpus vectors + one novel vector
+    src = {r[0]: r[1] for r in rows}
+    batch_rows = [
+        (1000 + i, [x + 0.01 for x in src[100 + 2 * i]]) for i in range(3)
+    ] + [(1999, [float(i % 7 - 3) for i in range(DIM)])]
+    batch = spark.createDataFrame(batch_rows, "vec_id long, v array<double>")
+    expected = {(1000 + i, 100 + 2 * i) for i in range(3)} | {
+        (1000 + i, 101 + 2 * i) for i in range(3)
+    }
+    return batch, corpus, expected
+
+
+def test_cosine_batch_pairs_finds_cross_dupes_only(spark):
+    batch, corpus, expected = _batch_and_corpus(spark)
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in SIM.cosine_batch_pairs(
+            batch, corpus, THRESHOLD, planes=P1,
+            id_col="vec_id", vec_col="v", max_bucket_size=256,
+        ).collect()
+    }
+    assert expected <= got
+    assert all(b >= 1000 and c < 1000 for b, c in got)  # never intra-side
+    assert not any(b == 1999 for b, _ in got)  # the novel vector is clean
+
+
+def test_cosine_index_probe_equals_inline_form(spark, tmp_path):
+    """build_cosine_bucket_index + cosine_batch_against_index must
+    reproduce cosine_batch_pairs exactly over the same corpus — the
+    IVF-index test strategy applied to the cosine family."""
+    batch, corpus, _ = _batch_and_corpus(spark)
+    inline = sorted(
+        tuple(r)
+        for r in SIM.cosine_batch_pairs(
+            batch, corpus, THRESHOLD, planes=P1, id_col="vec_id", vec_col="v"
+        ).collect()
+    )
+    path = str(tmp_path / "cidx")
+    n = SIM.build_cosine_bucket_index(
+        corpus, path, planes=P1, id_col="vec_id", vec_col="v"
+    )
+    assert n == corpus.count()
+    probed = SIM.cosine_batch_against_index(
+        spark, path, batch, THRESHOLD, planes=P1,
+        id_col="vec_id", vec_col="v",
+    )
+    assert sorted(tuple(r) for r in probed.collect()) == inline
+    # the probe scan is partition-pruned on the index's bucket layout
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "_bucket" in plan
+
+
+def test_cosine_index_batched_append_is_replay_idempotent(spark, tmp_path):
+    """batch_id-keyed index appends use dynamic partition overwrite:
+    replaying an ingest batch overwrites its own contribution instead
+    of duplicating candidates."""
+    from pyspark.sql import functions as F
+
+    batch, corpus, expected = _batch_and_corpus(spark)
+    half1 = corpus.filter(F.col("vec_id") % 2 == 0)
+    half2 = corpus.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "cidx")
+    SIM.build_cosine_bucket_index(
+        half1, path, planes=P1, id_col="vec_id", vec_col="v", batch_id=0
+    )
+    SIM.build_cosine_bucket_index(
+        half2, path, planes=P1, id_col="vec_id", vec_col="v", batch_id=1
+    )
+    full = sorted(
+        tuple(r)
+        for r in SIM.cosine_batch_against_index(
+            spark, path, batch, THRESHOLD, planes=P1,
+            id_col="vec_id", vec_col="v",
+        ).collect()
+    )
+    # replay batch 1: same content lands in the same partition
+    SIM.build_cosine_bucket_index(
+        half2, path, planes=P1, id_col="vec_id", vec_col="v", batch_id=1
+    )
+    replay = sorted(
+        tuple(r)
+        for r in SIM.cosine_batch_against_index(
+            spark, path, batch, THRESHOLD, planes=P1,
+            id_col="vec_id", vec_col="v",
+        ).collect()
+    )
+    assert replay == full
+    got = {(b, c) for b, c, _ in full}
+    assert expected <= got
