@@ -527,6 +527,7 @@ def cosine_batch_against_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     plane_tables: list[list[list[float]]] | None = None,
+    exclude_batch_id: int | None = None,
 ) -> DataFrame:
     """Probe a persisted cosine bucket index
     (:func:`build_cosine_bucket_index`): the batch's distinct bucket
@@ -534,7 +535,15 @@ def cosine_batch_against_index(
     as read_skipping's file list) prune the index scan to matching
     partitions; the equi-join + exact rescore inside them is identical
     to ``cosine_batch_pairs`` over the indexed corpus (test-pinned
-    equivalence).  → (batch_id, corpus_id, cos ≥ threshold)."""
+    equivalence).  → (batch_id, corpus_id, cos ≥ threshold).
+
+    ``exclude_batch_id`` is the REPLAY fence for streaming callers
+    (run_embedding_dedup_stream): a replayed micro-batch whose novel
+    vectors already landed in the index under its own ``_batch_id``
+    must not match AGAINST ITSELF — self-matches would flip its novel
+    rows to "duplicate" on replay and the stream would diverge from
+    the first run.  Excluding the batch's own partition makes the
+    probe a pure function of prior state, so replays converge."""
     tables = _resolve_tables(planes, plane_tables)
     b = persist_intermediate(
         _bucket_keyed(batch, tables, id_col, vec_col, id_out="_bid")
@@ -548,6 +557,8 @@ def cosine_batch_against_index(
     c = index.filter(
         F.col("_t").isin(ts) & F.col("_bucket").isin(buckets)
     )
+    if exclude_batch_id is not None and "_batch_id" in index.columns:
+        c = c.filter(F.col("_batch_id") != int(exclude_batch_id))
     pairs = (
         b.alias("b").join(
             c.alias("c"),

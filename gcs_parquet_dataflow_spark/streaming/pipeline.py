@@ -1811,3 +1811,127 @@ def run_incremental_er_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def run_embedding_dedup_stream(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    index_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    *,
+    threshold: float,
+    planes: list[list[float]] | None = None,
+    plane_tables: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming SEMANTIC dedup of an embedding firehose (round 10 —
+    the incremental deployment of ``cosine_batch_pairs``): per
+    micro-batch,
+
+    1. intra-batch near-dups collapse first (``cosine_dup_pairs``
+       within the batch; a row duplicating a LOWER-id row in the same
+       batch is dropped — the same min-id-keeps rule as the text
+       dedup family);
+    2. survivors probe the persisted bucket index
+       (``cosine_batch_against_index`` — partition-pruned, cost
+       Σ|batch_b|·|index_b|); rows matching ANY indexed vector at
+       ``cos ≥ threshold`` are duplicates and are NOT indexed;
+    3. novel rows append to the index under the batch's own
+       ``_batch_id`` partition (dynamic overwrite — replay rewrites,
+       never duplicates), and a batch-keyed report row set
+       (kind ∈ {'intra', 'index'}, batch/corpus ids, cos) lands at
+       ``report_path`` for audit.
+
+    Replay safety, no marker needed: the index probe excludes the
+    batch's OWN partition (``exclude_batch_id`` — without the fence a
+    replayed batch would match against itself, flip its novel rows to
+    "duplicate", and diverge), so the dedup decision is a pure
+    function of prior batches' state; both writes are batch-keyed
+    dynamic overwrites.  Every crash point therefore replays to the
+    identical index and report — pinned by tests/test_round10.py.
+
+    Scale shape: the per-batch cost is the batch's bucket joins (the
+    corpus side read is partition-pruned to the batch's ≤|batch|·L
+    buckets); the index grows one batch partition per trigger —
+    bounded read amplification, same maintenance cadence story as the
+    other per-batch-append lakes."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.operators.similarity import (
+        build_cosine_bucket_index,
+        cosine_batch_against_index,
+        cosine_dup_pairs,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        write_partitioned,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(
+            F.col(id_col).cast("long").alias(id_col), vec_col
+        ).localCheckpoint(eager=True)
+        # 1. intra-batch collapse (min id survives its own dup group)
+        intra = cosine_dup_pairs(
+            batch, threshold, planes=planes, plane_tables=plane_tables,
+            id_col=id_col, vec_col=vec_col,
+        ).localCheckpoint(eager=True)
+        dropped = intra.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch.join(dropped, id_col, "left_anti")
+        # 2. probe prior state (fenced against this batch's own rows)
+        fs_path = spark._jvm.org.apache.hadoop.fs.Path(index_path)  # noqa: SLF001
+        fs = fs_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        if fs.exists(fs_path):
+            hits = cosine_batch_against_index(
+                spark, index_path, survivors, threshold, planes=planes,
+                plane_tables=plane_tables, id_col=id_col, vec_col=vec_col,
+                exclude_batch_id=batch_id,
+            ).localCheckpoint(eager=True)
+        else:
+            hits = spark.createDataFrame(
+                [], "batch_id long, corpus_id long, cos double"
+            )
+        dup_ids = hits.select(
+            F.col("batch_id").alias(id_col)
+        ).distinct()
+        novel = survivors.join(dup_ids, id_col, "left_anti")
+        # 3. commit: novel rows into the index, decisions into the report
+        build_cosine_bucket_index(
+            novel, index_path, planes=planes, plane_tables=plane_tables,
+            id_col=id_col, vec_col=vec_col, batch_id=batch_id,
+        )
+        report = intra.select(
+            F.lit("intra").alias("kind"),
+            F.col("id_b").alias("dup_id"),
+            F.col("id_a").alias("kept_id"),
+            "cos",
+        ).unionByName(
+            hits.select(
+                F.lit("index").alias("kind"),
+                F.col("batch_id").alias("dup_id"),
+                F.col("corpus_id").alias("kept_id"),
+                "cos",
+            )
+        )
+        write_partitioned(
+            report, report_path, [], batch_id=batch_id, coalesce_files=1
+        )
+        release_intermediates()
+
+    writer = (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -815,3 +815,85 @@ def test_cosine_index_batched_append_is_replay_idempotent(spark, tmp_path):
     assert replay == full
     got = {(b, c) for b, c, _ in full}
     assert expected <= got
+
+
+def test_embedding_dedup_stream_and_replay_convergence(spark, tmp_path):
+    """The streaming deployment: intra-batch collapse + fenced index
+    probe + batch-keyed commits.  A FULL replay (fresh checkpoint, same
+    files) must converge to the identical index and report — the
+    exclude-own-batch fence is what makes the dedup decision a pure
+    function of prior state."""
+    import random as _rnd
+
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_embedding_dedup_stream,
+    )
+
+    rng = _rnd.Random(51)
+
+    def vec():
+        return [round(rng.uniform(-1, 1), 6) for _ in range(DIM)]
+
+    v1, v2, v3, v11, v12 = vec(), vec(), vec(), vec(), vec()
+    indir = tmp_path / "vecs"
+    indir.mkdir()
+    spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)], "vec_id long, v array<double>"
+    ).coalesce(1).write.parquet(str(indir / "f0"))
+    spark.createDataFrame(
+        [
+            (10, [x + 0.01 for x in v1]),   # dup of indexed 1
+            (11, v11),                       # novel
+            (12, v12),                       # novel, intra-kept
+            (13, [x + 0.01 for x in v12]),  # intra dup of 12
+        ],
+        "vec_id long, v array<double>",
+    ).coalesce(1).write.parquet(str(indir / "f1"))
+
+    index = str(tmp_path / "cindex")
+    report = str(tmp_path / "report")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("vec_id long, v array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir / "*"))
+        )
+        q = run_embedding_dedup_stream(
+            spark, stream, index, report, str(tmp_path / ck),
+            threshold=THRESHOLD, planes=P1, id_col="vec_id", vec_col="v",
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    run("ck0")
+    idx = spark.read.parquet(index)
+    assert {r["corpus_id"] for r in idx.collect()} == {1, 2, 3, 11, 12}
+    rep = {
+        (r["kind"], r["dup_id"], r["kept_id"])
+        for r in spark.read.parquet(report).collect()
+    }
+    assert rep == {("intra", 13, 12), ("index", 10, 1)}
+    idx_rows = sorted(
+        (r["corpus_id"], r["_batch_id"]) for r in idx.collect()
+    )
+
+    # full replay on a FRESH checkpoint: identical index and report
+    run("ck1")
+    idx2 = spark.read.parquet(index)
+    assert sorted(
+        (r["corpus_id"], r["_batch_id"]) for r in idx2.collect()
+    ) == idx_rows
+    assert {
+        (r["kind"], r["dup_id"], r["kept_id"])
+        for r in spark.read.parquet(report).collect()
+    } == rep
+
+    # restart on the SAME checkpoint: nothing re-processes
+    run("ck0")
+    assert sorted(
+        (r["corpus_id"], r["_batch_id"])
+        for r in spark.read.parquet(index).collect()
+    ) == idx_rows
