@@ -1083,3 +1083,66 @@ def append_to_ivf_index(
     )
     assigned.write.mode("append").partitionBy("_list").parquet(path)
     return assigned.count()
+
+
+def compact_cosine_index(
+    spark, path: str, *, keep_last: int = 2
+) -> None:
+    """Offline compaction for the streaming cosine bucket index
+    (:func:`build_cosine_bucket_index` with ``batch_id`` appends —
+    run_embedding_dedup_stream / manual ingest): fold every
+    ``_batch_id`` partition OLDER than the newest ``keep_last`` into a
+    single partition under the oldest folded id, preserving the
+    (_t, _bucket) partition levels the probe's pruning depends on.
+    Rows are unique vectors (batches are disjoint by the dedup
+    contract), so the fold is a pure relabel — no aggregation.
+    Without it the lake grows one partition level per trigger forever,
+    the same read-amplification story as compact_batch_shards.
+
+    ``keep_last`` (≥ 1, enforced) keeps the newest ids untouched so a
+    checkpoint replay of the last (possibly uncommitted) batch still
+    overwrites its OWN partition — and the probe's
+    ``exclude_batch_id`` fence still finds that partition to exclude
+    (folding it would hide the batch's contribution inside the fold,
+    where the fence can't reach, flipping replayed novel rows to
+    duplicate).  Commit = stage → delete → rename of the whole lake
+    (suffix registered in ``parquet_lake._SWAP_SUFFIXES``; the
+    delete→rename window heals via ``recover_staged_swap``, swept by
+    tests/test_crash_windows.py)."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        _fs_and_path,
+        recover_staged_swap,
+    )
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    recover_staged_swap(spark, path)
+    df = spark.read.parquet(path)
+    ids = sorted(
+        r["_batch_id"] for r in df.select("_batch_id").distinct().collect()
+    )
+    fold_ids = ids[: len(ids) - keep_last]
+    if len(fold_ids) < 2:
+        return
+    dtypes = dict(df.dtypes)
+    folded = df.withColumn(
+        "_batch_id",
+        F.when(
+            F.col("_batch_id").isin([int(i) for i in fold_ids]),
+            F.lit(int(fold_ids[0])).cast(dtypes["_batch_id"]),
+        ).otherwise(F.col("_batch_id")),
+    )
+    staging = path.rstrip("/") + "__cosine_index_compact_staging"
+    (
+        folded.repartition("_batch_id", "_t")
+        .write.mode("overwrite")
+        .partitionBy("_batch_id", "_t", "_bucket")
+        .parquet(staging)
+    )
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(hpath, True)
+    if not fs.rename(spath, hpath):
+        raise IOError(
+            f"cosine-index compaction commit failed: {staging} -> {path}"
+        )

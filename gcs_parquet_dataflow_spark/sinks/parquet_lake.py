@@ -193,6 +193,8 @@ _SWAP_SUFFIXES = (
     "__golden_compact_staging",
     # incremental-dedup bloom fold (operators/incremental.compact_bloom_lake)
     "__bloom_compact_staging",
+    # streaming cosine bucket index fold (operators/similarity.compact_cosine_index)
+    "__cosine_index_compact_staging",
 )
 
 

@@ -95,6 +95,32 @@ def _op_golden(spark, path):
     compact_golden_log(spark, path)
 
 
+def _setup_cosine_index(spark, path):
+    from gcs_parquet_dataflow_spark.operators import similarity as SIM
+
+    planes = SIM.hyperplanes(n_planes=4, dim=8, seed=13)
+    import random
+
+    rng = random.Random(61)
+    for b in range(4):
+        rows = [
+            (100 * b + i, [round(rng.uniform(-1, 1), 6) for _ in range(8)])
+            for i in range(5)
+        ]
+        SIM.build_cosine_bucket_index(
+            spark.createDataFrame(rows, "vec_id long, v array<double>"),
+            path, planes=planes, id_col="vec_id", vec_col="v", batch_id=b,
+        )
+
+
+def _op_cosine_index(spark, path):
+    from gcs_parquet_dataflow_spark.operators.similarity import (
+        compact_cosine_index,
+    )
+
+    compact_cosine_index(spark, path, keep_last=1)
+
+
 def _setup_bloom(spark, path):
     spark.createDataFrame(
         [(0, 5), (1, 9)], "word_idx bigint, word bigint"
@@ -116,6 +142,11 @@ FAMILIES = {
     "shards": ("__shards_compact_staging", _setup_shards, _op_shards),
     "golden_log": ("__golden_compact_staging", _setup_golden, _op_golden),
     "bloom": ("__bloom_compact_staging", _setup_bloom, _op_bloom),
+    "cosine_index": (
+        "__cosine_index_compact_staging",
+        _setup_cosine_index,
+        _op_cosine_index,
+    ),
 }
 
 STATES = ["torn", "staged", "deleted"]

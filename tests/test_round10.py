@@ -897,3 +897,53 @@ def test_embedding_dedup_stream_and_replay_convergence(spark, tmp_path):
         (r["corpus_id"], r["_batch_id"])
         for r in spark.read.parquet(index).collect()
     ) == idx_rows
+
+
+def test_compact_cosine_index_is_invisible_to_probes(spark, tmp_path):
+    """Folding old batch partitions must not change a single probe
+    decision: same pairs before and after, keep_last partitions intact
+    (the replay fence still finds them), keep_last<1 rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.operators.similarity import (
+        compact_cosine_index,
+    )
+
+    batch, corpus, _ = _batch_and_corpus(spark)
+    path = str(tmp_path / "cidx")
+    rows = corpus.collect()
+    for b in range(4):
+        chunk = spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 4 == b],
+            "vec_id long, v array<double>",
+        )
+        SIM.build_cosine_bucket_index(
+            chunk, path, planes=P1, id_col="vec_id", vec_col="v", batch_id=b
+        )
+    before = sorted(
+        tuple(r)
+        for r in SIM.cosine_batch_against_index(
+            spark, path, batch, THRESHOLD, planes=P1,
+            id_col="vec_id", vec_col="v",
+        ).collect()
+    )
+    compact_cosine_index(spark, path, keep_last=2)
+    ids = {
+        r["_batch_id"]
+        for r in spark.read.parquet(path).select("_batch_id").distinct().collect()
+    }
+    assert ids == {0, 2, 3}  # 0+1 folded under 0; newest two untouched
+    after = sorted(
+        tuple(r)
+        for r in SIM.cosine_batch_against_index(
+            spark, path, batch, THRESHOLD, planes=P1,
+            id_col="vec_id", vec_col="v",
+        ).collect()
+    )
+    assert after == before
+    # partition levels preserved: the probe's pruning interface survives
+    assert "_t" in spark.read.parquet(path).columns
+    assert "_bucket" in spark.read.parquet(path).columns
+    with pytest.raises(ValueError):
+        compact_cosine_index(spark, path, keep_last=0)
