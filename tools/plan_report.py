@@ -60,6 +60,11 @@ REPRESENTATIVE = [
     # round-9 additions
     ("media_jpeg_decode_variants", "grayscale + 4:4:4 codec paths, same scan-stage Arrow batch shape as the 4:2:0 row"),
     ("privacy_dp_thresholded_release", "group-cap DP release + noisy-threshold filter on the |groups| rollup — key-set stability with zero extra shuffle"),
+    # round-10 additions
+    ("dedup_embedding_cosine_pairs_capped", "cosine candidate generator behind the hot-bucket guard: bucket-size agg + broadcast LEFT ANTI before the bucket self-join (the last uncapped path, closed)"),
+    ("dedup_embedding_cosine_pairs_multitable", "multi-table LSH recall dial: posexplode over L plane tables, capped per (table, bucket), distinct on the deterministic pair triple"),
+    ("dedup_embedding_batch_pairs", "incremental batch-vs-corpus probe: corpus-side cap, bucket equi-join Σ|batch_b|·|corpus_b| — never |batch|×|corpus|"),
+    ("layout_hilbert_key_3d", "Skilling Hilbert SSA steps as chained codegen'd projections — data-dependent bit algorithm with no UDF and no expression blow-up"),
 ]
 
 
