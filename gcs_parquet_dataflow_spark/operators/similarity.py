@@ -378,13 +378,19 @@ def cosine_dup_pairs(
     from gcs_parquet_dataflow_spark.operators.dedup import cap_hot_buckets
 
     plane_tables = _resolve_tables(planes, plane_tables)
-    keyed = _bucket_keyed(df, plane_tables, id_col, vec_col)
+    # persist BEFORE the guard: the bucket expressions are ~8×dim
+    # codegen'd dot products per row — an order of magnitude heavier
+    # than LSH band slicing — so the guard's bucket-size aggregation
+    # must read the cached key table, not re-derive it (measured
+    # ~0.5 s of the 1.7 s sf0.1 row before the reorder)
+    keyed = persist_intermediate(
+        ensure_parallelism(_bucket_keyed(df, plane_tables, id_col, vec_col))
+    )
     if max_bucket_size is not None:
         keyed = cap_hot_buckets(
             keyed, ["_t", "_bucket"], max_bucket_size,
             metric_name="cosine_buckets",
         )
-    keyed = persist_intermediate(ensure_parallelism(keyed))
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(
@@ -457,13 +463,16 @@ def cosine_batch_pairs(
 
     tables = _resolve_tables(planes, plane_tables)
     b = _bucket_keyed(batch, tables, id_col, vec_col, id_out="_bid")
-    c = _bucket_keyed(corpus, tables, id_col, vec_col, id_out="_cid")
+    # persist before the guard, same reason as cosine_dup_pairs: the
+    # guard's size aggregation reads the cached corpus key table
+    c = persist_intermediate(ensure_parallelism(
+        _bucket_keyed(corpus, tables, id_col, vec_col, id_out="_cid")
+    ))
     if max_bucket_size is not None:
         c = cap_hot_buckets(
             c, ["_t", "_bucket"], max_bucket_size,
             metric_name="cosine_index_buckets",
         )
-    c = persist_intermediate(ensure_parallelism(c))
     pairs = (
         b.alias("b").join(
             c.alias("c"),
