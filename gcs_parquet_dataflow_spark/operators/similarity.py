@@ -402,7 +402,10 @@ def cosine_dup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            cosine(F.col("a._v"), F.col("b._v")).alias("cos"),
+            _cosine_precomputed(
+                F.col("a._v"), F.col("b._v"),
+                F.col("a._norm"), F.col("b._norm"),
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -420,17 +423,37 @@ def _bucket_keyed(
     vec_col: str,
     id_out: str = "_id",
 ):
-    """(id, vec, _t, _bucket) — one row per (vector, LSH table), the
-    shared keying step of the cosine candidate family."""
+    """(id, vec, _norm, _t, _bucket) — one row per (vector, LSH table),
+    the shared keying step of the cosine candidate family.
+
+    ``_norm`` is precomputed here (VERDICT r10 item 1): the keyed table
+    is persisted by every consumer, so both norm folds become cached
+    column reads and the candidate join evaluates ONE HOF
+    ``aggregate(zip_with(...))`` fold per pair (the dot product)
+    instead of three — previously the two SQRT(aggregate(...)) norm
+    subtrees were re-evaluated inside BOTH the join predicate and the
+    projection.  Identical float association (the per-row norm is the
+    same double the inline fold produced), so oracle hashes cannot
+    move."""
     return df.select(
         F.col(id_col).alias(id_out),
         F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_norm"),
         F.posexplode(
             F.array(*[
                 hyperplane_bucket(F.col(vec_col), ps) for ps in plane_tables
             ])
         ).alias("_t", "_bucket"),
     )
+
+
+def _cosine_precomputed(
+    va: Column, vb: Column, na: Column, nb: Column, digits: int = 6
+) -> Column:
+    """``cosine`` with the norms read from precomputed columns —
+    ``round(dot/(na*nb), 6)``, the exact expression :func:`cosine`
+    builds with ``na``/``nb`` inlined, so the result is bit-identical."""
+    return F.round(dot(va, vb) / (na * nb), digits)
 
 
 def _resolve_tables(planes, plane_tables):
@@ -482,7 +505,10 @@ def cosine_batch_pairs(
         .select(
             F.col("b._bid").alias("batch_id"),
             F.col("c._cid").alias("corpus_id"),
-            cosine(F.col("b._v"), F.col("c._v")).alias("cos"),
+            _cosine_precomputed(
+                F.col("b._v"), F.col("c._v"),
+                F.col("b._norm"), F.col("c._norm"),
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -504,11 +530,14 @@ def build_cosine_bucket_index(
     partitioned by (_t, _bucket) — the build-once/probe-many form the
     incremental dedup stream needs (re-keying the whole corpus per
     batch, as cosine_batch_pairs does inline, re-scans the lake every
-    trigger).  Returns the number of indexed vectors.
+    trigger).  Returns the number of DISTINCT indexed vectors
+    (independent of how many plane tables key each one).
 
-    Layout: ``path/_batch_id=K/_t=i/_bucket=N/`` holds (corpus_id, _v)
-    for that bucket; a probe reads ONLY its batch's bucket partitions —
-    Hive partition pruning does the candidate selection at the scan.
+    Layout: ``path/_batch_id=K/_t=i/_bucket=N/`` holds
+    (corpus_id, _v, _norm) for that bucket; a probe reads ONLY its
+    batch's bucket partitions — Hive partition pruning does the
+    candidate selection at the scan, and the stored ``_norm`` makes
+    the probe's exact rescore a single dot product per candidate.
     ``batch_id`` keys each append under a leading ``_batch_id``
     partition with dynamic overwrite, so a REPLAYED ingest batch
     overwrites its own contribution instead of duplicating it (the
@@ -518,13 +547,19 @@ def build_cosine_bucket_index(
     )
 
     tables = _resolve_tables(planes, plane_tables)
-    keyed = _bucket_keyed(corpus, tables, id_col, vec_col, id_out="corpus_id")
+    # persist: the write below materializes the keying DAG (~8×dim
+    # codegen'd dot products per row) and the count must read the
+    # cache, not recompute it — this runs PER MICRO-BATCH in
+    # run_embedding_dedup_stream (ADVICE r10)
+    keyed = persist_intermediate(
+        _bucket_keyed(corpus, tables, id_col, vec_col, id_out="corpus_id")
+    )
     write_partitioned(
         keyed, path, ["_t", "_bucket"],
         mode="overwrite" if batch_id is None else "append",
         batch_id=batch_id,
     )
-    return keyed.count()
+    return keyed.select("corpus_id").distinct().count()
 
 
 def cosine_batch_against_index(
@@ -537,6 +572,7 @@ def cosine_batch_against_index(
     vec_col: str = "embedding",
     plane_tables: list[list[list[float]]] | None = None,
     exclude_batch_id: int | None = None,
+    max_bucket_size=None,
 ) -> DataFrame:
     """Probe a persisted cosine bucket index
     (:func:`build_cosine_bucket_index`): the batch's distinct bucket
@@ -552,7 +588,19 @@ def cosine_batch_against_index(
     must not match AGAINST ITSELF — self-matches would flip its novel
     rows to "duplicate" on replay and the stream would diverge from
     the first run.  Excluding the batch's own partition makes the
-    probe a pure function of prior state, so replays converge."""
+    probe a pure function of prior state, so replays converge.
+
+    ``max_bucket_size`` arms the hot-bucket guard on the CORPUS side
+    (the side that grows with the lake — ADVICE r10): a degenerate
+    embedding cluster accumulating in one index bucket over triggers
+    would otherwise make every later batch's probe cost grow without
+    bound.  The size aggregation runs over the PRUNED scan only (the
+    batch's own buckets), so the guard itself is batch-bounded, and
+    it counts post-fence rows — the population the join actually
+    probes.  Pre-r11 indexes without a stored ``_norm`` column are
+    read with the norm computed inline (same double)."""
+    from gcs_parquet_dataflow_spark.operators.dedup import cap_hot_buckets
+
     tables = _resolve_tables(planes, plane_tables)
     b = persist_intermediate(
         _bucket_keyed(batch, tables, id_col, vec_col, id_out="_bid")
@@ -568,6 +616,15 @@ def cosine_batch_against_index(
     )
     if exclude_batch_id is not None and "_batch_id" in index.columns:
         c = c.filter(F.col("_batch_id") != int(exclude_batch_id))
+    if max_bucket_size is not None:
+        c = cap_hot_buckets(
+            c, ["_t", "_bucket"], max_bucket_size,
+            metric_name="cosine_index_buckets",
+        )
+    corpus_norm = (
+        F.col("c._norm") if "_norm" in index.columns
+        else norm(F.col("c._v"))
+    )
     pairs = (
         b.alias("b").join(
             c.alias("c"),
@@ -577,7 +634,10 @@ def cosine_batch_against_index(
         .select(
             F.col("b._bid").alias("batch_id"),
             F.col("c.corpus_id").alias("corpus_id"),
-            cosine(F.col("b._v"), F.col("c._v")).alias("cos"),
+            _cosine_precomputed(
+                F.col("b._v"), F.col("c._v"),
+                F.col("b._norm"), corpus_norm,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -1825,6 +1825,7 @@ def run_embedding_dedup_stream(
     plane_tables: list[list[list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_index_bucket_size=None,
     trigger_seconds: int = DEFAULT_TRIGGER_S,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -1856,9 +1857,20 @@ def run_embedding_dedup_stream(
 
     Scale shape: the per-batch cost is the batch's bucket joins (the
     corpus side read is partition-pruned to the batch's ≤|batch|·L
-    buckets); the index grows one batch partition per trigger —
-    bounded read amplification, same maintenance cadence story as the
-    other per-batch-append lakes."""
+    buckets, and ``max_index_bucket_size`` arms the hot-bucket guard
+    on that pruned corpus scan — without it a degenerate embedding
+    cluster accumulating in ONE index bucket makes every later
+    batch's probe cost grow without bound, ADVICE r10); the index
+    grows one batch partition per trigger — bounded read
+    amplification, same maintenance cadence story as the other
+    per-batch-append lakes.  :func:`compact_cosine_index` is that
+    maintenance job; it commits via delete→rename, so it MUST NOT run
+    concurrently with an active trigger (the index path is briefly
+    absent even crash-free — the lease in
+    ``sinks.parquet_lake.acquire_swap_lease`` enforces this), and the
+    handler heals a crashed compaction's delete→rename window via
+    ``recover_staged_swap`` before treating an absent path as a fresh
+    lake."""
     from gcs_parquet_dataflow_spark.operators.partitioning import (
         release_intermediates,
     )
@@ -1868,6 +1880,7 @@ def run_embedding_dedup_stream(
         cosine_dup_pairs,
     )
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        recover_staged_swap,
         write_partitioned,
     )
 
@@ -1884,7 +1897,14 @@ def run_embedding_dedup_stream(
         ).localCheckpoint(eager=True)
         dropped = intra.select(F.col("id_b").alias(id_col)).distinct()
         survivors = batch.join(dropped, id_col, "left_anti")
-        # 2. probe prior state (fenced against this batch's own rows)
+        # 2. probe prior state (fenced against this batch's own rows).
+        # recover FIRST (ADVICE r10): compact_cosine_index commits via
+        # delete→rename, so a crash in that window leaves the index
+        # ABSENT with the full payload in staging — without recovery
+        # this batch would mistake it for a fresh lake, skip the
+        # corpus probe, and permanently index known duplicates as
+        # novel (the run_upsert_stream pattern, r9).
+        recover_staged_swap(spark, index_path)
         fs_path = spark._jvm.org.apache.hadoop.fs.Path(index_path)  # noqa: SLF001
         fs = fs_path.getFileSystem(
             spark._jsc.hadoopConfiguration()  # noqa: SLF001
@@ -1894,6 +1914,7 @@ def run_embedding_dedup_stream(
                 spark, index_path, survivors, threshold, planes=planes,
                 plane_tables=plane_tables, id_col=id_col, vec_col=vec_col,
                 exclude_batch_id=batch_id,
+                max_bucket_size=max_index_bucket_size,
             ).localCheckpoint(eager=True)
         else:
             hits = spark.createDataFrame(
