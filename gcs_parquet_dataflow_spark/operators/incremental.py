@@ -182,26 +182,22 @@ def compact_bloom_lake(spark: SparkSession, path: str) -> None:
     stream/batch runs, like ``compact_batch_shards``."""
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
         recover_staged_swap,
+        swap_lease,
     )
 
     recover_staged_swap(spark, path)
     if not _path_exists(spark, path):
         return
-    meta = read_bloom_meta(spark, path)
-    folded = read_bloom(spark, path).localCheckpoint(eager=True)
-    staging = path.rstrip("/") + "__bloom_compact_staging"
-    folded.write.mode("overwrite").parquet(staging)
-    if meta is not None:
-        # meta travels inside the staging dir: the swap commits words
-        # and parameters together, atomically w.r.t. the rename
-        write_bloom_meta(spark, staging, meta["m_bits"], meta["k"])
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
-    if not fs.rename(spath, hpath):
-        raise IOError(f"bloom compaction commit failed: {staging} -> {path}")
+    with swap_lease(spark, path, "compact_bloom_lake") as lease:
+        meta = read_bloom_meta(spark, path)
+        folded = read_bloom(spark, path).localCheckpoint(eager=True)
+        staging = path.rstrip("/") + "__bloom_compact_staging"
+        folded.write.mode("overwrite").parquet(staging)
+        if meta is not None:
+            # meta travels inside the staging dir: the swap commits words
+            # and parameters together, atomically w.r.t. the rename
+            write_bloom_meta(spark, staging, meta["m_bits"], meta["k"])
+        lease.commit(staging)
 
 
 def rebuild_bloom_from_index(

@@ -1177,41 +1177,39 @@ def compact_cosine_index(
     duplicate).  Commit = stage → delete → rename of the whole lake
     (suffix registered in ``parquet_lake._SWAP_SUFFIXES``; the
     delete→rename window heals via ``recover_staged_swap``, swept by
-    tests/test_crash_windows.py)."""
+    tests/test_crash_windows.py) under the single-writer
+    ``swap_lease`` — a streaming trigger appending mid-fold (the
+    normal 100 TB case) aborts the swap loudly instead of losing its
+    batch."""
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
-        _fs_and_path,
         recover_staged_swap,
+        swap_lease,
     )
 
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     recover_staged_swap(spark, path)
-    df = spark.read.parquet(path)
-    ids = sorted(
-        r["_batch_id"] for r in df.select("_batch_id").distinct().collect()
-    )
-    fold_ids = ids[: len(ids) - keep_last]
-    if len(fold_ids) < 2:
-        return
-    dtypes = dict(df.dtypes)
-    folded = df.withColumn(
-        "_batch_id",
-        F.when(
-            F.col("_batch_id").isin([int(i) for i in fold_ids]),
-            F.lit(int(fold_ids[0])).cast(dtypes["_batch_id"]),
-        ).otherwise(F.col("_batch_id")),
-    )
-    staging = path.rstrip("/") + "__cosine_index_compact_staging"
-    (
-        folded.repartition("_batch_id", "_t")
-        .write.mode("overwrite")
-        .partitionBy("_batch_id", "_t", "_bucket")
-        .parquet(staging)
-    )
-    fs, hpath, jvm = _fs_and_path(spark, path)
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(hpath, True)
-    if not fs.rename(spath, hpath):
-        raise IOError(
-            f"cosine-index compaction commit failed: {staging} -> {path}"
+    with swap_lease(spark, path, "compact_cosine_index") as lease:
+        df = spark.read.parquet(path)
+        ids = sorted(
+            r["_batch_id"] for r in df.select("_batch_id").distinct().collect()
         )
+        fold_ids = ids[: len(ids) - keep_last]
+        if len(fold_ids) < 2:
+            return
+        dtypes = dict(df.dtypes)
+        folded = df.withColumn(
+            "_batch_id",
+            F.when(
+                F.col("_batch_id").isin([int(i) for i in fold_ids]),
+                F.lit(int(fold_ids[0])).cast(dtypes["_batch_id"]),
+            ).otherwise(F.col("_batch_id")),
+        )
+        staging = path.rstrip("/") + "__cosine_index_compact_staging"
+        (
+            folded.repartition("_batch_id", "_t")
+            .write.mode("overwrite")
+            .partitionBy("_batch_id", "_t", "_bucket")
+            .parquet(staging)
+        )
+        lease.commit(staging)

@@ -21,8 +21,25 @@ Scale contract:
 
 from __future__ import annotations
 
+import contextlib
+import json
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer was detected on a lake path during a staged-swap
+    commit (VERDICT r10 item 2).  Every staged-swap maintenance job
+    (upsert / compact / optimize_table / compact_batch_shards /
+    compact_golden_log / compact_bloom_lake / compact_cosine_index)
+    assumes a single writer; this error is the DETECTION arm of that
+    contract — raised loudly before any destructive step, never after
+    corruption.  Recovery: wait for (or break, via
+    :func:`break_swap_lease`, if the holder crashed) the conflicting
+    writer, then re-run — every maintenance op is idempotent."""
 
 
 def write_partitioned(
@@ -46,7 +63,15 @@ def write_partitioned(
     range scans, blooms prune ``key = X`` probes on HIGH-CARDINALITY
     unsorted columns (id lookups on a time-laid-out table), where
     min/max spans are useless. Readers (Spark's vectorized reader
-    included) skip row groups whose bloom rejects the literal."""
+    included) skip row groups whose bloom rejects the literal.
+
+    Writes are FENCED against in-flight staged-swap maintenance
+    (:func:`check_swap_lease`): appending into a table a maintenance
+    job read moments ago would be silently lost when the job's swap
+    replaces the table — the fence turns that lost update into a loud
+    :class:`ConcurrentWriterError` the caller (typically a
+    foreachBatch handler) retries after the maintenance completes."""
+    check_swap_lease(df.sparkSession, path)
     writer_df = df
     parts = list(partition_by)
     dynamic = False
@@ -155,32 +180,31 @@ def compact(
     compaction to ~128 MB restores scan efficiency.
 
     Write protocol: stage to ``<path>__compact_staging``, then delete +
-    rename via the Hadoop FileSystem API. The swap is not transactional
-    (that is what table formats add on top of a Hive-style layout);
-    run compaction when no concurrent writer targets the table —
-    standard for maintenance jobs on raw-parquet lakes.
+    rename via the Hadoop FileSystem API, under the single-writer
+    :func:`swap_lease` (mutual exclusion against other maintenance,
+    lost-update detection against concurrent appenders — a second
+    writer raises :class:`ConcurrentWriterError` before anything is
+    deleted). Transactional visibility beyond that is what table
+    formats add on top of a Hive-style layout.
     """
     import math
 
     recover_staged_swap(spark, path)
-    files_before, total = data_file_stats(spark, path)
-    n_out = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
-    staging = path.rstrip("/") + "__compact_staging"
-    writer_df = df.repartition(n_out)
-    writer = writer_df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-    fs, hpath, jvm = _fs_and_path(spark, path)
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(hpath, True)
-    if not fs.rename(spath, hpath):
-        # a silently-ignored False here leaves the table ABSENT with
-        # the result stranded in staging until the next recover call —
-        # fail loudly instead (ADVICE r9 on compact_bloom_lake; the
-        # same rule applied to every swap site)
-        raise IOError(f"compact commit failed: {staging} -> {path}")
+    with swap_lease(spark, path, "compact") as lease:
+        files_before, total = data_file_stats(spark, path)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        df = spark.read.parquet(path)
+        staging = path.rstrip("/") + "__compact_staging"
+        writer_df = df.repartition(n_out)
+        writer = writer_df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        # a silently-ignored rename failure would leave the table
+        # ABSENT with the result stranded in staging until the next
+        # recover call — lease.commit fails loudly instead (ADVICE r9
+        # on compact_bloom_lake; the same rule at every swap site)
+        lease.commit(staging)
     files_after, _ = data_file_stats(spark, path)
     return files_before, files_after
 
@@ -222,8 +246,183 @@ def recover_staged_swap(spark: SparkSession, path: str) -> bool:
                 raise IOError(
                     f"staged-swap recovery failed: {spath} -> {hpath}"
                 )
+            # the holder of any leftover lease is dead by construction
+            # (the delete→rename window only stays open across a crash,
+            # or for the microseconds a live rename takes — and a live
+            # holder whose rename now fails re-raises and releases) —
+            # clear it so the next maintenance run isn't blocked
+            fs.delete(_lease_hpath(jvm, path), False)
             return True
     return False
+
+
+# ---------------------------------------------------------------------------
+# Single-writer lease for staged-swap maintenance (VERDICT r10 item 2)
+# ---------------------------------------------------------------------------
+
+_LEASE_SUFFIX = "__swap_lease"
+
+
+def _lease_hpath(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + _LEASE_SUFFIX)
+
+
+def read_swap_lease(spark: SparkSession, path: str) -> dict | None:
+    """The lease record currently held on ``path`` (None if unheld):
+    {op, pid, acquired_unix_ms} as written by :func:`swap_lease`."""
+    fs, _, jvm = _fs_and_path(spark, path)
+    lp = _lease_hpath(jvm, path)
+    if not fs.exists(lp):
+        return None
+    stream = fs.open(lp)
+    try:
+        data = bytes(
+            [stream.read() & 0xFF for _ in range(fs.getFileStatus(lp).getLen())]
+        )
+    finally:
+        stream.close()
+    try:
+        return json.loads(data.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return {"op": "<unreadable>", "pid": -1, "acquired_unix_ms": 0}
+
+
+def break_swap_lease(spark: SparkSession, path: str) -> bool:
+    """Operator tool: forcibly remove a lease whose holder crashed
+    BEFORE its destructive step (dest intact, staging torn or stale —
+    the one crash state :func:`recover_staged_swap` cannot clear,
+    because dest-present cannot distinguish a live holder from a dead
+    one).  Returns True if a lease was removed.  Only break a lease
+    after confirming the holder is gone — breaking a LIVE holder's
+    lease re-opens the race the lease exists to close."""
+    fs, _, jvm = _fs_and_path(spark, path)
+    return bool(fs.delete(_lease_hpath(jvm, path), False))
+
+
+def check_swap_lease(spark: SparkSession, path: str) -> None:
+    """Raise :class:`ConcurrentWriterError` if a maintenance lease is
+    held on ``path`` — the writer-side half of the single-writer
+    contract, called by :func:`write_partitioned` so a streaming
+    appender fails LOUDLY (and retries its trigger later) instead of
+    appending into a table a maintenance job is about to delete and
+    swap.  One ``fs.exists`` per write — manifest-cost, not data-cost."""
+    lease = read_swap_lease(spark, path)
+    if lease is not None:
+        age_s = (time.time() * 1000 - lease.get("acquired_unix_ms", 0)) / 1000
+        raise ConcurrentWriterError(
+            f"maintenance lease held on {path} by op={lease.get('op')!r} "
+            f"pid={lease.get('pid')} (age {age_s:.1f}s): writes are fenced "
+            f"until it completes; if the holder crashed before its "
+            f"delete→rename, run break_swap_lease"
+        )
+
+
+def _dest_epoch(fs, hpath, jvm) -> frozenset:
+    """Commit-conflict fingerprint of the destination table: the set of
+    data-file paths under it.  Parquet part files are uuid-named (the
+    read_skipping staleness argument), so ANY concurrent append,
+    overwrite, or rewrite between snapshot and commit changes the set.
+    Listing-cost only — never reads data."""
+    if not fs.exists(hpath):
+        return frozenset()
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        out.append(st.getPath().toString())
+    return frozenset(out)
+
+
+class _SwapLeaseHandle:
+    def __init__(self, spark: SparkSession, path: str, op: str):
+        self._spark = spark
+        self._path = path
+        self._op = op
+        fs, hpath, jvm = _fs_and_path(spark, path)
+        self._fs, self._hpath, self._jvm = fs, hpath, jvm
+        self.epoch = _dest_epoch(fs, hpath, jvm)
+
+    def commit(self, staging: str) -> None:
+        """The guarded delete→rename: re-fingerprint the destination
+        and ABORT (staging preserved, lease released by the context
+        exit, nothing deleted) if any writer changed it since the
+        lease snapshotted it — the lost-update check against appenders
+        that bypass :func:`check_swap_lease`.  The residual window is
+        the instants between this re-check and the delete; with
+        leased-path writes fenced at write_partitioned, reaching it
+        requires an unfenced writer racing a microsecond gap — and
+        even then the rename fails loudly on the recreated dest rather
+        than clobbering it."""
+        now = _dest_epoch(self._fs, self._hpath, self._jvm)
+        if now != self.epoch:
+            raise ConcurrentWriterError(
+                f"{self._op}: destination {self._path} changed during the "
+                f"maintenance run ({len(self.epoch)} -> {len(now)} data "
+                f"files): aborting before the swap; result preserved at "
+                f"{staging}; re-run to fold in the concurrent writes"
+            )
+        spath = self._jvm.org.apache.hadoop.fs.Path(staging)
+        self._fs.delete(self._hpath, True)
+        if not self._fs.rename(spath, self._hpath):
+            raise IOError(
+                f"{self._op} commit failed: {staging} -> {self._path}"
+            )
+
+
+@contextlib.contextmanager
+def swap_lease(spark: SparkSession, path: str, op: str):
+    """Single-writer mutual exclusion + lost-update detection for every
+    staged-swap maintenance job (VERDICT r10 item 2).  Usage::
+
+        recover_staged_swap(spark, path)
+        with swap_lease(spark, path, "compact") as lease:
+            ...read path, write staging...
+            lease.commit(staging)
+
+    Acquire is an atomic create-no-overwrite of ``<path>__swap_lease``
+    (atomic on HDFS and local; object stores need their conditional-put
+    flag) recording {op, pid, acquired_unix_ms} — a second maintenance
+    job raises :class:`ConcurrentWriterError` immediately, holding
+    nothing.  The handle snapshots the destination's data-file set at
+    acquire time; ``commit`` re-checks it just before the delete, so an
+    append that raced in between lease acquisition and commit aborts
+    the swap with the staging intact (never a lost update, never a
+    resurrected partition).  The lease is released on every live exit
+    (success or raise); only a CRASHED holder leaves it behind —
+    :func:`recover_staged_swap` clears it when it heals the
+    delete→rename window, :func:`break_swap_lease` clears the
+    dest-intact states (which recovery can't distinguish from a live
+    holder).  Swept by tests/test_crash_windows.py."""
+    fs, _, jvm = _fs_and_path(spark, path)
+    lp = _lease_hpath(jvm, path)
+    try:
+        out = fs.create(lp, False)
+    except Exception as exc:  # FileAlreadyExistsException and kin
+        holder = read_swap_lease(spark, path) or {}
+        raise ConcurrentWriterError(
+            f"{op}: maintenance lease on {path} already held by "
+            f"op={holder.get('op')!r} pid={holder.get('pid')}; staged-swap "
+            f"jobs are single-writer — wait for it or, if the holder "
+            f"crashed before its delete→rename, break_swap_lease"
+        ) from exc
+    try:
+        payload = json.dumps(
+            {
+                "op": op,
+                "pid": os.getpid(),
+                "acquired_unix_ms": int(time.time() * 1000),
+            }
+        ).encode("utf-8")
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    try:
+        yield _SwapLeaseHandle(spark, path, op)
+    finally:
+        fs.delete(lp, False)
 
 
 
@@ -266,26 +465,23 @@ def upsert(
     from pyspark.sql import Window as WU
 
     recover_staged_swap(spark, path)
-    current = spark.read.parquet(path)
-    rows_before = current.count()
-    tagged = current.withColumn("_src", F.lit(0)).unionByName(
-        updates.withColumn("_src", F.lit(1))
-    )
-    w = WU.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), F.col("_src").desc()
-    )
-    merged = (
-        tagged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
-    )
-    staging = path.rstrip("/") + "__upsert_staging"
-    merged.write.mode("overwrite").parquet(staging)
-    fs, hpath, jvm = _fs_and_path(spark, path)
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(hpath, True)
-    if not fs.rename(spath, hpath):
-        raise IOError(f"upsert commit failed: {staging} -> {path}")
+    with swap_lease(spark, path, "upsert") as lease:
+        current = spark.read.parquet(path)
+        rows_before = current.count()
+        tagged = current.withColumn("_src", F.lit(0)).unionByName(
+            updates.withColumn("_src", F.lit(1))
+        )
+        w = WU.partitionBy(*key_cols).orderBy(
+            F.col(version_col).desc(), F.col("_src").desc()
+        )
+        merged = (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        staging = path.rstrip("/") + "__upsert_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        lease.commit(staging)
     rows_after = spark.read.parquet(path).count()
     return rows_before, rows_after
 
@@ -731,35 +927,31 @@ def optimize_table(
     if zorder_by and sort_cols:
         raise ValueError("pass sort_cols OR zorder_by, not both")
     recover_staged_swap(spark, path)
-    df = spark.read.parquet(path)
-    n_rows = df.count()
-    files_before, total_bytes = data_file_stats(spark, path)
-    n_files = max(1, int(total_bytes // target_file_bytes) or 1)
+    with swap_lease(spark, path, "optimize_table") as lease:
+        df = spark.read.parquet(path)
+        n_rows = df.count()
+        files_before, total_bytes = data_file_stats(spark, path)
+        n_files = max(1, int(total_bytes // target_file_bytes) or 1)
 
-    staging = path.rstrip("/") + "__optimize_staging"
-    if zorder_by:
-        writer_df = (
-            _rank_zorder_keyed(df, zorder_by, bits=8, curve=curve)
-            .repartitionByRange(n_files, "_zkey")
-            .sortWithinPartitions("_zkey")
-            .drop("_zkey")
-        )
-    elif sort_cols:
-        writer_df = df.repartitionByRange(
-            n_files, *sort_cols
-        ).sortWithinPartitions(*sort_cols)
-    else:
-        writer_df = df.coalesce(n_files)
-    writer = writer_df.write.mode("overwrite")
-    for c in bloom_cols or []:
-        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
-    writer.parquet(staging)
-
-    fs, hpath, jvm = _fs_and_path(spark, path)
-    hstaging = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(hpath, True)
-    if not fs.rename(hstaging, hpath):
-        raise IOError(f"optimize commit failed: {staging} -> {path}")
+        staging = path.rstrip("/") + "__optimize_staging"
+        if zorder_by:
+            writer_df = (
+                _rank_zorder_keyed(df, zorder_by, bits=8, curve=curve)
+                .repartitionByRange(n_files, "_zkey")
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        elif sort_cols:
+            writer_df = df.repartitionByRange(
+                n_files, *sort_cols
+            ).sortWithinPartitions(*sort_cols)
+        else:
+            writer_df = df.coalesce(n_files)
+        writer = writer_df.write.mode("overwrite")
+        for c in bloom_cols or []:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(staging)
+        lease.commit(staging)
 
     manifest_path = path.rstrip("/") + "__manifest"
     mcols = (

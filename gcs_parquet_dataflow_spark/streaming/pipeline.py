@@ -1307,8 +1307,8 @@ def compact_batch_shards(
     which ``recover_staged_swap`` (called here, and by the shard-lake
     streaming writers before their first-batch read) completes."""
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
-        _fs_and_path,
         recover_staged_swap,
+        swap_lease,
     )
 
     if keep_last < 1:
@@ -1318,45 +1318,42 @@ def compact_batch_shards(
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
 
     recover_staged_swap(spark, path)
-    df = spark.read.parquet(path)
-    ids = sorted(
-        r["_batch_id"]
-        for r in df.select("_batch_id").distinct().collect()
-    )
-    fold_ids = ids[: len(ids) - keep_last]
-    if len(fold_ids) < 2:
-        return
-    old = df.filter(F.col("_batch_id").isin([int(i) for i in fold_ids]))
-    sum_cols = [
-        c for c in df.columns if c not in key_cols and c != "_batch_id"
-    ]
-    dtypes = dict(df.dtypes)
-    if sum_cols:
-        folded = old.groupBy(*key_cols).agg(
-            *[F.sum(c).cast(dtypes[c]).alias(c) for c in sum_cols]
+    with swap_lease(spark, path, "compact_batch_shards") as lease:
+        df = spark.read.parquet(path)
+        ids = sorted(
+            r["_batch_id"]
+            for r in df.select("_batch_id").distinct().collect()
         )
-    else:
-        # key-only feed (heavy-hitter candidates): readers distinct it
-        folded = old.select(*key_cols).distinct()
-    folded = folded.withColumn(
-        "_batch_id", F.lit(int(fold_ids[0])).cast(dtypes["_batch_id"])
-    )
-    kept = df.filter(
-        F.col("_batch_id").isin([int(i) for i in ids[len(fold_ids):]])
-    )
-    staging = path.rstrip("/") + "__shards_compact_staging"
-    (
-        kept.unionByName(folded.select(*kept.columns))
-        .repartition("_batch_id")  # one writer task per partition dir
-        .write.mode("overwrite")
-        .partitionBy("_batch_id")
-        .parquet(staging)
-    )
-    fs, hpath, jvm = _fs_and_path(spark, path)
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(hpath, True)
-    if not fs.rename(spath, hpath):
-        raise IOError(f"shard compaction commit failed: {staging} -> {path}")
+        fold_ids = ids[: len(ids) - keep_last]
+        if len(fold_ids) < 2:
+            return
+        old = df.filter(F.col("_batch_id").isin([int(i) for i in fold_ids]))
+        sum_cols = [
+            c for c in df.columns if c not in key_cols and c != "_batch_id"
+        ]
+        dtypes = dict(df.dtypes)
+        if sum_cols:
+            folded = old.groupBy(*key_cols).agg(
+                *[F.sum(c).cast(dtypes[c]).alias(c) for c in sum_cols]
+            )
+        else:
+            # key-only feed (heavy-hitter candidates): readers distinct it
+            folded = old.select(*key_cols).distinct()
+        folded = folded.withColumn(
+            "_batch_id", F.lit(int(fold_ids[0])).cast(dtypes["_batch_id"])
+        )
+        kept = df.filter(
+            F.col("_batch_id").isin([int(i) for i in ids[len(fold_ids):]])
+        )
+        staging = path.rstrip("/") + "__shards_compact_staging"
+        (
+            kept.unionByName(folded.select(*kept.columns))
+            .repartition("_batch_id")  # one writer task per partition dir
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(staging)
+        )
+        lease.commit(staging)
 
 
 def compact_golden_log(spark: SparkSession, golden_path: str) -> None:
@@ -1378,39 +1375,36 @@ def compact_golden_log(spark: SparkSession, golden_path: str) -> None:
     ``recover_staged_swap`` (called here and by the ER stream's
     golden-lake fence)."""
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
-        _fs_and_path,
         recover_staged_swap,
+        swap_lease,
     )
 
     recover_staged_swap(spark, golden_path)
-    df = spark.read.parquet(golden_path)
-    latest = df.agg(F.max("_batch_id")).collect()[0][0]
-    if latest is None:
-        return
-    from pyspark.sql import Window as WL
+    with swap_lease(spark, golden_path, "compact_golden_log") as lease:
+        df = spark.read.parquet(golden_path)
+        latest = df.agg(F.max("_batch_id")).collect()[0][0]
+        if latest is None:
+            return
+        from pyspark.sql import Window as WL
 
-    wl = WL.partitionBy("entity_id").orderBy(F.col("_batch_id").desc())
-    dtypes = dict(df.dtypes)
-    folded = (
-        df.withColumn("_rn", F.row_number().over(wl))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .withColumn("_batch_id", F.lit(int(latest)).cast(dtypes["_batch_id"]))
-    )
-    staging = golden_path.rstrip("/") + "__golden_compact_staging"
-    (
-        folded.coalesce(1)
-        .write.mode("overwrite")
-        .partitionBy("_batch_id")
-        .parquet(staging)
-    )
-    fs, hpath, jvm = _fs_and_path(spark, golden_path)
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(hpath, True)
-    if not fs.rename(spath, hpath):
-        raise IOError(
-            f"golden-log compaction commit failed: {staging} -> {golden_path}"
+        wl = WL.partitionBy("entity_id").orderBy(F.col("_batch_id").desc())
+        dtypes = dict(df.dtypes)
+        folded = (
+            df.withColumn("_rn", F.row_number().over(wl))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn(
+                "_batch_id", F.lit(int(latest)).cast(dtypes["_batch_id"])
+            )
         )
+        staging = golden_path.rstrip("/") + "__golden_compact_staging"
+        (
+            folded.coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(staging)
+        )
+        lease.commit(staging)
 
 
 def run_incremental_er_stream(

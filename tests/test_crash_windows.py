@@ -195,6 +195,127 @@ def test_staged_swap_crash_state_converges(spark, tmp_path, family, state):
     assert _content(spark, base) == post
 
 
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_held_lease_blocks_maintenance_until_broken(spark, tmp_path, family):
+    """Single-writer mutual exclusion (VERDICT r10 item 2): a held
+    ``__swap_lease`` — another maintenance job mid-run, or a holder
+    that crashed BEFORE its delete→rename (dest intact, so
+    recover_staged_swap correctly leaves it) — makes every maintenance
+    op raise ConcurrentWriterError holding nothing; break_swap_lease
+    is the documented operator unblock, after which the op converges
+    to post exactly as the crash sweep requires."""
+    suffix, setup, op = FAMILIES[family]
+    base = str(tmp_path / "lake")
+    setup(spark, base)
+    pre = _content(spark, base)
+
+    clone = str(tmp_path / "clone")
+    shutil.copytree(base, clone)
+    op(spark, clone)
+    post = _content(spark, clone)
+
+    with open(base + "__swap_lease", "w") as f:
+        f.write('{"op": "other", "pid": 1, "acquired_unix_ms": 0}')
+    with pytest.raises(PL.ConcurrentWriterError):
+        op(spark, base)
+    assert _content(spark, base) == pre  # nothing touched
+    assert not os.path.exists(base + suffix)  # held nothing, staged nothing
+
+    assert PL.break_swap_lease(spark, base)
+    op(spark, base)
+    assert _content(spark, base) == post
+
+
+def test_recover_staged_swap_clears_crashed_holders_lease(spark, tmp_path):
+    """The deleted-state crash WITH the holder's lease still on disk
+    (the realistic crash: every maintenance op now holds the lease
+    across its delete→rename): recovery must both complete the rename
+    and clear the dead holder's lease, or the healed lake would be
+    permanently fenced."""
+    base = str(tmp_path / "lake")
+    _setup_table(spark, base)
+    clone = str(tmp_path / "clone")
+    shutil.copytree(base, clone)
+    _op_compact(spark, clone)
+    post = _content(spark, clone)
+
+    shutil.copytree(clone, base + "__compact_staging")
+    shutil.rmtree(base)
+    with open(base + "__swap_lease", "w") as f:
+        f.write('{"op": "compact", "pid": 1, "acquired_unix_ms": 0}')
+
+    assert PL.recover_staged_swap(spark, base)
+    assert _content(spark, base) == post
+    assert PL.read_swap_lease(spark, base) is None
+    _op_compact(spark, base)  # not fenced: the lease was cleared
+    assert _content(spark, base) == post
+
+
+def test_concurrent_append_aborts_swap_commit(spark, tmp_path):
+    """Lost-update detection: an appender that bypasses the
+    write_partitioned fence (raw df.write.append — e.g. a pre-r11
+    writer) and lands between the maintenance read and its commit must
+    ABORT the swap: the epoch re-check sees the new data files, raises
+    before the delete, and the destination keeps BOTH the original
+    rows and the racing append — never clobbered, never resurrected."""
+    base = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.parquet(base)
+    staging = base + "__compact_staging"
+    with PL.swap_lease(spark, base, "compact") as lease:
+        df = spark.read.parquet(base)
+        # racing appender (unfenced): lands after the lease snapshot
+        spark.createDataFrame([(3, "c")], "k long, v string").write.mode(
+            "append"
+        ).parquet(base)
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        with pytest.raises(PL.ConcurrentWriterError):
+            lease.commit(staging)
+    assert _content(spark, base) == [(1, "a"), (2, "b"), (3, "c")]
+    assert os.path.exists(staging)  # result preserved for the re-run
+    assert PL.read_swap_lease(spark, base) is None  # live exit released
+    # the documented recovery: re-run folds the racing write in
+    shutil.rmtree(staging)
+    PL.compact(spark, base, target_file_bytes=1 << 30)
+    assert _content(spark, base) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_write_partitioned_is_fenced_by_swap_lease(spark, tmp_path):
+    """The writer-side half of the single-writer contract: a streaming
+    appender (write_partitioned — every foreachBatch side-write goes
+    through it) fails LOUDLY while a maintenance lease is held on its
+    target, instead of appending into a table about to be deleted and
+    swapped; the foreachBatch retry after the maintenance completes
+    succeeds."""
+    base = str(tmp_path / "lake")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    PL.write_partitioned(df, base, [], batch_id=0)
+    with PL.swap_lease(spark, base, "compact"):
+        with pytest.raises(PL.ConcurrentWriterError):
+            PL.write_partitioned(df, base, [], batch_id=1)
+    PL.write_partitioned(df, base, [], batch_id=1)  # lease released
+    assert {
+        r["_batch_id"]
+        for r in spark.read.parquet(base).select("_batch_id").collect()
+    } == {0, 1}
+
+
+def test_cross_family_maintenance_is_mutually_exclusive(spark, tmp_path):
+    """The lease is per-PATH, not per-op: an upsert racing a compact on
+    the same table is exactly the 100 TB overlap case — the second
+    acquirer raises immediately, whichever family it is."""
+    base = str(tmp_path / "lake")
+    _setup_upsert(spark, base)
+    pre = _content(spark, base)
+    with PL.swap_lease(spark, base, "compact"):
+        with pytest.raises(PL.ConcurrentWriterError):
+            _op_upsert(spark, base)
+    assert _content(spark, base) == pre
+    _op_upsert(spark, base)  # released: proceeds normally
+    assert (2, "B", 2) in _content(spark, base)
+
+
 def test_bloom_swap_preserves_meta_in_every_state(spark, tmp_path):
     """The bloom fold's meta file travels INSIDE the staging dir (the
     r9 meta-first window, closed): after recovery from the deleted
