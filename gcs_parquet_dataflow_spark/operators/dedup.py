@@ -628,12 +628,45 @@ def jaccard_pairs(
     )
 
 
+@dataclass
+class CCReport:
+    """What a :func:`connected_components` run actually did (VERDICT
+    r10 item 4 — the iterative analog of :class:`CapReport`): appended
+    per run so a pipeline capping ``max_iter`` can ALARM on
+    non-convergence instead of silently consuming labels that only
+    propagated ``max_iter`` hops.  ``converged`` is False iff the run
+    stopped at the iteration cap with ``changed_at_stop`` labels still
+    moving — the output is then the min id within ``max_iter`` hops,
+    a refinement of the true components (over-split, never merged
+    wrongly)."""
+
+    metric_name: str
+    max_iter: int
+    iterations: int
+    converged: bool
+    changed_at_stop: int
+
+
+_CC_REPORTS: list[CCReport] = []
+
+
+def cc_reports() -> list[CCReport]:
+    """All convergence reports emitted this driver process."""
+    return list(_CC_REPORTS)
+
+
+def last_cc_report() -> CCReport | None:
+    return _CC_REPORTS[-1] if _CC_REPORTS else None
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
     id_col: str = "_id",
     max_iter: int = 20,
     checkpoint_every: int = 5,
+    metric_name: str = "connected_components",
+    raise_on_nonconverged: bool = False,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: → (id_col, cluster) where
     ``cluster`` is the MIN node id reachable through the pair graph
@@ -645,6 +678,17 @@ def connected_components(
     of a common source), so this is a handful of shuffles even at
     100 TB. Labels persist per round; convergence is checked with a
     count of changed labels (small driver scalar, not a collect of data).
+
+    ``max_iter`` is the PRODUCTION iteration dial (VERDICT r10 item 4):
+    it bounds wall-clock on adversarially deep graphs (a chain of
+    pairwise near-dups — crawl rings, templated page series — has
+    diameter O(n), and an unbounded loop would run O(n) shuffle rounds
+    on it).  Every run appends a :class:`CCReport`; a capped stop
+    yields labels = min id within ``max_iter`` hops — an OVER-SPLIT
+    refinement of the true components (never a wrong merge), flagged
+    via ``converged=False`` / ``changed_at_stop`` rather than silently
+    returned.  ``raise_on_nonconverged=True`` upgrades the flag to an
+    error for pipelines where a split cluster is not acceptable.
 
     Every ``checkpoint_every`` rounds the label frame is
     ``localCheckpoint``-ed to TRUNCATE LINEAGE — without it each round
@@ -669,6 +713,9 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("cluster")
     ).persist()
+    changed = -1
+    iterations = 0
+    converged = False
     for i in range(max_iter):
         neighbor_min = (
             labels.join(edges, labels.id == edges.src)
@@ -694,9 +741,28 @@ def connected_components(
         )
         labels.unpersist()
         labels = new_labels
+        iterations = i + 1
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    _CC_REPORTS.append(
+        CCReport(
+            metric_name=metric_name,
+            max_iter=max_iter,
+            iterations=iterations,
+            converged=converged,
+            changed_at_stop=int(changed),
+        )
+    )
+    if raise_on_nonconverged and not converged:
+        register_intermediate(labels)
+        raise RuntimeError(
+            f"{metric_name}: min-label propagation did not converge in "
+            f"{max_iter} iterations ({changed} labels still moving) — "
+            f"the graph is deeper than the cap; raise max_iter or accept "
+            f"the over-split refinement (raise_on_nonconverged=False)"
+        )
     register_intermediate(labels)
     return labels.select(F.col("id").alias(id_col), "cluster")
 

@@ -17275,3 +17275,101 @@ def dedup_embedding_batch_pairs(spark, sf_dir):
         batch, e, COS_DUP_THRESHOLD, planes=PLANES,
         id_col="vec_id", vec_col="v", max_bucket_size=COS_BUCKET_CAP,
     )
+
+
+@query(
+    "dedup_minhash_clusters_capped",
+    f"""
+    WITH RECURSIVE {LSH_PAIRS_CTES},
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    r AS (SELECT s, d FROM e
+          UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+    m AS (SELECT s AS doc_id, min(d) AS mn FROM r GROUP BY s)
+    SELECT aug.doc_id,
+           CAST(coalesce(least(aug.doc_id, m.mn), aug.doc_id) AS BIGINT)
+               AS cluster
+    FROM aug LEFT JOIN m ON aug.doc_id = m.doc_id
+    """,
+)
+def dedup_minhash_clusters_capped(spark, sf_dir):
+    """Iteration-dial no-op proof for the CC clustering rows (VERDICT
+    r10 item 4, the hot-bucket-cap pattern applied to the iterative
+    dial): identical transitive-closure oracle as
+    dedup_minhash_clusters, Spark side with ``max_iter=10`` armed — the
+    fixture's components converge in ≤ 8 rounds at sf0.1 (measured:
+    CCReport iterations=8; band-collision chains make them deeper than
+    the naive star picture), so the capped run must CONVERGE inside
+    the cap and
+    hash-match the unbounded row exactly, while appending a CCReport
+    (converged=True) to ``cc_reports()``.  The adversarial half — a
+    planted diameter-40 chain truncating LOUDLY (converged=False,
+    over-split refinement, never a wrong merge) and converging again
+    when the dial is raised — is tools/scale_smoke.py --cc-chain and
+    tests/test_round11.py."""
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    pairs = DD.lsh_candidate_pairs(sigs, "doc_id", "sig", rows_per_band=2)
+    return DD.connected_components(
+        aug.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id",
+        max_iter=10, metric_name="cc_minhash_capped",
+    )
+
+
+@query(
+    "dedup_keep_best_quality_capped",
+    f"""
+    WITH RECURSIVE {LSH_PAIRS_CTES},
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    r AS (SELECT s, d FROM e
+          UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+    m AS (SELECT s AS doc_id, min(d) AS mn FROM r GROUP BY s),
+    cl AS (SELECT aug.doc_id, aug.text,
+                  CAST(coalesce(least(aug.doc_id, m.mn), aug.doc_id)
+                       AS BIGINT) AS cluster
+           FROM aug LEFT JOIN m ON aug.doc_id = m.doc_id),
+    qs AS (SELECT doc_id, cluster, text, string_split(text, ' ') AS w
+           FROM cl),
+    qq AS (SELECT doc_id, cluster,
+                  round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0,
+                                    1.0)
+                      + 0.4 * round(CAST(len(list_distinct(w)) AS DOUBLE)
+                                    / len(w), 6)
+                      + 0.2 * least({{_STOP_EN}} * 10.0, 1.0), 6)
+                      AS quality
+           FROM qs)
+    SELECT doc_id, cluster, quality,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY quality DESC, doc_id) = 1 AS keep
+    FROM qq
+    """.replace("{_STOP_EN}", _stop_sql("en")),
+)
+def dedup_keep_best_quality_capped(spark, sf_dir):
+    """The iteration dial on the OTHER 30 s+ clustering row
+    (dedup_keep_best_quality): capped clustering (max_iter=10) feeding
+    the same quality-keep window must reproduce the unbounded row
+    hash-exactly on the fixture (≤ 8 rounds to converge at sf0.1 ⇒ the
+    cap is a no-op, CCReport converged=True) — the capped≡uncapped proof that
+    makes max_iter a safe production dial for the slowest
+    non-definition sweep rows."""
+    from pyspark.sql import Window as WQ
+
+    aug = _planted_docs(spark, sf_dir, near=True)
+    sigs = DD.with_minhash(aug, "doc_id", "text", PERMS, k=3, out="sig")
+    pairs = DD.lsh_candidate_pairs(sigs, "doc_id", "sig", rows_per_band=2)
+    comp = DD.connected_components(
+        aug.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id",
+        max_iter=10, metric_name="cc_keep_best_capped",
+    )
+    q = aug.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    w = WQ.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster", "quality", "keep")
+    )

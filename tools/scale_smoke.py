@@ -661,6 +661,38 @@ def main() -> None:
 
         timed("cosine_bomb_capped", cosine_bomb_capped)
 
+        # CC iteration-dial bomb (VERDICT r10 item 4): a planted
+        # pairwise near-dup CHAIN (crawl rings, templated page series)
+        # has diameter O(n) — min-label propagation moves the label ONE
+        # hop per round, so an unbounded loop runs O(n) shuffle rounds.
+        # max_iter bounds the cost at the dial regardless of depth, and
+        # the CCReport makes the truncation LOUD (converged=False,
+        # changed_at_stop > 0) instead of silently over-split.
+        chain_n = 50 * factor
+        chain_nodes = spark.range(chain_n).select(F.col("id").alias("doc_id"))
+        chain_pairs = spark.range(chain_n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+
+        def cc_chain_capped():
+            capped = DD.connected_components(
+                chain_nodes, chain_pairs, id_col="doc_id",
+                max_iter=10, metric_name="cc_chain_smoke",
+            )
+            rows["cc_chain_capped_clusters"] = (
+                capped.select("cluster").distinct().count()
+            )
+            rep = DD.last_cc_report()
+            rows["cc_chain_report"] = {
+                "chain_n": chain_n,
+                "max_iter": rep.max_iter,
+                "iterations": rep.iterations,
+                "converged": rep.converged,
+                "changed_at_stop": rep.changed_at_stop,
+            }
+
+        timed("cc_chain_diameter_bomb_capped_at_10", cc_chain_capped)
+
         print(
             json.dumps(
                 {
