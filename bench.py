@@ -201,6 +201,72 @@ def main() -> None:
         extended[name] = round(min(per_pass), 3)
         extended_passes[name] = [round(t, 3) for t in per_pass]
         extended_loads[name] = per_load
+
+    # Incremental embedding index probe (VERDICT r10 item 6): not a
+    # catalog row (it WRITES a persisted index), timed here so a
+    # partition-pruning regression in cosine_batch_against_index — or a
+    # compaction that breaks the pruning layout — shows up in the bench
+    # artifact instead of only in sweep scale ratios.  Same batch shape
+    # as the dedup_embedding_batch_pairs oracle row (the probe's inline
+    # twin), 4 batch partitions so compaction has something to fold.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.operators import similarity as SIM
+    from gcs_parquet_dataflow_spark.queries.extensions import (
+        COS_DUP_THRESHOLD,
+        PLANES,
+    )
+
+    probe: dict[str, float] = {}
+    probe_passes: dict[str, list[float]] = {}
+    probe_loads: dict[str, list[float]] = {}
+    idx_root = tempfile.mkdtemp(prefix="bench_cosine_idx_")
+    idx = os.path.join(idx_root, "idx")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    batch = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x + 0.01).alias("v"),
+    )
+
+    def _probe_timed(label: str, fn) -> None:
+        pp: list[float] = []
+        pl: list[float] = []
+        for _ in range(3):
+            pl.append(_load1())
+            start = time.perf_counter()
+            fn()
+            pp.append(round(time.perf_counter() - start, 3))
+            release_intermediates()
+        probe[label] = min(pp)
+        probe_passes[label] = pp
+        probe_loads[label] = pl
+
+    start = time.perf_counter()
+    for b in range(4):
+        SIM.build_cosine_bucket_index(
+            emb.filter(F.col("vec_id") % 4 == b), idx,
+            planes=PLANES, id_col="vec_id", vec_col="v", batch_id=b,
+        )
+    release_intermediates()
+    probe["index_build_4_batches"] = round(time.perf_counter() - start, 3)
+
+    def _run_probe() -> None:
+        SIM.cosine_batch_against_index(
+            spark, idx, batch, COS_DUP_THRESHOLD, planes=PLANES,
+            id_col="vec_id", vec_col="v",
+        ).count()
+
+    _probe_timed("cosine_batch_against_index", _run_probe)
+    start = time.perf_counter()
+    SIM.compact_cosine_index(spark, idx, keep_last=2)
+    probe["compact_cosine_index"] = round(time.perf_counter() - start, 3)
+    _probe_timed("cosine_batch_against_index_postcompact", _run_probe)
+    shutil.rmtree(idx_root, ignore_errors=True)
     load_end = _load1()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -228,6 +294,9 @@ def main() -> None:
         "queries_extended": extended,
         "queries_extended_passes": extended_passes,
         "queries_extended_load1": extended_loads,
+        "queries_probe": probe,
+        "queries_probe_passes": probe_passes,
+        "queries_probe_load1": probe_loads,
         "load1_start": load_start,
         "load1_end": load_end,
         "table_rows": table_rows,

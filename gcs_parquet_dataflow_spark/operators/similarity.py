@@ -723,6 +723,151 @@ def ivf_query_index(
     )
 
 
+def index_family_crossover(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    planes: list[list[float]] | None = None,
+    planes2: list[list[float]] | None = None,
+    cents: list[list[float]] | None = None,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The measured CROSS-OVER between the engine's two embedding index
+    families (VERDICT r10 item 5): one row per candidate-selection
+    method — ``hyperplane_1table``, ``hyperplane_2table``, and
+    ``ivf_nprobe<N>`` — with its probe cost (``n_candidates``: exact
+    rescores performed, the thing an index exists to minimize) and its
+    ``recall_at_k`` against the exact brute-force top-k on the SAME
+    ground truth.  → (method, n_candidates, n_hits, recall_at_k),
+    ordered by method.
+
+    The decision rule this row measures (also in README's module map):
+
+    - **IVF lists** follow the data distribution (centroids trained on
+      it), so at equal candidate budget they usually buy more recall
+      on clustered corpora; ``nprobe`` is a per-query dial that needs
+      no re-index.  Prefer IVF (build_ivf_index) when queries are
+      top-k searches and the corpus is re-indexed on a maintenance
+      cadence.
+    - **Hyperplane buckets** are data-independent (no training, stable
+      under drift, identical keys on writer and reader), which is what
+      the DEDUP family needs — a threshold join, not top-k; recall is
+      bought with MORE TABLES (append-only: adding a table never
+      re-keys existing rows, unlike re-trained centroids).  Prefer the
+      bucket index (build_cosine_bucket_index) for streaming near-dup
+      pipelines.
+
+    All three methods share one corpus keying pass (both bucket
+    signatures + the IVF assignment in a single persisted projection);
+    candidate sets are id-pairs, rescored through one join against the
+    corpus vectors.  Queries are assumed sample-sized (the recall
+    estimate needs hundreds of queries, not the workload — same note
+    as knn_lsh_recall)."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    planes = planes if planes is not None else hyperplanes()
+    planes2 = planes2 if planes2 is not None else hyperplanes(seed=14)
+    cents = cents if cents is not None else ivf_centroids()
+
+    truth = persist_intermediate(
+        brute_force_topk(corpus, queries, k, id_col, vec_col).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    n_truth = truth.count()  # |queries|·k — a bounded driver scalar
+
+    c_keyed = persist_intermediate(ensure_parallelism(corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_b1"),
+        hyperplane_bucket(F.col(vec_col), planes2).alias("_b2"),
+        ivf_assign(F.col(vec_col), cents).alias("_list"),
+    )))
+    q_keyed = queries.select(
+        F.col(id_col).alias("query_id"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_b1"),
+        hyperplane_bucket(F.col(vec_col), planes2).alias("_b2"),
+    )
+    probe_structs = F.array(*[
+        F.struct((-s).alias("ns"), F.lit(i).cast("int").alias("c"))
+        for i, s in enumerate(ivf_scores(F.col(vec_col), cents))
+    ])
+    q_lists = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, nprobe),
+                lambda st: st.getField("c"),
+            )
+        ).alias("_list"),
+    )
+
+    def pairs_via(key: str, qdf: DataFrame) -> DataFrame:
+        return (
+            c_keyed.join(F.broadcast(qdf.select("query_id", key)), key)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+
+    p1 = pairs_via("_b1", q_keyed)
+    p2 = p1.union(pairs_via("_b2", q_keyed)).distinct()
+    p3 = pairs_via("_list", q_lists)
+
+    ids_q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+
+    def method_row(name: str, pairs: DataFrame) -> DataFrame:
+        pairs = persist_intermediate(pairs)
+        n_cand = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        scored = (
+            pairs.join(
+                # c_keyed is one row per corpus vector (no explode here)
+                c_keyed.select("neighbor_id", "_cv"),
+                "neighbor_id",
+            )
+            .join(F.broadcast(ids_q), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        n_hits = topk.join(truth, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        return (
+            n_cand.crossJoin(n_hits)  # 1-row × 1-row scalar attach
+            .select(
+                F.lit(name).alias("method"),
+                "n_candidates",
+                "n_hits",
+                F.round(
+                    F.col("n_hits") / F.lit(float(n_truth)), 6
+                ).alias("recall_at_k"),
+            )
+        )
+
+    out = (
+        method_row("hyperplane_1table", p1)
+        .unionByName(method_row("hyperplane_2table", p2))
+        .unionByName(method_row(f"ivf_nprobe{nprobe}", p3))
+    )
+    return out.orderBy("method")
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): compressed-domain similarity
 # ---------------------------------------------------------------------------

@@ -17373,3 +17373,84 @@ def dedup_keep_best_quality_capped(spark, sf_dir):
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "cluster", "quality", "keep")
     )
+
+
+def _xover_block(name: str, cand: str, k: int = 5) -> str:
+    """One method's (n_candidates, n_hits) row for the index-family
+    crossover oracle — shared CTEs: e0, truth, and the ``cand`` pair
+    set."""
+    cos = COS_SQL.format(a="qv", b="cv")
+    return f"""
+    SELECT '{name}' AS method,
+           (SELECT CAST(count(*) AS BIGINT) FROM {cand}) AS n_candidates,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM (
+      SELECT x.query_id, x.neighbor_id,
+             row_number() OVER (PARTITION BY x.query_id
+                 ORDER BY {cos} DESC, x.neighbor_id) AS rn
+      FROM {cand} x JOIN e0 qv ON qv.vec_id = x.query_id
+                    JOIN e0 cv ON cv.vec_id = x.neighbor_id) r
+    JOIN truth t ON t.query_id = r.query_id
+                AND t.neighbor_id = r.neighbor_id
+    WHERE r.rn <= {k}
+    """
+
+
+@query(
+    "knn_index_family_crossover",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc AS (SELECT vec_id, v, {_IVF_SCORES} FROM e0),
+    g AS (SELECT *, {_IVF_GREATEST} AS g FROM sc),
+    assigned AS (SELECT vec_id, {_IVF_CASE} AS lst FROM g),
+    kk AS (SELECT vec_id, {BUCKET_SQL} AS b1, {BUCKET2_SQL} AS b2 FROM e0),
+    q AS (SELECT * FROM sc WHERE vec_id < 5),
+    qk AS (SELECT * FROM kk WHERE vec_id < 5),
+    probes_all AS ({_IVF_PROBES_ALL}),
+    qprobes AS (SELECT vec_id, c FROM (
+        SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+            ORDER BY s DESC, c) AS prn FROM probes_all) WHERE prn <= 2),
+    truth AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {COS_SQL.format(a="q", b="c")} DESC,
+                            c.vec_id) AS rn
+        FROM e0 c JOIN q ON c.vec_id <> q.vec_id) WHERE rn <= 5),
+    cand1 AS (SELECT qk.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM kk c JOIN qk ON c.b1 = qk.b1 AND c.vec_id <> qk.vec_id),
+    cand2 AS (SELECT qk.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM kk c JOIN qk ON c.b1 = qk.b1 AND c.vec_id <> qk.vec_id
+              UNION
+              SELECT qk.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM kk c JOIN qk ON c.b2 = qk.b2 AND c.vec_id <> qk.vec_id),
+    cand3 AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+              FROM qprobes p JOIN assigned a
+                ON a.lst = p.c AND a.vec_id <> p.vec_id)
+    SELECT method, n_candidates, n_hits,
+           round(n_hits / CAST((SELECT count(*) FROM truth) AS DOUBLE),
+                 6) AS recall_at_k
+    FROM ({_xover_block("hyperplane_1table", "cand1")}
+          UNION ALL {_xover_block("hyperplane_2table", "cand2")}
+          UNION ALL {_xover_block("ivf_nprobe2", "cand3")})
+    ORDER BY method
+    """,
+)
+def knn_index_family_crossover(spark, sf_dir):
+    """The INDEX-CHOICE row (VERDICT r10 item 5): the engine carries
+    two overlapping embedding index families — IVF inverted lists
+    (build_ivf_index / ivf_query_index) and hyperplane cosine buckets
+    (build_cosine_bucket_index, single- or multi-table) — and this row
+    measures their recall@5 and probe cost (candidate rescores) on the
+    SAME ground truth, so a user picks by number instead of folklore:
+    IVF when queries are top-k searches over a re-indexable corpus
+    (data-following lists, per-query nprobe dial); hyperplane buckets
+    when the workload is threshold dedup on a stream (training-free,
+    drift-stable, recall bought append-only with more tables).  Full
+    rule in operators/similarity.py index_family_crossover and the
+    README module map."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.index_family_crossover(
+        e, q, k=5, planes=PLANES, planes2=PLANES2, cents=IVF_CENTS,
+        nprobe=2,
+    )
