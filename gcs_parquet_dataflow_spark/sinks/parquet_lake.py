@@ -22,6 +22,7 @@ Scale contract:
 from __future__ import annotations
 
 import contextlib
+import itertools
 import json
 import os
 import time
@@ -619,6 +620,10 @@ def latest_version(spark: SparkSession, root: str) -> int | None:
     return vs[-1] if vs else None
 
 
+_SNAPSHOT_STAGING = "__snapshot_staging"
+_snapshot_counter = itertools.count()
+
+
 def write_version(
     spark: SparkSession,
     root: str,
@@ -629,34 +634,68 @@ def write_version(
     ``root`` and return its version number.
 
     Layout: ``root/v00000000, root/v00000001, …`` — each version a
-    complete, self-contained parquet table. Write protocol: stage to
-    ``root/__snapshot_staging``, then a single rename into the version
-    dir; readers only see versions whose rename completed (plus
-    ``_SUCCESS``), so a crashed writer leaves garbage staging, never a
-    torn snapshot. This is the poor-man's transaction log: Delta/
-    Iceberg add manifest-level metadata, but the essential time-travel
-    contract — immutable snapshots + monotonically increasing commit
-    ids — holds on any Hadoop-compatible store.
+    complete, self-contained parquet table. Write protocol: stage to a
+    WRITER-UNIQUE ``root/__snapshot_staging_<pid>_<n>`` dir, then a
+    single rename into the version dir; readers only see versions
+    whose rename completed (plus ``_SUCCESS``), so a crashed writer
+    leaves underscore-hidden staging garbage, never a torn snapshot.
+
+    CONCURRENT snapshot writers are safe without a lease (round 11 —
+    this path runs per streaming batch, where a crash-leftover lease
+    would block the stream's own restart): unique staging removes the
+    shared-staging clobber the old fixed name had, and the commit is
+    an optimistic retry loop — re-derive the next free version id,
+    rename, and detect the one local-FS hazard where a lost race
+    MOVES the staging INSIDE the winner's version dir instead of
+    failing (Hadoop rename-into-existing-directory semantics): the
+    nested dir is pulled back out and the commit retries under the
+    next id.  Each committed version is exactly one writer's complete
+    table; ids are allocated first-come.  This is the poor-man's
+    transaction log: Delta/Iceberg add manifest-level metadata, but
+    the essential time-travel contract — immutable snapshots +
+    monotonically increasing commit ids — holds on any
+    Hadoop-compatible store.
 
     Full-copy snapshots cost storage proportional to versions kept;
-    ``vacuum_versions`` bounds that. At 100 TB, snapshot partitioned
+    ``vacuum_versions`` bounds that (``clean_staging=True`` sweeps
+    crashed writers' staging dirs). At 100 TB, snapshot partitioned
     tables and version per partition, or adopt a manifest format —
     the read/commit API here stays the same."""
     fs, hroot, jvm = _fs_and_path(spark, root)
-    lv = latest_version(spark, root)
-    nxt = 0 if lv is None else lv + 1
     if not fs.exists(hroot):
         fs.mkdirs(hroot)
-    staging = root.rstrip("/") + "/__snapshot_staging"
+    staging_name = (
+        f"{_SNAPSHOT_STAGING}_{os.getpid()}_{next(_snapshot_counter)}"
+    )
+    staging = root.rstrip("/") + "/" + staging_name
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
     spath = jvm.org.apache.hadoop.fs.Path(staging)
-    vpath = jvm.org.apache.hadoop.fs.Path(hroot, _VERSION_FMT % nxt)
-    if not fs.rename(spath, vpath):
-        raise IOError(f"snapshot commit failed: {staging} -> {vpath}")
-    return nxt
+    for _ in range(16):
+        lv = latest_version(spark, root)
+        nxt = 0 if lv is None else lv + 1
+        vpath = jvm.org.apache.hadoop.fs.Path(hroot, _VERSION_FMT % nxt)
+        if fs.exists(vpath):
+            continue  # another writer took this id; re-derive
+        if not fs.rename(spath, vpath):
+            continue  # vpath appeared between exists and rename
+        nested = jvm.org.apache.hadoop.fs.Path(vpath, staging_name)
+        if fs.exists(nested):
+            # lost the race on a local FS whose rename moved our
+            # staging INTO the winner's dir (underscore-hidden, so
+            # readers never saw it) — pull it back out and retry
+            if not fs.rename(nested, spath):
+                raise IOError(
+                    f"snapshot nested-staging recovery failed: {nested}"
+                )
+            continue
+        return nxt
+    raise IOError(
+        f"snapshot commit failed after 16 attempts: {staging} -> {root} "
+        f"(staging preserved)"
+    )
 
 
 def read_version(
@@ -705,10 +744,17 @@ def upsert_versioned(
 
 
 def vacuum_versions(
-    spark: SparkSession, root: str, keep_last: int = 2
+    spark: SparkSession, root: str, keep_last: int = 2,
+    clean_staging: bool = False,
 ) -> list[int]:
     """Delete all but the newest ``keep_last`` snapshots; returns the
-    versions removed. Run on the maintenance schedule, like compact()."""
+    versions removed. Run on the maintenance schedule, like compact().
+
+    ``clean_staging=True`` also sweeps crashed writers' orphan
+    ``__snapshot_staging_*`` dirs (underscore-hidden from readers, so
+    they are storage waste only). Only enable when no snapshot writer
+    is LIVE on this root — a live writer's in-flight staging is
+    indistinguishable from an orphan."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = _list_versions(spark, root)
@@ -716,6 +762,10 @@ def vacuum_versions(
     fs, hroot, jvm = _fs_and_path(spark, root)
     for v in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(hroot, _VERSION_FMT % v), True)
+    if clean_staging:
+        for st in fs.listStatus(hroot):
+            if st.getPath().getName().startswith(_SNAPSHOT_STAGING):
+                fs.delete(st.getPath(), True)
     return doomed
 
 

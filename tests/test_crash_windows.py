@@ -365,6 +365,95 @@ def test_write_version_orphan_staging_states(spark, tmp_path):
     ) == [(2, "b")]
 
 
+def test_write_version_concurrent_writers_each_commit_whole_snapshots(
+    spark, tmp_path
+):
+    """Round 11: snapshot commits are safe under CONCURRENT writers —
+    unique per-writer staging (no shared-staging clobber) + an
+    optimistic version-id retry loop (a lost rename race re-derives
+    the next free id; the local-FS rename-into-existing-dir hazard is
+    detected and recovered).  Four threads commit simultaneously:
+    every writer must succeed, ids must be distinct and contiguous,
+    and every committed version must be exactly ONE writer's complete
+    table — never a blend, never a torn dir."""
+    import threading
+
+    root = str(tmp_path / "vlake")
+    PL.write_version(
+        spark, root, spark.createDataFrame([(0, -1)], "k long, w long")
+    )
+    results: dict[int, int] = {}
+    errors: list[Exception] = []
+
+    def commit(w: int) -> None:
+        try:
+            df = spark.createDataFrame(
+                [(i, w) for i in range(20)], "k long, w long"
+            )
+            results[w] = PL.write_version(spark, root, df)
+        except Exception as exc:  # noqa: BLE001 — recorded for assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=commit, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(120)
+    assert not errors, errors
+    assert sorted(results.values()) == [1, 2, 3, 4]
+    for w, v in results.items():
+        rows = _content(spark, root + "/v%08d" % v)
+        assert rows == [(i, w) for i in range(20)]  # one writer, whole
+    assert PL.latest_version(spark, root) == 4
+
+
+def test_write_version_nested_rename_race_recovers(spark, tmp_path):
+    """The constructed worst-case interleaving: a writer's rename
+    lands AFTER another writer created the same version dir, and the
+    local FS moves the staging INSIDE it (rename-into-existing-dir).
+    The commit loop must detect the nested dir, pull it back out, and
+    commit under the next id — and the nested dir must never have
+    been reader-visible (underscore prefix)."""
+    root = str(tmp_path / "vlake")
+    PL.write_version(
+        spark, root, spark.createDataFrame([(0,)], "k long")
+    )
+    # construct the nested state by hand: a complete staging payload
+    # moved inside an existing committed version dir
+    winner = root + "/v%08d" % PL.write_version(
+        spark, root, spark.createDataFrame([(1,)], "k long")
+    )
+    staging_name = "__snapshot_staging_9999_0"
+    nested = os.path.join(winner, staging_name)
+    spark.createDataFrame([(2,)], "k long").write.parquet(nested)
+    # readers never see the nested payload (underscore-hidden)
+    assert _content(spark, winner) == [(1,)]
+    assert PL.latest_version(spark, root) == 1
+    # the loser's recovery step: pull it out, commit under the next id
+    fs, hroot, jvm = PL._fs_and_path(spark, root)
+    out = jvm.org.apache.hadoop.fs.Path(hroot, staging_name)
+    assert fs.rename(jvm.org.apache.hadoop.fs.Path(nested), out)
+    vpath = jvm.org.apache.hadoop.fs.Path(hroot, "v%08d" % 2)
+    assert fs.rename(out, vpath)
+    assert PL.latest_version(spark, root) == 2
+    assert _content(spark, root + "/v00000002") == [(2,)]
+
+
+def test_vacuum_clean_staging_sweeps_orphans(spark, tmp_path):
+    root = str(tmp_path / "vlake")
+    for i in range(3):
+        PL.write_version(
+            spark, root, spark.createDataFrame([(i,)], "k long")
+        )
+    orphan = root + "/__snapshot_staging_1234_0"
+    spark.createDataFrame([(9,)], "k long").write.parquet(orphan)
+    PL.vacuum_versions(spark, root, keep_last=2)
+    assert os.path.exists(orphan)  # default: untouched
+    PL.vacuum_versions(spark, root, keep_last=2, clean_staging=True)
+    assert not os.path.exists(orphan)
+    assert PL.latest_version(spark, root) == 2
+
+
 def _start_rtbf(spark, tmp_path, indir, ck_name):
     from gcs_parquet_dataflow_spark.streaming.pipeline import run_rtbf_stream
 

@@ -65,6 +65,9 @@ REPRESENTATIVE = [
     ("dedup_embedding_cosine_pairs_multitable", "multi-table LSH recall dial: posexplode over L plane tables, capped per (table, bucket), distinct on the deterministic pair triple"),
     ("dedup_embedding_batch_pairs", "incremental batch-vs-corpus probe: corpus-side cap, bucket equi-join Σ|batch_b|·|corpus_b| — never |batch|×|corpus|"),
     ("layout_hilbert_key_3d", "Skilling Hilbert SSA steps as chained codegen'd projections — data-dependent bit algorithm with no UDF and no expression blow-up"),
+    # round-11 additions
+    ("dedup_minhash_clusters_capped", "iteration-dialed connected components: per-round label join + min-agg, lineage localCheckpoint-bounded, CCReport on stop"),
+    ("knn_index_family_crossover", "one shared corpus keying pass (both bucket sigs + IVF assignment) feeding three candidate joins + exact rescore — recall/cost per index family in one plan"),
 ]
 
 
