@@ -374,7 +374,7 @@ class _SwapLeaseHandle:
 
 
 @contextlib.contextmanager
-def swap_lease(spark: SparkSession, path: str, op: str):
+def swap_lease(spark: SparkSession, path: str, op: str, owner: str | None = None):
     """Single-writer mutual exclusion + lost-update detection for every
     staged-swap maintenance job (VERDICT r10 item 2).  Usage::
 
@@ -385,35 +385,57 @@ def swap_lease(spark: SparkSession, path: str, op: str):
 
     Acquire is an atomic create-no-overwrite of ``<path>__swap_lease``
     (atomic on HDFS and local; object stores need their conditional-put
-    flag) recording {op, pid, acquired_unix_ms} — a second maintenance
-    job raises :class:`ConcurrentWriterError` immediately, holding
-    nothing.  The handle snapshots the destination's data-file set at
-    acquire time; ``commit`` re-checks it just before the delete, so an
-    append that raced in between lease acquisition and commit aborts
-    the swap with the staging intact (never a lost update, never a
-    resurrected partition).  The lease is released on every live exit
-    (success or raise); only a CRASHED holder leaves it behind —
-    :func:`recover_staged_swap` clears it when it heals the
+    flag) recording {op, pid, owner, acquired_unix_ms} — a second
+    maintenance job raises :class:`ConcurrentWriterError` immediately,
+    holding nothing.  The handle snapshots the destination's data-file
+    set at acquire time; ``commit`` re-checks it just before the
+    delete, so an append that raced in between lease acquisition and
+    commit aborts the swap with the staging intact (never a lost
+    update, never a resurrected partition).  The lease is released on
+    every live exit (success or raise); only a CRASHED holder leaves it
+    behind — :func:`recover_staged_swap` clears it when it heals the
     delete→rename window, :func:`break_swap_lease` clears the
     dest-intact states (which recovery can't distinguish from a live
-    holder).  Swept by tests/test_crash_windows.py."""
+    holder).
+
+    ``owner`` is the STREAMING self-heal: a lease whose record carries
+    the same owner string is re-acquired by takeover instead of
+    raising — for per-micro-batch maintenance (``run_upsert_stream``'s
+    upsert), where the crashed holder IS this writer's own previous
+    incarnation and a blocked restart would deadlock the stream on
+    itself.  Pass an identity exclusive to one logical writer (the
+    stream's checkpoint dir: Spark admits one active query per
+    checkpoint, so a same-owner LIVE duplicate cannot exist);
+    distinct-owner conflicts still raise.  Swept by
+    tests/test_crash_windows.py."""
     fs, _, jvm = _fs_and_path(spark, path)
     lp = _lease_hpath(jvm, path)
+
+    def _create():
+        return fs.create(lp, False)
+
     try:
-        out = fs.create(lp, False)
+        out = _create()
     except Exception as exc:  # FileAlreadyExistsException and kin
         holder = read_swap_lease(spark, path) or {}
-        raise ConcurrentWriterError(
-            f"{op}: maintenance lease on {path} already held by "
-            f"op={holder.get('op')!r} pid={holder.get('pid')}; staged-swap "
-            f"jobs are single-writer — wait for it or, if the holder "
-            f"crashed before its delete→rename, break_swap_lease"
-        ) from exc
+        if owner is not None and holder.get("owner") == owner:
+            # our own crashed incarnation: take the lease over
+            fs.delete(lp, False)
+            out = _create()
+        else:
+            raise ConcurrentWriterError(
+                f"{op}: maintenance lease on {path} already held by "
+                f"op={holder.get('op')!r} pid={holder.get('pid')} "
+                f"owner={holder.get('owner')!r}; staged-swap jobs are "
+                f"single-writer — wait for it or, if the holder crashed "
+                f"before its delete→rename, break_swap_lease"
+            ) from exc
     try:
         payload = json.dumps(
             {
                 "op": op,
                 "pid": os.getpid(),
+                "owner": owner,
                 "acquired_unix_ms": int(time.time() * 1000),
             }
         ).encode("utf-8")
@@ -433,6 +455,7 @@ def upsert(
     updates: DataFrame,
     key_cols: list[str],
     version_col: str,
+    lease_owner: str | None = None,
 ) -> tuple[int, int]:
     """Delta-style MERGE (SCD type-1 upsert) on a raw-parquet table:
     union the current table with ``updates`` and keep, per key, the row
@@ -466,7 +489,7 @@ def upsert(
     from pyspark.sql import Window as WU
 
     recover_staged_swap(spark, path)
-    with swap_lease(spark, path, "upsert") as lease:
+    with swap_lease(spark, path, "upsert", owner=lease_owner) as lease:
         current = spark.read.parquet(path)
         rows_before = current.count()
         tagged = current.withColumn("_src", F.lit(0)).unionByName(

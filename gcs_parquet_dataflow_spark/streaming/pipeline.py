@@ -505,7 +505,16 @@ def run_upsert_stream(
             spark._jsc.hadoopConfiguration()  # noqa: SLF001
         )
         if fs.exists(fs_path):
-            upsert(spark, lake_path, latest, key_cols, version_col)
+            # lease_owner = this stream's checkpoint identity: a crash
+            # mid-upsert leaves OUR OWN lease behind, and the restart
+            # must take it over instead of deadlocking on itself
+            # (Spark admits one active query per checkpoint, so a
+            # same-owner live duplicate cannot exist); a DIFFERENT
+            # writer's lease still fails the batch loudly
+            upsert(
+                spark, lake_path, latest, key_cols, version_col,
+                lease_owner=f"upsert_stream:{checkpoint_dir}",
+            )
         else:
             latest.write.mode("overwrite").parquet(lake_path)
 

@@ -365,6 +365,38 @@ def test_write_version_orphan_staging_states(spark, tmp_path):
     ) == [(2, "b")]
 
 
+def test_upsert_stream_owner_reacquires_own_crashed_lease(spark, tmp_path):
+    """The streaming self-heal: run_upsert_stream's per-batch upsert
+    passes its checkpoint identity as lease owner, so a crash
+    mid-upsert (own lease left behind, dest intact — the state
+    recover_staged_swap correctly leaves alone) does NOT deadlock the
+    restarted stream on itself; a DIFFERENT writer's lease still
+    blocks it loudly."""
+    base = str(tmp_path / "lake")
+    _setup_upsert(spark, base)
+    own = '{"op": "upsert", "pid": 1, "owner": "upsert_stream:ck0", ' \
+          '"acquired_unix_ms": 0}'
+    with open(base + "__swap_lease", "w") as f:
+        f.write(own)
+    upd = spark.createDataFrame(
+        [(2, "B", 2), (4, "d", 2)], "k long, v string, ver long"
+    )
+    # a foreign maintenance job is still fenced
+    with pytest.raises(PL.ConcurrentWriterError):
+        PL.upsert(spark, base, upd, ["k"], "ver")
+    with pytest.raises(PL.ConcurrentWriterError):
+        PL.upsert(
+            spark, base, upd, ["k"], "ver", lease_owner="upsert_stream:OTHER"
+        )
+    # the stream's own restart takes its crashed lease over
+    rows_before, rows_after = PL.upsert(
+        spark, base, upd, ["k"], "ver", lease_owner="upsert_stream:ck0"
+    )
+    assert (rows_before, rows_after) == (3, 4)
+    assert PL.read_swap_lease(spark, base) is None  # released on exit
+    assert (2, "B", 2) in _content(spark, base)
+
+
 def test_write_version_concurrent_writers_each_commit_whole_snapshots(
     spark, tmp_path
 ):
