@@ -229,3 +229,65 @@ def test_index_probe_corpus_cap_bounds_degenerate_bucket(spark, tmp_path):
     )
 
     release_intermediates()
+
+
+def test_embedding_dedup_stream_cap_dial_is_noop_on_benign_data(
+    spark, tmp_path
+):
+    """The stream's max_index_bucket_size plumb (ADVICE r10): on
+    benign data the armed guard must change NOTHING (capped ≡
+    unarmed index + report — the hot-bucket no-op proof pattern), so
+    the dial is safe to leave on in production where it exists to
+    bound a degenerate cluster's accretion."""
+    import random as _rnd
+
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_embedding_dedup_stream,
+    )
+
+    dim = 16
+    planes = SIM.hyperplanes(n_planes=6, dim=dim, seed=13)
+    rng = _rnd.Random(53)
+
+    def vec():
+        return [round(rng.uniform(-1, 1), 6) for _ in range(dim)]
+
+    v1, v2, v12 = vec(), vec(), vec()
+    indir = tmp_path / "vecs"
+    indir.mkdir()
+    spark.createDataFrame(
+        [(1, v1), (2, v2)], "vec_id long, v array<double>"
+    ).coalesce(1).write.parquet(str(indir / "f0"))
+    spark.createDataFrame(
+        [(10, [x + 0.01 for x in v1]), (11, v12)],
+        "vec_id long, v array<double>",
+    ).coalesce(1).write.parquet(str(indir / "f1"))
+
+    def run(tag, cap):
+        index = str(tmp_path / f"idx_{tag}")
+        report = str(tmp_path / f"rep_{tag}")
+        stream = (
+            spark.readStream.schema("vec_id long, v array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir / "*"))
+        )
+        q = run_embedding_dedup_stream(
+            spark, stream, index, report, str(tmp_path / f"ck_{tag}"),
+            threshold=0.98, planes=planes, id_col="vec_id", vec_col="v",
+            max_index_bucket_size=cap, available_now=True,
+        )
+        q.awaitTermination(180)
+        idx = sorted(
+            (r["corpus_id"], r["_batch_id"])
+            for r in spark.read.parquet(index).collect()
+        )
+        rep = sorted(
+            (r["kind"], r["dup_id"], r["kept_id"])
+            for r in spark.read.parquet(report).collect()
+        )
+        return idx, rep
+
+    unarmed = run("off", None)
+    armed = run("on", 256)
+    assert armed == unarmed
+    assert unarmed[1] == [("index", 10, 1)]  # the dup was caught
