@@ -431,18 +431,21 @@ def swap_lease(spark: SparkSession, path: str, op: str, owner: str | None = None
                 f"before its delete→rename, break_swap_lease"
             ) from exc
     try:
-        payload = json.dumps(
-            {
-                "op": op,
-                "pid": os.getpid(),
-                "owner": owner,
-                "acquired_unix_ms": int(time.time() * 1000),
-            }
-        ).encode("utf-8")
-        out.write(bytearray(payload))
-    finally:
-        out.close()
-    try:
+        # everything after a successful create sits inside the
+        # release-finally: a payload-write failure must not leak a
+        # content-less lease that blocks every later maintenance run
+        try:
+            payload = json.dumps(
+                {
+                    "op": op,
+                    "pid": os.getpid(),
+                    "owner": owner,
+                    "acquired_unix_ms": int(time.time() * 1000),
+                }
+            ).encode("utf-8")
+            out.write(bytearray(payload))
+        finally:
+            out.close()
         yield _SwapLeaseHandle(spark, path, op)
     finally:
         fs.delete(lp, False)
