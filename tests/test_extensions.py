@@ -1176,6 +1176,9 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "langid_train_step1",              # 1-row n-docs broadcast (per class)
         "classifier_calibration_bins",     # same 1-row n-docs broadcast
         #   through the shared step1_weights scorer as distill_step1
+        "knn_index_family_crossover",      # truth = broadcast 5-query exact
+        #   baseline + per-method 1×1 (n_candidates × n_hits) scalar
+        #   combination; every candidate join is an equi-join
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
