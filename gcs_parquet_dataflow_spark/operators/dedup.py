@@ -667,6 +667,7 @@ def connected_components(
     checkpoint_every: int = 5,
     metric_name: str = "connected_components",
     raise_on_nonconverged: bool = False,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Cluster near-dup pairs into components: → (id_col, cluster) where
     ``cluster`` is the MIN node id reachable through the pair graph
@@ -690,6 +691,25 @@ def connected_components(
     returned.  ``raise_on_nonconverged=True`` upgrades the flag to an
     error for pipelines where a split cluster is not acceptable.
 
+    ``algorithm`` picks the propagation scheme (round 11):
+
+    - ``"label"`` (default — the plan every prior oracle row pins):
+      min over {self} ∪ neighbors per round; the min label moves ONE
+      hop per round, so convergence is O(diameter) rounds.  Right for
+      near-dup graphs, whose components are shallow.
+    - ``"jump"``: the same neighbor-min PLUS a pointer-jumping step —
+      each node also adopts its current label's label
+      (``labels ⋈ labels ON a.cluster = b.id``, the hash-to-min /
+      Blelloch shortcut).  The min's reach roughly DOUBLES per round,
+      so convergence is O(log diameter) — a 5000-hop chain closes in
+      ~13 propagation rounds instead of 5000 (measured; SCALE.md).
+      One extra self-join shuffle per round buys exponentially fewer
+      rounds: the right trade exactly when the graph may be deep
+      (crawl rings, templated series), i.e. when the ``max_iter``
+      dial would otherwise have to truncate.  Identical fixed point
+      (min reachable id), so capped≡uncapped and jump≡label proofs
+      share one oracle.
+
     Every ``checkpoint_every`` rounds the label frame is
     ``localCheckpoint``-ed to TRUNCATE LINEAGE — without it each round
     nests the previous round's plan and a deep graph blows up analysis/
@@ -700,6 +720,8 @@ def connected_components(
         register_intermediate,
     )
 
+    if algorithm not in ("label", "jump"):
+        raise ValueError(f"unknown algorithm {algorithm!r}: label or jump")
     edges = (
         pairs.selectExpr(f"{pairs.columns[0]} as src", f"{pairs.columns[1]} as dst")
         .union(
@@ -728,6 +750,28 @@ def connected_components(
                 F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
             ).alias("cluster"),
         )
+        if algorithm == "jump":
+            # pointer jump: adopt my label's CURRENT label too — the
+            # shortcut edge (u → label(u)) that makes reach double
+            jumped = (
+                new_labels.alias("a")
+                .join(
+                    labels.select(
+                        F.col("id").alias("_jid"),
+                        F.col("cluster").alias("_jcluster"),
+                    ),
+                    F.col("a.cluster") == F.col("_jid"),
+                    "left",
+                )
+                .select(
+                    F.col("a.id").alias("id"),
+                    F.least(
+                        F.col("a.cluster"),
+                        F.coalesce(F.col("_jcluster"), F.col("a.cluster")),
+                    ).alias("cluster"),
+                )
+            )
+            new_labels = jumped
         if (i + 1) % checkpoint_every == 0:
             # materializes AND cuts the logical plan back to a leaf
             new_labels = new_labels.localCheckpoint(eager=True)

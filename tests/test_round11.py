@@ -291,3 +291,57 @@ def test_embedding_dedup_stream_cap_dial_is_noop_on_benign_data(
     armed = run("on", 256)
     assert armed == unarmed
     assert unarmed[1] == [("index", 10, 1)]  # the dup was caught
+
+
+def test_cc_pointer_jump_converges_in_log_rounds(spark):
+    """algorithm="jump": the hash-to-min shortcut makes the min's
+    reach double per round — the diameter-39 chain converges inside
+    10 rounds (label propagation needs 40) to the identical single
+    component."""
+    nodes, pairs = _chain(spark, 40)
+    out = DD.connected_components(
+        nodes, pairs, id_col="doc_id", max_iter=12,
+        metric_name="cc_jump_chain", algorithm="jump",
+    )
+    assert {r["cluster"] for r in out.collect()} == {0}
+    rep = DD.last_cc_report()
+    assert rep.converged and rep.iterations <= 10
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+
+    release_intermediates()
+
+
+def test_cc_jump_equals_label_on_star_graph(spark):
+    nodes = spark.range(9).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(5, i) for i in range(6, 9)],
+        "id_a long, id_b long",
+    )
+    label = sorted(
+        tuple(r)
+        for r in DD.connected_components(
+            nodes, pairs, id_col="doc_id", algorithm="label"
+        ).collect()
+    )
+    jump = sorted(
+        tuple(r)
+        for r in DD.connected_components(
+            nodes, pairs, id_col="doc_id", algorithm="jump"
+        ).collect()
+    )
+    assert jump == label
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+
+    release_intermediates()
+
+
+def test_cc_unknown_algorithm_rejected(spark):
+    nodes, pairs = _chain(spark, 4)
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        DD.connected_components(
+            nodes, pairs, id_col="doc_id", algorithm="pregel"
+        )
