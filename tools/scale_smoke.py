@@ -693,6 +693,26 @@ def main() -> None:
 
         timed("cc_chain_diameter_bomb_capped_at_10", cc_chain_capped)
 
+        def cc_chain_jump():
+            # the O(log diameter) alternative: full convergence on the
+            # same chain in ~log2(n) rounds — the dial-free answer for
+            # deep graphs (round 11)
+            full = DD.connected_components(
+                chain_nodes, chain_pairs, id_col="doc_id",
+                max_iter=40, metric_name="cc_chain_jump_smoke",
+                algorithm="jump",
+            )
+            rows["cc_chain_jump_clusters"] = (
+                full.select("cluster").distinct().count()
+            )
+            rep = DD.last_cc_report()
+            rows["cc_chain_jump_report"] = {
+                "iterations": rep.iterations,
+                "converged": rep.converged,
+            }
+
+        timed("cc_chain_jump_full_convergence", cc_chain_jump)
+
         print(
             json.dumps(
                 {
