@@ -249,19 +249,25 @@ def entity_clusters(
     match_pairs: DataFrame,
     id_col: str,
     max_iter: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Transitive closure of the match decision: → (id_col, cluster)
     where ``cluster`` is the min record id reachable through matched
     pairs (every unmatched record is its own singleton cluster).
     Delegates to the Pregel min-label ``connected_components`` —
     match graphs are shallow (variants of a common entity), so this
-    is a handful of shuffles even at 100 TB.
+    is a handful of shuffles even at 100 TB.  ``algorithm="jump"``
+    (round 11) switches to pointer-jumping for the rare DEEP match
+    graph (daisy-chained variants) — O(log diameter) rounds at one
+    extra self-join per round; same fixed point, same CCReport.
     """
     return connected_components(
         records.select(id_col),
         match_pairs,
         id_col=id_col,
         max_iter=max_iter,
+        metric_name="entity_clusters",
+        algorithm=algorithm,
     )
 
 
