@@ -84,8 +84,17 @@ _BLOOM_META_FILE = "_bloom_meta.json"
 
 
 def _bloom_meta_path(spark: SparkSession, path: str):
+    """Meta file inside the lake's CURRENT resolved dir — after a
+    versioned compact_bloom_lake commit the meta travels with each
+    committed version (it is written into the staging dir), so reads
+    and the first-batch meta write must resolve the same dir the word
+    rows live in."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import resolve_table
+
     jvm = spark._jvm
-    return jvm.org.apache.hadoop.fs.Path(path + "/" + _BLOOM_META_FILE)
+    return jvm.org.apache.hadoop.fs.Path(
+        resolve_table(spark, path) + "/" + _BLOOM_META_FILE
+    )
 
 
 def write_bloom_meta(
@@ -118,8 +127,12 @@ def bloom_lake_has_words(spark: SparkSession, path: str) -> bool:
     parameter fence yet fail ``read_bloom`` with "unable to infer
     schema" on EVERY later batch — not self-healing.  The fence calls
     this and routes that state to rebuild_bloom_from_index instead."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import resolve_table
+
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path + "/part-*")
+    p = jvm.org.apache.hadoop.fs.Path(
+        resolve_table(spark, path) + "/part-*"
+    )
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     matches = fs.globStatus(p)
     return matches is not None and len(matches) > 0
@@ -152,10 +165,14 @@ def read_bloom(spark: SparkSession, path: str) -> DataFrame:
     read errors propagate (a transient failure must never masquerade
     as an empty filter — that would silently disable index dedup)."""
     from gcs_parquet_dataflow_spark.operators.sketches import bloom_merge
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        read_table,
+        table_exists,
+    )
 
-    if not _path_exists(spark, path):
+    if not table_exists(spark, path):
         return spark.createDataFrame([], "word_idx BIGINT, word BIGINT")
-    return bloom_merge([spark.read.parquet(path)])
+    return bloom_merge([read_table(spark, path)])
 
 
 def compact_bloom_lake(spark: SparkSession, path: str) -> None:
@@ -185,8 +202,10 @@ def compact_bloom_lake(spark: SparkSession, path: str) -> None:
         swap_lease,
     )
 
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import table_exists
+
     recover_staged_swap(spark, path)
-    if not _path_exists(spark, path):
+    if not table_exists(spark, path):
         return
     with swap_lease(spark, path, "compact_bloom_lake") as lease:
         meta = read_bloom_meta(spark, path)
@@ -223,13 +242,39 @@ def rebuild_bloom_from_index(
         bloom_build,
     )
 
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        rewrite_table,
+        table_versions,
+    )
+
     k = BLOOM_K if k is None else k
     idx = read_index(spark, index_path)
-    bloom_build(
+    built = bloom_build(
         idx.withColumn("_bk", _band_key_str(idx)), "_bk",
         m_bits=m_bits, k=k,
-    ).write.mode("overwrite").parquet(bloom_path)
-    write_bloom_meta(spark, bloom_path, m_bits, k)
+    )
+    if not table_versions(spark, bloom_path):
+        # flat (or absent) lake: plain overwrite, exactly the legacy
+        # bootstrap — no version machinery until maintenance starts
+        built.write.mode("overwrite").parquet(bloom_path)
+        write_bloom_meta(spark, bloom_path, m_bits, k)
+        return
+
+    # versioned lake (a compact_bloom_lake ran at least once): an
+    # in-place overwrite of the resolved version dir would tear the
+    # committed version under concurrent readers — rebuild through the
+    # same reader-atomic version flip as every maintenance commit,
+    # with the meta written INTO the staging (words + parameters
+    # commit together, the r9 invariant)
+    def _write(staging: str) -> None:
+        built.write.mode("overwrite").parquet(staging)
+        # staging has no versions, so the meta path resolves to it
+        write_bloom_meta(spark, staging, m_bits, k)
+
+    rewrite_table(
+        spark, bloom_path, _write, "rebuild_bloom_from_index",
+        staging_suffix="__bloom_rebuild_staging",
+    )
 
 
 def dedup_batch_against_index(
@@ -319,8 +364,12 @@ def dedup_batch_against_index(
         # the fold (words + meta) in staging — completing the rename
         # here costs one exists-check and avoids the O(index) rebuild
         # the absent-lake branch would otherwise run
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+            table_exists,
+        )
+
         recover_staged_swap(spark, bloom_path)
-        if not _path_exists(spark, bloom_path):
+        if not table_exists(spark, bloom_path):
             if _path_exists(spark, index_path):
                 rebuild_bloom_from_index(
                     spark, index_path, bloom_path,
@@ -410,12 +459,19 @@ def dedup_batch_against_index(
         # index-first would leave un-bloomed index entries = permanent
         # false negatives. Readers OR-merge, so append ≡ rebuild.
         from gcs_parquet_dataflow_spark.operators.sketches import BLOOM_K
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+            resolve_table,
+        )
 
+        # append into the RESOLVED dir: after the first versioned
+        # compact/rebuild the flat path is a retained stale copy, and
+        # words appended there would be invisible to read_bloom —
+        # false negatives, duplicates accepted forever
         bloom_build(
             new_rows.withColumn("_bk", _band_key_str(new_rows)),
             "_bk",
             m_bits=bloom_m_bits,
-        ).write.mode("append").parquet(bloom_path)
+        ).write.mode("append").parquet(resolve_table(spark, bloom_path))
         # meta AFTER the word append (ADVICE r8): a meta-FIRST write on
         # the lake's first batch opened a non-self-healing crash window
         # — a directory holding only _bloom_meta.json passes the

@@ -25,6 +25,7 @@ import contextlib
 import itertools
 import json
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,9 +71,16 @@ def write_partitioned(
     (:func:`check_swap_lease`): appending into a table a maintenance
     job read moments ago would be silently lost when the job's swap
     replaces the table — the fence turns that lost update into a loud
-    :class:`ConcurrentWriterError` the caller (typically a
-    foreachBatch handler) retries after the maintenance completes."""
+    :class:`ConcurrentWriterError`.  In a foreachBatch handler that
+    error FAILS THE STREAMING QUERY (Spark does not auto-retry a
+    failed batch in-process); the checkpoint replays the batch on the
+    next restart, after the maintenance lease is gone."""
     check_swap_lease(df.sparkSession, path)
+    # appends land in the table's CURRENT version dir (resolve_table):
+    # after the first maintenance commit the flat path is a retained
+    # stale copy, and an append written there would be invisible to
+    # every versioned reader — silently lost at the next retention
+    target = resolve_table(df.sparkSession, path)
     writer_df = df
     parts = list(partition_by)
     dynamic = False
@@ -92,7 +100,7 @@ def write_partitioned(
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     if parts:
         writer = writer.partitionBy(*parts)
-    writer.parquet(path)
+    writer.parquet(target)
 
 
 def write_dlq(
@@ -136,8 +144,138 @@ def write_sorted(
 
 def read_lake(spark: SparkSession, path: str) -> DataFrame:
     """Read a lake table back; partition columns come from directory
-    names and filters on them prune at planning time."""
-    return spark.read.parquet(path)
+    names and filters on them prune at planning time.  Alias of
+    :func:`read_table` — resolves the table's latest committed sibling
+    version (round 12), so reads racing a maintenance commit always
+    see one complete version."""
+    return read_table(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Sibling-versioned tables: non-destructive, reader-atomic maintenance
+# commits (VERDICT r11 next-round item 1)
+# ---------------------------------------------------------------------------
+#
+# Every staged-swap maintenance family (upsert / compact / optimize_table /
+# compact_batch_shards / compact_golden_log / compact_bloom_lake /
+# compact_cosine_index) used to commit by delete→rename of the table dir
+# itself — readers racing the window saw an absent or partial table, and
+# an unfenced writer landing in the microseconds between the epoch
+# re-check and the delete could collide with the rename.  Since round 12
+# the commit is a RENAME-ONLY version flip: the staged result becomes the
+# next immutable sibling dir ``<path>__v%08d`` (committed = rename done +
+# parquet ``_SUCCESS`` inside), and the live table is simply the highest
+# committed version.  Nothing is deleted at flip time; the PREVIOUS
+# version (or the pre-versioning flat dir) stays readable until the
+# post-flip retention sweep, so a reader that resolved the old version
+# keeps scanning intact files for a full maintenance cycle.  A racing
+# writer can only lose the optimistic version-id race — never data.
+#
+# Readers go through :func:`resolve_table` / :func:`read_table`; a table
+# that was never maintained resolves to its plain flat dir, so the
+# scheme is invisible until the first maintenance commit.  Retention
+# (``commit(..., retain=N)``, default 2 = live + one predecessor) is the
+# vacuum: bounded storage, Delta-VACUUM-style reader window.
+
+_TABLE_VERSION_SUFFIX = "__v"
+_TABLE_VERSION_FMT = _TABLE_VERSION_SUFFIX + "%08d"
+TABLE_RETAIN_VERSIONS = 2
+
+
+def table_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed sibling versions of the maintained table at ``path``
+    (ascending; empty for a flat/never-maintained table).  Committed =
+    the ``<path>__vNNNNNNNN`` rename finished AND the dir carries the
+    parquet committer's ``_SUCCESS`` (a torn copy on a non-atomic store
+    never qualifies).  One parent-dir glob — manifest-cost."""
+    fs, _, jvm = _fs_and_path(spark, path)
+    base = path.rstrip("/")
+    matches = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(base + _TABLE_VERSION_SUFFIX + "*")
+    )
+    if matches is None:
+        return []
+    prefix_len = len(
+        jvm.org.apache.hadoop.fs.Path(base).getName()
+    ) + len(_TABLE_VERSION_SUFFIX)
+    out = []
+    for st in matches:
+        tail = st.getPath().getName()[prefix_len:]
+        if (
+            st.isDirectory()
+            and len(tail) == 8
+            and tail.isdigit()
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            )
+        ):
+            out.append(int(tail))
+    return sorted(out)
+
+
+def resolve_table(spark: SparkSession, path: str) -> str:
+    """The physical directory the table at ``path`` currently lives in:
+    the highest committed sibling version if the table has ever been
+    maintained, else ``path`` itself (flat legacy layout).  Every
+    engine read and append of a maintained path goes through this —
+    a raw ``spark.read.parquet(path)`` on a maintained table reads the
+    retained PREVIOUS state (stale, exactly like reading a Delta
+    table's files without its log)."""
+    vs = table_versions(spark, path)
+    if not vs:
+        return path
+    return path.rstrip("/") + _TABLE_VERSION_FMT % vs[-1]
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read the maintained table at ``path`` — latest committed version
+    (see :func:`resolve_table`).  The DataFrame pins the resolved
+    directory, so a maintenance commit that lands mid-query never pulls
+    files out from under the scan: the retained old version stays
+    intact until the retention sweep of the commit AFTER next."""
+    return spark.read.parquet(resolve_table(spark, path))
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """True iff the maintained table exists in either layout — any
+    committed sibling version, or the flat dir itself.  The
+    existence check streams must use for their first-batch
+    bootstrap: after retention removes the flat remnant,
+    ``fs.exists(path)`` is False while the table is alive in its
+    version dirs — a raw exists-check would re-initialize a live
+    lake from one batch (the upsert-stream data-loss class)."""
+    if table_versions(spark, path):
+        return True
+    fs, hpath, _ = _fs_and_path(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def vacuum_table(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> list[int]:
+    """Delete all but the newest ``keep_last`` committed versions of a
+    maintained table (and the flat pre-versioning remnant, once at
+    least ``keep_last`` versions exist); returns the version ids
+    removed.  ``commit(..., retain=N)`` runs this automatically after
+    every flip — call directly only to reclaim deeper history.  Only
+    run with no reader older than the retained window (the standard
+    VACUUM caveat)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = table_versions(spark, path)
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    base = path.rstrip("/")
+    doomed = vs[:-keep_last] if len(vs) > keep_last else []
+    for v in doomed:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(base + _TABLE_VERSION_FMT % v),
+            True,
+        )
+    if len(vs) >= keep_last and fs.exists(hpath):
+        # the flat dir is the oldest "version": drop it once the
+        # version chain alone satisfies the retention window
+        fs.delete(hpath, True)
+    return doomed
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -180,33 +318,33 @@ def compact(
     scan planning then pays one task + one open per file. Periodic
     compaction to ~128 MB restores scan efficiency.
 
-    Write protocol: stage to ``<path>__compact_staging``, then delete +
-    rename via the Hadoop FileSystem API, under the single-writer
-    :func:`swap_lease` (mutual exclusion against other maintenance,
-    lost-update detection against concurrent appenders — a second
-    writer raises :class:`ConcurrentWriterError` before anything is
-    deleted). Transactional visibility beyond that is what table
-    formats add on top of a Hive-style layout.
+    Write protocol (round 12): stage to ``<path>__compact_staging``,
+    then flip it to the next committed sibling version (see
+    ``resolve_table`` — a single rename, reader-atomic, the previous
+    version retained until the post-flip retention sweep), under the
+    single-writer :func:`swap_lease` (mutual exclusion against other
+    maintenance, lost-update detection against concurrent appenders —
+    a second writer raises :class:`ConcurrentWriterError` before the
+    flip).
     """
     import math
 
     recover_staged_swap(spark, path)
     with swap_lease(spark, path, "compact") as lease:
-        files_before, total = data_file_stats(spark, path)
+        files_before, total = data_file_stats(spark, lease.resolved)
         n_out = max(1, math.ceil(total / target_file_bytes))
-        df = spark.read.parquet(path)
+        df = spark.read.parquet(lease.resolved)
         staging = path.rstrip("/") + "__compact_staging"
         writer_df = df.repartition(n_out)
         writer = writer_df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
-        # a silently-ignored rename failure would leave the table
-        # ABSENT with the result stranded in staging until the next
-        # recover call — lease.commit fails loudly instead (ADVICE r9
-        # on compact_bloom_lake; the same rule at every swap site)
+        # a silently-ignored rename failure would strand the result in
+        # staging — lease.commit fails loudly instead (ADVICE r9 on
+        # compact_bloom_lake; the same rule at every swap site)
         lease.commit(staging)
-    files_after, _ = data_file_stats(spark, path)
+    files_after, _ = data_file_stats(spark, resolve_table(spark, path))
     return files_before, files_after
 
 
@@ -234,7 +372,17 @@ def recover_staged_swap(spark: SparkSession, path: str) -> bool:
     or a crashed commit looks like a fresh lake (data loss).
     Absent-dest + torn-staging is unreachable under the writers'
     ordering (the delete only runs after a successful staging write),
-    so at most one recoverable staging can exist."""
+    so at most one recoverable staging can exist.
+
+    VERSIONED tables (round 12) have no delete→rename window — the
+    commit is a pure rename onto the next sibling version — so a table
+    with any committed version returns False immediately: an absent
+    flat dir is the NORMAL retention state there, not a crash, and a
+    leftover staging is just a crashed run's payload that the re-run
+    overwrites.  This branch keeps healing pre-r12 flat-table crash
+    states (and the lease of a holder that died mid-swap)."""
+    if table_versions(spark, path):
+        return False
     fs, hpath, jvm = _fs_and_path(spark, path)
     if fs.exists(hpath):
         return False
@@ -304,9 +452,10 @@ def check_swap_lease(spark: SparkSession, path: str) -> None:
     """Raise :class:`ConcurrentWriterError` if a maintenance lease is
     held on ``path`` — the writer-side half of the single-writer
     contract, called by :func:`write_partitioned` so a streaming
-    appender fails LOUDLY (and retries its trigger later) instead of
-    appending into a table a maintenance job is about to delete and
-    swap.  One ``fs.exists`` per write — manifest-cost, not data-cost."""
+    appender fails LOUDLY — terminating the streaming query, whose
+    checkpoint replays the batch on restart — instead of appending
+    into a table a maintenance job is about to swap out.  One
+    ``fs.exists`` per write — manifest-cost, not data-cost."""
     lease = read_swap_lease(spark, path)
     if lease is not None:
         age_s = (time.time() * 1000 - lease.get("acquired_unix_ms", 0)) / 1000
@@ -344,33 +493,80 @@ class _SwapLeaseHandle:
         self._op = op
         fs, hpath, jvm = _fs_and_path(spark, path)
         self._fs, self._hpath, self._jvm = fs, hpath, jvm
-        self.epoch = _dest_epoch(fs, hpath, jvm)
+        # epoch over the RESOLVED dir: that is where fenced appends land
+        # and what the maintenance job read — the flat dir and older
+        # versions are immutable-by-contract once superseded
+        self.resolved = resolve_table(spark, path)
+        self._rpath = jvm.org.apache.hadoop.fs.Path(self.resolved)
+        self.epoch = _dest_epoch(fs, self._rpath, jvm)
 
-    def commit(self, staging: str) -> None:
-        """The guarded delete→rename: re-fingerprint the destination
-        and ABORT (staging preserved, lease released by the context
-        exit, nothing deleted) if any writer changed it since the
-        lease snapshotted it — the lost-update check against appenders
-        that bypass :func:`check_swap_lease`.  The residual window is
-        the instants between this re-check and the delete; with
-        leased-path writes fenced at write_partitioned, reaching it
-        requires an unfenced writer racing a microsecond gap — and
-        even then the rename fails loudly on the recreated dest rather
-        than clobbering it."""
-        now = _dest_epoch(self._fs, self._hpath, self._jvm)
+    def commit(
+        self, staging: str, retain: int = TABLE_RETAIN_VERSIONS
+    ) -> int:
+        """The guarded VERSION FLIP (round 12 — previously a destructive
+        delete→rename): re-fingerprint the table's resolved dir and
+        ABORT (staging preserved, lease released by the context exit,
+        nothing deleted) if any writer changed it since the lease
+        snapshotted it — the lost-update check against appenders that
+        bypass :func:`check_swap_lease`.  Then rename the staging dir
+        to the next committed sibling version ``<path>__v%08d`` — a
+        single rename, so readers either resolve the old version
+        (complete, still on disk) or the new one (complete, renamed
+        whole with its ``_SUCCESS``); there is no state in which the
+        table is absent or partial.  An unfenced writer racing the
+        microsecond between re-check and rename can at worst land rows
+        in the SUPERSEDED version — never deleted at flip time, so the
+        rows are recoverable from it until retention — instead of
+        colliding with a delete.  The optimistic id loop and the
+        local-FS nested-rename recovery are the ``write_version``
+        protocol (round 11), re-used here.  After the flip,
+        :func:`vacuum_table` trims to ``retain`` versions (default 2:
+        live + one predecessor, so in-flight readers of the previous
+        version finish their scans).  Returns the committed version
+        id."""
+        now = _dest_epoch(self._fs, self._rpath, self._jvm)
         if now != self.epoch:
             raise ConcurrentWriterError(
                 f"{self._op}: destination {self._path} changed during the "
                 f"maintenance run ({len(self.epoch)} -> {len(now)} data "
-                f"files): aborting before the swap; result preserved at "
+                f"files): aborting before the flip; result preserved at "
                 f"{staging}; re-run to fold in the concurrent writes"
             )
-        spath = self._jvm.org.apache.hadoop.fs.Path(staging)
-        self._fs.delete(self._hpath, True)
-        if not self._fs.rename(spath, self._hpath):
-            raise IOError(
-                f"{self._op} commit failed: {staging} -> {self._path}"
+        jvm = self._jvm
+        spath = jvm.org.apache.hadoop.fs.Path(staging)
+        staging_name = spath.getName()
+        base = self._path.rstrip("/")
+        committed = None
+        for _ in range(16):
+            vs = table_versions(self._spark, self._path)
+            nxt = (vs[-1] + 1) if vs else 0
+            vpath = jvm.org.apache.hadoop.fs.Path(
+                base + _TABLE_VERSION_FMT % nxt
             )
+            if self._fs.exists(vpath):
+                continue  # raced by another committer; re-derive
+            if not self._fs.rename(spath, vpath):
+                continue  # vpath appeared between exists and rename
+            nested = jvm.org.apache.hadoop.fs.Path(vpath, staging_name)
+            if self._fs.exists(nested):
+                # local-FS rename-into-existing-dir: pull the staging
+                # back out and retry under the next id (same hazard +
+                # recovery as write_version's commit loop)
+                if not self._fs.rename(nested, spath):
+                    raise IOError(
+                        f"{self._op}: nested-staging recovery failed: "
+                        f"{nested}"
+                    )
+                continue
+            committed = nxt
+            break
+        if committed is None:
+            raise IOError(
+                f"{self._op} commit failed after 16 attempts: "
+                f"{staging} -> {self._path} (staging preserved)"
+            )
+        vacuum_table(self._spark, self._path, keep_last=retain)
+        return committed
 
 
 @contextlib.contextmanager
@@ -383,20 +579,24 @@ def swap_lease(spark: SparkSession, path: str, op: str, owner: str | None = None
             ...read path, write staging...
             lease.commit(staging)
 
-    Acquire is an atomic create-no-overwrite of ``<path>__swap_lease``
-    (atomic on HDFS and local; object stores need their conditional-put
-    flag) recording {op, pid, owner, acquired_unix_ms} — a second
+    Acquire is a create-no-overwrite of ``<path>__swap_lease``
+    (atomic on HDFS; object stores need their conditional-put flag;
+    on the LOCAL filesystem Hadoop's RawLocalFileSystem implements
+    overwrite=false as exists-check-then-create, a TOCTOU window in
+    which two local maintenance jobs can both acquire — there the
+    dest-epoch re-check in ``commit`` is the real lost-update guard,
+    and mutual exclusion is best-effort) recording
+    {op, pid, owner, acquired_unix_ms} — a second
     maintenance job raises :class:`ConcurrentWriterError` immediately,
-    holding nothing.  The handle snapshots the destination's data-file
-    set at acquire time; ``commit`` re-checks it just before the
-    delete, so an append that raced in between lease acquisition and
-    commit aborts the swap with the staging intact (never a lost
-    update, never a resurrected partition).  The lease is released on
-    every live exit (success or raise); only a CRASHED holder leaves it
-    behind — :func:`recover_staged_swap` clears it when it heals the
-    delete→rename window, :func:`break_swap_lease` clears the
-    dest-intact states (which recovery can't distinguish from a live
-    holder).
+    holding nothing.  The handle snapshots the resolved table dir's
+    data-file set at acquire time; ``commit`` re-checks it just before
+    the version flip, so an append that raced in between lease
+    acquisition and commit aborts the flip with the staging intact
+    (never a lost update, never a resurrected partition).  The lease
+    is released on every live exit (success or raise); only a CRASHED
+    holder leaves it behind — :func:`break_swap_lease` clears it (and
+    :func:`recover_staged_swap` clears it on legacy flat tables when
+    it heals the pre-r12 delete→rename window).
 
     ``owner`` is the STREAMING self-heal: a lease whose record carries
     the same owner string is re-acquired by takeover instead of
@@ -452,6 +652,30 @@ def swap_lease(spark: SparkSession, path: str, op: str, owner: str | None = None
 
 
 
+def rewrite_table(
+    spark: SparkSession,
+    path: str,
+    write_fn,
+    op: str,
+    staging_suffix: str = "__rewrite_staging",
+    lease_owner: str | None = None,
+    retain: int = TABLE_RETAIN_VERSIONS,
+) -> int:
+    """Full-table rewrite through the versioned staged-swap commit:
+    ``write_fn(staging_dir)`` produces the complete new table, then the
+    lease's guarded version flip publishes it (reader-atomic,
+    non-destructive — the standard round-12 commit).  The generic form
+    for one-off rewriters (e.g. ``rebuild_bloom_from_index``) that
+    would otherwise overwrite a maintained path in place — an in-place
+    overwrite of a resolved version dir tears the committed version
+    under concurrent readers.  Returns the committed version id."""
+    recover_staged_swap(spark, path)
+    with swap_lease(spark, path, op, owner=lease_owner) as lease:
+        staging = path.rstrip("/") + staging_suffix
+        write_fn(staging)
+        return lease.commit(staging, retain=retain)
+
+
 def upsert(
     spark: SparkSession,
     path: str,
@@ -477,14 +701,16 @@ def upsert(
     (write_partitioned + a key→partition pre-filter); transactional
     visibility is what Delta/Iceberg layer on top, same as compact().
 
-    Crash recovery (round 9): the commit is stage → delete dest →
-    rename, so a crash between the delete and the rename leaves the
-    table ABSENT with the complete merged result still in staging.
+    Crash recovery: since round 12 the commit is a rename-only version
+    flip (stage → rename to ``<path>__vN+1``) — no state exists in
+    which the table is absent or partial, so a crash at any point
+    leaves the last committed version live and the re-run converges.
     :func:`recover_staged_swap` (called here on entry, and by
-    ``run_upsert_stream`` before its first-batch check) completes the
-    interrupted rename — without it, a streaming caller would mistake
-    the absent dest for an uninitialized lake and silently
-    re-initialize it from one batch, losing the table.
+    ``run_upsert_stream`` before its first-batch check) still heals
+    the PRE-r12 delete→rename crash state on legacy flat tables —
+    without it, a streaming caller would mistake that absent dest for
+    an uninitialized lake and silently re-initialize it from one
+    batch, losing the table.
 
     No reference analog (the reference only appends); extension
     surface for the curation lake.
@@ -493,7 +719,7 @@ def upsert(
 
     recover_staged_swap(spark, path)
     with swap_lease(spark, path, "upsert", owner=lease_owner) as lease:
-        current = spark.read.parquet(path)
+        current = spark.read.parquet(lease.resolved)
         rows_before = current.count()
         tagged = current.withColumn("_src", F.lit(0)).unionByName(
             updates.withColumn("_src", F.lit(1))
@@ -509,7 +735,7 @@ def upsert(
         staging = path.rstrip("/") + "__upsert_staging"
         merged.write.mode("overwrite").parquet(staging)
         lease.commit(staging)
-    rows_after = spark.read.parquet(path).count()
+    rows_after = read_table(spark, path).count()
     return rows_before, rows_after
 
 
@@ -622,20 +848,34 @@ def write_zordered(
 _VERSION_FMT = "v%08d"
 
 
+_MAINTAINED_SNAPSHOT_RE = re.compile(r"^v(\d{8})__v\d{8}$")
+
+
 def _list_versions(spark: SparkSession, root: str) -> list[int]:
     fs, hroot, jvm = _fs_and_path(spark, root)
     if not fs.exists(hroot):
         return []
-    out = []
+    out = set()
     for st in fs.listStatus(hroot):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
             # only COMMITTED versions count (rename is the commit point;
-            # _SUCCESS guards against a torn copy on non-atomic stores)
+            # _SUCCESS guards against a torn copy on non-atomic stores).
             if fs.exists(
                 jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
             ):
-                out.append(int(name[1:]))
+                out.add(int(name[1:]))
+            continue
+        # a snapshot dir MAINTAINED in place (compact/optimize treat it
+        # as a table — round 12) moves its live state into sibling
+        # ``vN__vM`` dirs, and retention eventually sweeps the flat vN
+        # dir entirely — the version then exists ONLY through its
+        # maintained siblings (resolve_table handles the read side)
+        m = _MAINTAINED_SNAPSHOT_RE.match(name)
+        if m and st.isDirectory() and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            out.add(int(m.group(1)))
     return sorted(out)
 
 
@@ -728,7 +968,11 @@ def read_version(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Time-travel read: the table as of snapshot ``version`` (default:
-    latest committed)."""
+    latest committed).  Resolved through the maintained-table pointer
+    (round 12): layout maintenance applied TO a snapshot dir
+    (``compact(root/vN)`` between epochs) moves its live state into
+    sibling version dirs, which a raw read of the flat dir would miss
+    once retention sweeps it."""
     vs = _list_versions(spark, root)
     if not vs:
         raise FileNotFoundError(f"no committed snapshots under {root}")
@@ -738,7 +982,9 @@ def read_version(
         raise FileNotFoundError(
             f"version {version} not available under {root} (have {vs})"
         )
-    return spark.read.parquet(root.rstrip("/") + "/" + _VERSION_FMT % version)
+    return read_table(
+        spark, root.rstrip("/") + "/" + _VERSION_FMT % version
+    )
 
 
 def upsert_versioned(
@@ -788,6 +1034,14 @@ def vacuum_versions(
     fs, hroot, jvm = _fs_and_path(spark, root)
     for v in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(hroot, _VERSION_FMT % v), True)
+        # a snapshot dir maintained in place (round 12) carries sibling
+        # state — vN__v* maintained versions, vN__manifest, vN__swap_lease
+        # — which the flat delete alone would leak forever
+        sibs = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(hroot, _VERSION_FMT % v + "__*")
+        )
+        for st in sibs or []:
+            fs.delete(st.getPath(), True)
     if clean_staging:
         for st in fs.listStatus(hroot):
             if st.getPath().getName().startswith(_SNAPSHOT_STAGING):
@@ -814,7 +1068,7 @@ def collect_file_stats(
     Pairs with ``write_zordered``: clustering makes per-file [min, max]
     ranges narrow, which is what makes zone-map pruning selective.
     """
-    df = spark.read.parquet(path)
+    df = read_table(spark, path)
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
@@ -859,12 +1113,21 @@ def read_skipping(
         .collect()
     )
     files = [r["file"] for r in hits]
-    base = spark.read.parquet(path)
+    resolved = resolve_table(spark, path)
+    base = spark.read.parquet(resolved)
     predicate = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if not files:
         return base.filter(F.lit(False))
     fs, _, jvm = _fs_and_path(spark, path)
+    # under versioned retention a stale manifest's paths may still
+    # EXIST (they point into the retained previous version) — pruning
+    # through them would silently read superseded data, so a hit must
+    # both exist and live inside the CURRENT resolved dir
+    resolved_prefix = (resolved.rstrip("/") + "/").split("://", 1)[-1]
     for f in files:
+        fpath = f.split("://", 1)[-1] if "://" in f else f
+        if not fpath.startswith(resolved_prefix):
+            return base.filter(predicate)  # stale manifest: exact scan
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(f)):
             return base.filter(predicate)  # stale manifest: exact scan
     return spark.read.schema(base.schema).parquet(*files).filter(predicate)
@@ -1004,9 +1267,9 @@ def optimize_table(
         raise ValueError("pass sort_cols OR zorder_by, not both")
     recover_staged_swap(spark, path)
     with swap_lease(spark, path, "optimize_table") as lease:
-        df = spark.read.parquet(path)
+        df = spark.read.parquet(lease.resolved)
         n_rows = df.count()
-        files_before, total_bytes = data_file_stats(spark, path)
+        files_before, total_bytes = data_file_stats(spark, lease.resolved)
         n_files = max(1, int(total_bytes // target_file_bytes) or 1)
 
         staging = path.rstrip("/") + "__optimize_staging"
@@ -1039,7 +1302,7 @@ def optimize_table(
         collect_file_stats(spark, path, mcols).write.mode(
             "overwrite"
         ).parquet(manifest_path)
-    files_after, _ = data_file_stats(spark, path)
+    files_after, _ = data_file_stats(spark, resolve_table(spark, path))
     return {
         "files_before": files_before,
         "files_after": files_after,

@@ -500,11 +500,11 @@ def run_upsert_stream(
         )
 
         recover_staged_swap(spark, lake_path)
-        fs_path = spark._jvm.org.apache.hadoop.fs.Path(lake_path)  # noqa: SLF001
-        fs = fs_path.getFileSystem(
-            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+            table_exists,
         )
-        if fs.exists(fs_path):
+
+        if table_exists(spark, lake_path):
             # lease_owner = this stream's checkpoint identity: a crash
             # mid-upsert leaves OUR OWN lease behind, and the restart
             # must take it over instead of deadlocking on itself
@@ -786,13 +786,15 @@ def run_heavy_hitter_stream(
         write_partitioned(cand, candidates_path, [], batch_id=batch_id,
                           coalesce_files=1)
 
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import read_table
+
         merged = (
-            spark.read.parquet(sketch_path)
+            read_table(spark, sketch_path)
             .groupBy("d", "b")
             .agg(F.sum("n").cast("long").alias("n"))
         )
         cands = (
-            spark.read.parquet(candidates_path).select(key_col).distinct()
+            read_table(spark, candidates_path).select(key_col).distinct()
         )
         est = count_min_lookup(merged, cands, key_col, depth=d_, width=w_)
         report = (
@@ -893,8 +895,10 @@ def run_aqp_stream(
         )
         write_partitioned(shard, shards_path, [], batch_id=batch_id,
                           coalesce_files=1)
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import read_table
+
         merged = (
-            spark.read.parquet(shards_path)
+            read_table(spark, shards_path)
             .groupBy(group_col)
             .agg(
                 F.sum("n_sample").cast("long").alias("n_sample"),
@@ -1154,7 +1158,13 @@ def _prune_batch_partitions(
     """Delete ``_batch_id=N`` partition dirs under ``path`` for every
     N not in ``keep_ids`` — the superseded-state reaper shared by the
     ER stream's bloom and snapshot lakes (only the newest version is
-    ever selected again; replays reach at most one batch back)."""
+    ever selected again; replays reach at most one batch back).
+    Resolves the versioned-table pointer first: after any maintenance
+    commit the live partitions sit in the current version dir, and
+    pruning the stale flat dir would be a no-op against real growth."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import resolve_table
+
+    path = resolve_table(spark, path)
     p = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
     if not fs.exists(p):
@@ -1328,7 +1338,7 @@ def compact_batch_shards(
 
     recover_staged_swap(spark, path)
     with swap_lease(spark, path, "compact_batch_shards") as lease:
-        df = spark.read.parquet(path)
+        df = spark.read.parquet(lease.resolved)
         ids = sorted(
             r["_batch_id"]
             for r in df.select("_batch_id").distinct().collect()
@@ -1390,7 +1400,7 @@ def compact_golden_log(spark: SparkSession, golden_path: str) -> None:
 
     recover_staged_swap(spark, golden_path)
     with swap_lease(spark, golden_path, "compact_golden_log") as lease:
-        df = spark.read.parquet(golden_path)
+        df = spark.read.parquet(lease.resolved)
         latest = df.agg(F.max("_batch_id")).collect()[0][0]
         if latest is None:
             return
@@ -1433,6 +1443,7 @@ def run_incremental_er_stream(
     bloom_m_bits: int = 2**20,
     keep_golden_history: bool = False,
     golden_mode: str = "snapshot",
+    ops_path: str | None = None,
     trigger_seconds: int = DEFAULT_TRIGGER_S,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -1549,17 +1560,16 @@ def run_incremental_er_stream(
         )
 
         recover_staged_swap(spark, golden_path)
-        fs_path = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
-            golden_path
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+            read_table,
+            table_exists,
         )
-        fs = fs_path.getFileSystem(
-            spark._jsc.hadoopConfiguration()  # noqa: SLF001
-        )
+
         best = None
         gview = None
         latest = None
-        if fs.exists(fs_path):
-            snaps = spark.read.parquet(golden_path).filter(
+        if table_exists(spark, golden_path):
+            snaps = read_table(spark, golden_path).filter(
                 F.col("_batch_id") < batch_id
             )
             latest = snaps.agg(F.max("_batch_id")).collect()[0][0]
@@ -1603,16 +1613,10 @@ def run_incremental_er_stream(
                 bloom_probe,
             )
 
-            bp = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
-                bloom_path
-            )
-            bfs = bp.getFileSystem(
-                spark._jsc.hadoopConfiguration()  # noqa: SLF001
-            )
             bloom = None
-            if bfs.exists(bp):
+            if table_exists(spark, bloom_path):
                 words = (
-                    spark.read.parquet(bloom_path)
+                    read_table(spark, bloom_path)
                     .filter(F.col("_batch_id") == latest)
                 )
                 head = words.select("m_bits", "k").limit(1).collect()
@@ -1803,6 +1807,15 @@ def run_incremental_er_stream(
             # time-travel consumers.  Log mode never prunes here: every
             # partition IS live state until compact_golden_log folds it.
             _prune_batch_partitions(spark, golden_path, keep_ids)
+        if ops_path is not None:
+            # batch-keyed guard-report persistence (r12): the blocking
+            # cap's saturation and the clustering convergence verdicts
+            # survive the driver and stay queryable (observability)
+            from gcs_parquet_dataflow_spark.streaming.observability import (
+                write_guard_reports,
+            )
+
+            write_guard_reports(spark, ops_path, batch_id=batch_id)
         release_intermediates()
 
     writer = (
@@ -1829,6 +1842,7 @@ def run_embedding_dedup_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_index_bucket_size=None,
+    ops_path: str | None = None,
     trigger_seconds: int = DEFAULT_TRIGGER_S,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -1870,7 +1884,7 @@ def run_embedding_dedup_stream(
     maintenance job; it commits via delete→rename, so it MUST NOT run
     concurrently with an active trigger (the index path is briefly
     absent even crash-free — the lease in
-    ``sinks.parquet_lake.acquire_swap_lease`` enforces this), and the
+    ``sinks.parquet_lake.swap_lease`` enforces this), and the
     handler heals a crashed compaction's delete→rename window via
     ``recover_staged_swap`` before treating an absent path as a fresh
     lake."""
@@ -1901,18 +1915,22 @@ def run_embedding_dedup_stream(
         dropped = intra.select(F.col("id_b").alias(id_col)).distinct()
         survivors = batch.join(dropped, id_col, "left_anti")
         # 2. probe prior state (fenced against this batch's own rows).
-        # recover FIRST (ADVICE r10): compact_cosine_index commits via
-        # delete→rename, so a crash in that window leaves the index
-        # ABSENT with the full payload in staging — without recovery
-        # this batch would mistake it for a fresh lake, skip the
-        # corpus probe, and permanently index known duplicates as
-        # novel (the run_upsert_stream pattern, r9).
+        # recover FIRST (ADVICE r10): a compact_cosine_index that
+        # crashed under the PRE-r12 delete→rename commit leaves the
+        # index ABSENT with the full payload in staging — without
+        # recovery this batch would mistake it for a fresh lake, skip
+        # the corpus probe, and permanently index known duplicates as
+        # novel (the run_upsert_stream pattern, r9).  The r12 versioned
+        # commit has no such window; table_exists resolves the lake in
+        # EITHER layout (after retention removes the flat remnant, a
+        # raw fs.exists would be False while the index is alive in its
+        # version dirs — the same fresh-lake mistake).
         recover_staged_swap(spark, index_path)
-        fs_path = spark._jvm.org.apache.hadoop.fs.Path(index_path)  # noqa: SLF001
-        fs = fs_path.getFileSystem(
-            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+            table_exists,
         )
-        if fs.exists(fs_path):
+
+        if table_exists(spark, index_path):
             hits = cosine_batch_against_index(
                 spark, index_path, survivors, threshold, planes=planes,
                 plane_tables=plane_tables, id_col=id_col, vec_col=vec_col,
@@ -1948,6 +1966,15 @@ def run_embedding_dedup_stream(
         write_partitioned(
             report, report_path, [], batch_id=batch_id, coalesce_files=1
         )
+        if ops_path is not None:
+            # persist this batch's guard verdicts (hot-bucket cap
+            # saturation) batch-keyed to the ops lake — on a cluster
+            # the in-memory registries die with the driver (r12)
+            from gcs_parquet_dataflow_spark.streaming.observability import (
+                write_guard_reports,
+            )
+
+            write_guard_reports(spark, ops_path, batch_id=batch_id)
         release_intermediates()
 
     writer = (

@@ -6,21 +6,33 @@ asserted to converge to exactly the pre-crash or the post-commit
 table, never a third state, under the documented recovery entry
 point (recover_staged_swap and/or a re-run of the operation itself).
 
-Staged-swap sequence (shared by all six families):
+Versioned-commit sequence (round 12 — every family now commits by a
+rename-only version flip; see sinks/parquet_lake.py):
 
-    write staging (+_SUCCESS)   → crash ⇒ ``torn``   (no _SUCCESS yet)
-                                → crash ⇒ ``staged`` (dest still intact)
-    delete dest                 → crash ⇒ ``deleted`` (dest absent)
-    rename staging → dest       → committed
+    write staging (+_SUCCESS)  → crash ⇒ ``torn``     (no _SUCCESS yet)
+                               → crash ⇒ ``staged``   (table untouched)
+    rename staging → <t>__vN   → crash ⇒ ``committed`` (old state retained)
+    retention sweep            → crash ⇒ ``flat_gone`` (flat remnant gone)
+
+There is NO state in which the table is absent or partial — the
+read_table resolver always lands on a complete committed version (or
+the pre-versioning flat dir).  The PRE-r12 delete→rename crash state
+(``legacy_deleted``: flat dest absent, complete payload in staging) is
+still constructed and must still heal via recover_staged_swap —
+lakes that crashed under the old binary recover under the new one.
 
 The crash states are CONSTRUCTED, not fault-injected: rename commits
 are copyless, so the staging dir's content is byte-identical to the
-post-commit table — running the op to completion on a clone yields
+post-commit version — running the op to completion on a clone yields
 both the post content and the exact staging payload.
 
-Also swept here: write_version's orphan-staging states, the RTBF
-stream's audit _COMMITTED fence (ADVICE r9), and read_skipping's
-stale-manifest degradation after an optimize_table crash."""
+Also swept here: reader atomicity DURING live maintenance (a pinned
+reader and a mid-flight reader both see exactly one complete table
+state), the flat→versioned migration/retention ladder, write_version's
+orphan-staging states, the RTBF stream's audit _COMMITTED fence
+(ADVICE r9), and read_skipping's stale-manifest degradation — which
+under retention must ALSO reject manifest hits that still exist but
+point into a superseded version."""
 
 from __future__ import annotations
 
@@ -39,7 +51,7 @@ from gcs_parquet_dataflow_spark.streaming.pipeline import (
 
 
 def _content(spark, path):
-    df = spark.read.parquet(path)
+    df = PL.read_table(spark, path)
     cols = sorted(df.columns)
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
@@ -121,6 +133,22 @@ def _op_cosine_index(spark, path):
     compact_cosine_index(spark, path, keep_last=1)
 
 
+def _cosine_content(spark, path):
+    """Probe-visible rows of the generational cosine index: shard
+    batches ∪ committed fold generations, deduped exactly as the probe
+    dedupes its triples (round 12 — the index's state spans two
+    tables, so the generic single-table content fn undercounts it)."""
+    from gcs_parquet_dataflow_spark.operators import similarity as SIM
+
+    rows = PL.read_table(spark, path).select("corpus_id", "_t", "_bucket")
+    folded = SIM._committed_fold_rows(spark, path)
+    if folded is not None:
+        rows = rows.unionByName(
+            folded.select("corpus_id", "_t", "_bucket")
+        )
+    return sorted({tuple(r) for r in rows.collect()})
+
+
 def _setup_bloom(spark, path):
     spark.createDataFrame(
         [(0, 5), (1, 9)], "word_idx bigint, word bigint"
@@ -135,64 +163,113 @@ def _op_bloom(spark, path):
     INC.compact_bloom_lake(spark, path)
 
 
+# family → (staging suffix, setup, op, content fn).  The content fn is
+# the reader's view of the table; _cosine_content spans the shard +
+# folded pair the r12 generational fold splits the index into.
 FAMILIES = {
-    "upsert": ("__upsert_staging", _setup_upsert, _op_upsert),
-    "compact": ("__compact_staging", _setup_table, _op_compact),
-    "optimize": ("__optimize_staging", _setup_table, _op_optimize),
-    "shards": ("__shards_compact_staging", _setup_shards, _op_shards),
-    "golden_log": ("__golden_compact_staging", _setup_golden, _op_golden),
-    "bloom": ("__bloom_compact_staging", _setup_bloom, _op_bloom),
+    "upsert": ("__upsert_staging", _setup_upsert, _op_upsert, _content),
+    "compact": ("__compact_staging", _setup_table, _op_compact, _content),
+    "optimize": (
+        "__optimize_staging", _setup_table, _op_optimize, _content,
+    ),
+    "shards": (
+        "__shards_compact_staging", _setup_shards, _op_shards, _content,
+    ),
+    "golden_log": (
+        "__golden_compact_staging", _setup_golden, _op_golden, _content,
+    ),
+    "bloom": ("__bloom_compact_staging", _setup_bloom, _op_bloom, _content),
     "cosine_index": (
         "__cosine_index_compact_staging",
         _setup_cosine_index,
         _op_cosine_index,
+        _cosine_content,
     ),
 }
 
-STATES = ["torn", "staged", "deleted"]
+# crash states of the r12 versioned commit, plus the pre-r12 legacy
+# delete→rename window (old-binary lakes must still heal):
+#   torn           staging written, no _SUCCESS yet; table untouched
+#   staged         staging complete; flip not yet run; table untouched
+#   committed      version flipped; retention not yet run (flat + vN)
+#   flat_gone      retention removed the flat remnant (vN only)
+#   legacy_deleted flat dest deleted, payload in staging (PRE-r12 crash)
+STATES = ["torn", "staged", "committed", "flat_gone", "legacy_deleted"]
 
 
 @pytest.mark.parametrize("state", STATES)
 @pytest.mark.parametrize("family", sorted(FAMILIES))
 def test_staged_swap_crash_state_converges(spark, tmp_path, family, state):
-    suffix, setup, op = FAMILIES[family]
+    suffix, setup, op, content = FAMILIES[family]
+    if family == "cosine_index" and state == "legacy_deleted":
+        # the pre-r12 cosine staging was the MONOLITHIC relabeled index
+        # — not constructible from the generational op's kept-only
+        # staging; that shape is swept by
+        # test_cosine_legacy_monolithic_staging_still_heals
+        pytest.skip("covered by the dedicated legacy cosine test")
     base = str(tmp_path / "lake")
     setup(spark, base)
-    pre = _content(spark, base)
+    pre = content(spark, base)
 
-    # post content + exact staging payload, from a clone run
+    # post content + exact staging payload, from a clone run — under
+    # the versioned commit the clone's result lives in its resolved
+    # version dir, not the (retained, stale) flat clone dir
     clone = str(tmp_path / "clone")
     shutil.copytree(base, clone)
     op(spark, clone)
-    post = _content(spark, clone)
+    post = content(spark, clone)
+    payload = PL.resolve_table(spark, clone)
+    clone_folded = clone + "__folded"
 
     # construct the crash state
-    staging = base + suffix
-    shutil.copytree(clone, staging)
-    if state == "torn":
-        os.remove(os.path.join(staging, "_SUCCESS"))
-    if state == "deleted":
-        shutil.rmtree(base)
+    if state in ("torn", "staged", "legacy_deleted"):
+        staging = base + suffix
+        shutil.copytree(payload, staging)
+        if state == "torn":
+            os.remove(os.path.join(staging, "_SUCCESS"))
+        if state == "legacy_deleted":
+            shutil.rmtree(base)
+    else:
+        shutil.copytree(payload, base + "__v00000000")
+        if os.path.exists(clone_folded):
+            # the generational-fold families commit their folded rows
+            # BEFORE the shard flip, so the committed state carries
+            # the sibling folded table too
+            shutil.copytree(
+                PL.resolve_table(spark, clone_folded), base + "__folded"
+            )
+        if state == "flat_gone":
+            shutil.rmtree(base)
 
-    # 1) the passive recovery entry point: absent dest + committed
-    # staging completes the rename; anything else is a no-op
+    # 0) READER ATOMICITY: in EVERY constructed state the resolver
+    # lands on exactly one complete committed table — pre or post,
+    # never absent, never partial, never a blend
+    if state in ("committed", "flat_gone"):
+        assert content(spark, base) == post
+    elif state in ("torn", "staged"):
+        assert content(spark, base) == pre
+
+    # 1) the passive recovery entry point: ONLY the legacy pre-r12
+    # window (absent flat dest + committed staging, no versions)
+    # completes the rename; every r12 state is a no-op for it
     recovered = PL.recover_staged_swap(spark, base)
-    if state == "deleted":
+    if state == "legacy_deleted":
         assert recovered
-        assert _content(spark, base) == post
+        assert content(spark, base) == post
     else:
         assert not recovered
-        assert _content(spark, base) == pre  # dest untouched
+        expect = post if state in ("committed", "flat_gone") else pre
+        assert content(spark, base) == expect
 
     # 2) re-running the operation converges to post from EVERY state
     # (and consumes/overwrites the staging rather than folding twice —
     # the double-count class ADVICE r9 flagged on compact_batch_shards)
     op(spark, base)
-    assert _content(spark, base) == post
+    assert content(spark, base) == post
 
     # 3) idempotence: a second run stays at post, never a third state
     op(spark, base)
-    assert _content(spark, base) == post
+    assert content(spark, base) == post
 
 
 @pytest.mark.parametrize("family", sorted(FAMILIES))
@@ -204,26 +281,27 @@ def test_held_lease_blocks_maintenance_until_broken(spark, tmp_path, family):
     op raise ConcurrentWriterError holding nothing; break_swap_lease
     is the documented operator unblock, after which the op converges
     to post exactly as the crash sweep requires."""
-    suffix, setup, op = FAMILIES[family]
+    suffix, setup, op, content = FAMILIES[family]
     base = str(tmp_path / "lake")
     setup(spark, base)
-    pre = _content(spark, base)
+    pre = content(spark, base)
 
     clone = str(tmp_path / "clone")
     shutil.copytree(base, clone)
     op(spark, clone)
-    post = _content(spark, clone)
+    post = content(spark, clone)
 
     with open(base + "__swap_lease", "w") as f:
         f.write('{"op": "other", "pid": 1, "acquired_unix_ms": 0}')
     with pytest.raises(PL.ConcurrentWriterError):
         op(spark, base)
-    assert _content(spark, base) == pre  # nothing touched
+    assert content(spark, base) == pre  # nothing touched
     assert not os.path.exists(base + suffix)  # held nothing, staged nothing
+    assert not os.path.exists(base + "__folded")  # no fold leaked either
 
     assert PL.break_swap_lease(spark, base)
     op(spark, base)
-    assert _content(spark, base) == post
+    assert content(spark, base) == post
 
 
 def test_recover_staged_swap_clears_crashed_holders_lease(spark, tmp_path):
@@ -239,7 +317,9 @@ def test_recover_staged_swap_clears_crashed_holders_lease(spark, tmp_path):
     _op_compact(spark, clone)
     post = _content(spark, clone)
 
-    shutil.copytree(clone, base + "__compact_staging")
+    shutil.copytree(
+        PL.resolve_table(spark, clone), base + "__compact_staging"
+    )
     shutil.rmtree(base)
     with open(base + "__swap_lease", "w") as f:
         f.write('{"op": "compact", "pid": 1, "acquired_unix_ms": 0}')
@@ -329,7 +409,7 @@ def test_bloom_swap_preserves_meta_in_every_state(spark, tmp_path):
     assert post_meta == {"m_bits": 2**10, "k": 3}
 
     staging = base + "__bloom_compact_staging"
-    shutil.copytree(clone, staging)
+    shutil.copytree(PL.resolve_table(spark, clone), staging)
     shutil.rmtree(base)
     assert PL.recover_staged_swap(spark, base)
     assert INC.read_bloom_meta(spark, base) == post_meta
@@ -564,10 +644,14 @@ def test_rtbf_audit_marker_fence_states(spark, tmp_path):
 
 def test_read_skipping_falls_back_on_stale_manifest(spark, tmp_path):
     """optimize_table commits data before the manifest, so a crash
-    between the two leaves a manifest whose paths were deleted by the
-    rewrite.  read_skipping must detect the dead path and serve the
-    exact unpruned predicate instead of failing — correct, just
-    unpruned, until the next optimize heals the manifest."""
+    between the two leaves a manifest pointing at the superseded
+    version.  Under versioned retention those paths still EXIST (the
+    previous version is retained for in-flight readers) — a bare
+    existence check would silently read OLD data through the stale
+    manifest.  read_skipping must reject hits outside the CURRENT
+    resolved dir and serve the exact unpruned predicate instead —
+    correct, just unpruned, until the next optimize heals the
+    manifest."""
     path = str(tmp_path / "t")
     spark.range(100).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("x")
@@ -579,15 +663,301 @@ def test_read_skipping_falls_back_on_stale_manifest(spark, tmp_path):
     got = PL.read_skipping(spark, path, stats, "k", 10, 40)
     assert sorted(tuple(r) for r in got.select("k", "x").collect()) == expect
 
-    # simulate the crash: data rewritten again, manifest left stale
+    # simulate the crash: data rewritten again (v1), manifest stale (v0)
     PL.compact(spark, path, target_file_bytes=1 << 30)
     live = {
         r["file"]
-        for r in spark.range(1).sparkSession.read.parquet(path)
+        for r in PL.read_table(spark, path)
         .select(F.input_file_name().alias("file")).distinct().collect()
     }
     stale_files = {r["file"] for r in stats.select("file").collect()}
-    assert not (stale_files & live)  # every manifest path is dead now
+    assert not (stale_files & live)  # manifest points at the old version
+    # ...whose files are RETAINED for in-flight readers — the trap the
+    # current-version membership check exists for
+    fs, _, jvm = PL._fs_and_path(spark, path)
+    assert all(
+        fs.exists(jvm.org.apache.hadoop.fs.Path(f)) for f in stale_files
+    )
 
     got2 = PL.read_skipping(spark, path, stats, "k", 10, 40)
     assert sorted(tuple(r) for r in got2.select("k", "x").collect()) == expect
+
+
+def test_versioned_migration_and_retention_ladder(spark, tmp_path):
+    """The flat→versioned lifecycle (round 12): commit 1 creates v0
+    and RETAINS the flat dir (an in-flight flat reader finishes its
+    scan); commit 2 removes the flat remnant and retains v0; commit 3
+    vacuums v0.  read_table is correct at every rung; table_exists
+    stays True after the flat dir disappears (the first-batch
+    bootstrap check streams rely on)."""
+    base = str(tmp_path / "lake")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    ).repartition(8).write.parquet(base)
+    assert PL.resolve_table(spark, base) == base
+
+    PL.compact(spark, base, target_file_bytes=1 << 30)
+    assert PL.table_versions(spark, base) == [0]
+    assert os.path.exists(base)  # flat retained for one cycle
+    assert _content(spark, base) == sorted(
+        (i % 7, i) for i in range(100)
+    )
+
+    PL.compact(spark, base, target_file_bytes=1 << 30)
+    assert PL.table_versions(spark, base) == [0, 1]
+    assert not os.path.exists(base)  # flat remnant swept
+    assert PL.table_exists(spark, base)
+
+    PL.compact(spark, base, target_file_bytes=1 << 30)
+    assert PL.table_versions(spark, base) == [1, 2]  # v0 vacuumed
+
+    # deeper history reclaim is explicit
+    assert PL.vacuum_table(spark, base, keep_last=1) == [1]
+    assert PL.table_versions(spark, base) == [2]
+    assert _content(spark, base) == sorted(
+        (i % 7, i) for i in range(100)
+    )
+
+
+def test_reader_pinned_before_maintenance_survives_the_commit(
+    spark, tmp_path
+):
+    """Reader atomicity, the pinned form: a DataFrame resolved BEFORE a
+    maintenance commit keeps scanning its (now superseded, still
+    retained) version — under the pre-r12 delete→rename it would have
+    lost its files mid-scan.  One full maintenance cycle of grace is
+    the documented reader window."""
+    base = str(tmp_path / "lake")
+    _setup_upsert(spark, base)
+    pinned = PL.read_table(spark, base)  # lazy: resolves the flat dir
+    _op_upsert(spark, base)  # commits v0; flat retained
+    # the pinned plan still reads the pre-maintenance state, complete
+    assert sorted(tuple(r) for r in pinned.collect()) == [
+        (1, "a", 1), (2, "b", 1), (3, "c", 1)
+    ]
+    # a fresh resolve sees the post state
+    assert (2, "B", 2) in _content(spark, base)
+
+
+def test_concurrent_reader_during_live_maintenance_never_fails(
+    spark, tmp_path
+):
+    """Reader atomicity, the racing form (VERDICT r11 item 1's named
+    deliverable): a reader thread hammering read_table().collect()
+    while maintenance commits must only ever observe the PRE or the
+    POST table — never an exception, never an absent path, never a
+    blend.  Under the old delete→rename commit this reliably threw
+    path-not-found in the window."""
+    import threading
+
+    base = str(tmp_path / "lake")
+    _setup_upsert(spark, base)
+    pre = [(1, "a", 1), (2, "b", 1), (3, "c", 1)]
+    post = [(1, "a", 1), (2, "B", 2), (3, "c", 1), (4, "d", 2)]
+
+    stop = threading.Event()
+    seen: list = []
+    errors: list[Exception] = []
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                df = PL.read_table(spark, base)
+                rows = sorted(
+                    tuple(r) for r in df.select("k", "v", "ver").collect()
+                )
+                seen.append(rows)
+            except Exception as exc:  # noqa: BLE001 — recorded for assert
+                errors.append(exc)
+                return
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        for i in range(3):  # three commits: migration + flat sweep + vacuum
+            upd = spark.createDataFrame(
+                [(2, "B", 2), (4, "d", 2)], "k long, v string, ver long"
+            )
+            PL.upsert(spark, base, upd, ["k"], "ver")
+    finally:
+        stop.set()
+        th.join(120)
+    assert not errors, errors
+    assert seen, "reader never completed a scan"
+    for rows in seen:
+        assert rows in (pre, post), rows
+
+
+def test_unfenced_append_is_never_destroyed_by_the_flip(spark, tmp_path):
+    """The residual unfenced-writer window (SCALE.md r11 item 2),
+    re-adjudicated under the versioned commit: an append that lands
+    AFTER the epoch re-check can at worst be missing from the NEW
+    version — its rows live on in the superseded version (retained,
+    recoverable) instead of colliding with a delete→rename.  Here the
+    epoch check still catches an append that lands before commit; the
+    point under test is that an ABORTED flip leaves the racing rows
+    readable and a re-run folds them in, with every prior version
+    intact."""
+    base = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.parquet(base)
+    PL.compact(spark, base, target_file_bytes=1 << 30)  # → v0
+    staging = base + "__compact_staging"
+    with PL.swap_lease(spark, base, "compact") as lease:
+        df = spark.read.parquet(lease.resolved)
+        # unfenced racing appender writes into the RESOLVED dir
+        spark.createDataFrame([(3, "c")], "k long, v string").write.mode(
+            "append"
+        ).parquet(lease.resolved)
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        with pytest.raises(PL.ConcurrentWriterError):
+            lease.commit(staging)
+    # nothing destroyed: v0 (with the racing row) is still the live
+    # table, and the re-run folds the append into v1
+    assert _content(spark, base) == [(1, "a"), (2, "b"), (3, "c")]
+    shutil.rmtree(staging)
+    PL.compact(spark, base, target_file_bytes=1 << 30)
+    assert PL.table_versions(spark, base) == [0, 1]
+    assert _content(spark, base) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def _cosine_fixed_batch(spark, path):
+    """A probe batch FROZEN from the pre-maintenance corpus (collected
+    to literals) — deriving it from the live table would change the
+    probe as compaction moves rows between the shard and folded
+    tables."""
+    rows = [
+        (int(r["corpus_id"]) + 5000, [x + 0.001 for x in r["_v"]])
+        for r in PL.read_table(spark, path)
+        .orderBy("corpus_id").limit(6).collect()
+    ]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def _cosine_probe_pairs(spark, path, batch):
+    from gcs_parquet_dataflow_spark.operators import similarity as SIM
+
+    planes = SIM.hyperplanes(n_planes=4, dim=8, seed=13)
+    return sorted(
+        tuple(r)
+        for r in SIM.cosine_batch_against_index(
+            spark, path, batch, 0.9, planes=planes,
+            id_col="vec_id", vec_col="v",
+        ).collect()
+    )
+
+
+def test_cosine_fold_marker_protocol_crash_states(spark, tmp_path):
+    """The generational fold's OWN intermediate states (round 12,
+    marker-then-flip):
+
+    (a) gen appended, UNMARKED (crash before marker): probes ignore
+        it — identical results; the next run sweeps it and re-folds.
+    (b) gen MARKED, shard flip not yet run (crash between marker and
+        flip): the folded batches exist in BOTH tables — probe results
+        identical (triple dedup); the next run drops the stale shard
+        batches WITHOUT re-folding them.
+    """
+    from gcs_parquet_dataflow_spark.operators import similarity as SIM
+
+    base = str(tmp_path / "lake")
+    _setup_cosine_index(spark, base)
+    probe_batch = _cosine_fixed_batch(spark, base)
+    want = _cosine_probe_pairs(spark, base, probe_batch)
+    pre_rows = _cosine_content(spark, base)
+    froot = base + "__folded"
+
+    # --- (a) unmarked generation: invisible, then swept -------------
+    df = PL.read_table(spark, base)
+    (
+        df.filter(F.col("_batch_id") < 3)
+        .select("corpus_id", "_v", "_norm", "_t", "_bucket")
+        .withColumn("_fold_gen", F.lit(0))
+        .write.mode("append")
+        .partitionBy("_fold_gen", "_t", "_bucket")
+        .parquet(froot)
+    )
+    assert SIM._committed_fold_rows(spark, base) is None  # unmarked
+    assert _cosine_probe_pairs(spark, base, probe_batch) == want
+    assert _cosine_content(spark, base) == pre_rows
+
+    SIM.compact_cosine_index(spark, base, keep_last=1)
+    marked, present = SIM._fold_state(
+        spark, PL.resolve_table(spark, froot)
+    )
+    # the swept garbage gen's id is NOT reused (listing-race hygiene):
+    # the committed generation lands under the next id
+    assert sorted(marked) == [1] and marked[1] == [0, 1, 2]
+    assert present == {1}
+    assert _cosine_probe_pairs(spark, base, probe_batch) == want
+    assert _cosine_content(spark, base) == pre_rows
+
+    # --- (b) marked gen + stale shard copies (pre-flip crash) -------
+    # construct: re-append batches 0..2 into the SHARD table (as if
+    # the flip never ran) — rows now live in both tables
+    stale = str(tmp_path / "stale_src")
+    shutil.copytree(base, stale)  # pre-fold flat shard layout
+    shard_dir = PL.resolve_table(spark, base)
+    for b in (0, 1, 2):
+        src = os.path.join(stale, f"_batch_id={b}")
+        dst = os.path.join(shard_dir, f"_batch_id={b}")
+        shutil.copytree(src, dst)
+    ids = sorted(
+        r["_batch_id"]
+        for r in PL.read_table(spark, base)
+        .select("_batch_id").distinct().collect()
+    )
+    assert ids == [0, 1, 2, 3]  # both-tables state constructed
+    assert _cosine_probe_pairs(spark, base, probe_batch) == want  # dedup holds
+    assert _cosine_content(spark, base) == pre_rows
+
+    # the next run drops the stale copies without re-folding
+    SIM.compact_cosine_index(spark, base, keep_last=1)
+    ids = sorted(
+        r["_batch_id"]
+        for r in PL.read_table(spark, base)
+        .select("_batch_id").distinct().collect()
+    )
+    assert ids == [3]
+    marked, _ = SIM._fold_state(spark, PL.resolve_table(spark, froot))
+    assert sorted(marked) == [1] and marked[1] == [0, 1, 2]  # unchanged
+    assert _cosine_probe_pairs(spark, base, probe_batch) == want
+    assert _cosine_content(spark, base) == pre_rows
+
+
+def test_cosine_legacy_monolithic_staging_still_heals(spark, tmp_path):
+    """A PRE-r12 compact_cosine_index crash left the MONOLITHIC
+    relabeled index in __cosine_index_compact_staging with the dest
+    deleted.  The new binary's recover_staged_swap must complete that
+    rename, and probes over the healed flat index (no folded sibling)
+    must work unchanged."""
+    base = str(tmp_path / "lake")
+    _setup_cosine_index(spark, base)
+    probe_batch = _cosine_fixed_batch(spark, base)
+    want = _cosine_probe_pairs(spark, base, probe_batch)
+
+    # the old binary's staging: the whole index, old ids relabeled
+    df = spark.read.parquet(base)
+    relabeled = df.withColumn(
+        "_batch_id",
+        F.when(F.col("_batch_id") < 3, F.lit(0).cast("long")).otherwise(
+            F.col("_batch_id")
+        ),
+    )
+    staging = base + "__cosine_index_compact_staging"
+    (
+        relabeled.repartition("_batch_id", "_t")
+        .write.mode("overwrite")
+        .partitionBy("_batch_id", "_t", "_bucket")
+        .parquet(staging)
+    )
+    shutil.rmtree(base)
+
+    assert PL.recover_staged_swap(spark, base)
+    assert sorted(
+        r["_batch_id"]
+        for r in PL.read_table(spark, base)
+        .select("_batch_id").distinct().collect()
+    ) == [0, 3]
+    assert _cosine_probe_pairs(spark, base, probe_batch) == want

@@ -87,7 +87,11 @@ def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
 
 
 def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
-    from gcs_parquet_dataflow_spark.sinks.parquet_lake import compact, data_file_stats
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        compact,
+        data_file_stats,
+        read_table,
+    )
 
     path = str(tmp_path / "many_small")
     df = spark.range(10000).withColumn("v", F.col("id") * 2)
@@ -97,7 +101,8 @@ def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
     # target ~ quarter of the table per file → ~4 output files
     b, a = compact(spark, path, target_file_bytes=max(1, total // 4))
     assert (b, a) == (64, a) and a <= 8
-    back = spark.read.parquet(path)
+    # reads of a maintained table go through the versioned pointer (r12)
+    back = read_table(spark, path)
     assert back.count() == 10000
     assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(10000))
 
@@ -181,7 +186,7 @@ def test_zorder_key_is_a_bijection_on_the_bit_domain(spark):
 
 
 def test_upsert_latest_wins_inserts_and_idempotent(spark, tmp_path):
-    from gcs_parquet_dataflow_spark.sinks.parquet_lake import upsert
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import read_table, upsert
 
     path = str(tmp_path / "upsert_tbl")
     base = spark.createDataFrame(
@@ -198,13 +203,13 @@ def test_upsert_latest_wins_inserts_and_idempotent(spark, tmp_path):
     before, after = upsert(spark, path, updates, ["k"], "version")
     assert (before, after) == (3, 4)
     got = {r["k"]: (r["payload"], r["version"])
-           for r in spark.read.parquet(path).collect()}
+           for r in read_table(spark, path).collect()}
     assert got == {1: ("a", 1), 2: ("b-new", 2), 3: ("c", 1), 4: ("d", 2)}
 
     # retrying the SAME batch converges to the same table (idempotent)
     upsert(spark, path, updates, ["k"], "version")
     got2 = {r["k"]: (r["payload"], r["version"])
-            for r in spark.read.parquet(path).collect()}
+            for r in read_table(spark, path).collect()}
     assert got2 == got
 
     # equal-version conflict: the update wins (deterministic tie rule)
@@ -212,7 +217,7 @@ def test_upsert_latest_wins_inserts_and_idempotent(spark, tmp_path):
         [(1, "a-tie", 1)], "k long, payload string, version long"
     )
     upsert(spark, path, tie, ["k"], "version")
-    assert {r["k"]: r["payload"] for r in spark.read.parquet(path).collect()}[1] == "a-tie"
+    assert {r["k"]: r["payload"] for r in read_table(spark, path).collect()}[1] == "a-tie"
 
 
 def test_schema_evolution_merge_read(spark, tmp_path):
@@ -502,7 +507,7 @@ def test_optimize_table_compacts_sorts_blooms_and_manifests(spark, tmp_path):
     )
     assert res["files_before"] == 32 and res["files_after"] <= 8
     assert res["n_rows"] == 20000
-    back = spark.read.parquet(path)
+    back = PL.read_table(spark, path)
     assert back.count() == 20000
     assert back.agg(F.sum("v")).first()[0] == sum(range(20000))
 
@@ -520,7 +525,7 @@ def test_optimize_table_compacts_sorts_blooms_and_manifests(spark, tmp_path):
         spark, path, sort_cols=["k"], target_file_bytes=max(1, total // 6)
     )
     assert res2["n_rows"] == 20000
-    assert spark.read.parquet(path).count() == 20000
+    assert PL.read_table(spark, path).count() == 20000
 
 
 def test_export_dataset_layout_produces_loadable_splits(spark, tmp_path):

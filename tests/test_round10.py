@@ -701,7 +701,7 @@ def test_optimize_table_hilbert_curve_dial(spark, tmp_path):
         target_file_bytes=1024,
     )
     assert sorted(
-        tuple(r) for r in spark.read.parquet(path).collect()
+        tuple(r) for r in PL.read_table(spark, path).collect()
     ) == before
     stats = spark.read.parquet(res["manifest_path"])
     n_files = stats.count()
@@ -929,11 +929,20 @@ def test_compact_cosine_index_is_invisible_to_probes(spark, tmp_path):
         ).collect()
     )
     compact_cosine_index(spark, path, keep_last=2)
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import read_table
     ids = {
         r["_batch_id"]
-        for r in spark.read.parquet(path).select("_batch_id").distinct().collect()
+        for r in read_table(spark, path).select("_batch_id").distinct().collect()
     }
-    assert ids == {0, 2, 3}  # 0+1 folded under 0; newest two untouched
+    # r12 generational fold: 0+1 move to a committed fold generation,
+    # the newest two shard batches stay untouched (the replay fence's
+    # keep_last contract)
+    assert ids == {2, 3}
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import resolve_table
+    marked, _ = SIM._fold_state(
+        spark, resolve_table(spark, SIM._folded_root(path))
+    )
+    assert sorted(marked) == [0] and marked[0] == [0, 1]
     after = sorted(
         tuple(r)
         for r in SIM.cosine_batch_against_index(
@@ -942,8 +951,12 @@ def test_compact_cosine_index_is_invisible_to_probes(spark, tmp_path):
         ).collect()
     )
     assert after == before
-    # partition levels preserved: the probe's pruning interface survives
-    assert "_t" in spark.read.parquet(path).columns
-    assert "_bucket" in spark.read.parquet(path).columns
+    # partition levels preserved on BOTH tables: the probe's pruning
+    # interface survives the fold
+    assert "_t" in read_table(spark, path).columns
+    assert "_bucket" in read_table(spark, path).columns
+    folded_rows = SIM._committed_fold_rows(spark, path)
+    assert folded_rows is not None
+    assert {"_t", "_bucket"} <= set(folded_rows.columns)
     with pytest.raises(ValueError):
         compact_cosine_index(spark, path, keep_last=0)

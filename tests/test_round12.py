@@ -1,0 +1,357 @@
+"""Round-12 behaviors:
+
+1. Mixed legacy/new cosine index (ADVICE r11 medium): a pre-r11 index
+   that receives post-r11 appends has files with and without ``_norm``;
+   the probe must not silently drop legacy candidates, and one
+   compaction upgrades every surviving row to a stored norm.
+2. Guard-report persistence (VERDICT r11 item 5): CCReport/CapReport
+   drain batch-keyed into the ops lake, survive a "restart" (fresh
+   read from disk), and the streaming path appends per micro-batch.
+3. ``algorithm="auto"`` connected components (VERDICT r11 item 2):
+   label on shallow graphs (no extra self-join), stall-detected
+   escalation to pointer jumping on deep chains, identical fixed
+   point either way.
+4. Generational cosine-index fold (VERDICT r11 item 3): maintenance
+   cost scales with NEWLY-FOLDED rows, not index size — asserted by
+   job structure here (the folded table is append-only across minor
+   runs); wall-clock scaling is tools/scale_smoke.py --fold-cost.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.operators import dedup as DD
+from gcs_parquet_dataflow_spark.operators import similarity as SIM
+from gcs_parquet_dataflow_spark.operators.partitioning import (
+    release_intermediates,
+)
+from gcs_parquet_dataflow_spark.sinks import parquet_lake as PL
+from gcs_parquet_dataflow_spark.streaming.observability import (
+    read_guard_reports,
+    write_guard_reports,
+)
+
+
+def _vectors(spark, n, dim=16, seed=11, id_start=0):
+    rng = random.Random(seed)
+    rows = [
+        (id_start + i, [round(rng.uniform(-1, 1), 6) for _ in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+# ---------------------------------------------------------------------------
+# 1. mixed-schema cosine index
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_legacy_new_index_probe_drops_no_candidates(spark, tmp_path):
+    """ADVICE r11 (medium): legacy files lack _norm, new appends carry
+    it.  Without the superset-schema read + coalesce, whichever footer
+    Spark sampled decided whether legacy rows probed with _norm=null —
+    null cosine, silently missed duplicates.  The probe must equal the
+    inline twin over the UNION corpus regardless of file mix."""
+    planes = SIM.hyperplanes(n_planes=4, dim=16, seed=13)
+    old = _vectors(spark, 40, seed=17)
+    new = _vectors(spark, 40, seed=19, id_start=1000)
+
+    idx = str(tmp_path / "idx")
+    # legacy half: build new-format, strip _norm in place (pre-r11 files)
+    tmp_new = str(tmp_path / "tmp_new")
+    SIM.build_cosine_bucket_index(
+        old, tmp_new, planes=planes, id_col="vec_id", vec_col="v",
+        batch_id=0,
+    )
+    (
+        spark.read.parquet(tmp_new).drop("_norm")
+        .write.partitionBy("_batch_id", "_t", "_bucket").parquet(idx)
+    )
+    # post-r11 half: normal append, carries _norm
+    SIM.build_cosine_bucket_index(
+        new, idx, planes=planes, id_col="vec_id", vec_col="v", batch_id=1,
+    )
+    files = spark.read.parquet(idx)
+    assert "_norm" in SIM._read_index_norm_superset(spark, idx).columns
+
+    corpus = old.unionByName(new)
+    # probe vectors drawn from BOTH halves — a limit over the union
+    # would sample only the legacy half
+    batch = old.limit(6).unionByName(new.limit(6)).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.transform("v", lambda x: x + 0.001).alias("v"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in SIM.cosine_batch_pairs(
+            batch, corpus, 0.9, planes=planes, id_col="vec_id", vec_col="v"
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in SIM.cosine_batch_against_index(
+            spark, idx, batch, 0.9, planes=planes,
+            id_col="vec_id", vec_col="v",
+        ).collect()
+    )
+    assert got == want and want  # non-vacuous, no candidate dropped
+    # ...and matches from BOTH halves are present (the bug dropped one
+    # whole half depending on footer sampling)
+    got_ids = {cid for _, cid, _ in got}
+    assert any(cid < 1000 for cid in got_ids)
+    assert any(cid >= 1000 for cid in got_ids)
+
+    # one compaction upgrades the surviving rows to stored norms
+    SIM.compact_cosine_index(spark, idx, keep_last=1)
+    folded = SIM._committed_fold_rows(spark, idx)
+    assert folded is not None
+    assert folded.filter(F.col("_norm").isNull()).count() == 0
+    got2 = sorted(
+        tuple(r)
+        for r in SIM.cosine_batch_against_index(
+            spark, idx, batch, 0.9, planes=planes,
+            id_col="vec_id", vec_col="v",
+        ).collect()
+    )
+    assert got2 == want
+    release_intermediates()
+
+
+# ---------------------------------------------------------------------------
+# 2. guard-report persistence
+# ---------------------------------------------------------------------------
+
+
+def test_guard_reports_persist_batch_keyed_and_idempotent(spark, tmp_path):
+    ops = str(tmp_path / "ops")
+    DD.drain_reports()  # isolate from earlier tests in the session
+
+    # emit one cap report + one non-converged CC report
+    # int caps are lazy by design (no report) — auto specs emit the
+    # CapReport this lake persists
+    bombs = spark.createDataFrame(
+        [(i, "same") for i in range(50)]
+        + [(100 + i, f"k{i}") for i in range(20)],
+        "id long, b string",
+    )
+    # AutoCap tuned so the p0.5 of sizes {50, 1×20} picks ~1 and the
+    # 50-member bomb bucket is the distribution outlier that drops
+    cap_spec = DD.AutoCap(quantile=0.5, slack=4.0, floor=4)
+    DD.cap_hot_buckets(
+        bombs, ["b"], cap_spec, metric_name="r12_cap"
+    ).count()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    nodes = spark.range(31).select(F.col("id").alias("_id"))
+    DD.connected_components(
+        nodes, chain, max_iter=3, metric_name="r12_cc"
+    ).count()
+    release_intermediates()
+
+    n = write_guard_reports(spark, ops, batch_id=7)
+    assert n == {"cap_reports": 1, "cc_reports": 1}
+    # the registries were DRAINED — a second write adds nothing
+    assert write_guard_reports(spark, ops, batch_id=8) == {
+        "cap_reports": 0, "cc_reports": 0,
+    }
+
+    # "restart": read back from disk alone
+    caps = read_guard_reports(spark, ops, "cap_reports")
+    ccs = read_guard_reports(spark, ops, "cc_reports")
+    cap = caps.filter(F.col("metric_name") == "r12_cap").first()
+    assert cap["_batch_id"] == 7
+    assert cap["n_dropped_rows"] == 50  # the whole bomb bucket dropped
+    cc = ccs.filter(F.col("metric_name") == "r12_cc").first()
+    assert cc["_batch_id"] == 7
+    assert not cc["converged"] and cc["changed_at_stop"] > 0
+    assert cc["algorithm"] == "label"
+
+    # replay idempotency: re-emitting batch 7 overwrites its own
+    # partition instead of duplicating it
+    DD.cap_hot_buckets(
+        bombs, ["b"], cap_spec, metric_name="r12_cap"
+    ).count()
+    release_intermediates()
+    write_guard_reports(spark, ops, batch_id=7)
+    caps2 = read_guard_reports(spark, ops, "cap_reports")
+    assert caps2.filter(F.col("metric_name") == "r12_cap").count() == 1
+
+    # the alarm query
+    alarms = read_guard_reports(spark, ops, "cc_reports").filter(
+        ~F.col("converged")
+    )
+    assert alarms.count() == 1
+
+    # unknown kind fails loudly; absent lake reads empty-but-typed
+    with pytest.raises(ValueError):
+        read_guard_reports(spark, ops, "nope")
+    empty = read_guard_reports(spark, str(tmp_path / "none"), "cc_reports")
+    assert empty.count() == 0 and "converged" in empty.columns
+
+
+def test_embedding_stream_appends_guard_reports_per_batch(
+    spark, tmp_path
+):
+    from gcs_parquet_dataflow_spark.streaming.pipeline import (
+        run_embedding_dedup_stream,
+    )
+
+    DD.drain_reports()
+    planes = SIM.hyperplanes(n_planes=4, dim=8, seed=13)
+    rng = random.Random(23)
+    indir = tmp_path / "vecs"
+    indir.mkdir()
+    for b in range(2):
+        rows = [
+            (10 * b + i, [round(rng.uniform(-1, 1), 6) for _ in range(8)])
+            for i in range(4)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, v array<double>"
+        ).coalesce(1).write.parquet(str(indir / f"f{b}"))
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "*"))
+    )
+    ops = str(tmp_path / "ops")
+    q = run_embedding_dedup_stream(
+        spark, stream, str(tmp_path / "idx"), str(tmp_path / "rep"),
+        str(tmp_path / "ck"), threshold=0.98, planes=planes,
+        id_col="vec_id", vec_col="v", max_index_bucket_size=DD.AutoCap(),
+        ops_path=ops, available_now=True,
+    )
+    q.awaitTermination(180)
+    caps = read_guard_reports(spark, ops, "cap_reports")
+    # batch 0 probes an absent index (no guard); batch 1 probes with
+    # the cap armed → at least one report, batch-keyed
+    by_batch = {
+        r["_batch_id"]
+        for r in caps.select("_batch_id").distinct().collect()
+    }
+    assert 1 in by_batch
+    assert caps.filter(
+        F.col("metric_name") == "cosine_index_buckets"
+    ).count() >= 1
+
+
+# ---------------------------------------------------------------------------
+# 3. algorithm="auto"
+# ---------------------------------------------------------------------------
+
+
+def test_cc_auto_runs_pure_label_on_shallow_graphs(spark):
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)] + [(20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.range(23).select(F.col("id").alias("_id"))
+    out_label = sorted(
+        tuple(r)
+        for r in DD.connected_components(
+            nodes, pairs, max_iter=10, algorithm="label",
+            metric_name="r12_shallow_label",
+        ).collect()
+    )
+    out_auto = sorted(
+        tuple(r)
+        for r in DD.connected_components(
+            nodes, pairs, max_iter=10, algorithm="auto",
+            metric_name="r12_shallow_auto",
+        ).collect()
+    )
+    assert out_auto == out_label
+    rep = DD.last_cc_report()
+    assert rep.metric_name == "r12_shallow_auto"
+    assert rep.converged and rep.algorithm == "label"  # never escalated
+    release_intermediates()
+
+
+def test_cc_auto_escalates_and_converges_on_deep_chain(spark):
+    """A 200-hop chain: label alone needs 200 rounds (the max_iter=20
+    cap would truncate, converged=False); auto trips the stall
+    detector after two label rounds and finishes in O(log diameter)
+    with the exact min-reachable-id fixed point."""
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    nodes = spark.range(n + 1).select(F.col("id").alias("_id"))
+    out = DD.connected_components(
+        nodes, chain, max_iter=20, algorithm="auto",
+        metric_name="r12_chain_auto",
+    )
+    assert out.filter(F.col("cluster") != 0).count() == 0
+    rep = DD.last_cc_report()
+    assert rep.converged
+    assert rep.algorithm.startswith("auto→jump@")
+    assert rep.iterations <= 14  # O(log 200) + the 2 label rounds
+    release_intermediates()
+
+
+def test_cc_auto_rejects_unknown_algorithm(spark):
+    nodes = spark.range(2).select(F.col("id").alias("_id"))
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with pytest.raises(ValueError):
+        DD.connected_components(nodes, pairs, algorithm="warp")
+
+
+# ---------------------------------------------------------------------------
+# 4. generational fold is append-only across minor runs
+# ---------------------------------------------------------------------------
+
+
+def test_minor_fold_never_rewrites_prior_generations(spark, tmp_path):
+    """The O(index)→O(new rows) claim's structural half: a second
+    minor compaction leaves generation 1's data FILES byte-identical
+    on disk (same paths, same sizes) — it only appends a new
+    generation and flips the small shard table.  (Wall-clock scaling
+    is tools/scale_smoke.py --fold-cost.)"""
+    import os
+
+    planes = SIM.hyperplanes(n_planes=4, dim=8, seed=13)
+    path = str(tmp_path / "cidx")
+    rng = random.Random(31)
+
+    def add_batches(ids):
+        for b in ids:
+            rows = [
+                (
+                    100 * b + i,
+                    [round(rng.uniform(-1, 1), 6) for _ in range(8)],
+                )
+                for i in range(5)
+            ]
+            SIM.build_cosine_bucket_index(
+                spark.createDataFrame(rows, "vec_id long, v array<double>"),
+                path, planes=planes, id_col="vec_id", vec_col="v",
+                batch_id=b,
+            )
+
+    add_batches(range(4))
+    SIM.compact_cosine_index(spark, path, keep_last=1)  # gen 0 ← [0,1,2]
+    froot = SIM._folded_root(path)
+    fdir = PL.resolve_table(spark, froot)
+
+    def gen_files(g):
+        out = {}
+        base = os.path.join(fdir, f"_fold_gen={g}")
+        for root, _, names in os.walk(base):
+            for name in names:
+                p = os.path.join(root, name)
+                out[p] = os.path.getsize(p)
+        return out
+
+    before = gen_files(0)
+    assert before
+    add_batches(range(4, 7))
+    SIM.compact_cosine_index(spark, path, keep_last=1)  # gen 1 ← [3,4,5]
+    marked, _ = SIM._fold_state(spark, PL.resolve_table(spark, froot))
+    assert sorted(marked) == [0, 1]
+    assert gen_files(0) == before  # gen 0 untouched: pure append
+    release_intermediates()

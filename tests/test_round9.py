@@ -788,7 +788,8 @@ def test_er_stream_golden_log_mode_equivalent(spark, tmp_path):
 
     # offline compaction: one partition left, identical folded view
     compact_golden_log(spark, str(tmp_path / "golden_logm"))
-    after = spark.read.parquet(str(tmp_path / "golden_logm"))
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import read_table
+    after = read_table(spark, str(tmp_path / "golden_logm"))
     assert {
         r["_batch_id"]
         for r in after.select("_batch_id").distinct().collect()
@@ -847,9 +848,10 @@ def test_compact_batch_shards_aqp_end_to_end(spark, tmp_path):
     start()
     shards_path = str(tmp_path / "shards")
     compact_batch_shards(spark, shards_path, ["l_returnflag"], keep_last=1)
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import read_table
     ids = {
         r["_batch_id"]
-        for r in spark.read.parquet(shards_path)
+        for r in read_table(spark, shards_path)
         .select("_batch_id").distinct().collect()
     }
     assert ids == {0, 2}  # 0+1 folded under 0, newest kept
@@ -902,7 +904,8 @@ def test_compact_batch_shards_dtype_and_key_only(spark, tmp_path):
         )
         write_partitioned(df, lake, [], batch_id=b, coalesce_files=1)
     compact_batch_shards(spark, lake, ["k"], keep_last=2)
-    out = spark.read.parquet(lake)
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import read_table
+    out = read_table(spark, lake)
     ids = {r["_batch_id"] for r in out.select("_batch_id").distinct().collect()}
     assert ids == {0, 2, 3}
     folded = out.filter(F.col("_batch_id") == 0).first()
@@ -917,7 +920,7 @@ def test_compact_batch_shards_dtype_and_key_only(spark, tmp_path):
         df = spark.createDataFrame([(f"k{b}",), ("shared",)], "key string")
         write_partitioned(df, keys, [], batch_id=b, coalesce_files=1)
     compact_batch_shards(spark, keys, ["key"], keep_last=1)
-    out2 = spark.read.parquet(keys)
+    out2 = read_table(spark, keys)
     assert {
         r["_batch_id"] for r in out2.select("_batch_id").distinct().collect()
     } == {0, 2}
@@ -928,7 +931,7 @@ def test_compact_batch_shards_dtype_and_key_only(spark, tmp_path):
 
     # no-op guard: nothing old enough to fold
     compact_batch_shards(spark, keys, ["key"], keep_last=5)
-    assert out2.count() == spark.read.parquet(keys).count()
+    assert out2.count() == read_table(spark, keys).count()
 
 
 def test_compact_bloom_lake_fold_is_invisible(spark, tmp_path):
@@ -1037,14 +1040,15 @@ def test_compact_batch_shards_heavy_hitter_end_to_end(spark, tmp_path):
                          keep_last=1)
     compact_batch_shards(spark, paths["candidates_path"], ["key"],
                          keep_last=1)
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import read_table
     merged_after = sorted(
-        map(tuple, spark.read.parquet(paths["sketch_path"])
+        map(tuple, read_table(spark, paths["sketch_path"])
             .groupBy("d", "b").agg(F.sum("n").alias("n")).collect())
     )
     assert merged_after == merged_before  # fold invisible to the sum
     cands = {
         r["key"]
-        for r in spark.read.parquet(paths["candidates_path"]).collect()
+        for r in read_table(spark, paths["candidates_path"]).collect()
     }
     assert {"hot", "warm"} <= cands
 
@@ -1231,12 +1235,20 @@ def test_upsert_crash_window_recovery(spark, tmp_path):
     staging = lake + "__upsert_staging"
 
     def crash_state():
-        # the state upsert leaves when it dies after fs.delete(dest):
-        # staging holds the COMPLETE merged table, dest is gone
+        # the state a PRE-r12 upsert left when it died after
+        # fs.delete(dest): staging holds the COMPLETE merged table,
+        # dest is gone.  Also sweep any sibling version dirs a prior
+        # (r12, versioned) upsert in this test created — a true legacy
+        # lake has none, and their presence would make the resolver
+        # (correctly) ignore the constructed flat crash state
+        import glob
+
         spark.createDataFrame(
             [(1, 2, "a2"), (2, 1, "b")], "k long, v long, s string"
         ).coalesce(1).write.mode("overwrite").parquet(staging)
         shutil.rmtree(lake, ignore_errors=True)
+        for d in glob.glob(lake + "__v*"):
+            shutil.rmtree(d, ignore_errors=True)
 
     # (a) direct upsert self-heals, then applies its update
     crash_state()
@@ -1245,7 +1257,8 @@ def test_upsert_crash_window_recovery(spark, tmp_path):
         spark.createDataFrame([(3, 1, "c")], "k long, v long, s string"),
         ["k"], "v",
     )
-    got = {r["k"]: (r["v"], r["s"]) for r in spark.read.parquet(lake).collect()}
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import read_table
+    got = {r["k"]: (r["v"], r["s"]) for r in read_table(spark, lake).collect()}
     assert got == {1: (2, "a2"), 2: (1, "b"), 3: (1, "c")}
 
     # (b) the streaming CDC apply: pre-fix this branch saw "no lake"
@@ -1266,7 +1279,7 @@ def test_upsert_crash_window_recovery(spark, tmp_path):
         available_now=True,
     )
     q.awaitTermination(120)
-    got = {r["k"]: (r["v"], r["s"]) for r in spark.read.parquet(lake).collect()}
+    got = {r["k"]: (r["v"], r["s"]) for r in read_table(spark, lake).collect()}
     assert got == {1: (2, "a2"), 2: (5, "b5")}
 
     # (c) torn staging (no _SUCCESS) never masquerades as a commit

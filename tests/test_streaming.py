@@ -537,6 +537,7 @@ def test_run_upsert_stream_applies_cdc_changes(spark, tmp_path):
     """CDC apply: streamed change records merge into the lake with
     max-version-wins per key across micro-batches; a second run picks
     up only new changes and cannot regress applied ones."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import read_table
     from gcs_parquet_dataflow_spark.streaming.pipeline import run_upsert_stream
 
     src = tmp_path / "changes"; src.mkdir()
@@ -561,14 +562,14 @@ def test_run_upsert_stream_applies_cdc_changes(spark, tmp_path):
     add_changes([(1, "a1", 1), (2, "b1", 1), (2, "b0-stale", 0)])
     run_once()
     got1 = {r["k"]: (r["payload"], r["version"])
-            for r in spark.read.parquet(lake).collect()}
+            for r in read_table(spark, lake).collect()}
     assert got1 == {1: ("a1", 1), 2: ("b1", 1)}
 
     # batch 2: update k=2, insert k=3, stale change for k=1 loses
     add_changes([(2, "b2", 2), (3, "c1", 1), (1, "a0-stale", 0)])
     run_once()
     got2 = {r["k"]: (r["payload"], r["version"])
-            for r in spark.read.parquet(lake).collect()}
+            for r in read_table(spark, lake).collect()}
     assert got2 == {1: ("a1", 1), 2: ("b2", 2), 3: ("c1", 1)}
 
 

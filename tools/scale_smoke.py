@@ -259,9 +259,93 @@ def magnitude_probe() -> int:
     return rc
 
 
+def fold_cost_probe(factor: int = 10) -> int:
+    """The generational-fold cost law (round 12, VERDICT r11 item 3):
+    a MINOR compact_cosine_index folds only the batches that arrived
+    since the last fold, so its cost must be flat as the already-folded
+    base grows ``factor``× — while the INITIAL fold (which eats the big
+    base batch) scales with the base, approximating what the pre-r12
+    whole-index rewrite paid on EVERY run.  Prints one JSON line with
+    both times at base and factor× and the minor ratio (expect ~1)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gcs_parquet_dataflow_spark.operators import similarity as SIM
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+    from gcs_parquet_dataflow_spark.session import get_spark
+
+    spark = get_spark(app_name="fold_cost_probe")
+    planes = SIM.hyperplanes(n_planes=6, dim=16, seed=13)
+
+    def vectors(n: int, id_start: int):
+        # executor-side synthesis (no driver materialization): a
+        # deterministic pseudo-vector per id
+        return spark.range(n).select(
+            (F.col("id") + id_start).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda j: F.sin(F.col("id") * j + j),
+            ).alias("v"),
+        )
+
+    out: dict = {"factor": factor}
+    base_n = 4000
+    root = tempfile.mkdtemp(prefix="sgpd_fold_cost_")
+    try:
+        for scale, tag in ((1, "base"), (factor, "amplified")):
+            path = os.path.join(root, f"idx_{tag}")
+            SIM.build_cosine_bucket_index(
+                vectors(base_n * scale, 0), path, planes=planes,
+                id_col="vec_id", vec_col="v", batch_id=0,
+            )
+            SIM.build_cosine_bucket_index(
+                vectors(200, 50_000_000), path, planes=planes,
+                id_col="vec_id", vec_col="v", batch_id=1,
+            )
+            release_intermediates()
+            t0 = time.monotonic()
+            SIM.compact_cosine_index(spark, path, keep_last=1)
+            initial_s = round(time.monotonic() - t0, 3)
+            for b in (2, 3, 4):
+                SIM.build_cosine_bucket_index(
+                    vectors(200, 50_000_000 * b), path, planes=planes,
+                    id_col="vec_id", vec_col="v", batch_id=b,
+                )
+            release_intermediates()
+            t0 = time.monotonic()
+            SIM.compact_cosine_index(spark, path, keep_last=1)
+            minor_s = round(time.monotonic() - t0, 3)
+            out[tag] = {
+                "index_rows": base_n * scale + 800,
+                "initial_fold_s": initial_s,
+                "minor_fold_s": minor_s,
+            }
+        out["minor_ratio"] = round(
+            out["amplified"]["minor_fold_s"] / out["base"]["minor_fold_s"],
+            2,
+        )
+        out["initial_ratio"] = round(
+            out["amplified"]["initial_fold_s"]
+            / out["base"]["initial_fold_s"],
+            2,
+        )
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    return 0
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--magnitude":
         raise SystemExit(magnitude_probe())
+    if len(sys.argv) > 1 and sys.argv[1] == "--fold-cost":
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        raise SystemExit(fold_cost_probe(factor))
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = f"/tmp/sgpd_scale_smoke_{factor}x"
 
@@ -712,6 +796,28 @@ def main() -> None:
             }
 
         timed("cc_chain_jump_full_convergence", cc_chain_jump)
+
+        def cc_chain_auto():
+            # round 12: the dial-free dial — auto runs label until the
+            # changed count stalls, then escalates to jump; on this
+            # chain it must FULLY converge in ~2 + log2(n) rounds and
+            # the report must record the escalation
+            full = DD.connected_components(
+                chain_nodes, chain_pairs, id_col="doc_id",
+                max_iter=40, metric_name="cc_chain_auto_smoke",
+                algorithm="auto",
+            )
+            rows["cc_chain_auto_clusters"] = (
+                full.select("cluster").distinct().count()
+            )
+            rep = DD.last_cc_report()
+            rows["cc_chain_auto_report"] = {
+                "iterations": rep.iterations,
+                "converged": rep.converged,
+                "algorithm": rep.algorithm,
+            }
+
+        timed("cc_chain_auto_full_convergence", cc_chain_auto)
 
         print(
             json.dumps(
