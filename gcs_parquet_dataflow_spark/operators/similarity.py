@@ -1598,17 +1598,21 @@ def compact_cosine_index(
         kept = df.filter(
             ~F.col("_batch_id").isin([int(i) for i in stale + fold_ids])
         )
-        staging = path.rstrip("/") + "__cosine_index_compact_staging"
         if kept.limit(1).count() == 0:
-            # empty shard table: write a schema-bearing empty parquet
-            # (a partitioned empty write yields a schema-less dir that
-            # every later read would fail on)
-            kept.coalesce(1).write.mode("overwrite").parquet(staging)
-        else:
-            (
-                kept.repartition("_batch_id", "_t")
-                .write.mode("overwrite")
-                .partitionBy("_batch_id", "_t", "_bucket")
-                .parquet(staging)
-            )
+            # every shard batch is stale (a marked-not-flipped crash
+            # with no arrivals since): leave the shard table as-is —
+            # the probe's triple dedup keeps results exact over the
+            # both-tables overlap, and the next run with fresh batches
+            # flips the stale ids out with a NON-empty kept set.  (An
+            # empty partitioned version would be schema-less, and an
+            # empty flat file would mix with later partition appends —
+            # both unreadable.)
+            return
+        staging = path.rstrip("/") + "__cosine_index_compact_staging"
+        (
+            kept.repartition("_batch_id", "_t")
+            .write.mode("overwrite")
+            .partitionBy("_batch_id", "_t", "_bucket")
+            .parquet(staging)
+        )
         lease.commit(staging)

@@ -355,3 +355,133 @@ def test_minor_fold_never_rewrites_prior_generations(spark, tmp_path):
     assert sorted(marked) == [0, 1]
     assert gen_files(0) == before  # gen 0 untouched: pure append
     release_intermediates()
+
+
+def test_fold_skips_flip_when_every_shard_batch_is_stale(spark, tmp_path):
+    """The all-stale edge (marked-not-flipped crash with no arrivals
+    since): the re-run must NOT flip to an empty shard version — an
+    empty partitioned write is schema-less and an empty flat file
+    would mix with later partition appends, both unreadable.  It
+    leaves the stale shards in place (probe-exact via triple dedup)
+    and the next run with fresh batches flips them out."""
+    planes = SIM.hyperplanes(n_planes=4, dim=8, seed=13)
+    path = str(tmp_path / "cidx")
+    rng = random.Random(41)
+
+    def vecs(b):
+        return spark.createDataFrame(
+            [
+                (100 * b + i, [round(rng.uniform(-1, 1), 6) for _ in range(8)])
+                for i in range(5)
+            ],
+            "vec_id long, v array<double>",
+        )
+
+    for b in range(2):
+        SIM.build_cosine_bucket_index(
+            vecs(b), path, planes=planes, id_col="vec_id", vec_col="v",
+            batch_id=b,
+        )
+    SIM.compact_cosine_index(spark, path, keep_last=1)  # gen 0 ← [0]
+
+    # construct marked-not-flipped with ALL remaining batches stale:
+    # fold batch 1 into a marked gen by hand (as if the fold + marker
+    # ran but the crash landed before the shard flip)
+    fdir = PL.resolve_table(spark, SIM._folded_root(path))
+    df = PL.read_table(spark, path)
+    (
+        df.filter(F.col("_batch_id") == 1)
+        .select("corpus_id", "_v", "_norm", "_t", "_bucket")
+        .withColumn("_fold_gen", F.lit(1))
+        .write.mode("append")
+        .partitionBy("_fold_gen", "_t", "_bucket")
+        .parquet(fdir)
+    )
+    SIM._write_gen_marker(spark, fdir, 1, [1])
+
+    pre_content = _sorted_probe_rows(spark, path)
+    pre_versions = PL.table_versions(spark, path)
+    SIM.compact_cosine_index(spark, path, keep_last=1)  # all stale → no flip
+    # shards unchanged: no version committed, no empty flip
+    assert PL.table_versions(spark, path) == pre_versions
+    ids = sorted(
+        r["_batch_id"]
+        for r in PL.read_table(spark, path)
+        .select("_batch_id").distinct().collect()
+    )
+    assert ids == [1]
+    assert _sorted_probe_rows(spark, path) == pre_content
+
+    # a fresh batch arrives; the next run flips the stale ids out
+    SIM.build_cosine_bucket_index(
+        vecs(2), path, planes=planes, id_col="vec_id", vec_col="v",
+        batch_id=2,
+    )
+    SIM.compact_cosine_index(spark, path, keep_last=1)
+    ids = sorted(
+        r["_batch_id"]
+        for r in PL.read_table(spark, path)
+        .select("_batch_id").distinct().collect()
+    )
+    assert ids == [2]
+    release_intermediates()
+
+
+def _sorted_probe_rows(spark, path):
+    """Distinct probe-visible (corpus_id, _t, _bucket) rows across the
+    shard + folded pair."""
+    rows = PL.read_table(spark, path).select("corpus_id", "_t", "_bucket")
+    folded = SIM._committed_fold_rows(spark, path)
+    if folded is not None:
+        rows = rows.unionByName(folded.select("corpus_id", "_t", "_bucket"))
+    return sorted({tuple(r) for r in rows.collect()})
+
+
+def test_versioned_bloom_rebuild_on_parameter_mismatch(spark, tmp_path):
+    """rebuild_bloom_from_index on a VERSIONED bloom lake (one
+    compact_bloom_lake ran) must rewrite through the reader-atomic
+    version flip — an in-place overwrite of the resolved version dir
+    would tear the committed version under readers.  The parameter
+    fence triggers it: probing with different m_bits rebuilds from the
+    index with the caller's params, and dedup still catches the
+    cross-batch duplicate afterwards."""
+    from gcs_parquet_dataflow_spark.operators import incremental as INC
+    from gcs_parquet_dataflow_spark.operators.dedup import minhash_perms
+
+    def sentence(tag):
+        return " ".join(f"{tag}w{j}" for j in range(12))
+
+    perms = minhash_perms(num_perm=16, seed=7)
+    idx, bloom = str(tmp_path / "idx"), str(tmp_path / "bloom")
+    for b in range(2):
+        df = spark.createDataFrame(
+            [(b * 10 + i, sentence(f"b{b}d{i}")) for i in range(3)],
+            "doc_id long, text string",
+        )
+        s = INC.dedup_batch_against_index(
+            spark, df, "doc_id", "text", idx, perms,
+            bloom_path=bloom, bloom_m_bits=2**20,
+        )
+        assert s.count() == 3
+        release_intermediates()
+
+    INC.compact_bloom_lake(spark, bloom)
+    assert PL.table_versions(spark, bloom) == [0]
+    v_before = PL.table_versions(spark, bloom)
+
+    # mismatched m_bits → fence rebuilds via the versioned rewrite
+    dup = spark.createDataFrame(
+        [(100, sentence("b1d2")), (101, sentence("fresh"))],
+        "doc_id long, text string",
+    )
+    s = INC.dedup_batch_against_index(
+        spark, dup, "doc_id", "text", idx, perms,
+        bloom_path=bloom, bloom_m_bits=2**16,
+    )
+    assert sorted(r["doc_id"] for r in s.collect()) == [101]
+    release_intermediates()
+    vs = PL.table_versions(spark, bloom)
+    assert vs and vs[-1] > v_before[-1]  # rebuilt as a NEW version
+    assert INC.read_bloom_meta(spark, bloom) == {
+        "m_bits": 2**16, "k": 3,
+    } or INC.read_bloom_meta(spark, bloom)["m_bits"] == 2**16

@@ -3,13 +3,22 @@
 same parquet tables, compare row count + column names + values
 (order-insensitive), and report per-query PASS/FAIL with diffs.
 
-Usage: python tools/oracle_check.py [--json out.json] [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json out.json] [--since COMMIT]
+       [sf_dir] [query ...]
 
 Requested query names that match nothing in the registry are reported as
 FAIL (exit non-zero): a typo'd name must never produce a clean "N pass"
 line (VERDICT r6 item 4).  ``--json PATH`` records per-query status and
 wall-clock seconds (spark side / oracle side) for sweep artifacts such as
 the sf0.1 full-suite proof.
+
+``--since COMMIT`` (round 12 — the dev-loop subset mode): select only
+queries whose BUILDER FUNCTION's source lines intersect ``git diff
+COMMIT`` hunks in the query modules.  Approximate by design — a change
+to a shared helper or an inlined constant outside the builder body is
+not traced transitively (the full sweep remains the round gate) — but
+it keeps the per-change loop at minutes as the registry grows.
+Composable with explicit names (union).
 """
 
 from __future__ import annotations
@@ -43,6 +52,56 @@ def rows_key(columns, rows):
     return [columns[i] for i in order], out
 
 
+def queries_changed_since(commit: str, queries: dict) -> set[str]:
+    """Names of registered queries whose builder function's current
+    source-line range intersects a ``git diff <commit>`` hunk in its
+    module.  One subprocess per distinct module file."""
+    import inspect
+    import os
+    import subprocess
+
+    by_file: dict[str, list[tuple[str, int, int]]] = {}
+    for name, fn in queries.items():
+        f = inspect.unwrap(fn)
+        # the registry stores bound builders; reach the original def
+        target = getattr(f, "__wrapped__", f)
+        try:
+            lines, start = inspect.getsourcelines(target)
+            path = inspect.getsourcefile(target)
+        except (OSError, TypeError):
+            continue
+        if path:
+            by_file.setdefault(os.path.abspath(path), []).append(
+                (name, start, start + len(lines) - 1)
+            )
+    changed: set[str] = set()
+    for path, spans in by_file.items():
+        try:
+            diff = subprocess.run(
+                ["git", "diff", "--unified=0", commit, "--", path],
+                capture_output=True, text=True, cwd="/root/repo",
+                check=True,
+            ).stdout
+        except subprocess.CalledProcessError as exc:
+            raise SystemExit(
+                f"--since: git diff {commit} failed: {exc.stderr}"
+            ) from exc
+        hunks = []
+        for line in diff.splitlines():
+            if line.startswith("@@"):
+                # @@ -a,b +c,d @@ — the NEW-side range is what maps to
+                # the current source lines inspect reports
+                new = line.split("+", 1)[1].split(" ", 1)[0]
+                c, _, d = new.partition(",")
+                lo = int(c)
+                n = int(d) if d else 1
+                hunks.append((lo, lo + max(n, 1) - 1))
+        for name, lo, hi in spans:
+            if any(h_lo <= hi and lo <= h_hi for h_lo, h_hi in hunks):
+                changed.add(name)
+    return changed
+
+
 def main():
     import duckdb
 
@@ -66,6 +125,14 @@ def main():
             return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    since = None
+    if "--since" in argv:
+        i = argv.index("--since")
+        if i + 1 >= len(argv):
+            print("--since requires a commit-ish", file=sys.stderr)
+            return 2
+        since = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -78,6 +145,17 @@ def main():
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    if since is not None:
+        hit = queries_changed_since(since, queries)
+        print(
+            f"--since {since}: {len(hit)} builder(s) changed"
+            + (": " + " ".join(sorted(hit)) if hit else "")
+        )
+        only |= hit
+        if not only:
+            print("== nothing changed since that commit; 0 selected ==")
+            spark.stop()
+            return 0
     unknown = sorted(only - set(queries))
     n_pass = n_fail = n_weak = 0
     results: dict[str, dict] = {}

@@ -69,6 +69,7 @@ REPRESENTATIVE = [
     ("dedup_minhash_clusters_capped", "iteration-dialed connected components: per-round label join + min-agg, lineage localCheckpoint-bounded, CCReport on stop"),
     ("knn_index_family_crossover", "one shared corpus keying pass (both bucket sigs + IVF assignment) feeding three candidate joins + exact rescore — recall/cost per index family in one plan"),
     ("dedup_minhash_clusters_jump", "pointer-jumping CC round: neighbor-min aggregate PLUS the labels self-join shortcut — O(log diameter) rounds at one extra shuffle each"),
+    ("dedup_minhash_clusters_auto", "auto CC on the shallow fixture: the stall detector never fires, so every round is the PLAIN label plan — no jump self-join paid (r12, the no-folklore dial)"),
 ]
 
 
