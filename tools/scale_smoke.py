@@ -293,9 +293,23 @@ def fold_cost_probe(factor: int = 10) -> int:
         )
 
     out: dict = {"factor": factor}
-    base_n = 4000
+    base_n = 20_000
     root = tempfile.mkdtemp(prefix="sgpd_fold_cost_")
     try:
+        # warm the JVM + codegen once: the first compaction of a session
+        # pays whole-stage-codegen compilation that would otherwise land
+        # entirely on the BASE measurement and invert the ratio
+        wpath = os.path.join(root, "warm")
+        SIM.build_cosine_bucket_index(
+            vectors(500, 0), wpath, planes=planes,
+            id_col="vec_id", vec_col="v", batch_id=0,
+        )
+        SIM.build_cosine_bucket_index(
+            vectors(100, 1_000_000), wpath, planes=planes,
+            id_col="vec_id", vec_col="v", batch_id=1,
+        )
+        SIM.compact_cosine_index(spark, wpath, keep_last=1)
+        release_intermediates()
         for scale, tag in ((1, "base"), (factor, "amplified")):
             path = os.path.join(root, f"idx_{tag}")
             SIM.build_cosine_bucket_index(
