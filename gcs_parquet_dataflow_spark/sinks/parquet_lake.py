@@ -344,8 +344,40 @@ def compact(
         # staging — lease.commit fails loudly instead (ADVICE r9 on
         # compact_bloom_lake; the same rule at every swap site)
         lease.commit(staging)
+    _refresh_manifest(spark, path)
     files_after, _ = data_file_stats(spark, resolve_table(spark, path))
     return files_before, files_after
+
+
+def _refresh_manifest(spark: SparkSession, path: str) -> bool:
+    """Re-derive the zone-map manifest at ``<path>__manifest`` over the
+    table's CURRENT resolved dir, keeping the column set the existing
+    manifest tracks (round 12): before this, any maintenance other than
+    ``optimize_table`` left the manifest pointing at the superseded
+    version, silently degrading every ``read_skipping`` to the exact
+    unpruned scan until the next optimize run.  No-op (False) when the
+    table has no manifest.  Cost: one stats scan of the table — the
+    same scan optimize_table already pays; same in-place manifest
+    overwrite semantics (readers of a torn manifest fall back to the
+    exact scan, the documented degradation)."""
+    manifest_path = path.rstrip("/") + "__manifest"
+    fs, _, jvm = _fs_and_path(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(manifest_path)):
+        return False
+    try:
+        mcols = [
+            c[len("min_"):]
+            for c in spark.read.parquet(manifest_path).columns
+            if c.startswith("min_")
+        ]
+    except Exception:
+        return False  # torn/unreadable manifest: leave the fallback path
+    if not mcols:
+        return False
+    collect_file_stats(spark, path, mcols).write.mode("overwrite").parquet(
+        manifest_path
+    )
+    return True
 
 
 _SWAP_SUFFIXES = (
@@ -735,6 +767,7 @@ def upsert(
         staging = path.rstrip("/") + "__upsert_staging"
         merged.write.mode("overwrite").parquet(staging)
         lease.commit(staging)
+    _refresh_manifest(spark, path)
     rows_after = read_table(spark, path).count()
     return rows_before, rows_after
 

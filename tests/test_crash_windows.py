@@ -663,14 +663,19 @@ def test_read_skipping_falls_back_on_stale_manifest(spark, tmp_path):
     got = PL.read_skipping(spark, path, stats, "k", 10, 40)
     assert sorted(tuple(r) for r in got.select("k", "x").collect()) == expect
 
-    # simulate the crash: data rewritten again (v1), manifest stale (v0)
+    # freeze the pre-maintenance manifest EAGERLY: this is the stale
+    # state a crash between optimize's data commit and its manifest
+    # write leaves behind (compact itself now refreshes the on-disk
+    # manifest — see below — so the lazy DataFrame would re-read the
+    # healed one and construct nothing)
+    stale_stats = spark.createDataFrame(stats.collect(), stats.schema)
     PL.compact(spark, path, target_file_bytes=1 << 30)
     live = {
         r["file"]
         for r in PL.read_table(spark, path)
         .select(F.input_file_name().alias("file")).distinct().collect()
     }
-    stale_files = {r["file"] for r in stats.select("file").collect()}
+    stale_files = {r["file"] for r in stale_stats.select("file").collect()}
     assert not (stale_files & live)  # manifest points at the old version
     # ...whose files are RETAINED for in-flight readers — the trap the
     # current-version membership check exists for
@@ -679,8 +684,17 @@ def test_read_skipping_falls_back_on_stale_manifest(spark, tmp_path):
         fs.exists(jvm.org.apache.hadoop.fs.Path(f)) for f in stale_files
     )
 
-    got2 = PL.read_skipping(spark, path, stats, "k", 10, 40)
+    got2 = PL.read_skipping(spark, path, stale_stats, "k", 10, 40)
     assert sorted(tuple(r) for r in got2.select("k", "x").collect()) == expect
+
+    # and the r12 half: compact REFRESHED the on-disk manifest, so the
+    # live manifest prunes the new layout instead of degrading every
+    # range read to the exact scan until the next optimize
+    fresh = spark.read.parquet(res["manifest_path"])
+    fresh_files = {r["file"] for r in fresh.select("file").collect()}
+    assert fresh_files == live
+    got3 = PL.read_skipping(spark, path, fresh, "k", 10, 40)
+    assert sorted(tuple(r) for r in got3.select("k", "x").collect()) == expect
 
 
 def test_versioned_migration_and_retention_ladder(spark, tmp_path):
