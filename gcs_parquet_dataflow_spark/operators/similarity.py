@@ -518,6 +518,185 @@ def cosine_batch_pairs(
     return pairs
 
 
+def semantic_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size=None,
+    plane_tables: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """SEMANTIC benchmark-contamination detection: corpus vectors whose
+    cosine to any benchmark vector reaches ``threshold`` →
+    (corpus_id, bench_id, cos).  The embedding-space companion to the
+    lexical ``operators.dedup.contamination_pairs`` — paraphrased or
+    lightly-reworded eval leakage shares few word shingles but keeps a
+    near-identical embedding, so a decontamination pass needs BOTH
+    filters.  Exactly :func:`cosine_batch_pairs` with the benchmark as
+    the (small, trigger-bounded) batch side: cost is
+    Σ_buckets |bench_b|·|corpus_b|, never |bench|·|corpus|, and
+    ``max_bucket_size`` caps the corpus side of each bucket."""
+    p = cosine_batch_pairs(
+        benchmark, corpus, threshold, planes=planes,
+        id_col=id_col, vec_col=vec_col,
+        max_bucket_size=max_bucket_size, plane_tables=plane_tables,
+    )
+    return p.select(
+        "corpus_id", F.col("batch_id").alias("bench_id"), "cos"
+    )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size=None,
+    plane_tables: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Drop corpus rows semantically contaminated by the benchmark set:
+    left-anti join against the contaminated-id set (same shape as the
+    lexical ``operators.dedup.decontaminate``)."""
+    bad = semantic_contamination_pairs(
+        corpus, benchmark, threshold, planes=planes,
+        id_col=id_col, vec_col=vec_col,
+        max_bucket_size=max_bucket_size, plane_tables=plane_tables,
+    ).select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(bad, id_col, "left_anti")
+
+
+def _euclid_to_centroid(vv: Column, vec: Column, c: list[float]) -> Column:
+    """round(√max(|v|² − 2·v·c + |c|², 0), 6) with |c|² a Python float
+    literal shared with the oracle; the ``greatest(…, 0)`` guard soaks
+    the tiny negative float residue when v ≈ c, and rounding at 1e-6
+    makes cross-engine min/compare ties identical (ivf_scores
+    precedent)."""
+    cc = sum(x * x for x in c)
+    return F.round(
+        F.sqrt(F.greatest(
+            vv - 2.0 * dot(vec, lit_vector(c)) + F.lit(float(cc)),
+            F.lit(0.0),
+        )),
+        6,
+    )
+
+
+def centroid_pair_distances(cents: list[list[float]]) -> list[tuple]:
+    """(i, j, ‖cᵢ−cⱼ‖) for every ordered pair i≠j — Python-constant
+    centroid geometry, inlined into both engines by the quality row."""
+    import math
+
+    out = []
+    for i, a in enumerate(cents):
+        for j, b in enumerate(cents):
+            if i != j:
+                d = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+                out.append((i, j, round(d, 6)))
+    return out
+
+
+def ivf_list_quality(
+    df: DataFrame,
+    cents: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index HEALTH AUDIT — per-inverted-list clustering quality:
+    (list_id, n_members, mean_silhouette, mean_intra_dist,
+    db_component).  The metric pair that answers "retrain the coarse
+    quantizer, or just raise nprobe?" without an O(n²) pass:
+
+    - mean_silhouette: simplified (centroid-based) silhouette — per
+      point a = distance to its OWN list centroid, b = distance to the
+      nearest OTHER centroid, s = (b−a)/max(a,b); the O(n·k) variant
+      that replaces the O(n²) pairwise silhouette at corpus scale.
+      Near 0/negative lists sit on list boundaries (recall leaks →
+      raise nprobe); strongly positive lists are well-separated.
+    - db_component: the Davies–Bouldin term max_{j≠i}
+      (scatter_i+scatter_j)/‖cᵢ−cⱼ‖ — high values flag centroid pairs
+      too close for their spread (retrain / merge lists).
+
+    Assignment is :func:`ivf_assign` itself (argmax affinity — the
+    audit grades the lists the deployed index ACTUALLY routes to, not
+    an idealized argmin-distance partition).  Determinism: per-point
+    silhouette and intra-distance are quantized to integer micro-units
+    before summing (exact int64 sums, partitioning-independent;
+    embedding_cluster_centroids precedent); centroid pair distances
+    are Python-float literals.  Scale shape: one map-side projection
+    (k+1 dot folds per row), posexplode to k rows, ONE hash
+    aggregation on (point) then ONE on (list) with map-side combine —
+    shuffle carries n·k tiny rows then k rows; the DB join is k²
+    broadcast rows."""
+    cents = cents if cents is not None else ivf_centroids()
+    k = len(cents)
+    vv = dot(F.col(vec_col), F.col(vec_col))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        ivf_assign(F.col(vec_col), cents).alias("_lst"),
+        F.posexplode(F.array(*[
+            _euclid_to_centroid(vv, F.col(vec_col), c) for c in cents
+        ])).alias("_j", "_dist"),
+    )
+    pp = base.groupBy("_id", "_lst").agg(
+        F.min(F.when(F.col("_j") == F.col("_lst"), F.col("_dist")))
+        .alias("_a"),
+        F.min(F.when(F.col("_j") != F.col("_lst"), F.col("_dist")))
+        .alias("_b"),
+    )
+    worst = F.greatest(F.col("_a"), F.col("_b"))
+    sil_q = (
+        F.when(worst == 0.0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round((F.col("_b") - F.col("_a")) / worst * 1000000.0)
+            .cast("long")
+        )
+    )
+    ag = (
+        pp.select(
+            F.col("_lst"),
+            sil_q.alias("_q"),
+            F.round(F.col("_a") * 1000000.0).cast("long").alias("_qa"),
+        )
+        .groupBy("_lst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_q").alias("_sq"),
+            F.sum("_qa").alias("_sqa"),
+        )
+    )
+    pairs = df.sparkSession.createDataFrame(
+        centroid_pair_distances(cents), "i int, j int, d double"
+    )
+    scatter = F.col("_sqa").cast("double") / (F.col("_n") * 1000000.0)
+    other = ag.select(
+        F.col("_lst").alias("_olst"), scatter.alias("_oscatter")
+    )
+    db = (
+        ag.join(F.broadcast(pairs), ag["_lst"] == pairs["i"])
+        .join(other, pairs["j"] == other["_olst"])
+        .groupBy("_lst")
+        .agg(
+            F.round(
+                F.max((scatter + F.col("_oscatter")) / F.col("d")), 6
+            ).alias("db_component")
+        )
+    )
+    # LEFT join: with a single populated list there is no competing
+    # centroid pair — db_component is null, not a dropped row
+    return ag.join(db, "_lst", "left").select(
+        F.col("_lst").cast("long").alias("list_id"),
+        F.col("_n").alias("n_members"),
+        F.round(F.col("_sq").cast("double") / (F.col("_n") * 1000000.0), 6)
+        .alias("mean_silhouette"),
+        F.round(scatter, 6).alias("mean_intra_dist"),
+        "db_component",
+    )
+
+
 def build_cosine_bucket_index(
     corpus: DataFrame,
     path: str,

@@ -17527,3 +17527,166 @@ def dedup_minhash_clusters_auto(spark, sf_dir):
         aug.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id",
         max_iter=10, metric_name="cc_minhash_auto", algorithm="auto",
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination + IVF list quality (round 12, second half)
+# ---------------------------------------------------------------------------
+
+# planted SEMANTIC benchmark: every 20th embedding, +0.01-shifted (the
+# same shift the near-dup plants use — cosine to its source stays
+# >= 0.98) with the lexical decontam rows' +500000 id offset
+_SEM_DECON_CTES = f"""
+    e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {BUCKET_SQL} AS bucket FROM e0),
+    braw AS (SELECT vec_id + 500000 AS bench_id,
+                    list_transform(v, x -> x + 0.01) AS v
+             FROM e0 WHERE vec_id % 20 = 0),
+    b AS (SELECT bench_id, v, {BUCKET_SQL} AS bucket FROM braw),
+    p AS (SELECT c.vec_id AS corpus_id, b.bench_id,
+                 {COS_SQL.format(a="c", b="b")} AS cos
+          FROM c JOIN b ON c.bucket = b.bucket)
+"""
+
+
+def _corpus_embeddings(spark, sf_dir):
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _bench_embeddings(spark, sf_dir):
+    e = _corpus_embeddings(spark, sf_dir)
+    return e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform("v", lambda x: x + 0.01).alias("v"),
+    )
+
+
+@query(
+    "decontam_semantic_pairs",
+    f"""
+    WITH {_SEM_DECON_CTES}
+    SELECT * FROM p WHERE cos >= {COS_DUP_THRESHOLD}
+    """,
+)
+def decontam_semantic_pairs(spark, sf_dir):
+    """SEMANTIC benchmark-contamination detection (the embedding-space
+    companion to decontam_pairs): a planted benchmark (every 20th
+    embedding, +0.01-shifted) matched back to the corpus by cosine >=
+    0.98 through the hyperplane-LSH bucket join — paraphrased eval
+    leakage shares few word shingles but keeps a near-identical
+    embedding, so a real decontamination pass runs BOTH the lexical
+    shingle filter and this one (operators/similarity.py
+    semantic_contamination_pairs).  Cost is the capped bucket join the
+    embedding-dedup family already pays, never |corpus|x|bench|."""
+    return SIM.semantic_contamination_pairs(
+        _corpus_embeddings(spark, sf_dir),
+        _bench_embeddings(spark, sf_dir),
+        COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v",
+        max_bucket_size=COS_BUCKET_CAP,
+    )
+
+
+@query(
+    "decontam_semantic_surviving",
+    f"""
+    WITH {_SEM_DECON_CTES}
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT corpus_id FROM p
+                         WHERE cos >= {COS_DUP_THRESHOLD})
+    """,
+)
+def decontam_semantic_surviving(spark, sf_dir):
+    """The semantically decontaminated corpus: left-anti join against
+    the contaminated-id set — every 20th embedding (whose shifted copy
+    leaked into the planted benchmark AND collided in the LSH bucket)
+    drops, the rest survive (operators/similarity.py
+    decontaminate_semantic)."""
+    return SIM.decontaminate_semantic(
+        _corpus_embeddings(spark, sf_dir),
+        _bench_embeddings(spark, sf_dir),
+        COS_DUP_THRESHOLD, planes=PLANES, id_col="vec_id", vec_col="v",
+        max_bucket_size=COS_BUCKET_CAP,
+    ).select("vec_id")
+
+
+def _ivf_dist_sql(i: int, v: str = "v") -> str:
+    c = IVF_CENTS[i]
+    cc = float(sum(x * x for x in c))
+    return (
+        f"round(sqrt(greatest(vv - 2.0 * list_dot_product({v}, "
+        f"{_vec_lit_sql(c)}) + {cc!r}, 0.0)), 6)"
+    )
+
+
+_IVF_DISTS = ", ".join(
+    f"{_ivf_dist_sql(i)} AS d{i}" for i in range(len(IVF_CENTS))
+)
+_IVF_QUALITY_LONG = "\n UNION ALL ".join(
+    f"SELECT vec_id, lst, {i} AS j, d{i} AS dist FROM a"
+    for i in range(len(IVF_CENTS))
+)
+_IVF_CD_VALUES = ", ".join(
+    f"({i}, {j}, {d!r})"
+    for i, j, d in SIM.centroid_pair_distances(IVF_CENTS)
+)
+
+
+@query(
+    "knn_ivf_list_quality",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e0),
+    sc AS (SELECT vec_id, v, vv, {_IVF_SCORES}, {_IVF_DISTS} FROM ev),
+    g AS (SELECT *, {_IVF_GREATEST} AS g FROM sc),
+    a AS (SELECT vec_id, {_IVF_CASE} AS lst,
+                 {", ".join(f"d{i}" for i in range(len(IVF_CENTS)))}
+          FROM g),
+    lng AS ({_IVF_QUALITY_LONG}),
+    pp AS (SELECT vec_id, lst,
+                  min(CASE WHEN j = lst THEN dist END) AS a,
+                  min(CASE WHEN j <> lst THEN dist END) AS b
+           FROM lng GROUP BY 1, 2),
+    ps AS (SELECT lst,
+                  CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(round((b - a) / greatest(a, b)
+                                       * 1000000.0) AS BIGINT)
+                  END AS q,
+                  CAST(round(a * 1000000.0) AS BIGINT) AS qa
+           FROM pp),
+    ag AS (SELECT lst, CAST(count(*) AS BIGINT) AS n,
+                  sum(q) AS sq, sum(qa) AS sqa
+           FROM ps GROUP BY lst),
+    cd(i, j, d) AS (VALUES {_IVF_CD_VALUES}),
+    db AS (SELECT a1.lst AS lst,
+                  round(max((CAST(a1.sqa AS DOUBLE) / (a1.n * 1000000.0)
+                             + CAST(a2.sqa AS DOUBLE) / (a2.n * 1000000.0))
+                            / cd.d), 6) AS db_component
+           FROM ag a1 JOIN cd ON cd.i = a1.lst JOIN ag a2 ON a2.lst = cd.j
+           GROUP BY 1)
+    SELECT CAST(ag.lst AS BIGINT) AS list_id, ag.n AS n_members,
+           round(CAST(sq AS DOUBLE) / (n * 1000000.0), 6)
+               AS mean_silhouette,
+           round(CAST(sqa AS DOUBLE) / (n * 1000000.0), 6)
+               AS mean_intra_dist,
+           db.db_component
+    FROM ag LEFT JOIN db USING (lst)
+    """,
+)
+def knn_ivf_list_quality(spark, sf_dir):
+    """IVF index HEALTH AUDIT: per-inverted-list simplified silhouette
+    (a = distance to own centroid, b = nearest other centroid,
+    s = (b-a)/max(a,b) — the O(n*k) form that replaces the O(n^2)
+    pairwise silhouette at corpus scale) plus the Davies-Bouldin
+    component max_{{j!=i}} (scatter_i+scatter_j)/dist(c_i,c_j) — the
+    metric pair that answers "retrain the coarse quantizer, or just
+    raise nprobe?" for the deployed IVF index.  Assignment is the
+    index's own argmax-affinity routing (ivf_assign), so the audit
+    grades the lists queries ACTUALLY probe; per-point terms are
+    quantized to integer micro-units before summing (exact int64 sums,
+    partitioning-independent) and the centroid pair geometry is a
+    Python-constant 56-row broadcast (operators/similarity.py
+    ivf_list_quality)."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.ivf_list_quality(e, cents=IVF_CENTS)

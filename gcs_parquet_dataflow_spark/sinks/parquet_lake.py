@@ -227,13 +227,74 @@ def resolve_table(spark: SparkSession, path: str) -> str:
     return path.rstrip("/") + _TABLE_VERSION_FMT % vs[-1]
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read the maintained table at ``path`` — latest committed version
     (see :func:`resolve_table`).  The DataFrame pins the resolved
     directory, so a maintenance commit that lands mid-query never pulls
     files out from under the scan: the retained old version stays
-    intact until the retention sweep of the commit AFTER next."""
-    return spark.read.parquet(resolve_table(spark, path))
+    intact until the retention sweep of the commit AFTER next.
+
+    ``version=`` time-travels to a specific RETAINED committed version
+    (ids from :func:`table_versions` / :func:`table_history`) — the
+    maintenance-rollback/debug read, bounded by the retention window
+    exactly like Delta's ``VERSION AS OF`` after VACUUM.  Raises
+    ``ValueError`` naming the retained ids when the version is gone
+    (vacuumed) or never existed — never a silent empty read."""
+    if version is None:
+        return spark.read.parquet(resolve_table(spark, path))
+    vs = table_versions(spark, path)
+    if version not in vs:
+        raise ValueError(
+            f"version {version} of {path} is not retained "
+            f"(committed versions: {vs or 'none'}); maintenance "
+            "retention already swept it, or it never committed"
+        )
+    return spark.read.parquet(
+        path.rstrip("/") + _TABLE_VERSION_FMT % version
+    )
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """The retained states of a maintained table as a DataFrame —
+    (version, committed, is_live, n_files, bytes), newest first.  The
+    flat pre-versioning dir (when still retained) appears as version
+    -1; an in-flight or torn sibling copy (dir present, no ``_SUCCESS``)
+    appears with committed=false so operators can SEE a crashed commit
+    instead of inferring it from raw listings.  Driver-side parent-dir
+    glob + per-dir stats — manifest-cost, no executor work; the ops
+    companion to :func:`read_table`'s ``version=`` time travel."""
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    base = path.rstrip("/")
+    committed = set(table_versions(spark, path))
+    states: list[tuple] = []
+    matches = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(base + _TABLE_VERSION_SUFFIX + "*")
+    )
+    prefix_len = len(
+        jvm.org.apache.hadoop.fs.Path(base).getName()
+    ) + len(_TABLE_VERSION_SUFFIX)
+    for st in matches or []:
+        tail = st.getPath().getName()[prefix_len:]
+        if st.isDirectory() and len(tail) == 8 and tail.isdigit():
+            v = int(tail)
+            n, b = data_file_stats(spark, base + _TABLE_VERSION_FMT % v)
+            states.append((v, v in committed, False, n, b))
+    if fs.exists(hpath):
+        n, b = data_file_stats(spark, path)
+        states.append((-1, True, False, n, b))
+    live = resolve_table(spark, path)
+    states = [
+        (v, c, (base + _TABLE_VERSION_FMT % v if v >= 0 else base) == live
+         and c, n, b)
+        for v, c, _, n, b in states
+    ]
+    return spark.createDataFrame(
+        sorted(states, reverse=True),
+        "version long, committed boolean, is_live boolean, "
+        "n_files long, bytes long",
+    )
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:
@@ -251,7 +312,8 @@ def table_exists(spark: SparkSession, path: str) -> bool:
 
 
 def vacuum_table(
-    spark: SparkSession, path: str, keep_last: int = 1
+    spark: SparkSession, path: str, keep_last: int = 1,
+    dry_run: bool = False,
 ) -> list[int]:
     """Delete all but the newest ``keep_last`` committed versions of a
     maintained table (and the flat pre-versioning remnant, once at
@@ -259,13 +321,19 @@ def vacuum_table(
     removed.  ``commit(..., retain=N)`` runs this automatically after
     every flip — call directly only to reclaim deeper history.  Only
     run with no reader older than the retained window (the standard
-    VACUUM caveat)."""
+    VACUUM caveat).  ``dry_run=True`` returns the ids that WOULD be
+    removed without touching anything (the flat remnant, reported as
+    -1, drops under the same ``len(versions) >= keep_last`` rule)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = table_versions(spark, path)
     fs, hpath, jvm = _fs_and_path(spark, path)
     base = path.rstrip("/")
     doomed = vs[:-keep_last] if len(vs) > keep_last else []
+    if dry_run:
+        if len(vs) >= keep_last and fs.exists(hpath):
+            return doomed + [-1]
+        return list(doomed)
     for v in doomed:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(base + _TABLE_VERSION_FMT % v),

@@ -1,0 +1,292 @@
+"""Round-12 second-half behaviors:
+
+1. Semantic decontamination (operators/similarity.py
+   semantic_contamination_pairs / decontaminate_semantic): the
+   embedding-space companion to the lexical shingle decontamination —
+   paraphrased leakage with near-identical embeddings is caught, the
+   corpus survivors are the complement, and the corpus-side hot-bucket
+   cap passes through.
+2. IVF list quality (operators/similarity.py ivf_list_quality):
+   simplified silhouette + Davies-Bouldin components, hand-checked on
+   a planted two-cluster geometry; assignment is ivf_assign itself.
+3. Maintained-table history + time travel (sinks/parquet_lake.py
+   table_history / read_table(version=) / vacuum_table(dry_run=)):
+   every retained state visible (including torn commits), old versions
+   readable until vacuum, vacuum previewable without deleting.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcs_parquet_dataflow_spark.operators import similarity as SIM
+from gcs_parquet_dataflow_spark.operators.partitioning import (
+    release_intermediates,
+)
+from gcs_parquet_dataflow_spark.sinks import parquet_lake as PL
+
+
+def _vectors(spark, n, dim=16, seed=11, id_start=0):
+    rng = random.Random(seed)
+    rows = [
+        (id_start + i, [round(rng.uniform(-1, 1), 6) for _ in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+# ---------------------------------------------------------------------------
+# 1. semantic decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_decontamination_catches_paraphrased_leakage(spark):
+    """A benchmark built from shifted copies of every 4th corpus vector
+    is caught (those corpus ids drop), unrelated corpus rows survive,
+    and pairs ∪ survivors partition the corpus exactly."""
+    planes = SIM.hyperplanes(n_planes=4, dim=16, seed=13)
+    corpus = _vectors(spark, 60, seed=23)
+    bench = (
+        corpus.filter(F.col("vec_id") % 4 == 0)
+        .select(
+            (F.col("vec_id") + 9000).alias("vec_id"),
+            F.transform("v", lambda x: x + 0.001).alias("v"),
+        )
+    )
+    try:
+        pairs = SIM.semantic_contamination_pairs(
+            corpus, bench, 0.98, planes=planes, id_col="vec_id",
+            vec_col="v",
+        )
+        got = {r["corpus_id"] for r in pairs.collect()}
+        # every planted source whose shifted copy shares its LSH bucket
+        # is caught; the shift is tiny so bucket flips are rare — at
+        # minimum the bulk of the plants must be found
+        planted = {i for i in range(60) if i % 4 == 0}
+        assert got, "no contamination detected at all"
+        assert got <= planted or all(
+            g in planted for g in got
+        ), f"false positives: {got - planted}"
+        assert len(got) >= len(planted) * 0.6
+        surviving = SIM.decontaminate_semantic(
+            corpus, bench, 0.98, planes=planes, id_col="vec_id",
+            vec_col="v",
+        )
+        kept = {r["vec_id"] for r in surviving.collect()}
+        assert kept == set(range(60)) - got
+        assert surviving.columns == corpus.columns
+    finally:
+        release_intermediates()
+
+
+def test_semantic_decontamination_cap_passes_through(spark):
+    """max_bucket_size reaches the corpus-side guard: with a degenerate
+    one-bucket corpus and a cap of 1, the oversized bucket is excluded
+    and nothing is flagged — the saturation-visible behavior, never an
+    unbounded join."""
+    planes = SIM.hyperplanes(n_planes=4, dim=16, seed=13)
+    base = [round(random.Random(5).uniform(-1, 1), 6) for _ in range(16)]
+    corpus = spark.createDataFrame(
+        [(i, [x + i * 1e-6 for x in base]) for i in range(20)],
+        "vec_id long, v array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(9000, list(base))], "vec_id long, v array<double>"
+    )
+    try:
+        pairs = SIM.semantic_contamination_pairs(
+            corpus, bench, 0.5, planes=planes, id_col="vec_id",
+            vec_col="v", max_bucket_size=1,
+        )
+        assert pairs.count() == 0
+        uncapped = SIM.semantic_contamination_pairs(
+            corpus, bench, 0.5, planes=planes, id_col="vec_id",
+            vec_col="v",
+        )
+        assert uncapped.count() == 20
+    finally:
+        release_intermediates()
+
+
+# ---------------------------------------------------------------------------
+# 2. IVF list quality
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_list_quality_hand_checked_two_clusters(spark):
+    """Two orthogonal unit centroids, points planted as exact scaled
+    copies: assignment, silhouette, intra-distance, and the DB
+    component all hand-computable."""
+    dim = 4
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+    # 3 points on each axis at distances |s-1| from their centroid
+    rows = []
+    for i, s in enumerate([0.8, 1.0, 1.2]):
+        rows.append((i, [s, 0.0, 0.0, 0.0]))
+        rows.append((10 + i, [0.0, s, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["list_id"]: r
+        for r in SIM.ivf_list_quality(df, cents=[c0, c1]).collect()
+    }
+    assert set(out) == {0, 1}
+    for lid in (0, 1):
+        r = out[lid]
+        assert r["n_members"] == 3
+        # a = |s-1| per point; b = sqrt(s^2+1); quantized micro-mean
+        sils, intra = [], []
+        for s in (0.8, 1.0, 1.2):
+            a = round(abs(s - 1.0), 6)
+            b = round(math.sqrt(s * s + 1.0), 6)
+            sils.append(round((b - a) / max(a, b) * 1e6))
+            intra.append(round(a * 1e6))
+        assert r["mean_silhouette"] == pytest.approx(
+            round(sum(sils) / (3 * 1e6), 6), abs=2e-6
+        )
+        assert r["mean_intra_dist"] == pytest.approx(
+            round(sum(intra) / (3 * 1e6), 6), abs=2e-6
+        )
+        # scatter_0 == scatter_1 by symmetry; d(c0,c1) = sqrt(2)
+        scatter = sum(intra) / (3 * 1e6)
+        assert r["db_component"] == pytest.approx(
+            round(2 * scatter / math.sqrt(2.0), 6), abs=2e-6
+        )
+
+
+def test_ivf_list_quality_empty_list_absent_and_boundary_negative(spark):
+    """A centroid that attracts no points yields no row (both engines'
+    group-by agree); a point sitting on the midline scores silhouette
+    ~0 — the 'raise nprobe' signal the audit exists to surface."""
+    c0 = [1.0, 0.0]
+    c1 = [0.0, 1.0]
+    c2 = [-1.0, 0.0]  # nothing assigned here
+    rows = [
+        (0, [2.0, 0.0]),
+        # on the c0/c1 midline but closer to c0's direction after the
+        # affinity argmax tie-break (lowest index wins)
+        (1, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["list_id"]: r
+        for r in SIM.ivf_list_quality(df, cents=[c0, c1, c2]).collect()
+    }
+    # both points land in list 0 (affinity ties break to the lowest
+    # index): lists 1 and 2 are empty and absent
+    assert set(out) == {0}
+    assert out[0]["n_members"] == 2
+    # with no competing populated list the DB component is undefined —
+    # null, never a silently dropped row
+    assert out[0]["db_component"] is None
+    # midline point: a == dist([1,1], c0) == b == dist([1,1], c1) == 1
+    # -> silhouette contribution 0; the axis point [2,0] has a=1,
+    # b=min(sqrt(5), 3)=sqrt(5) -> positive mean
+    mid_sil = 0.0
+    axis_sil = (round(math.sqrt(5.0), 6) - 1.0) / round(math.sqrt(5.0), 6)
+    expect = round(
+        (round(mid_sil * 1e6) + round(axis_sil * 1e6)) / (2 * 1e6), 6
+    )
+    assert out[0]["mean_silhouette"] == pytest.approx(expect, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# 3. table history + time travel
+# ---------------------------------------------------------------------------
+
+
+def _write_flat(spark, path, ids):
+    spark.createDataFrame(
+        [(i,) for i in ids], "id long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_table_history_and_version_time_travel(spark, tmp_path):
+    base = str(tmp_path / "t")
+    _write_flat(spark, base, range(10))
+    # never-maintained: one flat live row
+    h0 = PL.table_history(spark, base).collect()
+    assert [(r["version"], r["is_live"]) for r in h0] == [(-1, True)]
+
+    # first maintenance commit -> v1 live, flat retained
+    PL.compact(spark, base)
+    h1 = {r["version"]: r for r in PL.table_history(spark, base).collect()}
+    assert set(h1) == {0, -1}
+    assert h1[0]["is_live"] and h1[0]["committed"]
+    assert not h1[-1]["is_live"]
+    assert h1[0]["n_files"] >= 1 and h1[0]["bytes"] > 0
+
+    # append through the resolved dir, then maintain again -> v1;
+    # appends mutate the LIVE version, so v0's retained state is its
+    # state at supersession time (range + 100)
+    spark.createDataFrame([(100,)], "id long").write.mode("append").parquet(
+        PL.resolve_table(spark, base)
+    )
+    PL.compact(spark, base)
+    vs = PL.table_versions(spark, base)
+    assert vs == [0, 1]
+    # a post-supersession append lands only in the live v1
+    spark.createDataFrame([(200,)], "id long").write.mode("append").parquet(
+        PL.resolve_table(spark, base)
+    )
+
+    # time travel: v0 is the state the last maintenance superseded
+    old = {r["id"] for r in PL.read_table(spark, base, version=0).collect()}
+    live = {r["id"] for r in PL.read_table(spark, base).collect()}
+    assert old == set(range(10)) | {100}
+    assert live == set(range(10)) | {100, 200}
+
+    # unknown / vacuumed versions fail loudly, naming what IS retained
+    with pytest.raises(ValueError, match=r"version 7 .* not retained"):
+        PL.read_table(spark, base, version=7)
+
+    # dry-run previews without deleting
+    doomed = PL.vacuum_table(spark, base, keep_last=1, dry_run=True)
+    assert doomed == [0]
+    assert PL.table_versions(spark, base) == [0, 1]
+    assert PL.vacuum_table(spark, base, keep_last=1) == [0]
+    with pytest.raises(ValueError, match="not retained"):
+        PL.read_table(spark, base, version=0)
+    assert {r["id"] for r in PL.read_table(spark, base).collect()} == live
+
+
+def test_table_history_shows_torn_commit(spark, tmp_path):
+    """A version dir without _SUCCESS (torn copy / in-flight rename on
+    a non-atomic store) is VISIBLE with committed=false and never
+    live."""
+    base = str(tmp_path / "t2")
+    _write_flat(spark, base, range(5))
+    PL.compact(spark, base)
+    # fabricate a torn v1: copy of v0 without _SUCCESS
+    import shutil
+
+    v0 = base + "__v00000000"
+    v1 = base + "__v00000001"
+    shutil.copytree(v0, v1)
+    (tmp_path / "t2__v00000001" / "_SUCCESS").unlink()
+    h = {r["version"]: r for r in PL.table_history(spark, base).collect()}
+    assert not h[1]["committed"] and not h[1]["is_live"]
+    assert h[0]["is_live"]
+    # and the resolved read still serves v1
+    assert {r["id"] for r in PL.read_table(spark, base).collect()} == set(
+        range(5)
+    )
+
+
+def test_vacuum_dry_run_reports_flat_remnant(spark, tmp_path):
+    base = str(tmp_path / "t3")
+    _write_flat(spark, base, range(4))
+    PL.compact(spark, base)
+    # one version + flat: keep_last=1 would sweep the flat remnant only
+    assert PL.vacuum_table(spark, base, keep_last=1, dry_run=True) == [-1]
+    assert PL.table_exists(spark, base)
+    import os
+
+    assert os.path.exists(base)
+    PL.vacuum_table(spark, base, keep_last=1)
+    assert not os.path.exists(base)
+    assert PL.table_exists(spark, base)

@@ -70,6 +70,8 @@ REPRESENTATIVE = [
     ("knn_index_family_crossover", "one shared corpus keying pass (both bucket sigs + IVF assignment) feeding three candidate joins + exact rescore — recall/cost per index family in one plan"),
     ("dedup_minhash_clusters_jump", "pointer-jumping CC round: neighbor-min aggregate PLUS the labels self-join shortcut — O(log diameter) rounds at one extra shuffle each"),
     ("dedup_minhash_clusters_auto", "auto CC on the shallow fixture: the stall detector never fires, so every round is the PLAIN label plan — no jump self-join paid (r12, the no-folklore dial)"),
+    ("decontam_semantic_pairs", "semantic decontamination: bench-vs-corpus capped bucket equi-join with precomputed norms — the embedding companion to the lexical shingle filter, |bench|-bounded like every batch-vs-corpus probe"),
+    ("knn_ivf_list_quality", "IVF list audit: one map-side projection (k+1 dot folds), posexplode to k rows, two hash aggs with map-side combine, then a k²-row broadcast DB join — O(n·k), never O(n²) silhouette"),
 ]
 
 
