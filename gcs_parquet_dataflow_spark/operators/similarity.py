@@ -604,6 +604,7 @@ def ivf_list_quality(
     cents: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    list_col: str | None = None,
 ) -> DataFrame:
     """IVF index HEALTH AUDIT — per-inverted-list clustering quality:
     (list_id, n_members, mean_silhouette, mean_intra_dist,
@@ -630,13 +631,24 @@ def ivf_list_quality(
     (k+1 dot folds per row), posexplode to k rows, ONE hash
     aggregation on (point) then ONE on (list) with map-side combine —
     shuffle carries n·k tiny rows then k rows; the DB join is k²
-    broadcast rows."""
+    broadcast rows.
+
+    ``list_col`` uses a PRECOMPUTED assignment column (e.g. the
+    persisted index's ``_list`` partition value) instead of
+    recomputing :func:`ivf_assign` — for an index audit the stored
+    routing is the ground truth, and skipping the k affinity folds
+    makes the audit a pure read of the index partitions."""
     cents = cents if cents is not None else ivf_centroids()
     k = len(cents)
     vv = dot(F.col(vec_col), F.col(vec_col))
+    assign = (
+        F.col(list_col).cast("int")
+        if list_col is not None
+        else ivf_assign(F.col(vec_col), cents)
+    )
     base = df.select(
         F.col(id_col).alias("_id"),
-        ivf_assign(F.col(vec_col), cents).alias("_lst"),
+        assign.alias("_lst"),
         F.posexplode(F.array(*[
             _euclid_to_centroid(vv, F.col(vec_col), c) for c in cents
         ])).alias("_j", "_dist"),
@@ -986,6 +998,27 @@ def cosine_batch_against_index(
     # corpus rows yield identical triples, so the distinct restores
     # exactness in that state (and still serves the multi-table case)
     return pairs.distinct()
+
+
+def ivf_index_quality(
+    spark,
+    path: str,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """:func:`ivf_list_quality` over a PERSISTED index
+    (:func:`build_ivf_index` layout): the stored ``_list`` partition
+    value is the assignment (the routing queries actually hit — no
+    re-assignment folds), so the audit is one scan of the index
+    partitions.  Pair with
+    ``streaming.observability.snapshot_index_quality`` to trend
+    silhouette decay across ingest batches — the retrain signal for a
+    growing 100 TB index."""
+    cents = cents if cents is not None else ivf_centroids()
+    index = spark.read.parquet(path)
+    return ivf_list_quality(
+        index, cents=cents, id_col="neighbor_id", vec_col="_cv",
+        list_col="_list",
+    )
 
 
 def build_ivf_index(

@@ -17690,3 +17690,108 @@ def knn_ivf_list_quality(spark, sf_dir):
     ivf_list_quality)."""
     e = t(spark, sf_dir, "embeddings")
     return SIM.ivf_list_quality(e, cents=IVF_CENTS)
+
+
+def _sliced_cos_sql(d: int, a: str, b: str) -> str:
+    sa, sb = f"list_slice({a}.v, 1, {d})", f"list_slice({b}.v, 1, {d})"
+    return (
+        f"round(list_dot_product({sa}, {sb}) / "
+        f"(sqrt(list_dot_product({sa}, {sa})) * "
+        f"sqrt(list_dot_product({sb}, {sb}))), 6)"
+    )
+
+
+def _dim_curve_block(d: int) -> str:
+    """One truncation setting's recall row (shares the curve query's
+    CTEs below)."""
+    return f"""
+    SELECT {d} AS dims,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sliced_cos_sql(d, "q", "a")} DESC,
+                          a.vec_id) AS rn
+      FROM q JOIN e0 a ON a.vec_id <> q.vec_id) x
+    JOIN truth t ON t.query_id = x.query_id
+                AND t.neighbor_id = x.neighbor_id
+    WHERE x.rn <= 5
+    """
+
+
+@query(
+    "knn_dim_truncation_curve",
+    f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT * FROM e0 WHERE vec_id < 5),
+         truth AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY {COS_SQL.format(a="q", b="a")} DESC,
+                                 a.vec_id) AS rn
+             FROM q JOIN e0 a ON a.vec_id <> q.vec_id)
+           WHERE rn <= 5),
+         curve AS ({" UNION ALL ".join(_dim_curve_block(d)
+                                       for d in (8, 16, 32, 64))})
+    SELECT dims, n_hits,
+           round(n_hits / CAST((SELECT count(*) FROM truth) AS DOUBLE),
+                 6) AS recall_at_5
+    FROM curve ORDER BY dims
+    """,
+)
+def knn_dim_truncation_curve(spark, sf_dir):
+    """The DIMENSION-TRUNCATION recall curve (Matryoshka-style
+    evaluation, Kusupati et al. 2022): cosine top-5 recall against the
+    full-64-dim exact baseline when similarity uses only the first
+    d ∈ {{8, 16, 32, 64}} components — the dial that decides whether a
+    truncated-prefix index (d× cheaper dot products, d× smaller
+    memory/IO footprint per candidate at 100 TB corpus scale) can
+    serve first-stage retrieval with full-dim rescoring only on the
+    short list.  d=64 recalls exactly 1.0 by construction (the
+    built-in sanity row); the knee is the operating point — the
+    embedding-width companion to knn_ivf_nprobe_curve's probe-count
+    dial and the index-family crossover row's decision rule.
+
+    Parity: candidate sets and ranks are exact (rounded-1e-6 cosine,
+    id tie-break) at every width; recall is one division.  Scale: each
+    curve point is the 5-query broadcast scan the truth set already
+    pays, over progressively cheaper sliced dot products; the four
+    settings share one corpus scan each — no index build, which is
+    the point of evaluating BEFORE committing to a truncated index."""
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        persist_intermediate,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    truth = persist_intermediate(
+        SIM.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    )
+    n_truth = truth.count()
+    rows_ = None
+    for d in (8, 16, 32, 64):
+        ed = e.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        qd = q.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        hits = (
+            SIM.brute_force_topk(ed, qd, k=5)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .agg(
+                F.lit(d).cast("long").alias("dims"),
+                F.count(F.lit(1)).cast("long").alias("n_hits"),
+            )
+        )
+        rows_ = hits if rows_ is None else rows_.unionByName(hits)
+    return rows_.select(
+        "dims",
+        "n_hits",
+        F.round(F.col("n_hits") / F.lit(float(n_truth)), 6).alias(
+            "recall_at_5"
+        ),
+    ).orderBy("dims")

@@ -128,6 +128,10 @@ CC_REPORT_SCHEMA = (
     "seq long, metric_name string, max_iter long, iterations long, "
     "converged boolean, changed_at_stop long, algorithm string"
 )
+IVF_QUALITY_SCHEMA = (
+    "list_id long, n_members long, mean_silhouette double, "
+    "mean_intra_dist double, db_component double"
+)
 
 
 def write_guard_reports(
@@ -185,13 +189,51 @@ def write_guard_reports(
     return {"cap_reports": len(caps), "cc_reports": len(ccs)}
 
 
+def snapshot_index_quality(
+    spark: SparkSession,
+    index_path: str,
+    ops_root: str,
+    batch_id: int | None = None,
+    cents=None,
+) -> int:
+    """Append a per-list quality snapshot of the persisted IVF index
+    (``similarity.ivf_index_quality``) to ``<ops_root>/ivf_quality``,
+    batch-keyed like every guard report (a replayed micro-batch
+    overwrites its own partition — content-idempotent, no wall-clock
+    column).  Returns the number of list rows written.
+
+    The trend query a growing index pages on: mean_silhouette decaying
+    toward 0 (or db_component climbing) across batches = the corpus
+    has drifted off the trained centroids — retrain, don't just keep
+    raising nprobe::
+
+        read_guard_reports(spark, root, "ivf_quality") \\
+            .groupBy("_batch_id").agg(F.avg("mean_silhouette"))
+    """
+    from gcs_parquet_dataflow_spark.operators.similarity import (
+        ivf_index_quality,
+    )
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        write_partitioned,
+    )
+
+    df = ivf_index_quality(spark, index_path, cents=cents)
+    rows = df.collect()  # k lists — tiny, and we report the count
+    write_partitioned(
+        spark.createDataFrame(rows, IVF_QUALITY_SCHEMA),
+        ops_root.rstrip("/") + "/ivf_quality", [], batch_id=batch_id,
+        coalesce_files=1,
+    )
+    return len(rows)
+
+
 def read_guard_reports(
     spark: SparkSession, ops_root: str, kind: str
 ) -> DataFrame:
     """Read a persisted guard-report table back (``kind`` ∈
-    {"cap_reports", "cc_reports"}); empty-but-typed when no report has
-    ever been written — a monitoring query on a healthy young pipeline
-    is not an error."""
+    {"cap_reports", "cc_reports", "ivf_quality"}); empty-but-typed
+    when no report has ever been written — a monitoring query on a
+    healthy young pipeline is not an error."""
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
         read_table,
         table_exists,
@@ -200,6 +242,7 @@ def read_guard_reports(
     schemas = {
         "cap_reports": CAP_REPORT_SCHEMA,
         "cc_reports": CC_REPORT_SCHEMA,
+        "ivf_quality": IVF_QUALITY_SCHEMA,
     }
     if kind not in schemas:
         raise ValueError(f"kind must be one of {sorted(schemas)}: {kind!r}")

@@ -1166,6 +1166,8 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "text_tfidf_cosine_pairs_budget",  # 1-row corpus-size broadcast
         "quality_threshold_tradeoff",      # 1-row corpus-totals broadcast
         "knn_ivf_nprobe_curve",            # truth set = broadcast 5-query exact baseline
+        "knn_dim_truncation_curve",        # truth + each width = the same
+        #   broadcast 5-query exact scan (no index build by design)
         "user_feature_matrix",             # 1-row corpus-horizon broadcast
         "dedup_url_vs_content_venn",       # 1-row doc-0-text broadcast
         "lm_generalization_gap",           # 1-row vocab-size broadcast + 1x1 pivot

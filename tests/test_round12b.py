@@ -290,3 +290,69 @@ def test_vacuum_dry_run_reports_flat_remnant(spark, tmp_path):
     PL.vacuum_table(spark, base, keep_last=1)
     assert not os.path.exists(base)
     assert PL.table_exists(spark, base)
+
+
+# ---------------------------------------------------------------------------
+# 4. persisted-index quality audit + ops snapshots
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_quality_matches_inline(spark, tmp_path):
+    """The persisted index's stored _list IS the assignment, so the
+    audit over the index equals ivf_list_quality over the raw corpus
+    with the same centroids."""
+    cents = SIM.ivf_centroids(k=4, dim=16, seed=29)
+    corpus = _vectors(spark, 120, seed=31).withColumnRenamed(
+        "v", "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    assert SIM.build_ivf_index(corpus, path, cents=cents) == 120
+    inline = {
+        r["list_id"]: r
+        for r in SIM.ivf_list_quality(corpus, cents=cents).collect()
+    }
+    from_index = {
+        r["list_id"]: r
+        for r in SIM.ivf_index_quality(spark, path, cents=cents).collect()
+    }
+    assert set(inline) == set(from_index) and inline
+    for lid, r in inline.items():
+        q = from_index[lid]
+        assert q["n_members"] == r["n_members"]
+        assert q["mean_silhouette"] == r["mean_silhouette"]
+        assert q["mean_intra_dist"] == r["mean_intra_dist"]
+        assert q["db_component"] == r["db_component"]
+
+
+def test_snapshot_index_quality_replay_idempotent(spark, tmp_path):
+    """Batch-keyed snapshots converge under checkpoint replay: a
+    re-emitted batch overwrites its own partition, and the trend query
+    sees one snapshot per batch."""
+    from gcs_parquet_dataflow_spark.streaming.observability import (
+        read_guard_reports,
+        snapshot_index_quality,
+    )
+
+    cents = SIM.ivf_centroids(k=4, dim=16, seed=29)
+    corpus = _vectors(spark, 80, seed=37).withColumnRenamed(
+        "v", "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    ops = str(tmp_path / "ops")
+    SIM.build_ivf_index(corpus, path, cents=cents)
+    n0 = snapshot_index_quality(spark, path, ops, batch_id=0, cents=cents)
+    n1 = snapshot_index_quality(spark, path, ops, batch_id=1, cents=cents)
+    assert n0 == n1 and n0 > 0
+    # replay batch 1 -> still exactly one partition per batch
+    snapshot_index_quality(spark, path, ops, batch_id=1, cents=cents)
+    got = read_guard_reports(spark, ops, "ivf_quality")
+    per_batch = {
+        r["_batch_id"]: r["n"]
+        for r in got.groupBy("_batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_batch == {0: n0, 1: n1}
+    # unknown kinds still fail loudly
+    with pytest.raises(ValueError, match="kind must be one of"):
+        read_guard_reports(spark, ops, "nope")
