@@ -100,6 +100,49 @@ def _stage_decontaminate(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     return df.join(dropped, ctx["id_col"], "left_anti")
 
 
+def _stage_decontaminate_semantic(
+    df: DataFrame, ctx: dict, p: dict
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (the companion to
+    ``decontaminate`` — paraphrased eval leakage shares few shingles
+    but keeps a near-identical embedding; a thorough recipe runs
+    BOTH).  Needs an embedding column on the recipe frame
+    (``vec_col``, default "embedding"); benchmark given exactly like
+    the lexical stage (``benchmark_path`` or ``benchmark_filter`` —
+    in-corpus members drop themselves at cosine 1 by construction).
+    Cost: the capped LSH bucket join
+    (operators/similarity.py decontaminate_semantic), never
+    corpus × benchmark; ``max_bucket_size`` arms the corpus-side
+    guard."""
+    from gcs_parquet_dataflow_spark.operators import similarity as SIM
+
+    vec = str(p.get("vec_col", "embedding"))
+    planes = SIM.hyperplanes(
+        n_planes=int(p.get("n_planes", 8)),
+        dim=int(p.get("dim", 64)),
+        seed=int(p.get("seed", 13)),
+    )
+    if "benchmark_path" in p:
+        bench = df.sparkSession.read.parquet(
+            str(p["benchmark_path"])
+        ).select(ctx["id_col"], vec)
+    elif "benchmark_filter" in p:
+        bench = df.filter(F.expr(str(p["benchmark_filter"]))).select(
+            ctx["id_col"], vec
+        )
+    else:
+        raise RecipeError(
+            "decontaminate_semantic: need benchmark_path or "
+            "benchmark_filter"
+        )
+    mbs = p.get("max_bucket_size")
+    return SIM.decontaminate_semantic(
+        df, bench, float(p.get("threshold", 0.98)), planes=planes,
+        id_col=ctx["id_col"], vec_col=vec,
+        max_bucket_size=int(mbs) if mbs is not None else None,
+    )
+
+
 def _stage_epoch_allocation(df: DataFrame, ctx: dict, p: dict) -> DataFrame:
     """Per-source data-constrained epoch allocation (the
     training_data_pipeline_v5 scheduling step): sources are ranked by
@@ -407,6 +450,7 @@ STAGES: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
     "quality_annotate": _stage_quality_annotate,
     "encoding_gate": _stage_encoding_gate,
     "decontaminate": _stage_decontaminate,
+    "decontaminate_semantic": _stage_decontaminate_semantic,
     "epoch_allocation": _stage_epoch_allocation,
     "manifest": _stage_manifest,
     "curriculum_annotate": _stage_curriculum_annotate,

@@ -341,3 +341,69 @@ def test_quota_per_key_stage_equals_operator(spark):
     assert a == b and len(a) > 0
     per_key = got.groupBy("source").count().collect()
     assert all(r["count"] <= 7 for r in per_key)
+
+
+def test_decontaminate_semantic_stage_equals_operator(spark):
+    """The decontaminate_semantic stage (r12) ≡ the similarity
+    operator composed by hand — on a frame carrying an embedding
+    column, with the benchmark selected out of the corpus itself
+    (members drop at cosine 1 by construction) and via a parquet
+    path."""
+    from gcs_parquet_dataflow_spark.operators import similarity as SIM
+    from gcs_parquet_dataflow_spark.operators.partitioning import (
+        release_intermediates,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    try:
+        recipe = [
+            {
+                "op": "decontaminate_semantic",
+                "benchmark_filter": "doc_id % 7 = 0",
+                "threshold": 0.98,
+                "n_planes": 8,
+                "dim": 64,
+                "max_bucket_size": 256,
+            }
+        ]
+        got = compile_recipe(e, recipe)
+        planes = SIM.hyperplanes(n_planes=8, dim=64, seed=13)
+        bench = e.filter(F.expr("doc_id % 7 = 0")).select(
+            "doc_id", "embedding"
+        )
+        manual = SIM.decontaminate_semantic(
+            e, bench, 0.98, planes=planes, id_col="doc_id",
+            vec_col="embedding", max_bucket_size=256,
+        )
+        a = sorted(r["doc_id"] for r in got.collect())
+        b = sorted(r["doc_id"] for r in manual.collect())
+        assert a == b and len(a) > 0
+        # members of the in-corpus benchmark dropped themselves
+        assert all(i % 7 != 0 for i in a)
+
+        # and the parquet-path form agrees with the filter form
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            bp = os.path.join(td, "bench")
+            bench.write.parquet(bp)
+            got_path = compile_recipe(
+                e,
+                [
+                    {
+                        "op": "decontaminate_semantic",
+                        "benchmark_path": bp,
+                        "max_bucket_size": 256,
+                    }
+                ],
+            )
+            assert sorted(r["doc_id"] for r in got_path.collect()) == a
+
+        # missing benchmark fails at stage-compile time
+        with pytest.raises(RecipeError, match="decontaminate_semantic"):
+            compile_recipe(e, [{"op": "decontaminate_semantic"}])
+    finally:
+        release_intermediates()
