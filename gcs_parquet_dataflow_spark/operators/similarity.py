@@ -1000,6 +1000,156 @@ def cosine_batch_against_index(
     return pairs.distinct()
 
 
+# centroid sidecar: lives INSIDE the index directory (underscore
+# prefix — Spark's file index ignores it in data scans, exactly like
+# _SUCCESS), so a versioned commit flips data and centroids as ONE
+# atomic unit: probes can never mix a new index with old centroids or
+# vice versa — the silent-recall-loss failure a sibling file would
+# reintroduce.
+_CENTROIDS_DIRNAME = "_centroids"
+
+
+def _read_ivf_index(spark, path: str) -> DataFrame:
+    """Read the persisted IVF index at its live committed version —
+    after a retrain the path is a maintained table and a raw
+    ``spark.read.parquet(path)`` would scan the retained PREVIOUS
+    index (the r12 versioned-commit trap)."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import resolve_table
+
+    return spark.read.parquet(resolve_table(spark, path))
+
+
+def _write_centroids_sidecar(spark, index_dir: str, cents) -> None:
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    (
+        spark.createDataFrame(rows, "i int, c array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(index_dir.rstrip("/") + "/" + _CENTROIDS_DIRNAME)
+    )
+
+
+def load_ivf_centroids(spark, path: str):
+    """The centroid table stored with the index's live version, or
+    ``None`` for a sidecar-less (pre-retrain, seeded-centroid) index.
+    Every index consumer defaults through this so a retrained index is
+    routed by the centroids it was actually built with."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        _fs_and_path,
+        resolve_table,
+    )
+
+    side = (
+        resolve_table(spark, path).rstrip("/") + "/" + _CENTROIDS_DIRNAME
+    )
+    fs, hpath, _ = _fs_and_path(spark, side)
+    if not fs.exists(hpath):
+        return None
+    rows = spark.read.parquet(side).orderBy("i").collect()
+    return [[float(x) for x in r["c"]] for r in rows]
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    k: int | None = None,
+    iterations: int = 3,
+) -> list[list[float]]:
+    """The scheduled maintenance job every production IVF system runs
+    when the corpus drifts off its coarse quantizer: re-train the
+    centroids ON the indexed vectors (one-subspace deterministic Lloyd
+    — :func:`train_pq_codebooks` with ``n_sub=1``, randomness-free and
+    partitioning-independent), re-assign every vector, and publish the
+    rebuilt index through the reader-atomic versioned commit
+    (``sinks.parquet_lake.rewrite_table``): probes racing the retrain
+    keep scanning the retained old version; the new version carries
+    its ``_centroids`` sidecar so data and routing flip together.
+    Returns the trained centroid table (also loadable via
+    :func:`load_ivf_centroids`).
+
+    Batch-keyed stream layouts are preserved (``_batch_id`` stays a
+    partition level), but NOTE the coordination contract: a RUNNING
+    ``run_ann_ingest_stream`` pins its centroid closure at start — its
+    post-retrain appends would assign by the OLD centroids (landing in
+    the wrong lists for new-centroid probes).  Retrain is a
+    stop-streams / retrain / restart-streams maintenance window, the
+    standard production practice; an in-flight write racing the lease
+    fails loudly via the ``write_partitioned`` fence."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import rewrite_table
+
+    index = _read_ivf_index(spark, path)
+    cur = load_ivf_centroids(spark, path) or ivf_centroids()
+    k = k if k is not None else len(cur)
+    # dim comes from the DATA, not the centroid table — a sidecar-less
+    # index built with non-default-dim centroids would otherwise train
+    # against out-of-bounds subvector reads (null sums)
+    dim = int(index.select(F.size(F.col("_cv")).alias("d")).first()["d"])
+    extras = [
+        c for c in index.columns
+        if c not in ("neighbor_id", "_cv", "_list")
+    ]
+    vecs = index.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("_cv").alias("embedding"),
+    )
+    books = train_pq_codebooks(
+        vecs, n_sub=1, k=k, dim=dim, iterations=iterations
+    )
+    new_cents = [[float(x) for x in c] for c in books[0]]
+    parts = (["_batch_id"] if "_batch_id" in extras else []) + ["_list"]
+
+    def _write(staging: str) -> None:
+        assigned = index.select(
+            "neighbor_id", "_cv", *extras,
+            ivf_assign(F.col("_cv"), new_cents).alias("_list"),
+        )
+        assigned.write.partitionBy(*parts).parquet(staging)
+        _write_centroids_sidecar(spark, staging, new_cents)
+
+    rewrite_table(spark, path, _write, op="ivf_retrain")
+    return new_cents
+
+
+def retrain_ivf_if_degraded(
+    spark,
+    path: str,
+    min_mean_silhouette: float,
+    iterations: int = 3,
+) -> dict:
+    """Quality-gated retrain — the audit driving the action: compute
+    the index's member-weighted mean simplified silhouette
+    (:func:`ivf_index_quality`); below the gate, run
+    :func:`retrain_ivf_index` and re-audit.  Returns
+    ``{"retrained", "mean_silhouette_before", "mean_silhouette_after"}``
+    (after == before when healthy).  Pair with
+    ``observability.snapshot_index_quality`` so the trend AND the
+    action both land in the ops lake story."""
+    before = _weighted_mean_silhouette(ivf_index_quality(spark, path))
+    if before >= min_mean_silhouette:
+        return {
+            "retrained": False,
+            "mean_silhouette_before": before,
+            "mean_silhouette_after": before,
+        }
+    retrain_ivf_index(spark, path, iterations=iterations)
+    after = _weighted_mean_silhouette(ivf_index_quality(spark, path))
+    return {
+        "retrained": True,
+        "mean_silhouette_before": before,
+        "mean_silhouette_after": after,
+    }
+
+
+def _weighted_mean_silhouette(quality: DataFrame) -> float:
+    row = quality.agg(
+        (
+            F.sum(F.col("mean_silhouette") * F.col("n_members"))
+            / F.sum("n_members")
+        ).alias("m")
+    ).collect()[0]
+    return float(row["m"])
+
+
 def ivf_index_quality(
     spark,
     path: str,
@@ -1012,9 +1162,13 @@ def ivf_index_quality(
     partitions.  Pair with
     ``streaming.observability.snapshot_index_quality`` to trend
     silhouette decay across ingest batches — the retrain signal for a
-    growing 100 TB index."""
-    cents = cents if cents is not None else ivf_centroids()
-    index = spark.read.parquet(path)
+    growing 100 TB index; :func:`retrain_ivf_if_degraded` turns the
+    signal into the maintenance action."""
+    cents = (
+        cents if cents is not None
+        else (load_ivf_centroids(spark, path) or ivf_centroids())
+    )
+    index = _read_ivf_index(spark, path)
     return ivf_list_quality(
         index, cents=cents, id_col="neighbor_id", vec_col="_cv",
         list_col="_list",
@@ -1027,6 +1181,7 @@ def build_ivf_index(
     cents: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_centroids: bool = False,
 ) -> int:
     """Materialize the IVF inverted lists as a PERSISTED parquet index
     partitioned by list id — the build-once/query-many form a 100 TB
@@ -1039,7 +1194,13 @@ def build_ivf_index(
     Hive-style partition pruning does the list selection at the scan,
     no shuffle. Incremental growth = append new batches with the same
     assignment expression (idempotent per batch id via the lake's
-    partitioned writer if needed)."""
+    partitioned writer if needed).
+
+    ``persist_centroids=True`` stores the centroid table in the
+    index's ``_centroids`` sidecar so downstream consumers
+    (:func:`ivf_query_index`, :func:`append_to_ivf_index`,
+    :func:`retrain_ivf_index`) default to it instead of the seeded
+    constants — required when building with trained centroids."""
     cents = cents if cents is not None else ivf_centroids()
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1047,6 +1208,8 @@ def build_ivf_index(
         ivf_assign(F.col(vec_col), cents).alias("_list"),
     )
     assigned.write.mode("overwrite").partitionBy("_list").parquet(path)
+    if persist_centroids:
+        _write_centroids_sidecar(corpus.sparkSession, path, cents)
     return assigned.count()
 
 
@@ -1065,9 +1228,20 @@ def ivf_query_index(
     (partition-pruned scan) and re-ranks exactly within them —
     identical results to ``ivf_topk`` over the same corpus/centroids,
     without touching the raw corpus. → (query_id, neighbor_id, rank,
-    cos)."""
-    cents = cents if cents is not None else ivf_centroids()
-    index = spark.read.parquet(path)
+    cos).
+
+    With ``cents=None`` the centroid table is loaded from the index's
+    own ``_centroids`` sidecar when present (a retrained index routes
+    by its TRAINED centroids — passing the seeded defaults there would
+    silently probe the wrong lists), falling back to the seeded
+    defaults for sidecar-less legacy indexes.  Reads resolve the
+    index's live committed version (:func:`retrain_ivf_index` turns
+    the path into a maintained table)."""
+    cents = (
+        cents if cents is not None
+        else (load_ivf_centroids(spark, path) or ivf_centroids())
+    )
+    index = _read_ivf_index(spark, path)
     probe_structs = F.array(*[
         F.struct((-s).alias("ns"), F.lit(i).cast("int").alias("c"))
         for i, s in enumerate(ivf_scores(F.col(vec_col), cents))
@@ -1662,15 +1836,31 @@ def append_to_ivf_index(
     existing list partitions — the index never rebuilds, and queries
     see the union immediately (tests prove append ≡ rebuild). The
     centroids stay frozen, exactly how production IVF serves writes;
-    re-train + full rebuild is a scheduled maintenance job, not an
-    ingest-path cost. Returns the number of vectors appended."""
-    cents = cents if cents is not None else ivf_centroids()
+    re-train + full rebuild is a scheduled maintenance job
+    (:func:`retrain_ivf_index`), not an ingest-path cost. Returns the
+    number of vectors appended.
+
+    With ``cents=None`` the assignment uses the index's stored
+    ``_centroids`` sidecar when present (appending to a RETRAINED
+    index with the seeded defaults would route new vectors by the
+    wrong quantizer), and the append lands in the index's live
+    committed version — a raw append to the flat path after a retrain
+    would be invisible to versioned readers and swept by retention."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import resolve_table
+
+    spark = corpus_batch.sparkSession
+    cents = (
+        cents if cents is not None
+        else (load_ivf_centroids(spark, path) or ivf_centroids())
+    )
     assigned = corpus_batch.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         ivf_assign(F.col(vec_col), cents).alias("_list"),
     )
-    assigned.write.mode("append").partitionBy("_list").parquet(path)
+    assigned.write.mode("append").partitionBy("_list").parquet(
+        resolve_table(spark, path)
+    )
     return assigned.count()
 
 

@@ -959,10 +959,20 @@ def run_ann_ingest_stream(
     from gcs_parquet_dataflow_spark.operators.similarity import (
         ivf_assign,
         ivf_centroids,
+        load_ivf_centroids,
     )
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import write_partitioned
 
-    cents_ = cents if cents is not None else ivf_centroids()
+    # pinned at stream START from the index's stored centroids when
+    # present (a retrained index routes by its trained quantizer) —
+    # and ONLY at start: a retrain while this stream runs requires the
+    # stop/retrain/restart maintenance window retrain_ivf_index
+    # documents, since a running closure would keep assigning by the
+    # superseded centroids
+    cents_ = (
+        cents if cents is not None
+        else (load_ivf_centroids(spark, index_path) or ivf_centroids())
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         assigned = batch_df.select(

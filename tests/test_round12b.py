@@ -356,3 +356,109 @@ def test_snapshot_index_quality_replay_idempotent(spark, tmp_path):
     # unknown kinds still fail loudly
     with pytest.raises(ValueError, match="kind must be one of"):
         read_guard_reports(spark, ops, "nope")
+
+
+# ---------------------------------------------------------------------------
+# 5. quality-gated IVF retrain (audit -> action)
+# ---------------------------------------------------------------------------
+
+
+def _two_blob_corpus(spark, n_per=40, dim=8, gap=3.0, seed=41):
+    """Two tight, well-separated blobs — a corpus the seeded
+    pseudo-gaussian centroids were never trained for."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_per):
+        rows.append((i, [gap + rng.uniform(-0.1, 0.1) for _ in range(dim)]))
+        rows.append(
+            (1000 + i, [-gap + rng.uniform(-0.1, 0.1) for _ in range(dim)])
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_retrain_ivf_improves_degraded_index_reader_atomically(
+    spark, tmp_path
+):
+    cents = SIM.ivf_centroids(k=2, dim=8, seed=29)
+    corpus = _two_blob_corpus(spark)
+    path = str(tmp_path / "ivf")
+    # non-default centroids => persist the sidecar (documented contract)
+    SIM.build_ivf_index(corpus, path, cents=cents, persist_centroids=True)
+
+    r = SIM.retrain_ivf_if_degraded(spark, path, min_mean_silhouette=0.99)
+    assert r["retrained"] is True
+    assert r["mean_silhouette_after"] > r["mean_silhouette_before"]
+    # two far blobs against trained centroids: near-perfect separation
+    assert r["mean_silhouette_after"] > 0.9
+
+    # the commit is the versioned flip: old index retained, new live,
+    # centroids stored WITH the live version
+    assert PL.table_versions(spark, path) == [0]
+    stored = SIM.load_ivf_centroids(spark, path)
+    assert stored is not None and len(stored) == 2
+    # raw flat-path read still serves the RETAINED pre-retrain index
+    import os
+
+    assert os.path.exists(path)
+
+    # probing every list is exact regardless of centroids — proves the
+    # probe reads the live version and routes by the stored table
+    q = corpus.filter(F.col("vec_id") < 2)
+    exact = {
+        (r2["query_id"], r2["rank"]): r2["neighbor_id"]
+        for r2 in SIM.brute_force_topk(corpus, q, k=3).collect()
+    }
+    got = {
+        (r2["query_id"], r2["rank"]): r2["neighbor_id"]
+        for r2 in SIM.ivf_query_index(
+            spark, path, q, k=3, nprobe=2
+        ).collect()
+    }
+    assert got == exact and got
+
+    # healthy gate: no second retrain
+    r2_ = SIM.retrain_ivf_if_degraded(spark, path, min_mean_silhouette=0.5)
+    assert r2_["retrained"] is False
+    assert PL.table_versions(spark, path) == [0]
+
+
+def test_append_after_retrain_uses_stored_centroids_and_live_version(
+    spark, tmp_path
+):
+    cents = SIM.ivf_centroids(k=2, dim=8, seed=29)
+    corpus = _two_blob_corpus(spark)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(corpus, path, cents=cents, persist_centroids=True)
+    SIM.retrain_ivf_index(spark, path)
+    stored = SIM.load_ivf_centroids(spark, path)
+
+    # append a fresh vector near blob A without passing centroids
+    newv = [3.05] * 8
+    batch = spark.createDataFrame(
+        [(7777, newv)], "vec_id long, embedding array<double>"
+    )
+    assert SIM.append_to_ivf_index(batch, path) == 1
+
+    # it must be visible to versioned probes (landed in the live dir)
+    q = spark.createDataFrame(
+        [(9999, [3.06] * 8)], "vec_id long, embedding array<double>"
+    )
+    top = SIM.ivf_query_index(spark, path, q, k=1, nprobe=1).collect()
+    assert top and top[0]["neighbor_id"] == 7777
+    # and it was assigned by the STORED (trained) centroids: the
+    # nprobe=1 probe reads only the list the trained assignment puts
+    # blob-A vectors in, so finding it proves the routing agrees
+    assert stored == SIM.load_ivf_centroids(spark, path)
+
+
+def test_build_ivf_index_persist_centroids_roundtrip(spark, tmp_path):
+    cents = SIM.ivf_centroids(k=3, dim=8, seed=5)
+    corpus = _two_blob_corpus(spark, n_per=10)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(corpus, path, cents=cents, persist_centroids=True)
+    assert SIM.load_ivf_centroids(spark, path) == [
+        [float(x) for x in c] for c in cents
+    ]
+    # the sidecar is invisible to data scans: plain index read has no
+    # centroid rows
+    assert spark.read.parquet(path).count() == 20
