@@ -1074,7 +1074,9 @@ def retrain_ivf_index(
     the wrong lists for new-centroid probes).  Retrain is a
     stop-streams / retrain / restart-streams maintenance window, the
     standard production practice; an in-flight write racing the lease
-    fails loudly via the ``write_partitioned`` fence."""
+    fails loudly via the ``write_partitioned`` fence (streams) or
+    :func:`append_to_ivf_index`'s own ``check_swap_lease`` (direct
+    appends)."""
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import rewrite_table
 
     index = _read_ivf_index(spark, path)
@@ -1103,10 +1105,18 @@ def retrain_ivf_index(
             "neighbor_id", "_cv", *extras,
             ivf_assign(F.col("_cv"), new_cents).alias("_list"),
         )
-        assigned.write.partitionBy(*parts).parquet(staging)
+        # overwrite: a CRASHED retrain's leftover staging must not
+        # block the re-run (rewrite_table contract — staging is the
+        # crashed run's payload, the re-run replaces it)
+        assigned.write.mode("overwrite").partitionBy(*parts).parquet(
+            staging
+        )
         _write_centroids_sidecar(spark, staging, new_cents)
 
-    rewrite_table(spark, path, _write, op="ivf_retrain")
+    rewrite_table(
+        spark, path, _write, op="ivf_retrain",
+        staging_suffix="__ivf_retrain_staging",
+    )
     return new_cents
 
 
@@ -1845,10 +1855,19 @@ def append_to_ivf_index(
     index with the seeded defaults would route new vectors by the
     wrong quantizer), and the append lands in the index's live
     committed version — a raw append to the flat path after a retrain
-    would be invisible to versioned readers and swept by retention."""
-    from gcs_parquet_dataflow_spark.sinks.parquet_lake import resolve_table
+    would be invisible to versioned readers and swept by retention.
+    The write is FENCED against an in-flight retrain
+    (``check_swap_lease``): the retrain's staged rebuild read the
+    index before this append, so an unfenced append would survive only
+    in the retained OLD version — readable until retention, then gone.
+    Loud ``ConcurrentWriterError`` instead."""
+    from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        check_swap_lease,
+        resolve_table,
+    )
 
     spark = corpus_batch.sparkSession
+    check_swap_lease(spark, path)
     cents = (
         cents if cents is not None
         else (load_ivf_centroids(spark, path) or ivf_centroids())

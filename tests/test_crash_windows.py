@@ -149,6 +149,50 @@ def _cosine_content(spark, path):
     return sorted({tuple(r) for r in rows.collect()})
 
 
+def _setup_ivf_retrain(spark, path):
+    from gcs_parquet_dataflow_spark.operators import similarity as SIM
+    import random
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(12):
+        rows.append(
+            (i, [3.0 + rng.uniform(-0.1, 0.1) for _ in range(8)])
+        )
+        rows.append(
+            (100 + i, [-3.0 + rng.uniform(-0.1, 0.1) for _ in range(8)])
+        )
+    SIM.build_ivf_index(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        path,
+        cents=SIM.ivf_centroids(k=2, dim=8, seed=29),
+        persist_centroids=True,
+    )
+
+
+def _op_ivf_retrain(spark, path):
+    from gcs_parquet_dataflow_spark.operators.similarity import (
+        retrain_ivf_index,
+    )
+
+    retrain_ivf_index(spark, path)
+
+
+def _ivf_content(spark, path):
+    """Rows WITH their list assignment, plus the centroid table the
+    index routes by — retrain changes both, and the versioned commit
+    must flip them as one unit (a new index with old centroids, or
+    vice versa, is the silent-recall-loss state)."""
+    from gcs_parquet_dataflow_spark.operators import similarity as SIM
+
+    df = PL.read_table(spark, path)
+    rows = sorted(
+        (r["neighbor_id"], r["_list"], tuple(r["_cv"])) for r in df.collect()
+    )
+    cents = SIM.load_ivf_centroids(spark, path)
+    return (rows, [tuple(c) for c in cents] if cents else None)
+
+
 def _setup_bloom(spark, path):
     spark.createDataFrame(
         [(0, 5), (1, 9)], "word_idx bigint, word bigint"
@@ -185,6 +229,12 @@ FAMILIES = {
         _op_cosine_index,
         _cosine_content,
     ),
+    "ivf_retrain": (
+        "__ivf_retrain_staging",
+        _setup_ivf_retrain,
+        _op_ivf_retrain,
+        _ivf_content,
+    ),
 }
 
 # crash states of the r12 versioned commit, plus the pre-r12 legacy
@@ -207,6 +257,12 @@ def test_staged_swap_crash_state_converges(spark, tmp_path, family, state):
         # staging; that shape is swept by
         # test_cosine_legacy_monolithic_staging_still_heals
         pytest.skip("covered by the dedicated legacy cosine test")
+    if family == "ivf_retrain" and state == "legacy_deleted":
+        # rewrite_table is r12-native: no pre-r12 binary ever staged
+        # this suffix, so the legacy delete→rename crash state cannot
+        # exist for it (recover_staged_swap intentionally doesn't
+        # know the suffix)
+        pytest.skip("no legacy window: rewrite_table postdates r12")
     base = str(tmp_path / "lake")
     setup(spark, base)
     pre = content(spark, base)

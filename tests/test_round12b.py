@@ -462,3 +462,33 @@ def test_build_ivf_index_persist_centroids_roundtrip(spark, tmp_path):
     # the sidecar is invisible to data scans: plain index read has no
     # centroid rows
     assert spark.read.parquet(path).count() == 20
+
+
+def test_append_to_ivf_index_is_fenced_against_inflight_retrain(
+    spark, tmp_path
+):
+    """A direct append racing a retrain would land only in the OLD
+    version (the retrain's staged rebuild already read the index) —
+    readable until retention, then silently gone.  The fence turns
+    that lost update into a loud ConcurrentWriterError, exactly like
+    write_partitioned's streaming fence."""
+    corpus = _two_blob_corpus(spark, n_per=5)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(
+        corpus, path,
+        cents=SIM.ivf_centroids(k=2, dim=8, seed=29),
+        persist_centroids=True,
+    )
+    with open(path + "__swap_lease", "w") as f:
+        f.write('{"op": "ivf_retrain", "pid": 1, "acquired_unix_ms": 0}')
+    batch = spark.createDataFrame(
+        [(7777, [3.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(PL.ConcurrentWriterError):
+        SIM.append_to_ivf_index(batch, path)
+    # nothing landed
+    assert spark.read.parquet(path).filter(
+        F.col("neighbor_id") == 7777
+    ).count() == 0
+    PL.break_swap_lease(spark, path)
+    assert SIM.append_to_ivf_index(batch, path) == 1
