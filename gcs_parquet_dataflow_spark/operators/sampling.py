@@ -231,3 +231,124 @@ def quota_per_key(
         .filter(F.col("_quota_rn") <= int(n))
         .drop("_quota_rn")
     )
+
+
+def _source_weight_expr(source_col: str, weights: dict[str, float]) -> Column:
+    w_expr: Column | None = None
+    for src, w in weights.items():
+        cond = F.col(source_col) == src
+        w_expr = (
+            F.when(cond, float(w))
+            if w_expr is None
+            else w_expr.when(cond, float(w))
+        )
+    return F.lit(0.0) if w_expr is None else w_expr.otherwise(F.lit(0.0))
+
+
+def _token_mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    token_budget: float | None,
+) -> DataFrame:
+    """Per-source (available_tokens, weight, T) — the shared core of
+    :func:`mixture_plan` and :func:`resample_to_token_mixture`.  T is
+    the achievable mixture total in TOKENS: min over sources of
+    available/weight (the scarcest source pins the mix, as in
+    :func:`resample_to_mixture`), further capped by ``token_budget``
+    when one is given."""
+    caps = (
+        df.groupBy(source_col)
+        .agg(F.sum(token_col).cast("double").alias("_avail"))
+        .withColumn("_w", _source_weight_expr(source_col, weights))
+        .filter(F.col("_w") > 0)
+        .withColumn("_cap", F.col("_avail") / F.col("_w"))
+    )
+    t_min = caps.agg(F.min("_cap").alias("_t"))
+    if token_budget is not None:
+        t_min = t_min.select(
+            F.least(F.col("_t"), F.lit(float(token_budget))).alias("_t")
+        )
+    return caps.crossJoin(F.broadcast(t_min))
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    token_budget: float | None = None,
+) -> DataFrame:
+    """The training-mix PLANNING table — mixtures are specified in
+    TOKENS, not documents, so the planning unit must be token mass
+    (``resample_to_mixture`` is the doc-count form).  Per source:
+
+    - available_tokens: what the corpus holds;
+    - target_weight: the requested share;
+    - target_tokens: weight × T where T = min(min_s avail_s/w_s,
+      token_budget) — the largest mixture total reachable WITHOUT
+      repeating data, budget-capped;
+    - keep_rate: the downsampling rate hitting target_tokens;
+    - epochs_at_budget: (weight × budget)/available — how many passes
+      over the source the FULL budget would demand at these weights.
+      > 1 is the data-constrained regime (you must repeat that source
+      or re-weight); NULL without a budget.
+
+    One tiny per-source hash aggregate + a 1-row broadcast scalar —
+    the plan for a 100 TB corpus is k rows.  Deterministic: doubles
+    rounded to 6."""
+    rates = _token_mixture_rates(
+        df, source_col, token_col, weights, token_budget
+    )
+    epochs = (
+        F.round(
+            F.col("_w") * F.lit(float(token_budget)) / F.col("_avail"), 6
+        )
+        if token_budget is not None
+        else F.lit(None).cast("double")
+    )
+    return rates.select(
+        source_col,
+        F.col("_avail").cast("long").alias("available_tokens"),
+        F.round(F.col("_w"), 6).alias("target_weight"),
+        F.round(F.col("_w") * F.col("_t"), 6).alias("target_tokens"),
+        F.round(
+            F.least(F.col("_w") * F.col("_t") / F.col("_avail"), F.lit(1.0)),
+            6,
+        ).alias("keep_rate"),
+        epochs.alias("epochs_at_budget"),
+    )
+
+
+def resample_to_token_mixture(
+    df: DataFrame,
+    key: str | Column,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    token_budget: float | None = None,
+    denominator: int = 10000,
+) -> DataFrame:
+    """Downsample each source to the token-mass mixture of
+    :func:`mixture_plan` (never upsamples; sources absent from
+    ``weights`` drop).  Membership is the content-hash rule shared by
+    every sampler here, so the kept set is reproducible under any
+    partitioning; the hash keeps ~rate of each source's ROWS, which
+    converges to ~rate of its TOKENS because membership is independent
+    of document length (the standard row-level approximation — a
+    length-stratified variant is :func:`quota_per_key` composed per
+    length band)."""
+    k = F.col(key) if isinstance(key, str) else key
+    rates = _token_mixture_rates(
+        df, source_col, token_col, weights, token_budget
+    ).select(
+        source_col,
+        F.least(
+            F.col("_w") * F.col("_t") / F.col("_avail"), F.lit(1.0)
+        ).alias("_rate"),
+    )
+    kept = df.join(F.broadcast(rates), source_col, "inner").filter(
+        hash_bucket(k, denominator) < F.col("_rate") * denominator
+    )
+    return kept.drop("_rate")

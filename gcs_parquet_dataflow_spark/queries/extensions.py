@@ -17795,3 +17795,94 @@ def knn_dim_truncation_curve(spark, sf_dir):
             "recall_at_5"
         ),
     ).orderBy("dims")
+
+
+# token-mass mixture fragments shared by the plan + resample rows:
+# per-source available tokens (whitespace tokens, the domain_source_
+# rollup convention) and the src0/src1/src2 target weights the
+# doc-count mixture row also uses — here denominated in TOKENS.
+_TOKMIX_CW_SQL = """
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS avail,
+           CAST(CASE source WHEN 'src0' THEN 0.5
+                            WHEN 'src1' THEN 0.3
+                            WHEN 'src2' THEN 0.2 ELSE 0.0 END
+                AS DOUBLE) AS w
+    FROM documents GROUP BY source
+"""
+_TOKMIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_TOKMIX_BUDGET = 1_000_000_000.0
+
+
+@query(
+    "sample_token_mixture_plan",
+    f"""
+    WITH cw AS ({_TOKMIX_CW_SQL}),
+         caps AS (SELECT source, avail, w, avail / w AS cap
+                  FROM cw WHERE w > 0),
+         tmin AS (SELECT least(min(cap), {_TOKMIX_BUDGET!r}) AS t
+                  FROM caps)
+    SELECT source,
+           CAST(avail AS BIGINT) AS available_tokens,
+           round(w, 6) AS target_weight,
+           round(w * t, 6) AS target_tokens,
+           round(least(w * t / avail, 1.0), 6) AS keep_rate,
+           round(w * {_TOKMIX_BUDGET!r} / avail, 6) AS epochs_at_budget
+    FROM caps CROSS JOIN tmin
+    ORDER BY source
+    """,
+)
+def sample_token_mixture_plan(spark, sf_dir):
+    """The token-denominated training-mix PLAN (operators/sampling.py
+    mixture_plan): mixtures are specified in tokens, not documents, so
+    the planning unit is per-source token mass.  T = min_s(avail/w)
+    is the largest total reachable without repeating data (the
+    scarcest source pins the mix), budget-capped; keep_rate is the
+    downsampling dial per source; epochs_at_budget = w*budget/avail is
+    the data-constrained-scaling diagnostic — above 1.0 the requested
+    budget forces repeating that source (Muennighoff et al. 2023) or
+    re-weighting.  One per-source hash aggregate + a 1-row broadcast
+    scalar: the plan for a 100 TB corpus is k rows."""
+    from gcs_parquet_dataflow_spark.operators.sampling import mixture_plan
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", TX.token_count(F.col("text")).alias("_tok")
+    )
+    return mixture_plan(
+        d, "source", "_tok", _TOKMIX_WEIGHTS, token_budget=_TOKMIX_BUDGET
+    ).orderBy("source")
+
+
+@query(
+    "sample_token_mixture_resample",
+    f"""
+    WITH cw AS ({_TOKMIX_CW_SQL}),
+         caps AS (SELECT source, avail, w, avail / w AS cap
+                  FROM cw WHERE w > 0),
+         tmin AS (SELECT min(cap) AS t FROM caps),
+         rates AS (SELECT source, least(w * t / avail, 1.0) AS rate
+                   FROM caps CROSS JOIN tmin)
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN rates r ON d.source = r.source
+    WHERE {h32("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.rate * 10000
+    """,
+)
+def sample_token_mixture_resample(spark, sf_dir):
+    """Token-mass domain resampling (operators/sampling.py
+    resample_to_token_mixture): downsample each source so surviving
+    TOKEN mass matches the target mixture — the doc-count row
+    (sample_mixture_resample) over-represents sources with short
+    documents; this one weighs what training actually consumes.
+    Same content-hash membership as every sampler (reproducible under
+    any partitioning); per-source token aggregate + broadcast rate
+    join, no driver collect."""
+    from gcs_parquet_dataflow_spark.operators.sampling import (
+        resample_to_token_mixture,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("_tok")
+    )
+    return resample_to_token_mixture(
+        d, "doc_id", "source", "_tok", _TOKMIX_WEIGHTS
+    ).select("doc_id", "source")

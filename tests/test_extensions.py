@@ -1135,6 +1135,9 @@ def test_entire_catalog_plans_stay_jvm_side_no_cartesian(spark):
         "knn_brute_force_cosine",          # broadcast queries × corpus scan
         "knn_lsh_recall",                  # exact baseline side of recall
         "sample_mixture_resample",         # scalar totals broadcast
+        "sample_token_mixture_plan",       # 1-row achievable-T broadcast
+        "sample_token_mixture_resample",   # same scalar-T broadcast as
+        #   the doc-count mixture row, token-denominated
         "er_threshold_tradeoff",           # 1-row planted-total broadcast
         #   attached to the 11-row threshold ladder aggregate
         "sample_alpha_mixture_weights",    # scalar z/t broadcast

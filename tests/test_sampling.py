@@ -168,3 +168,98 @@ def test_quota_per_key_exact_and_partitioning_independent(spark):
     assert a == b
     # n larger than any key's population keeps everything
     assert quota_per_key(df, ["k"], 100, order).count() == 60
+
+
+def _token_corpus(spark):
+    # src0: 10 docs x 100 tokens = 1000; src1: 40 x 50 = 2000;
+    # src2: 20 x 10 = 200 (the scarce source); src3: unweighted
+    rows = []
+    did = 0
+    for src, n, tok in (
+        ("src0", 10, 100), ("src1", 40, 50), ("src2", 20, 10),
+        ("src3", 5, 10),
+    ):
+        for _ in range(n):
+            rows.append((did, src, tok))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, tok long")
+
+
+def test_mixture_plan_token_denominated_hand_checked(spark):
+    from gcs_parquet_dataflow_spark.operators.sampling import mixture_plan
+
+    df = _token_corpus(spark)
+    w = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    plan = {
+        r["source"]: r for r in mixture_plan(df, "source", "tok", w).collect()
+    }
+    assert set(plan) == set(w)  # src3 dropped
+    # caps: src0 1000/.5=2000, src1 2000/.3≈6667, src2 200/.2=1000 → T=1000
+    assert plan["src2"]["keep_rate"] == 1.0          # bottleneck keeps all
+    assert plan["src0"]["target_tokens"] == 500.0    # 0.5 * 1000
+    assert plan["src0"]["keep_rate"] == 0.5
+    assert plan["src1"]["target_tokens"] == 300.0
+    assert plan["src1"]["keep_rate"] == 0.15
+    assert plan["src0"]["available_tokens"] == 1000
+    assert all(r["epochs_at_budget"] is None for r in plan.values())
+
+
+def test_mixture_plan_budget_caps_and_flags_data_constrained(spark):
+    from gcs_parquet_dataflow_spark.operators.sampling import mixture_plan
+
+    df = _token_corpus(spark)
+    w = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    # budget BELOW the unconstrained T=1000: binds
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(
+            df, "source", "tok", w, token_budget=500.0
+        ).collect()
+    }
+    assert plan["src0"]["target_tokens"] == 250.0
+    assert plan["src0"]["keep_rate"] == 0.25
+    # epochs at this budget: src2 needs 0.2*500/200 = 0.5 passes
+    assert plan["src2"]["epochs_at_budget"] == 0.5
+    # a 10000-token budget at these weights demands 10 passes of src2:
+    # the data-constrained signal
+    plan2 = {
+        r["source"]: r
+        for r in mixture_plan(
+            df, "source", "tok", w, token_budget=10000.0
+        ).collect()
+    }
+    assert plan2["src2"]["epochs_at_budget"] == 10.0
+    # but target_tokens stays pinned by the data (never upsamples)
+    assert plan2["src2"]["target_tokens"] == 200.0
+
+
+def test_resample_to_token_mixture_matches_plan_rates(spark):
+    from gcs_parquet_dataflow_spark.operators.sampling import (
+        mixture_plan,
+        resample_to_token_mixture,
+    )
+
+    df = _token_corpus(spark)
+    w = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    kept = resample_to_token_mixture(df, "doc_id", "source", "tok", w)
+    got = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got.get("src2") == 20          # rate 1.0: all kept
+    assert "src3" not in got              # unweighted source dropped
+    # hash membership ≈ keep_rate of rows per source (small-n slack)
+    plan = {
+        r["source"]: r["keep_rate"]
+        for r in mixture_plan(df, "source", "tok", w).collect()
+    }
+    assert abs(got.get("src0", 0) / 10 - plan["src0"]) <= 0.3
+    # partitioning-independent membership
+    again = resample_to_token_mixture(
+        df.repartition(13), "doc_id", "source", "tok", w
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
