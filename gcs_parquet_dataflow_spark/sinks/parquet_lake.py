@@ -1410,3 +1410,109 @@ def optimize_table(
         "n_rows": n_rows,
         "manifest_path": manifest_path if mcols else None,
     }
+
+
+def maintenance_report(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_live_files: int = 64,
+) -> dict:
+    """The MAINTENANCE ADVISOR for one maintained table — turns the
+    lake's raw state (versions, file sizes, manifest, lease) into the
+    prioritized action list a scheduler runs, so "when do we compact /
+    vacuum / re-optimize?" is a query, not folklore.  At 100 TB the
+    fleet has thousands of maintained paths; this is the per-table row
+    of that fleet scan (driver-side fs stats only — manifest-cost,
+    never a data scan).
+
+    Keys: live_version, n_files, total_bytes, avg_file_bytes,
+    small_file_ratio (files under half the target size),
+    n_retained_versions (committed, non-live — vacuum candidates),
+    n_torn_commits (sibling dirs without ``_SUCCESS`` — crashed
+    commits, visible not inferred), manifest_present, manifest_stale
+    (any manifest entry outside the live version dir — the
+    read_skipping degradation trigger), lease (the holder record or
+    None), and ``actions``: an ordered list drawn from
+    ``compact`` (small-file debt: ratio > 0.5 and more than
+    ``max_live_files`` files), ``vacuum`` (retained superseded
+    versions), ``refresh_manifest`` (stale zone maps serve unpruned
+    scans until refreshed), ``investigate_lease`` (a lease is held —
+    either live maintenance or a dead holder needing
+    break_swap_lease), ``sweep_torn_commit``.  Empty list = healthy.
+    """
+    base = path.rstrip("/")
+    live = resolve_table(spark, path)
+    committed = table_versions(spark, path)
+    live_version = committed[-1] if committed and live != base else -1
+
+    fs, _, jvm = _fs_and_path(spark, live)
+    n_files = total_bytes = small = 0
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(live), True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().startswith(("_", ".")):
+            continue
+        n_files += 1
+        total_bytes += st.getLen()
+        if st.getLen() < target_file_bytes // 2:
+            small += 1
+    small_ratio = round(small / n_files, 6) if n_files else 0.0
+
+    hist = table_history(spark, path).collect()
+    n_retained = sum(
+        1 for r in hist if r["committed"] and not r["is_live"]
+    )
+    n_torn = sum(1 for r in hist if not r["committed"])
+
+    manifest_path = base + "__manifest"
+    manifest_present = table_exists(spark, manifest_path)
+    manifest_stale = False
+    if manifest_present:
+        # scheme-qualified containment check: a manifest entry whose
+        # file sits outside the LIVE version dir points at superseded
+        # (or deleted) data — the read_skipping degradation state
+        live_q = fs.makeQualified(
+            jvm.org.apache.hadoop.fs.Path(live)
+        ).toString().rstrip("/") + "/"
+        entries = [
+            r["file"]
+            for r in spark.read.parquet(
+                resolve_table(spark, manifest_path)
+            ).select("file").collect()
+        ]
+        manifest_stale = any(
+            not fs.makeQualified(
+                jvm.org.apache.hadoop.fs.Path(f)
+            ).toString().startswith(live_q)
+            for f in entries
+        )
+
+    lease = read_swap_lease(spark, path)
+
+    actions: list[str] = []
+    if lease is not None:
+        actions.append("investigate_lease")
+    if n_torn:
+        actions.append("sweep_torn_commit")
+    if n_files > max_live_files and small_ratio > 0.5:
+        actions.append("compact")
+    if manifest_stale:
+        actions.append("refresh_manifest")
+    if n_retained:
+        actions.append("vacuum")
+
+    return {
+        "path": path,
+        "live_version": live_version,
+        "n_files": n_files,
+        "total_bytes": total_bytes,
+        "avg_file_bytes": (total_bytes // n_files) if n_files else 0,
+        "small_file_ratio": small_ratio,
+        "n_retained_versions": n_retained,
+        "n_torn_commits": n_torn,
+        "manifest_present": manifest_present,
+        "manifest_stale": manifest_stale,
+        "lease": lease,
+        "actions": actions,
+    }

@@ -492,3 +492,81 @@ def test_append_to_ivf_index_is_fenced_against_inflight_retrain(
     ).count() == 0
     PL.break_swap_lease(spark, path)
     assert SIM.append_to_ivf_index(batch, path) == 1
+
+
+# ---------------------------------------------------------------------------
+# 7. maintenance advisor
+# ---------------------------------------------------------------------------
+
+
+def test_maintenance_report_advises_and_clears(spark, tmp_path):
+    """Fragmented table → 'compact'; after compact the superseded
+    version → 'vacuum'; after vacuum → healthy (no actions)."""
+    path = str(tmp_path / "t")
+    spark.range(200).selectExpr("id AS k", "id % 5 AS g").repartition(
+        12
+    ).write.parquet(path)
+
+    r = PL.maintenance_report(spark, path, max_live_files=8)
+    assert r["n_files"] == 12
+    assert r["small_file_ratio"] == 1.0
+    assert r["actions"] == ["compact"]
+    assert r["live_version"] == -1 and r["n_torn_commits"] == 0
+
+    PL.compact(spark, path, target_file_bytes=1 << 30)
+    r2 = PL.maintenance_report(spark, path, max_live_files=8)
+    assert "compact" not in r2["actions"]      # debt paid
+    assert r2["actions"] == ["vacuum"]          # flat remnant retained
+    assert r2["live_version"] == 0
+    assert r2["n_retained_versions"] == 1
+
+    PL.vacuum_table(spark, path, keep_last=1)
+    r3 = PL.maintenance_report(spark, path, max_live_files=8)
+    assert r3["actions"] == []
+    assert r3["n_retained_versions"] == 0
+
+
+def test_maintenance_report_flags_torn_commit_lease_and_stale_manifest(
+    spark, tmp_path
+):
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS k").coalesce(2).write.parquet(path)
+    PL.optimize_table(spark, path, sort_cols=["k"])  # v0 + manifest
+    manifest = path + "__manifest"
+    frozen = str(tmp_path / "frozen_manifest")
+    shutil.copytree(manifest, frozen)
+
+    # healthy after optimize + vacuum
+    PL.vacuum_table(spark, path, keep_last=1)
+    assert PL.maintenance_report(spark, path)["actions"] == []
+
+    # compact refreshes the manifest; restoring the frozen (pre-compact)
+    # one constructs the stale state read_skipping degrades on
+    PL.compact(spark, path, target_file_bytes=1 << 30)
+    PL.vacuum_table(spark, path, keep_last=1)
+    shutil.rmtree(manifest)
+    shutil.copytree(frozen, manifest)
+    r = PL.maintenance_report(spark, path)
+    assert r["manifest_present"] and r["manifest_stale"]
+    assert "refresh_manifest" in r["actions"]
+
+    # torn sibling commit is surfaced, not inferred
+    live = PL.resolve_table(spark, path)
+    torn = path + "__v00000099"
+    shutil.copytree(live, torn)
+    os.remove(os.path.join(torn, "_SUCCESS"))
+    r2 = PL.maintenance_report(spark, path)
+    assert r2["n_torn_commits"] == 1
+    assert "sweep_torn_commit" in r2["actions"]
+    shutil.rmtree(torn)
+
+    # held lease → investigate (live maintenance or dead holder)
+    with open(path + "__swap_lease", "w") as f:
+        f.write('{"op": "compact", "pid": 1, "acquired_unix_ms": 0}')
+    r3 = PL.maintenance_report(spark, path)
+    assert r3["lease"] is not None
+    assert r3["actions"][0] == "investigate_lease"
+    PL.break_swap_lease(spark, path)
