@@ -1417,6 +1417,7 @@ def maintenance_report(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     max_live_files: int = 64,
+    retain_policy: int = TABLE_RETAIN_VERSIONS,
 ) -> dict:
     """The MAINTENANCE ADVISOR for one maintained table — turns the
     lake's raw state (versions, file sizes, manifest, lease) into the
@@ -1435,11 +1436,14 @@ def maintenance_report(
     read_skipping degradation trigger), lease (the holder record or
     None), and ``actions``: an ordered list drawn from
     ``compact`` (small-file debt: ratio > 0.5 and more than
-    ``max_live_files`` files), ``vacuum`` (retained superseded
-    versions), ``refresh_manifest`` (stale zone maps serve unpruned
-    scans until refreshed), ``investigate_lease`` (a lease is held —
-    either live maintenance or a dead holder needing
-    break_swap_lease), ``sweep_torn_commit``.  Empty list = healthy.
+    ``max_live_files`` files), ``vacuum`` (MORE history retained than
+    ``retain_policy`` keeps — one retained predecessor is the commit
+    protocol's NORMAL state, so debt means a crash landed between a
+    flip and its retention sweep, or someone retained deep history),
+    ``refresh_manifest`` (stale zone maps serve unpruned scans until
+    refreshed), ``investigate_lease`` (a lease is held — either live
+    maintenance or a dead holder needing break_swap_lease),
+    ``sweep_torn_commit``.  Empty list = healthy.
     """
     base = path.rstrip("/")
     live = resolve_table(spark, path)
@@ -1499,7 +1503,7 @@ def maintenance_report(
         actions.append("compact")
     if manifest_stale:
         actions.append("refresh_manifest")
-    if n_retained:
+    if n_retained > retain_policy - 1:
         actions.append("vacuum")
 
     return {
@@ -1516,3 +1520,117 @@ def maintenance_report(
         "lease": lease,
         "actions": actions,
     }
+
+
+def sweep_torn_commits(spark: SparkSession, path: str) -> list[int]:
+    """Delete UNCOMMITTED version sibling dirs (present, no
+    ``_SUCCESS``) — garbage by construction: ``lease.commit`` renames a
+    staging that already contains its ``_SUCCESS``, and a filesystem
+    rename is atomic, so a committed version can never be observed
+    torn; a torn sibling is a crashed manual copy or an interrupted
+    external transfer.  Returns the version ids removed.  Never
+    touches committed versions, the flat dir, staging dirs (a crashed
+    run's payload — its re-run owns it), or the lease."""
+    committed = set(table_versions(spark, path))
+    fs, _, jvm = _fs_and_path(spark, path)
+    base = path.rstrip("/")
+    removed: list[int] = []
+    matches = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(base + _TABLE_VERSION_SUFFIX + "*")
+    )
+    prefix_len = len(
+        jvm.org.apache.hadoop.fs.Path(base).getName()
+    ) + len(_TABLE_VERSION_SUFFIX)
+    for st in matches or []:
+        tail = st.getPath().getName()[prefix_len:]
+        if st.isDirectory() and len(tail) == 8 and tail.isdigit():
+            v = int(tail)
+            if v not in committed:
+                fs.delete(st.getPath(), True)
+                removed.append(v)
+    return removed
+
+
+_MAINT_REPORT_SCHEMA = (
+    "path string, phase string, live_version long, n_files long, "
+    "total_bytes long, small_file_ratio double, "
+    "n_retained_versions long, n_torn_commits long, "
+    "manifest_present boolean, manifest_stale boolean, "
+    "lease_held boolean, actions array<string>, "
+    "executed array<string>, converged boolean"
+)
+
+
+def run_maintenance_cycle(
+    spark: SparkSession,
+    paths: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_live_files: int = 64,
+    retain_policy: int = TABLE_RETAIN_VERSIONS,
+    max_passes: int = 3,
+    ops_root: str | None = None,
+    batch_id: int | None = None,
+) -> list[dict]:
+    """Execute :func:`maintenance_report`'s advice for a fleet of
+    maintained tables — advise → act → re-report, per table, until
+    healthy or ``max_passes`` (an action can surface follow-up debt:
+    a compact leaves a superseded version a tight retain_policy then
+    vacuums).  A table with a HELD LEASE is skipped untouched this
+    cycle (live maintenance owns it; a dead holder is an operator
+    decision — break_swap_lease — never an automatic one).  Returns
+    one dict per table: {path, before, after, executed, converged}.
+
+    With ``ops_root``, before/after rows land batch-keyed in
+    ``<ops_root>/maintenance_reports`` (same idempotent-replay shape
+    as every guard report), so fleet health is a QUERY over time —
+    small-file debt trending up on a CDC target means the trigger
+    interval outruns the compaction cadence."""
+    results: list[dict] = []
+    for path in paths:
+        rep = maintenance_report(
+            spark, path, target_file_bytes, max_live_files, retain_policy
+        )
+        before, executed = rep, []
+        for _ in range(max_passes):
+            if not rep["actions"] or rep["lease"] is not None:
+                break
+            for action in rep["actions"]:
+                if action == "sweep_torn_commit":
+                    sweep_torn_commits(spark, path)
+                elif action == "compact":
+                    compact(spark, path, target_file_bytes=target_file_bytes)
+                elif action == "refresh_manifest":
+                    _refresh_manifest(spark, path)
+                elif action == "vacuum":
+                    vacuum_table(spark, path, keep_last=retain_policy)
+                executed.append(action)
+            rep = maintenance_report(
+                spark, path, target_file_bytes, max_live_files,
+                retain_policy,
+            )
+        results.append({
+            "path": path,
+            "before": before,
+            "after": rep,
+            "executed": executed,
+            "converged": not rep["actions"],
+        })
+    if ops_root is not None:
+        rows = []
+        for res in results:
+            for phase in ("before", "after"):
+                r = res[phase]
+                rows.append((
+                    res["path"], phase, r["live_version"], r["n_files"],
+                    r["total_bytes"], r["small_file_ratio"],
+                    r["n_retained_versions"], r["n_torn_commits"],
+                    r["manifest_present"], r["manifest_stale"],
+                    r["lease"] is not None, r["actions"],
+                    res["executed"], res["converged"],
+                ))
+        write_partitioned(
+            spark.createDataFrame(rows, _MAINT_REPORT_SCHEMA),
+            ops_root.rstrip("/") + "/maintenance_reports", [],
+            batch_id=batch_id, coalesce_files=1,
+        )
+    return results

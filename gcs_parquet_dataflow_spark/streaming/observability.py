@@ -231,10 +231,12 @@ def read_guard_reports(
     spark: SparkSession, ops_root: str, kind: str
 ) -> DataFrame:
     """Read a persisted guard-report table back (``kind`` ∈
-    {"cap_reports", "cc_reports", "ivf_quality"}); empty-but-typed
-    when no report has ever been written — a monitoring query on a
-    healthy young pipeline is not an error."""
+    {"cap_reports", "cc_reports", "ivf_quality",
+    "maintenance_reports"}); empty-but-typed when no report has ever
+    been written — a monitoring query on a healthy young pipeline is
+    not an error."""
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+        _MAINT_REPORT_SCHEMA,
         read_table,
         table_exists,
     )
@@ -243,6 +245,7 @@ def read_guard_reports(
         "cap_reports": CAP_REPORT_SCHEMA,
         "cc_reports": CC_REPORT_SCHEMA,
         "ivf_quality": IVF_QUALITY_SCHEMA,
+        "maintenance_reports": _MAINT_REPORT_SCHEMA,
     }
     if kind not in schemas:
         raise ValueError(f"kind must be one of {sorted(schemas)}: {kind!r}")

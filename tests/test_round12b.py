@@ -500,8 +500,10 @@ def test_append_to_ivf_index_is_fenced_against_inflight_retrain(
 
 
 def test_maintenance_report_advises_and_clears(spark, tmp_path):
-    """Fragmented table → 'compact'; after compact the superseded
-    version → 'vacuum'; after vacuum → healthy (no actions)."""
+    """Fragmented table → 'compact'; after compact the ONE retained
+    predecessor is the commit protocol's normal state (no advice at
+    the default policy); history beyond the policy → 'vacuum'; after
+    vacuum → healthy."""
     path = str(tmp_path / "t")
     spark.range(200).selectExpr("id AS k", "id % 5 AS g").repartition(
         12
@@ -515,15 +517,23 @@ def test_maintenance_report_advises_and_clears(spark, tmp_path):
 
     PL.compact(spark, path, target_file_bytes=1 << 30)
     r2 = PL.maintenance_report(spark, path, max_live_files=8)
-    assert "compact" not in r2["actions"]      # debt paid
-    assert r2["actions"] == ["vacuum"]          # flat remnant retained
-    assert r2["live_version"] == 0
+    assert r2["actions"] == []                 # debt paid; one retained
+    assert r2["live_version"] == 0             # predecessor is NORMAL
     assert r2["n_retained_versions"] == 1
 
+    # the same state EXCEEDS a tighter policy (or: a crash between a
+    # flip and its retention sweep left deep history)
+    r3 = PL.maintenance_report(
+        spark, path, max_live_files=8, retain_policy=1
+    )
+    assert r3["actions"] == ["vacuum"]
+
     PL.vacuum_table(spark, path, keep_last=1)
-    r3 = PL.maintenance_report(spark, path, max_live_files=8)
-    assert r3["actions"] == []
-    assert r3["n_retained_versions"] == 0
+    r4 = PL.maintenance_report(
+        spark, path, max_live_files=8, retain_policy=1
+    )
+    assert r4["actions"] == []
+    assert r4["n_retained_versions"] == 0
 
 
 def test_maintenance_report_flags_torn_commit_lease_and_stale_manifest(
@@ -570,3 +580,66 @@ def test_maintenance_report_flags_torn_commit_lease_and_stale_manifest(
     assert r3["lease"] is not None
     assert r3["actions"][0] == "investigate_lease"
     PL.break_swap_lease(spark, path)
+
+
+def test_run_maintenance_cycle_heals_fleet_and_persists_reports(
+    spark, tmp_path
+):
+    """advise → act → re-report over a small fleet: the fragmented
+    table compacts, the torn commit is swept, the lease-held table is
+    skipped untouched, and before/after rows land in the ops lake
+    (queryable via read_guard_reports)."""
+    import os
+    import shutil
+
+    from gcs_parquet_dataflow_spark.streaming.observability import (
+        read_guard_reports,
+    )
+
+    frag = str(tmp_path / "frag")
+    spark.range(200).selectExpr("id AS k").repartition(12).write.parquet(
+        frag
+    )
+    torn_t = str(tmp_path / "torn")
+    spark.range(50).selectExpr("id AS k").coalesce(1).write.parquet(torn_t)
+    PL.compact(spark, torn_t, target_file_bytes=1 << 30)
+    live = PL.resolve_table(spark, torn_t)
+    shutil.copytree(live, torn_t + "__v00000099")
+    os.remove(os.path.join(torn_t + "__v00000099", "_SUCCESS"))
+    leased = str(tmp_path / "leased")
+    spark.range(50).selectExpr("id AS k").repartition(9).write.parquet(
+        leased
+    )
+    with open(leased + "__swap_lease", "w") as f:
+        f.write('{"op": "compact", "pid": 1, "acquired_unix_ms": 0}')
+
+    ops = str(tmp_path / "ops")
+    res = {
+        r["path"]: r
+        for r in PL.run_maintenance_cycle(
+            spark, [frag, torn_t, leased], max_live_files=4,
+            retain_policy=1, ops_root=ops, batch_id=0,
+        )
+    }
+    assert res[frag]["converged"] and "compact" in res[frag]["executed"]
+    assert res[frag]["after"]["actions"] == []
+    assert res[torn_t]["converged"]
+    assert "sweep_torn_commit" in res[torn_t]["executed"]
+    assert not os.path.exists(torn_t + "__v00000099")
+    # lease-held: untouched, not converged, nothing executed
+    assert not res[leased]["converged"]
+    assert res[leased]["executed"] == []
+    assert PL.maintenance_report(spark, leased)["n_files"] == 9
+
+    rows = read_guard_reports(spark, ops, "maintenance_reports")
+    assert rows.count() == 6  # 3 tables x before/after
+    after_frag = rows.filter(
+        (F.col("path") == frag) & (F.col("phase") == "after")
+    ).first()
+    assert after_frag["converged"] and after_frag["actions"] == []
+    # replay the batch: content-idempotent (dynamic partition overwrite)
+    PL.run_maintenance_cycle(
+        spark, [frag], max_live_files=4, retain_policy=1,
+        ops_root=ops, batch_id=1,
+    )
+    PL.break_swap_lease(spark, leased)
