@@ -1445,6 +1445,12 @@ def maintenance_report(
     maintenance or a dead holder needing break_swap_lease),
     ``sweep_torn_commit``.  Empty list = healthy.
     """
+    if not table_exists(spark, path):
+        raise FileNotFoundError(
+            f"maintenance_report: no table at {path} (no flat dir and no "
+            f"committed version) — a fleet scan should filter with "
+            f"table_exists / run_maintenance_cycle records it as missing"
+        )
     base = path.rstrip("/")
     live = resolve_table(spark, path)
     committed = table_versions(spark, path)
@@ -1587,6 +1593,14 @@ def run_maintenance_cycle(
     interval outruns the compaction cadence."""
     results: list[dict] = []
     for path in paths:
+        if not table_exists(spark, path):
+            # dropped between fleet listing and scan — normal at fleet
+            # scale; recorded loudly, never a cycle-killing exception
+            results.append({
+                "path": path, "before": None, "after": None,
+                "executed": [], "converged": False, "missing": True,
+            })
+            continue
         rep = maintenance_report(
             spark, path, target_file_bytes, max_live_files, retain_policy
         )
@@ -1618,6 +1632,8 @@ def run_maintenance_cycle(
     if ops_root is not None:
         rows = []
         for res in results:
+            if res.get("missing"):
+                continue
             for phase in ("before", "after"):
                 r = res[phase]
                 rows.append((

@@ -643,3 +643,23 @@ def test_run_maintenance_cycle_heals_fleet_and_persists_reports(
         ops_root=ops, batch_id=1,
     )
     PL.break_swap_lease(spark, leased)
+
+
+def test_maintenance_cycle_records_missing_tables_loudly(spark, tmp_path):
+    """A table dropped between fleet listing and scan is recorded as
+    missing — never a cycle-killing exception, never silently omitted;
+    maintenance_report itself raises a clear error for absent paths."""
+    ok = str(tmp_path / "ok")
+    spark.range(10).selectExpr("id AS k").coalesce(1).write.parquet(ok)
+    gone = str(tmp_path / "gone")
+    res = {
+        r["path"]: r
+        for r in PL.run_maintenance_cycle(
+            spark, [gone, ok], ops_root=str(tmp_path / "ops"), batch_id=0
+        )
+    }
+    assert res[gone].get("missing") is True
+    assert res[gone]["converged"] is False
+    assert res[ok]["converged"] is True
+    with pytest.raises(FileNotFoundError, match="no table at"):
+        PL.maintenance_report(spark, gone)
