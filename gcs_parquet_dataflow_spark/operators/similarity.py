@@ -1125,29 +1125,62 @@ def retrain_ivf_if_degraded(
     path: str,
     min_mean_silhouette: float,
     iterations: int = 3,
+    ops_root: str | None = None,
+    batch_id: int | None = None,
 ) -> dict:
     """Quality-gated retrain — the audit driving the action: compute
     the index's member-weighted mean simplified silhouette
     (:func:`ivf_index_quality`); below the gate, run
     :func:`retrain_ivf_index` and re-audit.  Returns
     ``{"retrained", "mean_silhouette_before", "mean_silhouette_after"}``
-    (after == before when healthy).  Pair with
+    (after == before when healthy).  With ``ops_root`` the DECISION
+    persists to ``<ops_root>/ivf_retrain_events`` (batch-keyed,
+    replay-idempotent, no wall-clock column) — on a real cluster the
+    "quantizer was degraded and rebuilt" evidence must outlive the
+    driver, same as every guard report; pair with
     ``observability.snapshot_index_quality`` so the trend AND the
-    action both land in the ops lake story."""
+    action land in the same ops lake story."""
     before = _weighted_mean_silhouette(ivf_index_quality(spark, path))
     if before >= min_mean_silhouette:
-        return {
+        result = {
             "retrained": False,
             "mean_silhouette_before": before,
             "mean_silhouette_after": before,
         }
-    retrain_ivf_index(spark, path, iterations=iterations)
-    after = _weighted_mean_silhouette(ivf_index_quality(spark, path))
-    return {
-        "retrained": True,
-        "mean_silhouette_before": before,
-        "mean_silhouette_after": after,
-    }
+    else:
+        retrain_ivf_index(spark, path, iterations=iterations)
+        after = _weighted_mean_silhouette(ivf_index_quality(spark, path))
+        result = {
+            "retrained": True,
+            "mean_silhouette_before": before,
+            "mean_silhouette_after": after,
+        }
+    if ops_root is not None:
+        from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
+            write_partitioned,
+        )
+
+        write_partitioned(
+            spark.createDataFrame(
+                [(
+                    path,
+                    float(min_mean_silhouette),
+                    result["retrained"],
+                    round(result["mean_silhouette_before"], 6),
+                    round(result["mean_silhouette_after"], 6),
+                )],
+                IVF_RETRAIN_EVENT_SCHEMA,
+            ),
+            ops_root.rstrip("/") + "/ivf_retrain_events", [],
+            batch_id=batch_id, coalesce_files=1,
+        )
+    return result
+
+
+IVF_RETRAIN_EVENT_SCHEMA = (
+    "index_path string, gate double, retrained boolean, "
+    "mean_silhouette_before double, mean_silhouette_after double"
+)
 
 
 def _weighted_mean_silhouette(quality: DataFrame) -> float:

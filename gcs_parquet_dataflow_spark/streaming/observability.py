@@ -232,9 +232,12 @@ def read_guard_reports(
 ) -> DataFrame:
     """Read a persisted guard-report table back (``kind`` ∈
     {"cap_reports", "cc_reports", "ivf_quality",
-    "maintenance_reports"}); empty-but-typed when no report has ever
-    been written — a monitoring query on a healthy young pipeline is
-    not an error."""
+    "maintenance_reports", "ivf_retrain_events"}); empty-but-typed
+    when no report has ever been written — a monitoring query on a
+    healthy young pipeline is not an error."""
+    from gcs_parquet_dataflow_spark.operators.similarity import (
+        IVF_RETRAIN_EVENT_SCHEMA,
+    )
     from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
         _MAINT_REPORT_SCHEMA,
         read_table,
@@ -246,6 +249,7 @@ def read_guard_reports(
         "cc_reports": CC_REPORT_SCHEMA,
         "ivf_quality": IVF_QUALITY_SCHEMA,
         "maintenance_reports": _MAINT_REPORT_SCHEMA,
+        "ivf_retrain_events": IVF_RETRAIN_EVENT_SCHEMA,
     }
     if kind not in schemas:
         raise ValueError(f"kind must be one of {sorted(schemas)}: {kind!r}")

@@ -663,3 +663,42 @@ def test_maintenance_cycle_records_missing_tables_loudly(spark, tmp_path):
     assert res[ok]["converged"] is True
     with pytest.raises(FileNotFoundError, match="no table at"):
         PL.maintenance_report(spark, gone)
+
+
+def test_retrain_decision_persists_to_ops_lake(spark, tmp_path):
+    """Both outcomes of the quality gate land in ivf_retrain_events
+    (the action evidence must outlive the driver, like every guard
+    report); batch-keyed replay overwrites its own partition."""
+    from gcs_parquet_dataflow_spark.streaming.observability import (
+        read_guard_reports,
+    )
+
+    corpus = _two_blob_corpus(spark, n_per=15)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(
+        corpus, path,
+        cents=SIM.ivf_centroids(k=2, dim=8, seed=29),
+        persist_centroids=True,
+    )
+    ops = str(tmp_path / "ops")
+    r1 = SIM.retrain_ivf_if_degraded(
+        spark, path, min_mean_silhouette=0.99, ops_root=ops, batch_id=0
+    )
+    assert r1["retrained"] is True
+    r2 = SIM.retrain_ivf_if_degraded(
+        spark, path, min_mean_silhouette=0.5, ops_root=ops, batch_id=1
+    )
+    assert r2["retrained"] is False
+    events = read_guard_reports(spark, ops, "ivf_retrain_events")
+    rows = {r["_batch_id"]: r for r in events.collect()}
+    assert rows[0]["retrained"] is True and rows[0]["gate"] == 0.99
+    assert rows[0]["mean_silhouette_after"] > rows[0][
+        "mean_silhouette_before"
+    ]
+    assert rows[1]["retrained"] is False
+    # replayed batch: content-idempotent, still 2 rows (fresh read —
+    # the dynamic overwrite replaced the old partition's files)
+    SIM.retrain_ivf_if_degraded(
+        spark, path, min_mean_silhouette=0.5, ops_root=ops, batch_id=1
+    )
+    assert read_guard_reports(spark, ops, "ivf_retrain_events").count() == 2
