@@ -1054,12 +1054,16 @@ def retrain_ivf_index(
     path: str,
     k: int | None = None,
     iterations: int = 3,
+    max_train_rows: int = 262_144,
 ) -> list[list[float]]:
     """The scheduled maintenance job every production IVF system runs
     when the corpus drifts off its coarse quantizer: re-train the
     centroids ON the indexed vectors (one-subspace deterministic Lloyd
     — :func:`train_pq_codebooks` with ``n_sub=1``, randomness-free and
-    partitioning-independent), re-assign every vector, and publish the
+    partitioning-independent; training is bounded to a
+    ``max_train_rows`` content-hash sample so its cost never grows
+    with the corpus — only the re-assignment pass is O(index)),
+    re-assign every vector, and publish the
     rebuilt index through the reader-atomic versioned commit
     (``sinks.parquet_lake.rewrite_table``): probes racing the retrain
     keep scanning the retained old version; the new version carries
@@ -1094,6 +1098,20 @@ def retrain_ivf_index(
         F.col("neighbor_id").alias("vec_id"),
         F.col("_cv").alias("embedding"),
     )
+    # production IVF trains the coarse quantizer on a BOUNDED sample
+    # (training cost must not grow with the corpus — only the
+    # re-assignment pass is O(index)); membership is the shared
+    # content-hash rule, so the trained centroids are reproducible
+    # under any partitioning and stable across re-runs
+    n_vecs = vecs.count()
+    if max_train_rows and n_vecs > max_train_rows:
+        from gcs_parquet_dataflow_spark.operators.sampling import (
+            deterministic_sample,
+        )
+
+        vecs = deterministic_sample(
+            vecs, "vec_id", max_train_rows / n_vecs
+        )
     books = train_pq_codebooks(
         vecs, n_sub=1, k=k, dim=dim, iterations=iterations
     )

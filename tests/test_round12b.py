@@ -702,3 +702,35 @@ def test_retrain_decision_persists_to_ops_lake(spark, tmp_path):
         spark, path, min_mean_silhouette=0.5, ops_root=ops, batch_id=1
     )
     assert read_guard_reports(spark, ops, "ivf_retrain_events").count() == 2
+
+
+def test_retrain_training_sample_cap_bounds_cost_not_quality(
+    spark, tmp_path
+):
+    """Training on a content-hash SAMPLE (max_train_rows) still
+    separates the two blobs near-perfectly — the quantizer needs a
+    representative sample, only the re-assignment needs every row —
+    and the sampled retrain is deterministic (same cap → identical
+    centroids)."""
+    corpus = _two_blob_corpus(spark, n_per=60)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(
+        corpus, path,
+        cents=SIM.ivf_centroids(k=2, dim=8, seed=29),
+        persist_centroids=True,
+    )
+    cents = SIM.retrain_ivf_index(spark, path, max_train_rows=30)
+    q = SIM.ivf_index_quality(spark, path)
+    sil = SIM._weighted_mean_silhouette(q)
+    assert sil > 0.9
+
+    # deterministic under the same cap: rebuild from scratch, retrain
+    # again, identical trained centroids
+    path2 = str(tmp_path / "ivf2")
+    SIM.build_ivf_index(
+        corpus, path2,
+        cents=SIM.ivf_centroids(k=2, dim=8, seed=29),
+        persist_centroids=True,
+    )
+    cents2 = SIM.retrain_ivf_index(spark, path2, max_train_rows=30)
+    assert cents == cents2
