@@ -759,6 +759,15 @@ def connected_components(
         )
     mode = "label" if algorithm == "auto" else algorithm
     algo_used = algorithm if algorithm != "auto" else "label"
+    # ONE exchange on src replaces the old .distinct()'s exchange on
+    # (src, dst): hash(src) already co-locates equal (src, dst) rows,
+    # so the dedup aggregate runs partition-local on top of it — same
+    # exchange count, but the cached edge table comes out partitioned
+    # by src, the per-round join key. At cluster scale (labels too big
+    # to broadcast) the label⋈edges sort-merge join then reuses the
+    # cached partitioning instead of re-shuffling the edge table EVERY
+    # round (r12 optimization; locally the labels side broadcasts and
+    # the layout is free either way).
     edges = (
         pairs.selectExpr(f"{pairs.columns[0]} as src", f"{pairs.columns[1]} as dst")
         .union(
@@ -766,7 +775,8 @@ def connected_components(
                 f"{pairs.columns[1]} as src", f"{pairs.columns[0]} as dst"
             )
         )
-        .distinct()
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
         .persist()
     )
     labels = nodes.select(
@@ -784,6 +794,7 @@ def connected_components(
         )
         new_labels = labels.join(neighbor_min, "id", "left").select(
             "id",
+            F.col("cluster").alias("_prev"),
             F.least(
                 F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
             ).alias("cluster"),
@@ -803,6 +814,7 @@ def connected_components(
                 )
                 .select(
                     F.col("a.id").alias("id"),
+                    F.col("a._prev").alias("_prev"),
                     F.least(
                         F.col("a.cluster"),
                         F.coalesce(F.col("_jcluster"), F.col("a.cluster")),
@@ -810,17 +822,24 @@ def connected_components(
                 )
             )
             new_labels = jumped
+        # A min-label only ever decreases, so "this label moved" is a
+        # per-row comparison against the round's STARTING label —
+        # carried as a column so the convergence check is a
+        # filter-count over the frame this round materializes anyway.
+        # Before r12-opt it was a second labels⋈labels join per round:
+        # a full |nodes| shuffle at cluster scale, an extra broadcast
+        # build + stage locally, per iteration, for one driver scalar.
+        new_labels = new_labels.select(
+            "id",
+            "cluster",
+            (F.col("cluster") < F.col("_prev")).alias("_moved"),
+        )
         if (i + 1) % checkpoint_every == 0:
             # materializes AND cuts the logical plan back to a leaf
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("_moved")).count()
         labels.unpersist()
         labels = new_labels
         iterations = i + 1
