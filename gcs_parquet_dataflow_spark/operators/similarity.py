@@ -231,6 +231,28 @@ def ivf_assign(vec: Column, cents: list[list[float]]) -> Column:
     return expr.cast("int")
 
 
+def ivf_assigned_corpus(
+    corpus: DataFrame,
+    cents: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The map-only IVF build pass → (neighbor_id, _cv, _cnorm, _list):
+    each corpus vector with its inverted-list id and PRECOMPUTED norm.
+    Factored out of :func:`ivf_topk` (r12 optimization) so
+    multi-setting evaluation rows (the nprobe curve probes the same
+    corpus at 4 settings) can persist ONE assignment pass and share it
+    across calls instead of re-scanning and re-assigning the corpus per
+    setting."""
+    cents = cents if cents is not None else ivf_centroids()
+    return ensure_parallelism(corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cnorm"),
+        ivf_assign(F.col(vec_col), cents).alias("_list"),
+    ))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -239,6 +261,7 @@ def ivf_topk(
     cents: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors land in the inverted list of their
     nearest centroid (ONE list each — build is a map-only pass); each
@@ -248,13 +271,19 @@ def ivf_topk(
     The scale shape: candidate count drops to ~nprobe/k_lists of the
     corpus, the standard IVF recall/cost dial (raise nprobe for recall).
     Unlike hyperplane LSH (whose 2^planes buckets are fixed), IVF lists
-    follow the data distribution once centroids are trained."""
+    follow the data distribution once centroids are trained.
+
+    ``assigned`` reuses a (persisted) :func:`ivf_assigned_corpus` frame
+    — pass it when probing the same corpus repeatedly (parameter
+    curves); ``corpus`` is then ignored.  Norms ride precomputed
+    columns both sides (r12): the exact rescore evaluates ONE
+    ``aggregate(zip_with)`` dot per candidate instead of three — the
+    same bit-identical ``round(dot/(na*nb), 6)`` the r11 keyed-table
+    precompute proved (the per-row norm is the same double the inline
+    fold produced, so cos values cannot move)."""
     cents = cents if cents is not None else ivf_centroids()
-    assigned = ensure_parallelism(corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        ivf_assign(F.col(vec_col), cents).alias("_list"),
-    ))
+    if assigned is None:
+        assigned = ivf_assigned_corpus(corpus, cents, id_col, vec_col)
     probe_structs = F.array(*[
         F.struct((-s).alias("ns"), F.lit(i).cast("int").alias("c"))
         for i, s in enumerate(ivf_scores(F.col(vec_col), cents))
@@ -262,6 +291,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qnorm"),
         F.explode(
             F.transform(
                 F.slice(F.array_sort(probe_structs), 1, nprobe),
@@ -275,7 +305,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+            _cosine_precomputed(
+                F.col("_qv"), F.col("_cv"),
+                F.col("_qnorm"), F.col("_cnorm"),
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -12044,10 +12044,17 @@ def knn_ivf_nprobe_curve(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     n_truth = truth.count()
+    # ONE assignment pass shared by all four curve points (r12): the
+    # corpus scan + 8-centroid argmax is identical at every nprobe, so
+    # persist it once instead of re-scanning per setting (the Spark
+    # twin of the oracle CTE's shared `assigned` block).
+    assigned = persist_intermediate(
+        SIM.ivf_assigned_corpus(e, cents=IVF_CENTS)
+    )
     rows_ = None
     for np_ in (1, 2, 4, 8):
         approx = SIM.ivf_topk(
-            e, q, k=5, nprobe=np_, cents=IVF_CENTS
+            e, q, k=5, nprobe=np_, cents=IVF_CENTS, assigned=assigned
         ).select("query_id", "neighbor_id")
         hits = approx.join(truth, ["query_id", "neighbor_id"]).agg(
             F.lit(np_).cast("long").alias("nprobe"),
