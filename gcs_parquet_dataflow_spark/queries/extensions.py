@@ -10371,34 +10371,32 @@ def retrieval_mrr_eval(spark, sf_dir):
     from pyspark.sql import Window as WS
 
     d = t(spark, sf_dir, "documents")
-    w0 = d.select(
-        "doc_id", F.split(F.col("text"), " ").alias("w")
-    )
-    sh = w0.select(
-        "doc_id",
-        DD.word_shingle_hashes(
-            F.concat_ws(" ", F.col("w"))
-        ).alias("hs"),
-    )
-    q = (
-        w0.filter(F.col("doc_id").isin(3, 7, 11, 19, 23))
-        .select(
+    # Inverted-index scoring (r12): the old form built per-doc HOF
+    # shingle ARRAYS (word_shingle_hashes — interpreted lambdas) and
+    # evaluated one array_intersect per (doc, query) in a crossJoin —
+    # |docs|×|queries| interpreted set intersections. The codegen'd
+    # exploded twin (shingle_hashes_exploded — DISTINCT hashes, so a
+    # broadcast hash equi-join + count is exactly |A∩B|) materializes
+    # only matching (doc, query, shingle) rows: same overlap integers,
+    # same candidate set (overlap ≥ 1 ⟺ shares a shingle).
+    sh_e = DD.shingle_hashes_exploded(d, "doc_id", "text", k=3)
+    q_e = DD.shingle_hashes_exploded(
+        d.filter(F.col("doc_id").isin(3, 7, 11, 19, 23)).select(
             F.col("doc_id").alias("query_id"),
-            DD.word_shingle_hashes(
-                F.concat_ws(" ", F.slice(F.col("w"), 6, 6))
-            ).alias("qh"),
-        )
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 6, 6)
+            ).alias("text"),
+        ),
+        "query_id",
+        "text",
+        k=3,
     )
     sc = (
-        sh.crossJoin(F.broadcast(q))
-        .select(
-            "query_id",
-            "doc_id",
-            F.size(
-                F.array_intersect(F.col("hs"), F.col("qh"))
-            ).alias("overlap"),
+        sh_e.join(
+            F.broadcast(q_e), sh_e["_h"] == q_e["_h"]
         )
-        .filter(F.col("overlap") > 0)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
     )
     rk = sc.withColumn(
         "r",
@@ -10408,14 +10406,23 @@ def retrieval_mrr_eval(spark, sf_dir):
             )
         ),
     )
-    rel = rk.filter(F.col("doc_id") == F.col("query_id")).select(
-        "query_id", F.col("r").alias("relevant_rank")
-    )
-    top1 = rk.filter(F.col("r") == 1).select(
-        "query_id", F.col("doc_id").alias("top1_doc")
-    )
+    # ONE aggregation replaces the old rel⋈top1 self-join (r12): the
+    # unpersisted rk lineage (HOF shingles + crossJoin scoring + rank
+    # window, the expensive part of this row) was recomputed per
+    # branch — relevant_rank is min(r | doc==query) (each query's own
+    # doc appears exactly once) and top1_doc is min_by(doc, r), both
+    # from the same single pass over rk. Identical rows: the old join
+    # emitted one row per query with both branches present, which is
+    # exactly the grouped row.
     return (
-        rel.join(top1, "query_id")
+        rk.groupBy("query_id")
+        .agg(
+            F.min(
+                F.when(F.col("doc_id") == F.col("query_id"), F.col("r"))
+            ).alias("relevant_rank"),
+            F.min_by("doc_id", "r").alias("top1_doc"),
+        )
+        .filter(F.col("relevant_rank").isNotNull())
         .select(
             "query_id",
             F.col("relevant_rank").cast("long").alias("relevant_rank"),
