@@ -112,6 +112,10 @@ EXTENDED = [
     "er_em_weight_step",
     "er_threshold_tradeoff",
     "sample_quota_per_source",
+    # round-12 optimization: plans changed this round (inverted-index
+    # MRR scoring; shared IVF assignment pass) — tracked for deltas
+    "retrieval_mrr_eval",
+    "knn_ivf_nprobe_curve",
 ]
 
 
