@@ -273,6 +273,14 @@ def main() -> None:
     shutil.rmtree(idx_root, ignore_errors=True)
     load_end = _load1()
 
+    # Effective parallelism, recorded in BOTH artifacts (VERDICT r12
+    # item 2a: the driver's scaling probe flagged suspect_cpus_ignored
+    # because ~equal 8-core vs 32-core totals at this overhead-bound SF
+    # were indistinguishable from a hard-coded master — the line itself
+    # must attest the core count the session actually ran with).
+    cpus_effective = spark.sparkContext.defaultParallelism
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -304,6 +312,8 @@ def main() -> None:
         "load1_start": load_start,
         "load1_end": load_end,
         "table_rows": table_rows,
+        "cpus": cpus_effective,
+        "cpus_env": cpus_env,
         "sf": sf_val,
     })
     line = json.dumps({
@@ -312,6 +322,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "load1": [load_start, load_end],
+        "cpus": cpus_effective,
         "sf": sf_val,
     })
     assert len(line) < 1800, f"stdout bench line too long: {len(line)}B"

@@ -777,18 +777,32 @@ def connected_components(
         )
         .repartition("src")
         .dropDuplicates(["src", "dst"])
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("cluster")
-    ).persist()
+        F.col(id_col).alias("id"),
+        F.col(id_col).cast("long").alias("cluster"),
+        F.lit(True).alias("_moved"),
+    ).localCheckpoint(eager=True)
     changed = -1
     prev_changed = -1
     iterations = 0
     converged = False
     for i in range(max_iter):
+        # FRONTIER propagation (r13, guide §2.3 — shuffle fewer bytes):
+        # only nodes whose label MOVED last round can improve a
+        # neighbor this round.  An unmoved neighbor s last moved in
+        # some round j < i; it was in the frontier of round j+1, so
+        # every neighbor d already took min with s's (still current)
+        # label there and, labels being monotone non-increasing,
+        # d.cluster <= s.cluster ever since.  Hence min over frontier
+        # neighbors == min over all neighbors, EVERY round — per-round
+        # labels (and changed counts, test_opt12 pins) are pointwise
+        # identical to full propagation, but the join input shrinks
+        # geometrically as the graph collapses.
+        frontier = labels.filter(F.col("_moved")).select("id", "cluster")
         neighbor_min = (
-            labels.join(edges, labels.id == edges.src)
+            frontier.join(edges, frontier.id == edges.src)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster").alias("_nmin"))
         )
@@ -801,11 +815,17 @@ def connected_components(
         )
         if mode == "jump":
             # pointer jump: adopt my label's CURRENT label too — the
-            # shortcut edge (u → label(u)) that makes reach double
+            # shortcut edge (u → label(u)) that makes reach double.
+            # Build side pre-filtered to cluster < id (r13): a target
+            # whose label IS itself contributes least(a.cluster,
+            # a.cluster) — exactly what the left-join null path yields
+            # — so dropping those rows is value-identical while the
+            # broadcast build shrinks from |nodes| to the non-root
+            # component members.
             jumped = (
                 new_labels.alias("a")
                 .join(
-                    labels.select(
+                    labels.filter(F.col("cluster") < F.col("id")).select(
                         F.col("id").alias("_jid"),
                         F.col("cluster").alias("_jcluster"),
                     ),

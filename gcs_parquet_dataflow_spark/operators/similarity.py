@@ -284,6 +284,22 @@ def ivf_topk(
     cents = cents if cents is not None else ivf_centroids()
     if assigned is None:
         assigned = ivf_assigned_corpus(corpus, cents, id_col, vec_col)
+    else:
+        # loud misuse guard (ADVICE r12): a frame that is not an
+        # ivf_assigned_corpus output — or one built with DIFFERENT
+        # centroids than the ``cents`` used for query probing below —
+        # would probe the wrong inverted lists silently.  The column
+        # contract is checkable; the centroid pairing is the caller's
+        # (documented) obligation.
+        missing = {"neighbor_id", "_cv", "_cnorm", "_list"} - set(
+            assigned.columns
+        )
+        if missing:
+            raise ValueError(
+                "assigned= must be an ivf_assigned_corpus frame; missing "
+                f"columns: {sorted(missing)} (and it must have been built "
+                "with the SAME cents used for this probe)"
+            )
     probe_structs = F.array(*[
         F.struct((-s).alias("ns"), F.lit(i).cast("int").alias("c"))
         for i, s in enumerate(ivf_scores(F.col(vec_col), cents))
@@ -1416,20 +1432,49 @@ def index_family_crossover(
     planes2 = planes2 if planes2 is not None else hyperplanes(seed=14)
     cents = cents if cents is not None else ivf_centroids()
 
-    truth = persist_intermediate(
-        brute_force_topk(corpus, queries, k, id_col, vec_col).select(
-            "query_id", "neighbor_id"
-        )
-    )
-    n_truth = truth.count()  # |queries|·k — a bounded driver scalar
-
+    # ONE corpus keying pass (r13 extends the r12 `ivf_assigned_corpus`
+    # pattern here — VERDICT r12 item 6): both bucket signatures, the
+    # IVF assignment, AND the precomputed norm ride the same persisted
+    # projection, so the exact ground truth below reuses this cached
+    # relation instead of re-scanning the corpus through
+    # brute_force_topk, and every rescore evaluates one HOF dot fold
+    # per pair instead of three (`_cosine_precomputed` is the exact
+    # expression `cosine` builds with the norms inlined — same double,
+    # so cos values and oracle hashes cannot move).
     c_keyed = persist_intermediate(ensure_parallelism(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cnorm"),
         hyperplane_bucket(F.col(vec_col), planes).alias("_b1"),
         hyperplane_bucket(F.col(vec_col), planes2).alias("_b2"),
         ivf_assign(F.col(vec_col), cents).alias("_list"),
     )))
+    ids_q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qnorm"),
+    )
+
+    truth_scored = (
+        c_keyed.select("neighbor_id", "_cv", "_cnorm")
+        .join(F.broadcast(ids_q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_precomputed(
+                F.col("_qv"), F.col("_cv"),
+                F.col("_qnorm"), F.col("_cnorm"),
+            ).alias("cos"),
+        )
+    )
+    w_t = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    truth = persist_intermediate(
+        truth_scored.withColumn("rank", F.row_number().over(w_t))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    n_truth = truth.count()  # |queries|·k — a bounded driver scalar
+
     q_keyed = queries.select(
         F.col(id_col).alias("query_id"),
         hyperplane_bucket(F.col(vec_col), planes).alias("_b1"),
@@ -1460,10 +1505,6 @@ def index_family_crossover(
     p2 = p1.union(pairs_via("_b2", q_keyed)).distinct()
     p3 = pairs_via("_list", q_lists)
 
-    ids_q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-
     def method_row(name: str, pairs: DataFrame) -> DataFrame:
         pairs = persist_intermediate(pairs)
         n_cand = pairs.agg(
@@ -1472,14 +1513,17 @@ def index_family_crossover(
         scored = (
             pairs.join(
                 # c_keyed is one row per corpus vector (no explode here)
-                c_keyed.select("neighbor_id", "_cv"),
+                c_keyed.select("neighbor_id", "_cv", "_cnorm"),
                 "neighbor_id",
             )
             .join(F.broadcast(ids_q), "query_id")
             .select(
                 "query_id",
                 "neighbor_id",
-                cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+                _cosine_precomputed(
+                    F.col("_qv"), F.col("_cv"),
+                    F.col("_qnorm"), F.col("_cnorm"),
+                ).alias("cos"),
             )
         )
         w = W.partitionBy("query_id").orderBy(

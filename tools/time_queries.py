@@ -29,7 +29,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--passes", type=int, default=3)
+    def _positive(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--passes must be >= 1")
+        return n
+
+    ap.add_argument("--passes", type=_positive, default=3)
     ap.add_argument("--plans-dir", default=None)
     ap.add_argument("--plans-suffix", default="before")
     ap.add_argument("--json", default=None)
@@ -47,7 +53,12 @@ def main() -> None:
 
     spark = get_spark(app_name="time-queries")
     # one warm-up action so the first timed query doesn't pay JVM/codegen
-    # cold start (same convention as bench.py)
+    # cold start (same convention as bench.py).  NOTE (ADVICE r12): the
+    # warm-up builds queries[0], so the FIRST listed query gets a plan-
+    # specific extra warm pass later queries don't — cross-query
+    # comparisons within one invocation carry that bias; before/after
+    # runs of the same query list are unaffected (both sides warm the
+    # same plan).
     CATALOG[args.queries[0]].build(spark, args.sf_dir).count()
     release_intermediates()
 
