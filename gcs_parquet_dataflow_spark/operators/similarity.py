@@ -2112,7 +2112,13 @@ def compact_cosine_index(
 
             def _write(staging: str) -> None:
                 (
-                    merged.repartition("_t")
+                    # repartition on the FULL partition key (r13): with
+                    # one plane table `_t` has a single value, so the
+                    # old repartition("_t") serialized the whole fold
+                    # into ONE task (guide §2.5 synthetic-key skew);
+                    # (_t,_bucket) spreads it over the buckets while
+                    # still writing exactly one file per bucket dir.
+                    merged.repartition("_t", "_bucket")
                     .write.mode("overwrite")
                     .partitionBy("_fold_gen", "_t", "_bucket")
                     .parquet(staging)
@@ -2130,7 +2136,10 @@ def compact_cosine_index(
                 df.filter(F.col("_batch_id").isin([int(i) for i in fold_ids]))
                 .select(*_FOLD_COLS)
                 .withColumn("_fold_gen", F.lit(int(gen)))
-                .repartition("_t")
+                # full partition key, not bare `_t` (single value with
+                # one plane table = one-task fold) — see the major-fold
+                # note above (guide §2.5)
+                .repartition("_t", "_bucket")
                 .write.mode("append")
                 .partitionBy("_fold_gen", "_t", "_bucket")
                 .parquet(fdir if table_exists(spark, froot) else froot)
@@ -2159,7 +2168,9 @@ def compact_cosine_index(
             return
         staging = path.rstrip("/") + "__cosine_index_compact_staging"
         (
-            kept.repartition("_batch_id", "_t")
+            # full partition key: (_batch_id,_t) is keep_last×1 tasks
+            # with one plane table — see the fold notes above
+            kept.repartition("_batch_id", "_t", "_bucket")
             .write.mode("overwrite")
             .partitionBy("_batch_id", "_t", "_bucket")
             .parquet(staging)

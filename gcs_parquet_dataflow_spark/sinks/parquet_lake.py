@@ -353,21 +353,47 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, hpath, jvm
 
 
+def _list_data_files(fs, hpath) -> list[tuple[str, int]]:
+    """Recursive (data-file path, size) listing under ``hpath`` —
+    skips ``_``/``.`` names (_SUCCESS, checksums, markers, staging).
+
+    The py4j RemoteIterator costs ~4 JVM round trips per file (measured
+    12 s on an 838-file index — r13); on ``file:`` paths one native
+    ``os.walk`` is milliseconds, so local filesystems take that branch.
+    Callers only ever compare outputs of the same path/scheme, so the
+    two branches' path-string formats never mix."""
+    if not fs.exists(hpath):
+        return []
+    uri = hpath.toUri()
+    if (uri.getScheme() or "file") == "file":
+        out = []
+        for dirpath, _dirs, files in os.walk(uri.getPath()):
+            for fn in files:
+                if not fn.startswith(("_", ".")):
+                    full = os.path.join(dirpath, fn)
+                    try:
+                        out.append((full, os.path.getsize(full)))
+                    except OSError:
+                        continue  # raced deletion — same as iterator skip
+        return out
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
 def data_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) under ``path`` via the Hadoop
     FileSystem API — works on any Hadoop-compatible store (local, HDFS,
     gs://, s3a://), not just the local disk tests run on."""
     fs, hpath, _ = _fs_and_path(spark, path)
-    n = total = 0
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if name.startswith(("_", ".")):  # _SUCCESS, checksums, staging
-            continue
-        n += 1
-        total += st.getLen()
-    return n, total
+    files = _list_data_files(fs, hpath)
+    return len(files), sum(sz for _, sz in files)
 
 
 def compact(
@@ -572,18 +598,10 @@ def _dest_epoch(fs, hpath, jvm) -> frozenset:
     data-file paths under it.  Parquet part files are uuid-named (the
     read_skipping staleness argument), so ANY concurrent append,
     overwrite, or rewrite between snapshot and commit changes the set.
-    Listing-cost only — never reads data."""
-    if not fs.exists(hpath):
-        return frozenset()
-    out = []
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if name.startswith(("_", ".")):
-            continue
-        out.append(st.getPath().toString())
-    return frozenset(out)
+    Listing-cost only — never reads data (an epoch was paid once at
+    lease acquire and once at commit; the local-FS fast path in
+    :func:`_list_data_files` is what keeps that affordable — r13)."""
+    return frozenset(p for p, _ in _list_data_files(fs, hpath))
 
 
 class _SwapLeaseHandle:
@@ -1457,16 +1475,10 @@ def maintenance_report(
     live_version = committed[-1] if committed and live != base else -1
 
     fs, _, jvm = _fs_and_path(spark, live)
-    n_files = total_bytes = small = 0
-    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(live), True)
-    while it.hasNext():
-        st = it.next()
-        if st.getPath().getName().startswith(("_", ".")):
-            continue
-        n_files += 1
-        total_bytes += st.getLen()
-        if st.getLen() < target_file_bytes // 2:
-            small += 1
+    files = _list_data_files(fs, jvm.org.apache.hadoop.fs.Path(live))
+    n_files = len(files)
+    total_bytes = sum(sz for _, sz in files)
+    small = sum(1 for _, sz in files if sz < target_file_bytes // 2)
     small_ratio = round(small / n_files, 6) if n_files else 0.0
 
     hist = table_history(spark, path).collect()
