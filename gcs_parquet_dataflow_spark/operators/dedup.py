@@ -701,6 +701,23 @@ def connected_components(
     100 TB. Labels persist per round; convergence is checked with a
     count of changed labels (small driver scalar, not a collect of data).
 
+    Two r13 loop properties (measured 3-7× on the sweep rows):
+
+    - **Entry frames are localCheckpoint-ed** (edges + initial labels):
+      without the truncation every round RE-PLANS the full upstream
+      pair-pipeline DAG inside its action (measured: a round-3 count
+      plan of 9.6k lines with 740 parquet scans at sf0.001) — the
+      driver-side planning cost, not executor work, dominated the
+      clustering rows.
+    - **Frontier propagation**: the neighbor-min join input is only the
+      labels that moved last round.  An unmoved neighbor s last moved
+      in round j < i, so s sat in round j+1's frontier and every
+      neighbor d took min with s's still-current label then; labels
+      only decrease, so d.cluster ≤ s.cluster ever since — the
+      frontier min equals the all-neighbors min EVERY round, making
+      per-round labels (and changed counts) pointwise identical to
+      full propagation (tests/test_opt12.py pins them).
+
     ``max_iter`` is the PRODUCTION iteration dial (VERDICT r10 item 4):
     it bounds wall-clock on adversarially deep graphs (a chain of
     pairwise near-dups — crawl rings, templated page series — has

@@ -112,6 +112,47 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_precomputed(
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`brute_force_topk` over an already-keyed corpus frame
+    (``ivf_assigned_corpus`` output or any frame carrying
+    ``neighbor_id``, ``_cv``, ``_cnorm``) — multi-setting eval rows
+    persist ONE such frame and derive BOTH the exact ground truth and
+    the candidate probes from it instead of re-scanning the corpus
+    (r13, extending the r12 shared-assignment pattern).  Rescore is
+    ``_cosine_precomputed`` = the exact expression :func:`cosine`
+    builds with the norms inlined, so cos values (and oracle hashes)
+    are bit-identical to :func:`brute_force_topk`.
+    → (query_id, neighbor_id, rank, cos)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    scored = (
+        assigned.select("neighbor_id", "_cv", "_cnorm")
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_precomputed(
+                F.col("_qv"), F.col("_cv"),
+                F.col("_qnorm"), F.col("_cnorm"),
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -12038,26 +12038,27 @@ def knn_ivf_nprobe_curve(spark, sf_dir):
     each curve point is a probes→list equi-join with per-query top-5
     heaps; the truth set is the 5-query broadcast-scan baseline. The
     4 settings share the assignment scan."""
-    truth = SIM.brute_force_topk(
-        t(spark, sf_dir, "embeddings"),
-        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5),
-        k=5,
-    ).select("query_id", "neighbor_id")
     from gcs_parquet_dataflow_spark.operators.partitioning import (
         persist_intermediate,
     )
 
-    truth = persist_intermediate(truth)
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    n_truth = truth.count()
     # ONE assignment pass shared by all four curve points (r12): the
     # corpus scan + 8-centroid argmax is identical at every nprobe, so
     # persist it once instead of re-scanning per setting (the Spark
-    # twin of the oracle CTE's shared `assigned` block).
+    # twin of the oracle CTE's shared `assigned` block).  Since r13 the
+    # exact ground truth ALSO derives from this frame
+    # (brute_force_topk_precomputed — bit-identical rescore) instead of
+    # a second full corpus scan through brute_force_topk.
     assigned = persist_intermediate(
         SIM.ivf_assigned_corpus(e, cents=IVF_CENTS)
     )
+    truth = persist_intermediate(
+        SIM.brute_force_topk_precomputed(assigned, q, k=5)
+        .select("query_id", "neighbor_id")
+    )
+    n_truth = truth.count()
     rows_ = None
     for np_ in (1, 2, 4, 8):
         approx = SIM.ivf_topk(

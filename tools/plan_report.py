@@ -66,9 +66,9 @@ REPRESENTATIVE = [
     ("dedup_embedding_batch_pairs", "incremental batch-vs-corpus probe: corpus-side cap, bucket equi-join Σ|batch_b|·|corpus_b| — never |batch|×|corpus|"),
     ("layout_hilbert_key_3d", "Skilling Hilbert SSA steps as chained codegen'd projections — data-dependent bit algorithm with no UDF and no expression blow-up"),
     # round-11 additions
-    ("dedup_minhash_clusters_capped", "iteration-dialed connected components: per-round label join + min-agg, lineage localCheckpoint-bounded, CCReport on stop"),
-    ("knn_index_family_crossover", "one shared corpus keying pass (both bucket sigs + IVF assignment) feeding three candidate joins + exact rescore — recall/cost per index family in one plan"),
-    ("dedup_minhash_clusters_jump", "pointer-jumping CC round: neighbor-min aggregate PLUS the labels self-join shortcut — O(log diameter) rounds at one extra shuffle each"),
+    ("dedup_minhash_clusters_capped", "iteration-dialed connected components: per-round FRONTIER(_moved)⋈edges min-agg over localCheckpoint-truncated entry frames (r13 — no per-round re-planning of the pair pipeline), CCReport on stop"),
+    ("knn_index_family_crossover", "one shared corpus keying pass (both bucket sigs + IVF assignment + precomputed norms, r13) feeding the exact ground truth AND three candidate joins + rescore — recall/cost per index family in one plan"),
+    ("dedup_minhash_clusters_jump", "pointer-jumping CC round: frontier neighbor-min aggregate PLUS the labels self-join shortcut with its build side filtered to non-root rows (r13) — O(log diameter) rounds"),
     ("dedup_minhash_clusters_auto", "auto CC on the shallow fixture: the stall detector never fires, so every round is the PLAIN label plan — no jump self-join paid (r12, the no-folklore dial)"),
     ("decontam_semantic_pairs", "semantic decontamination: bench-vs-corpus capped bucket equi-join with precomputed norms — the embedding companion to the lexical shingle filter, |bench|-bounded like every batch-vs-corpus probe"),
     ("knn_ivf_list_quality", "IVF list audit: one map-side projection (k+1 dot folds), posexplode to k rows, two hash aggs with map-side combine, then a k²-row broadcast DB join — O(n·k), never O(n²) silhouette"),
