@@ -13,6 +13,8 @@ from gcs_parquet_dataflow_spark.config.model import load_configs
 from gcs_parquet_dataflow_spark.plans.compiler import CompilerOptions
 from gcs_parquet_dataflow_spark.sources.batch import list_files, run_batch
 
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
+
 
 @pytest.fixture(scope="module")
 def data_dir(tmp_path_factory):

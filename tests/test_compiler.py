@@ -19,6 +19,8 @@ from gcs_parquet_dataflow_spark.plans.compiler import (
     split_dlq,
 )
 
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
+
 FIXED_NOW = 1_700_000_000
 FIXED_UUID = "00000000-0000-4000-8000-000000000000"
 

@@ -11,6 +11,9 @@ from gcs_parquet_dataflow_spark.operators.corpus import (
     deterministic_shuffle,
     vocabulary,
 )
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
 
 
 def test_chunks_cover_document_with_overlap(spark):

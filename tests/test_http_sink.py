@@ -17,6 +17,8 @@ from gcs_parquet_dataflow_spark.sinks.http_batch import (
     _send_with_retry,
 )
 
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
+
 
 class StubHandler(BaseHTTPRequestHandler):
     """Scriptable responses: the server pops from ``script`` per request;

@@ -9,6 +9,10 @@ from pyspark.sql import functions as F
 
 from gcs_parquet_dataflow_spark.operators import linkage
 
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
+
 
 def _records(spark):
     # 1/2 are a near-pair (share name digits + city); 3 is a hot-city

@@ -13,6 +13,10 @@ from gcs_parquet_dataflow_spark.operators.metrics import (
 from gcs_parquet_dataflow_spark.operators.routing import with_routing
 from gcs_parquet_dataflow_spark.plans.compiler import CompilerOptions, compile_config
 
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
+
 
 def test_observe_transform_counters(spark):
     df = spark.createDataFrame(

@@ -12,6 +12,10 @@ from pyspark.sql import functions as F
 
 from gcs_parquet_dataflow_spark.operators import dedup as DD
 
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
+
 
 def _chain(spark, n):
     nodes = spark.range(n).select(F.col("id").alias("doc_id"))

@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 from gcs_parquet_dataflow_spark.operators import dedup as DD
 from gcs_parquet_dataflow_spark.operators import similarity as SIM
 
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
+
 
 def _cc(spark, pairs, algorithm, max_iter=20):
     nodes = (

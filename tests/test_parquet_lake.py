@@ -12,6 +12,9 @@ from gcs_parquet_dataflow_spark.sinks.parquet_lake import (
     write_dlq,
     write_partitioned,
 )
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
 
 
 def test_partitioned_write_and_prune(spark, tmp_path):

@@ -17,6 +17,8 @@ from gcs_parquet_dataflow_spark.plans.recipe import (
     load_recipe,
 )
 
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
+
 
 RECIPE_JSON = """
 [

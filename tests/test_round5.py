@@ -13,6 +13,10 @@ import math
 
 from gcs_parquet_dataflow_spark.queries.catalog import CATALOG
 
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
+
 SF = "/root/testdata/sf0.001"
 
 

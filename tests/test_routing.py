@@ -6,6 +6,9 @@ from gcs_parquet_dataflow_spark.operators.routing import (
     route_uris,
     with_routing,
 )
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
 
 CONFIGS = load_configs(
     [

@@ -9,6 +9,9 @@ from gcs_parquet_dataflow_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
 )
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
 
 
 def test_sample_membership_is_stable_under_growth(spark):

@@ -9,6 +9,9 @@ from gcs_parquet_dataflow_spark.operators.skew import (
     salted_aggregate,
     salted_count_distinct,
 )
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
 
 
 def test_salted_count_distinct_is_exact(spark):

@@ -9,6 +9,9 @@ from gcs_parquet_dataflow_spark.operators.temporal import (
     asof_join,
     range_join_binned,
 )
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
 
 
 def ts(s):

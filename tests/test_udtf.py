@@ -5,6 +5,10 @@ from __future__ import annotations
 
 from gcs_parquet_dataflow_spark.functions.udtfs import register_udtfs
 
+import pytest
+
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
+
 
 def test_chunk_text_udtf_lateral_join(spark):
     register_udtfs(spark)

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from gcs_parquet_dataflow_spark.sinks.warehouse import read_table, write_bucketed
 
+pytestmark = pytest.mark.fast  # driver quick-gate module (r13)
+
 
 @pytest.fixture()
 def no_broadcast(spark):
