@@ -263,6 +263,7 @@ def test_sample_frames_fanout(spark):
     assert frames[2]["frame_md5"] == hashlib.md5(payload[128:192]).hexdigest()
 
 
+@pytest.mark.fast  # registry guard, part of the driver quick gate (r13)
 def test_query_names_are_unique_and_bound_to_their_function(spark):
     """Every CATALOG entry's builder must be the function registered
     under that name (guards against decorator-stacking mistakes)."""

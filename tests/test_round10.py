@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from gcs_parquet_dataflow_spark.operators import similarity as SIM
 from gcs_parquet_dataflow_spark.operators.dedup import (
     AutoCap,
@@ -559,6 +561,7 @@ def _scan_long_product_sums():
     return found
 
 
+@pytest.mark.fast  # AST overflow-audit guard, driver quick gate (r13)
 def test_no_unaudited_long_product_sum_accumulators():
     found = _scan_long_product_sums()
     new = {
